@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table helpers for the graft engine.
+  *
+  * The engine is batch-first for the oracle gate (every operator is a
+  * plain DataFrame transformation so Catalyst optimizes across operator
+  * boundaries) with a Structured Streaming runner layered on top (see
+  * `graft.streaming`). Mirrors the reference's topology model
+  * (sources -> transforms -> sinks, /root/reference/src/topology/) where a
+  * "pipeline" is just a function DataFrame => DataFrame.
+  */
+object Graft {
+
+  /** Local session tuned per the build guidance: shuffle partitions sized
+    * to cores (not the 200 default), AQE on (runtime coalescing + skew
+    * join handling — the local stand-in for what we'd rely on at 100 TB).
+    */
+  def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  val TableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Read one driver-provided parquet table from an sf directory.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
+    * type for — read it as nanos-since-epoch (legacy conf) and convert to
+    * a microsecond TIMESTAMP (integer DIV, not double division: epoch
+    * nanos ~1.7e18 exceeds the 2^53 double mantissa).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case None => df
+    }
+  }
+}

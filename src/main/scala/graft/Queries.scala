@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central registry: operator name -> (spark, sfDir) -> DataFrame, plus the
+  * DuckDB oracle SQL for each SQL-expressible query.
+  *
+  * Conventions (driver compare sorts columns by name then hashes values):
+  *  - identical lowercase column names on both sides;
+  *  - deterministic ordering (unique sort key) on both sides;
+  *  - counts cast to BIGINT in DuckDB (Spark count() is long);
+  *  - sums of 2-decimal data rounded at 2 decimals (never near a rounding
+  *    boundary); means expressed as round(sum,2)/count so both engines
+  *    compute bit-identical doubles.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def all: Map[String, Q] = core
+  def oracles: Map[String, String] = coreSql
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.table(s, dir, name)
+
+  // ---------------------------------------------------------------------
+  // Relational showcase (TPC-H-flavored) — exercises scan+filter+agg+join
+  // ---------------------------------------------------------------------
+
+  private lazy val core: Map[String, Q] = Map(
+    "q1_agg" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Headline pipeline: filter -> remap -> reduce over the log-shaped
+    // `events` table (Vector: filter + remap + reduce transforms).
+    "events_pipeline" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val remapped = ev
+        .filter(col("value") > 1.0)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("severity", when(col("event_type") === "error", 3).otherwise(6))
+        .withColumn(
+          "msg",
+          format_string("%s:%d", col("event_type"), col("severity")))
+      remapped
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"),
+          sum(col("k")).as("sum_k"),
+          min_by(col("event_type"), col("event_id")).as("first_type"),
+          array_sort(collect_set(col("event_type"))).as("types"),
+          concat_ws("|",
+            transform(
+              array_sort(collect_list(struct(col("event_id"), col("msg")))),
+              x => x.getField("msg"))).as("msgs"))
+        .orderBy(col("user_id"))
+    },
+
+    // `filter` transform (src/transforms/filter.rs): drop non-matching.
+    "filter" -> { (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type") === "error" && col("value") > 50.0)
+        .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  private lazy val coreSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |  CAST(count(*) AS BIGINT) AS count_order,
+        |  round(sum(l_quantity),2) / CAST(count(*) AS BIGINT) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "events_pipeline" ->
+      """WITH remapped AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    CASE WHEN event_type = 'error' THEN 3 ELSE 6 END AS severity
+        |  FROM events WHERE value > 1.0
+        |)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value),2) AS total_value,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min_by(event_type, event_id) AS first_type,
+        |  list_sort(list(DISTINCT event_type)) AS types,
+        |  string_agg(event_type || ':' || CAST(severity AS VARCHAR), '|' ORDER BY event_id) AS msgs
+        |FROM remapped
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "filter" ->
+      """SELECT event_id, user_id, round(value,2) AS value
+        |FROM events WHERE event_type = 'error' AND value > 50.0
+        |ORDER BY event_id""".stripMargin
+  )
+}
