@@ -18,8 +18,8 @@ object Queries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  def all: Map[String, Q] = core
-  def oracles: Map[String, String] = coreSql
+  def all: Map[String, Q] = core ++ TransformQueries.queries
+  def oracles: Map[String, String] = coreSql ++ TransformQueries.oracles
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)

@@ -1,0 +1,374 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.enrich.EnrichmentTable
+import graft.enrich.EnrichmentTable.{BetweenDates, Equals}
+
+/** Oracle-checked queries for the core transform operators (SURVEY §2.1)
+  * and enrichment joins (§2.3). Each query exercises the real operator
+  * implementation in graft.operators / graft.enrich.
+  */
+object TransformQueries {
+
+  import Queries.Q
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "events")
+
+  // metric stream derived from events: counter per event_type + value gauge
+  private def metricsOf(e: DataFrame): DataFrame = {
+    LogToMetric(
+      e.withColumn("__eid", col("event_id")),
+      ts = col("ts"),
+      specs = Seq(
+        LogToMetric.Counter(lit("events_total"), Seq("type" -> col("event_type"))),
+        LogToMetric.Gauge(lit("value_gauge"), Seq("type" -> col("event_type")),
+          col("value"))),
+      carry = Seq("__eid"))
+      .withColumn("type", element_at(col("tags"), "type"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "route" -> { (s, dir) =>
+      Route.tagged(ev(s, dir), Seq(
+          "error" -> (col("event_type") === "error"),
+          "high_value" -> (col("value") > 90.0),
+          "purchase" -> (col("event_type") === "purchase")))
+        .select(col("event_id"), col("route"))
+        .orderBy(col("event_id"), col("route"))
+    },
+
+    "exclusive_route" -> { (s, dir) =>
+      Route.exclusiveTag(ev(s, dir), Seq(
+          "error" -> (col("event_type") === "error"),
+          "high_value" -> (col("value") > 90.0)))
+        .select(col("event_id"), col("route"))
+        .orderBy(col("event_id"))
+    },
+
+    "sample_hash" -> { (s, dir) =>
+      Sample.byKeyMd5(ev(s, dir), col("user_id"), rate16 = 4)
+        .select(col("event_id"), col("user_id"), col("sample_rate"))
+        .orderBy(col("event_id"))
+    },
+
+    "sample_count" -> { (s, dir) =>
+      // deterministic 1-in-10 by sequence number (the count-based mode)
+      ev(s, dir).filter(pmod(col("event_id"), lit(10)) === 0)
+        .withColumn("sample_rate", lit(10))
+        .select(col("event_id"), col("event_type"), col("sample_rate"))
+        .orderBy(col("event_id"))
+    },
+
+    "dedupe" -> { (s, dir) =>
+      Dedupe(ev(s, dir).select("event_id", "user_id", "event_type"),
+          Seq("user_id", "event_type"), col("event_id"))
+        .orderBy(col("event_id"))
+    },
+
+    "reduce_merge" -> { (s, dir) =>
+      val projected = ev(s, dir).select(
+        col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("ft"), col("event_type").as("lt"),
+        col("value").as("sv"), col("value").as("mx"),
+        col("value").as("mn"), col("value").as("vals"),
+        col("event_type").as("types_cat"),
+        array(col("event_type")).as("uniq"))
+      Reduce(projected, Seq("user_id"),
+          Map(
+            "ft" -> Reduce.First, "lt" -> Reduce.Last,
+            "sv" -> Reduce.Sum, "mx" -> Reduce.Max, "mn" -> Reduce.Min,
+            "vals" -> Reduce.ToArray,
+            "types_cat" -> Reduce.Concat(" "),
+            "uniq" -> Reduce.FlatUnique),
+          orderCol = col("event_id"),
+          exclude = Seq("event_id"))
+        .withColumn("sv", round(col("sv"), 2))
+        .withColumn("uniq", array_sort(col("uniq")))
+        .orderBy(col("user_id"))
+    },
+
+    "aggregate_metrics" -> { (s, dir) =>
+      val m = metricsOf(ev(s, dir))
+        .withColumn("value", coalesce(col("counter_value"), col("gauge_value")))
+        .withColumn("v2", col("value") * col("value"))
+      import Aggregate._
+      val df = Aggregate(m, col("ts"), "1 hour", Seq("name", "type"),
+        col("value"), col("__eid"), col("kind"),
+        Seq("sum_v" -> SumMode, "n" -> CountMode, "max_v" -> MaxMode,
+          "min_v" -> MinMode, "latest_v" -> Latest, "diff_v" -> Diff,
+          "auto_v" -> Auto))
+      // mean/stdev from exactly-rounded parts so any engine computes
+      // bit-identical doubles (see Queries.scala conventions)
+      val withSq = m.groupBy(window(col("ts"), "1 hour"), col("name"), col("type"))
+        .agg(round(sum(col("v2")), 4).as("sum_sq"))
+        .withColumn("window_start", col("window.start")).drop("window")
+      df.join(withSq, Seq("window_start", "name", "type"))
+        .withColumn("sum_v", round(col("sum_v"), 2))
+        .withColumn("auto_v", round(col("auto_v"), 2))
+        .withColumn("mean_v", col("sum_v") / col("n"))
+        .withColumn("stdev_v",
+          when(col("n") > 1,
+            sqrt((col("sum_sq") - col("sum_v") * col("sum_v") / col("n")) /
+              (col("n") - 1))))
+        .drop("sum_sq")
+        .orderBy(col("window_start"), col("name"), col("type"))
+    },
+
+    "throttle" -> { (s, dir) =>
+      Throttle(ev(s, dir).select("event_id", "user_id", "ts"),
+          key = col("user_id"), ts = col("ts"), windowDuration = "1 day",
+          threshold = 5, orderCol = col("event_id"))
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))
+    },
+
+    "window_lookback" -> { (s, dir) =>
+      WindowLookback(ev(s, dir).select("event_id", "user_id", "event_type"),
+          key = col("user_id"), orderCol = col("event_id"),
+          flushWhen = col("event_type") === "error",
+          numEventsBefore = 2, numEventsAfter = 1)
+        .orderBy(col("event_id"))
+    },
+
+    "log_to_metric" -> { (s, dir) =>
+      metricsOf(ev(s, dir))
+        .select(col("__eid").as("event_id"), col("name"), col("kind"),
+          col("value_type"),
+          coalesce(col("counter_value"), col("gauge_value")).as("val"),
+          col("type"))
+        .orderBy(col("event_id"), col("name"))
+    },
+
+    "metric_to_log" -> { (s, dir) =>
+      LogToMetric.metricToLog(
+          metricsOf(ev(s, dir)).filter(col("value_type") === "counter"))
+        .select(col("__eid").as("event_id"), col("message"))
+        .orderBy(col("event_id"))
+    },
+
+    "incremental_to_absolute" -> { (s, dir) =>
+      IncrementalToAbsolute(
+          metricsOf(ev(s, dir))
+            .withColumn("value", coalesce(col("counter_value"), col("gauge_value"))),
+          seriesKeys = Seq("name", "type"), value = col("value"),
+          orderCol = col("__eid"))
+        .select(col("__eid").as("event_id"), col("name"), col("type"),
+          col("kind"), round(col("abs_value"), 2).as("abs_value"))
+        .orderBy(col("event_id"), col("name"))
+    },
+
+    "tag_cardinality_limit" -> { (s, dir) =>
+      TagCardinalityLimit(ev(s, dir).select("event_id", "user_id", "event_type"),
+          tag = "event_type", valueLimit = 2, orderCol = col("event_id"))
+        .orderBy(col("event_id"))
+    },
+
+    "enrich_join" -> { (s, dir) =>
+      val c = Graft.table(s, dir, "customer")
+      val n = Graft.table(s, dir, "nation")
+      val r = Graft.table(s, dir, "region")
+      val withNation = EnrichmentTable.lookup(
+        c, n, Seq(Equals(col("c_nationkey"), "n_nationkey")),
+        select = Seq("n_name", "n_regionkey"))
+      val withRegion = EnrichmentTable.lookup(
+        withNation, r, Seq(Equals(col("n_regionkey"), "r_regionkey")),
+        select = Seq("r_name"))
+      withRegion.select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "enrich_range" -> { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val periods = Seq(
+        ("early", "1992-01-01 00:00:00", "1994-12-31 23:59:59"),
+        ("mid", "1995-01-01 00:00:00", "1996-12-31 23:59:59"),
+        ("late", "1997-01-01 00:00:00", "1998-12-31 23:59:59"))
+        .toDF("period", "from_ts", "to_ts")
+        .select(col("period"), col("from_ts").cast("timestamp").as("from_ts"),
+          col("to_ts").cast("timestamp").as("to_ts"))
+      EnrichmentTable.lookup(
+          Graft.table(s, dir, "orders"), periods, Nil,
+          between = Seq(BetweenDates(col("o_orderdate"), "from_ts", "to_ts")))
+        .select(col("o_orderkey"), col("period"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "enrich_wildcard" -> { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val tiers = Seq(("BUILDING", "tier1"), ("AUTOMOBILE", "tier2"), ("*", "tier0"))
+        .toDF("segment", "tier")
+      EnrichmentTable.lookupWithWildcard(
+          Graft.table(s, dir, "customer"), tiers,
+          eventKey = col("c_mktsegment"), tableKey = "segment",
+          wildcard = "*", payload = Seq("tier"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("tier"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "condition_search" -> { (s, dir) =>
+      // Datadog-search-style condition (SURVEY §2.2): facet equality,
+      // wildcard LIKE, regex, numeric range — compiled to Column predicates
+      ev(s, dir).filter(
+          (col("event_type").rlike("^(error|signup)$") ||
+            col("props").like("%\"k\": 1%")) && col("value").between(10.0, 200.0))
+        .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "route" ->
+      """WITH m AS (
+        |  SELECT event_id, 'error' AS route FROM events WHERE event_type='error'
+        |  UNION ALL SELECT event_id, 'high_value' FROM events WHERE value > 90.0
+        |  UNION ALL SELECT event_id, 'purchase' FROM events WHERE event_type='purchase'
+        |  UNION ALL SELECT event_id, '_unmatched' FROM events
+        |    WHERE NOT(event_type='error' OR value > 90.0 OR event_type='purchase')
+        |) SELECT event_id, route FROM m ORDER BY event_id, route""".stripMargin,
+
+    "exclusive_route" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type='error' THEN 'error'
+        |       WHEN value > 90.0 THEN 'high_value'
+        |       ELSE '_unmatched' END AS route
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sample_hash" ->
+      """SELECT event_id, user_id, 4 AS sample_rate FROM events
+        |WHERE substr(md5(CAST(user_id AS VARCHAR)),1,1) IN ('0','1','2','3')
+        |ORDER BY event_id""".stripMargin,
+
+    "sample_count" ->
+      """SELECT event_id, event_type, 10 AS sample_rate FROM events
+        |WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin,
+
+    "dedupe" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "reduce_merge" ->
+      """SELECT user_id,
+        |  min(CAST(ts AS TIMESTAMP)) AS ts, max(CAST(ts AS TIMESTAMP)) AS ts_end,
+        |  arg_min(event_type, event_id) AS ft, arg_max(event_type, event_id) AS lt,
+        |  round(sum(value),2) AS sv, max(value) AS mx, min(value) AS mn,
+        |  list(value ORDER BY event_id) AS vals,
+        |  string_agg(event_type, ' ' ORDER BY event_id) AS types_cat,
+        |  list_sort(list(DISTINCT event_type)) AS uniq,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "aggregate_metrics" ->
+      """WITH metrics AS (
+        |  SELECT 'events_total' AS name, event_type AS type, ts, 'incremental' AS kind,
+        |         1.0 AS value, event_id FROM events
+        |  UNION ALL
+        |  SELECT 'value_gauge', event_type, ts, 'absolute', value, event_id FROM events
+        |)
+        |SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, name, type,
+        |  round(sum(value),2) AS sum_v, CAST(count(*) AS BIGINT) AS n,
+        |  max(value) AS max_v, min(value) AS min_v,
+        |  arg_max(value, event_id) AS latest_v,
+        |  arg_max(value, event_id) - arg_min(value, event_id) AS diff_v,
+        |  round(CASE WHEN max(kind)='absolute' THEN arg_max(value, event_id)
+        |        ELSE sum(value) END, 2) AS auto_v,
+        |  round(sum(value),2) / CAST(count(*) AS BIGINT) AS mean_v,
+        |  CASE WHEN count(*) > 1 THEN
+        |    sqrt((round(sum(value*value),4) - round(sum(value),2)*round(sum(value),2)
+        |          / CAST(count(*) AS BIGINT)) / (CAST(count(*) AS BIGINT) - 1))
+        |  END AS stdev_v
+        |FROM metrics GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "throttle" ->
+      """SELECT event_id, user_id FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+        |  ORDER BY event_id) <= 5
+        |ORDER BY event_id""".stripMargin,
+
+    "window_lookback" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT *, max(CASE WHEN event_type='error' THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS keep
+        |  FROM events) WHERE keep = 1 ORDER BY event_id""".stripMargin,
+
+    "log_to_metric" ->
+      """SELECT event_id, name, kind, value_type, val, type FROM (
+        |  SELECT event_id, 'events_total' AS name, 'incremental' AS kind,
+        |         'counter' AS value_type, 1.0 AS val, event_type AS type FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'value_gauge', 'absolute', 'gauge', value, event_type FROM events
+        |) ORDER BY event_id, name""".stripMargin,
+
+    "metric_to_log" ->
+      """SELECT event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') || ' incremental events_total=1.0'
+        |    AS message
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "incremental_to_absolute" ->
+      """WITH metrics AS (
+        |  SELECT 'events_total' AS name, event_type AS type, 'incremental' AS kind,
+        |         1.0 AS value, event_id FROM events
+        |  UNION ALL
+        |  SELECT 'value_gauge', event_type, 'absolute', value, event_id FROM events
+        |)
+        |SELECT event_id, name, type, 'absolute' AS kind,
+        |  round(CASE WHEN kind='incremental' THEN
+        |    sum(CASE WHEN kind='incremental' THEN value END) OVER (
+        |      PARTITION BY name, type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  ELSE value END, 2) AS abs_value
+        |FROM metrics ORDER BY event_id, name""".stripMargin,
+
+    "tag_cardinality_limit" ->
+      """WITH fs AS (
+        |  SELECT event_type AS tv, min(event_id) AS first_seen
+        |  FROM events GROUP BY 1),
+        |keep AS (
+        |  SELECT tv FROM fs
+        |  QUALIFY row_number() OVER (ORDER BY first_seen, tv) <= 2)
+        |SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type IN (SELECT tv FROM keep) ORDER BY event_id""".stripMargin,
+
+    "enrich_join" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "enrich_range" ->
+      """SELECT o_orderkey, period FROM orders
+        |LEFT JOIN (VALUES
+        |  ('early', TIMESTAMP '1992-01-01 00:00:00', TIMESTAMP '1994-12-31 23:59:59'),
+        |  ('mid',   TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1996-12-31 23:59:59'),
+        |  ('late',  TIMESTAMP '1997-01-01 00:00:00', TIMESTAMP '1998-12-31 23:59:59'))
+        |  AS p(period, from_ts, to_ts)
+        |ON o_orderdate BETWEEN from_ts AND to_ts
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "enrich_wildcard" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  coalesce(t.tier, 'tier0') AS tier
+        |FROM customer
+        |LEFT JOIN (VALUES ('BUILDING','tier1'), ('AUTOMOBILE','tier2'))
+        |  AS t(segment, tier)
+        |ON c_mktsegment = segment
+        |ORDER BY c_custkey""".stripMargin,
+
+    "condition_search" ->
+      """SELECT event_id, event_type, round(value,2) AS value FROM events
+        |WHERE (regexp_matches(event_type, '^(error|signup)$')
+        |       OR props LIKE '%"k": 1%')
+        |  AND value BETWEEN 10.0 AND 200.0
+        |ORDER BY event_id""".stripMargin
+  )
+}

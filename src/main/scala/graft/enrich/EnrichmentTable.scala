@@ -1,0 +1,77 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Enrichment tables — the reference's only join surface.
+  *
+  * Reference: /root/reference/lib/vector-vrl/enrichment/src/lib.rs:105-143
+  * (Table trait: find_table_row(s) with ANDed conditions Equals /
+  * BetweenDates / FromDate / ToDate, lib.rs:24-43; Case::Sensitive |
+  * Insensitive :45-49); file-backed CSV table with a per-key hash index in
+  * src/enrichment_tables/file.rs:149-165,510-528 and a wildcard fallback
+  * row :340-341.
+  *
+  * Spark-first: the per-row VRL lookup call is rewritten as a JOIN — the
+  * hash index the reference builds by hand is exactly a broadcast hash
+  * join (dimension tables are small by construction); date-range
+  * conditions become range-join predicates. This keeps the probe side
+  * shuffle-free and lets Catalyst prune/pushdown through the join.
+  */
+object EnrichmentTable {
+
+  /** Equality condition, optionally case-insensitive (join on lower()). */
+  final case class Equals(eventCol: Column, tableCol: String,
+                          caseInsensitive: Boolean = false)
+  /** event ts BETWEEN table.from AND table.to (BetweenDates, lib.rs:30-36). */
+  final case class BetweenDates(eventCol: Column, fromCol: String, toCol: String)
+
+  /** `get_enrichment_table_record`-as-join: left join the (broadcast)
+    * table; `select` picks which table columns survive.
+    */
+  def lookup(
+      events: DataFrame,
+      table: DataFrame,
+      equals: Seq[Equals],
+      between: Seq[BetweenDates] = Nil,
+      select: Seq[String] = Nil): DataFrame = {
+    val t = if (select.isEmpty) table
+            else table.select((equalsCols(equals, between) ++ select).distinct.map(col): _*)
+    val eqConds = equals.map { e =>
+      if (e.caseInsensitive) lower(e.eventCol) === lower(t(e.tableCol))
+      else e.eventCol === t(e.tableCol)
+    }
+    val rangeConds = between.map(b => b.eventCol.between(t(b.fromCol), t(b.toCol)))
+    val cond = (eqConds ++ rangeConds).reduce(_ && _)
+    events.join(broadcast(t), cond, "left")
+  }
+
+  private def equalsCols(equals: Seq[Equals], between: Seq[BetweenDates]): Seq[String] =
+    equals.map(_.tableCol) ++ between.flatMap(b => Seq(b.fromCol, b.toCol))
+
+  /** File table: CSV with headers (src/enrichment_tables/file.rs). */
+  def fromCsv(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** Wildcard fallback (file.rs:340-341): rows where `wildcardCol` is the
+    * wildcard match any key — implemented as a second (broadcast) join for
+    * events that missed the exact match, then coalesced.
+    */
+  def lookupWithWildcard(
+      events: DataFrame,
+      table: DataFrame,
+      eventKey: Column,
+      tableKey: String,
+      wildcard: String,
+      payload: Seq[String]): DataFrame = {
+    val exact = table.filter(col(tableKey) =!= wildcard)
+    val fallback = table.filter(col(tableKey) === wildcard)
+      .select(payload.map(c => col(c).as(c + "__wc")): _*)
+    val joined = events
+      .join(broadcast(exact), eventKey === exact(tableKey), "left")
+      .join(broadcast(fallback)) // 1-row cross join with the fallback payload
+    payload.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), col(c + "__wc")))
+    }.drop(payload.map(_ + "__wc"): _*).drop(tableKey)
+  }
+}

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `dedupe` — drop events whose selected fields were already seen.
+  *
+  * Reference: /root/reference/src/transforms/dedupe/ (match/ignore field
+  * lists, default `timestamp,host,message`; LRU cache of `num_events`,
+  * common.rs:32-35; TTL variant in timed_transform.rs).
+  *
+  * Batch semantics: exact dedupe keeping the FIRST event per key in
+  * `orderCol` order — the deterministic analogue of "first seen wins".
+  * The LRU bound is a single-process memory cap, not a semantic; at scale
+  * the exact shuffle-dedupe is both correct and cheaper than emulating an
+  * LRU. Streaming TTL variant lives in graft.streaming (watermark +
+  * dropDuplicatesWithinWatermark).
+  */
+object Dedupe {
+
+  /** Keep the first row per key (deterministic via orderCol tiebreak). */
+  def apply(df: DataFrame, matchFields: Seq[String], orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(matchFields.map(col): _*).orderBy(orderCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Order-insensitive exact dedupe (any representative row). */
+  def any(df: DataFrame, matchFields: Seq[String]): DataFrame =
+    df.dropDuplicates(matchFields)
+}

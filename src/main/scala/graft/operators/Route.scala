@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** `route` / `exclusive_route` — multi-way stream split.
+  *
+  * Reference: /root/reference/src/transforms/route.rs (event goes to EVERY
+  * matching route; `_unmatched` output at route.rs:17) and
+  * src/transforms/exclusive_route/transform.rs:46-57 (first match wins).
+  *
+  * Each output is a sibling filtered DataFrame off the same parent — at
+  * scale, the shared scan is read once per materialized sink (or cached);
+  * Catalyst pushes each route predicate down to the parquet scan.
+  */
+object Route {
+
+  val Unmatched = "_unmatched"
+
+  /** `route`: every matching route receives the event. */
+  def apply(df: DataFrame, routes: Seq[(String, Column)]): Map[String, DataFrame] = {
+    val named = routes.map { case (name, cond) => name -> df.filter(cond) }.toMap
+    val unmatched = df.filter(!routes.map(_._2).reduce(_ || _))
+    named + (Unmatched -> unmatched)
+  }
+
+  /** Single-DataFrame view for batch verification: one row per
+    * (event, matching-route) pair, plus `_unmatched` rows — the relational
+    * encoding of the fan-out.
+    */
+  def tagged(df: DataFrame, routes: Seq[(String, Column)]): DataFrame = {
+    val matches = array(
+      routes.map { case (name, cond) => when(cond, lit(name)) }: _*)
+    df.withColumn(
+        "route",
+        explode(
+          when(size(filter_exprs(matches)) === 0, array(lit(Unmatched)))
+            .otherwise(filter_exprs(matches))))
+  }
+
+  private def filter_exprs(arr: Column): Column =
+    filter(arr, x => x.isNotNull)
+
+  /** `exclusive_route`: first-match-wins tag column. */
+  def exclusiveTag(df: DataFrame, routes: Seq[(String, Column)]): DataFrame = {
+    val tag = routes.foldRight(lit(Unmatched): Column) {
+      case ((name, cond), rest) => when(cond, lit(name)).otherwise(rest)
+    }
+    df.withColumn("route", tag)
+  }
+
+  /** `exclusive_route` as separate outputs. */
+  def exclusive(df: DataFrame, routes: Seq[(String, Column)]): Map[String, DataFrame] = {
+    val tagged = exclusiveTag(df, routes)
+    (routes.map(_._1) :+ Unmatched)
+      .map(name => name -> tagged.filter(col("route") === name).drop("route"))
+      .toMap
+  }
+}

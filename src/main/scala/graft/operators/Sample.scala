@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** `sample` — keep 1-in-`rate` (or a ratio) of events.
+  *
+  * Reference: /root/reference/src/transforms/sample/transform.rs (consistent
+  * seahash on `key_field` :84-86 so equal keys sample together; `exclude`
+  * bypass; `sample_rate` field written on kept events).
+  *
+  * The reference's count-based round-robin mode assumes a single ordered
+  * stream — meaningless across 1000 executors. The scale-correct modes are
+  * hash-coherent (deterministic per key, partition-local, no shuffle) and
+  * ratio (Bernoulli). Both are pure filters: pushed to the scan, no state.
+  */
+object Sample {
+
+  /** Hash-coherent sampling: keep keys whose 64-bit hash lands in the
+    * first `1/rate` of the hash space. Equal keys are always kept or
+    * always dropped together (the seahash-on-key_field semantic).
+    */
+  def byKey(df: DataFrame, key: Column, rate: Int,
+            exclude: Option[Column] = None,
+            rateField: String = "sample_rate"): DataFrame = {
+    val keep = pmod(xxhash64(key), lit(rate)) === 0
+    df.filter(exclude.map(e => e || keep).getOrElse(keep))
+      .withColumn(rateField, lit(rate))
+  }
+
+  /** Portable variant of hash-coherent sampling keyed on an md5 bucket —
+    * same semantics as [[byKey]] but reproducible in any engine with md5
+    * (used by the cross-engine oracle; xxhash64 is Spark-specific).
+    * Keeps keys whose first md5 hex nibble is < 16/rate.
+    */
+  def byKeyMd5(df: DataFrame, key: Column, rate16: Int,
+               rateField: String = "sample_rate"): DataFrame = {
+    require(16 % rate16 == 0, "rate must divide 16 for the nibble bucket")
+    df.filter(conv(substring(md5(key.cast("string")), 1, 1), 16, 10)
+        .cast("int") < lit(16 / rate16))
+      .withColumn(rateField, lit(rate16))
+  }
+
+  /** Bernoulli ratio sampling (the reference's `ratio` mode). */
+  def ratio(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+}

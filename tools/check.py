@@ -24,6 +24,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cell_eq(a, b) -> bool:
+    import numpy as np
+    if isinstance(a, np.ndarray):
+        a = a.tolist()
+    if isinstance(b, np.ndarray):
+        b = b.tolist()
+    if isinstance(a, (np.floating, np.integer)):
+        a = a.item()
+    if isinstance(b, (np.floating, np.integer)):
+        b = b.item()
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
