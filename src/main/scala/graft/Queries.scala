@@ -18,8 +18,9 @@ object Queries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  def all: Map[String, Q] = core ++ TransformQueries.queries
-  def oracles: Map[String, String] = coreSql ++ TransformQueries.oracles
+  def all: Map[String, Q] = core ++ TransformQueries.queries ++ VrlQueries.queries
+  def oracles: Map[String, String] =
+    coreSql ++ TransformQueries.oracles ++ VrlQueries.oracles
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)

@@ -1,0 +1,277 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The VRL stdlib surface as Catalyst `Column` functions.
+  *
+  * Reference: the remap expression language (external vrl crate 0.34,
+  * /root/reference/Cargo.lock:13830-13832; function docs under
+  * /root/reference/website/cue/reference/remap/functions.cue:33-56, 22
+  * categories, ~190 functions). Functions with a direct Spark builtin are
+  * thin aliases (codegen'd, zero custom code on the hot path); the
+  * log-parsing family (syslog / logfmt / key-value / common-log / grok
+  * subsets) is built from regexp + map primitives; only the compression
+  * codecs fall back to JVM UDFs (non-hot-path by design).
+  *
+  * VRL's fallibility model (`??` error coalescing, abort) maps to
+  * null-on-failure `try_`-style expressions + [[coalesced]]: a failed
+  * parse yields null, which the caller coalesces or routes to the
+  * `dropped` output (see operators.Remap.errorWhen).
+  */
+object Vrl {
+
+  // ---- String ----------------------------------------------------------
+  def upcase(c: Column): Column = upper(c)
+  def downcase(c: Column): Column = lower(c)
+  def strTrim(c: Column): Column = trim(c)
+  def splitStr(c: Column, sep: String): Column = split(c, sep)
+  def joinArr(c: Column, sep: String): Column = array_join(c, sep)
+  def replaceAll(c: Column, pat: String, rep: String): Column =
+    regexp_replace(c, pat, rep)
+  def slice(c: Column, start: Int, len: Int): Column = substring(c, start + 1, len)
+  def containsStr(c: Column, s: String): Column = c.contains(s)
+  def startsWith(c: Column, s: String): Column = c.startsWith(s)
+  def endsWith(c: Column, s: String): Column = c.endsWith(s)
+  def matches(c: Column, pattern: String): Column = c.rlike(pattern)
+  def find(c: Column, pattern: String): Column = regexp_extract(c, pattern, 0)
+  def truncate(c: Column, limit: Int, ellipsis: Boolean = false): Column =
+    if (ellipsis) when(length(c) > limit, concat(substring(c, 1, limit), lit("...")))
+      .otherwise(c)
+    else substring(c, 1, limit)
+  def stripWhitespace(c: Column): Column = trim(c)
+  def stripAnsiEscapeCodes(c: Column): Column =
+    regexp_replace(c, "\\[[0-9;]*[A-Za-z]", "")
+  def snakecase(c: Column): Column =
+    lower(regexp_replace(regexp_replace(c, "([a-z0-9])([A-Z])", "$1_$2"), "[\\s-]+", "_"))
+  def strlen(c: Column): Column = length(c)
+
+  // ---- Parse (the custom surface) --------------------------------------
+
+  /** parse_key_value / parse_logfmt: `k=v k2="quoted v"` -> map. */
+  def parseKeyValue(c: Column, fieldSep: String = " ", kvSep: String = "="): Column =
+    map_filter(
+      map_from_entries(
+        transform(
+          filter(split(c, java.util.regex.Pattern.quote(fieldSep)),
+            kv => kv.contains(kvSep)),
+          kv => struct(
+            substring_index(kv, kvSep, 1).as("key"),
+            regexp_replace(substr(kv, length(substring_index(kv, kvSep, 1)) + 2,
+              length(kv)), "^\"|\"$", "").as("value")))),
+      (k, _) => length(k) > 0)
+
+  /** parse_syslog, RFC3164 subset: `<PRI>TIMESTAMP HOST TAG[PID]: MSG`.
+    * Returns a struct(priority, facility, severity, hostname, appname,
+    * procid, message); null fields on non-match (VRL fallibility -> null).
+    */
+  def parseSyslog3164(c: Column): Column = {
+    val pat = "^<(\\d{1,3})>(?:([A-Z][a-z]{2} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2}) )?(\\S+) ([^\\[: ]+)(?:\\[(\\d+)\\])?: (.*)$"
+    val pri = nullif(regexp_extract(c, pat, 1), lit("")).cast("int")
+    struct(
+      pri.as("priority"),
+      (pri / 8).cast("int").as("facility"),
+      pmod(pri, lit(8)).cast("int").as("severity"),
+      nullif(regexp_extract(c, pat, 2), lit("")).as("timestamp"),
+      nullif(regexp_extract(c, pat, 3), lit("")).as("hostname"),
+      nullif(regexp_extract(c, pat, 4), lit("")).as("appname"),
+      nullif(regexp_extract(c, pat, 5), lit("")).cast("long").as("procid"),
+      regexp_extract(c, pat, 6).as("message"))
+  }
+
+  /** parse_common_log (Apache CLF):
+    * `host ident user [ts] "METHOD path PROTO" status size`.
+    */
+  def parseCommonLog(c: Column): Column = {
+    val pat = "^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"(\\S+) (\\S+) (\\S+)\" (\\d{3}) (\\S+)$"
+    struct(
+      nullif(regexp_extract(c, pat, 1), lit("")).as("host"),
+      nullif(regexp_extract(c, pat, 3), lit("")).as("user"),
+      nullif(regexp_extract(c, pat, 4), lit("")).as("timestamp"),
+      nullif(regexp_extract(c, pat, 5), lit("")).as("method"),
+      nullif(regexp_extract(c, pat, 6), lit("")).as("path"),
+      nullif(regexp_extract(c, pat, 7), lit("")).as("protocol"),
+      nullif(regexp_extract(c, pat, 8), lit("")).cast("int").as("status"),
+      nullif(nullif(regexp_extract(c, pat, 9), lit("")), lit("-"))
+        .cast("long").as("size"))
+  }
+
+  def parseJson(c: Column, schema: String): Column = from_json(c, lit(schema))
+  def parseCsvLine(c: Column, schema: String): Column =
+    from_csv(c, lit(schema), new java.util.HashMap[String, String]())
+  def parseRegex(c: Column, pattern: String, group: Int): Column =
+    nullif(regexp_extract(c, pattern, group), lit(""))
+  def parseRegexAll(c: Column, pattern: String): Column =
+    regexp_extract_all(c, lit(pattern))
+  def parseUrlPart(c: Column, part: String): Column = parse_url(c, lit(part))
+  def parseQueryString(c: Column): Column =
+    map_from_entries(transform(split(c, "&"),
+      kv => struct(substring_index(kv, "=", 1), substring_index(kv, "=", -1))))
+  def parseInt(c: Column): Column = c.cast("long")
+  def parseFloat(c: Column): Column = c.cast("double")
+  /** parse_duration to seconds: "1h2m3s", "150ms", "1.5m". */
+  def parseDurationSecs(c: Column): Column = {
+    def part(unit: String, mult: Double): Column =
+      coalesce(nullif(regexp_extract(c, s"([0-9.]+)$unit", 1), lit(""))
+        .cast("double"), lit(0.0)) * mult
+    part("h", 3600) + part("m(?![s])", 60) + part("(?<![m])s(?![a-z])", 1) +
+      part("ms", 0.001) + part("us", 0.000001)
+  }
+
+  // ---- Codec -----------------------------------------------------------
+  def encodeJson(c: Column): Column = to_json(c)
+  def encodeBase64(c: Column): Column = base64(c.cast("binary"))
+  def decodeBase64(c: Column): Column = unbase64(c).cast("string")
+  def encodeHex(c: Column): Column = lower(hex(c.cast("binary")))
+  def decodeHex(c: Column): Column = unhex(c).cast("string")
+  def encodePercent(c: Column): Column = url_encode(c)
+  def decodePercent(c: Column): Column = url_decode(c)
+  /** encode_logfmt: struct/map -> `k=v` pairs joined by space. */
+  def encodeLogfmt(m: Column): Column =
+    array_join(
+      transform(map_entries(m),
+        e => concat(e.getField("key"), lit("="),
+          when(e.getField("value").cast("string").rlike("[ =\"]"),
+            concat(lit("\""), e.getField("value"), lit("\"")))
+            .otherwise(e.getField("value").cast("string")))), " ")
+  def encodeKeyValue(m: Column, fieldSep: String = " ", kvSep: String = "="): Column =
+    array_join(transform(map_entries(m),
+      e => concat(e.getField("key"), lit(kvSep), e.getField("value").cast("string"))),
+      fieldSep)
+
+  /** encode_gzip / decode_gzip — JVM deflater UDFs (no Spark builtin);
+    * deliberately off the codegen hot path, used at sink edges only.
+    */
+  val encodeGzip: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(bytes); gz.close(); bos.toByteArray
+      }
+    }
+  val decodeGzip: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      }
+    }
+
+  // ---- Coerce / Type ---------------------------------------------------
+  def toBool(c: Column): Column = c.cast("boolean")
+  def toInt(c: Column): Column = c.cast("long")
+  def toFloat(c: Column): Column = c.cast("double")
+  def toStringCol(c: Column): Column = c.cast("string")
+  def isNullVal(c: Column): Column = c.isNull
+  def typeOf(c: Column): Column = typeof(c)
+
+  // ---- Timestamp -------------------------------------------------------
+  def nowTs(): Column = current_timestamp()
+  def formatTimestamp(c: Column, fmt: String): Column = date_format(c, fmt)
+  def parseTimestamp(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+  def toUnixTimestamp(c: Column): Column = unix_timestamp(c)
+  def fromUnixTimestamp(c: Column): Column = timestamp_seconds(c)
+
+  // ---- Number ----------------------------------------------------------
+  def absNum(c: Column): Column = abs(c)
+  def ceilNum(c: Column, precision: Int = 0): Column =
+    ceil(c * math.pow(10, precision)) / math.pow(10, precision)
+  def floorNum(c: Column, precision: Int = 0): Column =
+    floor(c * math.pow(10, precision)) / math.pow(10, precision)
+  def roundNum(c: Column, precision: Int = 0): Column = round(c, precision)
+  def modNum(a: Column, b: Column): Column = pmod(a, b)
+
+  // ---- Array -----------------------------------------------------------
+  def push(arr: Column, v: Column): Column = array_append(arr, v)
+  def append(a: Column, b: Column): Column = concat(a, b)
+  def flattenArr(c: Column): Column = flatten(c)
+  def uniqueArr(c: Column): Column = array_distinct(c)
+  def chunks(c: Column, size: Int): Column =
+    transform(sequence(lit(0), (org.apache.spark.sql.functions.size(c) - 1) / size),
+      i => org.apache.spark.sql.functions.slice(c, i * size + 1, lit(size)))
+  def includes(c: Column, v: Column): Column = array_contains(c, v)
+  def sortArr(c: Column): Column = array_sort(c)
+  def arrLength(c: Column): Column = org.apache.spark.sql.functions.size(c)
+  def zip(a: Column, b: Column): Column = arrays_zip(a, b)
+  // VRL closures (map/filter/for_each) are Spark higher-order functions:
+  def mapArr(c: Column, f: Column => Column): Column = transform(c, f)
+  def filterArr(c: Column, f: Column => Column): Column =
+    org.apache.spark.sql.functions.filter(c, f)
+
+  // ---- Object / Map ----------------------------------------------------
+  def merge(a: Column, b: Column): Column = map_concat(a, b)
+  def keys(m: Column): Column = map_keys(m)
+  def values(m: Column): Column = map_values(m)
+  def mapKeys(m: Column, f: Column => Column): Column = transform_keys(m, (k, _) => f(k))
+  def mapValues(m: Column, f: Column => Column): Column =
+    transform_values(m, (_, v) => f(v))
+  def removeKey(m: Column, key: String): Column = map_filter(m, (k, _) => k =!= key)
+  def getPath(m: Column, key: String): Column = element_at(m, key)
+  // unnest -> explode at the DataFrame level (operators.Misc)
+
+  // ---- IP --------------------------------------------------------------
+  /** ip_aton: dotted-quad IPv4 -> long. */
+  def ipAton(c: Column): Column = {
+    val p = split(c, "\\.")
+    element_at(p, 1).cast("long") * 16777216L +
+      element_at(p, 2).cast("long") * 65536L +
+      element_at(p, 3).cast("long") * 256L +
+      element_at(p, 4).cast("long")
+  }
+  /** ip_ntoa: long -> dotted-quad IPv4. */
+  def ipNtoa(c: Column): Column =
+    concat_ws(".",
+      (c / 16777216L).cast("long") % 256L,
+      (c / 65536L).cast("long") % 256L,
+      (c / 256L).cast("long") % 256L,
+      c.cast("long") % 256L)
+  /** ip_cidr_contains("10.1.0.0/16", ip). */
+  def ipCidrContains(cidr: String, ip: Column): Column = {
+    val Array(base, bits) = cidr.split("/")
+    val baseLong = base.split("\\.").map(_.toLong)
+      .foldLeft(0L)((acc, o) => acc * 256 + o)
+    val mask = if (bits.toInt == 0) 0L else (-1L << (32 - bits.toInt)) & 0xFFFFFFFFL
+    (ipAton(ip).bitwiseAND(lit(mask))) === lit(baseLong & mask)
+  }
+  /** ip_subnet: mask an IPv4 down to its /n network address. */
+  def ipSubnet(ip: Column, prefixBits: Int): Column = {
+    val mask = if (prefixBits == 0) 0L else (-1L << (32 - prefixBits)) & 0xFFFFFFFFL
+    ipNtoa(ipAton(ip).bitwiseAND(lit(mask)))
+  }
+
+  // ---- Cryptography / Checksum / Random --------------------------------
+  def md5Hex(c: Column): Column = md5(c.cast("binary"))
+  def sha1Hex(c: Column): Column = sha1(c.cast("binary"))
+  def sha2Hex(c: Column, bits: Int = 256): Column = sha2(c.cast("binary"), bits)
+  def crc32Of(c: Column): Column = crc32(c.cast("binary"))
+  def xxhash(c: Column*): Column = xxhash64(c: _*)
+  def hmacSha256(key: String, c: Column): Column = {
+    val f = udf { (msg: String) =>
+      if (msg == null) null
+      else {
+        val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+        mac.init(new javax.crypto.spec.SecretKeySpec(
+          key.getBytes("UTF-8"), "HmacSHA256"))
+        mac.doFinal(msg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+    }
+    f(c)
+  }
+  def uuidV4(): Column = expr("uuid()")
+  def randomFloat(): Column = rand()
+  def randomInt(lo: Long, hi: Long): Column =
+    (rand() * (hi - lo)).cast("long") + lo
+  def randomBool(): Column = rand() > 0.5
+
+  // ---- Fallibility (`??`, abort) --------------------------------------
+  /** VRL `a ?? b`: null-on-error coalescing. */
+  def coalesced(cs: Column*): Column = coalesce(cs: _*)
+}
