@@ -1,0 +1,280 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.datapipe.{Ann, Dedup, Multimodal, TextAnalysis}
+
+/** Oracle-checked queries for the training-data pipeline operators:
+  * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding),
+  * similarity search (brute-force + sign-LSH), text analysis, and the
+  * multimodal plumbing. Oracles recompute the full pipelines in DuckDB
+  * (portable md5-derived hashing; double-precision cosine on both sides).
+  */
+object DatapipeQueries {
+
+  import Queries.Q
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "embeddings")
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(docs(s, dir).select("doc_id", "text"), "doc_id", col("text"))
+        .select(col("doc_id"), col("dup_of"))
+        .orderBy(col("doc_id"))
+    },
+
+    "dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), "doc_id", col("text"),
+          shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "dedup_ngram" -> { (s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", col("text"),
+          shingleN = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", col("text"))
+        .orderBy(col("doc"))
+    },
+
+    "dedup_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(
+          Dedup.simhash(docs(s, dir), "doc_id", col("text")), maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "dedup_embedding" -> { (s, dir) =>
+      Ann.nearDupPairs(emb(s, dir), "vec_id", "embedding",
+          threshold = 0.3, bits = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "ann_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "ann_lsh" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Ann.signLshTopK(e, e.filter(col("vec_id") < 20), "vec_id",
+          "embedding", k = 3, bits = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "text_stats" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"),
+        TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    "multimodal_meta" -> { (s, dir) =>
+      Multimodal.decodeAll(s, Multimodal.asMedia(docs(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("media_type"), col("byte_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // full decoded output incl. stubbed feature vector — rows-only check
+    "multimodal_features" -> { (s, dir) =>
+      Multimodal.decodeAll(s, Multimodal.asMedia(docs(s, dir)))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  // shared SQL fragments
+  private val toksCte =
+    """toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x)>0) t
+      |         FROM documents)""".stripMargin
+  private val shCte =
+    """sh AS (SELECT doc_id,
+      |  CASE WHEN len(t) >= 3
+      |    THEN [array_to_string(t[i:i+2],' ') for i in range(1, len(t)-1)]
+      |    ELSE [array_to_string(t,' ')] END s
+      |  FROM toks)""".stripMargin
+  private val jaccardTail =
+    """inv AS (SELECT doc_id, unnest(list_distinct(s)) shv FROM sh),
+      |sz AS (SELECT doc_id, len(list_distinct(s)) n FROM sh),
+      |common AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN inv sa ON sa.doc_id = c.id_a
+      |  JOIN inv sb ON sb.doc_id = c.id_b AND sb.shv = sa.shv
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(n_common * 1.0 / (za.n + zb.n - n_common), 6) AS jaccard
+      |FROM common JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+      |WHERE round(n_common * 1.0 / (za.n + zb.n - n_common), 6) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private val dotExpr =
+    "list_sum([CAST(qv[i] AS DOUBLE)*CAST(cv[i] AS DOUBLE) for i in range(1, len(qv)+1)])"
+  private def normExpr(v: String) =
+    s"sqrt(list_sum([CAST($v[i] AS DOUBLE)*CAST($v[i] AS DOUBLE) for i in range(1, len($v)+1)]))"
+  private val cosExpr = s"round($dotExpr / ${normExpr("qv")} / ${normExpr("cv")}, 6)"
+  private def sketchExpr(v: String) =
+    s"list_sum([CASE WHEN CAST($v[j+1] AS DOUBLE) > 0 THEN (1::BIGINT << j) ELSE 0 END for j in range(0,8)])"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS dup_of
+        |FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $toksCte, $shCte,
+        |sig AS (SELECT doc_id, s,
+        |  [list_min([md5(CAST(h AS VARCHAR) || '|' || x) for x in s])
+        |   for h in range(0, 12)] AS g
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b, md5(array_to_string(g[b*4+1 : b*4+4], '')) AS bh
+        |  FROM sig, (SELECT unnest(range(0,3)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |$jaccardTail""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""WITH $toksCte, $shCte,
+        |inv0 AS (SELECT doc_id, unnest(list_distinct(s)) shv FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM inv0 a JOIN inv0 b ON a.shv = b.shv AND a.doc_id < b.doc_id),
+        |$jaccardTail""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $toksCte,
+        |tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+        |h AS (SELECT doc_id, CAST(list_sum(
+        |  [(strpos('0123456789abcdef', substr(md5(tk), i, 1)) - 1) * power(16, 8-i)
+        |   for i in range(1, 9)]) AS BIGINT) AS hv
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+        |  FROM h, (SELECT unnest(range(0, 32)) AS j) GROUP BY 1, 2)
+        |SELECT doc_id AS doc,
+        |  sum(CASE WHEN sgn > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+        |FROM bits GROUP BY 1 ORDER BY doc""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $toksCte,
+        |tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+        |h AS (SELECT doc_id, CAST(list_sum(
+        |  [(strpos('0123456789abcdef', substr(md5(tk), i, 1)) - 1) * power(16, 8-i)
+        |   for i in range(1, 9)]) AS BIGINT) AS hv
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+        |  FROM h, (SELECT unnest(range(0, 32)) AS j) GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id AS doc,
+        |    sum(CASE WHEN sgn > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY 1),
+        |banded AS (
+        |  SELECT doc, simhash, i AS band_idx, (simhash >> (i*8)) & 255 AS band_val
+        |  FROM fp, (SELECT unnest(range(0, 4)) AS i)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+        |    a.simhash AS ha, b.simhash AS hb
+        |  FROM banded a JOIN banded b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc < b.doc)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v,
+        |  ${sketchExpr("embedding")} AS bucket FROM embeddings),
+        |pairs AS (
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(
+        |    list_sum([CAST(a.v[i] AS DOUBLE)*CAST(b.v[i] AS DOUBLE)
+        |              for i in range(1, len(a.v)+1)])
+        |    / sqrt(list_sum([CAST(a.v[i] AS DOUBLE)*CAST(a.v[i] AS DOUBLE)
+        |                     for i in range(1, len(a.v)+1)]))
+        |    / sqrt(list_sum([CAST(b.v[i] AS DOUBLE)*CAST(b.v[i] AS DOUBLE)
+        |                     for i in range(1, len(b.v)+1)])), 6) AS cos
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT * FROM pairs WHERE cos >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |            FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS nn_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, nn_id, $cosExpr AS cos
+        |  FROM c, q WHERE nn_id <> query_id)
+        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, nn_id, cos
+        |FROM scored
+        |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, nn_id)
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+        |             ${sketchExpr("embedding")} AS bucket
+        |            FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS nn_id, embedding AS cv,
+        |        ${sketchExpr("embedding")} AS bucket FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, c.bucket, nn_id, $cosExpr AS cos
+        |  FROM c JOIN q USING (bucket) WHERE nn_id <> query_id)
+        |SELECT query_id, bucket, CAST(row_number() OVER w AS INT) AS rank, nn_id, cos
+        |FROM scored
+        |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, nn_id)
+        |QUALIFY rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, n_chars,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, n_chars, toks,
+        |    CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(list_sum([greatest(ceil(len(x)/4.0), 1) for x in toks]) AS BIGINT)
+        |      AS n_subwords,
+        |    round(len(list_filter(toks,
+        |      x -> x IN ('the','a','of','and','to','in','is','on'))) * 1.0
+        |      / len(toks), 6) AS stop_ratio,
+        |    round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |      * 1.0 / length(text), 6) AS punct_ratio,
+        |    list_sum([len(x) for x in toks]) * 1.0 / len(toks) AS mean_tok_len
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_subwords, stop_ratio, punct_ratio, mean_tok_len,
+        |  CASE WHEN stop_ratio > 0.05 THEN 'en' ELSE 'und' END AS lang_pred,
+        |  round((least(n_chars / 500.0, 1.0) + least(stop_ratio * 5.0, 1.0)
+        |    + greatest(1.0 - punct_ratio * 4.0, 0.0)) / 3.0, 6) AS quality,
+        |  md5(array_to_string([lower(x) for x in toks], ' ')) AS fp
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(strlen(text) AS BIGINT) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

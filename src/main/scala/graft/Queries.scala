@@ -18,9 +18,12 @@ object Queries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  def all: Map[String, Q] = core ++ TransformQueries.queries ++ VrlQueries.queries
+  def all: Map[String, Q] =
+    core ++ TransformQueries.queries ++ VrlQueries.queries ++
+      DatapipeQueries.queries
   def oracles: Map[String, String] =
-    coreSql ++ TransformQueries.oracles ++ VrlQueries.oracles
+    coreSql ++ TransformQueries.oracles ++ VrlQueries.oracles ++
+      DatapipeQueries.oracles
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
