@@ -1,5 +1,14 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  * plus throughput fields for the headline events pipeline, comparable to
+  * the reference's MiB/s/vCPU sizing numbers (BASELINE.md: 10 MiB/s/vCPU
+  * unstructured; our gate >= 5 MiB/s/core at sf0.1).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +16,56 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // JVM/codegen warm-up on the tiny sf so per-query timings below
+    // measure the plan, not JIT + first-read setup
+    try SparkEntry.queries("events_pipeline")(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch {
+        case _: Throwable =>
+          try fn(spark, sfDir).count()
+          catch { case _: Throwable => () }
+      }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Steady-state throughput: replicate events REP× in-memory (distinct
+    // event ids) and push through the same filter->remap->reduce pipeline
+    // — amortizes fixed job overhead so the number is compute throughput,
+    // comparable to the reference's sustained MiB/s sizing figures.
+    val REP = 20
+    val (mibPerSec, eventsBytes) = try {
+      val ev = Graft.table(spark, sfDir, "events")
+      val bytes = ev.select(sum(length(col("props")) + lit(64)).cast("double"))
+        .head().getDouble(0)
+      val replicated = ev
+        .withColumn("__r", explode(sequence(lit(0), lit(REP - 1))))
+        .withColumn("event_id", col("event_id") * REP + col("__r"))
+        .drop("__r")
+      val t0 = System.nanoTime()
+      Queries.eventsPipeline(replicated).write.mode("overwrite")
+        .format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (bytes * REP / 1048576.0 / sec, bytes)
+    } catch { case _: Throwable => (Double.NaN, Double.NaN) }
+
+    def fmt(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"cores":$cpus}""")
     spark.stop()
   }
 }

@@ -28,6 +28,31 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
 
+  /** The headline filter -> remap -> reduce log pipeline, shared by the
+    * oracle query and the Bench throughput measurement.
+    */
+  def eventsPipeline(ev: DataFrame): DataFrame = {
+    val remapped = ev
+      .filter(col("value") > 1.0)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("severity", when(col("event_type") === "error", 3).otherwise(6))
+      .withColumn(
+        "msg",
+        format_string("%s:%d", col("event_type"), col("severity")))
+    remapped
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("k")).as("sum_k"),
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        array_sort(collect_set(col("event_type"))).as("types"),
+        concat_ws("|",
+          transform(
+            array_sort(collect_list(struct(col("event_id"), col("msg")))),
+            x => x.getField("msg"))).as("msgs"))
+  }
+
   // ---------------------------------------------------------------------
   // Relational showcase (TPC-H-flavored) — exercises scan+filter+agg+join
   // ---------------------------------------------------------------------
@@ -50,27 +75,7 @@ object Queries {
     // Headline pipeline: filter -> remap -> reduce over the log-shaped
     // `events` table (Vector: filter + remap + reduce transforms).
     "events_pipeline" -> { (s, dir) =>
-      val ev = t(s, dir, "events")
-      val remapped = ev
-        .filter(col("value") > 1.0)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-        .withColumn("severity", when(col("event_type") === "error", 3).otherwise(6))
-        .withColumn(
-          "msg",
-          format_string("%s:%d", col("event_type"), col("severity")))
-      remapped
-        .groupBy(col("user_id"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("total_value"),
-          sum(col("k")).as("sum_k"),
-          min_by(col("event_type"), col("event_id")).as("first_type"),
-          array_sort(collect_set(col("event_type"))).as("types"),
-          concat_ws("|",
-            transform(
-              array_sort(collect_list(struct(col("event_id"), col("msg")))),
-              x => x.getField("msg"))).as("msgs"))
-        .orderBy(col("user_id"))
+      eventsPipeline(t(s, dir, "events")).orderBy(col("user_id"), col("day"))
     },
 
     // `filter` transform (src/transforms/filter.rs): drop non-matching.
@@ -97,12 +102,12 @@ object Queries {
 
     "events_pipeline" ->
       """WITH remapped AS (
-        |  SELECT event_id, user_id, event_type, value,
+        |  SELECT event_id, user_id, ts, event_type, value,
         |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |    CASE WHEN event_type = 'error' THEN 3 ELSE 6 END AS severity
         |  FROM events WHERE value > 1.0
         |)
-        |SELECT user_id,
+        |SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  round(sum(value),2) AS total_value,
         |  CAST(sum(k) AS BIGINT) AS sum_k,
@@ -110,8 +115,8 @@ object Queries {
         |  list_sort(list(DISTINCT event_type)) AS types,
         |  string_agg(event_type || ':' || CAST(severity AS VARCHAR), '|' ORDER BY event_id) AS msgs
         |FROM remapped
-        |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin,
+        |GROUP BY user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+        |ORDER BY user_id, day""".stripMargin,
 
     "filter" ->
       """SELECT event_id, user_id, round(value,2) AS value

@@ -70,12 +70,18 @@ object Dedup {
   def minhashLsh(docs: DataFrame, id: String, text: Column,
                  shingleN: Int = 3, numHashes: Int = 12, bands: Int = 3,
                  threshold: Double = 0.5): DataFrame = {
+    // signature table is used by BOTH sides of the band self-join —
+    // persist it or the 12×|shingles| md5 pipeline runs 2+ times (the
+    // 100 TB version checkpoints signatures to parquet for the same
+    // reason)
     val withSh = docs.select(col(id).as("doc"), shingles(text, shingleN).as("sh"))
+      .persist()
     val banded = withSh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(col("doc"),
         posexplode(lshBands(col("sig"), bands, numHashes / bands))
           .as(Seq("band_idx", "band_hash")))
+      .persist()
     // candidates: docs sharing any (band_idx, band_hash) bucket
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
@@ -84,27 +90,32 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
-    verifyJaccard(candidates, withSh, threshold)
+    verifyJaccard(candidates, distinctShingles(withSh), threshold)
   }
 
   /** Blocked exact n-gram Jaccard: pairs sharing >= 1 shingle, scored. */
   def ngramJaccard(docs: DataFrame, id: String, text: Column,
                    shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val withSh = docs.select(col(id).as("doc"), shingles(text, shingleN).as("sh"))
-    val inv = withSh.select(col("doc"), explode(array_distinct(col("sh"))).as("s"))
+    val inv = distinctShingles(withSh)
     val candidates = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
-    verifyJaccard(candidates, withSh, threshold)
+    verifyJaccard(candidates, inv, threshold)
   }
 
+  /** Persisted inverted index (doc, shingle) — reused across the
+    * candidate self-join and the verification joins.
+    */
+  private def distinctShingles(withSh: DataFrame): DataFrame =
+    withSh.select(col("doc"), explode(array_distinct(col("sh"))).as("s"))
+      .persist()
+
   /** Exact Jaccard over distinct shingle sets for given candidate pairs. */
-  private def verifyJaccard(candidates: DataFrame, withSh: DataFrame,
+  private def verifyJaccard(candidates: DataFrame, inv: DataFrame,
                             threshold: Double): DataFrame = {
-    val sizes = withSh.select(col("doc"),
-      size(array_distinct(col("sh"))).as("n_sh"))
-    val inv = withSh.select(col("doc"), explode(array_distinct(col("sh"))).as("s"))
+    val sizes = inv.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val common = candidates
       .join(inv.as("sa"), col("sa.doc") === col("id_a"))
       .join(inv.as("sb"),
