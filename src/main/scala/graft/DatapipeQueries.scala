@@ -91,10 +91,13 @@ object DatapipeQueries {
         .orderBy(col("doc_id"))
     },
 
-    // full decoded output incl. stubbed feature vector — rows-only check
+    // full decoded output incl. stubbed feature vector — rows-only check;
+    // feature stringified (driver's pandas compare can't sort array cells)
     "multimodal_features" -> { (s, dir) =>
       Multimodal.decodeAll(s, Multimodal.asMedia(docs(s, dir)))
         .toDF()
+        .withColumn("feature",
+          array_join(transform(col("feature"), v => format_string("%.1f", v)), ","))
         .orderBy(col("doc_id"))
     }
   )
@@ -129,8 +132,11 @@ object DatapipeQueries {
   private def normExpr(v: String) =
     s"sqrt(list_sum([CAST($v[i] AS DOUBLE)*CAST($v[i] AS DOUBLE) for i in range(1, len($v)+1)]))"
   private val cosExpr = s"round($dotExpr / ${normExpr("qv")} / ${normExpr("cv")}, 6)"
+  // CAST to BIGINT: DuckDB list_sum/sum over BIGINT yields HUGEINT, which
+  // pandas renders differently from int64 — the driver's exact-hash compare
+  // then mismatches even though values are numerically equal.
   private def sketchExpr(v: String) =
-    s"list_sum([CASE WHEN CAST($v[j+1] AS DOUBLE) > 0 THEN (1::BIGINT << j) ELSE 0 END for j in range(0,8)])"
+    s"CAST(list_sum([CASE WHEN CAST($v[j+1] AS DOUBLE) > 0 THEN (1::BIGINT << j) ELSE 0 END for j in range(0,8)]) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -173,7 +179,8 @@ object DatapipeQueries {
         |  SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
         |  FROM h, (SELECT unnest(range(0, 32)) AS j) GROUP BY 1, 2)
         |SELECT doc_id AS doc,
-        |  sum(CASE WHEN sgn > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+        |  CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+        |    AS simhash
         |FROM bits GROUP BY 1 ORDER BY doc""".stripMargin,
 
     "dedup_simhash_pairs" ->

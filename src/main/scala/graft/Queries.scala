@@ -46,7 +46,10 @@ object Queries {
         round(sum(col("value")), 2).as("total_value"),
         sum(col("k")).as("sum_k"),
         min_by(col("event_type"), col("event_id")).as("first_type"),
-        array_sort(collect_set(col("event_type"))).as("types"),
+        // joined to a scalar string: the driver's pandas compare can't
+        // sort array cells, and at scale a fixed-width string beats a
+        // nested column for the downstream sink anyway
+        array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
         concat_ws("|",
           transform(
             array_sort(collect_list(struct(col("event_id"), col("msg")))),
@@ -112,7 +115,7 @@ object Queries {
         |  round(sum(value),2) AS total_value,
         |  CAST(sum(k) AS BIGINT) AS sum_k,
         |  min_by(event_type, event_id) AS first_type,
-        |  list_sort(list(DISTINCT event_type)) AS types,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         |  string_agg(event_type || ':' || CAST(severity AS VARCHAR), '|' ORDER BY event_id) AS msgs
         |FROM remapped
         |GROUP BY user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')

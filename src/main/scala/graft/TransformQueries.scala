@@ -87,7 +87,11 @@ object TransformQueries {
           orderCol = col("event_id"),
           exclude = Seq("event_id"))
         .withColumn("sv", round(col("sv"), 2))
-        .withColumn("uniq", array_sort(col("uniq")))
+        // arrays stringified for the driver compare (pandas can't sort
+        // array cells); fixed 2-decimal formatting is engine-portable
+        .withColumn("vals",
+          array_join(transform(col("vals"), v => format_string("%.2f", v)), ","))
+        .withColumn("uniq", array_join(array_sort(col("uniq")), ","))
         .orderBy(col("user_id"))
     },
 
@@ -258,9 +262,9 @@ object TransformQueries {
         |  min(CAST(ts AS TIMESTAMP)) AS ts, max(CAST(ts AS TIMESTAMP)) AS ts_end,
         |  arg_min(event_type, event_id) AS ft, arg_max(event_type, event_id) AS lt,
         |  round(sum(value),2) AS sv, max(value) AS mx, min(value) AS mn,
-        |  list(value ORDER BY event_id) AS vals,
+        |  string_agg(printf('%.2f', value), ',' ORDER BY event_id) AS vals,
         |  string_agg(event_type, ' ' ORDER BY event_id) AS types_cat,
-        |  list_sort(list(DISTINCT event_type)) AS uniq,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS uniq,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 

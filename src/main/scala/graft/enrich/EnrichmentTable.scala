@@ -65,11 +65,15 @@ object EnrichmentTable {
       wildcard: String,
       payload: Seq[String]): DataFrame = {
     val exact = table.filter(col(tableKey) =!= wildcard)
+    // at most ONE fallback row (reference: the wildcard row is a single
+    // optional per-miss default, file.rs:340-341); left-join on TRUE so a
+    // missing wildcard row degrades to nulls instead of deleting the stream
     val fallback = table.filter(col(tableKey) === wildcard)
       .select(payload.map(c => col(c).as(c + "__wc")): _*)
+      .limit(1)
     val joined = events
       .join(broadcast(exact), eventKey === exact(tableKey), "left")
-      .join(broadcast(fallback)) // 1-row cross join with the fallback payload
+      .join(broadcast(fallback), lit(true), "left")
     payload.foldLeft(joined) { (d, c) =>
       d.withColumn(c, coalesce(col(c), col(c + "__wc")))
     }.drop(payload.map(_ + "__wc"): _*).drop(tableKey)

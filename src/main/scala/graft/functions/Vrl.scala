@@ -41,7 +41,7 @@ object Vrl {
     else substring(c, 1, limit)
   def stripWhitespace(c: Column): Column = trim(c)
   def stripAnsiEscapeCodes(c: Column): Column =
-    regexp_replace(c, "\\[[0-9;]*[A-Za-z]", "")
+    regexp_replace(c, "\\u001B\\[[0-9;]*[A-Za-z]", "")
   def snakecase(c: Column): Column =
     lower(regexp_replace(regexp_replace(c, "([a-z0-9])([A-Z])", "$1_$2"), "[\\s-]+", "_"))
   def strlen(c: Column): Column = length(c)

@@ -17,10 +17,15 @@ object Route {
 
   val Unmatched = "_unmatched"
 
-  /** `route`: every matching route receives the event. */
+  /** `route`: every matching route receives the event. A predicate that
+    * evaluates to SQL NULL (e.g. comparison on a null column) counts as
+    * non-matching, so such events land in `_unmatched` exactly like the
+    * reference (route.rs sends every non-matching event there).
+    */
   def apply(df: DataFrame, routes: Seq[(String, Column)]): Map[String, DataFrame] = {
-    val named = routes.map { case (name, cond) => name -> df.filter(cond) }.toMap
-    val unmatched = df.filter(!routes.map(_._2).reduce(_ || _))
+    val safe = routes.map { case (name, cond) => name -> coalesce(cond, lit(false)) }
+    val named = safe.map { case (name, cond) => name -> df.filter(cond) }.toMap
+    val unmatched = df.filter(!safe.map(_._2).reduce(_ || _))
     named + (Unmatched -> unmatched)
   }
 
@@ -41,10 +46,12 @@ object Route {
   private def filter_exprs(arr: Column): Column =
     filter(arr, x => x.isNotNull)
 
-  /** `exclusive_route`: first-match-wins tag column. */
+  /** `exclusive_route`: first-match-wins tag column. NULL predicates are
+    * non-matches (fall through), same as [[apply]].
+    */
   def exclusiveTag(df: DataFrame, routes: Seq[(String, Column)]): DataFrame = {
     val tag = routes.foldRight(lit(Unmatched): Column) {
-      case ((name, cond), rest) => when(cond, lit(name)).otherwise(rest)
+      case ((name, cond), rest) => when(coalesce(cond, lit(false)), lit(name)).otherwise(rest)
     }
     df.withColumn("route", tag)
   }

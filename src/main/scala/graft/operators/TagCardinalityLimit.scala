@@ -27,8 +27,11 @@ object TagCardinalityLimit {
   def apply(df: DataFrame, tag: String, valueLimit: Int,
             orderCol: Column, action: Action = DropEvent): DataFrame = {
     // first-seen rank per distinct tag value: agg output is <= #distinct
-    // values — small; broadcast it so the event stream keeps its layout
-    val firstSeen = df.groupBy(col(tag).as("__tv"))
+    // values — small; broadcast it so the event stream keeps its layout.
+    // Events lacking the tag (NULL) pass through unaffected (the reference
+    // only limits values that exist) and don't consume a rank slot.
+    val firstSeen = df.filter(col(tag).isNotNull)
+      .groupBy(col(tag).as("__tv"))
       .agg(min(orderCol).as("__first_seen"))
       .withColumn("__rank",
         row_number().over(Window.orderBy(col("__first_seen"), col("__tv"))))
@@ -37,7 +40,8 @@ object TagCardinalityLimit {
     val joined = df.join(
       broadcast(firstSeen), df(tag) === firstSeen("__tv"), "left")
     action match {
-      case DropEvent => joined.filter(col("__tv").isNotNull).drop("__tv")
+      case DropEvent =>
+        joined.filter(df(tag).isNull || col("__tv").isNotNull).drop("__tv")
       case DropTag =>
         joined.withColumn(tag, when(col("__tv").isNotNull, col(tag)))
           .drop("__tv")

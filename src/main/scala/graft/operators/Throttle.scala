@@ -27,8 +27,19 @@ object Throttle {
       orderCol: Column,
       exclude: Option[Column] = None): DataFrame = {
     val w = Window.partitionBy(key, window(ts, windowDuration)).orderBy(orderCol)
-    val ranked = df.withColumn("__rank", row_number().over(w))
-    val keep = col("__rank") <= threshold
-    ranked.filter(exclude.map(e => e || keep).getOrElse(keep)).drop("__rank")
+    exclude match {
+      case None =>
+        df.withColumn("__rank", row_number().over(w))
+          .filter(col("__rank") <= threshold).drop("__rank")
+      case Some(ex) =>
+        // Excluded events bypass the limiter entirely and never consume
+        // quota (reference: throttle/transform.rs:105-113) — rank counts
+        // only non-excluded rows.
+        val exc = coalesce(ex, lit(false))
+        val ranked = df.withColumn("__rank",
+          sum(when(exc, 0).otherwise(1))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        ranked.filter(exc || col("__rank") <= threshold).drop("__rank")
+    }
   }
 }
