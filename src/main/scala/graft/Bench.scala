@@ -43,12 +43,16 @@ object Bench {
     // event ids) and push through the same filter->remap->reduce pipeline
     // — amortizes fixed job overhead so the number is compute throughput,
     // comparable to the reference's sustained MiB/s sizing figures.
-    val REP = 20
+    val REP = 40
     val (mibPerSec, eventsBytes) = try {
       val ev = Graft.table(spark, sfDir, "events")
       val bytes = ev.select(sum(length(col("props")) + lit(64)).cast("double"))
         .head().getDouble(0)
+      // the source parquet is a single small file (1-2 scan tasks); spread
+      // it across all cores BEFORE the REP× explode so replication and the
+      // pipeline's map side run at full parallelism
       val replicated = ev
+        .repartition(cpus.toInt * 2)
         .withColumn("__r", explode(sequence(lit(0), lit(REP - 1))))
         .withColumn("event_id", col("event_id") * REP + col("__r"))
         .drop("__r")
@@ -59,13 +63,30 @@ object Bench {
       (bytes * REP / 1048576.0 / sec, bytes)
     } catch { case _: Throwable => (Double.NaN, Double.NaN) }
 
+    // Remap-only throughput (filter -> parse -> project -> noop sink) —
+    // the exact shape of the reference's *_remap_blackhole regression
+    // cases and its 10 MiB/s/vCPU unstructured-log sizing figure.
+    val remapMibPerSec = try {
+      val ev = Graft.table(spark, sfDir, "events")
+      val replicated = ev
+        .repartition(cpus.toInt * 2)
+        .withColumn("__r", explode(sequence(lit(0), lit(REP - 1))))
+        .withColumn("event_id", col("event_id") * REP + col("__r"))
+        .drop("__r")
+      val t0 = System.nanoTime()
+      Queries.eventsRemap(replicated).write.mode("overwrite")
+        .format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      eventsBytes * REP / 1048576.0 / sec
+    } catch { case _: Throwable => Double.NaN }
+
     def fmt(d: Double): String =
       if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.sum
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"cores":$cpus}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"cores":$cpus}""")
     spark.stop()
   }
 }

@@ -71,16 +71,26 @@ object DatapipeQueries {
     },
 
     "text_stats" -> { (s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"),
-        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
-        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-        TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"),
-        TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"),
-        TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
+      // staged projections: tokenize once, derive each ratio once, then
+      // fan out — the split/filter lambda is evaluated once per doc
+      // instead of once per dependent statistic
+      docs(s, dir)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("n_chars"), col("toks"),
+          TextAnalysis.stopwordRatioOf(col("toks")).as("stop_ratio"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"))
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCountOf(col("toks")).as("n_tokens"),
+          TextAnalysis.subwordCountOf(col("toks")).as("n_subwords"),
+          col("stop_ratio"),
+          col("punct_ratio"),
+          TextAnalysis.meanTokenLenOf(col("toks")).as("mean_tok_len"),
+          TextAnalysis.langIdFrom(col("stop_ratio")).as("lang_pred"),
+          TextAnalysis.qualityFrom(col("stop_ratio"), col("punct_ratio"),
+            col("n_chars")).as("quality"),
+          TextAnalysis.fingerprintOf(col("toks")).as("fp"))
         .orderBy(col("doc_id"))
     },
 
@@ -147,12 +157,19 @@ object DatapipeQueries {
 
     "dedup_minhash" ->
       s"""WITH $toksCte, $shCte,
-        |sig AS (SELECT doc_id, s,
-        |  [list_min([md5(CAST(h AS VARCHAR) || '|' || x) for x in s])
-        |   for h in range(0, 12)] AS g
+        |lanes AS (SELECT doc_id,
+        |  [[CAST(list_sum([(strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1)
+        |        * power(16, 8-i) for i in range(1, 9)]) AS BIGINT),
+        |    CAST(list_sum([(strpos('0123456789abcdef', substr(md5(x), 8+i, 1)) - 1)
+        |        * power(16, 8-i) for i in range(1, 9)]) AS BIGINT) | 1]
+        |   for x in s] AS ls
         |  FROM sh),
+        |sig AS (SELECT doc_id,
+        |  [list_min([(l[1] + h*l[2]) % 4294967296 for l in ls])
+        |   for h in range(0, 12)] AS g
+        |  FROM lanes),
         |bands AS (
-        |  SELECT doc_id, b, md5(array_to_string(g[b*4+1 : b*4+4], '')) AS bh
+        |  SELECT doc_id, b, array_to_string(g[b*4+1 : b*4+4], ',') AS bh
         |  FROM sig, (SELECT unnest(range(0,3)) AS b)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -31,14 +31,21 @@ object Queries {
   /** The headline filter -> remap -> reduce log pipeline, shared by the
     * oracle query and the Bench throughput measurement.
     */
-  def eventsPipeline(ev: DataFrame): DataFrame = {
-    val remapped = ev
-      .filter(col("value") > 1.0)
+  /** The remap stage alone (filter + JSON field extract + computed
+    * columns) — the shape of the reference's `*_remap_blackhole`
+    * regression cases, measured separately by Bench as pure per-event
+    * throughput (no aggregation).
+    */
+  def eventsRemap(ev: DataFrame): DataFrame =
+    ev.filter(col("value") > 1.0)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .withColumn("severity", when(col("event_type") === "error", 3).otherwise(6))
       .withColumn(
         "msg",
         format_string("%s:%d", col("event_type"), col("severity")))
+
+  def eventsPipeline(ev: DataFrame): DataFrame = {
+    val remapped = eventsRemap(ev)
     remapped
       .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(

@@ -100,18 +100,17 @@ object TransformQueries {
         .withColumn("value", coalesce(col("counter_value"), col("gauge_value")))
         .withColumn("v2", col("value") * col("value"))
       import Aggregate._
+      // single aggregation: all 7 modes plus the sum-of-squares needed for
+      // stdev ride the same shuffle (extraAggs) — no second agg + join
       val df = Aggregate(m, col("ts"), "1 hour", Seq("name", "type"),
         col("value"), col("__eid"), col("kind"),
         Seq("sum_v" -> SumMode, "n" -> CountMode, "max_v" -> MaxMode,
           "min_v" -> MinMode, "latest_v" -> Latest, "diff_v" -> Diff,
-          "auto_v" -> Auto))
+          "auto_v" -> Auto),
+        extraAggs = Seq(round(sum(col("v2")), 4).as("sum_sq")))
       // mean/stdev from exactly-rounded parts so any engine computes
       // bit-identical doubles (see Queries.scala conventions)
-      val withSq = m.groupBy(window(col("ts"), "1 hour"), col("name"), col("type"))
-        .agg(round(sum(col("v2")), 4).as("sum_sq"))
-        .withColumn("window_start", col("window.start")).drop("window")
-      df.join(withSq, Seq("window_start", "name", "type"))
-        .withColumn("sum_v", round(col("sum_v"), 2))
+      df.withColumn("sum_v", round(col("sum_v"), 2))
         .withColumn("auto_v", round(col("auto_v"), 2))
         .withColumn("mean_v", col("sum_v") / col("n"))
         .withColumn("stdev_v",

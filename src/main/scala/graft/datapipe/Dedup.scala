@@ -29,14 +29,30 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
-  /** Word n-gram shingles; short docs collapse to one whole-doc shingle. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles; short docs collapse to one whole-doc shingle.
+    *
+    * IMPORTANT: `toks` must be a bound column (materialized in a prior
+    * projection), NOT an inline `tokens(text)` expression — the transform
+    * lambda body re-evaluates its free expressions per ELEMENT, so an
+    * inline split would re-tokenize the document once per shingle
+    * (observed 6× slowdown on the dedup pipelines).
+    */
+  def shinglesOfToks(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array(concat_ws(" ", toks)))
-  }
+
+  def shingles(text: Column, n: Int = 3): Column = shinglesOfToks(tokens(text), n)
+
+  /** (doc, distinct shingle string) rows — the shared first stage of the
+    * shingle-based dedup pipelines, tokenizing exactly once per doc.
+    */
+  def shingleRows(docs: DataFrame, id: String, text: Column,
+                  n: Int): DataFrame =
+    docs.select(col(id).as("doc"), tokens(text).as("toks"))
+      .select(col("doc"),
+        explode(array_distinct(shinglesOfToks(col("toks"), n))).as("s0"))
 
   /** Exact dedupe: group by content hash, keep lowest id. */
   def exact(docs: DataFrame, id: String, text: Column): DataFrame = {
@@ -50,34 +66,82 @@ object Dedup {
       .drop("__h", "__rn")
   }
 
-  /** Portable MinHash signature: sig[i] = min over shingles of
-    * md5(i || "|" || shingle) — lexicographic min over hex strings.
+  /** Portable MinHash via Carter-Wegman mixing: per shingle ONE md5 gives
+    * two 32-bit lanes (hex chars 1-8 and 9-16; the second forced odd),
+    * and hash family i is `(h1 + i*h2) mod 2^32` — cheap integer
+    * arithmetic any engine reproduces exactly, instead of K independent
+    * digests per shingle. sig[i] = min over shingles.
     */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(sh,
-        s => md5(concat(h.cast("string"), lit("|"), s)))))
+  def minhashLanes(s: Column): (Column, Column) = {
+    val hx = md5(s)
+    val h1 = conv(substring(hx, 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(hx, 9, 8), 16, 10).cast("long").bitwiseOR(lit(1L))
+    (h1, h2)
+  }
 
-  /** LSH band keys: band b = md5(sig[b*rows .. b*rows+rows-1] joined). */
+  private val M32 = 4294967296L // 2^32
+
+  /** Per-row array form of the signature (API parity; bulk path below). */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), h =>
+      array_min(transform(sh, s => {
+        val (h1, h2) = minhashLanes(s)
+        pmod(h1 + h * h2, lit(M32))
+      })))
+
+  /** Bulk MinHash: explode shingles to rows so the md5 + K mixes and the
+    * per-doc mins all run in whole-stage codegen with map-side partial
+    * aggregation — the shuffle carries only ~K mins per (doc, partition),
+    * never the shingle stream.
+    */
+  def minhashSignatures(withSh: DataFrame, numHashes: Int): DataFrame = {
+    val ex = withSh.select(col("doc"), explode(col("sh")).as("s"))
+    val (l1, l2) = minhashLanes(col("s"))
+    val lanes = ex.select(col("doc"), l1.as("h1"), l2.as("h2"))
+    val mins = (0 until numHashes).map(h =>
+      min(pmod(col("h1") + lit(h.toLong) * col("h2"), lit(M32))).as(s"m$h"))
+    lanes.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+      .select(col("doc"),
+        array((0 until numHashes).map(h => col(s"m$h")): _*).as("sig"))
+  }
+
+  /** LSH band keys: band b = sig[b*rows .. b*rows+rows-1] joined with
+    * "," — the bucket id IS the value tuple (hashing it again adds
+    * nothing and would cost a digest per doc per band).
+    */
   def lshBands(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws("", slice(sig, b * rows + 1, lit(rows)))))
+      b => array_join(
+        transform(slice(sig, b * rows + 1, lit(rows)), v => v.cast("string")),
+        ","))
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
     * Returns (id_a, id_b, jaccard) for candidate pairs with
     * jaccard >= threshold, id_a < id_b.
+    *
+    * One persisted intermediate: the NARROW per-(doc, distinct-shingle)
+    * row of three longs — never the shingle strings or signature arrays
+    * (caching fat string arrays costs more than recomputing them; the
+    * 100 TB version checkpoints this same narrow index to parquet).
+    * Signatures over distinct shingles equal signatures over the raw
+    * stream (min is idempotent).
     */
   def minhashLsh(docs: DataFrame, id: String, text: Column,
                  shingleN: Int = 3, numHashes: Int = 12, bands: Int = 3,
                  threshold: Double = 0.5): DataFrame = {
-    // signature table is used by BOTH sides of the band self-join —
-    // persist it or the 12×|shingles| md5 pipeline runs 2+ times (the
-    // 100 TB version checkpoints signatures to parquet for the same
-    // reason)
-    val withSh = docs.select(col(id).as("doc"), shingles(text, shingleN).as("sh"))
-      .persist()
-    val banded = withSh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val idx = {
+      val ex = shingleRows(docs, id, text, shingleN)
+      val (h1, h2) = minhashLanes(col("s0"))
+      ex.select(col("doc"), xxhash64(col("s0")).as("s"),
+        h1.as("h1"), h2.as("h2"))
+    }.persist()
+    val mins = (0 until numHashes).map(h =>
+      min(pmod(col("h1") + lit(h.toLong) * col("h2"), lit(M32))).as(s"m$h"))
+    val sig = idx.groupBy(col("doc"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc"),
+        array((0 until numHashes).map(h => col(s"m$h")): _*).as("sig"))
+    val banded = sig
       .select(col("doc"),
         posexplode(lshBands(col("sig"), bands, numHashes / bands))
           .as(Seq("band_idx", "band_hash")))
@@ -90,38 +154,60 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
-    verifyJaccard(candidates, distinctShingles(withSh), threshold)
+    verifyJaccard(candidates, idx.select(col("doc"), col("s")), threshold)
   }
 
-  /** Blocked exact n-gram Jaccard: pairs sharing >= 1 shingle, scored. */
+  /** Blocked exact n-gram Jaccard: pairs sharing >= 1 shingle, scored.
+    *
+    * The pair's shared-shingle count falls straight out of the inverted-
+    * index self-join — each co-occurring distinct shingle contributes
+    * exactly one joined row — so `n_common` is a single groupBy over the
+    * join, with NO separate candidate set and no re-join back to the
+    * index (3 fewer shuffles than the textbook candidates-then-verify).
+    */
   def ngramJaccard(docs: DataFrame, id: String, text: Column,
                    shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSh = docs.select(col(id).as("doc"), shingles(text, shingleN).as("sh"))
-    val inv = distinctShingles(withSh)
-    val candidates = inv.as("a").join(inv.as("b"),
+    val inv = distinctShingles(shingleRows(docs, id, text, shingleN))
+    val common = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .distinct()
-    verifyJaccard(candidates, inv, threshold)
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    jaccardFilter(common, docSizes(inv), threshold)
   }
 
-  /** Persisted inverted index (doc, shingle) — reused across the
-    * candidate self-join and the verification joins.
+  /** Persisted inverted index (doc, hashed shingle). The shingle string is
+    * folded to a 64-bit hash before any join — the shuffle key is 8 bytes
+    * instead of an n-word string; the hash never leaves the engine, so a
+    * Spark-only hash is safe (md5 stays only where the cross-engine oracle
+    * recomputes signatures).
     */
-  private def distinctShingles(withSh: DataFrame): DataFrame =
-    withSh.select(col("doc"), explode(array_distinct(col("sh"))).as("s"))
+  private def distinctShingles(rows: DataFrame): DataFrame =
+    rows.select(col("doc"), xxhash64(col("s0")).as("s"))
       .persist()
 
-  /** Exact Jaccard over distinct shingle sets for given candidate pairs. */
+  private def docSizes(inv: DataFrame): DataFrame =
+    inv.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+
+  /** Exact Jaccard over distinct shingle sets for given candidate pairs.
+    * The candidate set is tiny relative to the index (that is the point of
+    * LSH) — AQE broadcasts it into both index joins.
+    */
   private def verifyJaccard(candidates: DataFrame, inv: DataFrame,
                             threshold: Double): DataFrame = {
-    val sizes = inv.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val common = candidates
       .join(inv.as("sa"), col("sa.doc") === col("id_a"))
       .join(inv.as("sb"),
         col("sb.doc") === col("id_b") && col("sa.s") === col("sb.s"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
+    jaccardFilter(common, docSizes(inv), threshold)
+  }
+
+  /** jaccard = common / (|A| + |B| - common), thresholded. The per-doc
+    * size table is orders smaller than the pair table — AQE broadcasts it.
+    */
+  private def jaccardFilter(common: DataFrame, sizes: DataFrame,
+                            threshold: Double): DataFrame =
     common
       .join(sizes.as("za"), col("za.doc") === col("id_a"))
       .join(sizes.as("zb"), col("zb.doc") === col("id_b"))
@@ -130,7 +216,6 @@ object Dedup {
           (col("za.n_sh") + col("zb.n_sh") - col("n_common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** SimHash: 32-bit bitwise-majority fingerprint over token hashes.
     * Token hash = first 8 md5 hex chars as uint32 (engine-portable).

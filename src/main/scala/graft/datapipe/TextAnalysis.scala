@@ -15,23 +15,25 @@ object TextAnalysis {
   def tokens(text: Column): Column = Dedup.tokens(text)
 
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = tokenCountOf(tokens(text))
+  def tokenCountOf(toks: Column): Column = size(toks)
 
   /** BPE-ish subword count estimate: words + extra splits for long words
     * (a ceil(len/4) heuristic per token — deterministic, no model).
     */
   def subwordCountEstimate(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
+    subwordCountOf(tokens(text))
+  def subwordCountOf(toks: Column): Column =
+    aggregate(toks, lit(0L),
       (acc, t) => acc + greatest(ceil(length(t) / 4.0), lit(1L)))
 
   /** Stopword ratio against a tiny English list. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
+  def stopwordRatioOf(toks: Column): Column =
     when(size(toks) > 0,
       round(size(filter(toks, t => t.isin(enStop.map(lit): _*)))
         .cast("double") / size(toks), 6))
       .otherwise(0.0)
-  }
 
   /** Heuristic language ID: English if stopword evidence, else unknown.
     * (The real n-gram profile table would be an enrichment join; the
@@ -39,7 +41,9 @@ object TextAnalysis {
     * identical.)
     */
   def langIdHeuristic(text: Column): Column =
-    when(stopwordRatio(text) > 0.05, "en").otherwise("und")
+    langIdFrom(stopwordRatio(text))
+  def langIdFrom(stopRatio: Column): Column =
+    when(stopRatio > 0.05, "en").otherwise("und")
 
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column =
@@ -50,27 +54,29 @@ object TextAnalysis {
       .otherwise(0.0)
 
   /** Mean token length (rounded parts => engine-identical doubles). */
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLen(text: Column): Column = meanTokenLenOf(tokens(text))
+  def meanTokenLenOf(toks: Column): Column =
     when(size(toks) > 0,
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
         / size(toks))
       .otherwise(0.0)
-  }
 
   /** Composite quality score in [0,1]: rewards mid-length docs, real
     * words, low punctuation noise. Deterministic arithmetic only.
     */
-  def qualityScore(text: Column, nChars: Column): Column = {
+  def qualityScore(text: Column, nChars: Column): Column =
+    qualityFrom(stopwordRatio(text), punctRatio(text), nChars)
+  def qualityFrom(stopRatio: Column, punct: Column, nChars: Column): Column = {
     val lengthScore = least(nChars.cast("double") / 500.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
+    val stopScore = least(stopRatio * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punct * 4.0, lit(0.0))
     round((lengthScore + stopScore + punctPenalty) / 3.0, 6)
   }
 
   /** Content fingerprint: md5 over normalized (lowercased, squeezed)
     * token stream — stable under whitespace/case jitter.
     */
-  def fingerprint(text: Column): Column =
-    md5(array_join(transform(tokens(text), t => lower(t)), " "))
+  def fingerprint(text: Column): Column = fingerprintOf(tokens(text))
+  def fingerprintOf(toks: Column): Column =
+    md5(array_join(transform(toks, t => lower(t)), " "))
 }

@@ -48,18 +48,27 @@ object Vrl {
 
   // ---- Parse (the custom surface) --------------------------------------
 
-  /** parse_key_value / parse_logfmt: `k=v k2="quoted v"` -> map. */
-  def parseKeyValue(c: Column, fieldSep: String = " ", kvSep: String = "="): Column =
+  /** parse_key_value / parse_logfmt: `k=v k2="quoted v w spaces"` -> map.
+    * Quote-aware: the field separator only splits outside double quotes
+    * (lookahead for an even number of quotes to the right), matching the
+    * reference's parse_key_value semantics.
+    */
+  def parseKeyValue(c: Column, fieldSep: String = " ", kvSep: String = "="): Column = {
+    val fs = java.util.regex.Pattern.quote(fieldSep)
+    val splitPat = fs + "(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)"
     map_filter(
       map_from_entries(
         transform(
-          filter(split(c, java.util.regex.Pattern.quote(fieldSep)),
-            kv => kv.contains(kvSep)),
+          filter(split(c, splitPat), kv => kv.contains(kvSep)),
           kv => struct(
             substring_index(kv, kvSep, 1).as("key"),
-            regexp_replace(substr(kv, length(substring_index(kv, kvSep, 1)) + 2,
-              length(kv)), "^\"|\"$", "").as("value")))),
+            regexp_replace(
+              substr(kv,
+                length(substring_index(kv, kvSep, 1)) + lit(kvSep.length + 1),
+                length(kv)),
+              "^\"|\"$", "").as("value")))),
       (k, _) => length(k) > 0)
+  }
 
   /** parse_syslog, RFC3164 subset: `<PRI>TIMESTAMP HOST TAG[PID]: MSG`.
     * Returns a struct(priority, facility, severity, hostname, appname,
@@ -67,16 +76,19 @@ object Vrl {
     */
   def parseSyslog3164(c: Column): Column = {
     val pat = "^<(\\d{1,3})>(?:([A-Z][a-z]{2} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2}) )?(\\S+) ([^\\[: ]+)(?:\\[(\\d+)\\])?: (.*)$"
-    val pri = nullif(regexp_extract(c, pat, 1), lit("")).cast("int")
+    // ONE regex match per row (RegexStruct), vs 6 regexp_extract re-matches
+    val g = RegexStruct(c, pat,
+      Seq("pri", "timestamp", "hostname", "appname", "procid", "message"))
+    val pri = g.getField("pri").cast("int")
     struct(
       pri.as("priority"),
       (pri / 8).cast("int").as("facility"),
       pmod(pri, lit(8)).cast("int").as("severity"),
-      nullif(regexp_extract(c, pat, 2), lit("")).as("timestamp"),
-      nullif(regexp_extract(c, pat, 3), lit("")).as("hostname"),
-      nullif(regexp_extract(c, pat, 4), lit("")).as("appname"),
-      nullif(regexp_extract(c, pat, 5), lit("")).cast("long").as("procid"),
-      regexp_extract(c, pat, 6).as("message"))
+      g.getField("timestamp").as("timestamp"),
+      g.getField("hostname").as("hostname"),
+      g.getField("appname").as("appname"),
+      g.getField("procid").cast("long").as("procid"),
+      coalesce(g.getField("message"), lit("")).as("message"))
   }
 
   /** parse_common_log (Apache CLF):
@@ -84,16 +96,18 @@ object Vrl {
     */
   def parseCommonLog(c: Column): Column = {
     val pat = "^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"(\\S+) (\\S+) (\\S+)\" (\\d{3}) (\\S+)$"
+    val g = RegexStruct(c, pat,
+      Seq("host", "ident", "user", "timestamp", "method", "path",
+        "protocol", "status", "size"))
     struct(
-      nullif(regexp_extract(c, pat, 1), lit("")).as("host"),
-      nullif(regexp_extract(c, pat, 3), lit("")).as("user"),
-      nullif(regexp_extract(c, pat, 4), lit("")).as("timestamp"),
-      nullif(regexp_extract(c, pat, 5), lit("")).as("method"),
-      nullif(regexp_extract(c, pat, 6), lit("")).as("path"),
-      nullif(regexp_extract(c, pat, 7), lit("")).as("protocol"),
-      nullif(regexp_extract(c, pat, 8), lit("")).cast("int").as("status"),
-      nullif(nullif(regexp_extract(c, pat, 9), lit("")), lit("-"))
-        .cast("long").as("size"))
+      g.getField("host").as("host"),
+      g.getField("user").as("user"),
+      g.getField("timestamp").as("timestamp"),
+      g.getField("method").as("method"),
+      g.getField("path").as("path"),
+      g.getField("protocol").as("protocol"),
+      g.getField("status").cast("int").as("status"),
+      nullif(g.getField("size"), lit("-")).cast("long").as("size"))
   }
 
   def parseJson(c: Column, schema: String): Column = from_json(c, lit(schema))

@@ -54,8 +54,11 @@ object Aggregate {
       value: Column,
       orderCol: Column,
       kind: Column,
-      modes: Seq[(String, Mode)]): DataFrame = {
-    val aggs = modes.map { case (name, m) => modeAgg(m, value, orderCol, kind).as(name) }
+      modes: Seq[(String, Mode)],
+      extraAggs: Seq[Column] = Nil): DataFrame = {
+    val aggs = modes.map { case (name, m) =>
+      modeAgg(m, value, orderCol, kind).as(name)
+    } ++ extraAggs
     df.groupBy(window(ts, interval) +: seriesKeys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start", col("window.start"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** `tag_cardinality_limit` — cap distinct values per tag key.
@@ -30,12 +29,14 @@ object TagCardinalityLimit {
     // values — small; broadcast it so the event stream keeps its layout.
     // Events lacking the tag (NULL) pass through unaffected (the reference
     // only limits values that exist) and don't consume a rank slot.
+    // global "first `valueLimit` by first-seen order" via orderBy+limit —
+    // Spark plans this as TakeOrderedAndProject (a distributed top-K with
+    // per-partition heaps), NOT a single-partition global window.
     val firstSeen = df.filter(col(tag).isNotNull)
       .groupBy(col(tag).as("__tv"))
       .agg(min(orderCol).as("__first_seen"))
-      .withColumn("__rank",
-        row_number().over(Window.orderBy(col("__first_seen"), col("__tv"))))
-      .filter(col("__rank") <= valueLimit)
+      .orderBy(col("__first_seen"), col("__tv"))
+      .limit(valueLimit)
       .select(col("__tv"))
     val joined = df.join(
       broadcast(firstSeen), df(tag) === firstSeen("__tv"), "left")
