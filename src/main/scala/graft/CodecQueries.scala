@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.codecs.{Decode, Encode, Framing}
+
+/** Oracle-checked queries for the codec surface (SURVEY §2.6). Decoders
+  * are ROUND-TRIP checked: a line is synthesized from source columns,
+  * decoded by the graft codec, and the oracle recomputes the expected
+  * fields straight from the source columns — a parser defect breaks
+  * equality. Encoders are checked against string-built oracles.
+  */
+object CodecQueries {
+
+  import Queries.Q
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+
+  val queries: Map[String, Q] = Map(
+    "codec_syslog5424" -> { (s, dir) =>
+      val line = format_string(
+        "<%d>1 %s host%d app%d %d ID%d - %s happened",
+        pmod(col("k"), lit(192)).cast("int"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        col("user_id"), pmod(col("user_id"), lit(5)), col("k") + 1,
+        pmod(col("k"), lit(10)), col("event_type"))
+      val p = Decode.syslog5424(line)
+      ev(s, dir).select(
+        col("event_id"),
+        p.getField("facility").as("facility"),
+        p.getField("severity").as("severity"),
+        p.getField("version").as("version"),
+        p.getField("timestamp").as("sl_ts"),
+        p.getField("hostname").as("hostname"),
+        p.getField("appname").as("appname"),
+        p.getField("procid").cast("long").as("procid"),
+        p.getField("msgid").as("msgid"),
+        p.getField("structured_data").as("sd"),
+        p.getField("message").as("message"))
+        .orderBy(col("event_id"))
+    },
+
+    "codec_statsd" -> { (s, dir) =>
+      val line = concat(col("event_type"), lit(":"), col("k"),
+        lit("|c|@0.5|#env:prod,team:t"), pmod(col("user_id"), lit(3)))
+      val p = Decode.statsd(line)
+      ev(s, dir).select(
+        col("event_id"),
+        p.getField("name").as("name"),
+        p.getField("value").as("value"),
+        p.getField("metric_type").as("metric_type"),
+        p.getField("sample_rate").as("sample_rate"),
+        element_at(p.getField("tags"), "env").as("tag_env"),
+        element_at(p.getField("tags"), "team").as("tag_team"))
+        .orderBy(col("event_id"))
+    },
+
+    "codec_influx" -> { (s, dir) =>
+      val line = format_string(
+        "cpu,host=h%d,region=r%d usage=%d,idle=%di %d000000000",
+        col("user_id"), pmod(col("user_id"), lit(3)),
+        col("k"), col("k") * 2, unix_timestamp(col("ts")))
+      val p = Decode.influxLine(line)
+      ev(s, dir).select(
+        col("event_id"),
+        p.getField("measurement").as("measurement"),
+        element_at(p.getField("tags"), "host").as("tag_host"),
+        element_at(p.getField("fields"), "usage").as("usage"),
+        element_at(p.getField("fields"), "idle").as("idle"),
+        p.getField("timestamp").as("il_ts"))
+        .orderBy(col("event_id"))
+    },
+
+    "codec_gelf" -> { (s, dir) =>
+      val line = Encode.gelf(
+        concat(lit("host"), col("user_id")), col("event_type"),
+        col("ts"), pmod(col("k"), lit(8)).cast("int"))
+      val p = Decode.gelf(line)
+      ev(s, dir).select(
+        col("event_id"),
+        p.getField("version").as("version"),
+        p.getField("host").as("host"),
+        p.getField("short_message").as("short_message"),
+        p.getField("timestamp").as("g_ts"),
+        p.getField("level").as("level"))
+        .orderBy(col("event_id"))
+    },
+
+    "codec_cef" -> { (s, dir) =>
+      ev(s, dir).select(
+        col("event_id"),
+        Encode.cef("graft", "engine", "1.0",
+          signatureId = col("k"), name = col("event_type"),
+          severity = pmod(col("k"), lit(10)),
+          extensions = Seq(
+            "suser" -> concat(lit("u"), col("user_id")),
+            "cnt" -> col("k"))).as("cef"))
+        .orderBy(col("event_id"))
+    },
+
+    "codec_prometheus" -> { (s, dir) =>
+      ev(s, dir).select(
+        col("event_id"),
+        Encode.prometheusLine(
+          lit("events_total"),
+          map(lit("type"), col("event_type"),
+            lit("host"), concat(lit("h"), pmod(col("user_id"), lit(5)))),
+          col("k").cast("long")).as("line"))
+        .orderBy(col("event_id"))
+    },
+
+    "codec_framing" -> { (s, dir) =>
+      val chunk = concat(
+        lit("a"), col("event_id"), lit("\n"),
+        lit("b"), col("k"), lit("\n\n"), // empty line dropped by framing
+        lit("c"), col("user_id"))
+      ev(s, dir).select(col("event_id"),
+          posexplode(Framing.newlineDelimited(chunk)).as(Seq("frame_idx", "frame")))
+        .orderBy(col("event_id"), col("frame_idx"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "codec_syslog5424" ->
+      """SELECT event_id,
+        |  CAST(k % 192 // 8 AS INT) AS facility,
+        |  CAST(k % 192 % 8 AS INT) AS severity,
+        |  CAST(1 AS INT) AS version,
+        |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS sl_ts,
+        |  'host' || CAST(user_id AS VARCHAR) AS hostname,
+        |  'app' || CAST(user_id % 5 AS VARCHAR) AS appname,
+        |  k + 1 AS procid,
+        |  'ID' || CAST(k % 10 AS VARCHAR) AS msgid,
+        |  CAST(NULL AS VARCHAR) AS sd,
+        |  event_type || ' happened' AS message
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "codec_statsd" ->
+      """SELECT event_id, event_type AS name,
+        |  CAST(k AS DOUBLE) AS value, 'c' AS metric_type,
+        |  CAST(0.5 AS DOUBLE) AS sample_rate,
+        |  'prod' AS tag_env,
+        |  't' || CAST(user_id % 3 AS VARCHAR) AS tag_team
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "codec_influx" ->
+      """SELECT event_id, 'cpu' AS measurement,
+        |  'h' || CAST(user_id AS VARCHAR) AS tag_host,
+        |  CAST(k AS DOUBLE) AS usage, CAST(k * 2 AS DOUBLE) AS idle,
+        |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS il_ts
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "codec_gelf" ->
+      """SELECT event_id, '1.1' AS version,
+        |  'host' || CAST(user_id AS VARCHAR) AS host,
+        |  event_type AS short_message,
+        |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS g_ts,
+        |  CAST(k % 8 AS INT) AS level
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "codec_cef" ->
+      """SELECT event_id,
+        |  'CEF:0|graft|engine|1.0|' || CAST(k AS VARCHAR) || '|' || event_type
+        |    || '|' || CAST(k % 10 AS VARCHAR)
+        |    || '|suser=u' || CAST(user_id AS VARCHAR)
+        |    || ' cnt=' || CAST(k AS VARCHAR) AS cef
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "codec_prometheus" ->
+      """SELECT event_id,
+        |  'events_total{host="h' || CAST(user_id % 5 AS VARCHAR)
+        |    || '",type="' || event_type || '"} '
+        |    || CAST(k AS VARCHAR) AS line
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "codec_framing" ->
+      """WITH frames AS (
+        |  SELECT event_id,
+        |    ['a' || CAST(event_id AS VARCHAR),
+        |     'b' || CAST(k AS VARCHAR),
+        |     'c' || CAST(user_id AS VARCHAR)] AS fs
+        |  FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |        FROM events))
+        |SELECT event_id, CAST(i - 1 AS INT) AS frame_idx, fs[i] AS frame
+        |FROM frames, (SELECT unnest(range(1, 4)) AS i)
+        |ORDER BY event_id, frame_idx""".stripMargin
+  )
+}

@@ -20,10 +20,10 @@ object Queries {
 
   def all: Map[String, Q] =
     core ++ TransformQueries.queries ++ VrlQueries.queries ++
-      DatapipeQueries.queries
+      DatapipeQueries.queries ++ CodecQueries.queries
   def oracles: Map[String, String] =
     coreSql ++ TransformQueries.oracles ++ VrlQueries.oracles ++
-      DatapipeQueries.oracles
+      DatapipeQueries.oracles ++ CodecQueries.oracles
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)

@@ -1,0 +1,220 @@
+package graft.codecs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.{RegexStruct, Vrl}
+
+/** Codec surface — the reference's decoder/encoder/framing stack.
+  *
+  * Reference: /root/reference/lib/codecs/ — decoders `bytes, json,
+  * native_json, gelf, syslog, influxdb, csv, …` (decoding/format/),
+  * framing `newline_delimited, character_delimited, octet_counting,
+  * length_delimited, …` (decoding/framing/), encoders `json, csv, logfmt,
+  * text, gelf, cef, syslog, raw_message, …` (encoding/format/).
+  *
+  * Spark-first: every decoder is a Column expression over a string/binary
+  * column (codegen; schema flows through Catalyst), so a source is
+  * `frames -> explode -> decode` and a sink is `encode -> write`. Only
+  * the byte-counting framings fall back to UDFs — they are inherently
+  * sequential per chunk and sit at the source edge, not the hot path.
+  */
+object Framing {
+
+  /** newline_delimited framing: one chunk -> array of lines. */
+  def newlineDelimited(c: Column): Column =
+    filter(split(c, "\n"), l => length(l) > 0)
+
+  /** character_delimited framing. */
+  def characterDelimited(c: Column, delim: String): Column =
+    split(c, java.util.regex.Pattern.quote(delim))
+
+  /** octet_counting framing (RFC6587 syslog): `N <N bytes>` repeated.
+    * Sequential scan per chunk -> UDF at the source edge.
+    */
+  val octetCounting: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (chunk: String) =>
+      if (chunk == null) null
+      else {
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        var ok = true
+        while (ok && i < chunk.length) {
+          val sp = chunk.indexOf(' ', i)
+          ok = sp > i && chunk.substring(i, sp).forall(_.isDigit)
+          if (ok) {
+            val n = chunk.substring(i, sp).toInt
+            ok = sp + 1 + n <= chunk.length
+            if (ok) { out += chunk.substring(sp + 1, sp + 1 + n); i = sp + 1 + n }
+          }
+        }
+        out.toSeq
+      }
+    }
+
+  /** length_delimited framing: 4-byte big-endian length prefix. */
+  val lengthDelimited: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (chunk: Array[Byte]) =>
+      if (chunk == null) null
+      else {
+        val out = scala.collection.mutable.ListBuffer[Array[Byte]]()
+        val bb = java.nio.ByteBuffer.wrap(chunk)
+        while (bb.remaining() >= 4) {
+          val n = bb.getInt
+          if (n >= 0 && bb.remaining() >= n) {
+            val frame = new Array[Byte](n)
+            bb.get(frame)
+            out += frame
+          } else bb.position(bb.limit())
+        }
+        out.toSeq
+      }
+    }
+}
+
+object Decode {
+
+  /** syslog RFC5424:
+    * `<PRI>VERSION TIMESTAMP HOSTNAME APP-NAME PROCID MSGID SD MSG`.
+    * One regex pass (RegexStruct); `-` nil values become null.
+    */
+  def syslog5424(c: Column): Column = {
+    val pat = "^<(\\d{1,3})>(\\d{1,2}) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) " +
+      "(-|(?:\\[[^\\]]*\\])+)(?: (.*))?$"
+    val g = RegexStruct(c, pat, Seq("pri", "version", "ts", "hostname",
+      "appname", "procid", "msgid", "sd", "message"))
+    val pri = g.getField("pri").cast("int")
+    def nil(f: String): Column = nullif(g.getField(f), lit("-"))
+    struct(
+      pri.as("priority"),
+      (pri / 8).cast("int").as("facility"),
+      pmod(pri, lit(8)).cast("int").as("severity"),
+      g.getField("version").cast("int").as("version"),
+      nil("ts").cast("timestamp").as("timestamp"),
+      nil("hostname").as("hostname"),
+      nil("appname").as("appname"),
+      nil("procid").as("procid"),
+      nil("msgid").as("msgid"),
+      nil("sd").as("structured_data"),
+      coalesce(g.getField("message"), lit("")).as("message"))
+  }
+
+  /** GELF (Graylog extended log format) — a JSON envelope with fixed
+    * fields; `_`-prefixed keys are additional fields
+    * (reference lib/codecs/src/decoding/format/gelf.rs).
+    */
+  def gelf(c: Column): Column = {
+    val fixed = from_json(c, lit(
+      "version STRING, host STRING, short_message STRING, " +
+        "full_message STRING, timestamp DOUBLE, level INT"),
+      new java.util.HashMap[String, String]())
+    val extras = map_filter(
+      from_json(c, lit("MAP<STRING, STRING>"),
+        new java.util.HashMap[String, String]()),
+      (k, _) => k.startsWith("_"))
+    struct(
+      fixed.getField("version").as("version"),
+      fixed.getField("host").as("host"),
+      fixed.getField("short_message").as("short_message"),
+      fixed.getField("full_message").as("full_message"),
+      timestamp_seconds(fixed.getField("timestamp")).as("timestamp"),
+      fixed.getField("level").as("level"),
+      extras.as("additional"))
+  }
+
+  /** statsd line protocol: `name:value|type[|@rate][|#tag:v,tag:v]`
+    * (reference src/sources/statsd/parser).
+    */
+  def statsd(c: Column): Column = {
+    val pat = "^([^:]+):([-+]?[0-9.]+)\\|(c|g|ms|s|h|d)(?:\\|@([0-9.]+))?" +
+      "(?:\\|#(.*))?$"
+    val g = RegexStruct(c, pat, Seq("name", "value", "mtype", "rate", "tags"))
+    struct(
+      g.getField("name").as("name"),
+      g.getField("value").cast("double").as("value"),
+      g.getField("mtype").as("metric_type"),
+      coalesce(g.getField("rate").cast("double"), lit(1.0)).as("sample_rate"),
+      when(g.getField("tags").isNotNull,
+        Vrl.parseKeyValue(g.getField("tags"), ",", ":")).as("tags"))
+  }
+
+  /** InfluxDB line protocol:
+    * `measurement[,tag=v,...] field=v[,field=v] [ts]`
+    * (reference lib/codecs decoding influxdb).
+    */
+  def influxLine(c: Column): Column = {
+    val pat = "^([^, ]+)(?:,([^ ]+))? ([^ ]+)(?: (\\d+))?$"
+    val g = RegexStruct(c, pat, Seq("measurement", "tags", "fields", "ts"))
+    struct(
+      g.getField("measurement").as("measurement"),
+      when(g.getField("tags").isNotNull,
+        Vrl.parseKeyValue(g.getField("tags"), ",", "=")).as("tags"),
+      transform_values(
+        Vrl.parseKeyValue(g.getField("fields"), ",", "="),
+        (_, v) => regexp_replace(v, "i$", "").cast("double")).as("fields"),
+      timestamp_micros((g.getField("ts").cast("long") / 1000L).cast("long"))
+        .as("timestamp"))
+  }
+
+  /** Vector native_json envelope: `{"log": {...}}` / `{"metric": {...}}`
+    * (reference lib/codecs/src/decoding/format/native_json.rs). Returns
+    * (kind, payload-json) — downstream decodes payload with its schema.
+    */
+  def nativeJsonKind(c: Column): Column =
+    when(get_json_object(c, "$.log").isNotNull, "log")
+      .when(get_json_object(c, "$.metric").isNotNull, "metric")
+      .when(get_json_object(c, "$.trace").isNotNull, "trace")
+}
+
+object Encode {
+
+  /** CEF (common event format) encoder:
+    * `CEF:0|vendor|product|version|signature|name|severity|extensions`
+    * (reference lib/codecs/src/encoding/format/cef.rs). Header pipes are
+    * escaped; extensions are space-joined key=value.
+    */
+  def cef(vendor: String, product: String, version: String,
+          signatureId: Column, name: Column, severity: Column,
+          extensions: Seq[(String, Column)]): Column = {
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\\|", "\\\\|")
+    val ext = concat_ws(" ",
+      extensions.map { case (k, v) => concat(lit(k + "="), v.cast("string")) }: _*)
+    concat_ws("|", lit("CEF:0"), lit(vendor), lit(product), lit(version),
+      esc(signatureId.cast("string")), esc(name.cast("string")),
+      severity.cast("string"), ext)
+  }
+
+  /** Prometheus exposition text format, one line per sample:
+    * `name{tag="v",...} value` (reference src/sinks/prometheus/exporter
+    * + collector). Tags render sorted by key for determinism.
+    */
+  def prometheusLine(name: Column, tags: Column, value: Column): Column = {
+    val renderedTags = array_join(
+      transform(array_sort(map_entries(tags)),
+        e => concat(e.getField("key"), lit("=\""),
+          e.getField("value"), lit("\""))), ",")
+    concat(name,
+      when(size(map_entries(tags)) > 0,
+        concat(lit("{"), renderedTags, lit("}"))).otherwise(lit("")),
+      lit(" "), value.cast("string"))
+  }
+
+  /** Syslog RFC3164 encoder (reference encoding syslog). */
+  def syslog3164(pri: Column, ts: Column, host: Column, app: Column,
+                 procid: Column, msg: Column): Column =
+    format_string("<%d>%s %s %s[%d]: %s", pri.cast("int"),
+      date_format(ts, "MMM dd HH:mm:ss"), host, app, procid.cast("long"), msg)
+
+  /** logfmt encoder (map -> `k=v k2="v 2"`), delegates to Vrl. */
+  def logfmt(m: Column): Column = Vrl.encodeLogfmt(m)
+
+  /** GELF encoder. */
+  def gelf(host: Column, shortMessage: Column, ts: Column,
+           level: Column): Column =
+    to_json(struct(
+      lit("1.1").as("version"), host.as("host"),
+      shortMessage.as("short_message"),
+      unix_timestamp(ts).cast("double").as("timestamp"),
+      level.as("level")))
+}

@@ -1,0 +1,55 @@
+package graft.codecs
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("octetCounting framing splits RFC6587 chunks") {
+    val chunk = "5 hello3 bye"
+    val out = Seq(chunk).toDF("c")
+      .select(Framing.octetCounting($"c").as("f"))
+      .as[Seq[String]].head()
+    assert(out == Seq("hello", "bye"))
+  }
+
+  test("octetCounting stops on malformed prefix") {
+    val out = Seq("5 helloXYZ").toDF("c")
+      .select(Framing.octetCounting($"c").as("f"))
+      .as[Seq[String]].head()
+    assert(out == Seq("hello"))
+  }
+
+  test("lengthDelimited framing reads 4-byte BE prefixes") {
+    val payload = {
+      val a = "ab".getBytes("UTF-8"); val b = "cde".getBytes("UTF-8")
+      val bb = java.nio.ByteBuffer.allocate(4 + a.length + 4 + b.length)
+      bb.putInt(a.length).put(a).putInt(b.length).put(b)
+      bb.array()
+    }
+    val out = Seq(payload).toDF("c")
+      .select(Framing.lengthDelimited($"c").as("f"))
+      .as[Seq[Array[Byte]]].head()
+    assert(out.map(new String(_, "UTF-8")) == Seq("ab", "cde"))
+  }
+
+  test("syslog5424 structured data and nil fields") {
+    val line = "<165>1 2023-10-11T22:14:15Z mach app - ID47 " +
+      "[exampleSDID@32473 iut=\"3\"] An application event"
+    val p = Seq(line).toDF("c")
+      .select(Decode.syslog5424($"c").as("p"))
+      .select("p.severity", "p.procid", "p.structured_data", "p.message")
+      .as[(Int, String, String, String)].head()
+    assert(p == ((5, null, "[exampleSDID@32473 iut=\"3\"]",
+      "An application event")))
+  }
+
+  test("cef encoder escapes pipes in header fields") {
+    val out = Seq("a|b").toDF("name")
+      .select(Encode.cef("v", "p", "1", lit("sig"), $"name", lit(5),
+        Seq("k" -> lit("v"))).as("c"))
+      .as[String].head()
+    assert(out == "CEF:0|v|p|1|sig|a\\|b|5|k=v")
+  }
+}
