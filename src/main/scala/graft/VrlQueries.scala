@@ -131,6 +131,108 @@ object VrlQueries {
         .orderBy(col("event_id"))
     },
 
+    "vrl_grok" -> { (s, dir) =>
+      val level = when(col("event_type") === "error", "ERROR").otherwise("INFO")
+      val line = format_string("%s 10.0.%d.%d u%d /api/%d %d.5",
+        level, pmod(col("user_id"), lit(256)),
+        pmod(col("user_id") * 3, lit(256)), col("user_id"), col("k"), col("k"))
+      val p = functions.Grok.parse(line,
+        "%{LOGLEVEL:level} %{IP:client} %{USER:user} %{URIPATH:path} %{NUMBER:dur}")
+      ev(s, dir).select(
+        col("event_id"),
+        p.getField("level").as("level"),
+        p.getField("client").as("client"),
+        p.getField("user").as("user"),
+        p.getField("path").as("path"),
+        p.getField("dur").cast("double").as("dur"))
+        .orderBy(col("event_id"))
+    },
+
+    "vrl_parse_logs2" -> { (s, dir) =>
+      val ae = Vrl.parseApacheErrorLog(format_string(
+        "[Wed Oct 11 14:32:52 2000] [core:error] [pid %d] [client 10.0.0.%d] %s msg",
+        col("k"), pmod(col("user_id"), lit(256)), col("event_type")))
+      val gl = Vrl.parseGlog(format_string(
+        "E1011 14:32:52.123456 %d file%d.cc:%d] %s",
+        col("k"), col("user_id"), pmod(col("k"), lit(100)), col("event_type")))
+      val ng = Vrl.parseNginxLog(format_string(
+        "10.1.2.3 - u%d [10/Oct/2000:13:55:36 -0700] \"GET /p/%d HTTP/1.1\" %d %d \"http://r/%d\" \"UA %d\"",
+        col("user_id"), col("k"), lit(200) + pmod(col("k"), lit(4)),
+        col("k") * 10, col("user_id"), col("user_id")))
+      ev(s, dir).select(
+        col("event_id"),
+        ae.getField("module").as("ae_module"),
+        ae.getField("level").as("ae_level"),
+        ae.getField("pid").as("ae_pid"),
+        ae.getField("client").as("ae_client"),
+        ae.getField("message").as("ae_msg"),
+        gl.getField("level").as("gl_level"),
+        gl.getField("thread_id").as("gl_thread"),
+        gl.getField("file").as("gl_file"),
+        gl.getField("line").as("gl_line"),
+        gl.getField("message").as("gl_msg"),
+        ng.getField("status").as("ng_status"),
+        ng.getField("size").as("ng_size"),
+        ng.getField("referer").as("ng_referer"),
+        ng.getField("agent").as("ng_agent"))
+        .orderBy(col("event_id"))
+    },
+
+    "vrl_case" -> { (s, dir) =>
+      val snake = concat(col("event_type"), lit("_demo_case"))
+      val domain = concat(lit("svc"), pmod(col("user_id"), lit(3)),
+        lit(".example.co.uk"))
+      ev(s, dir).select(
+        col("event_id"),
+        Vrl.camelcase(snake).as("camel"),
+        Vrl.pascalcase(snake).as("pascal"),
+        Vrl.kebabcase(snake).as("kebab"),
+        Vrl.screamingsnakecase(snake).as("screaming"),
+        Vrl.snakecase(Vrl.pascalcase(snake)).as("snake_rt"),
+        Vrl.levenshteinDist(col("event_type"), lit("error")).as("lev"),
+        Vrl.parseEtldPlusOne(domain).as("etld"),
+        Vrl.parseEtldPlusOne(concat(lit("web"), pmod(col("user_id"), lit(5)),
+          lit(".example.com"))).as("etld2"),
+        size(Vrl.parseTokens(
+          concat(lit("a \"b c\" [d e] f"), col("k")))).as("n_tokens"))
+        .orderBy(col("event_id"))
+    },
+
+    "vrl_vpc_flow" -> { (s, dir) =>
+      val line = format_string(
+        "2 12345678 eni-%d 10.0.0.%d 10.0.1.%d %d 443 6 %d %d 1600000000 1600000060 ACCEPT OK",
+        col("user_id"), pmod(col("user_id"), lit(256)),
+        pmod(col("user_id") * 7, lit(256)),
+        lit(1024) + pmod(col("k"), lit(60000)), col("k"), col("k") * 100)
+      val p = Vrl.parseVpcFlowLog(line)
+      ev(s, dir).select(
+        col("event_id"),
+        p.getField("version").as("version"),
+        p.getField("interface_id").as("interface_id"),
+        p.getField("srcaddr").as("srcaddr"),
+        p.getField("srcport").as("srcport"),
+        p.getField("dstport").as("dstport"),
+        p.getField("packets").as("packets"),
+        p.getField("bytes").as("bytes"),
+        p.getField("action").as("action"))
+        .orderBy(col("event_id"))
+    },
+
+    "vrl_codec2" -> { (s, dir) =>
+      val payload = col("props").cast("binary")
+      ev(s, dir).select(
+        col("event_id"),
+        (Vrl.decodeGzip(Vrl.encodeGzip(payload)).cast("string") === col("props"))
+          .as("rt_gzip"),
+        (Vrl.decodeZlib(Vrl.encodeZlib(payload)).cast("string") === col("props"))
+          .as("rt_zlib"),
+        (Vrl.decodeSnappy(Vrl.encodeSnappy(payload)).cast("string") === col("props"))
+          .as("rt_snappy"),
+        (Vrl.decodeZstd(Vrl.encodeZstd(payload)).cast("string") === col("props"))
+          .as("rt_zstd"))
+        .orderBy(col("event_id"))
+    },
+
     "condition_datadog" -> { (s, dir) =>
       val search = DatadogSearch(
         fields = Map(
@@ -224,6 +326,69 @@ object VrlQueries {
         |  CAST(json_extract_string(props,'$.k') AS BIGINT) % 7 AS modv,
         |  CAST(42 AS BIGINT) AS pi, CAST(3.5 AS DOUBLE) AS pf,
         |  CAST(3600 + 30*60 + 15 AS DOUBLE) AS dur
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "vrl_grok" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type='error' THEN 'ERROR' ELSE 'INFO' END AS level,
+        |  '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.'
+        |    || CAST((user_id*3) % 256 AS VARCHAR) AS client,
+        |  'u' || CAST(user_id AS VARCHAR) AS user,
+        |  '/api/' || CAST(k AS VARCHAR) AS path,
+        |  CAST(k AS DOUBLE) + 0.5 AS dur
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "vrl_parse_logs2" ->
+      """SELECT event_id,
+        |  'core' AS ae_module, 'error' AS ae_level, k AS ae_pid,
+        |  '10.0.0.' || CAST(user_id % 256 AS VARCHAR) AS ae_client,
+        |  event_type || ' msg' AS ae_msg,
+        |  'error' AS gl_level, k AS gl_thread,
+        |  'file' || CAST(user_id AS VARCHAR) || '.cc' AS gl_file,
+        |  k % 100 AS gl_line, event_type AS gl_msg,
+        |  CAST(200 + k % 4 AS INT) AS ng_status, k * 10 AS ng_size,
+        |  'http://r/' || CAST(user_id AS VARCHAR) AS ng_referer,
+        |  'UA ' || CAST(user_id AS VARCHAR) AS ng_agent
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "vrl_case" ->
+      """WITH t AS (
+        |  SELECT event_id, event_type, user_id,
+        |    CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+        |    string_split(event_type || '_demo_case', '_') AS parts
+        |  FROM events),
+        |c AS (
+        |  SELECT *,
+        |    [upper(p[1:1]) || p[2:] for p in parts] AS caps
+        |  FROM t)
+        |SELECT event_id,
+        |  parts[1] || array_to_string(caps[2:], '') AS camel,
+        |  array_to_string(caps, '') AS pascal,
+        |  array_to_string(parts, '-') AS kebab,
+        |  upper(array_to_string(parts, '_')) AS screaming,
+        |  array_to_string(parts, '_') AS snake_rt,
+        |  CAST(levenshtein(event_type, 'error') AS INT) AS lev,
+        |  'example.co.uk' AS etld,
+        |  'example.com' AS etld2,
+        |  CAST(4 AS INT) AS n_tokens
+        |FROM c ORDER BY event_id""".stripMargin,
+
+    "vrl_vpc_flow" ->
+      """SELECT event_id,
+        |  CAST(2 AS INT) AS version,
+        |  'eni-' || CAST(user_id AS VARCHAR) AS interface_id,
+        |  '10.0.0.' || CAST(user_id % 256 AS VARCHAR) AS srcaddr,
+        |  CAST(1024 + k % 60000 AS INT) AS srcport,
+        |  CAST(443 AS INT) AS dstport,
+        |  k AS packets, k * 100 AS bytes, 'ACCEPT' AS action
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "vrl_codec2" ->
+      """SELECT event_id, true AS rt_gzip, true AS rt_zlib,
+        |  true AS rt_snappy, true AS rt_zstd
         |FROM events ORDER BY event_id""".stripMargin,
 
     "condition_datadog" ->

@@ -44,7 +44,28 @@ object Vrl {
     regexp_replace(c, "\\u001B\\[[0-9;]*[A-Za-z]", "")
   def snakecase(c: Column): Column =
     lower(regexp_replace(regexp_replace(c, "([a-z0-9])([A-Z])", "$1_$2"), "[\\s-]+", "_"))
+  /** Word list shared by the case-conversion family: camelCase boundaries
+    * then split on underscore/space/dash.
+    */
+  private def caseWords(c: Column): Column =
+    filter(
+      split(lower(regexp_replace(c, "([a-z0-9])([A-Z])", "$1_$2")), "[_\\s-]+"),
+      w => length(w) > 0)
+  def camelcase(c: Column): Column = {
+    val ws = caseWords(c)
+    concat(element_at(ws, 1),
+      array_join(transform(
+        org.apache.spark.sql.functions.slice(ws, 2, 1000000),
+        w => initcap(w)), ""))
+  }
+  def pascalcase(c: Column): Column =
+    array_join(transform(caseWords(c), w => initcap(w)), "")
+  def kebabcase(c: Column): Column = array_join(caseWords(c), "-")
+  def screamingsnakecase(c: Column): Column = upper(array_join(caseWords(c), "_"))
   def strlen(c: Column): Column = length(c)
+  /** format_number(n, places, grouping) — Spark builtin (same name). */
+  def formatNumber(c: Column, places: Int): Column = format_number(c, places)
+  def levenshteinDist(a: Column, b: Column): Column = levenshtein(a, b)
 
   // ---- Parse (the custom surface) --------------------------------------
 
@@ -108,6 +129,93 @@ object Vrl {
       g.getField("protocol").as("protocol"),
       g.getField("status").cast("int").as("status"),
       nullif(g.getField("size"), lit("-")).cast("long").as("size"))
+  }
+
+  /** parse_apache_log("error"): `[ts] [module:level] [pid N] [client ip] msg`. */
+  def parseApacheErrorLog(c: Column): Column = {
+    val pat = "^\\[([^\\]]+)\\] \\[(?:(\\w+):)?(\\w+)\\]" +
+      "(?: \\[pid (\\d+)(?::tid (\\d+))?\\])?(?: \\[client ([^\\]]+)\\])? (.*)$"
+    val g = RegexStruct(c, pat,
+      Seq("timestamp", "module", "level", "pid", "tid", "client", "message"))
+    struct(
+      g.getField("timestamp").as("timestamp"),
+      g.getField("module").as("module"),
+      g.getField("level").as("level"),
+      g.getField("pid").cast("long").as("pid"),
+      g.getField("tid").cast("long").as("tid"),
+      g.getField("client").as("client"),
+      g.getField("message").as("message"))
+  }
+
+  /** parse_nginx_log("combined"): common log + referer + user agent. */
+  def parseNginxLog(c: Column): Column = {
+    val pat = "^(\\S+) - (\\S+) \\[([^\\]]+)\\] \"(\\S+) (\\S+) (\\S+)\" " +
+      "(\\d{3}) (\\d+|-) \"([^\"]*)\" \"([^\"]*)\"$"
+    val g = RegexStruct(c, pat, Seq("remote_addr", "remote_user", "timestamp",
+      "method", "path", "protocol", "status", "size", "referer", "agent"))
+    struct(
+      g.getField("remote_addr").as("remote_addr"),
+      nullif(g.getField("remote_user"), lit("-")).as("remote_user"),
+      g.getField("timestamp").as("timestamp"),
+      g.getField("method").as("method"),
+      g.getField("path").as("path"),
+      g.getField("protocol").as("protocol"),
+      g.getField("status").cast("int").as("status"),
+      nullif(g.getField("size"), lit("-")).cast("long").as("size"),
+      nullif(g.getField("referer"), lit("-")).as("referer"),
+      g.getField("agent").as("agent"))
+  }
+
+  /** parse_glog (google log / klog):
+    * `I0929 12:00:00.123456 1234 file.cc:100] msg`.
+    */
+  def parseGlog(c: Column): Column = {
+    val pat = "^([IWEF])(\\d{2})(\\d{2}) (\\d{2}:\\d{2}:\\d{2})\\.(\\d+)" +
+      "\\s+(\\d+) ([^:\\]]+):(\\d+)\\] (.*)$"
+    val g = RegexStruct(c, pat, Seq("lvl", "month", "day", "time", "usec",
+      "thread_id", "file", "line", "message"))
+    val level = g.getField("lvl")
+    struct(
+      when(level === "I", "info").when(level === "W", "warning")
+        .when(level === "E", "error").when(level === "F", "fatal")
+        .as("level"),
+      g.getField("month").cast("int").as("month"),
+      g.getField("day").cast("int").as("day"),
+      g.getField("time").as("time"),
+      g.getField("thread_id").cast("long").as("thread_id"),
+      g.getField("file").as("file"),
+      g.getField("line").cast("long").as("line"),
+      g.getField("message").as("message"))
+  }
+
+  /** parse_aws_vpc_flow_log (default v2 format: 14 space-separated cols). */
+  def parseVpcFlowLog(c: Column): Column = {
+    val p = split(c, " ")
+    def f(i: Int): Column = nullif(element_at(p, i), lit("-"))
+    struct(
+      f(1).cast("int").as("version"), f(2).as("account_id"),
+      f(3).as("interface_id"), f(4).as("srcaddr"), f(5).as("dstaddr"),
+      f(6).cast("int").as("srcport"), f(7).cast("int").as("dstport"),
+      f(8).cast("int").as("protocol"), f(9).cast("long").as("packets"),
+      f(10).cast("long").as("bytes"), f(11).cast("long").as("start"),
+      f(12).cast("long").as("end"), f(13).as("action"), f(14).as("log_status"))
+  }
+
+  /** parse_tokens: split into tokens, treating "quoted" and [bracketed]
+    * chunks as single tokens.
+    */
+  def parseTokens(c: Column): Column =
+    regexp_extract_all(c, lit("\"[^\"]*\"|\\[[^\\]]*\\]|\\S+"), lit(0))
+
+  /** parse_etld: effective top-level-domain+1 heuristic (common two-level
+    * public suffixes, else the last two labels).
+    */
+  def parseEtldPlusOne(c: Column): Column = {
+    val twoLevel = "(?:co|com|org|net|ac|gov|edu)\\.(?:uk|au|jp|nz|za|in|br)"
+    coalesce(
+      nullif(regexp_extract(c, "([^.]+\\." + twoLevel + ")$", 1), lit("")),
+      nullif(regexp_extract(c, "([^.]+\\.[^.]+)$", 1), lit("")),
+      c)
   }
 
   def parseJson(c: Column, schema: String): Column = from_json(c, lit(schema))
@@ -177,6 +285,58 @@ object Vrl {
         while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
         out.toByteArray
       }
+    }
+
+  /** encode_zlib / decode_zlib (RFC1950 deflate stream). */
+  val encodeZlib: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(bytes); d.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end(); out.toByteArray
+      }
+    }
+  val decodeZlib: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(bytes)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && inf.needsInput()) inf.end()
+          out.write(buf, 0, n)
+        }
+        out.toByteArray
+      }
+    }
+
+  /** encode_snappy / decode_snappy (snappy-java, ships with Spark). */
+  val encodeSnappy: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null else org.xerial.snappy.Snappy.compress(bytes)
+    }
+  val decodeSnappy: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null else org.xerial.snappy.Snappy.uncompress(bytes)
+    }
+
+  /** encode_zstd / decode_zstd (zstd-jni, ships with Spark). */
+  val encodeZstd: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null else com.github.luben.zstd.Zstd.compress(bytes, 3)
+    }
+  val decodeZstd: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else com.github.luben.zstd.Zstd.decompress(bytes,
+        com.github.luben.zstd.Zstd.getFrameContentSize(bytes).toInt)
     }
 
   // ---- Coerce / Type ---------------------------------------------------
