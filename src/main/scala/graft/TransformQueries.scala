@@ -170,6 +170,39 @@ object TransformQueries {
         .orderBy(col("event_id"))
     },
 
+    "metric_sketch" -> { (s, dir) =>
+      import graft.model.DDSketch
+      val sk = DDSketch.agg()
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(sk(col("value")).as("sketch"))
+        .select(
+          col("event_type"),
+          col("sketch.total").as("n"),
+          DDSketch.quantileIdx(col("sketch"), 0.5).as("q50_idx"),
+          DDSketch.quantileIdx(col("sketch"), 0.9).as("q90_idx"),
+          DDSketch.quantileIdx(col("sketch"), 0.99).as("q99_idx"),
+          DDSketch.quantileValue(col("sketch"), 0.5).as("q50"),
+          DDSketch.quantileValue(col("sketch"), 0.9).as("q90"))
+        .orderBy(col("event_type"))
+    },
+
+    "metric_histogram" -> { (s, dir) =>
+      import graft.model.Metrics
+      val bounds = Seq(10.0, 50.0, 100.0, 200.0)
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(
+          Metrics.histogramBuckets(col("value"), bounds).as("histo_buckets"),
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_v"))
+        .select(col("event_type"), col("n"), col("sum_v"),
+          posexplode(col("histo_buckets")).as(Seq("bucket_idx", "bucket")))
+        .select(col("event_type"), col("n"), col("sum_v"),
+          col("bucket_idx"),
+          col("bucket.upper_limit").as("upper_limit"),
+          col("bucket.count").as("le_count"))
+        .orderBy(col("event_type"), col("bucket_idx"))
+    },
+
     "enrich_join" -> { (s, dir) =>
       val c = Graft.table(s, dir, "customer")
       val n = Graft.table(s, dir, "nation")
@@ -340,6 +373,48 @@ object TransformQueries {
         |  QUALIFY row_number() OVER (ORDER BY first_seen, tv) <= 2)
         |SELECT event_id, user_id, event_type FROM events
         |WHERE event_type IN (SELECT tv FROM keep) ORDER BY event_id""".stripMargin,
+
+    "metric_sketch" ->
+      """WITH v AS (SELECT event_type, value FROM events),
+        |nz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CASE WHEN value <= 1e-9 THEN 1 ELSE 0 END) AS z
+        |       FROM v GROUP BY 1),
+        |bc AS (SELECT event_type, CAST(ceil(ln(value)/ln(1.02)) AS INT) AS i,
+        |         count(*) AS c
+        |       FROM v WHERE value > 1e-9 GROUP BY 1, 2),
+        |cum AS (SELECT event_type, i,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY i) AS cm
+        |        FROM bc),
+        |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS qq),
+        |ranks AS (SELECT nz.event_type, qq,
+        |            greatest(1, ceil(qq * nz.n)) - nz.z AS r
+        |          FROM nz, qs),
+        |sel AS (SELECT r.event_type, r.qq, min(c.i) AS idx
+        |        FROM ranks r LEFT JOIN cum c
+        |          ON c.event_type = r.event_type AND c.cm >= r.r
+        |        WHERE r.r > 0 GROUP BY 1, 2)
+        |SELECT nz.event_type, nz.n,
+        |  CAST(max(CASE WHEN qq = 0.5 THEN idx END) AS INT) AS q50_idx,
+        |  CAST(max(CASE WHEN qq = 0.9 THEN idx END) AS INT) AS q90_idx,
+        |  CAST(max(CASE WHEN qq = 0.99 THEN idx END) AS INT) AS q99_idx,
+        |  coalesce(round(2 * power(1.02, max(CASE WHEN qq = 0.5 THEN idx END))
+        |    / 2.02, 3), 0.0) AS q50,
+        |  coalesce(round(2 * power(1.02, max(CASE WHEN qq = 0.9 THEN idx END))
+        |    / 2.02, 3), 0.0) AS q90
+        |FROM nz LEFT JOIN sel ON sel.event_type = nz.event_type
+        |GROUP BY 1, 2 ORDER BY nz.event_type""".stripMargin,
+
+    "metric_histogram" ->
+      """WITH b AS (SELECT unnest([10.0, 50.0, 100.0, 200.0]) AS upper_limit,
+        |             unnest([0, 1, 2, 3]) AS bucket_idx)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_v, CAST(bucket_idx AS INT) AS bucket_idx,
+        |  upper_limit,
+        |  CAST(sum(CASE WHEN value <= upper_limit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS le_count
+        |FROM events, b
+        |GROUP BY event_type, bucket_idx, upper_limit
+        |ORDER BY event_type, bucket_idx""".stripMargin,
 
     "enrich_join" ->
       """SELECT c_custkey, c_name, n_name, r_name

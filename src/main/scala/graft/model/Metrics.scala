@@ -1,5 +1,7 @@
 package graft.model
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Metric event model.
@@ -35,4 +37,31 @@ object Metrics {
     StructField("summary_quantiles", ArrayType(StructType(Seq(
       StructField("quantile", DoubleType), StructField("value", DoubleType))))),
     StructField("sketch", BinaryType)))
+
+  /** AggregatedHistogram from raw values: cumulative `count <= upper`
+    * per configured bound (prometheus-style le-buckets), as ONE
+    * aggregation — each bucket is a conditional count riding the same
+    * shuffle (value.rs AggregatedHistogram{buckets, count, sum}).
+    */
+  def histogramBuckets(value: Column, bounds: Seq[Double]): Column =
+    array(bounds.map(b =>
+      struct(lit(b).as("upper_limit"),
+        sum(when(value <= b, 1L).otherwise(0L)).as("count"))): _*)
+
+  /** Merge already-aggregated histograms (same bounds): element-wise
+    * bucket-count sum. Used when fan-in unions carry histogram metrics.
+    */
+  def mergeHistograms(buckets: Column): Column =
+    aggregate(
+      buckets,
+      lit(null).cast(
+        "array<struct<upper_limit: double, count: bigint>>"),
+      (acc, h) => when(acc.isNull, h).otherwise(
+        zip_with(acc, h, (a, b) => struct(
+          a.getField("upper_limit").as("upper_limit"),
+          (a.getField("count") + b.getField("count")).as("count")))))
+
+  /** MetricValue::Set union across events (value.rs Set{values}). */
+  def setUnion(values: Column): Column =
+    array_sort(array_distinct(flatten(collect_list(values))))
 }
