@@ -247,6 +247,78 @@ object TransformQueries {
         .orderBy(col("c_custkey"))
     },
 
+    "line_agg" -> { (s, dir) =>
+      val e = ev(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      val line = when(pmod(col("k"), lit(3)) === 0,
+          concat(lit("ERROR "), col("event_type")))
+        .otherwise(concat(lit("  at fn"), col("k")))
+      LineAgg(e.withColumn("line", line),
+          fileCol = col("user_id"), orderCol = col("event_id"),
+          lineCol = col("line"), mode = LineAgg.ContinueThrough,
+          pattern = "^\\s")
+        .select(col("file"), col("first_order"), col("n_lines"), col("message"))
+        .orderBy(col("file"), col("first_order"))
+    },
+
+    "enrich_memory" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val table = EnrichmentTable.memoryTable(
+          e.select(col("user_id"), col("value"), col("event_id")),
+          keyCol = "user_id", orderCol = col("event_id"),
+          payload = Seq("value"))
+        .select(col("user_id").as("mem_key"),
+          round(col("value"), 2).as("latest_value"))
+      EnrichmentTable.lookup(e, table,
+          Seq(EnrichmentTable.Equals(col("user_id"), "mem_key")))
+        .select(col("event_id"), col("user_id"), col("latest_value"))
+        .orderBy(col("event_id"))
+    },
+
+    "enrich_geoip" -> { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val e = ev(s, dir)
+      val ip = when(pmod(col("user_id"), lit(2)) === 0,
+          concat_ws(".", lit(10), pmod(col("user_id"), lit(256)),
+            pmod(col("user_id") * 7, lit(256)), pmod(col("user_id") * 13, lit(256))))
+        .otherwise(concat_ws(".", lit(192), lit(168),
+          pmod(col("user_id"), lit(256)), pmod(col("user_id") * 3, lit(256))))
+      val cidrs = Seq(("10.0.0.0/8", "alpha"), ("192.168.0.0/16", "beta"),
+        ("172.16.0.0/12", "gamma")).toDF("cidr", "network")
+      EnrichmentTable.cidrLookup(e.withColumn("ip", ip), col("ip"), cidrs)
+        .select(col("event_id"), col("ip"), col("network"))
+        .orderBy(col("event_id"))
+    },
+
+    "sample_group" -> { (s, dir) =>
+      Sample.countPerGroup(ev(s, dir), col("event_type"), col("event_id"),
+          rate = 7)
+        .select(col("event_id"), col("event_type"), col("sample_rate"))
+        .orderBy(col("event_id"))
+    },
+
+    "topology" -> { (s, dir) =>
+      import graft.plans.Topology
+      import graft.plans.Topology.{Sink, Source, Transform}
+      val built = Topology.build(s, Seq(
+        Source("events", Topology.Log, sp => ev(sp, dir)),
+        Transform.simple("remap", Seq("events"), df =>
+          df.withColumn("severity",
+            when(col("event_type") === "error", 3).otherwise(6))),
+        Transform("route", Seq("remap"), Topology.Log, Topology.Log, df => Map(
+          "error" -> df.filter(col("event_type") === "error"),
+          "rest" -> df.filter(col("event_type") =!= "error"))),
+        Transform.simple("tag_err", Seq("route.error"),
+          _.withColumn("origin", lit("error"))),
+        Transform.simple("high", Seq("route.rest"), df =>
+          df.filter(col("value") > 150.0).withColumn("origin", lit("high"))),
+        Sink("out", Seq("tag_err", "high"), Topology.Log)))
+      built.sink("out")
+        .select(col("event_id"), col("severity"), col("origin"))
+        .orderBy(col("event_id"), col("origin"))
+    },
+
     "condition_search" -> { (s, dir) =>
       // Datadog-search-style condition (SURVEY §2.2): facet equality,
       // wildcard LIKE, regex, numeric range — compiled to Column predicates
@@ -441,6 +513,57 @@ object TransformQueries {
         |  AS t(segment, tier)
         |ON c_mktsegment = segment
         |ORDER BY c_custkey""".stripMargin,
+
+    "line_agg" ->
+      """WITH l AS (
+        |  SELECT user_id AS file, event_id AS ord,
+        |    CASE WHEN CAST(json_extract_string(props,'$.k') AS BIGINT) % 3 = 0
+        |      THEN 'ERROR ' || event_type
+        |      ELSE '  at fn' ||
+        |        CAST(CAST(json_extract_string(props,'$.k') AS BIGINT) AS VARCHAR)
+        |    END AS line
+        |  FROM events),
+        |g AS (
+        |  SELECT *, sum(CASE WHEN regexp_matches(line, '^\s') THEN 0 ELSE 1 END)
+        |    OVER (PARTITION BY file ORDER BY ord) AS grp
+        |  FROM l)
+        |SELECT file, min(ord) AS first_order, CAST(count(*) AS BIGINT) AS n_lines,
+        |  string_agg(line, chr(10) ORDER BY ord) AS message
+        |FROM g GROUP BY file, grp ORDER BY file, first_order""".stripMargin,
+
+    "enrich_memory" ->
+      """SELECT event_id, user_id, latest_value FROM events
+        |LEFT JOIN (SELECT user_id AS mk, round(arg_max(value, event_id), 2)
+        |             AS latest_value
+        |           FROM events GROUP BY 1) ON user_id = mk
+        |ORDER BY event_id""".stripMargin,
+
+    "enrich_geoip" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    CASE WHEN user_id % 2 = 0
+        |      THEN '10.' || (user_id%256) || '.' || (user_id*7%256) || '.'
+        |        || (user_id*13%256)
+        |      ELSE '192.168.' || (user_id%256) || '.' || (user_id*3%256)
+        |    END AS ip,
+        |    CASE WHEN user_id % 2 = 0 THEN 'alpha' ELSE 'beta' END AS network
+        |  FROM events)
+        |SELECT event_id, ip, network FROM t ORDER BY event_id""".stripMargin,
+
+    "sample_group" ->
+      """SELECT event_id, event_type, 7 AS sample_rate FROM events
+        |QUALIFY (row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+        |  - 1) % 7 = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "topology" ->
+      """SELECT event_id, severity, origin FROM (
+        |  SELECT event_id, 3 AS severity, 'error' AS origin FROM events
+        |  WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT event_id, 6, 'high' FROM events
+        |  WHERE event_type <> 'error' AND value > 150.0)
+        |ORDER BY event_id, origin""".stripMargin,
 
     "condition_search" ->
       """SELECT event_id, event_type, round(value,2) AS value FROM events

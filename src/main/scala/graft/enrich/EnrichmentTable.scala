@@ -53,6 +53,61 @@ object EnrichmentTable {
   def fromCsv(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** `memory` table (src/enrichment_tables/memory/): a writable kv table
+    * fed by a stream of updates; reads see the LATEST value per key,
+    * entries older than `ttl` (relative to the newest update) expire.
+    * Batch form: max_by per key + TTL filter — the narrow agg output is
+    * the broadcastable table.
+    */
+  def memoryTable(
+      updates: DataFrame,
+      keyCol: String,
+      orderCol: Column,
+      payload: Seq[String],
+      ttlOf: Option[(Column, String)] = None): DataFrame = {
+    val aggs = payload.map(c => max_by(col(c), orderCol).as(c)) ++
+      ttlOf.map { case (ts, _) => max_by(ts, orderCol).as("__ts") }
+    val latest = updates.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    ttlOf match {
+      case None => latest
+      case Some((_, ttlExpr)) =>
+        // expire keys whose newest update is older than ttl before the
+        // table-wide newest update (processing-time analogue in batch)
+        val maxTs = updates.agg(max(ttlOf.get._1)).head().get(0)
+        latest.filter(
+          col("__ts") >= lit(maxTs).cast("timestamp") - expr(ttlExpr))
+          .drop("__ts")
+    }
+  }
+
+  /** geoip/CIDR lookup (src/enrichment_tables/geoip.rs, mmdb.rs): the
+    * mmdb is pre-exploded to (cidr, payload) rows; each CIDR becomes a
+    * [start, end] uint32 range and the probe is a broadcast range join
+    * on ip-as-long — no per-row reader UDF, and Catalyst can push the
+    * band predicates down.
+    */
+  def cidrLookup(
+      events: DataFrame,
+      ipCol: Column,
+      cidrTable: DataFrame,
+      cidrCol: String = "cidr"): DataFrame = {
+    val bits = split(col(cidrCol), "/")
+    val ipPart = element_at(bits, 1)
+    val prefix = element_at(bits, 2).cast("int")
+    val o = split(ipPart, "\\.")
+    val base = element_at(o, 1).cast("long") * 16777216L +
+      element_at(o, 2).cast("long") * 65536L +
+      element_at(o, 3).cast("long") * 256L + element_at(o, 4).cast("long")
+    val size = pow(lit(2.0), lit(32) - prefix).cast("long")
+    val ranged = cidrTable
+      .withColumn("__start", base - pmod(base, size))
+      .withColumn("__end", base - pmod(base, size) + size - 1)
+    val ipNum = graft.functions.Vrl.ipAton(ipCol)
+    events.join(broadcast(ranged),
+        ipNum >= ranged("__start") && ipNum <= ranged("__end"), "left")
+      .drop("__start", "__end")
+  }
+
   /** Wildcard fallback (file.rs:340-341): rows where `wildcardCol` is the
     * wildcard match any key — implemented as a second (broadcast) join for
     * events that missed the exact match, then coalesced.

@@ -44,4 +44,19 @@ object Sample {
   /** Bernoulli ratio sampling (the reference's `ratio` mode). */
   def ratio(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
+
+  /** Count-based 1-in-`rate` per group (the reference's `group_by` mode:
+    * an independent counter per group key, transform.rs). Batch form:
+    * deterministic rank within (group, orderCol); the streaming
+    * cross-batch counter lives in StatefulKernels.sampleCount.
+    */
+  def countPerGroup(df: DataFrame, group: Column, orderCol: Column,
+                    rate: Int, rateField: String = "sample_rate"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(orderCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(pmod(col("__rn") - 1, lit(rate)) === 0)
+      .drop("__rn")
+      .withColumn(rateField, lit(rate))
+  }
 }
