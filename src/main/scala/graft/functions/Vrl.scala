@@ -45,21 +45,22 @@ object Vrl {
   def snakecase(c: Column): Column =
     lower(regexp_replace(regexp_replace(c, "([a-z0-9])([A-Z])", "$1_$2"), "[\\s-]+", "_"))
   /** Word list shared by the case-conversion family: camelCase boundaries
-    * then split on underscore/space/dash.
+    * then split on underscore/space/dash. Public so callers computing
+    * several case forms can materialize the words ONCE as a column.
     */
-  private def caseWords(c: Column): Column =
+  def caseWords(c: Column): Column =
     filter(
       split(lower(regexp_replace(c, "([a-z0-9])([A-Z])", "$1_$2")), "[_\\s-]+"),
       w => length(w) > 0)
-  def camelcase(c: Column): Column = {
-    val ws = caseWords(c)
+  def camelcaseOf(ws: Column): Column =
     concat(element_at(ws, 1),
       array_join(transform(
         org.apache.spark.sql.functions.slice(ws, 2, 1000000),
         w => initcap(w)), ""))
-  }
-  def pascalcase(c: Column): Column =
-    array_join(transform(caseWords(c), w => initcap(w)), "")
+  def camelcase(c: Column): Column = camelcaseOf(caseWords(c))
+  def pascalcaseOf(ws: Column): Column =
+    array_join(transform(ws, w => initcap(w)), "")
+  def pascalcase(c: Column): Column = pascalcaseOf(caseWords(c))
   def kebabcase(c: Column): Column = array_join(caseWords(c), "-")
   def screamingsnakecase(c: Column): Column = upper(array_join(caseWords(c), "_"))
   def strlen(c: Column): Column = length(c)
