@@ -247,6 +247,41 @@ object TransformQueries {
         .orderBy(col("c_custkey"))
     },
 
+    // remap error semantics: reroute_dropped (remap.rs:128-155) — events
+    // whose remap errored land on the `dropped` output, tagged; primary
+    // and dropped are re-unioned here so one query verifies the split.
+    "remap_dropped" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val parsed = get_json_object(col("props"), "$.k").cast("long")
+      val out = Remap(e,
+        sets = Seq(
+          "k" -> parsed,
+          // simulated fallible op: k must divide cleanly by 3
+          "third" -> when(pmod(parsed, lit(3)) === 0, parsed / 3)),
+        errorWhen = Some(col("third").isNull))
+      Misc.fanIn(Seq(
+          out.primary.withColumn("output", lit("primary")),
+          out.dropped.withColumn("output", lit("dropped"))))
+        .select(col("event_id"), col("k"), col("third").cast("long").as("third"),
+          col("output"))
+        .orderBy(col("event_id"))
+    },
+
+    // trace_to_log + fan-in + aws_ec2_metadata-style env enrichment +
+    // dedupe ignore-mode in one pipeline (SURVEY 2.1 small transforms)
+    "misc_pipeline" -> { (s, dir) =>
+      val e = ev(s, dir).select("event_id", "user_id", "event_type")
+      val logs = e.withColumn("source_type", lit("log"))
+      val traces = Misc.traceToLog(
+        e.filter(col("event_type") === "error"))
+      val merged = Misc.fanIn(Seq(logs, traces))
+      val enriched = Misc.environmentEnrich(merged,
+        Map("az" -> "us-test-1a", "instance_type" -> "c.local"))
+      Dedupe.ignoring(enriched, ignoreFields = Seq("event_id", "source_type"),
+          orderCol = struct(col("event_id"), col("source_type")))
+        .orderBy(col("event_id"), col("source_type"))
+    },
+
     "line_agg" -> { (s, dir) =>
       val e = ev(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -513,6 +548,20 @@ object TransformQueries {
         |  AS t(segment, tier)
         |ON c_mktsegment = segment
         |ORDER BY c_custkey""".stripMargin,
+
+    "remap_dropped" ->
+      """SELECT event_id, k,
+        |  CASE WHEN k % 3 = 0 THEN k // 3 END AS third,
+        |  CASE WHEN k % 3 = 0 THEN 'primary' ELSE 'dropped' END AS output
+        |FROM (SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "misc_pipeline" ->
+      """SELECT min(event_id) AS event_id, user_id, event_type,
+        |  'log' AS source_type, 'us-test-1a' AS az, 'c.local' AS instance_type
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY event_id, source_type""".stripMargin,
 
     "line_agg" ->
       """WITH l AS (

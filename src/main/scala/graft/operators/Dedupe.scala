@@ -30,4 +30,11 @@ object Dedupe {
   /** Order-insensitive exact dedupe (any representative row). */
   def any(df: DataFrame, matchFields: Seq[String]): DataFrame =
     df.dropDuplicates(matchFields)
+
+  /** `fields.ignore` mode: match on every column EXCEPT the ignored ones
+    * (dedupe/common.rs: match and ignore lists are mutually exclusive).
+    */
+  def ignoring(df: DataFrame, ignoreFields: Seq[String],
+               orderCol: Column): DataFrame =
+    apply(df, df.columns.filterNot(ignoreFields.contains).toSeq, orderCol)
 }
