@@ -40,9 +40,11 @@ object Queries {
     ev.filter(col("value") > 1.0)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .withColumn("severity", when(col("event_type") === "error", 3).otherwise(6))
+      // concat beats format_string here: no printf-style interpreter in
+      // the per-event loop
       .withColumn(
         "msg",
-        format_string("%s:%d", col("event_type"), col("severity")))
+        concat(col("event_type"), lit(":"), col("severity").cast("string")))
 
   def eventsPipeline(ev: DataFrame): DataFrame = {
     val remapped = eventsRemap(ev)
