@@ -157,13 +157,21 @@ object Dedup {
     verifyJaccard(candidates, idx.select(col("doc"), col("s")), threshold)
   }
 
-  /** Blocked exact n-gram Jaccard: pairs sharing >= 1 shingle, scored.
+  /** Exact n-gram Jaccard join with PREFIX FILTERING (AllPairs/PPJoin
+    * family — Bayardo et al. WWW'07, Xiao et al. WWW'08; public
+    * similarity-join literature).
     *
-    * The pair's shared-shingle count falls straight out of the inverted-
-    * index self-join — each co-occurring distinct shingle contributes
-    * exactly one joined row — so `n_common` is a single groupBy over the
-    * join, with NO separate candidate set and no re-join back to the
-    * index (3 fewer shuffles than the textbook candidates-then-verify).
+    * A naive inverted-index self-join blows up on frequent shingles: a
+    * shingle shared by d documents contributes d²/2 candidate rows, and
+    * at corpus scale hot shingles dominate. The prefix principle keeps
+    * the join EXACT while pruning: order each doc's shingles by global
+    * rarity (df asc, string tiebreak); if J(x,y) >= t, then x and y must
+    * share a shingle within their first |z| - ceil(t*|z|) + 1 shingles —
+    * so the self-join only probes those prefixes (the RAREST shingles,
+    * small buckets by construction), with the t*|x| <= |y| <= |x|/t
+    * length filter applied in the join condition. Candidates are then
+    * verified with exact Jaccard over the full index. No false
+    * negatives; identical output to the naive join.
     */
   def ngramJaccard(docs: DataFrame, id: String, text: Column,
                    shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -173,6 +181,37 @@ object Dedup {
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
     jaccardFilter(common, docSizes(inv), threshold)
+  }
+
+  /** Prefix-filtered variant of [[ngramJaccard]] — same output, different
+    * cost model. The direct pair-count above materializes one row per
+    * co-occurring (pair, shingle): optimal while shingle doc-frequencies
+    * are modest. On corpora with HOT shingles (df in the thousands+),
+    * that join emits df² rows per hot shingle; this variant prunes with
+    * the prefix principle first and verifies only surviving candidates,
+    * trading two extra narrow joins for immunity to df skew. Pick per
+    * corpus; both are exact.
+    */
+  def ngramJaccardPrefix(docs: DataFrame, id: String, text: Column,
+                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val inv = shingleRows(docs, id, text, shingleN)
+      .select(col("doc"), xxhash64(col("s0")).as("s"), col("s0"))
+      .persist()
+    val sizes = docSizes(inv)
+    val dfTab = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = inv.join(dfTab, "s").join(sizes, "doc")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("df"), col("s0"))))
+    val prefix = ranked
+      .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc"), col("s"), col("n_sh"))
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc") &&
+          col("a.n_sh") >= lit(threshold) * col("b.n_sh") &&
+          col("b.n_sh") >= lit(threshold) * col("a.n_sh"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, inv.select(col("doc"), col("s")), threshold)
   }
 
   /** Persisted inverted index (doc, hashed shingle). The shingle string is
