@@ -195,6 +195,28 @@ class StreamingSpec extends SparkSpec {
     assert(bloom.map(_.seq).sorted == exact.map(_.seq).sorted)
   }
 
+  test("events remap pipeline runs unchanged under Structured Streaming") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.Graft.table(spark, dir, "events")
+    val expected = graft.Queries.eventsRemap(batch).count()
+    // streaming file source wants a DIRECTORY of immutable files
+    val streamDir = java.nio.file.Files.createTempDirectory("ev_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("part-0.parquet"))
+    // same raw schema; same nanos->timestamp conversion; SAME remap code
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(raw).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = graft.Queries.eventsRemap(stream).writeStream
+      .format("memory").queryName("ev_remap")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    q.stop()
+    assert(spark.table("ev_remap").count() == expected)
+  }
+
   test("demoLogs generates parseable syslog lines") {
     import org.apache.spark.sql.functions._
     val df = StreamRunner.demoLogs(spark, rowsPerSecond = 100, format = "syslog")
