@@ -164,6 +164,34 @@ object TransformQueries {
         .orderBy(col("event_id"), col("name"))
     },
 
+    // absolute -> incremental normalizer (sink-side metric normalization)
+    "metric_normalize" -> { (s, dir) =>
+      val gauges = ev(s, dir).select(
+        col("event_id"), lit("value_gauge").as("name"),
+        col("event_type").as("type"), lit("absolute").as("kind"),
+        col("value"))
+      IncrementalToAbsolute.absoluteToIncremental(
+          gauges, Seq("name", "type"), col("value"), col("event_id"))
+        .select(col("event_id"), col("type"), col("kind"),
+          round(col("inc_value"), 2).as("inc_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // schema-less mode: dynamic event body as a Spark 4 VARIANT column
+    "vrl_variant" -> { (s, dir) =>
+      import graft.model.LogEvent
+      val v = LogEvent.fromJson(col("props"))
+      ev(s, dir)
+        .withColumn("__v", v)
+        .select(
+          col("event_id"),
+          LogEvent.getPath(col("__v"), ".k", "bigint").as("vk"),
+          LogEvent.typeOfPath(col("__v"), ".k").as("vk_type"),
+          LogEvent.pathExists(col("__v"), ".k").as("has_k"),
+          LogEvent.pathExists(col("__v"), ".nope").as("has_nope"))
+        .orderBy(col("event_id"))
+    },
+
     "tag_cardinality_limit" -> { (s, dir) =>
       TagCardinalityLimit(ev(s, dir).select("event_id", "user_id", "event_type"),
           tag = "event_type", valueLimit = 2, orderCol = col("event_id"))
@@ -470,6 +498,20 @@ object TransformQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |  ELSE value END, 2) AS abs_value
         |FROM metrics ORDER BY event_id, name""".stripMargin,
+
+    "metric_normalize" ->
+      """SELECT event_id, event_type AS type, 'incremental' AS kind,
+        |  round(value - lag(value) OVER (PARTITION BY event_type
+        |    ORDER BY event_id), 2) AS inc_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "vrl_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS vk,
+        |  'BIGINT' AS vk_type,
+        |  json_extract(props, '$.k') IS NOT NULL AS has_k,
+        |  false AS has_nope
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "tag_cardinality_limit" ->
       """WITH fs AS (

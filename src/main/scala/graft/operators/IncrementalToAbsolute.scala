@@ -26,4 +26,20 @@ object IncrementalToAbsolute {
       .withColumn("kind", lit("absolute"))
       .drop("__abs")
   }
+
+  /** The inverse normalizer (absolute -> incremental), used by sinks that
+    * require delta metrics (reference src/sinks/util/buffer/metrics/
+    * normalizer.rs). Delta = value - previous value per series; the first
+    * point of a series has no delta (null), matching the reference's
+    * "skip first absolute" behavior. Incremental inputs pass through.
+    */
+  def absoluteToIncremental(df: DataFrame, seriesKeys: Seq[String],
+                            value: Column, orderCol: Column,
+                            kind: Column = col("kind")): DataFrame = {
+    val w = Window.partitionBy(seriesKeys.map(col): _*).orderBy(orderCol)
+    df.withColumn("inc_value",
+        when(kind === "absolute", value - lag(value, 1).over(w))
+          .otherwise(value))
+      .withColumn("kind", lit("incremental"))
+  }
 }

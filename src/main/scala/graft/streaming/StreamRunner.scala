@@ -79,6 +79,26 @@ object StreamRunner {
     base.select(col("timestamp"), col("value"), line.as("message"))
   }
 
+  /** `exec` source (reference src/sources/exec/): run a process on the
+    * driver, one row per stdout line. Scheduled mode = re-invoke per
+    * batch in foreachBatch; streaming mode is out of scope (single
+    * process, inherently driver-side).
+    */
+  def exec(spark: SparkSession, command: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val proc = new ProcessBuilder(command.asJava).redirectErrorStream(true).start()
+    val lines = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toSeq
+    proc.waitFor()
+    import spark.implicits._
+    lines.toDF("message")
+  }
+
+  /** `stdin` / `file_descriptors` source: driver stdin, batch form. */
+  def stdin(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    scala.io.Source.stdin.getLines().toSeq.toDF("message")
+  }
+
   // ---- sinks -----------------------------------------------------------
 
   def toConsole(df: DataFrame, intervalMs: Long = 1000): DataStreamWriter[Row] =

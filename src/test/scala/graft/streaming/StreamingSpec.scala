@@ -217,6 +217,11 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("ev_remap").count() == expected)
   }
 
+  test("exec source captures process stdout as rows") {
+    val df = StreamRunner.exec(spark, Seq("sh", "-c", "echo one; echo two"))
+    assert(df.as[String].collect().toSeq == Seq("one", "two"))
+  }
+
   test("demoLogs generates parseable syslog lines") {
     import org.apache.spark.sql.functions._
     val df = StreamRunner.demoLogs(spark, rowsPerSecond = 100, format = "syslog")
