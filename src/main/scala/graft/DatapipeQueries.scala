@@ -294,6 +294,31 @@ object DatapipeQueries {
         |  md5(array_to_string([lower(x) for x in toks], ' ')) AS fp
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // the fake decoder's rolling checksum is deterministic byte math —
+    // recomputable in SQL (docs are ASCII: code point == utf-8 byte)
+    "multimodal_features" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) = 0 THEN 0
+        |      ELSE list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          [CAST(unicode(x) AS BIGINT) for x in string_split_regex(text, '')]),
+        |        (a, b) -> (a * 31 + b) % 2147483648) END AS ck,
+        |    CAST(strlen(text) AS BIGINT) AS len
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  len AS byte_len,
+        |  CAST(64 + ck % 512 AS INT) AS width,
+        |  CAST(64 + (ck // 512) % 512 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + ck % 30 ELSE 1 END AS INT)
+        |    AS n_frames,
+        |  printf('%.1f,%.1f,%.1f,%.1f', CAST(len AS DOUBLE),
+        |    CAST(ck % 256 AS DOUBLE), CAST((ck // 256) % 256 AS DOUBLE),
+        |    CAST(ck % 7 AS DOUBLE)) AS feature
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -274,6 +274,9 @@ object Dedup {
           when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
           .reduce(_ + _))
       .select(col("doc"), col("simhash"))
+      // one row per doc — persisting lets the pairs pipeline (and any
+      // repeated call over the same input) reuse the token-explode agg
+      .persist()
   }
 
   /** Hamming-near pairs on simhash fingerprints (block by 8-bit bands:
