@@ -221,6 +221,26 @@ object VrlQueries {
         .orderBy(col("event_id"))
     },
 
+    "vrl_useragent" -> { (s, dir) =>
+      val ua = when(pmod(col("user_id"), lit(4)) === 0,
+          format_string("Mozilla/5.0 (Windows NT 10.0) Chrome/%d.0 Safari/537",
+            lit(90) + pmod(col("k"), lit(30))))
+        .when(pmod(col("user_id"), lit(4)) === 1,
+          format_string("Mozilla/5.0 (Macintosh; Mac OS X 10_15) Firefox/%d.0",
+            lit(80) + pmod(col("k"), lit(40))))
+        .when(pmod(col("user_id"), lit(4)) === 2,
+          format_string("Mozilla/5.0 (Linux; Android 11) Chrome/%d.0 Mobile",
+            lit(95) + pmod(col("k"), lit(10))))
+        .otherwise(lit("curl/7.88.1"))
+      val p = Vrl.parseUserAgent(ua)
+      ev(s, dir).select(
+        col("event_id"),
+        p.getField("browser_family").as("browser_family"),
+        p.getField("browser_major").as("browser_major"),
+        p.getField("os_family").as("os_family"))
+        .orderBy(col("event_id"))
+    },
+
     "vrl_codec2" -> { (s, dir) =>
       val payload = col("props").cast("binary")
       // compression roundtrips are O(deflate) per row — a 1-in-20 sample
@@ -388,6 +408,18 @@ object VrlQueries {
         |  CAST(1024 + k % 60000 AS INT) AS srcport,
         |  CAST(443 AS INT) AS dstport,
         |  k AS packets, k * 100 AS bytes, 'ACCEPT' AS action
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "vrl_useragent" ->
+      """SELECT event_id,
+        |  CASE user_id % 4 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Firefox'
+        |    WHEN 2 THEN 'Chrome' END AS browser_family,
+        |  CAST(CASE user_id % 4 WHEN 0 THEN 90 + k % 30
+        |    WHEN 1 THEN 80 + k % 40 WHEN 2 THEN 95 + k % 10 END AS INT)
+        |    AS browser_major,
+        |  CASE user_id % 4 WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X'
+        |    WHEN 2 THEN 'Android' END AS os_family
         |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
         |      FROM events) ORDER BY event_id""".stripMargin,
 

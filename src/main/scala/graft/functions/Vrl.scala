@@ -208,6 +208,35 @@ object Vrl {
   def parseTokens(c: Column): Column =
     regexp_extract_all(c, lit("\"[^\"]*\"|\\[[^\\]]*\\]|\\S+"), lit(0))
 
+  /** encode_punycode / decode_punycode (IDNA) via java.net.IDN. */
+  val encodePunycode: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) => if (s == null) null else java.net.IDN.toASCII(s) }
+  val decodePunycode: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) => if (s == null) null else java.net.IDN.toUnicode(s) }
+
+  /** parse_user_agent (reference parse_user_agent; "fast" mode): browser
+    * family, major version, and OS family from the UA string — the
+    * practically-used regex subset, one RegexStruct pass per dimension.
+    */
+  def parseUserAgent(c: Column): Column = {
+    val browser = RegexStruct(c,
+      "(Firefox|Edg|OPR|Chrome|Safari|MSIE|Trident)[/ ]?(\\d+)?",
+      Seq("family", "major"))
+    val family = browser.getField("family")
+    struct(
+      when(family === "Edg", "Edge").when(family === "OPR", "Opera")
+        .when(family === "Trident", "MSIE")
+        .otherwise(family).as("browser_family"),
+      browser.getField("major").cast("int").as("browser_major"),
+      // containment priority: Android UAs also contain "Linux;"
+      when(c.contains("Android"), "Android")
+        .when(c.contains("iPhone") || c.contains("iPad"), "iOS")
+        .when(c.contains("Windows NT"), "Windows")
+        .when(c.contains("Mac OS X"), "Mac OS X")
+        .when(c.contains("Linux"), "Linux")
+        .as("os_family"))
+  }
+
   /** parse_etld: effective top-level-domain+1 heuristic (common two-level
     * public suffixes, else the last two labels).
     */

@@ -49,6 +49,24 @@ class TopologySpec extends SparkSpec {
     assert(ex.getMessage.contains("type mismatch"))
   }
 
+  test("the same topology wiring runs over streaming sources") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Int]
+    mem.addData(1 to 10: _*)
+    val built = Topology.build(spark, Seq(
+      Source("nums", Topology.Log, _ => mem.toDF()),
+      Transform.simple("double", Seq("nums"),
+        df => df.withColumn("v", col("value") * 2)),
+      Sink("out", Seq("double"), Topology.Any)))
+    val q = built.sink("out").writeStream
+      .format("memory").queryName("topo_stream")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    assert(spark.table("topo_stream").agg(sum(col("v"))).head().getLong(0) == 110L)
+  }
+
   test("unknown input refs are rejected") {
     val ex = intercept[IllegalArgumentException] {
       Topology.build(spark, Seq(
