@@ -112,6 +112,23 @@ object CodecQueries {
         .orderBy(col("event_id"))
     },
 
+    // encoder -> decoder round trip; oracle recomputes from columns
+    "codec_prometheus_rt" -> { (s, dir) =>
+      val line = Encode.prometheusLine(
+        lit("events_total"),
+        map(lit("type"), col("event_type"),
+          lit("host"), concat(lit("h"), pmod(col("user_id"), lit(5)))),
+        col("k").cast("long"))
+      val p = Decode.prometheusLine(line)
+      ev(s, dir).select(
+        col("event_id"),
+        p.getField("name").as("name"),
+        element_at(p.getField("tags"), "type").as("tag_type"),
+        element_at(p.getField("tags"), "host").as("tag_host"),
+        p.getField("value").as("value"))
+        .orderBy(col("event_id"))
+    },
+
     "codec_framing" -> { (s, dir) =>
       val chunk = concat(
         lit("a"), col("event_id"), lit("\n"),
@@ -179,6 +196,14 @@ object CodecQueries {
         |  'events_total{host="h' || CAST(user_id % 5 AS VARCHAR)
         |    || '",type="' || event_type || '"} '
         |    || CAST(k AS VARCHAR) AS line
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "codec_prometheus_rt" ->
+      """SELECT event_id, 'events_total' AS name,
+        |  event_type AS tag_type,
+        |  'h' || CAST(user_id % 5 AS VARCHAR) AS tag_host,
+        |  CAST(k AS DOUBLE) AS value
         |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
         |      FROM events) ORDER BY event_id""".stripMargin,
 

@@ -154,6 +154,24 @@ object Decode {
         .as("timestamp"))
   }
 
+  /** Prometheus exposition text line: `name{tag="v",...} value [ts]` —
+    * the scrape-source decoder (reference src/sources/prometheus/ +
+    * lib/prometheus-parser). Inverse of [[Encode.prometheusLine]].
+    */
+  def prometheusLine(c: Column): Column = {
+    val pat = "^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\\{([^}]*)\\})? " +
+      "([-+]?[0-9.eE+]+|NaN)(?: (\\d+))?$"
+    val g = RegexStruct(c, pat, Seq("name", "tags", "value", "ts"))
+    struct(
+      g.getField("name").as("name"),
+      when(g.getField("tags").isNotNull,
+        transform_values(
+          str_to_map(g.getField("tags"), lit(","), lit("=")),
+          (_, v) => regexp_replace(v, "^\"|\"$", ""))).as("tags"),
+      g.getField("value").cast("double").as("value"),
+      timestamp_millis(g.getField("ts").cast("long")).as("timestamp"))
+  }
+
   /** Vector native_json envelope: `{"log": {...}}` / `{"metric": {...}}`
     * (reference lib/codecs/src/decoding/format/native_json.rs). Returns
     * (kind, payload-json) — downstream decodes payload with its schema.
