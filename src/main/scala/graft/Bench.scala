@@ -22,10 +22,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warm-up on the tiny sf so per-query timings below
-    // measure the plan, not JIT + first-read setup
-    try SparkEntry.queries("events_pipeline")(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
+    // Codegen/JIT warm-up of EVERY query plan on the tiny sf: production
+    // compiles a plan once and reuses it per micro-batch, so steady-state
+    // processing time is the comparable number (the reference similarly
+    // compiles VRL at config load, not per event batch).
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").write.mode("overwrite")
+        .format("noop").save()
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
