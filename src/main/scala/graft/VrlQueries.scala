@@ -222,15 +222,22 @@ object VrlQueries {
     },
 
     "vrl_useragent" -> { (s, dir) =>
-      val ua = when(pmod(col("user_id"), lit(4)) === 0,
+      val ua = when(pmod(col("user_id"), lit(5)) === 0,
           format_string("Mozilla/5.0 (Windows NT 10.0) Chrome/%d.0 Safari/537",
             lit(90) + pmod(col("k"), lit(30))))
-        .when(pmod(col("user_id"), lit(4)) === 1,
+        .when(pmod(col("user_id"), lit(5)) === 1,
           format_string("Mozilla/5.0 (Macintosh; Mac OS X 10_15) Firefox/%d.0",
             lit(80) + pmod(col("k"), lit(40))))
-        .when(pmod(col("user_id"), lit(4)) === 2,
+        .when(pmod(col("user_id"), lit(5)) === 2,
           format_string("Mozilla/5.0 (Linux; Android 11) Chrome/%d.0 Mobile",
             lit(95) + pmod(col("k"), lit(10))))
+        // real Edge UA shape: Chrome token PRECEDES Edg — exercises the
+        // derivative-browser priority in parseUserAgent
+        .when(pmod(col("user_id"), lit(5)) === 3,
+          format_string(
+            "Mozilla/5.0 (Windows NT 10.0) Chrome/%d.0 Safari/537.36 Edg/%d.0",
+            lit(100) + pmod(col("k"), lit(20)),
+            lit(100) + pmod(col("k"), lit(20))))
         .otherwise(lit("curl/7.88.1"))
       val p = Vrl.parseUserAgent(ua)
       ev(s, dir).select(
@@ -413,13 +420,14 @@ object VrlQueries {
 
     "vrl_useragent" ->
       """SELECT event_id,
-        |  CASE user_id % 4 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Firefox'
-        |    WHEN 2 THEN 'Chrome' END AS browser_family,
-        |  CAST(CASE user_id % 4 WHEN 0 THEN 90 + k % 30
-        |    WHEN 1 THEN 80 + k % 40 WHEN 2 THEN 95 + k % 10 END AS INT)
+        |  CASE user_id % 5 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Firefox'
+        |    WHEN 2 THEN 'Chrome' WHEN 3 THEN 'Edge' END AS browser_family,
+        |  CAST(CASE user_id % 5 WHEN 0 THEN 90 + k % 30
+        |    WHEN 1 THEN 80 + k % 40 WHEN 2 THEN 95 + k % 10
+        |    WHEN 3 THEN 100 + k % 20 END AS INT)
         |    AS browser_major,
-        |  CASE user_id % 4 WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X'
-        |    WHEN 2 THEN 'Android' END AS os_family
+        |  CASE user_id % 5 WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X'
+        |    WHEN 2 THEN 'Android' WHEN 3 THEN 'Windows' END AS os_family
         |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
         |      FROM events) ORDER BY event_id""".stripMargin,
 

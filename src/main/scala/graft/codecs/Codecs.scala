@@ -150,7 +150,11 @@ object Decode {
       transform_values(
         str_to_map(g.getField("fields"), lit(","), lit("=")),
         (_, v) => regexp_replace(v, "i$", "").cast("double")).as("fields"),
-      timestamp_micros((g.getField("ts").cast("long") / 1000L).cast("long"))
+      // integer ns→µs: Column `/` is DOUBLE division and ns epochs
+      // (~1.7e18) exceed double's 2^53 exact range — go through
+      // decimal(20,0), whose division is exact, then truncate
+      timestamp_micros(
+        (g.getField("ts").cast("decimal(20,0)") / lit(1000)).cast("long"))
         .as("timestamp"))
   }
 
@@ -160,15 +164,29 @@ object Decode {
     */
   def prometheusLine(c: Column): Column = {
     val pat = "^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\\{([^}]*)\\})? " +
-      "([-+]?[0-9.eE+]+|NaN)(?: (\\d+))?$"
+      "([-+]?[0-9.eE+]+|NaN|[-+]?Inf)(?: (\\d+))?$"
     val g = RegexStruct(c, pat, Seq("name", "tags", "value", "ts"))
+    // label values may contain commas / equals / escaped quotes, so a
+    // plain str_to_map split is wrong: extract whole `key="…"` pairs
+    // with a backslash-escape-aware regex, then unescape \" and \\
+    val pairPat = "([a-zA-Z_][a-zA-Z0-9_]*)=\"((?:[^\"\\\\]|\\\\.)*)\""
+    val tags = map_from_entries(transform(
+      regexp_extract_all(g.getField("tags"), lit(pairPat), lit(0)),
+      p => struct(
+        regexp_extract(p, "^([a-zA-Z_][a-zA-Z0-9_]*)=", 1),
+        regexp_replace(
+          regexp_extract(p, "^[^=]*=\"((?:[^\"\\\\]|\\\\.)*)\"$", 1),
+          "\\\\(.)", "$1"))))
+    val vRaw = g.getField("value")
+    // Spark's string→double cast rejects the Prometheus "Inf" spelling
+    val value = when(vRaw === "+Inf" || vRaw === "Inf",
+        lit(Double.PositiveInfinity))
+      .when(vRaw === "-Inf", lit(Double.NegativeInfinity))
+      .otherwise(vRaw.cast("double"))
     struct(
       g.getField("name").as("name"),
-      when(g.getField("tags").isNotNull,
-        transform_values(
-          str_to_map(g.getField("tags"), lit(","), lit("=")),
-          (_, v) => regexp_replace(v, "^\"|\"$", ""))).as("tags"),
-      g.getField("value").cast("double").as("value"),
+      when(g.getField("tags").isNotNull, tags).as("tags"),
+      value.as("value"),
       timestamp_millis(g.getField("ts").cast("long")).as("timestamp"))
   }
 

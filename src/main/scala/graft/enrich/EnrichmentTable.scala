@@ -91,17 +91,45 @@ object EnrichmentTable {
       ipCol: Column,
       cidrTable: DataFrame,
       cidrCol: String = "cidr"): DataFrame = {
-    val bits = split(col(cidrCol), "/")
-    val ipPart = element_at(bits, 1)
-    val prefix = element_at(bits, 2).cast("int")
-    val o = split(ipPart, "\\.")
-    val base = element_at(o, 1).cast("long") * 16777216L +
-      element_at(o, 2).cast("long") * 65536L +
-      element_at(o, 3).cast("long") * 256L + element_at(o, 4).cast("long")
-    val size = pow(lit(2.0), lit(32) - prefix).cast("long")
-    val ranged = cidrTable
-      .withColumn("__start", base - pmod(base, size))
-      .withColumn("__end", base - pmod(base, size) + size - 1)
+    // Longest-prefix-match semantics (mmdb.rs): overlapping CIDRs only
+    // NEST (a /16 sits wholly inside a /8, never straddles), so the
+    // most-specific match can be precomputed by DISJOINTIFYING the
+    // ranges driver-side — each table row keeps only the parts of its
+    // range not covered by a longer-prefix row. The probe then stays one
+    // broadcast range join with at most one match per event: no
+    // per-event window / row_number shuffle, which matters at scale.
+    val indexed = cidrTable.withColumn("__idx", monotonically_increasing_id())
+    val parsed = indexed.select(col("__idx"), col(cidrCol)).collect().map { r =>
+      val Array(ipPart, prefStr) = r.getString(1).split("/")
+      val o = ipPart.split("\\.").map(_.toLong)
+      val base = o(0) * 16777216L + o(1) * 65536L + o(2) * 256L + o(3)
+      val prefix = prefStr.toInt
+      val size = 1L << (32 - prefix)
+      val start = base - java.lang.Math.floorMod(base, size)
+      (r.getLong(0), start, start + size - 1, prefix)
+    }
+    // pieces of (idx's range) minus union of ranges that shadow it:
+    // longer prefix, or same prefix with an earlier idx (dup tiebreak)
+    val pieces = parsed.flatMap { case (idx, s, e, p) =>
+      val shadows = parsed
+        .filter { case (i2, s2, e2, p2) =>
+          (p2 > p || (p2 == p && i2 < idx)) && s2 <= e && e2 >= s }
+        .map { case (_, s2, e2, _) => (math.max(s2, s), math.min(e2, e)) }
+        .sortBy(_._1)
+      var cur = s
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      shadows.foreach { case (ss, se) =>
+        if (ss > cur) out += ((idx, cur, ss - 1))
+        cur = math.max(cur, se + 1)
+      }
+      if (cur <= e) out += ((idx, cur, e))
+      out
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pieceDf = spark.createDataset(pieces.toSeq)
+      .toDF("__idx", "__start", "__end")
+    val ranged = indexed.join(pieceDf, "__idx").drop("__idx")
     val ipNum = graft.functions.Vrl.ipAton(ipCol)
     events.join(broadcast(ranged),
         ipNum >= ranged("__start") && ipNum <= ranged("__end"), "left")

@@ -219,15 +219,24 @@ object Vrl {
     * practically-used regex subset, one RegexStruct pass per dimension.
     */
   def parseUserAgent(c: Column): Column = {
+    // Real Edge/Opera UAs contain "Chrome/…" BEFORE "Edg/…"/"OPR/…", and
+    // regex matching returns the earliest occurrence — so probe the
+    // derivative-browser tokens first, then fall back to the generic scan.
+    val deriv = RegexStruct(c,
+      "(Edg|OPR)/(\\d+)", Seq("family", "major"))
     val browser = RegexStruct(c,
-      "(Firefox|Edg|OPR|Chrome|Safari|MSIE|Trident)[/ ]?(\\d+)?",
+      "(Firefox|Chrome|Safari|MSIE|Trident)[/ ]?(\\d+)?",
       Seq("family", "major"))
-    val family = browser.getField("family")
+    val dFamily = deriv.getField("family")
+    val family =
+      coalesce(nullif(dFamily, lit("")), browser.getField("family"))
+    val major = when(nullif(dFamily, lit("")).isNotNull,
+      deriv.getField("major")).otherwise(browser.getField("major"))
     struct(
       when(family === "Edg", "Edge").when(family === "OPR", "Opera")
         .when(family === "Trident", "MSIE")
         .otherwise(family).as("browser_family"),
-      browser.getField("major").cast("int").as("browser_major"),
+      major.cast("int").as("browser_major"),
       // containment priority: Android UAs also contain "Linux;"
       when(c.contains("Android"), "Android")
         .when(c.contains("iPhone") || c.contains("iPad"), "iOS")
@@ -335,15 +344,20 @@ object Vrl {
       if (bytes == null) null
       else {
         val inf = new java.util.zip.Inflater()
-        inf.setInput(bytes)
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        while (!inf.finished()) {
-          val n = inf.inflate(buf)
-          if (n == 0 && inf.needsInput()) inf.end()
-          out.write(buf, 0, n)
-        }
-        out.toByteArray
+        try {
+          inf.setInput(bytes)
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var truncated = false
+          while (!inf.finished() && !truncated) {
+            val n = inf.inflate(buf)
+            if (n == 0 && inf.needsInput()) truncated = true
+            else out.write(buf, 0, n)
+          }
+          if (truncated && out.size() == 0) null else out.toByteArray
+        } catch {
+          case _: java.util.zip.DataFormatException => null
+        } finally inf.end()
       }
     }
 

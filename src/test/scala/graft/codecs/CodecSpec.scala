@@ -52,4 +52,32 @@ class CodecSpec extends SparkSpec {
       .as[String].head()
     assert(out == "CEF:0|v|p|1|sig|a\\|b|5|k=v")
   }
+
+  test("prometheus decoder handles commas/equals/escaped quotes in labels and Inf") {
+    val line = "http_requests_total{path=\"/a,b=c\",msg=\"say \\\"hi\\\" \\\\\"} " +
+      "+Inf 1700000000000"
+    val p = Seq(line).toDF("c")
+      .select(Decode.prometheusLine($"c").as("p"))
+      .select($"p.name", $"p.tags".getItem("path"), $"p.tags".getItem("msg"),
+        $"p.value")
+      .as[(String, String, String, Double)].head()
+    assert(p._1 == "http_requests_total")
+    assert(p._2 == "/a,b=c")
+    assert(p._3 == "say \"hi\" \\")
+    assert(p._4.isPosInfinity)
+    val neg = Seq("up -Inf").toDF("c")
+      .select(Decode.prometheusLine($"c").getField("value"))
+      .as[Double].head()
+    assert(neg.isNegInfinity)
+  }
+
+  test("influx decoder keeps non-whole-µs nanosecond timestamps exact") {
+    // 1700000000000000123 ns → 1700000000000000 µs exactly (double math
+    // would land ~1µs off)
+    val line = "m,host=a v=1 1700000000000000123"
+    val ts = Seq(line).toDF("c")
+      .select(unix_micros(Decode.influxLine($"c").getField("timestamp")))
+      .as[Long].head()
+    assert(ts == 1700000000000000L)
+  }
 }

@@ -40,4 +40,25 @@ class EnrichmentTableSpec extends SparkSpec {
       .filter($"tier".isNotNull).select($"id").as[Long].collect().toSeq
     assert(out == Seq(1L))
   }
+
+  test("cidrLookup picks longest prefix among overlapping CIDRs") {
+    val ips = Seq((1L, "10.1.2.3"), (2L, "10.9.9.9"), (3L, "192.168.1.1"))
+      .toDF("id", "ip")
+    val cidrs = Seq(("10.0.0.0/8", "broad"), ("10.1.0.0/16", "narrow"),
+      ("10.1.2.0/24", "narrowest")).toDF("cidr", "geo")
+    val out = EnrichmentTable.cidrLookup(ips, col("ip"), cidrs)
+      .select($"id", $"geo").as[(Long, Option[String])].collect().toMap
+    assert(out.size == 3, "overlapping ranges must not duplicate events")
+    assert(out(1L).contains("narrowest"))
+    assert(out(2L).contains("broad"))
+    assert(out(3L).isEmpty)
+  }
+
+  test("cidrLookup duplicate CIDR rows don't duplicate events") {
+    val ips = Seq((1L, "10.1.2.3")).toDF("id", "ip")
+    val cidrs = Seq(("10.0.0.0/8", "a"), ("10.0.0.0/8", "b")).toDF("cidr", "geo")
+    val out = EnrichmentTable.cidrLookup(ips, col("ip"), cidrs)
+      .select($"geo").as[String].collect().toSeq
+    assert(out == Seq("a"))
+  }
 }

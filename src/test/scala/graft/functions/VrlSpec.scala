@@ -59,4 +59,31 @@ class VrlSpec extends SparkSpec {
       .as[String].head()
     assert(out == "hello world")
   }
+
+  test("decodeZlib yields null on malformed input instead of failing the task") {
+    val bad = one("not a zlib stream")
+      .select(Vrl.decodeZlib($"s".cast("binary")))
+      .as[Option[Array[Byte]]].head()
+    assert(bad.isEmpty)
+    // truncated-but-valid-prefix input must not throw either
+    val rt = one("hello zlib world hello zlib world")
+      .select(Vrl.decodeZlib(Vrl.encodeZlib($"s".cast("binary"))).cast("string"))
+      .as[String].head()
+    assert(rt == "hello zlib world hello zlib world")
+  }
+
+  test("parseUserAgent classifies real Edge/Opera UA strings") {
+    val edge = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+      "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/119.0.2151.97"
+    val opera = "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 " +
+      "(KHTML, like Gecko) Chrome/121.0.0.0 Safari/537.36 OPR/107.0.0.0"
+    val chrome = "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 " +
+      "(KHTML, like Gecko) Chrome/122.0.0.0 Safari/537.36"
+    val out = Seq(edge, opera, chrome).toDF("s")
+      .select(Vrl.parseUserAgent($"s").as("ua"))
+      .select("ua.browser_family", "ua.browser_major", "ua.os_family")
+      .as[(String, Int, String)].collect().toSeq
+    assert(out == Seq(("Edge", 119, "Windows"), ("Opera", 107, "Linux"),
+      ("Chrome", 122, "Windows")))
+  }
 }
