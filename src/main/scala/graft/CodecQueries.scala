@@ -27,8 +27,7 @@ object CodecQueries {
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
         col("user_id"), pmod(col("user_id"), lit(5)), col("k") + 1,
         pmod(col("k"), lit(10)), col("event_type"))
-      val p = Decode.syslog5424(line)
-      ev(s, dir).select(
+      Queries.withParsed(ev(s, dir), Decode.syslog5424(line)) { p => Seq(
         col("event_id"),
         p.getField("facility").as("facility"),
         p.getField("severity").as("severity"),
@@ -40,14 +39,13 @@ object CodecQueries {
         p.getField("msgid").as("msgid"),
         p.getField("structured_data").as("sd"),
         p.getField("message").as("message"))
-        .orderBy(col("event_id"))
+      }.orderBy(col("event_id"))
     },
 
     "codec_statsd" -> { (s, dir) =>
       val line = concat(col("event_type"), lit(":"), col("k"),
         lit("|c|@0.5|#env:prod,team:t"), pmod(col("user_id"), lit(3)))
-      val p = Decode.statsd(line)
-      ev(s, dir).select(
+      Queries.withParsed(ev(s, dir), Decode.statsd(line)) { p => Seq(
         col("event_id"),
         p.getField("name").as("name"),
         p.getField("value").as("value"),
@@ -55,7 +53,7 @@ object CodecQueries {
         p.getField("sample_rate").as("sample_rate"),
         element_at(p.getField("tags"), "env").as("tag_env"),
         element_at(p.getField("tags"), "team").as("tag_team"))
-        .orderBy(col("event_id"))
+      }.orderBy(col("event_id"))
     },
 
     "codec_influx" -> { (s, dir) =>
@@ -63,30 +61,28 @@ object CodecQueries {
         "cpu,host=h%d,region=r%d usage=%d,idle=%di %d000000000",
         col("user_id"), pmod(col("user_id"), lit(3)),
         col("k"), col("k") * 2, unix_timestamp(col("ts")))
-      val p = Decode.influxLine(line)
-      ev(s, dir).select(
+      Queries.withParsed(ev(s, dir), Decode.influxLine(line)) { p => Seq(
         col("event_id"),
         p.getField("measurement").as("measurement"),
         element_at(p.getField("tags"), "host").as("tag_host"),
         element_at(p.getField("fields"), "usage").as("usage"),
         element_at(p.getField("fields"), "idle").as("idle"),
         p.getField("timestamp").as("il_ts"))
-        .orderBy(col("event_id"))
+      }.orderBy(col("event_id"))
     },
 
     "codec_gelf" -> { (s, dir) =>
       val line = Encode.gelf(
         concat(lit("host"), col("user_id")), col("event_type"),
         col("ts"), pmod(col("k"), lit(8)).cast("int"))
-      val p = Decode.gelf(line)
-      ev(s, dir).select(
+      Queries.withParsed(ev(s, dir), Decode.gelf(line)) { p => Seq(
         col("event_id"),
         p.getField("version").as("version"),
         p.getField("host").as("host"),
         p.getField("short_message").as("short_message"),
         p.getField("timestamp").as("g_ts"),
         p.getField("level").as("level"))
-        .orderBy(col("event_id"))
+      }.orderBy(col("event_id"))
     },
 
     "codec_cef" -> { (s, dir) =>
@@ -119,14 +115,13 @@ object CodecQueries {
         map(lit("type"), col("event_type"),
           lit("host"), concat(lit("h"), pmod(col("user_id"), lit(5)))),
         col("k").cast("long"))
-      val p = Decode.prometheusLine(line)
-      ev(s, dir).select(
+      Queries.withParsed(ev(s, dir), Decode.prometheusLine(line)) { p => Seq(
         col("event_id"),
         p.getField("name").as("name"),
         element_at(p.getField("tags"), "type").as("tag_type"),
         element_at(p.getField("tags"), "host").as("tag_host"),
         p.getField("value").as("value"))
-        .orderBy(col("event_id"))
+      }.orderBy(col("event_id"))
     },
 
     "codec_framing" -> { (s, dir) =>

@@ -28,6 +28,19 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
 
+  /** Bind an expensive struct/map-producing expression as a REAL column in
+    * its own projection, then project out of it. Inlining `parsed` into
+    * every output column re-evaluates the whole parser per field —
+    * CollapseProject won't merge the two projections because the producer
+    * is non-cheap and referenced more than once, so the parser runs ONCE
+    * per row. (Higher-order-function subtrees are CodegenFallback and get
+    * no runtime subexpression elimination, so this matters doubly for
+    * map-valued decoders.)
+    */
+  def withParsed(df: DataFrame, parsed: Column)
+                (fields: Column => Seq[Column]): DataFrame =
+    df.withColumn("__parsed", parsed).select(fields(col("__parsed")): _*)
+
   /** The headline filter -> remap -> reduce log pipeline, shared by the
     * oracle query and the Bench throughput measurement.
     */
