@@ -124,6 +124,28 @@ object CodecQueries {
       }.orderBy(col("event_id"))
     },
 
+    // encoder -> parse_cef roundtrip; the "msg" extension value contains
+    // spaces (exercises the next-key-boundary extension parse)
+    "codec_cef_rt" -> { (s, dir) =>
+      val line = Encode.cef("graft", "engine", "1.0",
+        signatureId = col("k"), name = col("event_type"),
+        severity = pmod(col("k"), lit(10)),
+        extensions = Seq(
+          "suser" -> concat(lit("u"), col("user_id")),
+          "msg" -> concat(col("event_type"), lit(" at "), col("k"))))
+      Queries.withParsed(ev(s, dir), graft.functions.Vrl.parseCef(line)) {
+        p => Seq(
+          col("event_id"),
+          p.getField("cef_version").as("cef_version"),
+          p.getField("device_vendor").as("device_vendor"),
+          p.getField("event_class_id").cast("long").as("event_class_id"),
+          p.getField("name").as("name"),
+          p.getField("severity").cast("int").as("severity"),
+          element_at(p.getField("extensions"), "suser").as("suser"),
+          element_at(p.getField("extensions"), "msg").as("msg"))
+      }.orderBy(col("event_id"))
+    },
+
     "codec_framing" -> { (s, dir) =>
       val chunk = concat(
         lit("a"), col("event_id"), lit("\n"),
@@ -199,6 +221,18 @@ object CodecQueries {
         |  event_type AS tag_type,
         |  'h' || CAST(user_id % 5 AS VARCHAR) AS tag_host,
         |  CAST(k AS DOUBLE) AS value
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "codec_cef_rt" ->
+      """SELECT event_id,
+        |  CAST(0 AS INT) AS cef_version,
+        |  'graft' AS device_vendor,
+        |  k AS event_class_id,
+        |  event_type AS name,
+        |  CAST(k % 10 AS INT) AS severity,
+        |  'u' || CAST(user_id AS VARCHAR) AS suser,
+        |  event_type || ' at ' || CAST(k AS VARCHAR) AS msg
         |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
         |      FROM events) ORDER BY event_id""".stripMargin,
 

@@ -70,6 +70,33 @@ object DatapipeQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    "ann_ivf" -> { (s, dir) =>
+      val e = emb(s, dir)
+      // deterministic coarse codebook: every 40th vector (k ≈ √N shape)
+      val codebook = e.filter(pmod(col("vec_id"), lit(40)) === 0)
+        .select(col("vec_id"), Ann.asDouble(col("embedding")).as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
+        .toIndexedSeq
+      Ann.ivfTopK(e, e.filter(col("vec_id") >= 100 && col("vec_id") < 105),
+          "vec_id", "embedding", k = 5, codebook)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "text_repetition" -> { (s, dir) =>
+      // tokens then bigrams bound as real columns: each HOF list is
+      // produced once per doc, every statistic reads the bound column
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .withColumn("bigrams", TextAnalysis.bigramsOf(col("toks")))
+        .select(
+          col("doc_id"),
+          TextAnalysis.dupWordRatioOf(col("toks")).as("dup_word_ratio"),
+          TextAnalysis.topShareOf(col("toks")).as("top_word_share"),
+          TextAnalysis.topShareOf(col("bigrams")).as("top_bigram_share"))
+        .orderBy(col("doc_id"))
+    },
+
     "text_stats" -> { (s, dir) =>
       // staged projections: tokenize once, derive each ratio once, then
       // fan out — the split/filter lambda is evaluated once per doc
@@ -269,6 +296,51 @@ object DatapipeQueries {
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, nn_id)
         |QUALIFY rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv
+        |              FROM embeddings WHERE vec_id % 40 = 0),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT e.vec_id, cent.cent_id, $cosExpr AS cos
+        |    FROM (SELECT vec_id, embedding AS qv FROM embeddings) e, cent)
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY cos DESC, cent_id) = 1),
+        |c AS (SELECT e.vec_id AS nn_id, e.embedding AS cv, a.cell
+        |      FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id),
+        |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, a.cell
+        |      FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+        |      WHERE e.vec_id >= 100 AND e.vec_id < 105),
+        |scored AS (
+        |  SELECT query_id, c.cell, nn_id, $cosExpr AS cos
+        |  FROM c JOIN q USING (cell) WHERE nn_id <> query_id)
+        |SELECT query_id, cell, CAST(row_number() OVER w AS INT) AS rank,
+        |  nn_id, cos
+        |FROM scored
+        |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, nn_id)
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH $toksCte,
+        |bg AS (SELECT doc_id, t,
+        |  CASE WHEN len(t) >= 2
+        |    THEN [array_to_string(t[i:i+1],' ') for i in range(1, len(t))]
+        |    ELSE [] END AS b
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN len(t) > 0
+        |    THEN round((len(t) - len(list_distinct(t))) * 1.0 / len(t), 6)
+        |    ELSE 0.0 END AS dup_word_ratio,
+        |  CASE WHEN len(t) > 0
+        |    THEN round(list_max([len(list_filter(t, x -> x = d))
+        |                         for d in list_distinct(t)]) * 1.0 / len(t), 6)
+        |    ELSE 0.0 END AS top_word_share,
+        |  CASE WHEN len(b) > 0
+        |    THEN round(list_max([len(list_filter(b, x -> x = d))
+        |                         for d in list_distinct(b)]) * 1.0 / len(b), 6)
+        |    ELSE 0.0 END AS top_bigram_share
+        |FROM bg ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       """WITH t AS (

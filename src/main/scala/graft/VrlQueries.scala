@@ -39,13 +39,12 @@ object VrlQueries {
     "vrl_parse_kv" -> { (s, dir) =>
       val line = concat(lit("type="), col("event_type"),
         lit(" k="), col("k"), lit(" host=h"), col("user_id"))
-      val parsed = Vrl.parseKeyValue(line)
-      ev(s, dir).select(
+      Queries.withParsed(ev(s, dir), Vrl.parseKeyValue(line)) { parsed => Seq(
         col("event_id"),
         element_at(parsed, "type").as("ptype"),
         element_at(parsed, "k").cast("long").as("pk"),
         element_at(parsed, "host").as("phost"))
-        .orderBy(col("event_id"))
+      }.orderBy(col("event_id"))
     },
 
     "vrl_syslog" -> { (s, dir) =>
@@ -265,6 +264,58 @@ object VrlQueries {
         .orderBy(col("event_id"))
     },
 
+    // AES roundtrips with fixed key/iv: ciphertext LENGTHS are recomputed
+    // by the oracle per mode (CBC pads to the block, CTR is length-
+    // preserving, GCM appends a 16-byte tag) and a wrong-key GCM decrypt
+    // must fail to null (authenticated mode)
+    "vrl_crypto" -> { (s, dir) =>
+      val key16 = lit("0123456789abcdef".getBytes("UTF-8"))
+      val key32 = lit("0123456789abcdef0123456789abcdef".getBytes("UTF-8"))
+      val altKey32 = lit("fedcba9876543210fedcba9876543210".getBytes("UTF-8"))
+      val iv = lit("fedcba9876543210".getBytes("UTF-8"))
+      val gcmIv = lit("feedfacedead".getBytes("UTF-8")) // 96-bit nonce
+      ev(s, dir)
+        .select(col("event_id"), col("props"),
+          col("props").cast("binary").as("pt"))
+        .withColumn("ct_cbc",
+          Vrl.encryptAes(col("pt"), lit("AES-128-CBC-PKCS7"), key16, iv))
+        .withColumn("ct_ctr",
+          Vrl.encryptAes(col("pt"), lit("AES-256-CTR"), key32, iv))
+        .withColumn("ct_gcm",
+          Vrl.encryptAes(col("pt"), lit("AES-256-GCM"), key32, gcmIv))
+        .select(
+          col("event_id"),
+          (Vrl.decryptAes(col("ct_cbc"), lit("AES-128-CBC-PKCS7"), key16, iv)
+            .cast("string") === col("props")).as("rt_cbc"),
+          length(col("ct_cbc")).cast("long").as("len_cbc"),
+          (Vrl.decryptAes(col("ct_ctr"), lit("AES-256-CTR"), key32, iv)
+            .cast("string") === col("props")).as("rt_ctr"),
+          length(col("ct_ctr")).cast("long").as("len_ctr"),
+          (Vrl.decryptAes(col("ct_gcm"), lit("AES-256-GCM"), key32, gcmIv)
+            .cast("string") === col("props")).as("rt_gcm"),
+          length(col("ct_gcm")).cast("long").as("len_gcm"),
+          Vrl.decryptAes(col("ct_gcm"), lit("AES-256-GCM"), altKey32, gcmIv)
+            .isNull.as("wrong_key_fails"))
+        .orderBy(col("event_id"))
+    },
+
+    "vrl_xml" -> { (s, dir) =>
+      val xml = concat(lit("<event><type>"), col("event_type"),
+        lit("</type><k>"), col("k"),
+        lit("</k><user><id>"), col("user_id"),
+        lit("</id><name>u"), col("user_id"),
+        lit("</name></user></event>"))
+      Queries.withParsed(ev(s, dir), Vrl.parseXml(xml,
+        "type STRING, k BIGINT, user STRUCT<id: BIGINT, name: STRING>")) {
+        p => Seq(
+          col("event_id"),
+          p.getField("type").as("xtype"),
+          p.getField("k").as("xk"),
+          p.getField("user").getField("id").as("xuid"),
+          p.getField("user").getField("name").as("xuname"))
+      }.orderBy(col("event_id"))
+    },
+
     "condition_datadog" -> { (s, dir) =>
       val search = DatadogSearch(
         fields = Map(
@@ -435,6 +486,24 @@ object VrlQueries {
       """SELECT event_id, true AS rt_gzip, true AS rt_zlib,
         |  true AS rt_snappy, true AS rt_zstd
         |FROM events WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin,
+
+    "vrl_crypto" ->
+      """SELECT event_id,
+        |  true AS rt_cbc,
+        |  CAST((strlen(props) // 16 + 1) * 16 AS BIGINT) AS len_cbc,
+        |  true AS rt_ctr,
+        |  CAST(strlen(props) AS BIGINT) AS len_ctr,
+        |  true AS rt_gcm,
+        |  CAST(strlen(props) + 16 AS BIGINT) AS len_gcm,
+        |  true AS wrong_key_fails
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "vrl_xml" ->
+      """SELECT event_id, event_type AS xtype,
+        |  CAST(json_extract_string(props,'$.k') AS BIGINT) AS xk,
+        |  user_id AS xuid,
+        |  'u' || CAST(user_id AS VARCHAR) AS xuname
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "condition_datadog" ->
       """SELECT event_id, event_type FROM events

@@ -66,6 +66,45 @@ object Ann {
       .select(col("query_id"), col("bucket"), col("rank"), col("nn_id"), col("cos"))
   }
 
+  /** Nearest-centroid cell id for one vector against a literal codebook.
+    * The codebook is driver-collected (an IVF coarse quantizer is tiny by
+    * construction — k ≈ √N entries), so assignment is a pure projection:
+    * a 100 TB corpus pass is scan+project with NO shuffle, and the cell
+    * id doubles as the physical partition key of the index. Ties break
+    * to the smallest cell id (cos rounded to 6 for engine parity).
+    */
+  def ivfAssign(v: Column, codebook: Seq[(Long, Seq[Double])]): Column = {
+    val scored = array(codebook.sortBy(_._1).map { case (cid, cv) =>
+      struct(
+        round(cosine(v, typedlit(cv)), 6).as("cos"),
+        lit(-cid).as("neg_cell"))
+    }: _*)
+    // struct max = lexicographic: highest cos, then highest -cell id
+    (-array_max(scored).getField("neg_cell")).as("cell")
+  }
+
+  /** IVF (inverted-file) top-k: coarse-quantize corpus and probes to
+    * their nearest-centroid cell, search only the probe's cell (nprobe=1).
+    * The recall/speed knob is the codebook size; the corpus side stays
+    * shuffle-free because [[ivfAssign]] is a projection and the per-cell
+    * search reuses the broadcast-probe pattern of [[signLshTopK]].
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, codebook: Seq[(Long, Seq[Double])]): DataFrame = {
+    val c = corpus.select(col(id).as("nn_id"), asDouble(col(vec)).as("cv"))
+      .withColumn("cell", ivfAssign(col("cv"), codebook))
+    val q = queries.select(col(id).as("query_id"), asDouble(col(vec)).as("qv"))
+      .withColumn("cell", ivfAssign(col("qv"), codebook))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cell"), col("rank"), col("nn_id"), col("cos"))
+  }
+
   /** Near-duplicate pairs by cosine, blocked by sign sketch (a near-dup
     * pair almost always shares the sketch; exact within-bucket scoring).
     */

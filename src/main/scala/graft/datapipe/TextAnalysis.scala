@@ -73,6 +73,33 @@ object TextAnalysis {
     round((lengthScore + stopScore + punctPenalty) / 3.0, 6)
   }
 
+  // ---- Repetition signals (Gopher-style quality rules) -----------------
+
+  /** Fraction of tokens that are repeats of an earlier token. */
+  def dupWordRatioOf(toks: Column): Column =
+    when(size(toks) > 0,
+      round((size(toks) - size(array_distinct(toks))).cast("double")
+        / size(toks), 6))
+      .otherwise(0.0)
+
+  /** Share of the single most frequent item in the list (tokens or
+    * n-grams). O(distinct × n) per doc — fine for document-sized lists;
+    * the corpus pass is still scan+project.
+    */
+  def topShareOf(items: Column): Column =
+    when(size(items) > 0,
+      round(array_max(transform(array_distinct(items),
+        d => size(filter(items, x => x === d)))).cast("double")
+        / size(items), 6))
+      .otherwise(0.0)
+
+  /** Adjacent-token bigrams ("a b", "b c", ...); empty below 2 tokens. */
+  def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
   /** Content fingerprint: md5 over normalized (lowercased, squeezed)
     * token stream — stable under whitespace/case jitter.
     */

@@ -257,6 +257,87 @@ object Vrl {
       c)
   }
 
+  /** parse_cef (VRL stdlib; inverse of the lib/codecs cef encoder,
+    * reference lib/codecs/src/encoding/format/cef.rs): header split on
+    * unescaped pipes with `\|`/`\\` unescaping, then space-separated
+    * `key=value` extensions whose values may contain spaces (`\=`
+    * escapes an equals inside a value).
+    */
+  def parseCef(c: Column): Column = {
+    val f = "((?:\\\\.|[^|\\\\])*)" // header field: escaped char or non-pipe
+    val pat = s"^CEF:(\\d+)\\|$f\\|$f\\|$f\\|$f\\|$f\\|$f\\|(.*)$$"
+    val g = RegexStruct(c, pat,
+      Seq("cef_version", "device_vendor", "device_product", "device_version",
+        "event_class_id", "name", "severity", "ext"))
+    def unesc(x: Column): Column = regexp_replace(x, "\\\\(.)", "$1")
+    // a pair runs until the next `key=` boundary (values may hold spaces)
+    val pairPat = "(\\w+)=((?:\\\\.|[^=\\\\])*?)(?=\\s+\\w+=|$)"
+    val ext = map_from_entries(transform(
+      regexp_extract_all(g.getField("ext"), lit(pairPat), lit(0)),
+      p => struct(
+        regexp_extract(p, "^(\\w+)=", 1).as("key"),
+        regexp_replace(regexp_extract(p, "^\\w+=((?s).*)$", 1),
+          "\\\\(.)", "$1").as("value"))))
+    struct(
+      g.getField("cef_version").cast("int").as("cef_version"),
+      unesc(g.getField("device_vendor")).as("device_vendor"),
+      unesc(g.getField("device_product")).as("device_product"),
+      unesc(g.getField("device_version")).as("device_version"),
+      unesc(g.getField("event_class_id")).as("event_class_id"),
+      unesc(g.getField("name")).as("name"),
+      g.getField("severity").as("severity"),
+      ext.as("extensions"))
+  }
+
+  /** parse_xml — Spark-native from_xml against a DDL schema (VRL
+    * parse_xml; text nodes/attributes map to the given struct fields).
+    */
+  def parseXml(c: Column, ddl: String): Column =
+    from_xml(c, org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  // ---- Crypto: encrypt / decrypt (AES family) --------------------------
+
+  /** encrypt/decrypt (VRL encrypt!/decrypt!; reference website/content/en/
+    * highlights/2022-05-24-vrl-encryption.md): algorithm strings like
+    * "AES-128-CBC-PKCS7", "AES-256-CTR", "AES-256-GCM"; caller supplies
+    * key and iv bytes. Null on any bad algorithm/key/iv/ciphertext like
+    * the rest of the fallible surface. JVM UDFs — sink-edge work, kept
+    * off the codegen hot path deliberately.
+    */
+  private def aesDoFinal(mode: Int, algorithm: String, key: Array[Byte],
+                         iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val parts = algorithm.split("-") // AES-<bits>-<MODE>[-PKCS7]
+    if (parts.length < 3 || parts(0) != "AES") return null
+    if (key == null || key.length != parts(1).toInt / 8) return null
+    val padding =
+      if (parts.length > 3 && parts(3) == "PKCS7") "PKCS5Padding"
+      else "NoPadding"
+    val cipher =
+      javax.crypto.Cipher.getInstance(s"AES/${parts(2)}/$padding")
+    val ks = new javax.crypto.spec.SecretKeySpec(key, "AES")
+    if (parts(2) == "GCM")
+      cipher.init(mode, ks, new javax.crypto.spec.GCMParameterSpec(128, iv))
+    else
+      cipher.init(mode, ks, new javax.crypto.spec.IvParameterSpec(iv))
+    cipher.doFinal(data)
+  }
+  val encryptAes: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (data: Array[Byte], algorithm: String,
+           key: Array[Byte], iv: Array[Byte]) =>
+      if (data == null || algorithm == null) null
+      else try aesDoFinal(javax.crypto.Cipher.ENCRYPT_MODE, algorithm,
+        key, iv, data)
+      catch { case scala.util.control.NonFatal(_) => null }
+    }
+  val decryptAes: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (data: Array[Byte], algorithm: String,
+           key: Array[Byte], iv: Array[Byte]) =>
+      if (data == null || algorithm == null) null
+      else try aesDoFinal(javax.crypto.Cipher.DECRYPT_MODE, algorithm,
+        key, iv, data)
+      catch { case scala.util.control.NonFatal(_) => null }
+    }
+
   def parseJson(c: Column, schema: String): Column = from_json(c, lit(schema))
   def parseCsvLine(c: Column, schema: String): Column =
     from_csv(c, lit(schema), new java.util.HashMap[String, String]())
