@@ -164,7 +164,7 @@ object Decode {
     */
   def prometheusLine(c: Column): Column = {
     val pat = "^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\\{([^}]*)\\})? " +
-      "([-+]?[0-9.eE+]+|NaN|[-+]?Inf)(?: (\\d+))?$"
+      "([-+]?[0-9.eE+-]+|NaN|[-+]?Inf)(?: (\\d+))?$"
     val g = RegexStruct(c, pat, Seq("name", "tags", "value", "ts"))
     // label values may contain commas / equals / escaped quotes, so a
     // plain str_to_map split is wrong: extract whole `key="…"` pairs
@@ -174,9 +174,18 @@ object Decode {
       regexp_extract_all(g.getField("tags"), lit(pairPat), lit(0)),
       p => struct(
         regexp_extract(p, "^([a-zA-Z_][a-zA-Z0-9_]*)=", 1),
-        regexp_replace(
-          regexp_extract(p, "^[^=]*=\"((?:[^\"\\\\]|\\\\.)*)\"$", 1),
-          "\\\\(.)", "$1"))))
+        {
+          // Prometheus label escapes are exactly \\ \" \n, and \n must
+          // decode to a LINE FEED (not the letter n). A naive generic
+          // `\\(.)` -> `$1` pass gets \n wrong, and replacing \n first
+          // gets `\\n` (escaped backslash + n) wrong — so park `\\` in a
+          // NUL sentinel, decode \n, strip the rest, restore backslashes.
+          val raw = regexp_extract(p, "^[^=]*=\"((?:[^\"\\\\]|\\\\.)*)\"$", 1)
+          val parkedBs = regexp_replace(raw, "\\\\\\\\", "\u0000")
+          val withNl = regexp_replace(parkedBs, "\\\\n", "\n")
+          val unescaped = regexp_replace(withNl, "\\\\(.)", "$1")
+          regexp_replace(unescaped, "\u0000", "\\\\")
+        })))
     val vRaw = g.getField("value")
     // Spark's string→double cast rejects the Prometheus "Inf" spelling
     val value = when(vRaw === "+Inf" || vRaw === "Inf",

@@ -2,6 +2,7 @@ package graft.enrich
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Enrichment tables — the reference's only join surface.
   *
@@ -98,16 +99,30 @@ object EnrichmentTable {
     // range not covered by a longer-prefix row. The probe then stays one
     // broadcast range join with at most one match per event: no
     // per-event window / row_number shuffle, which matters at scale.
-    val indexed = cidrTable.withColumn("__idx", monotonically_increasing_id())
-    val parsed = indexed.select(col("__idx"), col(cidrCol)).collect().map { r =>
-      val Array(ipPart, prefStr) = r.getString(1).split("/")
-      val o = ipPart.split("\\.").map(_.toLong)
-      val base = o(0) * 16777216L + o(1) * 65536L + o(2) * 256L + o(3)
-      val prefix = prefStr.toInt
-      val size = 1L << (32 - prefix)
-      val start = base - java.lang.Math.floorMod(base, size)
-      (r.getLong(0), start, start + size - 1, prefix)
-    }
+    // Collect the (broadcast-sized by contract) table exactly ONCE and
+    // derive everything — indices, ranges, and the final ranged rows —
+    // from that snapshot. (An earlier version tagged rows with
+    // monotonically_increasing_id and re-evaluated the tagged plan for
+    // the final join; mii is non-deterministic across evaluations, so a
+    // shuffled/sampled input could mis-align indices between the two
+    // jobs.) Malformed CIDR rows (no '/', garbage octets, prefix outside
+    // 0..32) are dropped rather than failing the whole job.
+    val tableSchema = cidrTable.schema
+    val tableRows = cidrTable.collect()
+    val cidrAt = tableSchema.fieldIndex(cidrCol)
+    val parsed = tableRows.iterator.zipWithIndex.flatMap { case (r, i) =>
+      scala.util.Try {
+        val Array(ipPart, prefStr) = r.getString(cidrAt).split("/")
+        val o = ipPart.split("\\.").map(_.toLong)
+        require(o.length == 4 && o.forall(x => x >= 0 && x <= 255))
+        val base = o(0) * 16777216L + o(1) * 65536L + o(2) * 256L + o(3)
+        val prefix = prefStr.trim.toInt
+        require(prefix >= 0 && prefix <= 32)
+        val size = 1L << (32 - prefix)
+        val start = base - java.lang.Math.floorMod(base, size)
+        (i.toLong, start, start + size - 1, prefix)
+      }.toOption
+    }.toArray
     // pieces of (idx's range) minus union of ranges that shadow it:
     // longer prefix, or same prefix with an earlier idx (dup tiebreak)
     val pieces = parsed.flatMap { case (idx, s, e, p) =>
@@ -126,10 +141,14 @@ object EnrichmentTable {
       out
     }
     val spark = events.sparkSession
-    import spark.implicits._
-    val pieceDf = spark.createDataset(pieces.toSeq)
-      .toDF("__idx", "__start", "__end")
-    val ranged = indexed.join(pieceDf, "__idx").drop("__idx")
+    val rangedSchema = tableSchema
+      .add("__start", org.apache.spark.sql.types.LongType)
+      .add("__end", org.apache.spark.sql.types.LongType)
+    val rangedRows = pieces.map { case (idx, s, e) =>
+      org.apache.spark.sql.Row.fromSeq(
+        tableRows(idx.toInt).toSeq :+ s :+ e)
+    }
+    val ranged = spark.createDataFrame(rangedRows.toSeq.asJava, rangedSchema)
     val ipNum = graft.functions.Vrl.ipAton(ipCol)
     events.join(broadcast(ranged),
         ipNum >= ranged("__start") && ipNum <= ranged("__end"), "left")

@@ -435,7 +435,9 @@ object Vrl {
             if (n == 0 && inf.needsInput()) truncated = true
             else out.write(buf, 0, n)
           }
-          if (truncated && out.size() == 0) null else out.toByteArray
+          // decode_zlib! is fallible: a truncated stream errors in VRL
+          // even if a valid prefix inflated — never return partial data
+          if (truncated) null else out.toByteArray
         } catch {
           case _: java.util.zip.DataFormatException => null
         } finally inf.end()
