@@ -72,8 +72,10 @@ object DatapipeQueries {
 
     "ann_ivf" -> { (s, dir) =>
       val e = emb(s, dir)
-      // deterministic coarse codebook: every 40th vector (k ≈ √N shape)
-      val codebook = e.filter(pmod(col("vec_id"), lit(40)) === 0)
+      // deterministic coarse codebook from a FIXED-size sample: limit(25)
+      // is TakeOrderedAndProject, so the driver holds 25 rows no matter
+      // the corpus size (a modulo filter would collect N/40 — linear in N)
+      val codebook = e.orderBy(col("vec_id")).limit(25)
         .select(col("vec_id"), Ann.asDouble(col("embedding")).as("v"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
@@ -149,6 +151,33 @@ object DatapipeQueries {
       |    THEN [array_to_string(t[i:i+2],' ') for i in range(1, len(t)-1)]
       |    ELSE [array_to_string(t,' ')] END s
       |  FROM toks)""".stripMargin
+  // 64-bit simhash in DuckDB with exact integer math: the 16 md5 hex
+  // chars are decoded as two 32-bit halves (the power(16,8-i) digit sum
+  // stays under 2^53 so double arithmetic is exact), bit votes read from
+  // the halves, and the fingerprint reassembled as a HUGEINT sum whose
+  // bit-63 term is ±2^63 — negative for the signed (Spark long) view,
+  // positive for the unsigned view the band split divides against.
+  private val simhash64Cte =
+    """h AS (SELECT doc_id,
+      |  CAST(list_sum([(strpos('0123456789abcdef', substr(md5(tk), i, 1)) - 1)
+      |    * power(16, 8-i) for i in range(1, 9)]) AS BIGINT) AS hhi,
+      |  CAST(list_sum([(strpos('0123456789abcdef', substr(md5(tk), 8+i, 1)) - 1)
+      |    * power(16, 8-i) for i in range(1, 9)]) AS BIGINT) AS hlo
+      |  FROM tok),
+      |bits AS (
+      |  SELECT doc_id, j, sum(CASE WHEN
+      |    (CASE WHEN j < 32 THEN (hlo >> j) ELSE (hhi >> (j-32)) END) & 1 = 1
+      |    THEN 1 ELSE -1 END) AS sgn
+      |  FROM h, (SELECT unnest(range(0, 64)) AS j) GROUP BY 1, 2),
+      |fp AS (SELECT doc_id AS doc,
+      |  CAST(sum(CASE WHEN sgn > 0 THEN (CASE WHEN j = 63
+      |    THEN -9223372036854775808 ELSE (1::BIGINT << j)::HUGEINT END)
+      |    ELSE 0 END) AS BIGINT) AS simhash,
+      |  sum(CASE WHEN sgn > 0 THEN (CASE WHEN j = 63
+      |    THEN 9223372036854775808 ELSE (1::BIGINT << j)::HUGEINT END)
+      |    ELSE 0 END) AS fpu
+      |  FROM bits GROUP BY 1)""".stripMargin
+
   private val jaccardTail =
     """inv AS (SELECT doc_id, unnest(list_distinct(s)) shv FROM sh),
       |sz AS (SELECT doc_id, len(list_distinct(s)) n FROM sh),
@@ -215,35 +244,18 @@ object DatapipeQueries {
     "dedup_simhash" ->
       s"""WITH $toksCte,
         |tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
-        |h AS (SELECT doc_id, CAST(list_sum(
-        |  [(strpos('0123456789abcdef', substr(md5(tk), i, 1)) - 1) * power(16, 8-i)
-        |   for i in range(1, 9)]) AS BIGINT) AS hv
-        |  FROM tok),
-        |bits AS (
-        |  SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
-        |  FROM h, (SELECT unnest(range(0, 32)) AS j) GROUP BY 1, 2)
-        |SELECT doc_id AS doc,
-        |  CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
-        |    AS simhash
-        |FROM bits GROUP BY 1 ORDER BY doc""".stripMargin,
+        |$simhash64Cte
+        |SELECT doc, simhash FROM fp ORDER BY doc""".stripMargin,
 
     "dedup_simhash_pairs" ->
       s"""WITH $toksCte,
         |tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
-        |h AS (SELECT doc_id, CAST(list_sum(
-        |  [(strpos('0123456789abcdef', substr(md5(tk), i, 1)) - 1) * power(16, 8-i)
-        |   for i in range(1, 9)]) AS BIGINT) AS hv
-        |  FROM tok),
-        |bits AS (
-        |  SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
-        |  FROM h, (SELECT unnest(range(0, 32)) AS j) GROUP BY 1, 2),
-        |fp AS (
-        |  SELECT doc_id AS doc,
-        |    sum(CASE WHEN sgn > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
-        |  FROM bits GROUP BY 1),
+        |$simhash64Cte,
         |banded AS (
-        |  SELECT doc, simhash, i AS band_idx, (simhash >> (i*8)) & 255 AS band_val
-        |  FROM fp, (SELECT unnest(range(0, 4)) AS i)),
+        |  SELECT doc, simhash, i AS band_idx,
+        |    CAST((fpu // dv) % 65536 AS BIGINT) AS band_val
+        |  FROM fp, (VALUES (0, 1), (1, 65536), (2, 4294967296),
+        |            (3, 281474976710656)) AS bd(i, dv)),
         |cand AS (
         |  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
         |    a.simhash AS ha, b.simhash AS hb
@@ -299,7 +311,7 @@ object DatapipeQueries {
 
     "ann_ivf" ->
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv
-        |              FROM embeddings WHERE vec_id % 40 = 0),
+        |              FROM embeddings ORDER BY vec_id LIMIT 25),
         |assign AS (
         |  SELECT vec_id, cent_id AS cell FROM (
         |    SELECT e.vec_id, cent.cent_id, $cosExpr AS cos

@@ -221,22 +221,24 @@ object VrlQueries {
     },
 
     "vrl_useragent" -> { (s, dir) =>
+      // concat, not format_string: format_string is an interpreted
+      // per-row Formatter call, concat stays in codegen
+      val edgV = (lit(100) + pmod(col("k"), lit(20))).cast("string")
       val ua = when(pmod(col("user_id"), lit(5)) === 0,
-          format_string("Mozilla/5.0 (Windows NT 10.0) Chrome/%d.0 Safari/537",
-            lit(90) + pmod(col("k"), lit(30))))
+          concat(lit("Mozilla/5.0 (Windows NT 10.0) Chrome/"),
+            (lit(90) + pmod(col("k"), lit(30))).cast("string"),
+            lit(".0 Safari/537")))
         .when(pmod(col("user_id"), lit(5)) === 1,
-          format_string("Mozilla/5.0 (Macintosh; Mac OS X 10_15) Firefox/%d.0",
-            lit(80) + pmod(col("k"), lit(40))))
+          concat(lit("Mozilla/5.0 (Macintosh; Mac OS X 10_15) Firefox/"),
+            (lit(80) + pmod(col("k"), lit(40))).cast("string"), lit(".0")))
         .when(pmod(col("user_id"), lit(5)) === 2,
-          format_string("Mozilla/5.0 (Linux; Android 11) Chrome/%d.0 Mobile",
-            lit(95) + pmod(col("k"), lit(10))))
+          concat(lit("Mozilla/5.0 (Linux; Android 11) Chrome/"),
+            (lit(95) + pmod(col("k"), lit(10))).cast("string"), lit(".0 Mobile")))
         // real Edge UA shape: Chrome token PRECEDES Edg — exercises the
         // derivative-browser priority in parseUserAgent
         .when(pmod(col("user_id"), lit(5)) === 3,
-          format_string(
-            "Mozilla/5.0 (Windows NT 10.0) Chrome/%d.0 Safari/537.36 Edg/%d.0",
-            lit(100) + pmod(col("k"), lit(20)),
-            lit(100) + pmod(col("k"), lit(20))))
+          concat(lit("Mozilla/5.0 (Windows NT 10.0) Chrome/"), edgV,
+            lit(".0 Safari/537.36 Edg/"), edgV, lit(".0")))
         .otherwise(lit("curl/7.88.1"))
       val p = Vrl.parseUserAgent(ua)
       ev(s, dir).select(

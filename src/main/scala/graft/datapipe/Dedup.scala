@@ -256,36 +256,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-  /** SimHash: 32-bit bitwise-majority fingerprint over token hashes.
-    * Token hash = first 8 md5 hex chars as uint32 (engine-portable).
-    * One explode + one groupBy — linear, no pairwise work.
+  /** SimHash: 64-bit bitwise-majority fingerprint over token hashes.
+    * Token hash = first 16 md5 hex chars as a signed two's-complement
+    * long (engine-portable; `conv(_, 16, -10)` is the signed decode).
+    * One explode + one groupBy — linear, no pairwise work. 64 bits (vs
+    * an earlier 32) so the band space below is wide enough that bucket
+    * populations stay sub-quadratic at corpus scale.
     */
   def simhash(docs: DataFrame, id: String, text: Column): DataFrame = {
     val tok = docs.select(col(id).as("doc"), explode(tokens(text)).as("t"))
-      .withColumn("h", conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"))
-    val bitAggs = (0 until 32).map { b =>
+      .withColumn("h",
+        conv(substring(md5(col("t")), 1, 16), 16, -10).cast("long"))
+    val bitAggs = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$b")
     }
     tok.groupBy(col("doc"))
       .agg(bitAggs.head, bitAggs.tail: _*)
       .withColumn("simhash",
-        (0 until 32).map(b =>
+        // bitwiseOR, not +: bit 63 is Long.MinValue and ANSI-mode
+        // addition would overflow-check the sum
+        (0 until 64).map(b =>
           when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-          .reduce(_ + _))
+          .reduce(_ bitwiseOR _))
       .select(col("doc"), col("simhash"))
       // one row per doc — persisting lets the pairs pipeline (and any
       // repeated call over the same input) reuse the token-explode agg
       .persist()
   }
 
-  /** Hamming-near pairs on simhash fingerprints (block by 8-bit bands:
+  /** Hamming-near pairs on simhash fingerprints (block by 16-bit bands:
     * near pairs share >= 1 of 4 bands when hamming distance is small).
+    * 4×16-bit bands give 65,536 bucket values per band, so even a
+    * billion-doc corpus averages ~15k docs per bucket — the candidate
+    * join stays tractable where 8-bit bands (256 buckets) went
+    * quadratic.
     */
   def simhashPairs(fingerprints: DataFrame, maxHamming: Int = 3): DataFrame = {
     val banded = fingerprints.select(col("doc"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 8).bitwiseAND(lit(0xFFL))): _*))
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band_idx", "band_val")))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
