@@ -330,8 +330,49 @@ object VrlQueries {
       ev(s, dir).filter(cond)
         .select(col("event_id"), col("event_type"))
         .orderBy(col("event_id"))
+    },
+
+    // The VRL source→Column COMPILER (functions/VrlCompiler.scala): one
+    // program text exercising assignment, parse_json + variant paths,
+    // `??` coalescing, if/else-if/else, string/number/hash functions,
+    // fallible `!` calls, conditional `abort`, and `del` — compiled to
+    // native Column expressions and checked against a hand-written
+    // DuckDB mirror of the program's semantics.
+    "vrl_compile" -> { (s, dir) =>
+      graft.functions.VrlCompiler.run(Graft.table(s, dir, "events"), VrlProgram)
+        .primary.orderBy(col("event_id"))
+    },
+
+    // abort/drop routing of the same program: the dropped leg carries
+    // the ORIGINAL events (remap.rs reroute_dropped semantics)
+    "vrl_compile_dropped" -> { (s, dir) =>
+      graft.functions.VrlCompiler.run(Graft.table(s, dir, "events"), VrlProgram)
+        .dropped.select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
     }
   )
+
+  /** The vrl_compile program — VRL source text, parsed+compiled at plan
+    * build time (shape: lib/vector-vrl/tests/tests/example.vrl).
+    */
+  private val VrlProgram: String =
+    """# graft vrl_compile oracle program
+      |.etype = upcase!(.event_type)
+      |.parsed = parse_json!(.props)
+      |.k = to_int(.parsed.k) ?? -1
+      |if .value >= 75.0 { .tier = "high" }
+      |else if .value >= 25.0 { .tier = "mid" }
+      |else { .tier = "low" }
+      |.tag = downcase(.etype) + ":" + to_string(.k)
+      |.vbucket = floor(.value / 10.0)
+      |.digest = md5(.tag)
+      |.plen = strlen(.props)
+      |.day = format_timestamp!(.ts, "%Y-%m-%d")
+      |if .etype == "ERROR" && .k % 2 == 0 { abort }
+      |del(.props)
+      |del(.parsed)
+      |del(.ts)
+      |""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "vrl_strings" ->
@@ -512,6 +553,31 @@ object VrlQueries {
         |WHERE event_type = 'error'
         |   OR (value > 150 AND NOT event_type = 'signup')
         |   OR event_type LIKE 'p%'
+        |ORDER BY event_id""".stripMargin,
+
+    // hand-written DuckDB mirror of VrlProgram's semantics
+    "vrl_compile" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, value, props, ts,
+        |    upper(event_type) AS etype,
+        |    coalesce(CAST(json_extract_string(props,'$.k') AS BIGINT), -1) AS k
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, value, etype, k,
+        |  CASE WHEN value >= 75.0 THEN 'high'
+        |       WHEN value >= 25.0 THEN 'mid' ELSE 'low' END AS tier,
+        |  lower(etype) || ':' || CAST(k AS VARCHAR) AS tag,
+        |  floor(value / 10.0) AS vbucket,
+        |  md5(lower(etype) || ':' || CAST(k AS VARCHAR)) AS digest,
+        |  length(props) AS plen,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |FROM base
+        |WHERE NOT (etype = 'ERROR' AND k % 2 = 0)
+        |ORDER BY event_id""".stripMargin,
+
+    "vrl_compile_dropped" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE upper(event_type) = 'ERROR'
+        |  AND coalesce(CAST(json_extract_string(props,'$.k') AS BIGINT), -1) % 2 = 0
         |ORDER BY event_id""".stripMargin
   )
 }

@@ -1,0 +1,394 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.immutable.ListMap
+
+/** Compile VRL source text to Catalyst `Column`s over a typed event
+  * DataFrame.
+  *
+  * Reference semantics: /root/reference/src/transforms/remap.rs:128-155
+  * (drop_on_error / drop_on_abort / reroute_dropped — a runtime error in
+  * a fallible `f!()` call or an `abort` discards every modification and
+  * routes the ORIGINAL event to the `dropped` output) and the expression
+  * semantics in website/cue/reference/remap/expressions/ (path
+  * assignment, error coalescing `??`, if/else-if/else, blocks).
+  *
+  * Spark-first design: instead of interpreting the AST per event (the
+  * reference compiles VRL to a tree-walking program in the vrl crate),
+  * each program is lowered ONCE at plan-build time to native Column
+  * expressions — statements become SSA-style column rebindings, `if`
+  * branches become `when(...)` merges over the fields each branch
+  * touched (a phi node per field), and `abort`/fallible errors become a
+  * boolean drop-predicate column. The whole program therefore
+  * participates in whole-stage codegen and Catalyst optimization; no
+  * per-row interpreter exists at runtime.
+  *
+  * Semantic mapping notes (documented deviations, all stemming from the
+  * "error ≈ null" representation of our function layer):
+  *   - a fallible call that fails yields null; `f!()` marks the row
+  *     dropped when its result is null
+  *   - `a ?? b` compiles to coalesce(a, b) — it also substitutes when
+  *     `a` is a legitimate null value, which VRL would keep
+  *   - `v, err = f(...)` binds err to a boolean (true = failed) rather
+  *     than an error message string
+  *   - `del`/`exists` treat null-valued and absent fields alike (a fixed
+  *     relational schema has no key-presence distinction)
+  */
+object VrlCompiler {
+  import VrlAst._
+
+  final case class VrlCompileException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Lightweight type tag threaded through compilation so `+` can pick
+    * concat-vs-add and `length` can pick size-vs-strlen statically.
+    */
+  sealed trait VT
+  case object TStr extends VT
+  case object TInt extends VT
+  case object TFloat extends VT
+  case object TBool extends VT
+  case object TTs extends VT
+  case object TArr extends VT
+  case object TMap extends VT
+  final case class TObj(st: StructType) extends VT
+  /** parse_json output: Spark 4 VariantType — path steps become
+    * try_variant_get, casts go through the variant cast rules.
+    */
+  case object TVariant extends VT
+  case object TAny extends VT
+
+  final case class CV(col: Column, t: VT)
+
+  private def vtOf(dt: DataType): VT = dt match {
+    case StringType => TStr
+    case LongType | IntegerType | ShortType | ByteType => TInt
+    case DoubleType | FloatType | _: DecimalType => TFloat
+    case BooleanType => TBool
+    case TimestampType | TimestampNTZType => TTs
+    case s: StructType => TObj(s)
+    case _: ArrayType => TArr
+    case _: MapType => TMap
+    case VariantType => TVariant
+    case _ => TAny
+  }
+
+  /** Compilation result: the output event fields (in stable order),
+    * plus the drop predicate (abort or fallible-call error).
+    */
+  final case class Compiled(fields: Seq[(String, Column)], dropCond: Column)
+
+  /** Environment: event fields + local variables + the drop predicate,
+    * all immutable so `if` branches can fork and phi-merge.
+    */
+  private final case class Env(fields: ListMap[String, CV],
+                               vars: Map[String, CV],
+                               drop: Column)
+
+  def compile(schema: StructType, source: String): Compiled = {
+    val program = VrlParser.parse(source)
+    val init = Env(
+      ListMap(schema.fields.map(f => f.name -> CV(col(f.name), vtOf(f.dataType))): _*),
+      Map.empty,
+      lit(false))
+    val end = program.stmts.foldLeft(init)(stmt)
+    Compiled(end.fields.map { case (n, cv) => (n, cv.col) }.toSeq, end.drop)
+  }
+
+  /** Compile against a DataFrame and split into remap-style outputs:
+    * primary = transformed survivors, dropped = ORIGINAL rows that
+    * aborted or errored (reference remap.rs:128-155 reroute_dropped).
+    */
+  def run(df: DataFrame, source: String): graft.operators.Remap.Outputs = {
+    val c = compile(df.schema, source)
+    val keep = !coalesce(c.dropCond, lit(false))
+    graft.operators.Remap.Outputs(
+      df.filter(keep).select(c.fields.map { case (n, e) => e.as(n) }: _*),
+      df.filter(!keep))
+  }
+
+  // ---------------- statements ----------------
+
+  private def stmt(env: Env, s: Stmt): Env = s match {
+    case AbortS(_) => env.copy(drop = lit(true))
+
+    case Assign(target, errT, value) =>
+      val (v, errCond) = expr(env, value)
+      val withVal = assign(env, target, v)
+      val out = errT match {
+        case None => withVal
+        case Some(et) => assign(withVal, et, CV(v.col.isNull, TBool))
+      }
+      // a bang-call error drops the row (drop_on_error) UNLESS the
+      // statement captures the error (`v, err =` form is infallible)
+      if (errT.isEmpty) errCond.foldLeft(out)((e, c) => e.copy(drop = e.drop || c))
+      else out
+
+    case ExprStmt(IfE(branches, elseB)) => compileIf(env, branches, elseB)._1
+
+    case ExprStmt(CallE("del", _, List(PathE(FieldSeg(f) :: Nil)), _)) =>
+      env.copy(fields = env.fields - f)
+
+    case ExprStmt(e) =>
+      val (_, errCond) = expr(env, e)
+      errCond.foldLeft(env)((en, c) => en.copy(drop = en.drop || c))
+  }
+
+  private def assign(env: Env, t: Target, v: CV): Env = t match {
+    case VarT(name) => env.copy(vars = env.vars + (name -> v))
+    case PathT(FieldSeg(f) :: Nil) => env.copy(fields = env.fields + (f -> v))
+    case PathT(FieldSeg(f) :: rest) =>
+      // nested path assignment: withField into the existing struct, or
+      // a fresh struct when the base is absent / not a struct
+      val path = rest.collect { case FieldSeg(n) => n }
+      if (path.length != rest.length)
+        throw VrlCompileException("index assignment is not supported")
+      val base = env.fields.get(f)
+      val updated = base match {
+        case Some(CV(c, TObj(st))) =>
+          var col0 = c
+          col0 = col0.withField(path.mkString("."), v.col)
+          CV(col0, TObj(st)) // struct type changed; TObj kept for walk
+        case _ =>
+          // build struct({...}) bottom-up for a missing base
+          val nested = path.init.foldRight(struct(v.col.as(path.last))) {
+            (seg, inner) => struct(inner.as(seg))
+          }
+          // TObj marker (schema unknown pre-analysis) so a later nested
+          // assignment withFields into this struct instead of replacing it
+          CV(nested, TObj(StructType(Nil)))
+      }
+      env.copy(fields = env.fields + (f -> updated))
+    case PathT(segs) =>
+      throw VrlCompileException(s"unsupported assignment target: $segs")
+  }
+
+  /** if/else-if/else: compile each block against the pre-branch env,
+    * then phi-merge every field/var/drop slot the branches changed.
+    * Returns (merged env, value of the if-expression).
+    */
+  private def compileIf(env: Env, branches: List[(Expr, Block)],
+                        elseB: Option[Block]): (Env, CV) = {
+    // conditions are evaluated in the pre-branch env (VRL evaluates the
+    // predicate before the block, and earlier arms win)
+    val conds = branches.map { case (c, _) => expr(env, c)._1.col }
+    val arms = branches.map { case (_, b) => block(env, b) }
+    val elseArm = elseB.map(b => block(env, b))
+
+    def phi(sel: Env => Map[String, CV], keys: Iterable[String]): Map[String, CV] =
+      keys.map { k =>
+        val origOpt = sel(env).get(k)
+        val armVals = arms.map(a => sel(a._1).get(k))
+        val elseVal = elseArm.map(a => sel(a._1).get(k)).getOrElse(origOpt)
+        val allSame = armVals.forall(av =>
+          av.zip(origOpt).exists { case (a, o) => a.col eq o.col }) &&
+          elseVal.zip(origOpt).exists { case (a, o) => a.col eq o.col }
+        if (allSame && origOpt.isDefined) k -> origOpt.get
+        else {
+          val nullCv = CV(lit(null), TAny)
+          val merged = conds.zip(armVals).foldRight(
+            elseVal.orElse(origOpt).getOrElse(nullCv).col) {
+            case ((c, av), acc) =>
+              when(coalesce(c, lit(false)), av.orElse(origOpt).getOrElse(nullCv).col)
+                .otherwise(acc)
+          }
+          val t = armVals.flatten.headOption.map(_.t)
+            .orElse(origOpt.map(_.t)).getOrElse(TAny)
+          k -> CV(merged, t)
+        }
+      }.toMap
+
+    val fieldKeys = (env.fields.keys ++ arms.flatMap(_._1.fields.keys) ++
+      elseArm.toList.flatMap(_._1.fields.keys)).toList.distinct
+    val varKeys = (env.vars.keys ++ arms.flatMap(_._1.vars.keys) ++
+      elseArm.toList.flatMap(_._1.vars.keys)).toList.distinct
+
+    val mergedFields = phi(_.fields, fieldKeys)
+    val mergedVars = phi(_.vars, varKeys)
+
+    val mergedDrop = conds.zip(arms.map(_._1.drop)).foldRight(
+      elseArm.map(_._1.drop).getOrElse(env.drop)) {
+      case ((c, d), acc) => when(coalesce(c, lit(false)), d).otherwise(acc)
+    }
+
+    // preserve original field ordering, append new fields in first-seen order
+    val orderedFields = ListMap(fieldKeys.map(k => k -> mergedFields(k)): _*)
+
+    val value = {
+      val armVs = arms.map(_._2)
+      val elseV = elseArm.map(_._2).getOrElse(CV(lit(null), TAny))
+      val c = conds.zip(armVs).foldRight(elseV.col) { case ((c0, v), acc) =>
+        when(coalesce(c0, lit(false)), v.col).otherwise(acc)
+      }
+      CV(c, armVs.headOption.map(_.t).getOrElse(TAny))
+    }
+
+    (Env(orderedFields, mergedVars, mergedDrop), value)
+  }
+
+  /** A block evaluates its statements in order; its value is the value
+    * of the final expression statement (block.cue).
+    */
+  private def block(env: Env, b: Block): (Env, CV) = {
+    var cur = env
+    var last = CV(lit(null), TAny)
+    b.stmts.foreach {
+      case ExprStmt(IfE(br, eb)) =>
+        val (e2, v) = compileIf(cur, br, eb)
+        cur = e2; last = v
+      case ExprStmt(e) =>
+        val (v, errCond) = expr(cur, e)
+        cur = errCond.foldLeft(cur)((en, c) => en.copy(drop = en.drop || c))
+        last = v
+      case other =>
+        cur = stmt(cur, other)
+        last = CV(lit(null), TAny)
+    }
+    (cur, last)
+  }
+
+  // ---------------- expressions ----------------
+
+  /** Returns (value, optional fallible-error condition from `f!()`). */
+  private def expr(env: Env, e: Expr): (CV, Option[Column]) = e match {
+    case LitS(v) => (CV(lit(v), TStr), None)
+    case LitI(v) => (CV(lit(v), TInt), None)
+    case LitF(v) => (CV(lit(v), TFloat), None)
+    case LitB(v) => (CV(lit(v), TBool), None)
+    case LitNull => (CV(lit(null), TAny), None)
+
+    case PathE(Nil) =>
+      // whole-event `.` — expose as a struct of current fields
+      (CV(struct(env.fields.map { case (n, cv) => cv.col.as(n) }.toSeq: _*),
+        TAny), None)
+
+    case PathE(FieldSeg(f) :: rest) =>
+      env.fields.get(f) match {
+        case Some(cv) => (walk(cv, rest), None)
+        case None => (CV(lit(null), TAny), None)
+      }
+
+    case PathE(segs) =>
+      throw VrlCompileException(s"unsupported path shape: $segs")
+
+    case VarE(name) =>
+      env.vars.get(name) match {
+        case Some(cv) => (cv, None)
+        case None =>
+          throw VrlCompileException(s"undefined variable: $name")
+      }
+
+    case AccessE(inner, segs) =>
+      val (cv, err) = expr(env, inner)
+      (walk(cv, segs), err)
+
+    case ArrayE(items) =>
+      val parts = items.map(i => expr(env, i))
+      (CV(array(parts.map(_._1.col): _*), TArr),
+        parts.flatMap(_._2).reduceOption(_ || _))
+
+    case ObjectE(fields) =>
+      val parts = fields.map { case (n, v) => (n, expr(env, v)) }
+      (CV(struct(parts.map { case (n, (cv, _)) => cv.col.as(n) }: _*),
+        TObj(StructType(Nil))),
+        parts.flatMap(_._2._2).reduceOption(_ || _))
+
+    case IfE(branches, elseB) =>
+      // expression-position if: env effects inside branches are local
+      // phi-merges; the value is the merged branch value
+      (compileIf(env, branches, elseB)._2, None)
+
+    case UnE("!", inner) =>
+      val (cv, err) = expr(env, inner)
+      (CV(!cv.col, TBool), err)
+    case UnE("-", inner) =>
+      val (cv, err) = expr(env, inner)
+      (CV(negate(cv.col), cv.t), err)
+    case UnE(op, _) => throw VrlCompileException(s"unknown unary op $op")
+
+    case BinE(op, l, r) =>
+      val (lv, le) = expr(env, l)
+      val (rv, re) = expr(env, r)
+      val err = (le, re) match {
+        case (Some(a), Some(b)) => Some(a || b)
+        case (a, b) => a.orElse(b)
+      }
+      (binop(op, lv, rv), err)
+
+    case CallE(name, bang, args, named) =>
+      val argVs = args.map(a => (a, expr(env, a)))
+      val namedVs = named.map { case (n, a) => (n, a, expr(env, a)) }
+      val childErr = (argVs.map(_._2._2) ++ namedVs.map(_._3._2))
+        .flatten.reduceOption(_ || _)
+      val result = VrlFunctions.apply(name,
+        argVs.map { case (ast, (cv, _)) => VrlFunctions.Arg(cv, litOf(ast)) },
+        namedVs.map { case (n, ast, (cv, _)) =>
+          n -> VrlFunctions.Arg(cv, litOf(ast))
+        }.toMap)
+      val selfErr = if (bang) Some(result.col.isNull) else None
+      ((result), (childErr, selfErr) match {
+        case (Some(a), Some(b)) => Some(a || b)
+        case (a, b) => a.orElse(b)
+      })
+  }
+
+  private def litOf(e: Expr): Option[Any] = e match {
+    case LitS(v) => Some(v)
+    case LitI(v) => Some(v)
+    case LitF(v) => Some(v)
+    case LitB(v) => Some(v)
+    case UnE("-", LitI(v)) => Some(-v)
+    case UnE("-", LitF(v)) => Some(-v)
+    case _ => None
+  }
+
+  /** Walk residual path segments over a value of (possibly) known type. */
+  private def walk(cv: CV, segs: List[Seg]): CV = segs.foldLeft(cv) {
+    case (CV(c, TObj(st)), FieldSeg(n)) =>
+      val t = st.fields.find(_.name == n).map(f => vtOf(f.dataType)).getOrElse(TAny)
+      CV(c.getField(n), t)
+    case (CV(c, TMap), FieldSeg(n)) => CV(element_at(c, n), TAny)
+    case (CV(c, TVariant), FieldSeg(n)) =>
+      CV(try_variant_get(c, s"$$.$n", "variant"), TVariant)
+    case (CV(c, TVariant), IndexSeg(i)) =>
+      CV(try_variant_get(c, s"$$[$i]", "variant"), TVariant)
+    case (CV(c, TArr), IndexSeg(i)) => CV(c.getItem(i), TAny)
+    case (CV(c, _), IndexSeg(i)) => CV(c.getItem(i), TAny)
+    case (CV(c, _), FieldSeg(n)) => CV(c.getField(n), TAny)
+  }
+
+  private def isStrTy(t: VT): Boolean = t == TStr
+  private def numRank(t: VT): Int = t match {
+    case TFloat => 2; case TInt => 1; case _ => 0
+  }
+
+  private def binop(op: String, l: CV, r: CV): CV = op match {
+    case "+" =>
+      if (isStrTy(l.t) || isStrTy(r.t))
+        CV(concat(l.col.cast("string"), r.col.cast("string")), TStr)
+      else
+        // try_add: ANSI overflow becomes null (VRL: runtime error)
+        CV(try_add(l.col, r.col),
+          if (numRank(l.t).max(numRank(r.t)) == 2) TFloat else TInt)
+    case "-" => CV(try_subtract(l.col, r.col),
+      if (numRank(l.t).max(numRank(r.t)) == 2) TFloat else TInt)
+    case "*" => CV(try_multiply(l.col, r.col),
+      if (numRank(l.t).max(numRank(r.t)) == 2) TFloat else TInt)
+    case "/" =>
+      // VRL division is float and errors on zero → try_divide's null
+      CV(try_divide(l.col.cast("double"), r.col.cast("double")), TFloat)
+    case "%" => CV(try_mod(l.col, r.col), l.t)
+    case "==" => CV(l.col <=> r.col, TBool) // VRL: null == null is true
+    case "!=" => CV(!(l.col <=> r.col), TBool)
+    case "<" => CV(l.col < r.col, TBool)
+    case "<=" => CV(l.col <= r.col, TBool)
+    case ">" => CV(l.col > r.col, TBool)
+    case ">=" => CV(l.col >= r.col, TBool)
+    case "&&" => CV(l.col && r.col, TBool)
+    case "||" => CV(l.col || r.col, TBool)
+    case "??" => CV(coalesce(l.col, r.col), if (l.t == r.t) l.t else TAny)
+    case other => throw VrlCompileException(s"unknown operator $other")
+  }
+}

@@ -1,0 +1,271 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The VRL stdlib surface exposed to [[VrlCompiler]] — maps VRL function
+  * names onto the existing Column-level implementations in [[Vrl]] /
+  * [[Grok]] (reference: the function list under
+  * /root/reference/website/cue/reference/remap/functions/ and
+  * lib/vector-vrl — names and arities follow the published docs).
+  *
+  * Constant-requiring parameters (regex patterns, separators, formats)
+  * must be literal in the program text — same restriction the reference
+  * compiler enforces for e.g. parse_regex patterns.
+  */
+object VrlFunctions {
+  import VrlCompiler.{CV, TAny, TArr, TBool, TFloat, TInt, TMap, TObj, TStr, TTs, TVariant, VrlCompileException}
+
+  final case class Arg(cv: CV, literal: Option[Any])
+
+  private def str(a: Arg, fn: String, what: String): String = a.literal match {
+    case Some(s: String) => s
+    case _ => throw VrlCompileException(s"$fn: $what must be a string literal")
+  }
+  private def int(a: Arg, fn: String, what: String): Long = a.literal match {
+    case Some(i: Long) => i
+    case _ => throw VrlCompileException(s"$fn: $what must be an integer literal")
+  }
+
+  /** chrono strftime → java.time pattern for the common specifiers
+    * (VRL timestamps use strftime-style formats; Spark uses java.time).
+    */
+  private[functions] def strftimeToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt(i) == '%' && i + 1 < fmt.length) {
+        fmt(i + 1) match {
+          case 'Y' => sb.append("yyyy"); case 'y' => sb.append("yy")
+          case 'm' => sb.append("MM"); case 'd' => sb.append("dd")
+          case 'e' => sb.append("d")
+          case 'H' => sb.append("HH"); case 'M' => sb.append("mm")
+          case 'S' => sb.append("ss")
+          case 'b' | 'h' => sb.append("MMM"); case 'B' => sb.append("MMMM")
+          case 'a' => sb.append("EEE"); case 'A' => sb.append("EEEE")
+          case 'j' => sb.append("DDD")
+          case 'z' => sb.append("xx"); case 'Z' => sb.append("zz")
+          case 'T' => sb.append("HH:mm:ss")
+          case 'F' => sb.append("yyyy-MM-dd")
+          case '3' if i + 2 < fmt.length && fmt(i + 2) == 'f' =>
+            sb.append("SSS"); i += 1
+          case 'f' => sb.append("SSSSSS")
+          case '%' => sb.append('%')
+          case other => sb.append(other)
+        }
+        i += 2
+      } else {
+        // quote java-pattern-significant letters
+        if (fmt(i).isLetter) sb.append(s"'${fmt(i)}'") else sb.append(fmt(i))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  def apply(name: String, args: List[Arg], named: Map[String, Arg]): CV = {
+    def a(i: Int): Arg = args.lift(i).getOrElse(
+      throw VrlCompileException(s"$name: missing argument ${i + 1}"))
+    def c(i: Int): Column = a(i).cv.col
+    name match {
+      // ---- string ----
+      case "upcase" => CV(upper(c(0)), TStr)
+      case "downcase" => CV(lower(c(0)), TStr)
+      case "strip_whitespace" | "trim" => CV(trim(c(0)), TStr)
+      case "strip_ansi_escape_codes" => CV(Vrl.stripAnsiEscapeCodes(c(0)), TStr)
+      case "length" => a(0).cv.t match {
+        case TArr | TMap | TObj(_) => CV(size(c(0)).cast("long"), TInt)
+        case _ => CV(length(c(0)).cast("long"), TInt)
+      }
+      case "strlen" => CV(length(c(0)).cast("long"), TInt)
+      case "split" =>
+        val sep = str(a(1), name, "separator")
+        CV(split(c(0), java.util.regex.Pattern.quote(sep)), TArr)
+      case "join" =>
+        CV(array_join(c(0), str(a(1), name, "separator")), TStr)
+      case "replace" =>
+        // VRL string patterns are literal substrings (regex form uses
+        // r'..' which our parser surfaces as a plain string; callers
+        // needing regex use replace_regex below)
+        CV(org.apache.spark.sql.functions.replace(
+          c(0), lit(str(a(1), name, "pattern")), lit(str(a(2), name, "with"))), TStr)
+      case "replace_regex" =>
+        CV(regexp_replace(c(0), str(a(1), name, "pattern"), str(a(2), name, "with")), TStr)
+      case "contains" => CV(c(0).contains(c(1)), TBool)
+      case "starts_with" => CV(c(0).startsWith(c(1)), TBool)
+      case "ends_with" => CV(c(0).endsWith(c(1)), TBool)
+      case "slice" =>
+        val start = int(a(1), name, "start")
+        val end = args.lift(2).map(x => int(x, name, "end"))
+        end match {
+          case Some(e) => CV(substring(c(0), start.toInt + 1, (e - start).toInt), TStr)
+          case None => CV(c(0).substr(lit(start.toInt + 1), length(c(0))), TStr)
+        }
+      case "truncate" =>
+        CV(Vrl.truncate(c(0), int(a(1), name, "limit").toInt,
+          named.get("suffix").flatMap(_.literal).contains(true)), TStr)
+      case "snakecase" => CV(Vrl.snakecase(c(0)), TStr)
+      case "camelcase" => CV(Vrl.camelcase(c(0)), TStr)
+      case "pascalcase" => CV(Vrl.pascalcase(c(0)), TStr)
+      case "kebabcase" => CV(Vrl.kebabcase(c(0)), TStr)
+      case "screamingsnakecase" => CV(Vrl.screamingsnakecase(c(0)), TStr)
+      case "match" => CV(c(0).rlike(str(a(1), name, "pattern")), TBool)
+      case "find" =>
+        CV(Vrl.find(c(0), str(a(1), name, "pattern")), TStr)
+      case "levenshtein" => CV(levenshtein(c(0), c(1)).cast("long"), TInt)
+      case "format_number" =>
+        CV(format_number(c(0), int(a(1), name, "places").toInt), TStr)
+
+      // ---- parse ----
+      case "parse_json" => CV(parse_json(c(0)), TVariant)
+      case "parse_key_value" =>
+        val fs = named.get("field_delimiter").map(x => str(x, name, "field_delimiter")).getOrElse(" ")
+        val kv = named.get("key_value_delimiter").map(x => str(x, name, "key_value_delimiter")).getOrElse("=")
+        CV(Vrl.parseKeyValue(c(0), fs, kv), TMap)
+      case "parse_logfmt" => CV(Vrl.parseKeyValue(c(0)), TMap)
+      case "parse_syslog" => CV(Vrl.parseSyslog3164(c(0)), TAny)
+      case "parse_common_log" => CV(Vrl.parseCommonLog(c(0)), TAny)
+      case "parse_apache_log" =>
+        val fm = args.lift(1).map(x => str(x, name, "format")).getOrElse("common")
+        if (fm == "error") CV(Vrl.parseApacheErrorLog(c(0)), TAny)
+        else CV(Vrl.parseCommonLog(c(0)), TAny)
+      case "parse_nginx_log" => CV(Vrl.parseNginxLog(c(0)), TAny)
+      case "parse_glog" => CV(Vrl.parseGlog(c(0)), TAny)
+      case "parse_user_agent" => CV(Vrl.parseUserAgent(c(0)), TAny)
+      case "parse_query_string" => CV(Vrl.parseQueryString(c(0)), TMap)
+      case "parse_url" =>
+        CV(struct(
+          lower(parse_url(c(0), lit("PROTOCOL"))).as("scheme"),
+          parse_url(c(0), lit("HOST")).as("host"),
+          parse_url(c(0), lit("PATH")).as("path"),
+          parse_url(c(0), lit("QUERY")).as("query")), TAny)
+      case "parse_duration" =>
+        CV(Vrl.parseDurationSecs(c(0)), TFloat)
+      case "parse_int" =>
+        CV(c(0).try_cast("long"), TInt)
+      case "parse_float" =>
+        CV(c(0).try_cast("double"), TFloat)
+      case "parse_grok" =>
+        CV(Grok.parse(c(0), str(a(1), name, "pattern")), TAny)
+      case "parse_timestamp" =>
+        CV(to_timestamp(c(0), strftimeToJava(str(a(1), name, "format"))), TTs)
+      case "parse_regex" =>
+        // numbered capture groups exposed as g1, g2, ... (the published
+        // fn returns named captures; our RegexStruct names them)
+        val pat = str(a(1), name, "pattern")
+        val groups = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
+        CV(RegexStruct(c(0), pat, (1 to groups).map(i => s"g$i")), TAny)
+
+      // ---- coerce ----
+      case "to_int" => a(0).cv.t match {
+        case TBool => CV(c(0).cast("long"), TInt)
+        case TTs => CV(unix_timestamp(c(0)), TInt)
+        case TVariant => CV(try_variant_get(c(0), "$", "long"), TInt)
+        case _ => CV(c(0).try_cast("long"), TInt)
+      }
+      case "to_float" => a(0).cv.t match {
+        case TBool => CV(c(0).cast("int").cast("double"), TFloat)
+        case TVariant => CV(try_variant_get(c(0), "$", "double"), TFloat)
+        case _ => CV(c(0).try_cast("double"), TFloat)
+      }
+      case "to_string" => a(0).cv.t match {
+        case TVariant => CV(try_variant_get(c(0), "$", "string"), TStr)
+        case _ => CV(c(0).cast("string"), TStr)
+      }
+      case "to_bool" => CV(c(0).try_cast("boolean"), TBool)
+      case "is_null" => CV(c(0).isNull, TBool)
+      case "is_empty" => a(0).cv.t match {
+        case TArr | TMap => CV(size(c(0)) === 0, TBool)
+        case _ => CV(length(c(0)) === 0, TBool)
+      }
+      case "exists" => CV(c(0).isNotNull, TBool)
+
+      // ---- timestamp ----
+      case "now" => CV(current_timestamp(), TTs)
+      case "format_timestamp" =>
+        CV(date_format(c(0), strftimeToJava(str(a(1), name, "format"))), TStr)
+      case "to_unix_timestamp" =>
+        named.get("unit").flatMap(_.literal) match {
+          case Some("milliseconds") =>
+            CV((c(0).cast("double") * 1000).cast("long"), TInt)
+          case _ => CV(unix_timestamp(c(0)), TInt)
+        }
+      case "from_unix_timestamp" =>
+        named.get("unit").flatMap(_.literal) match {
+          case Some("milliseconds") => CV(timestamp_millis(c(0)), TTs)
+          case _ => CV(timestamp_seconds(c(0)), TTs)
+        }
+
+      // ---- crypto / encode ----
+      case "md5" => CV(md5(c(0).cast("binary")), TStr)
+      case "sha1" => CV(sha1(c(0).cast("binary")), TStr)
+      case "sha2" =>
+        val bits = named.get("variant").flatMap(_.literal) match {
+          case Some("SHA-224") => 224
+          case Some("SHA-384") => 384
+          case Some("SHA-512") => 512
+          case _ => 256
+        }
+        CV(sha2(c(0).cast("binary"), bits), TStr)
+      case "crc" => CV(crc32(c(0).cast("binary")).cast("string"), TStr)
+      case "seahash" | "xxhash" => CV(xxhash64(c(0)), TInt)
+      case "hmac" =>
+        CV(Vrl.hmacSha256(str(a(1), name, "key"), c(0)), TStr)
+      case "encode_base64" => CV(base64(c(0).cast("binary")), TStr)
+      case "decode_base64" => CV(unbase64(c(0)).cast("string"), TStr)
+      case "encode_json" => CV(to_json(c(0)), TStr)
+      case "encode_percent" => CV(url_encode(c(0)), TStr)
+      case "decode_percent" => CV(url_decode(c(0)), TStr)
+      case "encode_logfmt" => CV(Vrl.encodeLogfmt(c(0)), TStr)
+      case "encode_key_value" => CV(Vrl.encodeKeyValue(c(0)), TStr)
+      case "encode_gzip" => CV(Vrl.encodeGzip(c(0).cast("binary")), TAny)
+      case "decode_gzip" => CV(Vrl.decodeGzip(c(0)).cast("string"), TStr)
+      case "encode_zlib" => CV(Vrl.encodeZlib(c(0).cast("binary")), TAny)
+      case "decode_zlib" => CV(Vrl.decodeZlib(c(0)).cast("string"), TStr)
+
+      // ---- ip ----
+      case "ip_aton" | "ip_to_int" => CV(Vrl.ipAton(c(0)), TInt)
+      case "ip_ntoa" => CV(Vrl.ipNtoa(c(0)), TStr)
+      case "ip_cidr_contains" =>
+        CV(Vrl.ipCidrContains(str(a(0), name, "cidr"), c(1)), TBool)
+      case "ip_subnet" =>
+        CV(Vrl.ipSubnet(c(0), int(a(1), name, "prefix").toInt), TStr)
+
+      // ---- number ----
+      case "round" =>
+        CV(round(c(0), args.lift(1).map(x => int(x, name, "precision").toInt).getOrElse(0)),
+          a(0).cv.t)
+      case "floor" =>
+        CV(Vrl.floorNum(c(0), args.lift(1).map(x => int(x, name, "precision").toInt).getOrElse(0)), TFloat)
+      case "ceil" =>
+        CV(Vrl.ceilNum(c(0), args.lift(1).map(x => int(x, name, "precision").toInt).getOrElse(0)), TFloat)
+      case "abs" => CV(abs(c(0)), a(0).cv.t)
+      case "mod" => CV(try_mod(c(0), c(1)), a(0).cv.t)
+
+      // ---- array / map ----
+      case "push" => CV(array_append(c(0), c(1)), TArr)
+      case "append" => CV(concat(c(0), c(1)), TArr)
+      case "flatten" => a(0).cv.t match {
+        case TArr => CV(flatten(c(0)), TArr)
+        case _ => CV(c(0), a(0).cv.t)
+      }
+      case "unique" => CV(array_distinct(c(0)), TArr)
+      case "includes" => CV(array_contains(c(0), c(1)), TBool)
+      case "chunks" => CV(Vrl.chunks(c(0), int(a(1), name, "size").toInt), TArr)
+      case "merge" => CV(map_concat(c(0), c(1)), TMap)
+      case "keys" => CV(map_keys(c(0)), TArr)
+      case "values" => CV(map_values(c(0)), TArr)
+      case "get" =>
+        // get(value, ["a","b"]) — path as literal array unsupported in
+        // general; single-key form only
+        CV(element_at(c(0), c(1)), TAny)
+
+      // ---- random / id (excluded from oracle programs) ----
+      case "uuid_v4" => CV(expr("uuid()"), TStr)
+      case "random_float" => CV(rand(), TFloat)
+
+      case other =>
+        throw VrlCompileException(s"unknown function: $other")
+    }
+  }
+}

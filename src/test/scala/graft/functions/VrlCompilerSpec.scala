@@ -1,0 +1,190 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** End-to-end VRL source → Column compilation, mirroring the reference's
+  * remap/VRL examples (website/cue/reference/remap/expressions/ and
+  * lib/vector-vrl/tests/tests/example.vrl).
+  */
+class VrlCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    (1L, "click", 42.5, "alice", """{"k": 7}"""),
+    (2L, "error", 7.25, "bob", """{"k": 9}"""),
+    (3L, "view", 99.0, null, """{"k": 11}""")
+  ).toDF("id", "etype", "value", "user", "props")
+
+  test("example.vrl shape: assignment, ?? coalesce, arithmetic") {
+    // mirror of lib/vector-vrl/tests/tests/example.vrl over typed fields
+    val out = VrlCompiler.run(events,
+      """
+        |.foo = "test"
+        |.bar = "foo"
+        |.baz = (to_int(.user) ?? 0) + 4
+        |""".stripMargin)
+    val r = out.primary.orderBy("id").collect()
+    assert(r.map(_.getAs[String]("foo")).toSeq == Seq("test", "test", "test"))
+    // to_int("alice") fails -> null -> ?? 0 -> + 4
+    assert(r.map(_.getAs[Long]("baz")).toSeq == Seq(4L, 4L, 4L))
+    assert(out.dropped.count() == 0)
+  }
+
+  test("if / else if / else over fields") {
+    val out = VrlCompiler.run(events,
+      """
+        |if .value >= 90.0 { .tier = "high" }
+        |else if .value >= 40.0 { .tier = "mid" }
+        |else { .tier = "low" }
+        |""".stripMargin)
+    assert(out.primary.orderBy("id").collect()
+      .map(_.getAs[String]("tier")).toSeq == Seq("mid", "low", "high"))
+  }
+
+  test("abort drops the event and keeps the original downstream") {
+    val out = VrlCompiler.run(events,
+      """
+        |.marked = true
+        |if .etype == "error" { abort }
+        |.etype = upcase(.etype)
+        |""".stripMargin)
+    val prim = out.primary.orderBy("id").collect()
+    assert(prim.map(_.getAs[String]("etype")).toSeq == Seq("CLICK", "VIEW"))
+    // dropped output carries the ORIGINAL event (no .marked column)
+    val dropped = out.dropped.collect()
+    assert(dropped.map(_.getAs[String]("etype")).toSeq == Seq("error"))
+    assert(!out.dropped.columns.contains("marked"))
+  }
+
+  test("fallible call with ! routes errored rows to dropped") {
+    val out = VrlCompiler.run(events, ".unum = to_int!(.user)")
+    // every .user fails to parse as int ("alice"/"bob"/null)
+    assert(out.primary.count() == 0)
+    assert(out.dropped.count() == 3)
+  }
+
+  test("error-coalescing assignment captures instead of dropping") {
+    val out = VrlCompiler.run(events,
+      """
+        |.unum, .uerr = to_int(.user)
+        |""".stripMargin)
+    val r = out.primary.orderBy("id").collect()
+    assert(out.dropped.count() == 0)
+    assert(r.map(_.getAs[Boolean]("uerr")).toSeq == Seq(true, true, true))
+  }
+
+  test("variables, del, exists") {
+    val out = VrlCompiler.run(events,
+      """
+        |tmp = upcase(.etype)
+        |.loud = tmp + "!"
+        |.has_user = exists(.user)
+        |del(.props)
+        |""".stripMargin)
+    val r = out.primary.orderBy("id").collect()
+    assert(r.map(_.getAs[String]("loud")).toSeq == Seq("CLICK!", "ERROR!", "VIEW!"))
+    assert(r.map(_.getAs[Boolean]("has_user")).toSeq == Seq(true, true, false))
+    assert(!out.primary.columns.contains("props"))
+  }
+
+  test("string ops, numeric ops, hash functions") {
+    val out = VrlCompiler.run(events,
+      """
+        |.et3 = slice(.etype, 0, 3)
+        |.vr = round(.value / 10.0, 1)
+        |.digest = md5(.etype)
+        |.parts = split("a,b,c", ",")
+        |.n = length(.parts)
+        |""".stripMargin)
+    val r = out.primary.orderBy("id").collect()
+    assert(r.head.getAs[String]("et3") == "cli")
+    assert(r.head.getAs[Double]("vr") == 4.3)
+    assert(r.head.getAs[String]("digest") ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("click".getBytes).map("%02x".format(_)).mkString)
+    assert(r.head.getAs[Long]("n") == 3L)
+  }
+
+  test("parse_json + dynamic path access (variant)") {
+    val out = VrlCompiler.run(events,
+      """
+        |.parsed = parse_json!(.props)
+        |.k = to_int(.parsed.k)
+        |""".stripMargin)
+    val r = out.primary.orderBy("id").collect()
+    assert(r.map(_.getAs[Long]("k")).toSeq == Seq(7L, 9L, 11L))
+  }
+
+  test("nested path assignment builds structs") {
+    val out = VrlCompiler.run(events,
+      """
+        |.meta.source = "graft"
+        |.meta.version = 5
+        |""".stripMargin)
+    val r = out.primary.orderBy("id").collect().head
+    val meta = r.getAs[Row]("meta")
+    assert(meta.getAs[String]("source") == "graft")
+    assert(meta.getAs[Long]("version") == 5L)
+  }
+
+  test("if as expression") {
+    val out = VrlCompiler.run(events,
+      """
+        |.cls = if .value > 50.0 { "big" } else { "small" }
+        |""".stripMargin)
+    assert(out.primary.orderBy("id").collect()
+      .map(_.getAs[String]("cls")).toSeq == Seq("small", "small", "big"))
+  }
+
+  test("timestamp format roundtrip (strftime mapping)") {
+    val df = Seq((1L, "2024-03-05 10:30:00")).toDF("id", "raw")
+    val out = VrlCompiler.run(df,
+      """
+        |.ts = parse_timestamp!(.raw, "%Y-%m-%d %H:%M:%S")
+        |.day = format_timestamp!(.ts, "%Y-%m-%d")
+        |.hour = format_timestamp!(.ts, "%H")
+        |""".stripMargin)
+    val r = out.primary.collect().head
+    assert(r.getAs[String]("day") == "2024-03-05")
+    assert(r.getAs[String]("hour") == "10")
+  }
+
+  test("abort inside else-if chain and comparison chain") {
+    val out = VrlCompiler.run(events,
+      """
+        |if .value < 10.0 { abort }
+        |else if .value < 50.0 { .band = "mid" }
+        |else { .band = "top" }
+        |""".stripMargin)
+    val prim = out.primary.orderBy("id").collect()
+    assert(prim.map(_.getAs[String]("band")).toSeq == Seq("mid", "top"))
+    assert(out.dropped.collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
+  }
+
+  test("array and object literals") {
+    val out = VrlCompiler.run(events,
+      """
+        |.arr = [1, 2, 3]
+        |.obj = { "a": 1, "b": "two" }
+        |.first = .arr[0]
+        |.bval = .obj.b
+        |""".stripMargin)
+    val r = out.primary.orderBy("id").collect().head
+    assert(r.getSeq[Long](r.fieldIndex("arr")).toSeq == Seq(1L, 2L, 3L))
+    assert(r.getAs[Long]("first") == 1L)
+    assert(r.getAs[String]("bval") == "two")
+  }
+
+  test("parse error surfaces as VrlParseException") {
+    intercept[VrlParser.VrlParseException] {
+      VrlCompiler.compile(events.schema, ".x = @bad")
+    }
+  }
+
+  test("unknown function surfaces as compile exception") {
+    intercept[VrlCompiler.VrlCompileException] {
+      VrlCompiler.compile(events.schema, ".x = no_such_fn(.etype)")
+    }
+  }
+}
