@@ -382,6 +382,51 @@ object TransformQueries {
         .orderBy(col("event_id"), col("origin"))
     },
 
+    // same DAG as `topology`, but built by the YAML config loader with
+    // VRL-compiled transform bodies (plans/ConfigLoader.scala)
+    "topology_yaml" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  events:
+          |    type: parquet
+          |    table: events
+          |transforms:
+          |  remap:
+          |    type: remap
+          |    inputs: [events]
+          |    source: |
+          |      .severity = if .event_type == "error" { 3 } else { 6 }
+          |  route:
+          |    type: route
+          |    inputs: [remap]
+          |    route:
+          |      error: '.event_type == "error"'
+          |      rest: '.event_type != "error"'
+          |  tag_err:
+          |    type: remap
+          |    inputs: [route.error]
+          |    source: |
+          |      .origin = "error"
+          |  high:
+          |    type: filter
+          |    inputs: [route.rest]
+          |    condition: '.value > 150.0'
+          |  tag_high:
+          |    type: remap
+          |    inputs: [high]
+          |    source: |
+          |      .origin = "high"
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [tag_err, tag_high]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("event_id"), col("severity"), col("origin"))
+        .orderBy(col("event_id"), col("origin"))
+    },
+
     "condition_search" -> { (s, dir) =>
       // Datadog-search-style condition (SURVEY §2.2): facet equality,
       // wildcard LIKE, regex, numeric range — compiled to Column predicates
@@ -653,6 +698,15 @@ object TransformQueries {
         |  WHERE event_type = 'error'
         |  UNION ALL
         |  SELECT event_id, 6, 'high' FROM events
+        |  WHERE event_type <> 'error' AND value > 150.0)
+        |ORDER BY event_id, origin""".stripMargin,
+
+    "topology_yaml" ->
+      """SELECT event_id, severity, origin FROM (
+        |  SELECT event_id, CAST(3 AS BIGINT) AS severity, 'error' AS origin
+        |  FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT event_id, CAST(6 AS BIGINT), 'high' FROM events
         |  WHERE event_type <> 'error' AND value > 150.0)
         |ORDER BY event_id, origin""".stripMargin,
 

@@ -76,25 +76,33 @@ object VrlCompiler {
   }
 
   /** Compilation result: the output event fields (in stable order),
-    * plus the drop predicate (abort or fallible-call error).
+    * plus separate abort and fallible-error predicates so callers can
+    * honor the reference's drop_on_abort / drop_on_error flags
+    * independently (remap.rs:128-155).
     */
-  final case class Compiled(fields: Seq[(String, Column)], dropCond: Column)
+  final case class Compiled(fields: Seq[(String, Column)],
+                            abortCond: Column, errCond: Column) {
+    def dropCond: Column = abortCond || errCond
+  }
 
   /** Environment: event fields + local variables + the drop predicate,
     * all immutable so `if` branches can fork and phi-merge.
     */
   private final case class Env(fields: ListMap[String, CV],
                                vars: Map[String, CV],
-                               drop: Column)
+                               aborted: Column, errored: Column) {
+    def withError(c: Column): Env = copy(errored = errored || c)
+  }
 
   def compile(schema: StructType, source: String): Compiled = {
     val program = VrlParser.parse(source)
     val init = Env(
       ListMap(schema.fields.map(f => f.name -> CV(col(f.name), vtOf(f.dataType))): _*),
       Map.empty,
-      lit(false))
+      lit(false), lit(false))
     val end = program.stmts.foldLeft(init)(stmt)
-    Compiled(end.fields.map { case (n, cv) => (n, cv.col) }.toSeq, end.drop)
+    Compiled(end.fields.map { case (n, cv) => (n, cv.col) }.toSeq,
+      end.aborted, end.errored)
   }
 
   /** Compile against a DataFrame and split into remap-style outputs:
@@ -109,10 +117,47 @@ object VrlCompiler {
       df.filter(!keep))
   }
 
+  /** Like [[run]] but honoring the reference remap flags: a predicate
+    * that is "off" forwards the affected rows UNMODIFIED on the primary
+    * output instead of dropping them (abort always discards the
+    * program's modifications; drop_on_abort only decides routing —
+    * remap.rs:128-155 and tests/behavior/transforms/remap.yaml
+    * remap_abort / remap_abort_drop_on_abort).
+    */
+  def runWith(df: DataFrame, source: String,
+              dropOnError: Boolean, dropOnAbort: Boolean): graft.operators.Remap.Outputs = {
+    val c = compile(df.schema, source)
+    val affected = coalesce(c.dropCond, lit(false))
+    val dropped = coalesce(
+      (if (dropOnAbort) c.abortCond else lit(false)) ||
+        (if (dropOnError) c.errCond else lit(false)), lit(false))
+    val transformed =
+      df.filter(!affected).select(c.fields.map { case (n, e) => e.as(n) }: _*)
+    val forwarded = df.filter(affected && !dropped)
+    graft.operators.Remap.Outputs(
+      transformed.unionByName(forwarded, allowMissingColumns = true),
+      df.filter(dropped))
+  }
+
+  /** Compile a VRL boolean condition (`condition.type: vrl` in filter /
+    * route / unit-test configs, src/conditions/vrl.rs): the program's
+    * final expression is the predicate; leading statements (variable
+    * bindings etc.) are allowed, field/var assignments take no effect
+    * outside the condition.
+    */
+  def condition(schema: StructType, source: String): Column = {
+    val program = VrlParser.parse(source)
+    val init = Env(
+      ListMap(schema.fields.map(f => f.name -> CV(col(f.name), vtOf(f.dataType))): _*),
+      Map.empty,
+      lit(false), lit(false))
+    block(init, Block(program.stmts))._2.col
+  }
+
   // ---------------- statements ----------------
 
   private def stmt(env: Env, s: Stmt): Env = s match {
-    case AbortS(_) => env.copy(drop = lit(true))
+    case AbortS(_) => env.copy(aborted = lit(true))
 
     case Assign(target, errT, value) =>
       val (v, errCond) = expr(env, value)
@@ -123,7 +168,7 @@ object VrlCompiler {
       }
       // a bang-call error drops the row (drop_on_error) UNLESS the
       // statement captures the error (`v, err =` form is infallible)
-      if (errT.isEmpty) errCond.foldLeft(out)((e, c) => e.copy(drop = e.drop || c))
+      if (errT.isEmpty) errCond.foldLeft(out)((e, c) => e.withError(c))
       else out
 
     case ExprStmt(IfE(branches, elseB)) => compileIf(env, branches, elseB)._1
@@ -133,7 +178,7 @@ object VrlCompiler {
 
     case ExprStmt(e) =>
       val (_, errCond) = expr(env, e)
-      errCond.foldLeft(env)((en, c) => en.copy(drop = en.drop || c))
+      errCond.foldLeft(env)((en, c) => en.withError(c))
   }
 
   private def assign(env: Env, t: Target, v: CV): Env = t match {
@@ -208,10 +253,13 @@ object VrlCompiler {
     val mergedFields = phi(_.fields, fieldKeys)
     val mergedVars = phi(_.vars, varKeys)
 
-    val mergedDrop = conds.zip(arms.map(_._1.drop)).foldRight(
-      elseArm.map(_._1.drop).getOrElse(env.drop)) {
-      case ((c, d), acc) => when(coalesce(c, lit(false)), d).otherwise(acc)
-    }
+    def mergeCond(sel: Env => Column): Column =
+      conds.zip(arms.map(a => sel(a._1))).foldRight(
+        elseArm.map(a => sel(a._1)).getOrElse(sel(env))) {
+        case ((c, d), acc) => when(coalesce(c, lit(false)), d).otherwise(acc)
+      }
+    val mergedAbort = mergeCond(_.aborted)
+    val mergedError = mergeCond(_.errored)
 
     // preserve original field ordering, append new fields in first-seen order
     val orderedFields = ListMap(fieldKeys.map(k => k -> mergedFields(k)): _*)
@@ -225,7 +273,7 @@ object VrlCompiler {
       CV(c, armVs.headOption.map(_.t).getOrElse(TAny))
     }
 
-    (Env(orderedFields, mergedVars, mergedDrop), value)
+    (Env(orderedFields, mergedVars, mergedAbort, mergedError), value)
   }
 
   /** A block evaluates its statements in order; its value is the value
@@ -240,7 +288,7 @@ object VrlCompiler {
         cur = e2; last = v
       case ExprStmt(e) =>
         val (v, errCond) = expr(cur, e)
-        cur = errCond.foldLeft(cur)((en, c) => en.copy(drop = en.drop || c))
+        cur = errCond.foldLeft(cur)((en, c) => en.withError(c))
         last = v
       case other =>
         cur = stmt(cur, other)

@@ -1,0 +1,261 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** YAML config loader + behavior-test runner — the reference's
+  * config-driven entry point re-expressed over [[Topology]].
+  *
+  * Reference: /root/reference/src/config/loading/mod.rs:144 (load →
+  * compile), src/config/compiler.rs:11 (sources/transforms/sinks maps
+  * with `inputs` edges), and the unit-test semantics of
+  * src/unit_test.rs:163 (`insert_at` feeds synthetic events into a
+  * transform, `extract_from` asserts VRL conditions on its output,
+  * `no_outputs_from` asserts emptiness) as exercised by the published
+  * tests/behavior/transforms/{filter,remap,dedupe,route}.yaml format.
+  *
+  * Spark-first: a parsed config builds the same [[Topology.Component]]
+  * DAG the Scala DSL builds — transform bodies compile through
+  * [[graft.functions.VrlCompiler]] to Column expressions, so a YAML
+  * pipeline is still ONE Catalyst plan per sink.
+  */
+object ConfigLoader {
+  import graft.functions.VrlCompiler
+
+  // ---------------- YAML → components ----------------
+
+  private def yamlMap(v: Any): Map[String, Any] = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> (x: Any) }.toMap
+    case null => Map.empty
+    case other =>
+      throw new IllegalArgumentException(s"expected mapping, got $other")
+  }
+  private def yamlList(v: Any): List[Any] = v match {
+    case l: java.util.List[_] => l.asScala.toList.map(x => x: Any)
+    case s: Seq[_] => s.toList.map(x => x: Any) // scala-side defaults
+    case null => Nil
+    case other => List(other)
+  }
+  private def strList(v: Any): Seq[String] = yamlList(v).map(_.toString)
+
+  def parseYaml(text: String): Map[String, Any] =
+    yamlMap(new org.yaml.snakeyaml.Yaml().load[Any](text))
+
+  /** The `condition:` shape — either a bare VRL string or
+    * `{type: vrl, source: ...}` (src/conditions/mod.rs).
+    */
+  private def conditionSource(v: Any): String = v match {
+    case s: String => s
+    case m: java.util.Map[_, _] =>
+      val mm = yamlMap(m)
+      mm.getOrElse("type", "vrl") match {
+        case "vrl" => mm("source").toString
+        case other =>
+          throw new IllegalArgumentException(s"unsupported condition type $other")
+      }
+    case other =>
+      throw new IllegalArgumentException(s"bad condition: $other")
+  }
+
+  private def boolOpt(m: Map[String, Any], key: String, default: Boolean): Boolean =
+    m.get(key).map(_.toString.toBoolean).getOrElse(default)
+
+  /** Build one Transform component from its YAML table
+    * (src/transforms/mod.rs type registry — the supported subset).
+    */
+  def transformOf(id: String, conf: Map[String, Any]): Topology.Transform = {
+    val inputs = strList(conf.getOrElse("inputs", Nil))
+    conf.getOrElse("type", "").toString match {
+      case "remap" =>
+        val source = conf("source").toString
+        val dropOnError = boolOpt(conf, "drop_on_error", default = false)
+        val dropOnAbort = boolOpt(conf, "drop_on_abort", default = true)
+        Topology.Transform(id, inputs, Topology.Any, Topology.Any, df => {
+          val out = VrlCompiler.runWith(df, source, dropOnError, dropOnAbort)
+          Map("" -> out.primary, "dropped" -> out.dropped)
+        })
+      case "filter" =>
+        val source = conditionSource(conf("condition"))
+        Topology.Transform.simple(id, inputs, df =>
+          df.filter(coalesce(VrlCompiler.condition(df.schema, source), lit(false))))
+      case "route" =>
+        val routes = yamlMap(conf("route")).toSeq.map { case (port, c) =>
+          port -> conditionSource(c)
+        }
+        Topology.Transform(id, inputs, Topology.Any, Topology.Any, df => {
+          val compiled = routes.map { case (p, src) =>
+            p -> VrlCompiler.condition(df.schema, src)
+          }
+          graft.operators.Route(df, compiled)
+        })
+      case "exclusive_route" =>
+        val routes = yamlList(conf("routes")).map(yamlMap).map { m =>
+          m("name").toString -> conditionSource(m("condition"))
+        }
+        Topology.Transform(id, inputs, Topology.Any, Topology.Any, df => {
+          val compiled = routes.map { case (p, src) =>
+            p -> VrlCompiler.condition(df.schema, src)
+          }
+          graft.operators.Route.exclusive(df, compiled)
+        })
+      case "dedupe" =>
+        val fieldsConf = yamlMap(conf.getOrElse("fields", null))
+        val matches = strList(fieldsConf.getOrElse("match", Nil))
+        Topology.Transform.simple(id, inputs, df => {
+          // first-seen-wins needs a deterministic order; behavior inputs
+          // carry __seq, batch tables fall back to any-representative
+          if (df.columns.contains("__seq"))
+            graft.operators.Dedupe(df, matches, col("__seq"))
+          else graft.operators.Dedupe.any(df, matches)
+        })
+      case "sample" =>
+        val rate = conf.getOrElse("rate", "10").toString.toInt
+        val keyField = conf.get("key_field").map(_.toString)
+        Topology.Transform.simple(id, inputs, df =>
+          graft.operators.Sample.byKey(df,
+            keyField.map(col).getOrElse(monotonically_increasing_id()), rate))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported transform type: $other")
+    }
+  }
+
+  /** Load a full topology config: sources read the driver-provided
+    * parquet tables (`type: parquet`, `table: <name>`), transforms via
+    * [[transformOf]], sinks become named outputs.
+    */
+  def load(spark: SparkSession, yaml: String, sfDir: String): Topology.Built = {
+    val conf = parseYaml(yaml)
+    val sources = yamlMap(conf.getOrElse("sources", null)).map { case (id, v) =>
+      val m = yamlMap(v)
+      m.getOrElse("type", "").toString match {
+        case "parquet" | "file" =>
+          val table = m.getOrElse("table", id).toString
+          Topology.Source(id, Topology.Log,
+            sp => graft.Graft.table(sp, sfDir, table))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported source type: $other")
+      }
+    }.toSeq
+    val transforms = yamlMap(conf.getOrElse("transforms", null)).map {
+      case (id, v) => transformOf(id, yamlMap(v))
+    }.toSeq
+    val sinks = yamlMap(conf.getOrElse("sinks", null)).map { case (id, v) =>
+      val m = yamlMap(v)
+      Topology.Sink(id, strList(m.getOrElse("inputs", Nil)), Topology.Any)
+    }.toSeq
+    Topology.build(spark, sources ++ transforms ++ sinks)
+  }
+
+  // ---------------- behavior-test runner ----------------
+
+  final case class TestResult(name: String, failures: Seq[String]) {
+    def passed: Boolean = failures.isEmpty
+  }
+
+  /** Run a behavior YAML (transforms + tests): for each test, inject the
+    * `inputs` events at their `insert_at` transforms, evaluate the
+    * config DAG, and check `outputs` conditions / `no_outputs_from`
+    * (unit_test.rs:163 semantics).
+    */
+  def runBehavior(spark: SparkSession, yaml: String): Seq[TestResult] = {
+    val conf = parseYaml(yaml)
+    val transformConfs = yamlMap(conf.getOrElse("transforms", null))
+      .map { case (id, v) => id -> yamlMap(v) }
+    val tests = yamlList(conf.getOrElse("tests", Nil)).map(yamlMap)
+
+    tests.map { t =>
+      val name = t.getOrElse("name", "unnamed").toString
+      val failures = Seq.newBuilder[String]
+
+      // events per insert_at point
+      val inputs = yamlList(t.getOrElse("inputs", Nil)).map(yamlMap)
+      val byInsert = inputs.zipWithIndex.groupBy(_._1("insert_at").toString)
+
+      def inputDf(rows: List[(Map[String, Any], Int)]): DataFrame = {
+        val fieldMaps = rows.map { case (m, seq) =>
+          val fields = m.get("log_fields").map(yamlMap).getOrElse(
+            Map("message" -> m.getOrElse("value", "")))
+          (fields, seq)
+        }
+        val keys = fieldMaps.flatMap(_._1.keys).distinct
+        def sparkType(vs: Seq[Any]): DataType = vs.collectFirst {
+          case _: java.lang.Integer | _: java.lang.Long => LongType
+          case _: java.lang.Double | _: java.math.BigDecimal => DoubleType
+          case _: java.lang.Boolean => BooleanType
+          case _: String => StringType
+        }.getOrElse(StringType)
+        val schema = StructType(
+          keys.map(k => StructField(k,
+            sparkType(fieldMaps.flatMap(_._1.get(k))))) :+
+            StructField("__seq", LongType))
+        val data = fieldMaps.map { case (m, seq) =>
+          Row.fromSeq(keys.map { k =>
+            (m.get(k), schema(k).dataType) match {
+              case (Some(v: java.lang.Integer), LongType) => v.longValue()
+              case (Some(v: java.lang.Long), LongType) => v.longValue()
+              case (Some(v: java.math.BigDecimal), DoubleType) => v.doubleValue()
+              case (Some(v: java.lang.Double), DoubleType) => v.doubleValue()
+              case (Some(v), StringType) => v.toString
+              case (Some(v), _) => v
+              case (None, _) => null
+            }
+          } :+ seq.toLong)
+        }
+        spark.createDataFrame(data.asJava, schema)
+      }
+
+      // components: one source per insert point; transforms with their
+      // declared inputs, except insert_at targets read the injected
+      // source and refs to undefined components resolve to nothing
+      val sourceIds = byInsert.keys.toSeq
+      val comps: Seq[Topology.Component] =
+        sourceIds.map(id => Topology.Source(s"__in_$id", Topology.Any, {
+          val df = inputDf(byInsert(id))
+          _ => df
+        })) ++
+        transformConfs.map { case (id, tc) =>
+          val base = transformOf(id, tc)
+          val declared = base.inputs.filter(r =>
+            transformConfs.contains(r.split("\\.", 2)(0)))
+          val ins = (if (byInsert.contains(id)) Seq(s"__in_$id") else Nil) ++ declared
+          base.copy(inputs = if (ins.isEmpty) Seq("__void") else ins)
+        } ++
+        Seq(Topology.Source("__void", Topology.Any,
+          sp => sp.createDataFrame(
+            new java.util.ArrayList[Row](),
+            StructType(Seq(StructField("__seq", LongType))))))
+
+      // probe sinks for every referenced output
+      val outputs = yamlList(t.getOrElse("outputs", Nil)).map(yamlMap)
+      val noOut = strList(t.getOrElse("no_outputs_from", Nil))
+      val probeRefs = (outputs.map(_("extract_from").toString) ++ noOut).distinct
+      val sinks = probeRefs.zipWithIndex.map { case (ref, i) =>
+        Topology.Sink(s"__probe_$i", Seq(ref), Topology.Any)
+      }
+      val probeOf = probeRefs.zipWithIndex.toMap
+
+      val built = Topology.build(spark, comps ++ sinks)
+
+      outputs.foreach { o =>
+        val ref = o("extract_from").toString
+        val df = built.sink(s"__probe_${probeOf(ref)}")
+        val conds = yamlList(o.getOrElse("conditions", Nil))
+          .map(c => conditionSource(c))
+        val pred = conds
+          .map(src => coalesce(VrlCompiler.condition(df.schema, src), lit(false)))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        if (df.filter(pred).isEmpty)
+          failures += s"no row from '$ref' matched: ${conds.mkString(" && ")}"
+      }
+      noOut.foreach { ref =>
+        val df = built.sink(s"__probe_${probeOf(ref)}")
+        if (!df.isEmpty) failures += s"expected no output from '$ref'"
+      }
+
+      TestResult(name, failures.result())
+    }
+  }
+}

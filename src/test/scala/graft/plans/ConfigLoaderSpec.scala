@@ -1,0 +1,233 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Behavior-YAML runner spec — files follow the reference's published
+  * unit-test format (tests/behavior/transforms/{filter,remap,dedupe,
+  * route}.yaml shape: insert_at / extract_from / no_outputs_from with
+  * VRL conditions; src/unit_test.rs:163).
+  */
+class ConfigLoaderSpec extends SparkSpec {
+
+  private def runAll(yaml: String): Unit = {
+    val results = ConfigLoader.runBehavior(spark, yaml)
+    assert(results.nonEmpty)
+    val failed = results.filterNot(_.passed)
+    assert(failed.isEmpty,
+      failed.map(r => s"${r.name}: ${r.failures.mkString("; ")}").mkString("\n"))
+  }
+
+  test("filter behavior: vrl conditions pass/drop events") {
+    runAll(
+      """
+        |transforms:
+        |  keep_high:
+        |    inputs: ["ignored"]
+        |    type: "filter"
+        |    condition:
+        |      type: "vrl"
+        |      source: |
+        |        v = .value
+        |        v > 100
+        |tests:
+        |  - name: "passes above threshold"
+        |    inputs:
+        |      - insert_at: "keep_high"
+        |        type: "log"
+        |        log_fields:
+        |          message: "m1"
+        |          value: 150
+        |    outputs:
+        |      - extract_from: "keep_high"
+        |        conditions:
+        |          - type: "vrl"
+        |            source: '.message == "m1" && .value == 150'
+        |  - name: "drops below threshold"
+        |    no_outputs_from:
+        |      - "keep_high"
+        |    inputs:
+        |      - insert_at: "keep_high"
+        |        type: "log"
+        |        log_fields:
+        |          message: "m2"
+        |          value: 10
+        |""".stripMargin)
+  }
+
+  test("remap behavior: assignment, abort flags") {
+    runAll(
+      """
+        |transforms:
+        |  set_fields:
+        |    inputs: []
+        |    type: remap
+        |    source: |
+        |      .tag = upcase(.message) + "!"
+        |      .n = .value * 2
+        |  abort_drop:
+        |    inputs: []
+        |    type: remap
+        |    drop_on_abort: true
+        |    source: |
+        |      .foo = false
+        |      abort
+        |  abort_forward:
+        |    inputs: []
+        |    type: remap
+        |    drop_on_abort: false
+        |    source: |
+        |      .foo = false
+        |      abort
+        |tests:
+        |  - name: "assignments apply"
+        |    inputs:
+        |      - insert_at: "set_fields"
+        |        type: log
+        |        log_fields:
+        |          message: "hi"
+        |          value: 21
+        |    outputs:
+        |      - extract_from: "set_fields"
+        |        conditions:
+        |          - type: vrl
+        |            source: '.tag == "HI!" && .n == 42'
+        |  - name: "abort with drop_on_abort drops"
+        |    no_outputs_from: ["abort_drop"]
+        |    inputs:
+        |      - insert_at: "abort_drop"
+        |        type: log
+        |        log_fields:
+        |          message: "x"
+        |  - name: "abort without drop forwards the unmodified event"
+        |    inputs:
+        |      - insert_at: "abort_forward"
+        |        type: log
+        |        log_fields:
+        |          message: "x"
+        |    outputs:
+        |      - extract_from: "abort_forward"
+        |        conditions:
+        |          - type: vrl
+        |            source: '.message == "x" && is_null(.foo)'
+        |""".stripMargin)
+  }
+
+  test("dedupe behavior: first event per match key wins") {
+    runAll(
+      """
+        |transforms:
+        |  dd:
+        |    inputs: []
+        |    type: "dedupe"
+        |    fields:
+        |      match:
+        |        - "a"
+        |tests:
+        |  - name: "duplicate key collapses to first"
+        |    inputs:
+        |      - insert_at: "dd"
+        |        type: "log"
+        |        log_fields:
+        |          a: 1
+        |          b: 2
+        |      - insert_at: "dd"
+        |        type: "log"
+        |        log_fields:
+        |          a: 1
+        |          b: 3
+        |      - insert_at: "dd"
+        |        type: "log"
+        |        log_fields:
+        |          a: 2
+        |          b: 4
+        |    outputs:
+        |      - extract_from: "dd"
+        |        conditions:
+        |          - type: "vrl"
+        |            source: ".a == 1 && .b == 2"
+        |      - extract_from: "dd"
+        |        conditions:
+        |          - type: "vrl"
+        |            source: ".a == 2 && .b == 4"
+        |""".stripMargin)
+  }
+
+  test("route behavior: every-match ports + chained transform") {
+    runAll(
+      """
+        |transforms:
+        |  rt:
+        |    inputs: []
+        |    type: "route"
+        |    route:
+        |      hot: '.level == "error"'
+        |      big: ".size > 100"
+        |  tag_hot:
+        |    inputs: ["rt.hot"]
+        |    type: remap
+        |    source: |
+        |      .via = "hot"
+        |tests:
+        |  - name: "event routed to both matching ports"
+        |    inputs:
+        |      - insert_at: "rt"
+        |        type: log
+        |        log_fields:
+        |          level: "error"
+        |          size: 150
+        |    outputs:
+        |      - extract_from: "rt.hot"
+        |        conditions:
+        |          - type: vrl
+        |            source: '.level == "error"'
+        |      - extract_from: "rt.big"
+        |        conditions:
+        |          - type: vrl
+        |            source: ".size == 150"
+        |      - extract_from: "tag_hot"
+        |        conditions:
+        |          - type: vrl
+        |            source: '.via == "hot"'
+        |  - name: "no match lands on _unmatched only"
+        |    no_outputs_from: ["rt.hot", "rt.big"]
+        |    inputs:
+        |      - insert_at: "rt"
+        |        type: log
+        |        log_fields:
+        |          level: "info"
+        |          size: 5
+        |    outputs:
+        |      - extract_from: "rt._unmatched"
+        |        conditions:
+        |          - type: vrl
+        |            source: '.level == "info"'
+        |""".stripMargin)
+  }
+
+  test("full topology from YAML builds one plan per sink") {
+    val built = ConfigLoader.load(spark,
+      """
+        |sources:
+        |  events:
+        |    type: parquet
+        |    table: events
+        |transforms:
+        |  enrich:
+        |    type: remap
+        |    inputs: [events]
+        |    source: |
+        |      .sev = if .event_type == "error" { 3 } else { 6 }
+        |  errors_only:
+        |    type: filter
+        |    inputs: [enrich]
+        |    condition: '.sev == 3'
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [errors_only]
+        |""".stripMargin,
+      "/root/testdata/sf0.001")
+    val rows = built.sink("out").count()
+    assert(rows == 201) // error-typed events at sf0.001
+  }
+}
