@@ -154,6 +154,81 @@ object CodecQueries {
       ev(s, dir).select(col("event_id"),
           posexplode(Framing.newlineDelimited(chunk)).as(Seq("frame_idx", "frame")))
         .orderBy(col("event_id"), col("frame_idx"))
+    },
+
+    // Protobuf wire-format roundtrip over the OTLP LogRecord schema.
+    // Like codec_avro, the oracle pins the exact encoded byte length
+    // (tag bytes + varints + fixed64s + length-delimited segments), so
+    // the bytes must be real proto3 wire format.
+    "codec_protobuf" -> { (s, dir) =>
+      import graft.codecs.ProtobufCodec
+      val rec = struct(
+        (unix_micros(col("ts")) * 1000).as("time_unix_nano"),
+        (pmod(col("k"), lit(24)) + 1).as("severity_number"),
+        col("event_type").as("severity_text"),
+        struct(col("props").as("string_value")).as("body"),
+        lit(null).cast("long").as("dropped_attributes_count"),
+        lit(null).cast("binary").as("trace_id"),
+        lit(null).cast("binary").as("span_id"),
+        lit(null).cast("long").as("observed_time_unix_nano"))
+      val encoded = ProtobufCodec.encode(ProtobufCodec.Otlp.LogRecord, rec)
+      Queries.withParsed(
+        ev(s, dir).withColumn("pbytes", encoded),
+        ProtobufCodec.decode(ProtobufCodec.Otlp.LogRecord, col("pbytes"))) {
+        p => Seq(
+          col("event_id"),
+          p.getField("time_unix_nano").as("tns"),
+          p.getField("severity_number").as("sev"),
+          p.getField("severity_text").as("sev_text"),
+          p.getField("body").getField("string_value").as("body_sv"),
+          length(col("pbytes")).as("plen"))
+      }.orderBy(col("event_id"))
+    },
+
+    // varint length-prefix framing + chunked-GELF reassembly
+    "codec_framing2" -> { (s, dir) =>
+      val packed = Framing.varintPack(array(
+        col("event_type"), col("props"), concat(lit("u"), col("user_id"))))
+      ev(s, dir).select(col("event_id"),
+          posexplode(Framing.varintLengthDelimited(packed))
+            .as(Seq("frame_idx", "frame")))
+        .select(col("event_id"), col("frame_idx"),
+          col("frame").cast("string").as("frame"))
+        .orderBy(col("event_id"), col("frame_idx"))
+    },
+
+    "codec_gelf_chunked" -> { (s, dir) =>
+      val chunks = Framing.gelfChunksOf(col("event_id"),
+        concat(col("event_type"), lit(" "), col("props")), lit(3))
+      val exploded = ev(s, dir)
+        .select(explode(chunks).as("chunk"))
+      Framing.chunkedGelf(exploded, col("chunk"))
+        .orderBy(col("msg_id"))
+    },
+
+    // Avro binary datum roundtrip. The oracle recomputes the decoded
+    // fields from the source columns AND the exact encoded byte length
+    // from the Avro wire format (zigzag varints + length-prefixed utf8
+    // + 8-byte double + 1-byte boolean) — a no-op codec cannot pass.
+    "codec_avro" -> { (s, dir) =>
+      val schema =
+        """{"type":"record","name":"Event","fields":[
+          |{"name":"event_id","type":"long"},
+          |{"name":"event_type","type":"string"},
+          |{"name":"value","type":"double"},
+          |{"name":"flag","type":"boolean"}]}""".stripMargin
+      val rec = struct(col("event_id"), col("event_type"), col("value"),
+        (col("event_type") === "error").as("flag"))
+      val encoded = graft.codecs.AvroCodec.encode(schema, rec)
+      Queries.withParsed(
+        ev(s, dir).withColumn("abytes", encoded),
+        graft.codecs.AvroCodec.decode(schema, col("abytes"))) { p => Seq(
+          col("event_id"),
+          p.getField("event_type").as("a_type"),
+          p.getField("value").as("a_value"),
+          p.getField("flag").as("a_flag"),
+          length(col("abytes")).as("alen"))
+      }.orderBy(col("event_id"))
     }
   )
 
@@ -246,6 +321,49 @@ object CodecQueries {
         |        FROM events))
         |SELECT event_id, CAST(i - 1 AS INT) AS frame_idx, fs[i] AS frame
         |FROM frames, (SELECT unnest(range(1, 4)) AS i)
-        |ORDER BY event_id, frame_idx""".stripMargin
+        |ORDER BY event_id, frame_idx""".stripMargin,
+
+    // proto3 wire length: 9 (tag+fixed64) + 2 (tag+small varint) +
+    // 2+len(severity_text) + [2 outer + 2 inner + len(body)] — valid
+    // while the string lengths stay under one varint byte (<126)
+    "codec_protobuf" ->
+      """SELECT event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS tns,
+        |  k % 24 + 1 AS sev,
+        |  event_type AS sev_text,
+        |  props AS body_sv,
+        |  CAST(17 + length(event_type) + length(props) AS INT) AS plen
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "codec_framing2" ->
+      """WITH frames AS (
+        |  SELECT event_id,
+        |    [event_type, props, 'u' || CAST(user_id AS VARCHAR)] AS fs
+        |  FROM events)
+        |SELECT event_id, CAST(i - 1 AS INT) AS frame_idx, fs[i] AS frame
+        |FROM frames, (SELECT unnest(range(1, 4)) AS i)
+        |ORDER BY event_id, frame_idx""".stripMargin,
+
+    "codec_gelf_chunked" ->
+      """SELECT event_id AS msg_id, CAST(3 AS INT) AS n_chunks,
+        |  event_type || ' ' || props AS message
+        |FROM events ORDER BY msg_id""".stripMargin,
+
+    // wire-format byte length: zigzag-varint(event_id) + varint string
+    // length prefix (1 byte for short names) + utf8 bytes + 8 (double)
+    // + 1 (boolean)
+    "codec_avro" ->
+      """SELECT event_id,
+        |  event_type AS a_type,
+        |  value AS a_value,
+        |  event_type = 'error' AS a_flag,
+        |  CAST(CASE WHEN 2*event_id < 128 THEN 1
+        |            WHEN 2*event_id < 16384 THEN 2
+        |            WHEN 2*event_id < 2097152 THEN 3
+        |            WHEN 2*event_id < 268435456 THEN 4
+        |            ELSE 5 END
+        |    + 1 + length(event_type) + 8 + 1 AS INT) AS alen
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -52,6 +52,115 @@ object Framing {
       }
     }
 
+  /** varint_length_delimited framing (reference decoding/framing/
+    * varint_length_delimited.rs): repeated `[uvarint len][payload]`.
+    * Truncated trailing frames are dropped, like the reference's
+    * incomplete-frame handling.
+    */
+  val varintLengthDelimited: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (chunk: Array[Byte]) =>
+      if (chunk == null) null
+      else {
+        val out = scala.collection.mutable.ListBuffer[Array[Byte]]()
+        var i = 0
+        var ok = true
+        while (ok && i < chunk.length) {
+          var len = 0L; var shift = 0; var b = 0
+          do {
+            ok = i < chunk.length && shift < 70
+            if (ok) { b = chunk(i) & 0xFF; i += 1; len |= (b & 0x7FL) << shift; shift += 7 }
+          } while (ok && (b & 0x80) != 0)
+          if (ok) {
+            ok = len >= 0 && i + len <= chunk.length
+            if (ok) {
+              out += java.util.Arrays.copyOfRange(chunk, i, i + len.toInt)
+              i += len.toInt
+            }
+          }
+        }
+        out.toSeq
+      }
+    }
+
+  /** varint frame packer (the encoding side of the same framing). */
+  val varintPack: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (parts: Seq[String]) =>
+      if (parts == null) null
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        parts.foreach { p =>
+          val b = p.getBytes("UTF-8")
+          var v = b.length.toLong
+          while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+          out.write(v.toInt)
+          out.write(b)
+        }
+        out.toByteArray
+      }
+    }
+
+  /** One GELF chunk header+payload (public GELF spec: 0x1e 0x0f magic,
+    * 8-byte message id, sequence number, sequence count, payload) —
+    * reference decoding/framing/chunked_gelf.rs.
+    */
+  final case class GelfChunk(msg_id: Long, seq: Int, total: Int,
+                             payload: Array[Byte])
+
+  val gelfChunkParse: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (chunk: Array[Byte]) =>
+      if (chunk == null || chunk.length < 12 ||
+          (chunk(0) & 0xFF) != 0x1e || (chunk(1) & 0xFF) != 0x0f) null
+      else {
+        var id = 0L
+        (2 until 10).foreach(i => id = (id << 8) | (chunk(i) & 0xFFL))
+        GelfChunk(id, chunk(10) & 0xFF, chunk(11) & 0xFF,
+          java.util.Arrays.copyOfRange(chunk, 12, chunk.length))
+      }
+    }
+
+  /** GELF chunk builder (test/sink side): split a payload into n chunks
+    * with the given message id.
+    */
+  val gelfChunksOf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (msgId: Long, payload: String, n: Int) =>
+      val bytes = payload.getBytes("UTF-8")
+      val per = math.max(1, (bytes.length + n - 1) / n)
+      val parts = bytes.grouped(per).toSeq.take(255)
+      parts.zipWithIndex.map { case (p, i) =>
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(0x1e); out.write(0x0f)
+        (0 until 8).foreach(j => out.write(((msgId >>> ((7 - j) * 8)) & 0xFF).toInt))
+        out.write(i); out.write(parts.length)
+        out.write(p)
+        out.toByteArray
+      }
+    }
+
+  /** chunked_gelf reassembly: group chunk frames by message id, order by
+    * sequence number, and concatenate payloads; messages missing chunks
+    * are dropped (chunked_gelf.rs timeout/discard semantics). One
+    * shuffle on msg_id — at scale this is the partition key a GELF
+    * source would already be keyed by.
+    */
+  def chunkedGelf(df: org.apache.spark.sql.DataFrame,
+                  chunkCol: Column): org.apache.spark.sql.DataFrame = {
+    val glue = udf { (parts: Seq[Array[Byte]]) =>
+      new String(parts.flatten.toArray, "UTF-8")
+    }
+    df.select(gelfChunkParse(chunkCol).as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy(col("c.msg_id").as("msg_id"))
+      .agg(
+        max(col("c.total")).as("total"),
+        count(lit(1)).cast("int").as("n_chunks"),
+        array_sort(collect_list(struct(col("c.seq"), col("c.payload"))))
+          .as("ordered"))
+      .filter(col("n_chunks") === col("total"))
+      .select(col("msg_id"), col("n_chunks"),
+        glue(transform(col("ordered"), x => x.getField("payload")))
+          .as("message"))
+  }
+
   /** length_delimited framing: 4-byte big-endian length prefix. */
   val lengthDelimited: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (chunk: Array[Byte]) =>

@@ -1,0 +1,190 @@
+package graft.codecs
+
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.api.java.UDF1
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.types._
+
+/** Protocol-buffers wire-format codec, hand-written against the public
+  * proto3 encoding spec (no protobuf-java on this classpath).
+  *
+  * Reference: lib/codecs/src/decoding/format/protobuf.rs and
+  * encoding/format/protobuf.rs decode/encode single messages against a
+  * compiled descriptor; here the descriptor is a [[ProtoSchema]] — field
+  * number → (name, type) — and the wire walker is implemented directly:
+  * varint, zigzag, fixed64/32, and length-delimited records with
+  * unknown-field skipping.
+  *
+  * [[Otlp]] carries the OpenTelemetry LogRecord subset
+  * (lib/opentelemetry-proto/src/proto/.../logs/v1/logs.proto — field
+  * numbers follow the published .proto).
+  */
+object ProtobufCodec {
+
+  sealed trait PType
+  case object PVarint extends PType // int32/int64/uint/bool/enum
+  case object PSint extends PType // zigzag sint32/sint64
+  case object PDouble extends PType // fixed64 double
+  case object PFixed64 extends PType // fixed64 integral
+  case object PString extends PType
+  case object PBytes extends PType
+  final case class PMessage(schema: ProtoSchema) extends PType
+
+  final case class ProtoField(no: Int, name: String, ptype: PType)
+  final case class ProtoSchema(fields: Seq[ProtoField]) {
+    def sparkType: StructType = StructType(fields.map { f =>
+      StructField(f.name, f.ptype match {
+        case PVarint | PSint | PFixed64 => LongType
+        case PDouble => DoubleType
+        case PString => StringType
+        case PBytes => BinaryType
+        case PMessage(s) => s.sparkType
+      })
+    })
+  }
+
+  private def wireType(t: PType): Int = t match {
+    case PVarint | PSint => 0
+    case PDouble | PFixed64 => 1
+    case PString | PBytes | _: PMessage => 2
+  }
+
+  // ---- primitives -----------------------------------------------------
+
+  private def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  private def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  private final class Reader(bytes: Array[Byte]) {
+    var pos = 0
+    def hasMore: Boolean = pos < bytes.length
+    def readVarint(): Long = {
+      var shift = 0; var result = 0L; var b = 0
+      do {
+        if (pos >= bytes.length) throw new RuntimeException("truncated varint")
+        b = bytes(pos) & 0xFF; pos += 1
+        result |= (b & 0x7FL) << shift; shift += 7
+      } while ((b & 0x80) != 0 && shift < 70)
+      result
+    }
+    def readFixed64(): Long = {
+      if (pos + 8 > bytes.length) throw new RuntimeException("truncated fixed64")
+      var v = 0L
+      var i = 7
+      while (i >= 0) { v = (v << 8) | (bytes(pos + i) & 0xFFL); i -= 1 }
+      pos += 8
+      v
+    }
+    def readBytes(n: Int): Array[Byte] = {
+      if (n < 0 || pos + n > bytes.length) throw new RuntimeException("truncated bytes")
+      val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+      pos += n
+      out
+    }
+    def skip(wt: Int): Unit = wt match {
+      case 0 => readVarint()
+      case 1 => readBytes(8)
+      case 2 => readBytes(readVarint().toInt)
+      case 5 => readBytes(4)
+      case other => throw new RuntimeException(s"bad wire type $other")
+    }
+  }
+
+  // ---- encode / decode ------------------------------------------------
+
+  private def encodeRecord(schema: ProtoSchema, r: Row): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    schema.fields.foreach { f =>
+      val idx = r.fieldIndex(f.name)
+      if (!r.isNullAt(idx)) {
+        writeVarint(out, (f.no.toLong << 3) | wireType(f.ptype))
+        f.ptype match {
+          case PVarint => writeVarint(out, r.getLong(idx))
+          case PSint => writeVarint(out, zigzag(r.getLong(idx)))
+          case PFixed64 =>
+            var v = r.getLong(idx)
+            (0 until 8).foreach { _ => out.write((v & 0xFF).toInt); v >>>= 8 }
+          case PDouble =>
+            var v = java.lang.Double.doubleToLongBits(r.getDouble(idx))
+            (0 until 8).foreach { _ => out.write((v & 0xFF).toInt); v >>>= 8 }
+          case PString =>
+            val b = r.getString(idx).getBytes("UTF-8")
+            writeVarint(out, b.length.toLong); out.write(b)
+          case PBytes =>
+            val b = r.getAs[Array[Byte]](idx)
+            writeVarint(out, b.length.toLong); out.write(b)
+          case PMessage(inner) =>
+            val b = encodeRecord(inner, r.getStruct(idx))
+            writeVarint(out, b.length.toLong); out.write(b)
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  private def decodeRecord(schema: ProtoSchema, bytes: Array[Byte]): Row = {
+    val byNo = schema.fields.map(f => f.no -> f).toMap
+    val values = scala.collection.mutable.Map[Int, Any]()
+    val rd = new Reader(bytes)
+    while (rd.hasMore) {
+      val tag = rd.readVarint()
+      val no = (tag >>> 3).toInt
+      val wt = (tag & 7).toInt
+      byNo.get(no) match {
+        case Some(f) if wireType(f.ptype) == wt =>
+          values(no) = f.ptype match {
+            case PVarint => rd.readVarint()
+            case PSint => unzigzag(rd.readVarint())
+            case PFixed64 => rd.readFixed64()
+            case PDouble => java.lang.Double.longBitsToDouble(rd.readFixed64())
+            case PString => new String(rd.readBytes(rd.readVarint().toInt), "UTF-8")
+            case PBytes => rd.readBytes(rd.readVarint().toInt)
+            case PMessage(inner) =>
+              decodeRecord(inner, rd.readBytes(rd.readVarint().toInt))
+          }
+        case _ => rd.skip(wt) // unknown or mistyped field: skip
+      }
+    }
+    Row.fromSeq(schema.fields.map(f => values.get(f.no).orNull))
+  }
+
+  /** struct column → proto3 message bytes (null row → null). */
+  def encode(schema: ProtoSchema, record: Column): Column = {
+    val enc = udf { (r: Row) => if (r == null) null else encodeRecord(schema, r) }
+    enc(record)
+  }
+
+  /** proto3 message bytes → struct column; null on malformed input. */
+  def decode(schema: ProtoSchema, data: Column): Column = {
+    val st = schema.sparkType
+    val dec = new UDF1[Array[Byte], Row] {
+      override def call(bytes: Array[Byte]): Row =
+        if (bytes == null) null
+        else try decodeRecord(schema, bytes)
+        catch { case _: Exception => null }
+    }
+    udf(dec, st).apply(data)
+  }
+
+  /** OTLP logs/v1 LogRecord subset — field numbers from the published
+    * opentelemetry-proto logs.proto (body is AnyValue whose field 1 is
+    * string_value).
+    */
+  object Otlp {
+    val AnyValue: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(1, "string_value", PString)))
+    val LogRecord: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(1, "time_unix_nano", PFixed64),
+      ProtoField(2, "severity_number", PVarint),
+      ProtoField(3, "severity_text", PString),
+      ProtoField(5, "body", PMessage(AnyValue)),
+      ProtoField(7, "dropped_attributes_count", PVarint),
+      ProtoField(9, "trace_id", PBytes),
+      ProtoField(10, "span_id", PBytes),
+      ProtoField(11, "observed_time_unix_nano", PFixed64)))
+  }
+}

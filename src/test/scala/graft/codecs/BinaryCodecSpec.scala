@@ -1,0 +1,93 @@
+package graft.codecs
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Avro + protobuf wire-format edge cases the oracle queries don't
+  * reach: negative varints, zigzag sints, unknown-field skipping,
+  * truncated input, multi-frame varint framing with large frames.
+  */
+class BinaryCodecSpec extends SparkSpec {
+  import spark.implicits._
+  import ProtobufCodec._
+
+  test("proto roundtrip: negatives, zigzag, doubles") {
+    val schema = ProtoSchema(Seq(
+      ProtoField(1, "a", PVarint),
+      ProtoField(2, "b", PSint),
+      ProtoField(3, "c", PDouble),
+      ProtoField(4, "d", PString)))
+    val df = Seq((-5L, -12345L, -2.75, "héllo"))
+      .toDF("a", "b", "c", "d")
+      .select(struct(col("a"), col("b"), col("c"), col("d")).as("r"))
+    val rt = df.select(
+      ProtobufCodec.decode(schema,
+        ProtobufCodec.encode(schema, col("r"))).as("p"))
+      .select(col("p.a"), col("p.b"), col("p.c"), col("p.d"))
+      .collect().head
+    assert(rt == Row(-5L, -12345L, -2.75, "héllo"))
+  }
+
+  test("proto decoder skips unknown fields") {
+    val writer = ProtoSchema(Seq(
+      ProtoField(1, "a", PVarint),
+      ProtoField(2, "x", PString), // unknown to the reader
+      ProtoField(3, "b", PString)))
+    val reader = ProtoSchema(Seq(
+      ProtoField(1, "a", PVarint),
+      ProtoField(3, "b", PString)))
+    val df = Seq((7L, "junk", "keep")).toDF("a", "x", "b")
+      .select(struct(col("a"), col("x"), col("b")).as("r"))
+    val rt = df.select(ProtobufCodec.decode(reader,
+        ProtobufCodec.encode(writer, col("r"))).as("p"))
+      .select(col("p.a"), col("p.b")).collect().head
+    assert(rt == Row(7L, "keep"))
+  }
+
+  test("proto decoder nulls on truncated input") {
+    val schema = ProtoSchema(Seq(ProtoField(1, "s", PString)))
+    val df = Seq(Array[Byte](0x0a, 0x7f, 0x41)).toDF("b") // claims 127 bytes
+    assert(df.select(ProtobufCodec.decode(schema, col("b"))).collect()
+      .head.isNullAt(0))
+  }
+
+  test("avro roundtrip: nullable union and negative long") {
+    val schemaJson =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":"long"},
+        |{"name":"b","type":["null","string"],"default":null}]}""".stripMargin
+    val df = Seq((-9876543210L, Option.empty[String])).toDF("a", "b")
+      .select(struct(col("a"), col("b")).as("r"))
+    val rt = df.select(AvroCodec.decode(schemaJson,
+        AvroCodec.encode(schemaJson, col("r"))).as("p"))
+      .select(col("p.a"), col("p.b")).collect().head
+    assert(rt.getLong(0) == -9876543210L && rt.isNullAt(1))
+  }
+
+  test("varint framing handles frames >127 bytes and drops truncated tail") {
+    val big = "x" * 300
+    val packed = Seq(Seq("small", big)).toDF("parts")
+      .select(Framing.varintPack(col("parts")).as("b"))
+    val frames = packed
+      .select(explode(Framing.varintLengthDelimited(col("b"))).as("f"))
+      .select(col("f").cast("string")).as[String].collect()
+    assert(frames.toSeq == Seq("small", big))
+    // chop the last 10 bytes: second frame incomplete -> only first kept
+    val chopped = packed.select(expr("substring(b, 1, length(b) - 10)").as("b"))
+      .select(explode(Framing.varintLengthDelimited(col("b"))).as("f"))
+      .select(col("f").cast("string")).as[String].collect()
+    assert(chopped.toSeq == Seq("small"))
+  }
+
+  test("chunked gelf drops incomplete messages") {
+    val chunks = Seq((1L, "complete message", 3)).toDF("id", "msg", "n")
+      .select(explode(Framing.gelfChunksOf(col("id"), col("msg"), col("n"))).as("chunk"))
+    // full set reassembles
+    val ok = Framing.chunkedGelf(chunks, col("chunk")).collect()
+    assert(ok.length == 1 && ok.head.getAs[String]("message") == "complete message")
+    // drop one chunk -> message discarded
+    val partial = chunks.limit(2)
+    assert(Framing.chunkedGelf(partial, col("chunk")).isEmpty)
+  }
+}
