@@ -99,6 +99,90 @@ object StreamRunner {
     scala.io.Source.stdin.getLines().toSeq.toDF("message")
   }
 
+  /** `http_server` source (reference src/sources/http_server.rs): a real
+    * HTTP endpoint (JDK HttpServer, driver-side) whose request bodies
+    * are newline-framed into a MemoryStream — the same accept→frame→
+    * decode pipeline shape as the reference, with downstream decoding
+    * done by the codec layer on the returned DataFrame. Driver-side
+    * ingestion is the documented scale boundary (the reference's
+    * http_server is likewise a single listener; at scale a load
+    * balancer fans out over many single-listener instances).
+    */
+  final class HttpServerSource(spark: SparkSession, port: Int, path: String) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    private val mem = MemoryStream[String]
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val lines = body.split("\n").filter(_.nonEmpty)
+        if (lines.nonEmpty) mem.addData(lines.toIndexedSeq)
+        ex.sendResponseHeaders(200, -1)
+      } finally ex.close()
+    })
+    server.setExecutor(null)
+    server.start()
+    def boundPort: Int = server.getAddress.getPort
+    def df: DataFrame = mem.toDF().withColumnRenamed("value", "message")
+    def stop(): Unit = server.stop(0)
+  }
+  def httpServer(spark: SparkSession, port: Int = 0,
+                 path: String = "/"): HttpServerSource =
+    new HttpServerSource(spark, port, path)
+
+  /** `http_client` source (reference src/sources/http_client/): poll a
+    * URL on an interval from a driver thread, newline-frame each
+    * response into a MemoryStream. `pollOnce()` is the deterministic
+    * test/batch hook (one scrape).
+    */
+  final class HttpClientSource(spark: SparkSession, url: String,
+                               intervalMs: Long) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    private val mem = MemoryStream[String]
+    @volatile private var running = false
+    def pollOnce(): Unit = {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(5000)
+      try {
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        val lines = body.split("\n").filter(_.nonEmpty)
+        if (lines.nonEmpty) mem.addData(lines.toIndexedSeq)
+      } finally conn.disconnect()
+    }
+    private val thread = new Thread(() => {
+      while (running) {
+        try pollOnce() catch { case _: Exception => () } // scrape errors skip the tick
+        Thread.sleep(intervalMs)
+      }
+    }, s"http-client-$url")
+    thread.setDaemon(true)
+    def startPolling(): Unit = { running = true; thread.start() }
+    def df: DataFrame = mem.toDF().withColumnRenamed("value", "message")
+    def stop(): Unit = running = false
+  }
+  def httpClient(spark: SparkSession, url: String,
+                 intervalMs: Long = 15000): HttpClientSource =
+    new HttpClientSource(spark, url, intervalMs)
+
+  /** `prometheus` scrape source (reference src/sources/prometheus/
+    * scrape.rs): http_client poll + exposition-text decode; comment and
+    * TYPE/HELP lines are dropped by the decoder returning null.
+    */
+  def prometheusScrape(src: HttpClientSource): DataFrame = {
+    val decoded = graft.codecs.Decode.prometheusLine(col("message"))
+    src.df.select(decoded.as("m"))
+      .filter(col("m.name").isNotNull)
+      .select(col("m.name").as("name"), col("m.tags").as("tags"),
+        col("m.value").as("value"), col("m.timestamp").as("timestamp"))
+  }
+
   // ---- sinks -----------------------------------------------------------
 
   def toConsole(df: DataFrame, intervalMs: Long = 1000): DataStreamWriter[Row] =
