@@ -62,9 +62,10 @@ object Bench {
         .withColumn("__r", explode(sequence(lit(0), lit(REP - 1))))
         .withColumn("event_id", col("event_id") * REP + col("__r"))
         .drop("__r")
-      // best of 2: the first run carries codegen/JIT of this exact plan;
-      // the second is the steady state the sizing figures describe
-      val sec = (1 to 2).map { _ =>
+      // best of 3: the first run carries codegen/JIT of this exact plan;
+      // the rest are the steady state the sizing figures describe (this
+      // box varies ±30% run-to-run — see BENCH history)
+      val sec = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         Queries.eventsPipeline(replicated).write.mode("overwrite")
           .format("noop").save()
@@ -83,7 +84,7 @@ object Bench {
         .withColumn("__r", explode(sequence(lit(0), lit(REP - 1))))
         .withColumn("event_id", col("event_id") * REP + col("__r"))
         .drop("__r")
-      val sec = (1 to 2).map { _ =>
+      val sec = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         Queries.eventsRemap(replicated).write.mode("overwrite")
           .format("noop").save()

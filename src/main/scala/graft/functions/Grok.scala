@@ -46,32 +46,70 @@ object Grok {
     "LOGLEVEL" ->
       "(?:[Tt]race|TRACE|[Dd]ebug|DEBUG|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rror|ERROR|[Ff]atal|FATAL|[Cc]ritical|CRITICAL)")
 
-  /** Compile a grok pattern to (javaRegex, capturedFieldNames). */
-  def compile(grok: String): (String, Seq[String]) = {
+  /** Compile a grok pattern to (javaRegex, capturedFieldNames).
+    *
+    * `aliases` adds user-defined pattern definitions (the reference's
+    * parse_groks `aliases` argument / logstash custom pattern files);
+    * alias bodies are themselves grok patterns, expanded recursively
+    * with cycle detection. A NAMED reference to an alias captures the
+    * whole alias match while inner named refs keep their own captures.
+    */
+  def compile(grok: String,
+              aliases: Map[String, String] = Map.empty): (String, Seq[String]) = {
     val ref = "%\\{(\\w+)(?::(\\w+))?\\}".r
     val names = scala.collection.mutable.ListBuffer[String]()
-    val sb = new StringBuilder
-    var last = 0
-    ref.findAllMatchIn(grok).foreach { m =>
-      val literal = grok.substring(last, m.start)
-      if (literal.nonEmpty) sb.append(java.util.regex.Pattern.quote(literal))
-      val pat = Patterns.getOrElse(m.group(1),
-        throw new IllegalArgumentException(s"unknown grok pattern %{${m.group(1)}}"))
-      Option(m.group(2)) match {
-        case Some(name) => names += name; sb.append("(").append(pat).append(")")
-        case None => sb.append("(?:").append(pat).append(")")
+
+    def expand(pattern: String, inFlight: Set[String]): String = {
+      val sb = new StringBuilder
+      var last = 0
+      ref.findAllMatchIn(pattern).foreach { m =>
+        val literal = pattern.substring(last, m.start)
+        if (literal.nonEmpty) sb.append(java.util.regex.Pattern.quote(literal))
+        val pname = m.group(1)
+        // the OUTER capture name must be recorded before the body is
+        // expanded: its "(" precedes any inner alias captures, and
+        // group numbers map to `names` positionally
+        Option(m.group(2)).foreach(names += _)
+        def body = aliases.get(pname) match {
+          case Some(_) if inFlight(pname) =>
+            throw new IllegalArgumentException(s"grok alias cycle through %{$pname}")
+          case Some(alias) => expand(alias, inFlight + pname)
+          case None => Patterns.getOrElse(pname,
+            throw new IllegalArgumentException(s"unknown grok pattern %{$pname}"))
+        }
+        if (m.group(2) != null) sb.append("(").append(body).append(")")
+        else sb.append("(?:").append(body).append(")")
+        last = m.end
       }
-      last = m.end
+      if (last < pattern.length)
+        sb.append(java.util.regex.Pattern.quote(pattern.substring(last)))
+      sb.toString
     }
-    if (last < grok.length)
-      sb.append(java.util.regex.Pattern.quote(grok.substring(last)))
-    (sb.toString, names.toSeq)
+
+    (expand(grok, Set.empty), names.toSeq)
   }
 
   /** parse_grok as a Column: struct of named captures (null on no match). */
-  def parse(c: Column, grokPattern: String, anchored: Boolean = true): Column = {
-    val (rx, names) = compile(grokPattern)
+  def parse(c: Column, grokPattern: String, anchored: Boolean = true,
+            aliases: Map[String, String] = Map.empty): Column = {
+    val (rx, names) = compile(grokPattern, aliases)
     val full = if (anchored) "^" + rx + "$" else rx
     RegexStruct(c, full, names)
+  }
+
+  /** parse_groks: try patterns in order, first match wins (reference
+    * parse_groks semantics). All patterns must capture the SAME field
+    * set so the result stays one struct column.
+    */
+  def parseFirstOf(c: Column, grokPatterns: Seq[String],
+                   aliases: Map[String, String] = Map.empty): Column = {
+    val compiled = grokPatterns.map(g => compile(g, aliases))
+    val nameSets = compiled.map(_._2)
+    require(nameSets.distinct.size == 1,
+      s"parse_groks patterns must capture identical fields, got $nameSets")
+    org.apache.spark.sql.functions.coalesce(
+      compiled.map { case (rx, names) =>
+        RegexStruct(c, "^" + rx + "$", names)
+      }: _*)
   }
 }

@@ -389,6 +389,13 @@ object VrlCompiler {
     case LitB(v) => Some(v)
     case UnE("-", LitI(v)) => Some(-v)
     case UnE("-", LitF(v)) => Some(-v)
+    // all-literal arrays / objects (e.g. parse_groks patterns + aliases)
+    case ArrayE(items) =>
+      val ls = items.map(litOf)
+      if (ls.forall(_.isDefined)) Some(ls.flatten) else None
+    case ObjectE(fields) =>
+      val ls = fields.map { case (k, v) => litOf(v).map(k -> _) }
+      if (ls.forall(_.isDefined)) Some(ls.flatten.toMap) else None
     case _ => None
   }
 

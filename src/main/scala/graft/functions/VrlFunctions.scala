@@ -146,7 +146,24 @@ object VrlFunctions {
       case "parse_float" =>
         CV(c(0).try_cast("double"), TFloat)
       case "parse_grok" =>
-        CV(Grok.parse(c(0), str(a(1), name, "pattern")), TAny)
+        val aliases = named.get("aliases").flatMap(_.literal) match {
+          case Some(m: Map[_, _]) =>
+            m.map { case (k, v) => k.toString -> v.toString }
+          case _ => Map.empty[String, String]
+        }
+        CV(Grok.parse(c(0), str(a(1), name, "pattern"), aliases = aliases), TAny)
+      case "parse_groks" =>
+        val pats = a(1).literal match {
+          case Some(l: Seq[_]) => l.map(_.toString)
+          case _ => throw VrlCompileException(
+            "parse_groks: patterns must be a literal array")
+        }
+        val aliases = named.get("aliases").flatMap(_.literal) match {
+          case Some(m: Map[_, _]) =>
+            m.map { case (k, v) => k.toString -> v.toString }
+          case _ => Map.empty[String, String]
+        }
+        CV(Grok.parseFirstOf(c(0), pats, aliases), TAny)
       case "parse_timestamp" =>
         CV(to_timestamp(c(0), strftimeToJava(str(a(1), name, "format"))), TTs)
       case "parse_regex" =>

@@ -176,6 +176,19 @@ class VrlCompilerSpec extends SparkSpec {
     assert(r.getAs[String]("bval") == "two")
   }
 
+  test("parse_groks with literal patterns and custom aliases") {
+    val df = Seq((1L, "latency 42 ms"), (2L, "took 7")).toDF("id", "line")
+    val out = VrlCompiler.run(df,
+      """
+        |.g = parse_groks(.line, ["%{LAT}", "took %{INT:n}"],
+        |  aliases: { "LAT": "latency %{INT:n} ms" })
+        |.n = to_int(.g.n)
+        |del(.g)
+        |""".stripMargin)
+    val r = out.primary.orderBy("id").collect()
+    assert(r.map(_.getAs[Long]("n")).toSeq == Seq(42L, 7L))
+  }
+
   test("parse error surfaces as VrlParseException") {
     intercept[VrlParser.VrlParseException] {
       VrlCompiler.compile(events.schema, ".x = @bad")
