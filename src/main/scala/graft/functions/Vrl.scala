@@ -208,6 +208,76 @@ object Vrl {
   def parseTokens(c: Column): Column =
     regexp_extract_all(c, lit("\"[^\"]*\"|\\[[^\\]]*\\]|\\S+"), lit(0))
 
+  /** decode_mime_q (RFC 2047 encoded-words): `=?charset?Q|B?payload?=`
+    * segments decoded in place (Q: `_`=space + =XX hex; B: base64).
+    */
+  val decodeMimeQ: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val re = "=\\?([^?]+)\\?([QqBb])\\?([^?]*)\\?=".r
+        re.replaceAllIn(s, m => {
+          try {
+            val payload = m.group(3)
+            val bytes =
+              if (m.group(2).equalsIgnoreCase("B"))
+                java.util.Base64.getDecoder.decode(payload)
+              else {
+                val out = new java.io.ByteArrayOutputStream()
+                var i = 0
+                while (i < payload.length) {
+                  payload(i) match {
+                    case '_' => out.write(' '); i += 1
+                    case '=' if i + 2 < payload.length + 1 && i + 3 <= payload.length =>
+                      out.write(Integer.parseInt(payload.substring(i + 1, i + 3), 16))
+                      i += 3
+                    case c => out.write(c.toInt); i += 1
+                  }
+                }
+                out.toByteArray
+              }
+            java.util.regex.Matcher.quoteReplacement(
+              new String(bytes, m.group(1)))
+          } catch { case _: Exception => m.matched }
+        })
+      }
+    }
+
+  /** parse_ruby_hash: `{"key" => value}` hash-rocket syntax normalized
+    * to JSON, then parsed to a variant (string-keyed subset of the
+    * published fn — symbol keys are out of scope).
+    */
+  def parseRubyHash(c: Column): Column =
+    parse_json(regexp_replace(c, "\\s*=>\\s*", ": "))
+
+  /** uuid_v7: time-ordered UUID (48-bit unix ms + version/variant bits
+    * + random), per the published UUIDv7 layout.
+    */
+  val uuidV7: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { () =>
+      val ms = System.currentTimeMillis()
+      val r = java.util.concurrent.ThreadLocalRandom.current()
+      val hi = (ms << 16) | 0x7000L | (r.nextLong() & 0x0FFFL)
+      val lo = (r.nextLong() & 0x3FFFFFFFFFFFFFFFL) | Long.MinValue
+      new java.util.UUID(hi, lo).toString
+    }
+  uuidV7.asNondeterministic()
+
+  /** parse_bytes("1.5 MiB", ...) → byte count (binary and SI units). */
+  def parseBytes(c: Column): Column = {
+    val g = RegexStruct(trim(c), "^([0-9.]+)\\s*([A-Za-z]*)$", Seq("n", "u"))
+    val n = g.getField("n").cast("double")
+    val factor = Seq(
+      "b" -> 1L, "" -> 1L,
+      "kib" -> (1L << 10), "mib" -> (1L << 20), "gib" -> (1L << 30),
+      "tib" -> (1L << 40), "pib" -> (1L << 50),
+      "kb" -> 1000L, "mb" -> 1000000L, "gb" -> 1000000000L,
+      "tb" -> 1000000000000L).foldLeft(lit(null).cast("long")) {
+      case (acc, (u, f)) => when(lower(g.getField("u")) === u, lit(f)).otherwise(acc)
+    }
+    (n * factor).cast("long")
+  }
+
   /** encode_punycode / decode_punycode (IDNA) via java.net.IDN. */
   val encodePunycode: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (s: String) => if (s == null) null else java.net.IDN.toASCII(s) }

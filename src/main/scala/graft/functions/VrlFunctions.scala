@@ -277,8 +277,15 @@ object VrlFunctions {
         // general; single-key form only
         CV(element_at(c(0), c(1)), TAny)
 
+      case "decode_mime_q" => CV(Vrl.decodeMimeQ(c(0)), TStr)
+      case "parse_ruby_hash" => CV(Vrl.parseRubyHash(c(0)), TVariant)
+      case "parse_bytes" => CV(Vrl.parseBytes(c(0)), TInt)
+      case "encode_punycode" => CV(Vrl.encodePunycode(c(0)), TStr)
+      case "decode_punycode" => CV(Vrl.decodePunycode(c(0)), TStr)
+
       // ---- random / id (excluded from oracle programs) ----
       case "uuid_v4" => CV(expr("uuid()"), TStr)
+      case "uuid_v7" => CV(Vrl.uuidV7(), TStr)
       case "random_float" => CV(rand(), TFloat)
 
       case other =>

@@ -189,6 +189,26 @@ class VrlCompilerSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n")).toSeq == Seq(42L, 7L))
   }
 
+  test("long-tail fns: decode_mime_q, parse_ruby_hash, parse_bytes, uuid_v7") {
+    val df = Seq((1L,
+      "=?utf-8?Q?hello=20w=C3=B6rld?= and =?utf-8?B?aGkgdGhlcmU=?=",
+      """{"a" => 1, "b" => "x"}""",
+      "1.5 MiB")).toDF("id", "mime", "rb", "sz")
+    val out = VrlCompiler.run(df,
+      """
+        |.plain = decode_mime_q(.mime)
+        |.a = to_int(parse_ruby_hash!(.rb).a)
+        |.bytes = parse_bytes!(.sz)
+        |.uid = uuid_v7()
+        |""".stripMargin)
+    val r = out.primary.collect().head
+    assert(r.getAs[String]("plain") == "hello wörld and hi there")
+    assert(r.getAs[Long]("a") == 1L)
+    assert(r.getAs[Long]("bytes") == (1.5 * 1048576).toLong)
+    // v7: version nibble at position 14 is '7'
+    assert(r.getAs[String]("uid").charAt(14) == '7')
+  }
+
   test("parse error surfaces as VrlParseException") {
     intercept[VrlParser.VrlParseException] {
       VrlCompiler.compile(events.schema, ".x = @bad")
