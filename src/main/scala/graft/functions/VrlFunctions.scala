@@ -197,6 +197,39 @@ object VrlFunctions {
       }
       case "exists" => CV(c(0).isNotNull, TBool)
 
+      // type ASSERTIONS (string!/int!/... in reference programs): pass
+      // the value through when the static type matches, yield null (=
+      // runtime error under `!`) when it cannot match; dynamic values
+      // (variant/any) extract-or-null at runtime
+      case "string" => a(0).cv.t match {
+        case TStr => a(0).cv
+        case TVariant => CV(try_variant_get(c(0), "$", "string"), TStr)
+        case TAny => CV(c(0).cast("string"), TStr)
+        case _ => CV(lit(null).cast("string"), TStr)
+      }
+      case "int" => a(0).cv.t match {
+        case TInt => a(0).cv
+        case TVariant => CV(try_variant_get(c(0), "$", "long"), TInt)
+        case TAny => CV(c(0).try_cast("long"), TInt)
+        case _ => CV(lit(null).cast("long"), TInt)
+      }
+      case "float" => a(0).cv.t match {
+        case TFloat => a(0).cv
+        case TVariant => CV(try_variant_get(c(0), "$", "double"), TFloat)
+        case TAny => CV(c(0).try_cast("double"), TFloat)
+        case _ => CV(lit(null).cast("double"), TFloat)
+      }
+      case "bool" => a(0).cv.t match {
+        case TBool => a(0).cv
+        case TVariant => CV(try_variant_get(c(0), "$", "boolean"), TBool)
+        case TAny => CV(c(0).try_cast("boolean"), TBool)
+        case _ => CV(lit(null).cast("boolean"), TBool)
+      }
+      case "timestamp" => a(0).cv.t match {
+        case TTs => a(0).cv
+        case _ => CV(lit(null).cast("timestamp"), TTs)
+      }
+
       // ---- timestamp ----
       case "now" => CV(current_timestamp(), TTs)
       case "format_timestamp" =>

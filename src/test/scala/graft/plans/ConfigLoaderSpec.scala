@@ -204,6 +204,41 @@ class ConfigLoaderSpec extends SparkSpec {
         |""".stripMargin)
   }
 
+  test("type assertions: string!/int! error-drop under drop_on_error") {
+    runAll(
+      """
+        |transforms:
+        |  norm:
+        |    inputs: []
+        |    type: remap
+        |    drop_on_error: true
+        |    source: |
+        |      .msg = upcase(string!(.message))
+        |      .n2 = int!(.n) * 2
+        |tests:
+        |  - name: "assertions pass on matching types"
+        |    inputs:
+        |      - insert_at: "norm"
+        |        type: log
+        |        log_fields:
+        |          message: "hello"
+        |          n: 21
+        |    outputs:
+        |      - extract_from: "norm"
+        |        conditions:
+        |          - type: vrl
+        |            source: '.msg == "HELLO" && .n2 == 42'
+        |  - name: "string! on a non-string drops the event"
+        |    no_outputs_from: ["norm"]
+        |    inputs:
+        |      - insert_at: "norm"
+        |        type: log
+        |        log_fields:
+        |          message: 5
+        |          n: 1
+        |""".stripMargin)
+  }
+
   test("full topology from YAML builds one plan per sink") {
     val built = ConfigLoader.load(spark,
       """
