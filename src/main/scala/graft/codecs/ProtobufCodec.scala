@@ -29,17 +29,23 @@ object ProtobufCodec {
   case object PString extends PType
   case object PBytes extends PType
   final case class PMessage(schema: ProtoSchema) extends PType
+  /** `repeated T` — unpacked wire encoding (one tagged record per
+    * element, the proto3 layout for length-delimited element types).
+    */
+  final case class PRepeated(elem: PType) extends PType
 
   final case class ProtoField(no: Int, name: String, ptype: PType)
   final case class ProtoSchema(fields: Seq[ProtoField]) {
+    private def dataType(t: PType): DataType = t match {
+      case PVarint | PSint | PFixed64 => LongType
+      case PDouble => DoubleType
+      case PString => StringType
+      case PBytes => BinaryType
+      case PMessage(s) => s.sparkType
+      case PRepeated(e) => ArrayType(dataType(e))
+    }
     def sparkType: StructType = StructType(fields.map { f =>
-      StructField(f.name, f.ptype match {
-        case PVarint | PSint | PFixed64 => LongType
-        case PDouble => DoubleType
-        case PString => StringType
-        case PBytes => BinaryType
-        case PMessage(s) => s.sparkType
-      })
+      StructField(f.name, dataType(f.ptype))
     })
   }
 
@@ -47,6 +53,7 @@ object ProtobufCodec {
     case PVarint | PSint => 0
     case PDouble | PFixed64 => 1
     case PString | PBytes | _: PMessage => 2
+    case PRepeated(e) => wireType(e)
   }
 
   // ---- primitives -----------------------------------------------------
@@ -98,29 +105,36 @@ object ProtobufCodec {
 
   private def encodeRecord(schema: ProtoSchema, r: Row): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
+    def writeValue(no: Int, t: PType, v: Any): Unit = {
+      writeVarint(out, (no.toLong << 3) | wireType(t))
+      t match {
+        case PVarint => writeVarint(out, v.asInstanceOf[Long])
+        case PSint => writeVarint(out, zigzag(v.asInstanceOf[Long]))
+        case PFixed64 =>
+          var x = v.asInstanceOf[Long]
+          (0 until 8).foreach { _ => out.write((x & 0xFF).toInt); x >>>= 8 }
+        case PDouble =>
+          var x = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+          (0 until 8).foreach { _ => out.write((x & 0xFF).toInt); x >>>= 8 }
+        case PString =>
+          val b = v.asInstanceOf[String].getBytes("UTF-8")
+          writeVarint(out, b.length.toLong); out.write(b)
+        case PBytes =>
+          val b = v.asInstanceOf[Array[Byte]]
+          writeVarint(out, b.length.toLong); out.write(b)
+        case PMessage(inner) =>
+          val b = encodeRecord(inner, v.asInstanceOf[Row])
+          writeVarint(out, b.length.toLong); out.write(b)
+        case PRepeated(_) =>
+          throw new IllegalStateException("nested repeated unsupported")
+      }
+    }
     schema.fields.foreach { f =>
       val idx = r.fieldIndex(f.name)
-      if (!r.isNullAt(idx)) {
-        writeVarint(out, (f.no.toLong << 3) | wireType(f.ptype))
-        f.ptype match {
-          case PVarint => writeVarint(out, r.getLong(idx))
-          case PSint => writeVarint(out, zigzag(r.getLong(idx)))
-          case PFixed64 =>
-            var v = r.getLong(idx)
-            (0 until 8).foreach { _ => out.write((v & 0xFF).toInt); v >>>= 8 }
-          case PDouble =>
-            var v = java.lang.Double.doubleToLongBits(r.getDouble(idx))
-            (0 until 8).foreach { _ => out.write((v & 0xFF).toInt); v >>>= 8 }
-          case PString =>
-            val b = r.getString(idx).getBytes("UTF-8")
-            writeVarint(out, b.length.toLong); out.write(b)
-          case PBytes =>
-            val b = r.getAs[Array[Byte]](idx)
-            writeVarint(out, b.length.toLong); out.write(b)
-          case PMessage(inner) =>
-            val b = encodeRecord(inner, r.getStruct(idx))
-            writeVarint(out, b.length.toLong); out.write(b)
-        }
+      if (!r.isNullAt(idx)) f.ptype match {
+        case PRepeated(elem) =>
+          r.getSeq[Any](idx).foreach(v => writeValue(f.no, elem, v))
+        case t => writeValue(f.no, t, r.get(idx))
       }
     }
     out.toByteArray
@@ -129,27 +143,41 @@ object ProtobufCodec {
   private def decodeRecord(schema: ProtoSchema, bytes: Array[Byte]): Row = {
     val byNo = schema.fields.map(f => f.no -> f).toMap
     val values = scala.collection.mutable.Map[Int, Any]()
+    val repeated = scala.collection.mutable.Map[Int, scala.collection.mutable.ListBuffer[Any]]()
     val rd = new Reader(bytes)
+    def readValue(t: PType): Any = t match {
+      case PVarint => rd.readVarint()
+      case PSint => unzigzag(rd.readVarint())
+      case PFixed64 => rd.readFixed64()
+      case PDouble => java.lang.Double.longBitsToDouble(rd.readFixed64())
+      case PString => new String(rd.readBytes(rd.readVarint().toInt), "UTF-8")
+      case PBytes => rd.readBytes(rd.readVarint().toInt)
+      case PMessage(inner) =>
+        decodeRecord(inner, rd.readBytes(rd.readVarint().toInt))
+      case PRepeated(_) =>
+        throw new IllegalStateException("nested repeated unsupported")
+    }
     while (rd.hasMore) {
       val tag = rd.readVarint()
       val no = (tag >>> 3).toInt
       val wt = (tag & 7).toInt
       byNo.get(no) match {
         case Some(f) if wireType(f.ptype) == wt =>
-          values(no) = f.ptype match {
-            case PVarint => rd.readVarint()
-            case PSint => unzigzag(rd.readVarint())
-            case PFixed64 => rd.readFixed64()
-            case PDouble => java.lang.Double.longBitsToDouble(rd.readFixed64())
-            case PString => new String(rd.readBytes(rd.readVarint().toInt), "UTF-8")
-            case PBytes => rd.readBytes(rd.readVarint().toInt)
-            case PMessage(inner) =>
-              decodeRecord(inner, rd.readBytes(rd.readVarint().toInt))
+          f.ptype match {
+            case PRepeated(elem) =>
+              repeated.getOrElseUpdate(no,
+                scala.collection.mutable.ListBuffer.empty) += readValue(elem)
+            case t => values(no) = readValue(t)
           }
         case _ => rd.skip(wt) // unknown or mistyped field: skip
       }
     }
-    Row.fromSeq(schema.fields.map(f => values.get(f.no).orNull))
+    Row.fromSeq(schema.fields.map { f =>
+      f.ptype match {
+        case PRepeated(_) => repeated.get(f.no).map(_.toSeq).orNull
+        case _ => values.get(f.no).orNull
+      }
+    })
   }
 
   /** struct column → proto3 message bytes (null row → null). */
@@ -186,5 +214,16 @@ object ProtobufCodec {
       ProtoField(9, "trace_id", PBytes),
       ProtoField(10, "span_id", PBytes),
       ProtoField(11, "observed_time_unix_nano", PFixed64)))
+
+    // full export envelope: ExportLogsServiceRequest → ResourceLogs →
+    // ScopeLogs → LogRecord (collector.proto + logs.proto numbering)
+    val ScopeLogs: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(2, "log_records", PRepeated(PMessage(LogRecord))),
+      ProtoField(3, "schema_url", PString)))
+    val ResourceLogs: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(2, "scope_logs", PRepeated(PMessage(ScopeLogs))),
+      ProtoField(3, "schema_url", PString)))
+    val ExportLogsServiceRequest: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(1, "resource_logs", PRepeated(PMessage(ResourceLogs)))))
   }
 }

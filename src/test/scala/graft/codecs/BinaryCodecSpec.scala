@@ -52,6 +52,29 @@ class BinaryCodecSpec extends SparkSpec {
       .head.isNullAt(0))
   }
 
+  test("OTLP export envelope: repeated nested messages roundtrip") {
+    import org.apache.spark.sql.types._
+    // two log records inside one scope inside one resource
+    val lr = (tns: Long, txt: String) =>
+      Row(tns, 9L, txt, Row(s"body of $txt"), null, null, null, null)
+    val envelope = Row(Seq(Row(Seq(Row(Seq(lr(111L, "first"), lr(222L, "second")),
+      "s-url")), "r-url")))
+    val st = Otlp.ExportLogsServiceRequest.sparkType
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(envelope)), StructType(Seq(StructField("r", st))))
+    val rt = df.select(ProtobufCodec.decode(Otlp.ExportLogsServiceRequest,
+        ProtobufCodec.encode(Otlp.ExportLogsServiceRequest, col("r"))).as("p"))
+      .select(explode(col("p.resource_logs")).as("rl"))
+      .select(explode(col("rl.scope_logs")).as("sl"))
+      .select(col("sl.schema_url"), explode(col("sl.log_records")).as("lr"))
+      .select(col("schema_url"), col("lr.time_unix_nano"),
+        col("lr.severity_text"), col("lr.body.string_value"))
+      .collect()
+    assert(rt.toSeq == Seq(
+      Row("s-url", 111L, "first", "body of first"),
+      Row("s-url", 222L, "second", "body of second")))
+  }
+
   test("avro roundtrip: nullable union and negative long") {
     val schemaJson =
       """{"type":"record","name":"R","fields":[
