@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** File tail source: append continuation, partial-line holdback,
+  * rotation-by-rename (fingerprint keyed), checkpoint resume.
+  */
+class FileTailSpec extends SparkSpec {
+
+  private def collected(q: org.apache.spark.sql.streaming.StreamingQuery,
+                        name: String): Seq[String] = {
+    q.processAllAvailable()
+    spark.sql(s"SELECT message FROM $name").collect().map(_.getString(0)).toSeq
+  }
+
+  test("tail: appends, partial lines, rotation, checkpoint resume") {
+    val dir = Files.createTempDirectory("tail").toString
+    val cp = s"$dir/.checkpoint"
+    // fingerprints come from the first 256 bytes — make line one long
+    // enough to be a distinctive head
+    val pad = "x" * 300
+    val f = Paths.get(s"$dir/app.log")
+
+    val src = FileTail(spark, dir, Some(cp))
+    val q = src.df.writeStream.format("memory").queryName("tail1").start()
+    try {
+      Files.writeString(f, s"first $pad\nsecond\npartial")
+      assert(src.poll() == 2) // partial line held back
+      assert(collected(q, "tail1") == Seq(s"first $pad", "second"))
+
+      // finish the partial line + append another
+      Files.writeString(f, " done\nthird\n", StandardOpenOption.APPEND)
+      assert(src.poll() == 2)
+      assert(collected(q, "tail1") ==
+        Seq(s"first $pad", "second", "partial done", "third"))
+
+      // rotate: rename, then a NEW file appears under the old name
+      Files.move(f, Paths.get(s"$dir/app.log.1"))
+      Files.writeString(Paths.get(s"$dir/app.log.1"), "post-rotate\n",
+        StandardOpenOption.APPEND)
+      Files.writeString(f, s"fresh $pad\nnew-file-line\n")
+      val n = src.poll()
+      // renamed file continues from its offset; fresh file reads from 0
+      assert(n == 3)
+      val all = collected(q, "tail1")
+      assert(all.contains("post-rotate") && all.contains("new-file-line") &&
+        all.contains(s"fresh $pad"))
+      assert(all.count(_ == "second") == 1) // no re-emission after rename
+      q.stop()
+
+      // restart from the checkpoint: nothing re-emitted
+      val src2 = FileTail(spark, dir, Some(cp))
+      val q2 = src2.df.writeStream.format("memory").queryName("tail2").start()
+      try {
+        assert(src2.poll() == 0)
+        Files.writeString(f, "after-restart\n", StandardOpenOption.APPEND)
+        assert(src2.poll() == 1)
+        assert(collected(q2, "tail2") == Seq("after-restart"))
+      } finally q2.stop()
+    } finally if (q.isActive) q.stop()
+  }
+}
