@@ -167,11 +167,16 @@ object VrlFunctions {
       case "parse_timestamp" =>
         CV(to_timestamp(c(0), strftimeToJava(str(a(1), name, "format"))), TTs)
       case "parse_regex" =>
-        // numbered capture groups exposed as g1, g2, ... (the published
-        // fn returns named captures; our RegexStruct names them)
+        // named captures (?<x>…) keep their names; unnamed groups are
+        // exposed positionally as g<i> (published fn: named + "0","1",…)
         val pat = str(a(1), name, "pattern")
         val groups = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
-        CV(RegexStruct(c(0), pat, (1 to groups).map(i => s"g$i")), TAny)
+        val namedIt = "\\(\\?<([A-Za-z][A-Za-z0-9]*)>".r.findAllMatchIn(pat)
+          .map(_.group(1)).toList
+        val labels =
+          if (namedIt.length == groups) namedIt
+          else (1 to groups).map(i => s"g$i").toList
+        CV(RegexStruct(c(0), pat, labels), TAny)
 
       // ---- coerce ----
       case "to_int" => a(0).cv.t match {

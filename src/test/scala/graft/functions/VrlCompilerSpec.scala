@@ -209,6 +209,19 @@ class VrlCompilerSpec extends SparkSpec {
     assert(r.getAs[String]("uid").charAt(14) == '7')
   }
 
+  test("parse_regex exposes named capture groups") {
+    val df = Seq((1L, "dur=42ms code=200")).toDF("id", "line")
+    val out = VrlCompiler.run(df,
+      """
+        |.g = parse_regex!(.line, "dur=(?<dur>[0-9]+)ms code=(?<code>[0-9]+)")
+        |.dur = to_int(.g.dur)
+        |.code = to_int(.g.code)
+        |del(.g)
+        |""".stripMargin)
+    val r = out.primary.collect().head
+    assert(r.getAs[Long]("dur") == 42L && r.getAs[Long]("code") == 200L)
+  }
+
   test("parse error surfaces as VrlParseException") {
     intercept[VrlParser.VrlParseException] {
       VrlCompiler.compile(events.schema, ".x = @bad")
