@@ -278,6 +278,55 @@ object Vrl {
     (n * factor).cast("long")
   }
 
+  /** parse_csv: one CSV record → array of fields (RFC 4180 quoting,
+    * `""` escapes). Sequential by nature → UDF at the codec edge.
+    */
+  val parseCsvArray: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val out = scala.collection.mutable.ListBuffer[String]()
+        val cur = new StringBuilder
+        var i = 0
+        var inQ = false
+        while (i < s.length) {
+          val ch = s(i)
+          if (inQ) {
+            if (ch == '"' && i + 1 < s.length && s(i + 1) == '"') { cur += '"'; i += 1 }
+            else if (ch == '"') inQ = false
+            else cur += ch
+          } else ch match {
+            case '"' => inQ = true
+            case ',' => out += cur.toString; cur.clear()
+            case c => cur += c
+          }
+          i += 1
+        }
+        out += cur.toString
+        out.toSeq
+      }
+    }
+
+  /** encode_csv: array of fields → one CSV record (quote when needed). */
+  val encodeCsvArray: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (fields: Seq[String]) =>
+      if (fields == null) null
+      else fields.map { f =>
+        val v = if (f == null) "" else f
+        if (v.exists(c => c == ',' || c == '"' || c == '\n'))
+          "\"" + v.replace("\"", "\"\"") + "\""
+        else v
+      }.mkString(",")
+    }
+
+  /** sha3 (SHA3-256/384/512 — in the JDK since 9). */
+  def sha3Hex(variant: String): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else java.security.MessageDigest.getInstance(variant)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+
   /** encode_punycode / decode_punycode (IDNA) via java.net.IDN. */
   val encodePunycode: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (s: String) => if (s == null) null else java.net.IDN.toASCII(s) }

@@ -141,6 +141,15 @@ object VrlFunctions {
           parse_url(c(0), lit("QUERY")).as("query")), TAny)
       case "parse_duration" =>
         CV(Vrl.parseDurationSecs(c(0)), TFloat)
+      case "parse_csv" => CV(Vrl.parseCsvArray(c(0)), TArr)
+      case "encode_csv" => CV(Vrl.encodeCsvArray(c(0)), TStr)
+      case "parse_cef" => CV(Vrl.parseCef(c(0)), TAny)
+      case "parse_xml" =>
+        val ddl = named.get("schema").map(x => str(x, name, "schema"))
+          .getOrElse(throw VrlCompileException(
+            "parse_xml: a literal `schema:` DDL argument is required"))
+        CV(Vrl.parseXml(c(0), ddl), TAny)
+      case "parse_aws_vpc_flow_log" => CV(Vrl.parseVpcFlowLog(c(0)), TAny)
       case "parse_int" =>
         CV(c(0).try_cast("long"), TInt)
       case "parse_float" =>
@@ -262,6 +271,15 @@ object VrlFunctions {
           case _ => 256
         }
         CV(sha2(c(0).cast("binary"), bits), TStr)
+      case "sha3" =>
+        val variant = named.get("variant").flatMap(_.literal) match {
+          case Some("SHA3-384") => "SHA3-384"
+          case Some("SHA3-512") => "SHA3-512"
+          case _ => "SHA3-256"
+        }
+        CV(Vrl.sha3Hex(variant)(c(0)), TStr)
+      case "encode_base16" => CV(lower(hex(c(0).cast("binary"))), TStr)
+      case "decode_base16" => CV(unhex(c(0)).cast("string"), TStr)
       case "crc" => CV(crc32(c(0).cast("binary")).cast("string"), TStr)
       case "seahash" | "xxhash" => CV(xxhash64(c(0)), TInt)
       case "hmac" =>

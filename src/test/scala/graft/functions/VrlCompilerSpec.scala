@@ -222,6 +222,27 @@ class VrlCompilerSpec extends SparkSpec {
     assert(r.getAs[Long]("dur") == 42L && r.getAs[Long]("code") == 200L)
   }
 
+  test("parse_csv / encode_csv / sha3 / base16") {
+    val df = Seq((1L, "a,\"b,with \"\"quote\"\"\",c")).toDF("id", "line")
+    val out = VrlCompiler.run(df,
+      """
+        |.fields = parse_csv!(.line)
+        |.second = .fields[1]
+        |.back = encode_csv(.fields)
+        |.h3 = sha3(.second)
+        |.hx = decode_base16(encode_base16(.second))
+        |del(.fields)
+        |""".stripMargin)
+    val r = out.primary.collect().head
+    assert(r.getAs[String]("second") == "b,with \"quote\"")
+    assert(r.getAs[String]("back") == "a,\"b,with \"\"quote\"\"\",c")
+    assert(r.getAs[String]("h3") ==
+      java.security.MessageDigest.getInstance("SHA3-256")
+        .digest("b,with \"quote\"".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(r.getAs[String]("hx") == "b,with \"quote\"")
+  }
+
   test("parse error surfaces as VrlParseException") {
     intercept[VrlParser.VrlParseException] {
       VrlCompiler.compile(events.schema, ".x = @bad")
