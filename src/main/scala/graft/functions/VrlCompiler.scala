@@ -173,7 +173,7 @@ object VrlCompiler {
 
     case ExprStmt(IfE(branches, elseB)) => compileIf(env, branches, elseB)._1
 
-    case ExprStmt(CallE("del", _, List(PathE(FieldSeg(f) :: Nil)), _)) =>
+    case ExprStmt(CallE("del", _, List(PathE(FieldSeg(f) :: Nil)), _, _)) =>
       env.copy(fields = env.fields - f)
 
     case ExprStmt(e) =>
@@ -365,7 +365,40 @@ object VrlCompiler {
       }
       (binop(op, lv, rv), err)
 
-    case CallE(name, bang, args, named) =>
+    case CallE(name, bang, args, named, Some(cl)) =>
+      // closure-bearing call (closure.cue): compile the body against a
+      // child scope whose params bind to the HOF lambda variables, so
+      // the whole iteration stays inside Catalyst's higher-order
+      // functions (no per-element interpreter)
+      val (target, tErr) = expr(env, args.headOption.getOrElse(
+        throw VrlCompileException(s"$name: closure call needs a target")))
+      def body(bind: (String, CV)*): Column =
+        block(env.copy(vars = env.vars ++ bind.toMap), cl.body)._2.col
+      val cv = (name, target.t, cl.params) match {
+        case ("filter", TMap, List(k, v)) =>
+          CV(map_filter(target.col, (kc, vc) =>
+            coalesce(body(k -> CV(kc, TStr), v -> CV(vc, TAny)), lit(false))), TMap)
+        case ("filter", _, List(v)) =>
+          CV(filter(target.col, x =>
+            coalesce(body(v -> CV(x, TAny)), lit(false))), TArr)
+        case ("filter", _, List(i, v)) =>
+          CV(filter(target.col, (x, idx) =>
+            coalesce(body(i -> CV(idx.cast("long"), TInt), v -> CV(x, TAny)),
+              lit(false))), TArr)
+        case ("map_values", TMap, List(v)) =>
+          CV(transform_values(target.col,
+            (_, vc) => body(v -> CV(vc, TAny))), TMap)
+        case ("map_values", _, List(v)) =>
+          CV(transform(target.col, x => body(v -> CV(x, TAny))), TArr)
+        case ("map_keys", TMap, List(k)) =>
+          CV(transform_keys(target.col,
+            (kc, _) => body(k -> CV(kc, TStr))), TMap)
+        case (other, t, ps) => throw VrlCompileException(
+          s"unsupported closure call: $other over $t with ${ps.length} params")
+      }
+      (cv, tErr)
+
+    case CallE(name, bang, args, named, None) =>
       val argVs = args.map(a => (a, expr(env, a)))
       val namedVs = named.map { case (n, a) => (n, a, expr(env, a)) }
       val childErr = (argVs.map(_._2._2) ++ namedVs.map(_._3._2))

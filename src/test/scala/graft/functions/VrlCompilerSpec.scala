@@ -243,6 +243,22 @@ class VrlCompilerSpec extends SparkSpec {
     assert(r.getAs[String]("hx") == "b,with \"quote\"")
   }
 
+  test("closures: filter and map_values over arrays and maps") {
+    val df = Seq((1L, "a,bb,ccc,dddd")).toDF("id", "csv")
+    val out = VrlCompiler.run(df,
+      """
+        |.parts = split(.csv, ",")
+        |.long = filter(.parts) -> |_i, v| { length(v) >= 2 }
+        |.loud = map_values(.long) -> |v| { upcase(v) }
+        |.joined = join!(.loud, "|")
+        |del(.parts)
+        |del(.long)
+        |del(.loud)
+        |""".stripMargin)
+    val r = out.primary.collect().head
+    assert(r.getAs[String]("joined") == "BB|CCC|DDDD")
+  }
+
   test("parse error surfaces as VrlParseException") {
     intercept[VrlParser.VrlParseException] {
       VrlCompiler.compile(events.schema, ".x = @bad")
