@@ -81,7 +81,8 @@ object VrlCompiler {
     * independently (remap.rs:128-155).
     */
   final case class Compiled(fields: Seq[(String, Column)],
-                            abortCond: Column, errCond: Column) {
+                            abortCond: Column, errCond: Column,
+                            emitN: Option[Column] = None) {
     def dropCond: Column = abortCond || errCond
   }
 
@@ -90,7 +91,8 @@ object VrlCompiler {
     */
   private final case class Env(fields: ListMap[String, CV],
                                vars: Map[String, CV],
-                               aborted: Column, errored: Column) {
+                               aborted: Column, errored: Column,
+                               emitN: Option[Column] = None) {
     def withError(c: Column): Env = copy(errored = errored || c)
   }
 
@@ -102,7 +104,7 @@ object VrlCompiler {
       lit(false), lit(false))
     val end = program.stmts.foldLeft(init)(stmt)
     Compiled(end.fields.map { case (n, cv) => (n, cv.col) }.toSeq,
-      end.aborted, end.errored)
+      end.aborted, end.errored, end.emitN)
   }
 
   /** Compile against a DataFrame and split into remap-style outputs:
@@ -112,10 +114,20 @@ object VrlCompiler {
   def run(df: DataFrame, source: String): graft.operators.Remap.Outputs = {
     val c = compile(df.schema, source)
     val keep = !coalesce(c.dropCond, lit(false))
-    graft.operators.Remap.Outputs(
-      df.filter(keep).select(c.fields.map { case (n, e) => e.as(n) }: _*),
-      df.filter(!keep))
+    graft.operators.Remap.Outputs(primaryOf(df, c, keep), df.filter(!keep))
   }
+
+  private def primaryOf(df: DataFrame, c: Compiled, keep: Column): DataFrame =
+    c.emitN match {
+      case Some(arr) =>
+        // 1→N emit: explode the per-row event array
+        df.filter(keep).select(explode(arr).as("__e"))
+          .select(c.fields.map { case (n, _) =>
+            col("__e").getField(n).as(n)
+          }: _*)
+      case None =>
+        df.filter(keep).select(c.fields.map { case (n, e) => e.as(n) }: _*)
+    }
 
   /** Like [[run]] but honoring the reference remap flags: a predicate
     * that is "off" forwards the affected rows UNMODIFIED on the primary
@@ -131,8 +143,7 @@ object VrlCompiler {
     val dropped = coalesce(
       (if (dropOnAbort) c.abortCond else lit(false)) ||
         (if (dropOnError) c.errCond else lit(false)), lit(false))
-    val transformed =
-      df.filter(!affected).select(c.fields.map { case (n, e) => e.as(n) }: _*)
+    val transformed = primaryOf(df, c, !affected)
     val forwarded = df.filter(affected && !dropped)
     graft.operators.Remap.Outputs(
       transformed.unionByName(forwarded, allowMissingColumns = true),
@@ -158,6 +169,34 @@ object VrlCompiler {
 
   private def stmt(env: Env, s: Stmt): Env = s match {
     case AbortS(_) => env.copy(aborted = lit(true))
+
+    // whole-event replacement `. = …` (remap.rs: assigning an ARRAY to
+    // the root emits one event per element — the 1→N remap path)
+    case Assign(PathT(Nil), _, value) =>
+      if (env.emitN.isDefined)
+        throw VrlCompileException("only one `. =` root assignment is supported")
+      value match {
+        case ObjectE(fs) =>
+          val compiled = fs.map { case (k, v) => k -> expr(env, v)._1 }
+          env.copy(fields = ListMap(compiled: _*))
+        case ArrayE(items) if items.nonEmpty && items.forall(_.isInstanceOf[ObjectE]) =>
+          val objs = items.collect { case o: ObjectE => o }
+          val keys = objs.flatMap(_.fields.map(_._1)).distinct
+          val structs = objs.map { o =>
+            val m = o.fields.toMap
+            struct(keys.map(k => m.get(k)
+              .map(e => expr(env, e)._1.col)
+              .getOrElse(lit(null)).as(k)): _*)
+          }
+          env.copy(
+            fields = ListMap(keys.map(k => k -> CV(lit(null), TAny)): _*),
+            emitN = Some(array(structs: _*)))
+        case _ => throw VrlCompileException(
+          "`. =` supports object literals and arrays of object literals")
+      }
+
+    case Assign(_, _, _) if env.emitN.isDefined =>
+      throw VrlCompileException("no assignments may follow a `. = [..]` emit")
 
     case Assign(target, errT, value) =>
       val (v, errCond) = expr(env, value)

@@ -259,6 +259,26 @@ class VrlCompilerSpec extends SparkSpec {
     assert(r.getAs[String]("joined") == "BB|CCC|DDDD")
   }
 
+  test("root assignment: `. = {...}` replaces, `. = [...]` emits 1-to-N") {
+    val replace = VrlCompiler.run(events,
+      """
+        |. = { "kind": upcase(.etype), "double": .value * 2.0 }
+        |""".stripMargin)
+    val rr = replace.primary.orderBy("kind").collect()
+    assert(replace.primary.columns.toSeq == Seq("kind", "double"))
+    assert(rr.map(_.getAs[String]("kind")).toSeq == Seq("CLICK", "ERROR", "VIEW"))
+
+    val emit = VrlCompiler.run(events,
+      """
+        |. = [{ "message": "hello", "src": .etype }, { "message": "world" }]
+        |""".stripMargin)
+    val er = emit.primary.collect()
+    assert(er.length == 6) // 3 input rows × 2 emitted events
+    assert(er.count(_.getAs[String]("message") == "hello") == 3)
+    assert(er.count(r => r.getAs[String]("message") == "world" &&
+      r.isNullAt(r.fieldIndex("src"))) == 3)
+  }
+
   test("parse error surfaces as VrlParseException") {
     intercept[VrlParser.VrlParseException] {
       VrlCompiler.compile(events.schema, ".x = @bad")
