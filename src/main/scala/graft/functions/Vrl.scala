@@ -702,4 +702,166 @@ object Vrl {
   // ---- Fallibility (`??`, abort) --------------------------------------
   /** VRL `a ?? b`: null-on-error coalescing. */
   def coalesced(cs: Column*): Column = coalesce(cs: _*)
+
+  // ---- Long-tail additions (round 5) ----------------------------------
+
+  /** redact(value, filters) — replace every regex match with `[REDACTED]`
+    * (reference functions/redact.cue; named filter `us_social_security_number`
+    * supported alongside raw patterns).
+    */
+  def redact(c: Column, filters: Seq[String]): Column = {
+    val patterns = filters.map {
+      case "us_social_security_number" => "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+      case p => p
+    }
+    patterns.foldLeft(c)((acc, p) => regexp_replace(acc, p, "[REDACTED]"))
+  }
+
+  /** sieve(value, permitted) — keep only substrings matching the permitted
+    * pattern; each run of disallowed characters collapses to
+    * `replace_repeated` (default "") and a single disallowed character to
+    * `replace_single` (reference functions/sieve.cue).
+    */
+  def sieve(c: Column, permitted: String, replaceSingle: String = "",
+            replaceRepeated: String = ""): Column = {
+    // single pass: replacement text must not be re-examined (a two-pass
+    // regexp_replace would strip the just-inserted replacement when it
+    // itself contains disallowed characters)
+    val pat = java.util.regex.Pattern.compile(s"(?s)(?:(?!$permitted).)+")
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val m = pat.matcher(s)
+        val sb = new java.lang.StringBuilder
+        var last = 0
+        while (m.find()) {
+          sb.append(s, last, m.start())
+          sb.append(if (m.end() - m.start() > 1) replaceRepeated else replaceSingle)
+          last = m.end()
+        }
+        sb.append(s, last, s.length).toString
+      }
+    }
+    f(c)
+  }
+
+  /** unflatten({"a.b": v}) — dotted keys to nested objects, emitted as a
+    * JSON string (callers `parse_json` it into a variant; reference
+    * functions/unflatten.cue). Values are inserted as raw JSON when they
+    * parse as JSON scalars, else as strings.
+    */
+  val unflattenJson: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (m: Map[String, String]) =>
+      if (m == null) null
+      else {
+        // nested insert into a tree of sorted maps for deterministic order
+        val root = new java.util.TreeMap[String, Object]()
+        def insert(node: java.util.TreeMap[String, Object], path: List[String], v: String): Unit =
+          path match {
+            case key :: Nil => node.put(key, v)
+            case key :: rest =>
+              val child = node.get(key) match {
+                case t: java.util.TreeMap[_, _] =>
+                  t.asInstanceOf[java.util.TreeMap[String, Object]]
+                case _ =>
+                  val t = new java.util.TreeMap[String, Object]()
+                  node.put(key, t); t
+              }
+              insert(child, rest, v)
+            case Nil => ()
+          }
+        m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          insert(root, k.split("\\.").toList, v)
+        }
+        def jsonOf(o: Object): String = o match {
+          case t: java.util.TreeMap[_, _] =>
+            val entries = t.asInstanceOf[java.util.TreeMap[String, Object]]
+            import scala.jdk.CollectionConverters._
+            entries.entrySet().asScala.map { e =>
+              "\"" + e.getKey.replace("\\", "\\\\").replace("\"", "\\\"") +
+                "\":" + jsonOf(e.getValue)
+            }.mkString("{", ",", "}")
+          case s: String =>
+            // numbers / booleans / null pass through as JSON scalars
+            if (s.matches("-?\\d+(\\.\\d+)?([eE][-+]?\\d+)?") || s == "true" ||
+              s == "false" || s == "null") s
+            else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          case _ => "null"
+        }
+        jsonOf(root)
+      }
+    }
+
+  /** object_from_array([[k,v], ...]) — pairs to a map (reference
+    * functions/object_from_array.cue). Spark-native: map_from_entries
+    * expects struct pairs, so the 2-element-array form converts first.
+    */
+  def objectFromArray(pairs: Column): Column =
+    map_from_entries(transform(pairs, p =>
+      struct(element_at(p, 1).as("key"), element_at(p, 2).as("value"))))
+
+  /** tally(array) — occurrence counts as a map (reference
+    * functions/tally.cue). O(distinct × n) per row, bounded by row size.
+    */
+  def tally(arr: Column): Column =
+    map_from_entries(transform(array_distinct(arr), v =>
+      struct(v.as("key"),
+        size(filter(arr, x => x === v)).cast("long").as("value"))))
+
+  /** community_id v1 (Corelight spec, reference functions/community_id.cue):
+    * `1:` + base64(sha1(seed_be16 ‖ ip_lo ‖ ip_hi ‖ proto ‖ 0x00 ‖
+    * port_lo_be16 ‖ port_hi_be16)) with (ip,port) endpoint ordering.
+    * IPv4 only (the testdata universe); null on unparseable input.
+    */
+  val communityId: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (srcIp: String, dstIp: String, proto: Int, srcPort: Int, dstPort: Int, seed: Int) =>
+      try {
+        def ipBytes(s: String): Array[Byte] =
+          s.split("\\.").map(o => (o.toInt & 0xFF).toByte)
+        val (s, d) = {
+          val sb = ipBytes(srcIp); val db = ipBytes(dstIp)
+          val cmp = java.util.Arrays.compareUnsigned(sb, db)
+          if (cmp < 0 || (cmp == 0 && srcPort <= dstPort))
+            ((sb, srcPort), (db, dstPort))
+          else ((db, dstPort), (sb, srcPort))
+        }
+        val buf = java.nio.ByteBuffer.allocate(2 + 4 + 4 + 2 + 2 + 2)
+        buf.putShort(seed.toShort)
+        buf.put(s._1); buf.put(d._1)
+        buf.put(proto.toByte); buf.put(0.toByte)
+        buf.putShort(s._2.toShort); buf.putShort(d._2.toShort)
+        val sha = java.security.MessageDigest.getInstance("SHA-1").digest(buf.array())
+        "1:" + java.util.Base64.getEncoder.encodeToString(sha)
+      } catch { case _: Exception => null }
+    }
+
+  /** encode_lz4 / decode_lz4 — LZ4 block format with the uncompressed
+    * size prepended little-endian (the reference's lz4_flex
+    * `compress_prepend_size` layout; lz4-java ships with Spark).
+    */
+  val encodeLz4: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+        val out = comp.compress(bytes)
+        java.nio.ByteBuffer.allocate(4 + out.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(bytes.length).put(out).array()
+      }
+    }
+  val decodeLz4: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.length < 4) null
+      else try {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val size = bb.getInt
+        if (size < 0 || size > (1 << 30)) null
+        else {
+          val dec = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+          dec.decompress(bytes, 4, size)
+        }
+      } catch { case _: Exception => null }
+    }
 }

@@ -63,6 +63,28 @@ object VrlFunctions {
     sb.toString
   }
 
+  /** "no:type:name;..." → ProtoSchema (see parse_proto/encode_proto). */
+  private def protoSchema(spec: String): graft.codecs.ProtobufCodec.ProtoSchema = {
+    import graft.codecs.ProtobufCodec._
+    ProtoSchema(spec.split(";").toSeq.filter(_.nonEmpty).map { f =>
+      f.split(":") match {
+        case Array(no, t, nm) =>
+          val pt = t match {
+            case "varint" => PVarint
+            case "sint" => PSint
+            case "double" => PDouble
+            case "fixed64" => PFixed64
+            case "string" => PString
+            case "bytes" => PBytes
+            case other => throw VrlCompileException(s"parse_proto: unknown type $other")
+          }
+          ProtoField(no.toInt, nm, pt)
+        case _ => throw VrlCompileException(
+          s"parse_proto: field spec must be no:type:name, got `$f`")
+      }
+    })
+  }
+
   def apply(name: String, args: List[Arg], named: Map[String, Arg]): CV = {
     def a(i: Int): Arg = args.lift(i).getOrElse(
       throw VrlCompileException(s"$name: missing argument ${i + 1}"))
@@ -332,6 +354,61 @@ object VrlFunctions {
         // get(value, ["a","b"]) — path as literal array unsupported in
         // general; single-key form only
         CV(element_at(c(0), c(1)), TAny)
+
+      case "zip" => CV(arrays_zip(c(0), c(1)), TArr)
+      case "reverse" => CV(org.apache.spark.sql.functions.reverse(c(0)), a(0).cv.t)
+      case "object_from_array" => CV(Vrl.objectFromArray(c(0)), TMap)
+      case "tally" => CV(Vrl.tally(c(0)), TMap)
+      case "unflatten" => CV(parse_json(Vrl.unflattenJson(c(0))), TVariant)
+
+      case "redact" =>
+        val filters = named.get("filters").orElse(args.lift(1)).flatMap(_.literal) match {
+          case Some(l: Seq[_]) => l.map(_.toString)
+          case Some(s: String) => Seq(s)
+          case _ => throw VrlCompileException(
+            "redact: filters must be a literal array of patterns")
+        }
+        CV(Vrl.redact(c(0), filters), TStr)
+      case "sieve" =>
+        CV(Vrl.sieve(c(0), str(a(1), name, "permitted"),
+          named.get("replace_single").flatMap(_.literal).map(_.toString).getOrElse(""),
+          named.get("replace_repeated").flatMap(_.literal).map(_.toString).getOrElse("")), TStr)
+
+      // assert/assert_eq: true when the invariant holds; null (= runtime
+      // error under `!`, routed to dropped) when it does not — the
+      // reference aborts the resolution in the same situation
+      case "assert" => CV(when(c(0), lit(true)), TBool)
+      case "assert_eq" => CV(when(c(0) === c(1), lit(true)), TBool)
+
+      // driver-environment probes: constant per job, like the reference's
+      // per-process values (functions/get_hostname.cue, get_env_var.cue)
+      case "get_hostname" =>
+        CV(lit(try java.net.InetAddress.getLocalHost.getHostName
+        catch { case _: Exception => "localhost" }), TStr)
+      case "get_env_var" =>
+        CV(lit(sys.env.getOrElse(str(a(0), name, "name"), null)), TStr)
+
+      case "parse_linux_authorization" => CV(Vrl.parseSyslog3164(c(0)), TAny)
+      case "parse_influxdb" => CV(graft.codecs.Decode.influxLine(c(0)), TAny)
+      case "community_id" =>
+        val seed = named.get("seed").map(x => int(x, name, "seed").toInt).getOrElse(0)
+        CV(Vrl.communityId(c(0), c(1), c(2).cast("int"), c(3).cast("int"),
+          c(4).cast("int"), lit(seed)), TStr)
+
+      case "encode_snappy" => CV(Vrl.encodeSnappy(c(0).cast("binary")), TAny)
+      case "decode_snappy" => CV(Vrl.decodeSnappy(c(0)).cast("string"), TStr)
+      case "encode_zstd" => CV(Vrl.encodeZstd(c(0).cast("binary")), TAny)
+      case "decode_zstd" => CV(Vrl.decodeZstd(c(0)).cast("string"), TStr)
+      case "encode_lz4" => CV(Vrl.encodeLz4(c(0).cast("binary")), TAny)
+      case "decode_lz4" => CV(Vrl.decodeLz4(c(0)).cast("string"), TStr)
+
+      // parse_proto / encode_proto: compact literal field spec
+      // "no:type:name;..." (types varint|sint|double|fixed64|string|bytes)
+      // standing in for the reference's descriptor-file argument
+      case "parse_proto" =>
+        CV(graft.codecs.ProtobufCodec.decode(protoSchema(str(a(1), name, "schema")), c(0)), TAny)
+      case "encode_proto" =>
+        CV(graft.codecs.ProtobufCodec.encode(protoSchema(str(a(1), name, "schema")), c(0)), TAny)
 
       case "decode_mime_q" => CV(Vrl.decodeMimeQ(c(0)), TStr)
       case "parse_ruby_hash" => CV(Vrl.parseRubyHash(c(0)), TVariant)
