@@ -349,8 +349,40 @@ object VrlQueries {
       graft.functions.VrlCompiler.run(Graft.table(s, dir, "events"), VrlProgram)
         .dropped.select(col("event_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))
+    },
+
+    // Round-5 long-tail registry entries, compiled from VRL source over
+    // documents: redact, sieve, tally+get, reverse, the lz4/snappy/zstd
+    // codec roundtrips, and a proto encode→parse roundtrip (reference
+    // functions/{redact,sieve,tally,reverse,encode_lz4,…}.cue). The
+    // compression and proto legs are identity roundtrips, so the oracle
+    // pins them to the source column — a wire-format bug surfaces as a
+    // hash mismatch.
+    "vrl_longtail" -> { (s, dir) =>
+      graft.functions.VrlCompiler
+        .run(Graft.table(s, dir, "documents"), VrlLongTailProgram)
+        .primary
+        .select(col("doc_id"), col("red"), col("sv"), col("tcount"),
+          col("rwords"), col("lz"), col("sn"), col("zs"),
+          col("pname"), col("pcount"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** vrl_longtail program (see the query comment above). */
+  private val VrlLongTailProgram: String =
+    """.red = redact(.text, filters: ["ipsum", "\\d+"])
+      |.sv = sieve(.text, "[a-z]", replace_single: "_", replace_repeated: "_")
+      |.tcount = get(tally(split(.text, " ")), "the") ?? 0
+      |.rwords = join!(reverse(split(.text, " ")), " ")
+      |.lz = decode_lz4(encode_lz4(.text))
+      |.sn = decode_snappy(encode_snappy(.text))
+      |.zs = decode_zstd(encode_zstd(.text))
+      |.rec = { "name": .source, "count": .n_chars }
+      |.back = parse_proto(encode_proto(.rec, "1:string:name;2:varint:count"), "1:string:name;2:varint:count")
+      |.pname = .back.name
+      |.pcount = .back.count
+      |""".stripMargin
 
   /** The vrl_compile program — VRL source text, parsed+compiled at plan
     * build time (shape: lib/vector-vrl/tests/tests/example.vrl).
@@ -578,6 +610,17 @@ object VrlQueries {
       """SELECT event_id, event_type, value FROM events
         |WHERE upper(event_type) = 'ERROR'
         |  AND coalesce(CAST(json_extract_string(props,'$.k') AS BIGINT), -1) % 2 = 0
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "vrl_longtail" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, 'ipsum', '[REDACTED]', 'g'),
+        |                 '\d+', '[REDACTED]', 'g') AS red,
+        |  regexp_replace(text, '[^a-z]+', '_', 'g') AS sv,
+        |  CAST(len(list_filter(str_split(text, ' '), x -> x = 'the')) AS BIGINT) AS tcount,
+        |  array_to_string(list_reverse(str_split(text, ' ')), ' ') AS rwords,
+        |  text AS lz, text AS sn, text AS zs,
+        |  source AS pname, n_chars AS pcount
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -406,7 +406,8 @@ object VrlFunctions {
       // "no:type:name;..." (types varint|sint|double|fixed64|string|bytes)
       // standing in for the reference's descriptor-file argument
       case "parse_proto" =>
-        CV(graft.codecs.ProtobufCodec.decode(protoSchema(str(a(1), name, "schema")), c(0)), TAny)
+        val ps = protoSchema(str(a(1), name, "schema"))
+        CV(graft.codecs.ProtobufCodec.decode(ps, c(0)), TObj(ps.sparkType))
       case "encode_proto" =>
         CV(graft.codecs.ProtobufCodec.encode(protoSchema(str(a(1), name, "schema")), c(0)), TAny)
 
