@@ -240,13 +240,20 @@ object VrlQueries {
           concat(lit("Mozilla/5.0 (Windows NT 10.0) Chrome/"), edgV,
             lit(".0 Safari/537.36 Edg/"), edgV, lit(".0")))
         .otherwise(lit("curl/7.88.1"))
-      val p = Vrl.parseUserAgent(ua)
-      ev(s, dir).select(
+      // materialize the synthesized UA, then the parsed struct, each in
+      // its own projection: without the barriers the CASE synthesis is
+      // inlined ~20× and the regex struct 5× into the output exprs
+      // (CollapseProject keeps an alias referenced many times by a
+      // non-cheap producer in its own stage)
+      Queries.withParsed(
+        ev(s, dir).withColumn("__ua", ua)
+          .withColumn("__g", Vrl.userAgentTokens(col("__ua"))),
+        Vrl.parseUserAgentFrom(col("__ua"), col("__g"))) { p => Seq(
         col("event_id"),
         p.getField("browser_family").as("browser_family"),
         p.getField("browser_major").as("browser_major"),
         p.getField("os_family").as("os_family"))
-        .orderBy(col("event_id"))
+      }.orderBy(col("event_id"))
     },
 
     "vrl_codec2" -> { (s, dir) =>

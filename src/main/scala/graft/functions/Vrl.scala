@@ -347,11 +347,29 @@ object Vrl {
     // lazy-scan alternation regex 2.6×, an all-instr() least()-position
     // chain 1.7× — the when-tree there re-evaluates least() per branch —
     // and the original two RegexStruct passes 1.4× of this.)
-    val g = RegexStruct(c,
-      "(Firefox|Chrome|Safari|MSIE|Trident)[/ ]?(\\d+)?",
-      Seq("family", "major"))
-    val edgPos = instr(c, "Edg/")
-    val oprPos = instr(c, "OPR/")
+    val g = userAgentTokens(c)
+    parseUserAgentFrom(c, g)
+  }
+
+  /** The generic-token scan of [[parseUserAgent]], exposed separately so
+    * callers can MATERIALIZE it (withColumn barrier) before the priority
+    * logic: the family CASE references the struct in three conditional
+    * branches, and codegen subexpression elimination does not span CASE
+    * branches — un-materialized, the regex runs up to 3× per row.
+    */
+  def userAgentTokens(c: Column): Column =
+    struct(
+      RegexStruct(c,
+        "(Firefox|Chrome|Safari|MSIE|Trident)[/ ]?(\\d+)?",
+        Seq("family", "major")).as("g"),
+      instr(c, "Edg/").as("edg"),
+      instr(c, "OPR/").as("opr"))
+
+  /** Priority/OS logic over a (possibly pre-materialized) token struct. */
+  def parseUserAgentFrom(c: Column, t: Column): Column = {
+    val g = t.getField("g")
+    val edgPos = t.getField("edg")
+    val oprPos = t.getField("opr")
     val derivPos = when(edgPos > 0, edgPos).when(oprPos > 0, oprPos)
     val derivMajor =
       regexp_extract(c.substr(derivPos + 4, lit(10)), "^[0-9]+", 0)

@@ -388,6 +388,7 @@ object VrlFunctions {
       case "get_env_var" =>
         CV(lit(sys.env.getOrElse(str(a(0), name, "name"), null)), TStr)
 
+      case "parse_etld" => CV(Vrl.parseEtldPlusOne(c(0)), TStr)
       case "parse_linux_authorization" => CV(Vrl.parseSyslog3164(c(0)), TAny)
       case "parse_influxdb" => CV(graft.codecs.Decode.influxLine(c(0)), TAny)
       case "community_id" =>
