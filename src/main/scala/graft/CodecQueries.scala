@@ -27,7 +27,8 @@ object CodecQueries {
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
         col("user_id"), pmod(col("user_id"), lit(5)), col("k") + 1,
         pmod(col("k"), lit(10)), col("event_type"))
-      Queries.withParsed(ev(s, dir), Decode.syslog5424(line)) { p => Seq(
+      Queries.withParsed(ev(s, dir).withColumn("__t", Decode.syslog5424Tokens(line)),
+        Decode.syslog5424From(col("__t"))) { p => Seq(
         col("event_id"),
         p.getField("facility").as("facility"),
         p.getField("severity").as("severity"),
@@ -45,7 +46,8 @@ object CodecQueries {
     "codec_statsd" -> { (s, dir) =>
       val line = concat(col("event_type"), lit(":"), col("k"),
         lit("|c|@0.5|#env:prod,team:t"), pmod(col("user_id"), lit(3)))
-      Queries.withParsed(ev(s, dir), Decode.statsd(line)) { p => Seq(
+      Queries.withParsed(ev(s, dir).withColumn("__t", Decode.statsdTokens(line)),
+        Decode.statsdFrom(col("__t"))) { p => Seq(
         col("event_id"),
         p.getField("name").as("name"),
         p.getField("value").as("value"),
@@ -61,7 +63,8 @@ object CodecQueries {
         "cpu,host=h%d,region=r%d usage=%d,idle=%di %d000000000",
         col("user_id"), pmod(col("user_id"), lit(3)),
         col("k"), col("k") * 2, unix_timestamp(col("ts")))
-      Queries.withParsed(ev(s, dir), Decode.influxLine(line)) { p => Seq(
+      Queries.withParsed(ev(s, dir).withColumn("__t", Decode.influxTokens(line)),
+        Decode.influxFrom(col("__t"))) { p => Seq(
         col("event_id"),
         p.getField("measurement").as("measurement"),
         element_at(p.getField("tags"), "host").as("tag_host"),
@@ -75,7 +78,8 @@ object CodecQueries {
       val line = Encode.gelf(
         concat(lit("host"), col("user_id")), col("event_type"),
         col("ts"), pmod(col("k"), lit(8)).cast("int"))
-      Queries.withParsed(ev(s, dir), Decode.gelf(line)) { p => Seq(
+      Queries.withParsed(ev(s, dir).withColumn("__t", Decode.gelfTokens(line)),
+        Decode.gelfFrom(col("__t"))) { p => Seq(
         col("event_id"),
         p.getField("version").as("version"),
         p.getField("host").as("host"),
@@ -115,7 +119,8 @@ object CodecQueries {
         map(lit("type"), col("event_type"),
           lit("host"), concat(lit("h"), pmod(col("user_id"), lit(5)))),
         col("k").cast("long"))
-      Queries.withParsed(ev(s, dir), Decode.prometheusLine(line)) { p => Seq(
+      Queries.withParsed(ev(s, dir).withColumn("__t", Decode.prometheusTokens(line)),
+        Decode.prometheusFrom(col("__t"))) { p => Seq(
         col("event_id"),
         p.getField("name").as("name"),
         element_at(p.getField("tags"), "type").as("tag_type"),
@@ -133,7 +138,9 @@ object CodecQueries {
         extensions = Seq(
           "suser" -> concat(lit("u"), col("user_id")),
           "msg" -> concat(col("event_type"), lit(" at "), col("k"))))
-      Queries.withParsed(ev(s, dir), graft.functions.Vrl.parseCef(line)) {
+      Queries.withParsed(
+        ev(s, dir).withColumn("__g", graft.functions.Vrl.cefTokens(line)),
+        graft.functions.Vrl.parseCefFrom(col("__g"))) {
         p => Seq(
           col("event_id"),
           p.getField("cef_version").as("cef_version"),

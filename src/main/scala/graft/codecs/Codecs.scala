@@ -187,11 +187,20 @@ object Decode {
     * `<PRI>VERSION TIMESTAMP HOSTNAME APP-NAME PROCID MSGID SD MSG`.
     * One regex pass (RegexStruct); `-` nil values become null.
     */
-  def syslog5424(c: Column): Column = {
+  def syslog5424(c: Column): Column = syslog5424From(syslog5424Tokens(c))
+
+  /** Raw scan of [[syslog5424]], exposed so callers can materialize it
+    * (withColumn barrier) — the result struct extracts 11 fields, and
+    * un-materialized the regex is inlined once per field.
+    */
+  def syslog5424Tokens(c: Column): Column = {
     val pat = "^<(\\d{1,3})>(\\d{1,2}) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) " +
       "(-|(?:\\[[^\\]]*\\])+)(?: (.*))?$"
-    val g = RegexStruct(c, pat, Seq("pri", "version", "ts", "hostname",
+    RegexStruct(c, pat, Seq("pri", "version", "ts", "hostname",
       "appname", "procid", "msgid", "sd", "message"))
+  }
+
+  def syslog5424From(g: Column): Column = {
     val pri = g.getField("pri").cast("int")
     def nil(f: String): Column = nullif(g.getField(f), lit("-"))
     struct(
@@ -212,10 +221,16 @@ object Decode {
     * fields; `_`-prefixed keys are additional fields
     * (reference lib/codecs/src/decoding/format/gelf.rs).
     */
-  def gelf(c: Column): Column = {
-    // ONE JSON parse to a string map; fixed fields are casts out of it
-    val m = from_json(c, lit("MAP<STRING, STRING>"),
+  def gelf(c: Column): Column = gelfFrom(gelfTokens(c))
+
+  /** The single JSON parse of [[gelf]] — materialize it: the struct
+    * reads 7 fields from the map, each re-running the parse otherwise.
+    */
+  def gelfTokens(c: Column): Column =
+    from_json(c, lit("MAP<STRING, STRING>"),
       new java.util.HashMap[String, String]())
+
+  def gelfFrom(m: Column): Column = {
     struct(
       element_at(m, "version").as("version"),
       element_at(m, "host").as("host"),
@@ -230,10 +245,15 @@ object Decode {
   /** statsd line protocol: `name:value|type[|@rate][|#tag:v,tag:v]`
     * (reference src/sources/statsd/parser).
     */
-  def statsd(c: Column): Column = {
+  def statsd(c: Column): Column = statsdFrom(statsdTokens(c))
+
+  def statsdTokens(c: Column): Column = {
     val pat = "^([^:]+):([-+]?[0-9.]+)\\|(c|g|ms|s|h|d)(?:\\|@([0-9.]+))?" +
       "(?:\\|#(.*))?$"
-    val g = RegexStruct(c, pat, Seq("name", "value", "mtype", "rate", "tags"))
+    RegexStruct(c, pat, Seq("name", "value", "mtype", "rate", "tags"))
+  }
+
+  def statsdFrom(g: Column): Column = {
     struct(
       g.getField("name").as("name"),
       g.getField("value").cast("double").as("value"),
@@ -247,9 +267,14 @@ object Decode {
     * `measurement[,tag=v,...] field=v[,field=v] [ts]`
     * (reference lib/codecs decoding influxdb).
     */
-  def influxLine(c: Column): Column = {
+  def influxLine(c: Column): Column = influxFrom(influxTokens(c))
+
+  def influxTokens(c: Column): Column = {
     val pat = "^([^, ]+)(?:,([^ ]+))? ([^ ]+)(?: (\\d+))?$"
-    val g = RegexStruct(c, pat, Seq("measurement", "tags", "fields", "ts"))
+    RegexStruct(c, pat, Seq("measurement", "tags", "fields", "ts"))
+  }
+
+  def influxFrom(g: Column): Column = {
     // influx tags/fields never contain quoted separators -> the plain
     // codegen'd str_to_map split, not the quote-aware parser
     struct(
@@ -271,10 +296,16 @@ object Decode {
     * the scrape-source decoder (reference src/sources/prometheus/ +
     * lib/prometheus-parser). Inverse of [[Encode.prometheusLine]].
     */
-  def prometheusLine(c: Column): Column = {
+  def prometheusLine(c: Column): Column =
+    prometheusFrom(prometheusTokens(c))
+
+  def prometheusTokens(c: Column): Column = {
     val pat = "^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\\{([^}]*)\\})? " +
       "([-+]?[0-9.eE+-]+|NaN|[-+]?Inf)(?: (\\d+))?$"
-    val g = RegexStruct(c, pat, Seq("name", "tags", "value", "ts"))
+    RegexStruct(c, pat, Seq("name", "tags", "value", "ts"))
+  }
+
+  def prometheusFrom(g: Column): Column = {
     // label values may contain commas / equals / escaped quotes, so a
     // plain str_to_map split is wrong: extract whole `key="…"` pairs
     // with a backslash-escape-aware regex, then unescape \" and \\

@@ -408,21 +408,34 @@ object Vrl {
     * `key=value` extensions whose values may contain spaces (`\=`
     * escapes an equals inside a value).
     */
-  def parseCef(c: Column): Column = {
+  def parseCef(c: Column): Column = parseCefFrom(cefTokens(c))
+
+  /** The header-field scan of [[parseCef]], exposed separately so callers
+    * can MATERIALIZE it (withColumn barrier): the result struct extracts
+    * 8 fields from it, and without the barrier the 6-group header regex
+    * is inlined — and executed — once per extracted field.
+    */
+  def cefTokens(c: Column): Column = {
     val f = "((?:\\\\.|[^|\\\\])*)" // header field: escaped char or non-pipe
     val pat = s"^CEF:(\\d+)\\|$f\\|$f\\|$f\\|$f\\|$f\\|$f\\|(.*)$$"
-    val g = RegexStruct(c, pat,
+    RegexStruct(c, pat,
       Seq("cef_version", "device_vendor", "device_product", "device_version",
         "event_class_id", "name", "severity", "ext"))
+  }
+
+  /** Field unescaping + extension map over a (possibly pre-materialized)
+    * header-token struct.
+    */
+  def parseCefFrom(g: Column): Column = {
     def unesc(x: Column): Column = regexp_replace(x, "\\\\(.)", "$1")
-    // a pair runs until the next `key=` boundary (values may hold spaces)
-    val pairPat = "(\\w+)=((?:\\\\.|[^=\\\\])*?)(?=\\s+\\w+=|$)"
-    val ext = map_from_entries(transform(
-      regexp_extract_all(g.getField("ext"), lit(pairPat), lit(0)),
-      p => struct(
-        regexp_extract(p, "^(\\w+)=", 1).as("key"),
-        regexp_replace(regexp_extract(p, "^\\w+=((?s).*)$", 1),
-          "\\\\(.)", "$1").as("value"))))
+    // a pair runs until the next `key=` boundary (values may hold
+    // spaces). str_to_map with a lookahead pair delimiter + limit-2 kv
+    // split stays in codegen — the previous regexp_extract_all +
+    // per-pair extract/replace lambda form cost 3 interpreted regex
+    // evaluations per pair
+    val ext = transform_values(
+      str_to_map(g.getField("ext"), lit("\\s+(?=\\w+=)"), lit("=")),
+      (_, v) => regexp_replace(v, "\\\\(.)", "$1"))
     struct(
       g.getField("cef_version").cast("int").as("cef_version"),
       unesc(g.getField("device_vendor")).as("device_vendor"),
