@@ -373,6 +373,130 @@ object VrlQueries {
           col("rwords"), col("lz"), col("sn"), col("zs"),
           col("pname"), col("pcount"))
         .orderBy(col("doc_id"))
+    },
+
+    // Round-trip oracles for the round-5b log-format parsers: klog,
+    // AWS ALB access log, CloudWatch Logs subscription envelope, and
+    // quote/bracket-aware tokenization (reference functions/
+    // parse_klog.cue, parse_aws_alb_log.cue,
+    // parse_aws_cloudwatch_log_subscription_message.cue, parse_tokens.cue).
+    "vrl_parse_logs3" -> { (s, dir) =>
+      val lvl = element_at(
+        array(lit("I"), lit("W"), lit("E"), lit("F")),
+        pmod(col("user_id"), lit(4)).cast("int") + 1)
+      val kline = concat(lvl, lit("1011 14:32:52.123456  "), col("k"),
+        lit(" main"), col("user_id"), lit(".go:"), pmod(col("k"), lit(100)),
+        lit("] "), col("event_type"), lit(" done"))
+      val alb = concat(
+        lit("https 2022-10-11T14:32:52.000000Z app/lb/1 10.0.0."),
+        pmod(col("user_id"), lit(256)), lit(":"),
+        lit(10000) + pmod(col("k"), lit(50000)),
+        lit(" 10.0.1.5:80 0.001 0.002 0.000 "),
+        lit(200) + pmod(col("k"), lit(4)),
+        lit(" 200 "), col("k"), lit(" "), col("k") * 2,
+        lit(" \"GET https://example.com:443/p/"), col("k"),
+        lit(" HTTP/2.0\" \"Mozilla/5.0 UA"), col("user_id"),
+        lit("\" ECDHE-RSA-AES128-GCM-SHA256 TLSv1.2 arn:tg/"),
+        col("user_id"), lit(" \"Root=1-"), col("k"),
+        lit("\" \"example.com\" \"arn:cert\" "),
+        pmod(col("user_id"), lit(10)),
+        lit(" 2022-10-11T14:32:52.000000Z \"forward\" \"-\" \"-\""))
+      val cw = concat(
+        lit("{\"owner\":\"111122223333\",\"messageType\":\"DATA_MESSAGE\"," +
+          "\"logGroup\":\"g"), pmod(col("user_id"), lit(5)),
+        lit("\",\"logStream\":\"s"), col("user_id"),
+        lit("\",\"subscriptionFilters\":[\"f0\",\"f"),
+        pmod(col("user_id"), lit(3)),
+        lit("\"],\"logEvents\":[{\"id\":\"e"), col("k"),
+        lit("\",\"timestamp\":"), lit(1600000000000L) + col("k"),
+        lit(",\"message\":\"m-"), col("event_type"), lit("\"}]}"))
+      val toks = Vrl.parseTokens(concat(
+        lit("start \"quo ted "), col("user_id"), lit("\" [br "),
+        col("k"), lit("] tail")))
+      val base = ev(s, dir)
+        .withColumn("__kl", Vrl.klogTokens(kline))
+        .withColumn("__alb", Vrl.albTokens(alb))
+        .withColumn("__cw", Vrl.parseCloudwatchSubscription(cw))
+      val kl = Vrl.parseKlogFrom(col("__kl"))
+      val ab = Vrl.parseAwsAlbLogFrom(col("__alb"))
+      base.select(
+        col("event_id"),
+        kl.getField("level").as("kl_level"),
+        kl.getField("id").as("kl_id"),
+        kl.getField("file").as("kl_file"),
+        kl.getField("line").as("kl_line"),
+        kl.getField("message").as("kl_msg"),
+        ab.getField("client_host").as("alb_client"),
+        ab.getField("elb_status_code").as("alb_status"),
+        ab.getField("received_bytes").as("alb_rb"),
+        ab.getField("sent_bytes").as("alb_sb"),
+        ab.getField("request_method").as("alb_method"),
+        ab.getField("request_url").as("alb_url"),
+        ab.getField("request_protocol").as("alb_proto"),
+        ab.getField("user_agent").as("alb_ua"),
+        ab.getField("trace_id").as("alb_trace"),
+        ab.getField("domain_name").as("alb_domain"),
+        ab.getField("matched_rule_priority").as("alb_rule"),
+        ab.getField("actions_executed").as("alb_actions"),
+        ab.getField("redirect_url").as("alb_redirect"),
+        round(ab.getField("target_processing_time"), 3).as("alb_tpt"),
+        col("__cw").getField("owner").as("cw_owner"),
+        col("__cw").getField("message_type").as("cw_type"),
+        col("__cw").getField("log_group").as("cw_group"),
+        col("__cw").getField("log_stream").as("cw_stream"),
+        size(col("__cw").getField("subscription_filters")).cast("long")
+          .as("cw_nfilters"),
+        element_at(col("__cw").getField("log_events"), 1)
+          .getField("id").as("cw_eid"),
+        unix_millis(element_at(col("__cw").getField("log_events"), 1)
+          .getField("timestamp")).as("cw_ets"),
+        element_at(col("__cw").getField("log_events"), 1)
+          .getField("message").as("cw_emsg"),
+        size(toks).cast("long").as("n_tokens"),
+        element_at(toks, 2).as("token2"))
+        .orderBy(col("event_id"))
+    },
+
+    // Syslog level/facility coercions, the IPv6 address family,
+    // enumerate/match helpers, radix formatting, and type predicates
+    // (reference functions/{to_syslog_level,to_syslog_facility,
+    // to_syslog_severity,ip_to_ipv6,ipv6_to_ipv4,ip_pton,ip_ntop,
+    // compact,match_any,match_array,format_int,is_nullish,is_ipv4,
+    // is_ipv6,is_json}.cue).
+    "vrl_misc" -> { (s, dir) =>
+      val sev = pmod(col("user_id"), lit(8))
+      val fac = pmod(col("user_id"), lit(24))
+      val ip4 = concat(lit("10.0."), pmod(col("user_id"), lit(256)),
+        lit("."), pmod(col("k"), lit(250)) + 1)
+      val v6lit = concat(lit("2001:db8::"),
+        lower(conv(pmod(col("k"), lit(256)).cast("string"), 10, 16)))
+      val lvl = Vrl.toSyslogLevel(sev)
+      ev(s, dir).select(
+        col("event_id"),
+        lvl.as("lvl"),
+        Vrl.toSyslogSeverity(lvl).as("sev_rt"),
+        Vrl.toSyslogFacility(fac).as("fac"),
+        Vrl.ipToIpv6(ip4).as("v6"),
+        Vrl.ipv6ToIpv4(Vrl.ipToIpv6(ip4)).as("rt4"),
+        lower(hex(Vrl.ipPton(ip4))).as("p4hex"),
+        lower(hex(Vrl.ipPton(v6lit))).as("p6hex"),
+        Vrl.ipNtop(Vrl.ipPton(ip4)).as("ntop_rt"),
+        array_join(Vrl.compactArr(
+          array(col("event_type"), lit(null).cast("string"), lit(""),
+            lit("x"))), ",").as("cjoin"),
+        Vrl.matchAny(col("event_type"), Seq("^err", "^pur")).as("many"),
+        Vrl.matchArray(split(concat(col("event_type"), lit(" xray")), " "),
+          "^x").as("marr"),
+        Vrl.formatInt(col("k"), 16).as("f16"),
+        Vrl.formatInt(col("user_id"), 2).as("f2"),
+        Vrl.isNullish(nullif(col("event_type"), lit("error"))).as("nsh"),
+        Vrl.isIpv4Str(ip4).as("ip4ok"),
+        Vrl.isIpv4Str(concat(lit("10.0.0."),
+          lit(300) + pmod(col("k"), lit(10)))).as("ip4bad"),
+        Vrl.isIpv6Str(v6lit).as("ip6ok"),
+        try_parse_json(col("props")).isNotNull.as("isj"),
+        try_parse_json(col("event_type")).isNotNull.as("isj2"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -628,6 +752,74 @@ object VrlQueries {
         |  array_to_string(list_reverse(str_split(text, ' ')), ' ') AS rwords,
         |  text AS lz, text AS sn, text AS zs,
         |  source AS pname, n_chars AS pcount
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "vrl_parse_logs3" ->
+      """SELECT event_id,
+        |  CASE user_id % 4 WHEN 0 THEN 'info' WHEN 1 THEN 'warning'
+        |       WHEN 2 THEN 'error' ELSE 'fatal' END AS kl_level,
+        |  k AS kl_id,
+        |  'main' || CAST(user_id AS VARCHAR) || '.go' AS kl_file,
+        |  k % 100 AS kl_line,
+        |  event_type || ' done' AS kl_msg,
+        |  '10.0.0.' || CAST(user_id % 256 AS VARCHAR) || ':' ||
+        |    CAST(10000 + k % 50000 AS VARCHAR) AS alb_client,
+        |  200 + k % 4 AS alb_status,
+        |  k AS alb_rb, k * 2 AS alb_sb,
+        |  'GET' AS alb_method,
+        |  'https://example.com:443/p/' || CAST(k AS VARCHAR) AS alb_url,
+        |  'HTTP/2.0' AS alb_proto,
+        |  'Mozilla/5.0 UA' || CAST(user_id AS VARCHAR) AS alb_ua,
+        |  'Root=1-' || CAST(k AS VARCHAR) AS alb_trace,
+        |  'example.com' AS alb_domain,
+        |  user_id % 10 AS alb_rule,
+        |  'forward' AS alb_actions,
+        |  CAST(NULL AS VARCHAR) AS alb_redirect,
+        |  CAST(0.002 AS DOUBLE) AS alb_tpt,
+        |  '111122223333' AS cw_owner, 'DATA_MESSAGE' AS cw_type,
+        |  'g' || CAST(user_id % 5 AS VARCHAR) AS cw_group,
+        |  's' || CAST(user_id AS VARCHAR) AS cw_stream,
+        |  CAST(2 AS BIGINT) AS cw_nfilters,
+        |  'e' || CAST(k AS VARCHAR) AS cw_eid,
+        |  1600000000000 + k AS cw_ets,
+        |  'm-' || event_type AS cw_emsg,
+        |  CAST(4 AS BIGINT) AS n_tokens,
+        |  '"quo ted ' || CAST(user_id AS VARCHAR) || '"' AS token2
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "vrl_misc" ->
+      """WITH t AS (SELECT *,
+        |    CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |  FROM events),
+        |b AS (SELECT *,
+        |    user_id % 8 AS sev, user_id % 24 AS facn,
+        |    '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+        |      CAST(k % 250 + 1 AS VARCHAR) AS ip4,
+        |    printf('%x', k % 256) AS hx
+        |  FROM t)
+        |SELECT event_id,
+        |  list_extract(['emerg','alert','crit','err','warning','notice',
+        |    'info','debug'], CAST(sev AS INT) + 1) AS lvl,
+        |  sev AS sev_rt,
+        |  list_extract(['kern','user','mail','daemon','auth','syslog','lpr',
+        |    'news','uucp','cron','authpriv','ftp','ntp','security','console',
+        |    'solaris-cron','local0','local1','local2','local3','local4',
+        |    'local5','local6','local7'], CAST(facn AS INT) + 1) AS fac,
+        |  '::ffff:' || ip4 AS v6,
+        |  ip4 AS rt4,
+        |  printf('%02x%02x%02x%02x', 10, 0, user_id % 256, k % 250 + 1)
+        |    AS p4hex,
+        |  '20010db8' || repeat('0', 20) || lpad(hx, 4, '0') AS p6hex,
+        |  ip4 AS ntop_rt,
+        |  event_type || ',x' AS cjoin,
+        |  (event_type LIKE 'err%' OR event_type LIKE 'pur%') AS many,
+        |  true AS marr,
+        |  printf('%x', k) AS f16,
+        |  bin(user_id) AS f2,
+        |  (event_type = 'error') AS nsh,
+        |  true AS ip4ok, false AS ip4bad, true AS ip6ok,
+        |  true AS isj, false AS isj2
+        |FROM b ORDER BY event_id""".stripMargin
   )
 }

@@ -909,4 +909,276 @@ object Vrl {
         }
       } catch { case _: Exception => null }
     }
+
+  // ---- Syslog level/facility coercions (to_syslog_*.cue) ---------------
+
+  private val syslogLevels =
+    Seq("emerg", "alert", "crit", "err", "warning", "notice", "info", "debug")
+
+  /** to_syslog_level: RFC 5424 severity code -> keyword. */
+  def toSyslogLevel(sev: Column): Column =
+    element_at(array(syslogLevels.map(lit): _*), sev.cast("int") + 1)
+
+  /** to_syslog_severity: keyword -> severity code (accepts the common
+    * aliases panic/error/warn the published fn documents).
+    */
+  def toSyslogSeverity(level: Column): Column = {
+    val aliased = when(level === "panic", "emerg")
+      .when(level === "error", "err")
+      .when(level === "warn", "warning")
+      .otherwise(level)
+    (array_position(array(syslogLevels.map(lit): _*), aliased) - 1)
+      .cast("long")
+  }
+
+  private val syslogFacilities = Seq(
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7")
+
+  /** to_syslog_facility: facility code -> keyword. */
+  def toSyslogFacility(code: Column): Column =
+    element_at(array(syslogFacilities.map(lit): _*), code.cast("int") + 1)
+
+  // ---- IPv6 family (ip_to_ipv6.cue, ipv6_to_ipv4.cue, ip_pton/ntop) ----
+
+  private def isIpv4(c: Column): Column =
+    c.rlike("^(\\d{1,3}\\.){3}\\d{1,3}$")
+
+  /** ip_to_ipv6: IPv4 -> its v4-mapped IPv6 form; IPv6 passes through. */
+  def ipToIpv6(ip: Column): Column =
+    when(isIpv4(ip), concat(lit("::ffff:"), ip)).otherwise(ip)
+
+  /** ipv6_to_ipv4: v4-mapped IPv6 -> dotted quad; plain IPv4 passes
+    * through; any other IPv6 is an error (null).
+    */
+  def ipv6ToIpv4(ip: Column): Column =
+    when(isIpv4(ip), ip)
+      .when(lower(ip).startsWith("::ffff:") &&
+        isIpv4(regexp_replace(lower(ip), "^::ffff:", "")),
+        regexp_replace(lower(ip), "^::ffff:", ""))
+      .otherwise(lit(null).cast("string"))
+
+  /** ip_pton: presentation -> network byte order (4 or 16 bytes).
+    * Manual parse; never hits the resolver.
+    */
+  val ipPton: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else try {
+        if (s.matches("^(\\d{1,3}\\.){3}\\d{1,3}$"))
+          s.split("\\.").map(o => (o.toInt & 0xFF).toByte)
+        else if (s.contains(":")) {
+          // expand :: then parse 8 hextets big-endian
+          val (head, tail) =
+            if (s.contains("::")) {
+              val p = s.split("::", -1)
+              (p(0).split(":").filter(_.nonEmpty),
+                p.lift(1).getOrElse("").split(":").filter(_.nonEmpty))
+            } else (s.split(":"), Array.empty[String])
+          val mid = Array.fill(8 - head.length - tail.length)("0")
+          val hx = head ++ mid ++ tail
+          if (hx.length != 8) null
+          else {
+            val bb = java.nio.ByteBuffer.allocate(16)
+            hx.foreach(h => bb.putShort(Integer.parseInt(h, 16).toShort))
+            bb.array()
+          }
+        } else null
+      } catch { case _: Exception => null }
+    }
+
+  /** ip_ntop: 4/16-byte network form -> presentation (IPv6 in the
+    * canonical lowercase uncompressed-hextet form the JDK emits).
+    */
+  val ipNtop: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (b: Array[Byte]) =>
+      if (b == null || (b.length != 4 && b.length != 16)) null
+      else try java.net.InetAddress.getByAddress(b).getHostAddress
+      catch { case _: Exception => null }
+    }
+
+  // ---- Log-format parsers: klog, ALB, CloudWatch subscription ----------
+
+  /** parse_klog: kubernetes klog header
+    * `L MMDD HH:MM:SS.ffffff  <id> <file>:<line>] msg` (published fn:
+    * fields file/id/level/line/message/timestamp; level letter
+    * I/W/E/F -> info/warning/error/fatal; timestamp gets the current
+    * year, UTC).
+    */
+  def klogTokens(c: Column): Column =
+    RegexStruct(c,
+      "^([IWEF])(\\d{2})(\\d{2}) (\\d{2}:\\d{2}:\\d{2}\\.\\d+)\\s+(\\d+) " +
+        "([^ :]+):(\\d+)\\] (.*)$",
+      Seq("lvl", "mm", "dd", "time", "id", "file", "line", "message"))
+
+  def parseKlogFrom(g: Column): Column =
+    struct(
+      when(g.getField("lvl") === "I", "info")
+        .when(g.getField("lvl") === "W", "warning")
+        .when(g.getField("lvl") === "E", "error")
+        .when(g.getField("lvl") === "F", "fatal").as("level"),
+      to_timestamp(
+        concat(date_format(current_timestamp(), "yyyy"), lit("-"),
+          g.getField("mm"), lit("-"), g.getField("dd"), lit(" "),
+          g.getField("time")),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS").as("timestamp"),
+      g.getField("id").cast("long").as("id"),
+      g.getField("file").as("file"),
+      g.getField("line").cast("long").as("line"),
+      g.getField("message").as("message"))
+
+  def parseKlog(c: Column): Column = parseKlogFrom(klogTokens(c))
+
+  /** parse_aws_alb_log: the ALB access-log line (published fn output
+    * names; `request` is split into request_method/url/protocol; `-`
+    * stands for absent on the nullable fields).
+    */
+  def albTokens(c: Column): Column = {
+    val q = "\"([^\"]*)\"" // quoted field
+    val pat = "^(\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) " +
+      "(\\S+) (\\S+) (\\S+) (\\S+) " + q + " " + q + " (\\S+) (\\S+) " +
+      "(\\S+) " + q + " " + q + " " + q + " (\\S+) (\\S+) " + q +
+      "(?: " + q + ")?(?: " + q + ")?.*$"
+    RegexStruct(c, pat, Seq(
+      "type", "timestamp", "elb", "client_host", "target_host",
+      "request_processing_time", "target_processing_time",
+      "response_processing_time", "elb_status_code", "target_status_code",
+      "received_bytes", "sent_bytes", "request", "user_agent",
+      "ssl_cipher", "ssl_protocol", "target_group_arn", "trace_id",
+      "domain_name", "chosen_cert_arn", "matched_rule_priority",
+      "request_creation_time", "actions_executed", "redirect_url",
+      "error_reason"))
+  }
+
+  def parseAwsAlbLogFrom(g: Column): Column = {
+    def nil(f: String): Column = nullif(g.getField(f), lit("-"))
+    val req = split(g.getField("request"), " ")
+    struct(
+      g.getField("type").as("type"),
+      g.getField("timestamp").as("timestamp"),
+      g.getField("elb").as("elb"),
+      g.getField("client_host").as("client_host"),
+      nil("target_host").as("target_host"),
+      g.getField("request_processing_time").cast("double")
+        .as("request_processing_time"),
+      g.getField("target_processing_time").cast("double")
+        .as("target_processing_time"),
+      g.getField("response_processing_time").cast("double")
+        .as("response_processing_time"),
+      g.getField("elb_status_code").cast("long").as("elb_status_code"),
+      nil("target_status_code").cast("long").as("target_status_code"),
+      g.getField("received_bytes").cast("long").as("received_bytes"),
+      g.getField("sent_bytes").cast("long").as("sent_bytes"),
+      element_at(req, 1).as("request_method"),
+      element_at(req, 2).as("request_url"),
+      element_at(req, 3).as("request_protocol"),
+      nullif(g.getField("user_agent"), lit("-")).as("user_agent"),
+      nil("ssl_cipher").as("ssl_cipher"),
+      nil("ssl_protocol").as("ssl_protocol"),
+      nil("target_group_arn").as("target_group_arn"),
+      nullif(g.getField("trace_id"), lit("-")).as("trace_id"),
+      nullif(g.getField("domain_name"), lit("-")).as("domain_name"),
+      nullif(g.getField("chosen_cert_arn"), lit("-")).as("chosen_cert_arn"),
+      nil("matched_rule_priority").cast("long").as("matched_rule_priority"),
+      nil("request_creation_time").as("request_creation_time"),
+      nullif(g.getField("actions_executed"), lit("-")).as("actions_executed"),
+      nullif(g.getField("redirect_url"), lit("-")).as("redirect_url"),
+      nullif(g.getField("error_reason"), lit("-")).as("error_reason"))
+  }
+
+  def parseAwsAlbLog(c: Column): Column = parseAwsAlbLogFrom(albTokens(c))
+
+  /** parse_aws_cloudwatch_log_subscription_message: the fixed JSON
+    * envelope CloudWatch Logs delivers to subscriptions (published fn:
+    * owner/message_type/log_group/log_stream/subscription_filters/
+    * log_events[{id,timestamp,message}]).
+    */
+  def parseCloudwatchSubscription(c: Column): Column = {
+    val parsed = from_json(c, lit(
+      "STRUCT<owner: STRING, messageType: STRING, logGroup: STRING, " +
+        "logStream: STRING, subscriptionFilters: ARRAY<STRING>, " +
+        "logEvents: ARRAY<STRUCT<id: STRING, timestamp: BIGINT, " +
+        "message: STRING>>>"))
+    struct(
+      parsed.getField("owner").as("owner"),
+      parsed.getField("messageType").as("message_type"),
+      parsed.getField("logGroup").as("log_group"),
+      parsed.getField("logStream").as("log_stream"),
+      parsed.getField("subscriptionFilters").as("subscription_filters"),
+      transform(parsed.getField("logEvents"), e => struct(
+        e.getField("id").as("id"),
+        timestamp_millis(e.getField("timestamp")).as("timestamp"),
+        e.getField("message").as("message"))).as("log_events"))
+  }
+
+  // ---- Enumerate / match helpers ---------------------------------------
+
+  /** compact(array): drop null and empty-string elements (shallow form
+    * of the published recursive fn).
+    */
+  def compactArr(c: Column): Column =
+    filter(c, x => x.isNotNull && x.cast("string") =!= "")
+
+  /** compact(map): drop null-valued entries. */
+  def compactMap(c: Column): Column =
+    map_filter(c, (_, v) => v.isNotNull)
+
+  /** match_any(value, patterns): true when any regex matches. */
+  def matchAny(c: Column, patterns: Seq[String]): Column =
+    patterns.map(c.rlike).reduce(_ || _)
+
+  /** match_array(arr, pattern[, all]): any (or every) element matches. */
+  def matchArray(arr: Column, pattern: String, all: Boolean = false): Column =
+    if (all) forall(arr, _.rlike(pattern)) else exists(arr, _.rlike(pattern))
+
+  /** format_int(n, base): reference emits lowercase digits, no prefix. */
+  def formatInt(c: Column, base: Int): Column =
+    lower(conv(c.cast("string"), 10, base))
+
+  /** is_nullish: null, empty, `-`, or whitespace-only (published
+    * semantics in type-check fns).
+    */
+  def isNullish(c: Column): Column =
+    c.isNull || trim(c.cast("string")) === "" || c.cast("string") === "-"
+
+  /** is_ipv4 / is_ipv6 (string-shape checks). */
+  def isIpv4Str(c: Column): Column =
+    isIpv4(c) && !exists(split(c, "\\."), o => o.cast("int") > 255)
+  def isIpv6Str(c: Column): Column =
+    c.contains(":") && c.rlike("^[0-9a-fA-F:.]+$")
+
+  /** uuid_from_friendly_id: base62 -> the canonical 36-char UUID. */
+  val uuidFromFriendlyId: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else try {
+        val alphabet =
+          "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+        var acc = java.math.BigInteger.ZERO
+        val base = java.math.BigInteger.valueOf(62)
+        s.foreach { ch =>
+          val d = alphabet.indexOf(ch)
+          if (d < 0) throw new IllegalArgumentException
+          acc = acc.multiply(base).add(java.math.BigInteger.valueOf(d))
+        }
+        val bytes = new Array[Byte](16)
+        val raw = acc.toByteArray.dropWhile(_ == 0)
+        if (raw.length > 16) throw new IllegalArgumentException
+        System.arraycopy(raw, 0, bytes, 16 - raw.length, raw.length)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        new java.util.UUID(bb.getLong, bb.getLong).toString
+      } catch { case _: Exception => null }
+    }
+
+  /** random_bytes(n): excluded from oracle programs (nondeterministic). */
+  val randomBytes: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val f = udf { (n: Int) =>
+      val b = new Array[Byte](n)
+      java.util.concurrent.ThreadLocalRandom.current().nextBytes(b)
+      b
+    }
+    f.asNondeterministic()
+  }
 }

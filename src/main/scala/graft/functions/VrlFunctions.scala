@@ -418,10 +418,108 @@ object VrlFunctions {
       case "encode_punycode" => CV(Vrl.encodePunycode(c(0)), TStr)
       case "decode_punycode" => CV(Vrl.decodePunycode(c(0)), TStr)
 
+      // ---- syslog coercions ----
+      case "to_syslog_level" => CV(Vrl.toSyslogLevel(c(0)), TStr)
+      case "to_syslog_severity" => CV(Vrl.toSyslogSeverity(c(0)), TInt)
+      case "to_syslog_facility" => CV(Vrl.toSyslogFacility(c(0)), TStr)
+
+      // ---- ipv6 family ----
+      case "ip_to_ipv6" => CV(Vrl.ipToIpv6(c(0)), TStr)
+      case "ipv6_to_ipv4" => CV(Vrl.ipv6ToIpv4(c(0)), TStr)
+      case "ip_pton" => CV(Vrl.ipPton(c(0)), TAny)
+      case "ip_ntop" => CV(Vrl.ipNtop(c(0)), TStr)
+
+      // ---- log-format parsers (round 5b) ----
+      case "parse_klog" => CV(Vrl.parseKlog(c(0)), TAny)
+      case "parse_aws_alb_log" => CV(Vrl.parseAwsAlbLog(c(0)), TAny)
+      case "parse_aws_cloudwatch_log_subscription_message" =>
+        CV(Vrl.parseCloudwatchSubscription(c(0)), TAny)
+      case "parse_tokens" => CV(Vrl.parseTokens(c(0)), TArr)
+
+      // ---- enumerate / match ----
+      case "compact" => a(0).cv.t match {
+        case TMap => CV(Vrl.compactMap(c(0)), TMap)
+        case _ => CV(Vrl.compactArr(c(0)), TArr)
+      }
+      case "match_any" =>
+        val pats = a(1).literal match {
+          case Some(l: Seq[_]) => l.map(_.toString)
+          case _ => throw VrlCompileException(
+            "match_any: patterns must be a literal array")
+        }
+        CV(Vrl.matchAny(c(0), pats), TBool)
+      case "match_array" =>
+        val all = named.get("all").flatMap(_.literal).contains(true)
+        CV(Vrl.matchArray(c(0), str(a(1), name, "pattern"), all), TBool)
+      case "format_int" =>
+        CV(Vrl.formatInt(c(0), int(a(1), name, "base").toInt), TStr)
+
+      // ---- type predicates ----
+      case "is_nullish" => CV(Vrl.isNullish(c(0)), TBool)
+      case "is_ipv4" => CV(Vrl.isIpv4Str(c(0)), TBool)
+      case "is_ipv6" => CV(Vrl.isIpv6Str(c(0)), TBool)
+      case "is_json" => CV(try_parse_json(c(0)).isNotNull, TBool)
+      case "is_string" => a(0).cv.t match {
+        case TStr => CV(c(0).isNotNull, TBool)
+        case TVariant => CV(schema_of_variant(c(0)) === "STRING", TBool)
+        case _ => CV(lit(false), TBool)
+      }
+      case "is_integer" => a(0).cv.t match {
+        case TInt => CV(c(0).isNotNull, TBool)
+        case TVariant => CV(schema_of_variant(c(0)) === "BIGINT", TBool)
+        case _ => CV(lit(false), TBool)
+      }
+      case "is_float" => a(0).cv.t match {
+        case TFloat => CV(c(0).isNotNull, TBool)
+        case TVariant => CV(schema_of_variant(c(0)).isin("DOUBLE", "DECIMAL"), TBool)
+        case _ => CV(lit(false), TBool)
+      }
+      case "is_boolean" => a(0).cv.t match {
+        case TBool => CV(c(0).isNotNull, TBool)
+        case TVariant => CV(schema_of_variant(c(0)) === "BOOLEAN", TBool)
+        case _ => CV(lit(false), TBool)
+      }
+      case "is_array" => a(0).cv.t match {
+        case TArr => CV(c(0).isNotNull, TBool)
+        case TVariant => CV(schema_of_variant(c(0)).startsWith("ARRAY"), TBool)
+        case _ => CV(lit(false), TBool)
+      }
+      case "is_object" => a(0).cv.t match {
+        case TMap | TObj(_) => CV(c(0).isNotNull, TBool)
+        case TVariant => CV(schema_of_variant(c(0)).startsWith("OBJECT") ||
+          schema_of_variant(c(0)).startsWith("STRUCT"), TBool)
+        case _ => CV(lit(false), TBool)
+      }
+      case "is_timestamp" => a(0).cv.t match {
+        case TTs => CV(c(0).isNotNull, TBool)
+        case _ => CV(lit(false), TBool)
+      }
+
+      // ---- crypto ----
+      case "encrypt" =>
+        CV(Vrl.encryptAes(c(0).cast("binary"), c(1),
+          c(2).cast("binary"),
+          named.get("iv").map(_.cv.col).getOrElse(args.lift(3).map(_.cv.col)
+            .getOrElse(lit(null))).cast("binary")), TAny)
+      case "decrypt" =>
+        CV(Vrl.decryptAes(c(0).cast("binary"), c(1),
+          c(2).cast("binary"),
+          named.get("iv").map(_.cv.col).getOrElse(args.lift(3).map(_.cv.col)
+            .getOrElse(lit(null))).cast("binary")), TAny)
+
+      // ---- system probes ----
+      case "get_timezone" =>
+        CV(lit(java.util.TimeZone.getDefault.getID), TStr)
+
       // ---- random / id (excluded from oracle programs) ----
       case "uuid_v4" => CV(expr("uuid()"), TStr)
       case "uuid_v7" => CV(Vrl.uuidV7(), TStr)
+      case "uuid_from_friendly_id" => CV(Vrl.uuidFromFriendlyId(c(0)), TStr)
       case "random_float" => CV(rand(), TFloat)
+      case "random_bool" => CV(rand() > 0.5, TBool)
+      case "random_int" =>
+        CV((rand() * (c(1) - c(0))).cast("long") + c(0), TInt)
+      case "random_bytes" => CV(Vrl.randomBytes(c(0).cast("int")), TAny)
 
       case other =>
         throw VrlCompileException(s"unknown function: $other")
