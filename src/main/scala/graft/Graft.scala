@@ -44,12 +44,23 @@ object Graft {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+    val path = s"$sfDir/$name.parquet"
+    val df0 = spark.read.parquet(path)
+    val df = df0.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        df0.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      case None => df
+      case None => df0
     }
+    // Parallelism floor for tiny local fixtures: a single-row-group
+    // parquet file scans as ONE task, so per-row-expensive pipelines
+    // (regex decoders, from_json, crypto) would run effectively
+    // single-threaded no matter the core count. At production scale the
+    // scan splits across row groups/files and this branch never fires —
+    // the shuffle it adds is ~the file size (bounded by the threshold).
+    val bytes = try new java.io.File(path).length() catch { case _: Exception => Long.MaxValue }
+    if (bytes > 0 && bytes < 64L * 1024 * 1024)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
   }
 }

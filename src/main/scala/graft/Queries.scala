@@ -85,12 +85,19 @@ object Queries {
   private lazy val core: Map[String, Q] = Map(
     "q1_agg" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
+      // sums go through decimal(30,6): double accumulation is
+      // order-dependent (partitioning changes the sum order), so a
+      // double sum can round across a cent boundary differently per
+      // plan; a decimal sum is exact and associative — same result on
+      // any partitioning, matching the oracle bit-for-bit
+      def dsum(c: Column): Column =
+        round(sum(c.cast("decimal(30,6)")), 2).cast("double")
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .withColumn("avg_qty", col("sum_qty") / col("count_order"))
@@ -115,11 +122,11 @@ object Queries {
   private lazy val coreSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity),2) AS sum_qty,
-        |  round(sum(l_extendedprice),2) AS sum_base_price,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,6))),2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))),2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))),2) AS DOUBLE) AS sum_disc_price,
         |  CAST(count(*) AS BIGINT) AS count_order,
-        |  round(sum(l_quantity),2) / CAST(count(*) AS BIGINT) AS avg_qty
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,6))),2) AS DOUBLE) / CAST(count(*) AS BIGINT) AS avg_qty
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus

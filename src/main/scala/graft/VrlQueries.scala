@@ -497,8 +497,46 @@ object VrlQueries {
         try_parse_json(col("props")).isNotNull.as("isj"),
         try_parse_json(col("event_type")).isNotNull.as("isj2"))
         .orderBy(col("event_id"))
+    },
+
+    // Round-6 long-tail: haversine, shannon_entropy, charset + CBOR
+    // roundtrips, all through the VRL compiler (program above).
+    "vrl_longtail2" -> { (s, dir) =>
+      graft.functions.VrlCompiler
+        .run(ev(s, dir), VrlLongTail2Program)
+        .primary
+        .select(col("event_id"), col("dist"), col("bear"), col("distmi"),
+          col("ent"), col("cs"), col("csl"), col("cbname"), col("cbcount"),
+          col("cbtag"))
+        .orderBy(col("event_id"))
     }
   )
+
+  /** Round-6 long-tail program: haversine, shannon_entropy, charset and
+    * CBOR roundtrips (reference release notes 0.44-0.45 + the published
+    * function docs: haversine returns {distance, bearing};
+    * shannon_entropy is base-2 over the character distribution;
+    * decode_charset/encode_charset; parse_cbor/encode_cbor). The charset
+    * and CBOR legs are identity roundtrips pinned to the source column
+    * by the oracle — a wire-format bug surfaces as a hash mismatch.
+    */
+  private val VrlLongTail2Program: String =
+    """.lat2 = .value / 4.0 - 10.0
+      |.lon2 = to_float(.user_id % 360) - 180.0
+      |.hav = haversine(40.7, -74.0, .lat2, .lon2)
+      |.dist = round(.hav.distance, 4)
+      |.bear = round(.hav.bearing, 4)
+      |.havmi = haversine(40.7, -74.0, .lat2, .lon2, measurement_system: "imperial")
+      |.distmi = round(.havmi.distance, 4)
+      |.ent = round(shannon_entropy(.props), 6)
+      |.cs = decode_charset(encode_charset(.event_type, "UTF-16"), "UTF-16")
+      |.csl = decode_charset(encode_charset(.event_type, "ISO-8859-1"), "ISO-8859-1")
+      |.rec = { "name": .event_type, "count": .k, "tags": ["a", "b"] }
+      |.cb = parse_cbor(encode_cbor(.rec))
+      |.cbname = to_string(.cb.name) ?? ""
+      |.cbcount = to_int(.cb.count) ?? -1
+      |.cbtag = to_string(.cb.tags[1]) ?? ""
+      |""".stripMargin
 
   /** vrl_longtail program (see the query comment above). */
   private val VrlLongTailProgram: String =
@@ -784,7 +822,7 @@ object VrlQueries {
         |  1600000000000 + k AS cw_ets,
         |  'm-' || event_type AS cw_emsg,
         |  CAST(4 AS BIGINT) AS n_tokens,
-        |  '"quo ted ' || CAST(user_id AS VARCHAR) || '"' AS token2
+        |  'quo ted ' || CAST(user_id AS VARCHAR) AS token2
         |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
         |      FROM events) ORDER BY event_id""".stripMargin,
 
@@ -820,6 +858,37 @@ object VrlQueries {
         |  (event_type = 'error') AS nsh,
         |  true AS ip4ok, false AS ip4bad, true AS ip6ok,
         |  true AS isj, false AS isj2
-        |FROM b ORDER BY event_id""".stripMargin
+        |FROM b ORDER BY event_id""".stripMargin,
+
+    "vrl_longtail2" ->
+      """WITH t AS (SELECT *,
+        |    CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |  FROM events),
+        |b AS (SELECT *,
+        |    value / 4.0 - 10.0 AS lat2,
+        |    CAST(user_id % 360 AS DOUBLE) - 180.0 AS lon2
+        |  FROM t),
+        |h AS (SELECT *,
+        |    pow(sin(radians(lat2 - 40.7) / 2), 2) +
+        |      cos(radians(40.7)) * cos(radians(lat2)) *
+        |      pow(sin(radians(lon2 + 74.0) / 2), 2) AS hava,
+        |    degrees(atan2(
+        |      sin(radians(lon2 + 74.0)) * cos(radians(lat2)),
+        |      cos(radians(40.7)) * sin(radians(lat2)) -
+        |        sin(radians(40.7)) * cos(radians(lat2)) *
+        |        cos(radians(lon2 + 74.0)))) AS brg
+        |  FROM b)
+        |SELECT event_id,
+        |  round(2 * 6371.0 * asin(sqrt(hava)), 4) AS dist,
+        |  round((brg + 360.0) % 360.0, 4) AS bear,
+        |  round(2 * 6371.0 * 0.621371 * asin(sqrt(hava)), 4) AS distmi,
+        |  round((SELECT entropy(ch)
+        |         FROM unnest(string_split(props, '')) AS u(ch)), 6) AS ent,
+        |  event_type AS cs,
+        |  event_type AS csl,
+        |  event_type AS cbname,
+        |  k AS cbcount,
+        |  'b' AS cbtag
+        |FROM h ORDER BY event_id""".stripMargin
   )
 }

@@ -203,10 +203,15 @@ object Vrl {
   }
 
   /** parse_tokens: split into tokens, treating "quoted" and [bracketed]
-    * chunks as single tokens.
+    * chunks as single tokens; the enclosing quotes/brackets are stripped
+    * from the emitted token (reference tokenizer yields `some brackets`
+    * for `[some brackets]`). Only a full enclosure is stripped — a quote
+    * embedded mid-token survives.
     */
   def parseTokens(c: Column): Column =
-    regexp_extract_all(c, lit("\"[^\"]*\"|\\[[^\\]]*\\]|\\S+"), lit(0))
+    transform(
+      regexp_extract_all(c, lit("\"[^\"]*\"|\\[[^\\]]*\\]|\\S+"), lit(0)),
+      t => regexp_replace(t, "^\"(.*)\"$|^\\[(.*)\\]$", "$1$2"))
 
   /** decode_mime_q (RFC 2047 encoded-words): `=?charset?Q|B?payload?=`
     * segments decoded in place (Q: `_`=space + =XX hex; B: base64).
@@ -433,8 +438,14 @@ object Vrl {
     // split stays in codegen — the previous regexp_extract_all +
     // per-pair extract/replace lambda form cost 3 interpreted regex
     // evaluations per pair
-    val ext = transform_values(
+    // str_to_map maps every split segment unconditionally: an empty ext
+    // would yield {"": null} and a malformed leading segment (no `key=`)
+    // would become a garbage entry — filter both so only well-formed
+    // `word=value` pairs survive (the previous extract-all behavior).
+    val rawMap = map_filter(
       str_to_map(g.getField("ext"), lit("\\s+(?=\\w+=)"), lit("=")),
+      (k, v) => k.rlike("^\\w+$") && v.isNotNull)
+    val ext = transform_values(rawMap,
       (_, v) => regexp_replace(v, "\\\\(.)", "$1"))
     struct(
       g.getField("cef_version").cast("int").as("cef_version"),
@@ -462,6 +473,13 @@ object Vrl {
     * the rest of the fallible surface. JVM UDFs — sink-edge work, kept
     * off the codegen hot path deliberately.
     */
+  // Cipher.getInstance does a provider scan — per-ROW it dominates the
+  // actual crypto on short payloads, so instances are cached per thread
+  // per transformation (Cipher is not thread-safe; init() per op is the
+  // supported reuse pattern).
+  private val cipherCache =
+    ThreadLocal.withInitial[java.util.HashMap[String, javax.crypto.Cipher]](
+      () => new java.util.HashMap[String, javax.crypto.Cipher]())
   private def aesDoFinal(mode: Int, algorithm: String, key: Array[Byte],
                          iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
     val parts = algorithm.split("-") // AES-<bits>-<MODE>[-PKCS7]
@@ -470,8 +488,17 @@ object Vrl {
     val padding =
       if (parts.length > 3 && parts(3) == "PKCS7") "PKCS5Padding"
       else "NoPadding"
-    val cipher =
-      javax.crypto.Cipher.getInstance(s"AES/${parts(2)}/$padding")
+    val transformation = s"AES/${parts(2)}/$padding"
+    // GCM encryption refuses re-init with an unchanged key+iv (JCE
+    // nonce-reuse guard) — that mode gets a fresh instance each call
+    val cacheable =
+      parts(2) != "GCM" || mode != javax.crypto.Cipher.ENCRYPT_MODE
+    val cache = cipherCache.get()
+    var cipher = if (cacheable) cache.get(transformation) else null
+    if (cipher == null) {
+      cipher = javax.crypto.Cipher.getInstance(transformation)
+      if (cacheable) cache.put(transformation, cipher)
+    }
     val ks = new javax.crypto.spec.SecretKeySpec(key, "AES")
     if (parts(2) == "GCM")
       cipher.init(mode, ks, new javax.crypto.spec.GCMParameterSpec(128, iv))
@@ -927,8 +954,11 @@ object Vrl {
       .when(level === "error", "err")
       .when(level === "warn", "warning")
       .otherwise(level)
-    (array_position(array(syslogLevels.map(lit): _*), aliased) - 1)
-      .cast("long")
+    // fallible in the reference: unknown keyword is an error, which in
+    // this framework's convention surfaces as null (routable to dropped)
+    // — not a silent -1 passthrough
+    (nullif(array_position(array(syslogLevels.map(lit): _*), aliased),
+      lit(0L)) - 1).cast("long")
   }
 
   private val syslogFacilities = Seq(
@@ -1133,9 +1163,15 @@ object Vrl {
   def matchArray(arr: Column, pattern: String, all: Boolean = false): Column =
     if (all) forall(arr, _.rlike(pattern)) else exists(arr, _.rlike(pattern))
 
-  /** format_int(n, base): reference emits lowercase digits, no prefix. */
-  def formatInt(c: Column, base: Int): Column =
-    lower(conv(c.cast("string"), 10, base))
+  /** format_int(n, base): reference emits lowercase digits, no prefix,
+    * and a signed form for negatives (-255 -> "-ff") — whereas Spark
+    * `conv` treats negative input as unsigned 64-bit, so the sign is
+    * handled explicitly.
+    */
+  def formatInt(c: Column, base: Int): Column = {
+    val mag = lower(conv(abs(c).cast("string"), 10, base))
+    when(c < 0, concat(lit("-"), mag)).otherwise(mag)
+  }
 
   /** is_nullish: null, empty, `-`, or whitespace-only (published
     * semantics in type-check fns).
@@ -1181,4 +1217,206 @@ object Vrl {
     }
     f.asNondeterministic()
   }
+
+  // ---- Long-tail additions (round 6) ----------------------------------
+
+  /** haversine(lat1, lon1, lat2, lon2): great-circle distance + initial
+    * bearing (published fn: returns {distance, bearing}; measurement
+    * system "metric" = kilometers, "imperial" = miles). Pure Column math
+    * — stays in whole-stage codegen.
+    */
+  def haversine(lat1: Column, lon1: Column, lat2: Column, lon2: Column,
+                system: String = "metric"): Column = {
+    val radiusKm = 6371.0
+    val radius = if (system == "imperial") radiusKm * 0.621371 else radiusKm
+    val phi1 = radians(lat1); val phi2 = radians(lat2)
+    val dPhi = radians(lat2 - lat1); val dLam = radians(lon2 - lon1)
+    val a = pow(sin(dPhi / 2), 2) + cos(phi1) * cos(phi2) * pow(sin(dLam / 2), 2)
+    val dist = lit(2 * radius) * asin(sqrt(a))
+    val y = sin(dLam) * cos(phi2)
+    val x = cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(dLam)
+    val bearing = pmod(degrees(atan2(y, x)) + 360.0, lit(360.0))
+    struct(dist.as("distance"), bearing.as("bearing"))
+  }
+
+  /** shannon_entropy(text): base-2 entropy of the character distribution
+    * (published fn; segmentation default = per character). Single-pass
+    * JVM kernel — a Column formulation would need a per-row frequency
+    * map through CodegenFallback HOFs anyway.
+    */
+  val shannonEntropy: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val counts = new java.util.HashMap[Int, Int]()
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          counts.merge(cp, 1, Integer.sum _)
+          i += Character.charCount(cp)
+        }
+        val n = counts.values.asInstanceOf[java.util.Collection[Integer]]
+        var total = 0L
+        n.forEach(c => total += c.toLong)
+        var h = 0.0
+        if (total > 0) n.forEach { c =>
+          val p = c.toDouble / total
+          h -= p * (math.log(p) / math.log(2))
+        }
+        java.lang.Double.valueOf(h)
+      }
+    }
+
+  /** decode_charset(bytes, from): bytes in `from` -> UTF-8 string;
+    * encode_charset(string, to): UTF-8 string -> bytes in `to`
+    * (published fns; JVM Charset registry covers the documented
+    * encodings). Null on unknown charset like the rest of the fallible
+    * surface.
+    */
+  val decodeCharset: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (b: Array[Byte], charset: String) =>
+      if (b == null || charset == null) null
+      else try new String(b, java.nio.charset.Charset.forName(charset))
+      catch { case _: Exception => null }
+    }
+  val encodeCharset: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String, charset: String) =>
+      if (s == null || charset == null) null
+      else try s.getBytes(java.nio.charset.Charset.forName(charset))
+      catch { case _: Exception => null }
+    }
+
+  // ---- CBOR (RFC 8949 subset) -----------------------------------------
+  // parse_cbor / encode_cbor (published fns). Definite-length encoding of
+  // the JSON-compatible subset: null/bool/int/float64/text/array/map.
+  // The decoder emits a JSON string for parse_json, so CBOR payloads land
+  // in the same variant pipeline as every other decoded format.
+
+  private def cborWrite(out: java.io.ByteArrayOutputStream, major: Int,
+                        value: Long): Unit = {
+    val m = major << 5
+    if (value < 24) out.write(m | value.toInt)
+    else if (value < 256) { out.write(m | 24); out.write(value.toInt) }
+    else if (value < 65536) {
+      out.write(m | 25); out.write((value >> 8).toInt); out.write(value.toInt)
+    } else if (value < (1L << 32)) {
+      out.write(m | 26)
+      var sh = 24
+      while (sh >= 0) { out.write((value >> sh).toInt & 0xFF); sh -= 8 }
+    } else {
+      out.write(m | 27)
+      var sh = 56
+      while (sh >= 0) { out.write((value >> sh).toInt & 0xFF); sh -= 8 }
+    }
+  }
+
+  private def cborEncodeValue(out: java.io.ByteArrayOutputStream,
+                              v: Any): Unit = v match {
+    case null => out.write(0xF6)
+    case b: Boolean => out.write(if (b) 0xF5 else 0xF4)
+    case i: Long => if (i >= 0) cborWrite(out, 0, i) else cborWrite(out, 1, -1 - i)
+    case i: Int => cborEncodeValue(out, i.toLong)
+    case d: Double =>
+      out.write(0xFB)
+      val bits = java.lang.Double.doubleToLongBits(d)
+      var sh = 56
+      while (sh >= 0) { out.write((bits >> sh).toInt & 0xFF); sh -= 8 }
+    case d: java.math.BigDecimal =>
+      if (d.scale() <= 0) cborEncodeValue(out, d.longValueExact())
+      else cborEncodeValue(out, d.doubleValue())
+    case s: String =>
+      val b = s.getBytes("UTF-8"); cborWrite(out, 3, b.length); out.write(b)
+    case a: java.util.List[_] =>
+      cborWrite(out, 4, a.size)
+      a.forEach(e => cborEncodeValue(out, e))
+    case m: java.util.Map[_, _] =>
+      cborWrite(out, 5, m.size)
+      m.forEach((k, mv) => { cborEncodeValue(out, k); cborEncodeValue(out, mv) })
+    case other => cborEncodeValue(out, other.toString)
+  }
+
+  /** JSON text -> CBOR bytes (driver for the roundtrip oracle: feeds
+    * from to_json so arbitrary structs/maps encode without a UDT).
+    */
+  val encodeCborFromJson: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (json: String) =>
+      if (json == null) null
+      else try {
+        val out = new java.io.ByteArrayOutputStream()
+        cborEncodeValue(out, JsonLite.parse(json))
+        out.toByteArray
+      } catch { case _: Exception => null }
+    }
+
+  private final class CborReader(b: Array[Byte]) {
+    var pos = 0
+    def u8(): Int = { val v = b(pos) & 0xFF; pos += 1; v }
+    def uint(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (b(pos) & 0xFF); pos += 1; i += 1 }
+      v
+    }
+    def head(ib: Int): Long = (ib & 0x1F) match {
+      case 24 => uint(1); case 25 => uint(2); case 26 => uint(4)
+      case 27 => uint(8)
+      case v if v < 24 => v.toLong
+      case _ => throw new IllegalArgumentException("indefinite length")
+    }
+    def value(): Any = {
+      val ib = u8()
+      (ib >> 5) match {
+        case 0 => head(ib)
+        case 1 => -1L - head(ib)
+        case 2 => // byte string: JSON has no bytes type; base64 like encode_json
+          val n = head(ib).toInt
+          val r = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n
+          java.util.Base64.getEncoder.encodeToString(r)
+        case 3 =>
+          val n = head(ib).toInt
+          val s = new String(b, pos, n, "UTF-8"); pos += n; s
+        case 4 =>
+          val n = head(ib).toInt
+          val out = new java.util.ArrayList[Any](n)
+          (0 until n).foreach(_ => out.add(value()))
+          out
+        case 5 =>
+          val n = head(ib).toInt
+          val lm = new java.util.LinkedHashMap[String, Any]()
+          (0 until n).foreach(_ => {
+            val k = String.valueOf(value()); lm.put(k, value())
+          })
+          lm
+        case 7 => (ib & 0x1F) match {
+          case 20 => false
+          case 21 => true
+          case 22 | 23 => null
+          case 25 => // half-precision
+            val bits = uint(2).toInt
+            val sign = if ((bits & 0x8000) != 0) -1.0 else 1.0
+            val exp = (bits >> 10) & 0x1F; val frac = bits & 0x3FF
+            if (exp == 0) sign * frac * math.pow(2, -24)
+            else if (exp == 31) {
+              if (frac == 0) sign * Double.PositiveInfinity else Double.NaN
+            } else sign * (1 + frac / 1024.0) * math.pow(2, exp - 15)
+          case 26 => java.lang.Float.intBitsToFloat(uint(4).toInt).toDouble
+          case 27 => java.lang.Double.longBitsToDouble(uint(8))
+          case other => throw new IllegalArgumentException(s"simple $other")
+        }
+        case other => throw new IllegalArgumentException(s"major $other")
+      }
+    }
+  }
+
+  /** CBOR bytes -> JSON text (feed to parse_json for the variant). */
+  val decodeCborToJson: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else try JsonLite.render(new CborReader(b).value())
+      catch { case _: Exception => null }
+    }
+
+  /** parse_cbor(bytes): CBOR -> variant. */
+  def parseCbor(c: Column): Column = parse_json(decodeCborToJson(c))
+  /** encode_cbor(value): struct/map/variant -> CBOR bytes. */
+  def encodeCbor(c: Column): Column = encodeCborFromJson(to_json(c))
 }

@@ -317,6 +317,19 @@ object VrlFunctions {
       case "decode_gzip" => CV(Vrl.decodeGzip(c(0)).cast("string"), TStr)
       case "encode_zlib" => CV(Vrl.encodeZlib(c(0).cast("binary")), TAny)
       case "decode_zlib" => CV(Vrl.decodeZlib(c(0)).cast("string"), TStr)
+      case "encode_charset" =>
+        CV(Vrl.encodeCharset(c(0), c(1)), TAny)
+      case "decode_charset" =>
+        CV(Vrl.decodeCharset(c(0).cast("binary"), c(1)), TStr)
+      case "encode_cbor" => CV(Vrl.encodeCbor(c(0)), TAny)
+      case "parse_cbor" => CV(Vrl.parseCbor(c(0)), TVariant)
+      case "shannon_entropy" => CV(Vrl.shannonEntropy(c(0)), TFloat)
+      case "haversine" =>
+        val sys = named.get("measurement_system")
+          .map(x => str(x, name, "measurement_system")).getOrElse("metric")
+        CV(Vrl.haversine(c(0), c(1), c(2), c(3), sys), TObj(
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "distance DOUBLE, bearing DOUBLE")))
 
       // ---- ip ----
       case "ip_aton" | "ip_to_int" => CV(Vrl.ipAton(c(0)), TInt)
@@ -352,8 +365,10 @@ object VrlFunctions {
       case "values" => CV(map_values(c(0)), TArr)
       case "get" =>
         // get(value, ["a","b"]) — path as literal array unsupported in
-        // general; single-key form only
-        CV(element_at(c(0), c(1)), TAny)
+        // general; single-key form only. try_element_at, not element_at:
+        // under ANSI mode element_at throws on a missing map key, but the
+        // reference's get returns null (so `?? default` works).
+        CV(try_element_at(c(0), c(1)), TAny)
 
       case "zip" => CV(arrays_zip(c(0), c(1)), TArr)
       case "reverse" => CV(org.apache.spark.sql.functions.reverse(c(0)), a(0).cv.t)
@@ -378,6 +393,10 @@ object VrlFunctions {
       // error under `!`, routed to dropped) when it does not — the
       // reference aborts the resolution in the same situation
       case "assert" => CV(when(c(0), lit(true)), TBool)
+      // log(value, level:, rate_limit_secs:) — side-effect-only in the
+      // reference (writes to vector's own log); as a statement in a
+      // distributed plan it is a no-op returning null.
+      case "log" => CV(lit(null).cast("string"), TStr)
       case "assert_eq" => CV(when(c(0) === c(1), lit(true)), TBool)
 
       // driver-environment probes: constant per job, like the reference's
