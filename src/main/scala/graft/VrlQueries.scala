@@ -509,8 +509,79 @@ object VrlQueries {
           col("ent"), col("cs"), col("csl"), col("cbname"), col("cbcount"),
           col("cbtag"))
         .orderBy(col("event_id"))
+    },
+
+    // Round-6 stdlib tail: type_of, tally_value, contains_all,
+    // parse_regex_all, replace_with (closure), secrets, tag_types
+    // _externally, reverse_dns (table form), match_datadog_query, and a
+    // 1→N `unnest` emit — one compiled program over `documents`.
+    "vrl_longtail3" -> { (s, dir) =>
+      graft.functions.VrlCompiler
+        .run(Graft.table(s, dir, "documents"), VrlLongTail3Program)
+        .primary
+        .select(col("doc_id"), col("ty1"), col("ty2"), col("ty3"),
+          col("the_n"), col("has"), col("m4n"), col("m4first"), col("rw"),
+          col("sec"), col("sec2"), col("tts"), col("rd"), col("dd"),
+          col("arr").getField("i").as("i"))
+        .orderBy(col("doc_id"), col("i"))
+    },
+
+    // parse_dnstap roundtrip: the program assembles a real dnstap
+    // protobuf frame (nested Message via encode_proto) per event, then
+    // parses it back — the oracle recomputes every envelope field from
+    // the source columns, so a wire/enum/address bug breaks the hash.
+    "vrl_dnstap" -> { (s, dir) =>
+      graft.functions.VrlCompiler
+        .run(ev(s, dir), VrlDnstapProgram)
+        .primary
+        .select(col("event_id"),
+          col("dt").getField("dataType").as("data_type"),
+          col("dt").getField("dataTypeId").as("data_type_id"),
+          col("dt").getField("messageType").as("message_type"),
+          col("dt").getField("messageTypeId").as("message_type_id"),
+          col("dt").getField("serverId").as("server_id"),
+          col("dt").getField("serverVersion").as("server_version"),
+          col("dt").getField("socketFamily").as("socket_family"),
+          col("dt").getField("socketProtocol").as("socket_protocol"),
+          col("dt").getField("sourceAddress").as("source_address"),
+          col("dt").getField("sourcePort").as("source_port"),
+          col("dt").getField("time").as("t"),
+          col("dt").getField("timePrecision").as("tp"))
+        .orderBy(col("event_id"))
     }
   )
+
+  /** vrl_longtail3 program (see the query comment above). */
+  private val VrlLongTail3Program: String =
+    """.ty1 = type_of(.text)
+      |.ty2 = type_of(.n_chars)
+      |.ty3 = type_of(.missing)
+      |.the_n = tally_value(split(.text, " "), "the")
+      |.has = contains_all(.text, ["the", "a"])
+      |.m4 = parse_regex_all(.text, "\\b(s[a-z]+)\\b")
+      |.m4n = length(.m4)
+      |.m4first = .m4[0].g1 ?? ""
+      |.rw = replace_with(.text, "\\b(the)\\b") -> |m| { "<" + m.captures[0] + ">" }
+      |set_secret("src", .source)
+      |.sec = get_secret("src")
+      |remove_secret("src")
+      |.sec2 = get_secret("src") ?? "gone"
+      |.tt = tag_types_externally(.source)
+      |.tts = .tt.string
+      |.rd = reverse_dns("10.0.0.1", table: {"10.0.0.1": "db.internal"})
+      |.dd = match_datadog_query(., "source:src1 OR source:src2")
+      |.arr = [{"i": 1}, {"i": 2}]
+      |. = unnest(.arr)
+      |""".stripMargin
+
+  /** vrl_dnstap program (see the query comment above). */
+  private val VrlDnstapProgram: String =
+    """.ip4 = "10." + to_string(.user_id % 200) + "." + to_string(.k % 250) + "." + to_string(.event_id % 250)
+      |.qaddr = ip_pton(.ip4)
+      |.innerb = encode_proto({"type": 5, "socket_family": 1, "socket_protocol": 1, "query_address": .qaddr, "query_port": .k % 60000, "query_time_sec": 1667909880 + .k}, "1:varint:type;2:varint:socket_family;3:varint:socket_protocol;4:bytes:query_address;6:varint:query_port;8:varint:query_time_sec")
+      |.frame = encode_proto({"identity": "graft-agent", "version": "0.1", "message": .innerb, "type": 1}, "1:string:identity;2:string:version;14:bytes:message;15:varint:type")
+      |.dt = parse_dnstap(.frame)
+      |""".stripMargin
 
   /** Round-6 long-tail program: haversine, shannon_entropy, charset and
     * CBOR roundtrips (reference release notes 0.44-0.45 + the published
@@ -889,6 +960,41 @@ object VrlQueries {
         |  event_type AS cbname,
         |  k AS cbcount,
         |  'b' AS cbtag
-        |FROM h ORDER BY event_id""".stripMargin
+        |FROM h ORDER BY event_id""".stripMargin,
+
+    "vrl_longtail3" ->
+      """WITH per AS (
+        |  SELECT doc_id,
+        |    'string' AS ty1, 'integer' AS ty2, 'null' AS ty3,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'the')) AS BIGINT) AS the_n,
+        |    (contains(text, 'the') AND contains(text, 'a')) AS has,
+        |    CAST(len(regexp_extract_all(text, '\b(s[a-z]+)\b')) AS BIGINT) AS m4n,
+        |    coalesce(regexp_extract_all(text, '\b(s[a-z]+)\b', 1)[1], '') AS m4first,
+        |    regexp_replace(text, '\b(the)\b', '<\1>', 'g') AS rw,
+        |    source AS sec, 'gone' AS sec2, source AS tts,
+        |    'db.internal' AS rd,
+        |    (source = 'src1' OR source = 'src2') AS dd
+        |  FROM documents)
+        |SELECT p.*, i.i
+        |FROM per p CROSS JOIN
+        |  (SELECT CAST(1 AS BIGINT) AS i UNION ALL SELECT CAST(2 AS BIGINT)) i
+        |ORDER BY doc_id, i""".stripMargin,
+
+    "vrl_dnstap" ->
+      """WITH t AS (SELECT *,
+        |    CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_id,
+        |  'Message' AS data_type, CAST(1 AS BIGINT) AS data_type_id,
+        |  'ClientQuery' AS message_type, CAST(5 AS BIGINT) AS message_type_id,
+        |  'graft-agent' AS server_id, '0.1' AS server_version,
+        |  'INET' AS socket_family, 'UDP' AS socket_protocol,
+        |  '10.' || CAST(user_id % 200 AS VARCHAR) || '.' ||
+        |    CAST(k % 250 AS VARCHAR) || '.' ||
+        |    CAST(event_id % 250 AS VARCHAR) AS source_address,
+        |  k % 60000 AS source_port,
+        |  1667909880 + k AS t,
+        |  's' AS tp
+        |FROM t ORDER BY event_id""".stripMargin
   )
 }

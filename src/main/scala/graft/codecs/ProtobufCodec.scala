@@ -180,6 +180,12 @@ object ProtobufCodec {
     })
   }
 
+  /** Row-level decode for callers that post-process the struct in the
+    * same UDF pass (e.g. Vrl.parseDnstap); throws on malformed input.
+    */
+  def decodeTo(schema: ProtoSchema, bytes: Array[Byte]): Row =
+    decodeRecord(schema, bytes)
+
   /** struct column → proto3 message bytes (null row → null). */
   def encode(schema: ProtoSchema, record: Column): Column = {
     val enc = udf { (r: Row) => if (r == null) null else encodeRecord(schema, r) }

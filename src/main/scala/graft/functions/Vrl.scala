@@ -1419,4 +1419,103 @@ object Vrl {
   def parseCbor(c: Column): Column = parse_json(decodeCborToJson(c))
   /** encode_cbor(value): struct/map/variant -> CBOR bytes. */
   def encodeCbor(c: Column): Column = encodeCborFromJson(to_json(c))
+
+  // ---- dnstap ----------------------------------------------------------
+
+  /** parse_dnstap output schema — the envelope subset of the reference's
+    * output keys (src/sources/dnstap/mod.rs:358-396 test fixture shows
+    * the published camelCase key set). `requestData` (the inner DNS wire
+    * message parse) is out of scope: the reference delegates it to a
+    * full DNS parser; the envelope fields below cover the dnstap frame
+    * itself.
+    */
+  val dnstapType: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "dataType STRING, dataTypeId BIGINT, messageType STRING, " +
+        "messageTypeId BIGINT, serverId STRING, serverVersion STRING, " +
+        "socketFamily STRING, socketProtocol STRING, " +
+        "sourceAddress STRING, sourcePort BIGINT, " +
+        "responseAddress STRING, responsePort BIGINT, " +
+        "time BIGINT, timePrecision STRING")
+
+  private val dnstapMessageTypes = Array(
+    "AuthQuery", "AuthResponse", "ResolverQuery", "ResolverResponse",
+    "ClientQuery", "ClientResponse", "ForwarderQuery", "ForwarderResponse",
+    "StubQuery", "StubResponse", "ToolQuery", "ToolResponse",
+    "UpdateQuery", "UpdateResponse")
+
+  // dnstap.proto (public): Dnstap{identity=1 bytes, version=2 bytes,
+  // message=14 Message, type=15 enum}; Message{type=1, socket_family=2,
+  // socket_protocol=3, query_address=4, response_address=5, query_port=6,
+  // response_port=7, query_time_sec=8, response_time_sec=12}
+  private lazy val dnstapMessageSchema = {
+    import graft.codecs.ProtobufCodec._
+    ProtoSchema(Seq(
+      ProtoField(1, "type", PVarint),
+      ProtoField(2, "socket_family", PVarint),
+      ProtoField(3, "socket_protocol", PVarint),
+      ProtoField(4, "query_address", PBytes),
+      ProtoField(5, "response_address", PBytes),
+      ProtoField(6, "query_port", PVarint),
+      ProtoField(7, "response_port", PVarint),
+      ProtoField(8, "query_time_sec", PVarint),
+      ProtoField(12, "response_time_sec", PVarint)))
+  }
+  private lazy val dnstapFrameSchema = {
+    import graft.codecs.ProtobufCodec._
+    ProtoSchema(Seq(
+      ProtoField(1, "identity", PBytes),
+      ProtoField(2, "version", PBytes),
+      ProtoField(14, "message", PMessage(dnstapMessageSchema)),
+      ProtoField(15, "type", PVarint)))
+  }
+
+  /** parse_dnstap(bytes): dnstap protobuf frame -> envelope struct (one
+    * UDF pass: wire decode + enum naming + address formatting).
+    */
+  def parseDnstap(c: Column): Column = {
+    val dec = new org.apache.spark.sql.api.java.UDF1[Array[Byte], org.apache.spark.sql.Row] {
+      override def call(bytes: Array[Byte]): org.apache.spark.sql.Row = {
+        if (bytes == null) return null
+        try {
+          val f = graft.codecs.ProtobufCodec.decodeTo(dnstapFrameSchema, bytes)
+          def bstr(v: Any): String =
+            if (v == null) null else new String(v.asInstanceOf[Array[Byte]], "UTF-8")
+          val dataTypeId = f.get(3).asInstanceOf[java.lang.Long]
+          val m = f.get(2).asInstanceOf[org.apache.spark.sql.Row]
+          if (m == null) return null
+          def ml(i: Int): java.lang.Long = m.get(i).asInstanceOf[java.lang.Long]
+          def addr(i: Int): String = m.get(i) match {
+            case null => null
+            case b: Array[Byte] =>
+              try java.net.InetAddress.getByAddress(b).getHostAddress
+              catch { case _: Exception => null }
+          }
+          val mtId = ml(0)
+          val mtName =
+            if (mtId == null || mtId < 1 || mtId > 14) null
+            else dnstapMessageTypes(mtId.toInt - 1)
+          // queries carry odd type ids; their time/address live on the
+          // query_* side, responses on the response_* side
+          val isQuery = mtId != null && (mtId & 1L) == 1L
+          val time = if (isQuery) ml(7) else ml(8)
+          org.apache.spark.sql.Row(
+            if (dataTypeId != null && dataTypeId == 1L) "Message" else null,
+            dataTypeId, mtName, mtId,
+            bstr(f.get(0)), bstr(f.get(1)),
+            ml(1) match {
+              case null => null
+              case v => if (v == 1L) "INET" else if (v == 2L) "INET6" else null
+            },
+            ml(2) match {
+              case null => null
+              case v => if (v == 1L) "UDP" else if (v == 2L) "TCP" else null
+            },
+            addr(3), ml(5), addr(4), ml(6),
+            time, if (time == null) null else "s")
+        } catch { case _: Exception => null }
+      }
+    }
+    udf(dec, dnstapType).apply(c)
+  }
 }

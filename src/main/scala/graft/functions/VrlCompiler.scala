@@ -170,12 +170,53 @@ object VrlCompiler {
   private def stmt(env: Env, s: Stmt): Env = s match {
     case AbortS(_) => env.copy(aborted = lit(true))
 
+    // secrets live in a `__secrets` map column alongside the event
+    // (reference: §1.4 event metadata/secrets, vector-vrl/functions/src/
+    // set_secret.rs) — set/remove rebind the map, get reads it
+    case ExprStmt(CallE("set_secret", _, List(k, v), _, None)) =>
+      val (kv, _) = expr(env, k)
+      val (vv, _) = expr(env, v)
+      val cur = env.fields.get("__secrets").map(_.col)
+        .getOrElse(typedLit(Map.empty[String, String]))
+      env.copy(fields = env.fields +
+        ("__secrets" -> CV(map_concat(
+          map_filter(cur, (mk, _) => !(mk <=> kv.col)),
+          map(kv.col, vv.col.cast("string"))), TMap)))
+    case ExprStmt(CallE("remove_secret", _, List(k), _, None)) =>
+      env.fields.get("__secrets") match {
+        case Some(s) =>
+          val (kv, _) = expr(env, k)
+          env.copy(fields = env.fields +
+            ("__secrets" -> CV(
+              map_filter(s.col, (mk, _) => !(mk <=> kv.col)), TMap)))
+        case None => env
+      }
+
     // whole-event replacement `. = …` (remap.rs: assigning an ARRAY to
     // the root emits one event per element — the 1→N remap path)
     case Assign(PathT(Nil), _, value) =>
       if (env.emitN.isDefined)
         throw VrlCompileException("only one `. =` root assignment is supported")
       value match {
+        // `. = unnest(.f)`: one event per element of .f, all other
+        // fields copied (unnest.cue) — compiles to a transform-to-array
+        // + the explode in primaryOf; element schema resolves in
+        // Catalyst analysis, so no static element type is needed
+        case CallE("unnest", _, List(p @ PathE(FieldSeg(f) :: Nil)), _, None) =>
+          val (arr, _) = expr(env, p)
+          val others = env.fields.toSeq.filter(_._1 != f)
+          val emit = transform(arr.col, x =>
+            struct((others.map { case (n, cv) => cv.col.as(n) } :+
+              x.as(f)): _*))
+          // in-place rebind (ListMap `+` on an existing key re-appends
+          // at the end, which would reorder the output columns)
+          env.copy(
+            fields = ListMap(env.fields.toSeq.map { case (n, cv) =>
+              if (n == f) n -> CV(lit(null), TAny) else n -> cv }: _*),
+            emitN = Some(emit))
+        case CallE("unnest", _, _, _, _) =>
+          throw VrlCompileException(
+            "unnest: target must be a root-level field path")
         case ObjectE(fs) =>
           val compiled = fs.map { case (k, v) => k -> expr(env, v)._1 }
           env.copy(fields = ListMap(compiled: _*))
@@ -404,6 +445,29 @@ object VrlCompiler {
       }
       (binop(op, lv, rv), err)
 
+    case CallE("match_datadog_query", _, List(_, q), _, None) =>
+      // Datadog search syntax over the event (conditions layer §2.2):
+      // facets bind to the CURRENT field environment, bare terms match
+      // the `message` field (or the event's first string field)
+      val query = litOf(q) match {
+        case Some(s: String) => s
+        case _ => throw VrlCompileException(
+          "match_datadog_query: query must be a string literal")
+      }
+      val fieldMap = env.fields.map { case (n, cv) => n -> cv.col }.toMap
+      val default = env.fields.get("message")
+        .orElse(env.fields.collectFirst { case (_, cv) if cv.t == TStr => cv })
+        .map(_.col).getOrElse(lit(""))
+      (CV(DatadogSearch(fieldMap, default).compile(query), TBool), None)
+
+    case CallE("get_secret", _, List(k), _, None) =>
+      val (kv, err) = expr(env, k)
+      val out = env.fields.get("__secrets") match {
+        case Some(s) => try_element_at(s.col, kv.col)
+        case None => lit(null).cast("string")
+      }
+      (CV(out, TStr), err)
+
     case CallE(name, bang, args, named, Some(cl)) =>
       // closure-bearing call (closure.cue): compile the body against a
       // child scope whose params bind to the HOF lambda variables, so
@@ -432,6 +496,30 @@ object VrlCompiler {
         case ("map_keys", TMap, List(k)) =>
           CV(transform_keys(target.col,
             (kc, _) => body(k -> CV(kc, TStr))), TMap)
+        case ("replace_with", _, List(m)) =>
+          // replace_with(value, pattern) { |m| … } — the closure maps
+          // each match object {string, captures}; reassembly interleaves
+          // the split parts with the mapped matches, all inside HOFs
+          // (no per-row interpreter). Capture groups are re-derived by
+          // re-anchoring the pattern on the matched substring.
+          val pat = args.lift(1).flatMap(litOf) match {
+            case Some(s: String) => s
+            case _ => throw VrlCompileException(
+              "replace_with: pattern must be a string literal")
+          }
+          val groups =
+            java.util.regex.Pattern.compile(pat).matcher("").groupCount()
+          val parts = split(target.col, pat, -1)
+          val matches = regexp_extract_all(target.col, lit(pat), lit(0))
+          val mapped = transform(matches, x =>
+            body(m -> CV(struct(
+              x.as("string"),
+              array((1 to groups).map(i =>
+                regexp_extract(x, pat, i)): _*).as("captures")),
+              TObj(StructType(Nil)))).cast("string"))
+          val padded = concat(mapped, array(lit("")))
+          CV(array_join(flatten(zip_with(parts, padded,
+            (p, t) => array(p, coalesce(t, lit(""))))), ""), TStr)
         case (other, t, ps) => throw VrlCompileException(
           s"unsupported closure call: $other over $t with ${ps.length} params")
       }
@@ -481,8 +569,11 @@ object VrlCompiler {
       CV(try_variant_get(c, s"$$.$n", "variant"), TVariant)
     case (CV(c, TVariant), IndexSeg(i)) =>
       CV(try_variant_get(c, s"$$[$i]", "variant"), TVariant)
-    case (CV(c, TArr), IndexSeg(i)) => CV(c.getItem(i), TAny)
-    case (CV(c, _), IndexSeg(i)) => CV(c.getItem(i), TAny)
+    // try_element_at, not getItem: ANSI mode throws INVALID_ARRAY_INDEX
+    // on out-of-bounds, but VRL path misses yield null (element_at is
+    // 1-based; VRL indexes are 0-based)
+    case (CV(c, TArr), IndexSeg(i)) => CV(try_element_at(c, lit(i + 1)), TAny)
+    case (CV(c, _), IndexSeg(i)) => CV(try_element_at(c, lit(i + 1)), TAny)
     case (CV(c, _), FieldSeg(n)) => CV(c.getField(n), TAny)
   }
 

@@ -540,6 +540,91 @@ object VrlFunctions {
         CV((rand() * (c(1) - c(0))).cast("long") + c(0), TInt)
       case "random_bytes" => CV(Vrl.randomBytes(c(0).cast("int")), TAny)
 
+      // ---- round-6 long tail ----
+      case "type_of" =>
+        // VRL type names (type_of.cue): resolved statically from the
+        // compile-time type tag; variants inspect the runtime schema
+        val typed: Column = a(0).cv.t match {
+          case TStr => lit("string")
+          case TInt => lit("integer")
+          case TFloat => lit("float")
+          case TBool => lit("boolean")
+          case TTs => lit("timestamp")
+          case TArr => lit("array")
+          case TMap | TObj(_) => lit("object")
+          case TVariant =>
+            val sv = schema_of_variant(c(0))
+            when(sv === "STRING", "string")
+              .when(sv === "BIGINT", "integer")
+              .when(sv.startsWith("DOUBLE") || sv.startsWith("DECIMAL"), "float")
+              .when(sv === "BOOLEAN", "boolean")
+              .when(sv.startsWith("ARRAY"), "array")
+              .when(sv.startsWith("OBJECT") || sv.startsWith("STRUCT"), "object")
+              .otherwise("null")
+          case TAny => lit("string")
+        }
+        CV(when(c(0).isNull, lit("null")).otherwise(typed), TStr)
+      case "tally_value" =>
+        CV(size(filter(c(0), x => x <=> c(1))).cast("long"), TInt)
+      case "contains_all" =>
+        CV(forall(c(1), s => c(0).contains(s)), TBool)
+      // to_regex: VRL builds a runtime regex from a string; our patterns
+      // are compile-time literals, so this is the identity on the text
+      case "to_regex" => a(0).cv
+      case "parse_regex_all" =>
+        val pat = str(a(1), name, "pattern")
+        val groups = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
+        val namedGs = "\\(\\?<([A-Za-z][A-Za-z0-9]*)>".r.findAllMatchIn(pat)
+          .map(_.group(1)).toList
+        val labels =
+          if (namedGs.length == groups) namedGs
+          else (1 to groups).map(i => s"g$i").toList
+        // one struct per whole-pattern match; groups re-derived by
+        // re-anchoring the pattern on the matched substring
+        CV(transform(regexp_extract_all(c(0), lit(pat), lit(0)),
+          m => RegexStruct(m, pat, labels)), TArr)
+      // (match_datadog_query is compiled in VrlCompiler — it needs the
+      // event field environment to bind facets)
+      // set_semantic_meaning: compile-time schema annotation in the
+      // reference (lib/vector-vrl/functions/src/set_semantic_meaning.rs);
+      // statement-position no-op here
+      case "set_semantic_meaning" => CV(lit(null).cast("string"), TStr)
+      case "tag_types_externally" =>
+        // top-level type tagging ({"string": v} etc.); nested values keep
+        // their shape (documented subset of the recursive reference form)
+        val tag = a(0).cv.t match {
+          case TStr => "string"
+          case TInt => "integer"
+          case TFloat => "float"
+          case TBool => "boolean"
+          case TTs => "timestamp"
+          case TArr => "array"
+          case _ => "object"
+        }
+        CV(struct(c(0).as(tag)), TObj(org.apache.spark.sql.types.StructType(Nil)))
+      case "reverse_dns" =>
+        // per-row PTR lookups from executors are an anti-pattern at scale
+        // (and batch plans must be deterministic): the Spark-first form is
+        // an enrichment-table join; a literal `table:` map stands in for
+        // the join surface here, no-table means unresolvable (null)
+        named.get("table").flatMap(_.literal) match {
+          case Some(m: Map[_, _]) =>
+            val entries = m.toSeq.flatMap { case (k, v) =>
+              Seq(lit(k.toString), lit(v.toString)) }
+            CV(try_element_at(map(entries: _*), c(0)), TStr)
+          case _ => CV(lit(null).cast("string"), TStr)
+        }
+      case "array" => a(0).cv.t match {
+        case TArr | TVariant => a(0).cv
+        case _ => CV(lit(null).cast("array<string>"), TArr)
+      }
+      case "object" => a(0).cv.t match {
+        case TMap | TObj(_) | TVariant => a(0).cv
+        case _ => CV(lit(null).cast("map<string,string>"), TMap)
+      }
+      case "parse_dnstap" =>
+        CV(Vrl.parseDnstap(c(0).cast("binary")), TObj(Vrl.dnstapType))
+
       case other =>
         throw VrlCompileException(s"unknown function: $other")
     }
