@@ -279,6 +279,86 @@ class VrlCompilerSpec extends SparkSpec {
       r.isNullAt(r.fieldIndex("src"))) == 3)
   }
 
+  test("unnest emits one event per array element, other fields copied") {
+    val out = VrlCompiler.run(events,
+      """
+        |.tag = upcase(.etype)
+        |.arr = [{ "i": 1 }, { "i": 2 }, { "i": 3 }]
+        |. = unnest(.arr)
+        |""".stripMargin)
+    val r = out.primary.orderBy("id").collect()
+    assert(r.length == 9) // 3 rows × 3 elements
+    val first = r.filter(_.getAs[Long]("id") == 1L)
+    assert(first.map(_.getAs[Row]("arr").getAs[Long]("i")).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(first.forall(_.getAs[String]("tag") == "CLICK"))
+  }
+
+  test("secrets: set/get/remove against the __secrets map") {
+    val out = VrlCompiler.run(events,
+      """
+        |set_secret("token", .user)
+        |.t1 = get_secret("token")
+        |set_secret("token", "rotated")
+        |.t2 = get_secret("token")
+        |remove_secret("token")
+        |.t3 = get_secret("token") ?? "absent"
+        |""".stripMargin)
+    val r = out.primary.orderBy("id").collect()
+    assert(r.map(_.getAs[String]("t1")).toSeq == Seq("alice", "bob", null))
+    assert(r.map(_.getAs[String]("t2")).toSeq ==
+      Seq("rotated", "rotated", "rotated"))
+    assert(r.map(_.getAs[String]("t3")).toSeq ==
+      Seq("absent", "absent", "absent"))
+  }
+
+  test("replace_with maps each match through the closure") {
+    val out = VrlCompiler.run(events,
+      """
+        |.r = replace_with(.etype, "([aeiou])") -> |m| { "<" + m.captures[0] + ">" }
+        |.whole = replace_with(.etype, "ck|rr") -> |m| { upcase(m.string) }
+        |""".stripMargin)
+    val r = out.primary.orderBy("id").collect()
+    assert(r.map(_.getAs[String]("r")).toSeq ==
+      Seq("cl<i>ck", "<e>rr<o>r", "v<i><e>w"))
+    assert(r.map(_.getAs[String]("whole")).toSeq ==
+      Seq("cliCK", "eRRor", "view"))
+  }
+
+  test("type_of resolves static and null types") {
+    val out = VrlCompiler.run(events,
+      """
+        |.t1 = type_of(.etype)
+        |.t2 = type_of(.value)
+        |.t3 = type_of(.id)
+        |.t4 = type_of(.missing)
+        |.t5 = type_of(parse_json(.props))
+        |""".stripMargin)
+    val r = out.primary.orderBy("id").head()
+    assert(r.getAs[String]("t1") == "string")
+    assert(r.getAs[String]("t2") == "float")
+    assert(r.getAs[String]("t3") == "integer")
+    assert(r.getAs[String]("t4") == "null")
+    assert(r.getAs[String]("t5") == "object")
+  }
+
+  test("parse_dnstap decodes a nested-message frame") {
+    val out = VrlCompiler.run(events,
+      """
+        |.inner = encode_proto({ "type": 6, "socket_family": 2, "socket_protocol": 2, "response_port": 53, "response_time_sec": 1700000000 }, "1:varint:type;2:varint:socket_family;3:varint:socket_protocol;7:varint:response_port;12:varint:response_time_sec")
+        |.frame = encode_proto({ "identity": "ns1", "version": "9.18", "message": .inner, "type": 1 }, "1:string:identity;2:string:version;14:bytes:message;15:varint:type")
+        |.dt = parse_dnstap(.frame)
+        |""".stripMargin)
+    val dt = out.primary.orderBy("id").head().getAs[Row]("dt")
+    assert(dt.getAs[String]("dataType") == "Message")
+    assert(dt.getAs[String]("messageType") == "ClientResponse")
+    assert(dt.getAs[String]("socketFamily") == "INET6")
+    assert(dt.getAs[String]("socketProtocol") == "TCP")
+    assert(dt.getAs[Long]("responsePort") == 53L)
+    // response (even type id) → time from the response_* side
+    assert(dt.getAs[Long]("time") == 1700000000L)
+  }
+
   test("parse error surfaces as VrlParseException") {
     intercept[VrlParser.VrlParseException] {
       VrlCompiler.compile(events.schema, ".x = @bad")
