@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // the bench compiles ~170 whole-stage-codegen plans in one JVM; the
+  // default 240m code cache fills and late queries fall back to the
+  // interpreter (observed: identical queries 8x slower at the tail of a
+  // full run than standalone)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -27,8 +27,18 @@ object Bench {
     // number (the reference similarly compiles VRL at config load, not
     // per event batch). Run 1 carries whole-stage-codegen + JIT of the
     // exact sf plan; run 2 is the steady state.
+    // SPARK_GRAFT_BENCH_FILTER: comma-separated query-name substrings to
+    // run (local iteration aid); "none" skips the query loop entirely
+    // (throughput-only run). Unset = full bench, the driver's mode.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+    def wanted(name: String): Boolean = filter match {
+      case None => true
+      case Some("none") => false
+      case Some(f) => f.split(",").exists(name.contains)
+    }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => wanted(q._1)).foreach { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
@@ -90,13 +100,27 @@ object Bench {
       eventsBytes * REP / 1048576.0 / sec
     } catch { case _: Throwable => Double.NaN }
 
+    // Single-core calibration: fixed integer-hash loop, so readers can
+    // normalize MiB/s figures across host states (observed 3x swings in
+    // this box's per-core speed between runs on different days).
+    val cpuScore = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9e3779b97f4a7c15L; var i = 0
+        while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        if (x == 42L) println("")
+        2e8 / ((System.nanoTime() - t0) / 1e9) / 1e6 // M iters/sec
+      }
+      once(); math.max(once(), once())
+    }
+
     def fmt(d: Double): String =
       if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.sum
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"cores":$cpus}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"cpu_score_mips":${fmt(cpuScore)},"cores":$cpus}""")
     spark.stop()
   }
 }

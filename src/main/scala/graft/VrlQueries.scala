@@ -522,6 +522,7 @@ object VrlQueries {
         .select(col("doc_id"), col("ty1"), col("ty2"), col("ty3"),
           col("the_n"), col("has"), col("m4n"), col("m4first"), col("rw"),
           col("sec"), col("sec2"), col("tts"), col("rd"), col("dd"),
+          col("long_words"),
           col("arr").getField("i").as("i"))
         .orderBy(col("doc_id"), col("i"))
     },
@@ -570,6 +571,11 @@ object VrlQueries {
       |.tts = .tt.string
       |.rd = reverse_dns("10.0.0.1", table: {"10.0.0.1": "db.internal"})
       |.dd = match_datadog_query(., "source:src1 OR source:src2")
+      |lw = 0
+      |for_each(split(.text, " ")) -> |_i, w| {
+      |  if length(w) > 3 { lw = lw + 1 }
+      |}
+      |.long_words = lw
       |.arr = [{"i": 1}, {"i": 2}]
       |. = unnest(.arr)
       |""".stripMargin
@@ -972,6 +978,8 @@ object VrlQueries {
         |    coalesce(regexp_extract_all(text, '\b(s[a-z]+)\b', 1)[1], '') AS m4first,
         |    regexp_replace(text, '\b(the)\b', '<\1>', 'g') AS rw,
         |    source AS sec, 'gone' AS sec2, source AS tts,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> length(w) > 3)) AS BIGINT) AS long_words,
         |    'db.internal' AS rd,
         |    (source = 'src1' OR source = 'src2') AS dd
         |  FROM documents)

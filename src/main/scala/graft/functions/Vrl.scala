@@ -1429,6 +1429,23 @@ object Vrl {
     * full DNS parser; the envelope fields below cover the dnstap frame
     * itself.
     */
+  /** DNS message struct (requestData/responseData legs of parse_dnstap):
+    * header flags + question + answers in presentation format, matching
+    * the reference's trust-dns-derived output shape (src/sources/dnstap/
+    * schema and the parse_dnstap docs). rData covers
+    * A/AAAA/NS/CNAME/PTR/MX/TXT; other record types render as hex.
+    */
+  private val dnsMessageDDL: String =
+    "STRUCT<header: STRUCT<id: BIGINT, opcode: BIGINT, rcode: BIGINT, " +
+      "qr: BIGINT, aa: BOOLEAN, tc: BOOLEAN, rd: BOOLEAN, ra: BOOLEAN, " +
+      "ad: BOOLEAN, cd: BOOLEAN, qdCount: BIGINT, anCount: BIGINT, " +
+      "nsCount: BIGINT, arCount: BIGINT>, " +
+      "question: ARRAY<STRUCT<domainName: STRING, class: STRING, " +
+      "questionType: STRING, questionTypeId: BIGINT>>, " +
+      "answers: ARRAY<STRUCT<domainName: STRING, class: STRING, " +
+      "recordType: STRING, recordTypeId: BIGINT, ttl: BIGINT, " +
+      "rData: STRING>>>"
+
   val dnstapType: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(
       "dataType STRING, dataTypeId BIGINT, messageType STRING, " +
@@ -1436,7 +1453,97 @@ object Vrl {
         "socketFamily STRING, socketProtocol STRING, " +
         "sourceAddress STRING, sourcePort BIGINT, " +
         "responseAddress STRING, responsePort BIGINT, " +
-        "time BIGINT, timePrecision STRING")
+        "time BIGINT, timePrecision STRING, " +
+        s"requestData $dnsMessageDDL, responseData $dnsMessageDDL")
+
+  private val dnsTypeNames = Map(
+    1 -> "A", 2 -> "NS", 5 -> "CNAME", 6 -> "SOA", 12 -> "PTR",
+    15 -> "MX", 16 -> "TXT", 28 -> "AAAA", 33 -> "SRV", 255 -> "ANY")
+  private val dnsClassNames = Map(1 -> "IN", 3 -> "CH", 4 -> "HS", 255 -> "ANY")
+
+  /** RFC 1035 wire-format parse: header, question section, answer
+    * section with compression-pointer following (4.1.4). Returns null on
+    * malformed input (parse_dnstap is fallible in the reference).
+    */
+  private[functions] def parseDnsWire(b: Array[Byte]): org.apache.spark.sql.Row = {
+    if (b == null || b.length < 12) return null
+    import org.apache.spark.sql.Row
+    try {
+      def u8(i: Int): Int = b(i) & 0xff
+      def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      def u32(i: Int): Long = (u16(i).toLong << 16) | u16(i + 2)
+      val flags = u16(2)
+      val qd = u16(4); val an = u16(6); val nsc = u16(8); val arc = u16(10)
+      // name decode; returns (name, offset after the name at the ORIGINAL
+      // position) — pointer jumps don't advance the cursor (RFC 1035 4.1.4)
+      def name(off0: Int): (String, Int) = {
+        val sb = new StringBuilder
+        var off = off0; var next = -1; var hops = 0
+        while (hops < 128) {
+          hops += 1
+          val len = u8(off)
+          if (len == 0)
+            return (if (sb.isEmpty) "." else sb.toString,
+              if (next >= 0) next else off + 1)
+          else if ((len & 0xc0) == 0xc0) {
+            if (next < 0) next = off + 2
+            off = ((len & 0x3f) << 8) | u8(off + 1)
+          } else {
+            sb.append(new String(b, off + 1, len, "ASCII")).append('.')
+            off += 1 + len
+          }
+        }
+        throw new IllegalArgumentException("dns name loop")
+      }
+      def cleanName(n: String): String =
+        if (n == ".") "." else n.stripSuffix(".")
+      var pos = 12
+      val question = (0 until qd).map { _ =>
+        val (n, p) = name(pos)
+        val qt = u16(p); val qc = u16(p + 2); pos = p + 4
+        Row(cleanName(n), dnsClassNames.getOrElse(qc, qc.toString),
+          dnsTypeNames.getOrElse(qt, qt.toString), qt.toLong)
+      }
+      def rdataStr(t: Int, off: Int, len: Int): String = t match {
+        case 1 if len == 4 =>
+          (0 until 4).map(i => u8(off + i)).mkString(".")
+        case 28 if len == 16 =>
+          java.net.InetAddress.getByAddress(
+            java.util.Arrays.copyOfRange(b, off, off + 16)).getHostAddress
+        case 2 | 5 | 12 => cleanName(name(off)._1)
+        case 15 => s"${u16(off)} ${cleanName(name(off + 2)._1)}"
+        case 16 =>
+          // one or more character-strings, concatenated
+          val sb = new StringBuilder; var o = off
+          while (o < off + len) {
+            val l = u8(o); sb.append(new String(b, o + 1, l, "UTF-8")); o += 1 + l
+          }
+          sb.toString
+        case 33 =>
+          s"${u16(off)} ${u16(off + 2)} ${u16(off + 4)} ${cleanName(name(off + 6)._1)}"
+        case _ =>
+          java.util.Arrays.copyOfRange(b, off, off + len)
+            .map(x => f"${x & 0xff}%02x").mkString
+      }
+      val answers = (0 until an).map { _ =>
+        val (n, p) = name(pos)
+        val t = u16(p); val c = u16(p + 2); val ttl = u32(p + 4)
+        val rdlen = u16(p + 8); val rdoff = p + 10
+        pos = rdoff + rdlen
+        Row(cleanName(n), dnsClassNames.getOrElse(c, c.toString),
+          dnsTypeNames.getOrElse(t, t.toString), t.toLong, ttl,
+          rdataStr(t, rdoff, rdlen))
+      }
+      Row(
+        Row(u16(0).toLong, ((flags >> 11) & 0xf).toLong, (flags & 0xf).toLong,
+          ((flags >> 15) & 1).toLong, ((flags >> 10) & 1) == 1,
+          ((flags >> 9) & 1) == 1, ((flags >> 8) & 1) == 1,
+          ((flags >> 7) & 1) == 1, ((flags >> 5) & 1) == 1,
+          ((flags >> 4) & 1) == 1, qd.toLong, an.toLong, nsc.toLong,
+          arc.toLong),
+        question, answers)
+    } catch { case _: Exception => null }
+  }
 
   private val dnstapMessageTypes = Array(
     "AuthQuery", "AuthResponse", "ResolverQuery", "ResolverResponse",
@@ -1459,7 +1566,11 @@ object Vrl {
       ProtoField(6, "query_port", PVarint),
       ProtoField(7, "response_port", PVarint),
       ProtoField(8, "query_time_sec", PVarint),
-      ProtoField(12, "response_time_sec", PVarint)))
+      ProtoField(12, "response_time_sec", PVarint),
+      // DNS wire-format payloads (dnstap.proto query_message=10,
+      // response_message=14) — decoded by parseDnsWire
+      ProtoField(10, "query_message", PBytes),
+      ProtoField(14, "response_message", PBytes)))
   }
   private lazy val dnstapFrameSchema = {
     import graft.codecs.ProtobufCodec._
@@ -1512,7 +1623,9 @@ object Vrl {
               case v => if (v == 1L) "UDP" else if (v == 2L) "TCP" else null
             },
             addr(3), ml(5), addr(4), ml(6),
-            time, if (time == null) null else "s")
+            time, if (time == null) null else "s",
+            parseDnsWire(m.get(9).asInstanceOf[Array[Byte]]),
+            parseDnsWire(m.get(10).asInstanceOf[Array[Byte]]))
         } catch { case _: Exception => null }
       }
     }

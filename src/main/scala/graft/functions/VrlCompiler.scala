@@ -192,6 +192,47 @@ object VrlCompiler {
         case None => env
       }
 
+    // for_each(collection) -> |k, v| { acc = acc + … }: the reference
+    // iterates the closure per element, mutating enclosing-scope
+    // variables (closure.cue / the vrl stdlib's for_each). Compiled to a
+    // Catalyst `aggregate` HOF whose accumulator is a struct of every
+    // enclosing variable the body assigns — the loop runs inside
+    // whole-stage codegen, no per-row interpreter. Event-field
+    // assignment inside the body has no Column form and is rejected.
+    case ExprStmt(CallE("for_each", _, List(target), _, Some(cl))) =>
+      val (tv, tErr) = expr(env, target)
+      val acc = assignedVars(cl.body).filter(env.vars.contains).toList.sorted
+      if (assignedFields(cl.body).nonEmpty)
+        throw VrlCompileException(
+          "for_each: event-field assignment inside the closure is not supported; accumulate into variables")
+      val env1 = tErr.foldLeft(env)((e, c) => e.withError(c))
+      if (acc.isEmpty) env1
+      else {
+        // normalize: arrays iterate as (index, value), maps as (key, value)
+        val items = tv.t match {
+          case TMap => map_entries(tv.col)
+          case _ => transform(tv.col,
+            (x, i) => struct(i.cast("long").as("key"), x.as("value")))
+        }
+        val init = struct(acc.map(n => env.vars(n).col.as(n)): _*)
+        val kT = if (tv.t == TMap) TStr else TInt
+        val folded = aggregate(items, init, (a, elem) => {
+          val bound = acc.map(n => n -> CV(a.getField(n), env.vars(n).t)) ++
+            (cl.params match {
+              case List(k, v) => List(
+                k -> CV(elem.getField("key"), kT),
+                v -> CV(elem.getField("value"), TAny))
+              case List(v) => List(v -> CV(elem.getField("value"), TAny))
+              case ps => throw VrlCompileException(
+                s"for_each: closure takes 1 or 2 params, got ${ps.length}")
+            })
+          val end = block(env.copy(vars = env.vars ++ bound), cl.body)._1
+          struct(acc.map(n => end.vars(n).col.as(n)): _*)
+        })
+        env1.copy(vars = env1.vars ++
+          acc.map(n => n -> CV(folded.getField(n), env.vars(n).t)))
+      }
+
     // whole-event replacement `. = …` (remap.rs: assigning an ARRAY to
     // the root emits one event per element — the 1→N remap path)
     case Assign(PathT(Nil), _, value) =>
@@ -260,6 +301,22 @@ object VrlCompiler {
       val (_, errCond) = expr(env, e)
       errCond.foldLeft(env)((en, c) => en.withError(c))
   }
+
+  /** Variables a block (transitively) assigns — the for_each accumulator set. */
+  private def assignedVars(b: Block): Set[String] = b.stmts.flatMap {
+    case Assign(VarT(n), errT, _) =>
+      Seq(n) ++ errT.collect { case VarT(e) => e }
+    case ExprStmt(IfE(br, eb)) =>
+      br.flatMap(a => assignedVars(a._2)) ++ eb.toSeq.flatMap(assignedVars)
+    case _ => Nil
+  }.toSet
+
+  private def assignedFields(b: Block): Set[String] = b.stmts.flatMap {
+    case Assign(PathT(FieldSeg(f) :: _), _, _) => Seq(f)
+    case ExprStmt(IfE(br, eb)) =>
+      br.flatMap(a => assignedFields(a._2)) ++ eb.toSeq.flatMap(assignedFields)
+    case _ => Nil
+  }.toSet
 
   private def assign(env: Env, t: Target, v: CV): Env = t match {
     case VarT(name) => env.copy(vars = env.vars + (name -> v))

@@ -359,6 +359,98 @@ class VrlCompilerSpec extends SparkSpec {
     assert(dt.getAs[Long]("time") == 1700000000L)
   }
 
+  test("parse_dnstap decodes the DNS wire message (requestData)") {
+    // hand-assembled RFC 1035 response: id 0x1234, flags 0x8180
+    // (qr rd ra), 1 question (example.com A IN), 2 answers — an A record
+    // and a CNAME whose rdata uses a compression pointer back to the
+    // question name
+    val dnsHex = "123481800001000200000000" +
+      "076578616d706c6503636f6d0000010001" +
+      "c00c000100010000012c00045db8d822" +
+      "c00c000500010000012c000603777777c00c"
+    // frame assembled byte-by-byte (decode_base16 can't round-trip
+    // arbitrary binary through the string layer): Message{type=5,
+    // socket_family=1, query_message=dns} wrapped in Dnstap{message, type=1}
+    val dns = dnsHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val inner = Array[Byte](0x08, 5, 0x10, 1, 0x52, dns.length.toByte) ++ dns
+    val frame = Array[Byte](0x72, inner.length.toByte) ++ inner ++
+      Array[Byte](0x78, 1)
+    import org.apache.spark.sql.functions.{col, lit}
+    val dt = spark.range(1).select(lit(frame).as("frame"))
+      .select(Vrl.parseDnstap(col("frame")).as("dt"))
+      .head().getAs[Row]("dt")
+    val req = dt.getAs[Row]("requestData")
+    val hdr = req.getAs[Row]("header")
+    assert(hdr.getAs[Long]("id") == 0x1234L)
+    assert(hdr.getAs[Long]("qr") == 1L)
+    assert(hdr.getAs[Boolean]("rd") && hdr.getAs[Boolean]("ra"))
+    assert(!hdr.getAs[Boolean]("aa"))
+    assert(hdr.getAs[Long]("qdCount") == 1L && hdr.getAs[Long]("anCount") == 2L)
+    val q = req.getSeq[Row](1)
+    assert(q.head.getAs[String]("domainName") == "example.com")
+    assert(q.head.getAs[String]("questionType") == "A")
+    assert(q.head.getAs[String]("class") == "IN")
+    val ans = req.getSeq[Row](2)
+    assert(ans(0).getAs[String]("recordType") == "A")
+    assert(ans(0).getAs[String]("rData") == "93.184.216.34")
+    assert(ans(0).getAs[Long]("ttl") == 300L)
+    assert(ans(1).getAs[String]("recordType") == "CNAME")
+    assert(ans(1).getAs[String]("rData") == "www.example.com")
+    assert(ans(1).getAs[String]("domainName") == "example.com")
+    // responseData absent: no response_message in the frame
+    assert(dt.getAs[Row]("responseData") == null)
+  }
+
+  test("for_each over an array accumulates into enclosing variables") {
+    val out = VrlCompiler.run(events,
+      """
+        |parts = split(.etype, "")
+        |count = 0
+        |glued = ""
+        |for_each(parts) -> |_i, ch| {
+        |  if ch != "" {
+        |    count = count + 1
+        |    glued = glued + ch
+        |  }
+        |}
+        |.n_chars = count
+        |.glued = upcase(glued)
+        |""".stripMargin)
+    val r = out.primary.orderBy("id").collect()
+    assert(r.map(_.getAs[Long]("n_chars")).toSeq == Seq(5L, 5L, 4L))
+    assert(r.map(_.getAs[String]("glued")).toSeq ==
+      Seq("CLICK", "ERROR", "VIEW"))
+  }
+
+  test("for_each over an object sees keys and conditional accumulation") {
+    val out = VrlCompiler.run(events,
+      """
+        |kv = parse_key_value!("a=1 b=2 skip=9 c=3", "=", " ")
+        |total = 0
+        |keys = ""
+        |for_each(kv) -> |k, v| {
+        |  if k != "skip" {
+        |    total = total + (to_int(v) ?? 0)
+        |    keys = keys + k
+        |  }
+        |}
+        |.total = total
+        |.keys = keys
+        |""".stripMargin)
+    val r = out.primary.orderBy("id").head()
+    assert(r.getAs[Long]("total") == 6L)
+    assert(r.getAs[String]("keys") == "abc")
+  }
+
+  test("for_each rejects event-field assignment in the closure") {
+    intercept[VrlCompiler.VrlCompileException] {
+      VrlCompiler.compile(events.schema,
+        """
+          |for_each(split(.etype, "")) -> |_i, ch| { .out = ch }
+          |""".stripMargin)
+    }
+  }
+
   test("parse error surfaces as VrlParseException") {
     intercept[VrlParser.VrlParseException] {
       VrlCompiler.compile(events.schema, ".x = @bad")
