@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** `vector --config c.yaml` equivalent: load a YAML topology, start one
+  * streaming query per streaming sink, write batch sinks once, and run
+  * until interrupted (or for `--duration` seconds — useful for smoke
+  * runs). Reference lifecycle: src/config/loading/mod.rs:144 (load →
+  * compile) then one pipeline task per sink; here each sink is one
+  * Catalyst plan / StreamingQuery.
+  *
+  * Usage: graft.Run --config pipeline.yaml [--sf-dir DIR]
+  *        [--work-dir DIR] [--duration SECS]
+  */
+object Run {
+  def main(args: Array[String]): Unit = {
+    def flag(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(k, v) if k == s"--$name" => v }
+    val config = flag("config").getOrElse(
+      sys.error("usage: graft.Run --config <yaml> [--sf-dir DIR] [--work-dir DIR] [--duration SECS]"))
+    val sfDir = flag("sf-dir").getOrElse("/root/testdata/sf0.001")
+    val workDir = flag("work-dir").getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-run").toString)
+    val duration = flag("duration").map(_.toLong)
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val yaml = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(config)), "UTF-8")
+    val running = plans.ConfigLoader.run(spark, yaml, sfDir, workDir)
+    if (running.queries.isEmpty) {
+      println(s"[graft] batch topology complete; outputs under $workDir")
+    } else {
+      println(s"[graft] streaming: ${running.queries.keys.mkString(", ")} " +
+        s"(work dir $workDir)")
+      duration match {
+        case Some(secs) =>
+          Thread.sleep(secs * 1000)
+          running.processAllAvailable()
+          running.stopAll()
+        case None =>
+          spark.streams.awaitAnyTermination()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -135,6 +135,34 @@ object ConfigLoader {
           val table = m.getOrElse("table", id).toString
           Topology.Source(id, Topology.Log,
             sp => graft.Graft.table(sp, sfDir, table))
+        // streaming source types — the `vector --config c.yaml` shapes
+        // (src/sources/{demo_logs,socket,kafka}.rs); each yields a
+        // STREAMING DataFrame, and the same Topology/VRL machinery
+        // applies unchanged (transforms are Column expressions)
+        case "demo_logs" =>
+          val fmt = m.getOrElse("format", "json").toString
+          val interval = m.getOrElse("interval", "1").toString.toDouble
+          val rps = math.max(1, math.round(1.0 / interval).toInt)
+          Topology.Source(id, Topology.Log,
+            sp => graft.streaming.StreamRunner.demoLogs(sp, rps, fmt))
+        case "socket" =>
+          val addr = m.getOrElse("address", "localhost:9000").toString
+          val (h, p) = addr.split(":") match {
+            case Array(a, b) => (a, b.toInt)
+            case _ => throw new IllegalArgumentException(
+              s"socket source $id: address must be host:port")
+          }
+          Topology.Source(id, Topology.Log,
+            sp => graft.streaming.StreamRunner.socket(sp, h, p))
+        case "kafka" =>
+          val servers = m.getOrElse("bootstrap_servers", "").toString
+          val topics = strList(m.getOrElse("topics", Nil)).mkString(",")
+          Topology.Source(id, Topology.Log,
+            sp => graft.streaming.StreamRunner.kafka(sp, servers, topics))
+        case "text_dir" =>
+          Topology.Source(id, Topology.Log,
+            sp => graft.streaming.StreamRunner.textDir(
+              sp, m.getOrElse("path", sfDir).toString))
         case other =>
           throw new IllegalArgumentException(s"unsupported source type: $other")
       }
@@ -147,6 +175,79 @@ object ConfigLoader {
       Topology.Sink(id, strList(m.getOrElse("inputs", Nil)), Topology.Any)
     }.toSeq
     Topology.build(spark, sources ++ transforms ++ sinks)
+  }
+
+  // ---------------- streaming run (the vector-binary lifecycle) -------
+
+  /** Handle on a started config: one StreamingQuery per streaming sink
+    * (batch sinks have already written and carry no query).
+    */
+  final case class RunningConfig(
+      queries: Map[String, org.apache.spark.sql.streaming.StreamingQuery]) {
+    def processAllAvailable(): Unit =
+      queries.values.foreach(_.processAllAvailable())
+    def stopAll(): Unit =
+      queries.values.foreach(q => try q.stop() catch { case _: Exception => () })
+  }
+
+  /** The full `vector --config c.yaml` lifecycle (SURVEY §3.1): parse,
+    * build the component DAG (typecheck + cycle check via
+    * [[Topology.build]]), then attach each sink's writer and START it.
+    * Streaming sinks (rate/socket/kafka upstream) become one
+    * StreamingQuery each — the reference's "one tokio task pipeline per
+    * sink" maps to one Structured Streaming query per sink. Batch
+    * sources write once through the same sink configs.
+    *
+    * Sink types (src/sinks/): console, parquet/file (`path`,
+    * `partition_by`), kafka (`bootstrap_servers`, `topic`), blackhole,
+    * memory (test tap, `vector tap`-style, query name = sink id).
+    */
+  def run(spark: SparkSession, yaml: String, sfDir: String,
+          workDir: String): RunningConfig = {
+    import graft.streaming.StreamRunner
+    val built = load(spark, yaml, sfDir)
+    val sinkConfs = yamlMap(parseYaml(yaml).getOrElse("sinks", null))
+      .map { case (id, v) => id -> yamlMap(v) }
+    val queries = sinkConfs.flatMap { case (id, m) =>
+      val df = built.outputs(id)
+      val tpe = m.getOrElse("type", "console").toString
+      val intervalMs =
+        (m.getOrElse("interval", "0.1").toString.toDouble * 1000).toLong
+      if (df.isStreaming) {
+        val writer = tpe match {
+          case "console" => StreamRunner.toConsole(df, intervalMs)
+          case "parquet" | "file" => StreamRunner.toParquet(df,
+            m.getOrElse("path", s"$workDir/$id").toString,
+            s"$workDir/.ckpt-$id",
+            strList(m.getOrElse("partition_by", Nil)))
+          case "kafka" => StreamRunner.toKafka(df,
+            m.getOrElse("bootstrap_servers", "").toString,
+            m.getOrElse("topic", id).toString, s"$workDir/.ckpt-$id")
+          case "blackhole" => StreamRunner.toBlackhole(df)
+          case "memory" =>
+            df.writeStream.format("memory").queryName(id)
+          case other => throw new IllegalArgumentException(
+            s"unsupported sink type: $other")
+        }
+        Some(id -> StreamRunner.start(writer, intervalMs))
+      } else {
+        tpe match {
+          case "console" => df.show(20, truncate = false)
+          case "parquet" | "file" =>
+            val w = df.write.mode("overwrite")
+            val pb = strList(m.getOrElse("partition_by", Nil))
+            (if (pb.nonEmpty) w.partitionBy(pb: _*) else w)
+              .parquet(m.getOrElse("path", s"$workDir/$id").toString)
+          case "blackhole" =>
+            df.write.mode("overwrite").format("noop").save()
+          case "memory" => df.createOrReplaceTempView(id)
+          case other => throw new IllegalArgumentException(
+            s"unsupported sink type: $other")
+        }
+        None
+      }
+    }
+    RunningConfig(queries.toMap)
   }
 
   // ---------------- behavior-test runner ----------------
