@@ -33,6 +33,20 @@ object DatapipeQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // pairs -> components -> canonical doc: the step a real dedup
+    // pipeline runs after LSH (keep one doc per near-dup cluster)
+    "dedup_clusters" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", col("text"),
+        shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5)
+      Dedup.connectedComponents(
+          d.select(col("doc_id").as("id")),
+          pairs.select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster"),
+          (col("id") === col("comp")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     "dedup_ngram" -> { (s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "doc_id", col("text"),
           shingleN = 3, threshold = 0.5)
@@ -178,6 +192,29 @@ object DatapipeQueries {
       |    ELSE 0 END) AS fpu
       |  FROM bits GROUP BY 1)""".stripMargin
 
+  /** MinHash LSH candidate pipeline (lanes → 12-hash signature → 3 bands
+    * → band-bucket self-join), shared by the pair and cluster oracles.
+    */
+  private val minhashCandCtes =
+    """lanes AS (SELECT doc_id,
+      |  [[CAST(list_sum([(strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1)
+      |        * power(16, 8-i) for i in range(1, 9)]) AS BIGINT),
+      |    CAST(list_sum([(strpos('0123456789abcdef', substr(md5(x), 8+i, 1)) - 1)
+      |        * power(16, 8-i) for i in range(1, 9)]) AS BIGINT) | 1]
+      |   for x in s] AS ls
+      |  FROM sh),
+      |sig AS (SELECT doc_id,
+      |  [list_min([(l[1] + h*l[2]) % 4294967296 for l in ls])
+      |   for h in range(0, 12)] AS g
+      |  FROM lanes),
+      |bands AS (
+      |  SELECT doc_id, b, array_to_string(g[b*4+1 : b*4+4], ',') AS bh
+      |  FROM sig, (SELECT unnest(range(0,3)) AS b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
   private val jaccardTail =
     """inv AS (SELECT doc_id, unnest(list_distinct(s)) shv FROM sh),
       |sz AS (SELECT doc_id, len(list_distinct(s)) n FROM sh),
@@ -213,25 +250,38 @@ object DatapipeQueries {
 
     "dedup_minhash" ->
       s"""WITH $toksCte, $shCte,
-        |lanes AS (SELECT doc_id,
-        |  [[CAST(list_sum([(strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1)
-        |        * power(16, 8-i) for i in range(1, 9)]) AS BIGINT),
-        |    CAST(list_sum([(strpos('0123456789abcdef', substr(md5(x), 8+i, 1)) - 1)
-        |        * power(16, 8-i) for i in range(1, 9)]) AS BIGINT) | 1]
-        |   for x in s] AS ls
-        |  FROM sh),
-        |sig AS (SELECT doc_id,
-        |  [list_min([(l[1] + h*l[2]) % 4294967296 for l in ls])
-        |   for h in range(0, 12)] AS g
-        |  FROM lanes),
-        |bands AS (
-        |  SELECT doc_id, b, array_to_string(g[b*4+1 : b*4+4], ',') AS bh
-        |  FROM sig, (SELECT unnest(range(0,3)) AS b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b
-        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |$minhashCandCtes,
         |$jaccardTail""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $toksCte, $shCte,
+        |$minhashCandCtes,
+        |inv AS (SELECT doc_id, unnest(list_distinct(s)) shv FROM sh),
+        |sz AS (SELECT doc_id, len(list_distinct(s)) n FROM sh),
+        |common AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_common
+        |  FROM cand c
+        |  JOIN inv sa ON sa.doc_id = c.id_a
+        |  JOIN inv sb ON sb.doc_id = c.id_b AND sb.shv = sa.shv
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM common JOIN sz za ON za.doc_id = id_a
+        |    JOIN sz zb ON zb.doc_id = id_b
+        |  WHERE round(n_common * 1.0 / (za.n + zb.n - n_common), 6) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
+        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, cluster, (doc_id = cluster) AS keep
+        |FROM comp ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram" ->
       s"""WITH $toksCte, $shCte,

@@ -308,4 +308,61 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Connected components over an undirected near-dup edge list — the
+    * clustering step after candidate generation: every doc in a
+    * component is a near-dup of the others (transitively), and dedup
+    * keeps one canonical doc per component (the min id, the usual
+    * convention).
+    *
+    * Pregel-style iterative min-label propagation with POINTER JUMPING
+    * (label := label(label) each round — path halving), so convergence
+    * is O(log diameter) rounds rather than O(diameter); LSH dup-cluster
+    * graphs are mostly tiny cliques with the occasional chain, and the
+    * jump step keeps chains from serializing the loop. Every step is a
+    * key-partitioned join/groupBy — the driver holds one change-count
+    * per round, never the graph. Each round localCheckpoints the label
+    * table: the iteration count is bounded, but the PLAN would otherwise
+    * nest one join deeper per round and analysis cost goes quadratic
+    * (at production scale, swap for a reliable checkpoint dir).
+    *
+    * `nodes`: one `id` per doc (singletons come out as their own
+    * cluster). `edges`: (id_a, id_b) pairs, any orientation, dup-safe.
+    * Returns (id, cluster) with cluster = min id in the component.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // gather: min label over neighbors, folded with own label
+      val nbrMin = und
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
+        .groupBy(col("src")).agg(min(col("dcomp")).as("nbrComp"))
+      val propagated = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbrComp")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+      // pointer jump: comp := comp(comp) (path halving)
+      val jumped = propagated.as("x")
+        .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
+          col("x.comp") === col("y.cid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("y.ccomp"), col("x.comp")).as("comp"))
+        .localCheckpoint()
+      changed = jumped
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = jumped
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
 }

@@ -35,6 +35,28 @@ class DedupSpec extends SparkSpec {
     assert(dups == Map(4L -> 1L, 6L -> 5L))
   }
 
+  test("connected components: chains collapse, singletons survive") {
+    // 1-2-3-4-5-6-7-8 chain (worst case for plain propagation: forces
+    // the pointer-jump path), a 10-11 pair, and 20/21 singletons
+    val nodes = (1L to 8L).toSeq ++ Seq(10L, 11L, 20L, 21L)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (10L, 11L))
+    val comp = Dedup.connectedComponents(
+        nodes.toDF("id"), edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 8L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L && comp(21L) == 21L)
+  }
+
+  test("connected components: reversed/duplicated edges are harmless") {
+    val comp = Dedup.connectedComponents(
+        Seq(1L, 2L, 3L).toDF("id"),
+        Seq((3L, 2L), (2L, 3L), (2L, 1L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("minhash signatures are identical for identical docs") {
     val sigs = Dedup.minhashSignatures(
         docs.select($"doc_id".as("doc"),
