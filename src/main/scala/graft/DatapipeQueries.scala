@@ -33,6 +33,15 @@ object DatapipeQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // corpus-wide duplicated-span ratio per doc (exact-substring dedup
+    // approximation: 8-token windows, stride 4)
+    "dedup_spans" -> { (s, dir) =>
+      Dedup.dupSpans(docs(s, dir), "doc_id", col("text"))
+        .select(col("doc").as("doc_id"), col("n_windows"),
+          col("n_dup_windows"), col("dup_span_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     // pairs -> components -> canonical doc: the step a real dedup
     // pipeline runs after LSH (keep one doc per near-dup cluster)
     "dedup_clusters" -> { (s, dir) =>
@@ -252,6 +261,25 @@ object DatapipeQueries {
       s"""WITH $toksCte, $shCte,
         |$minhashCandCtes,
         |$jaccardTail""".stripMargin,
+
+    "dedup_spans" ->
+      s"""WITH $toksCte,
+        |win AS (SELECT doc_id,
+        |  unnest([md5(array_to_string(t[i*4+1 : i*4+8], ' '))
+        |          for i in range(0, (len(t)-8)//4 + 1)]) AS wh
+        |  FROM toks WHERE len(t) >= 8),
+        |cnt AS (SELECT wh, count(DISTINCT doc_id) AS nd FROM win GROUP BY 1),
+        |per AS (SELECT w.doc_id, count(*) AS nw,
+        |    sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS ndup
+        |  FROM win w JOIN cnt c USING (wh) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.nw, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(per.ndup, 0) AS BIGINT) AS n_dup_windows,
+        |  CASE WHEN coalesce(per.nw, 0) > 0
+        |    THEN round(per.ndup * 1.0 / per.nw, 6) ELSE 0.0
+        |  END AS dup_span_ratio
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $toksCte, $shCte,

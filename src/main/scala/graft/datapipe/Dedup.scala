@@ -309,6 +309,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Duplicated-span statistics — the suffix-array-free approximation of
+    * exact-substring dedup run on production corpora (the "remove
+    * repeated 50-token spans" practice of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * slide a `windowTokens`-token window with `stride` over each doc,
+    * hash each window, count DISTINCT docs per window corpus-wide; a
+    * window seen in 2+ docs is a duplicated span. Per doc: window
+    * count, duplicated-window count, dup ratio (0 for docs shorter than
+    * one window).
+    *
+    * Scale: the explode factor is ~len/stride rows per doc (linear);
+    * counting is one hash-partitioned groupBy on the window hash, and
+    * the join back is on the same key — no skewed all-pairs work, no
+    * driver-side state. md5 windows keep the pipeline engine-portable.
+    */
+  def dupSpans(docs: DataFrame, id: String, text: Column,
+               windowTokens: Int = 8, stride: Int = 4): DataFrame = {
+    val toks = docs.select(col(id).as("doc"), tokens(text).as("t"))
+    val nwin = when(size(col("t")) >= windowTokens,
+      floor((size(col("t")) - windowTokens) / lit(stride)).cast("int") + 1)
+      .otherwise(0)
+    val exploded = toks.withColumn("nwin", nwin)
+      .filter(col("nwin") > 0)
+      .select(col("doc"),
+        explode(transform(sequence(lit(0), col("nwin") - 1),
+          i => md5(concat_ws(" ",
+            slice(col("t"), i * stride + 1, lit(windowTokens)))))).as("wh"))
+    val counts = exploded.groupBy(col("wh"))
+      .agg(countDistinct(col("doc")).as("nd"))
+    val per = exploded.join(counts, "wh")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("nw"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("ndup"))
+    docs.select(col(id).as("doc"))
+      .join(per, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("nw"), lit(0L)).as("n_windows"),
+        coalesce(col("ndup"), lit(0L)).as("n_dup_windows"),
+        when(coalesce(col("nw"), lit(0L)) > 0,
+          round(col("ndup") / col("nw"), 6)).otherwise(lit(0.0))
+          .as("dup_span_ratio"))
+  }
+
   /** Connected components over an undirected near-dup edge list — the
     * clustering step after candidate generation: every doc in a
     * component is a near-dup of the others (transitively), and dedup
