@@ -100,16 +100,34 @@ object Bench {
       eventsBytes * REP / 1048576.0 / sec
     } catch { case _: Throwable => Double.NaN }
 
-    // Single-core calibration: fixed integer-hash loop, so readers can
-    // normalize MiB/s figures across host states (observed 3x swings in
-    // this box's per-core speed between runs on different days).
+    // CPU calibration, single-core and all-cores: fixed integer-hash
+    // loops so readers can normalize MiB/s figures across host states.
+    // Observed on this box: single-core score stable (~480-500 M it/s)
+    // while the SAME code's multicore throughput swings 75-130 MiB/s
+    // between runs an hour apart — the mt score catches scheduler/
+    // topology drift the single-core score misses.
+    def hashLoop(iters: Int): Long = {
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
     val cpuScore = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        var x = 0x9e3779b97f4a7c15L; var i = 0
-        while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-        if (x == 42L) println("")
+        if (hashLoop(200000000) == 42L) println("")
         2e8 / ((System.nanoTime() - t0) / 1e9) / 1e6 // M iters/sec
+      }
+      once(); math.max(once(), once())
+    }
+    val cpuScoreMt = {
+      val n = cpus.toInt
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val threads = (1 to n).map { _ =>
+          new Thread(() => { if (hashLoop(200000000) == 42L) println("") })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        2e8 * n / ((System.nanoTime() - t0) / 1e9) / 1e6 // aggregate M it/s
       }
       once(); math.max(once(), once())
     }
@@ -120,7 +138,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.sum
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"cpu_score_mips":${fmt(cpuScore)},"cores":$cpus}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"cores":$cpus}""")
     spark.stop()
   }
 }

@@ -63,4 +63,18 @@ object Graft {
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
+
+  /** Single-field JSON long extraction, shared by the event queries —
+    * kept behind one helper so the implementation is swappable in one
+    * place. Measured on this box (3 fresh JVMs each, steady-state
+    * best-of-3): get_json_object ~112 MiB/s through the remap shape vs
+    * try_parse_json+try_variant_get ~81 — the single-path Jackson scan
+    * beats a full variant parse when only one field is read. A variant
+    * column would win if MANY fields were extracted from the same
+    * parse (§1.5); for one field it does not.
+    */
+  def jsonLong(c: org.apache.spark.sql.Column, field: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    get_json_object(c, s"$$.$field").cast("long")
+  }
 }

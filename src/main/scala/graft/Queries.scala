@@ -51,7 +51,7 @@ object Queries {
     */
   def eventsRemap(ev: DataFrame): DataFrame =
     ev.filter(col("value") > 1.0)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k", Graft.jsonLong(col("props"), "k"))
       .withColumn("severity", when(col("event_type") === "error", 3).otherwise(6))
       // concat beats format_string here: no printf-style interpreter in
       // the per-event loop

@@ -280,7 +280,7 @@ object TransformQueries {
     // and dropped are re-unioned here so one query verifies the split.
     "remap_dropped" -> { (s, dir) =>
       val e = ev(s, dir)
-      val parsed = get_json_object(col("props"), "$.k").cast("long")
+      val parsed = Graft.jsonLong(col("props"), "k")
       val out = Remap(e,
         sets = Seq(
           "k" -> parsed,
@@ -312,7 +312,7 @@ object TransformQueries {
 
     "line_agg" -> { (s, dir) =>
       val e = ev(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k", Graft.jsonLong(col("props"), "k"))
       val line = when(pmod(col("k"), lit(3)) === 0,
           concat(lit("ERROR "), col("event_type")))
         .otherwise(concat(lit("  at fn"), col("k")))

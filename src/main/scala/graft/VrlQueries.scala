@@ -17,7 +17,7 @@ object VrlQueries {
 
   private def ev(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "events")
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k", Graft.jsonLong(col("props"), "k"))
 
   val queries: Map[String, Q] = Map(
     "vrl_strings" -> { (s, dir) =>
