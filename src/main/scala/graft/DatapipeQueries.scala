@@ -33,6 +33,16 @@ object DatapipeQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // training-mix construction: per-source target fractions via
+    // deterministic monotone hash sampling (operators/Sample.stratified)
+    "sample_stratified" -> { (s, dir) =>
+      graft.operators.Sample.stratified(docs(s, dir),
+          col("source"), col("doc_id"),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.05))
+        .select(col("doc_id"), col("source"), col("sample_rate"))
+        .orderBy(col("doc_id"))
+    },
+
     // corpus-wide duplicated-span ratio per doc (exact-substring dedup
     // approximation: 8-token windows, stride 4)
     "dedup_spans" -> { (s, dir) =>
@@ -261,6 +271,18 @@ object DatapipeQueries {
       s"""WITH $toksCte, $shCte,
         |$minhashCandCtes,
         |$jaccardTail""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH f AS (SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |    WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.05 END AS fr,
+        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+        |    AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(fr AS DOUBLE) AS sample_rate
+        |FROM f WHERE fr IS NOT NULL AND bucket < CAST(round(fr * 256) AS INT)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_spans" ->
       s"""WITH $toksCte,

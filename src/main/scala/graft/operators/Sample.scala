@@ -45,6 +45,30 @@ object Sample {
   def ratio(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
 
+  /** Stratified sampling to a target mix (beyond the reference: the
+    * training-data "source mix" construction step — e.g. keep 80% of
+    * web, 100% of books, 5% of logs). Per-stratum deterministic hash
+    * sampling: a row is kept iff the first md5 nibble-pair of its key
+    * falls under round(fraction*256), so resampling with the same key
+    * column is reproducible and monotone (raising a fraction only ADDS
+    * rows — the kept set at f1 is a subset of the kept set at f2>f1,
+    * the property curriculum re-mixes rely on). Pure filter: no
+    * shuffle, pushes to the scan; strata absent from `fractions` drop.
+    */
+  def stratified(df: DataFrame, stratum: Column, key: Column,
+                 fractions: Map[String, Double],
+                 rateField: String = "sample_rate"): DataFrame = {
+    val bucket = conv(substring(md5(key.cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    val frac = fractions.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, f)) => when(stratum === s, lit(f)).otherwise(acc)
+    }
+    df.withColumn("__frac", frac)
+      .filter(col("__frac").isNotNull &&
+        bucket < round(col("__frac") * 256).cast("int"))
+      .withColumn(rateField, col("__frac")).drop("__frac")
+  }
+
   /** Count-based 1-in-`rate` per group (the reference's `group_by` mode:
     * an independent counter per group key, transform.rs). Batch form:
     * deterministic rank within (group, orderCol); the streaming

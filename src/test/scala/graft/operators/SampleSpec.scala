@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = (1L to 400L).map(i =>
+    (i, if (i % 2 == 0) "web" else "books")).toDF("id", "src")
+
+  test("stratified: fractions land near target per stratum, others drop") {
+    val out = Sample.stratified(df, $"src", $"id",
+      Map("web" -> 0.5, "books" -> 1.0))
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("books") == 200L) // fraction 1.0 keeps everything
+    // 200 candidates at f=0.5 — md5 buckets are uniform, expect 100±35
+    assert(bySrc("web") > 65 && bySrc("web") < 135)
+    assert(out.filter(!$"src".isin("web", "books")).count() == 0)
+    val rates = out.select("src", "sample_rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates == Map("web" -> 0.5, "books" -> 1.0))
+  }
+
+  test("stratified: raising a fraction only adds rows (monotone subsets)") {
+    def kept(f: Double): Set[Long] =
+      Sample.stratified(df, $"src", $"id", Map("web" -> f, "books" -> f))
+        .select("id").as[Long].collect().toSet
+    val k25 = kept(0.25); val k50 = kept(0.5); val k100 = kept(1.0)
+    assert(k25.subsetOf(k50) && k50.subsetOf(k100))
+    assert(k100.size == 400)
+    assert(k25.nonEmpty && k25.size < k50.size)
+  }
+}
