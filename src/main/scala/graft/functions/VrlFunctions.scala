@@ -232,6 +232,12 @@ object VrlFunctions {
         case _ => CV(length(c(0)) === 0, TBool)
       }
       case "exists" => CV(c(0).isNotNull, TBool)
+      // assertions (unit-test conditions, assert.cue/assert_eq.cue):
+      // truthy/equal -> true, else null so `!` routes the row as errored
+      case "assert" =>
+        CV(when(coalesce(c(0), lit(false)), lit(true)), TBool)
+      case "assert_eq" =>
+        CV(when(c(0) <=> c(1), lit(true)), TBool)
 
       // type ASSERTIONS (string!/int!/... in reference programs): pass
       // the value through when the static type matches, yield null (=

@@ -59,6 +59,10 @@ object Reduce {
     val aggs: Seq[Column] = valueFields.flatMap { f =>
       val c = col(f.name)
       strategies.get(f.name) match {
+        // Concat on an array-typed field appends the arrays (reference
+        // merge_strategy.rs Concat on Value::Array), not a string join
+        case Some(Concat(_)) if f.dataType.isInstanceOf[ArrayType] =>
+          Seq(flatten(orderedList(c, orderCol)).as(f.name))
         case Some(st) => Seq(agg(st, c, orderCol).as(f.name))
         case None => // type-based defaults, config.rs:82-90
           f.dataType match {
@@ -73,10 +77,16 @@ object Reduce {
     df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** One merge strategy as a deterministic native aggregate expression. */
+  /** One merge strategy as a deterministic native aggregate expression.
+    * Null values are skipped everywhere: the reference merges only
+    * events that HAVE the field (merge_strategy.rs operates on present
+    * values), and a missing field is null in the relational model —
+    * min_by/max_by skip null ordering keys, orderedList filters nulls
+    * out of the collected pairs.
+    */
   def agg(st: MergeStrategy, c: Column, orderCol: Column): Column = st match {
-    case First => min_by(c, orderCol)
-    case Last  => max_by(c, orderCol)
+    case First => min_by(c, when(c.isNotNull, orderCol))
+    case Last  => max_by(c, when(c.isNotNull, orderCol))
     case Sum   => sum(c)
     case Max   => max(c)
     case Min   => min(c)
@@ -92,6 +102,7 @@ object Reduce {
     */
   private def orderedList(c: Column, orderCol: Column): Column =
     transform(
-      array_sort(collect_list(struct(orderCol.as("o"), c.as("v")))),
+      array_sort(collect_list(
+        when(c.isNotNull, struct(orderCol.as("o"), c.as("v"))))),
       x => x.getField("v"))
 }

@@ -111,6 +111,62 @@ object ConfigLoader {
             graft.operators.Dedupe(df, matches, col("__seq"))
           else graft.operators.Dedupe.any(df, matches)
         })
+      case "reduce" =>
+        import graft.operators.Reduce
+        import org.apache.spark.sql.expressions.Window
+        val groupBy = strList(conf.getOrElse("group_by", Nil))
+        val strategies = yamlMap(conf.getOrElse("merge_strategies", null))
+          .map { case (f, s) => f -> (s.toString match {
+            case "concat" => Reduce.Concat(" ")
+            case "concat_newline" => Reduce.Concat("\n")
+            case "concat_raw" => Reduce.Concat("")
+            case "array" => Reduce.ToArray
+            case "discard" => Reduce.First
+            case "retain" => Reduce.Last
+            case "sum" => Reduce.Sum
+            case "max" => Reduce.Max
+            case "min" => Reduce.Min
+            case "shortest_array" => Reduce.ShortestArray
+            case "longest_array" => Reduce.LongestArray
+            case "flat_unique" => Reduce.FlatUnique
+            case other => throw new IllegalArgumentException(
+              s"unknown merge strategy: $other")
+          })}
+        val startsWhen = conf.get("starts_when").map(conditionSource)
+        val endsWhen = conf.get("ends_when").map(conditionSource)
+        Topology.Transform.simple(id, inputs, df => {
+          val ord =
+            if (df.columns.contains("__seq")) col("__seq")
+            else monotonically_increasing_id()
+          // batch form of the reference's flush rules: starts_when opens
+          // a new segment AT the matching event, ends_when closes the
+          // segment AFTER it (transform.rs starts_when/ends_when) — both
+          // become running counts over the per-group order
+          val w = Window.partitionBy(groupBy.map(col): _*).orderBy(ord)
+          val startSeg = startsWhen.map { src =>
+            sum(coalesce(VrlCompiler.condition(df.schema, src), lit(false))
+              .cast("long"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          }
+          val endSeg = endsWhen.map { src =>
+            coalesce(
+              sum(coalesce(VrlCompiler.condition(df.schema, src), lit(false))
+                .cast("long"))
+                .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L))
+          }
+          val seg = (startSeg.toSeq ++ endSeg.toSeq)
+            .reduceOption(_ + _).getOrElse(lit(0L))
+          val segmented = df.withColumn("__seg", seg)
+          // keep __seq alive as min-per-group so downstream transforms
+          // and probes retain a deterministic order column
+          val strats =
+            if (df.columns.contains("__seq"))
+              strategies + ("__seq" -> Reduce.Min)
+            else strategies
+          Reduce(segmented, groupBy :+ "__seg", strats, ord).drop("__seg")
+        })
+
       case "sample" =>
         val rate = conf.getOrElse("rate", "10").toString.toInt
         val keyField = conf.get("key_field").map(_.toString)
@@ -276,34 +332,53 @@ object ConfigLoader {
       val byInsert = inputs.zipWithIndex.groupBy(_._1("insert_at").toString)
 
       def inputDf(rows: List[(Map[String, Any], Int)]): DataFrame = {
+        val bracketed = "^(.*)\\[(\\d+)\\]$".r
         val fieldMaps = rows.map { case (m, seq) =>
-          val fields = m.get("log_fields").map(yamlMap).getOrElse(
+          val raw = m.get("log_fields").map(yamlMap).getOrElse(
             Map("message" -> m.getOrElse("value", "")))
-          (fields, seq)
+          // `field[0]`-style keys assemble into an array field
+          // (unit_test.rs feeds log_fields through path insertion)
+          val (idx, plain) = raw.partition(kv => bracketed.matches(kv._1))
+          val arrays = idx.toSeq
+            .map { case (bracketed(base, i), v) => (base, i.toInt, v) }
+            .groupBy(_._1)
+            .map { case (base, vs) =>
+              base -> vs.sortBy(_._2).map(_._3.toString)
+            }
+          (plain ++ arrays, seq)
         }
         val keys = fieldMaps.flatMap(_._1.keys).distinct
-        def sparkType(vs: Seq[Any]): DataType = vs.collectFirst {
-          case _: java.lang.Integer | _: java.lang.Long => LongType
-          case _: java.lang.Double | _: java.math.BigDecimal => DoubleType
-          case _: java.lang.Boolean => BooleanType
-          case _: String => StringType
-        }.getOrElse(StringType)
+        def sparkType(vs: Seq[Any]): DataType =
+          if (vs.exists { case _: java.lang.Double | _: java.math.BigDecimal => true; case _ => false })
+            DoubleType // mixed int/double columns widen (reduce_numbers)
+          else vs.collectFirst {
+            case _: java.lang.Integer | _: java.lang.Long => LongType
+            case _: java.lang.Boolean => BooleanType
+            case _: Seq[_] => ArrayType(StringType)
+            case _: String => StringType
+          }.getOrElse(StringType)
         val schema = StructType(
           keys.map(k => StructField(k,
-            sparkType(fieldMaps.flatMap(_._1.get(k))))) :+
-            StructField("__seq", LongType))
+            sparkType(fieldMaps.flatMap(_._1.get(k))))) ++
+            Seq(StructField("__seq", LongType),
+              // reference inserts events with log_schema timestamps
+              // (unit tests assert e.g. exists(.timestamp_end))
+              StructField("timestamp", TimestampType)))
         val data = fieldMaps.map { case (m, seq) =>
           Row.fromSeq(keys.map { k =>
             (m.get(k), schema(k).dataType) match {
               case (Some(v: java.lang.Integer), LongType) => v.longValue()
               case (Some(v: java.lang.Long), LongType) => v.longValue()
+              case (Some(v: java.lang.Integer), DoubleType) => v.doubleValue()
+              case (Some(v: java.lang.Long), DoubleType) => v.doubleValue()
               case (Some(v: java.math.BigDecimal), DoubleType) => v.doubleValue()
               case (Some(v: java.lang.Double), DoubleType) => v.doubleValue()
               case (Some(v), StringType) => v.toString
               case (Some(v), _) => v
               case (None, _) => null
             }
-          } :+ seq.toLong)
+          } ++ Seq(seq.toLong,
+            new java.sql.Timestamp(1600000000000L + seq * 1000L)))
         }
         spark.createDataFrame(data.asJava, schema)
       }
@@ -343,13 +418,17 @@ object ConfigLoader {
       outputs.foreach { o =>
         val ref = o("extract_from").toString
         val df = built.sink(s"__probe_${probeOf(ref)}")
-        val conds = yamlList(o.getOrElse("conditions", Nil))
-          .map(c => conditionSource(c))
-        val pred = conds
-          .map(src => coalesce(VrlCompiler.condition(df.schema, src), lit(false)))
-          .reduceOption(_ && _).getOrElse(lit(true))
-        if (df.filter(pred).isEmpty)
-          failures += s"no row from '$ref' matched: ${conds.mkString(" && ")}"
+        // each condition must be satisfied by at least one emitted event
+        // (an output block can describe several expected events, e.g.
+        // reduce.yaml's two per-group results — unit_test.rs checks each
+        // condition against the collected output set)
+        yamlList(o.getOrElse("conditions", Nil))
+          .map(c => conditionSource(c)).foreach { src =>
+            val pred =
+              coalesce(VrlCompiler.condition(df.schema, src), lit(false))
+            if (df.filter(pred).isEmpty)
+              failures += s"no row from '$ref' matched: $src"
+          }
       }
       noOut.foreach { ref =>
         val df = built.sink(s"__probe_${probeOf(ref)}")

@@ -266,6 +266,26 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(rows == 201) // error-typed events at sf0.001
   }
 
+  private def resourceYaml(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/behavior/$name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  test("reference reduce.yaml behavior file passes as published") {
+    // verbatim clone of the reference's own test suite for the reduce
+    // transform: default strategies, merge_strategies incl. array
+    // concat, ends_when/starts_when segmentation (ruby/java exception
+    // grouping, line continuation/termination, log streams)
+    runAll(resourceYaml("reduce.yaml"))
+  }
+
+  test("reference remap_with_drop.yaml behavior file passes as published") {
+    // abort + reroute_dropped: primary silent, `droptest.dropped` port
+    // carries the original event
+    runAll(resourceYaml("remap_with_drop.yaml"))
+  }
+
   test("run: demo_logs streaming source -> remap -> memory sink") {
     val tmp = java.nio.file.Files.createTempDirectory("cfgrun").toString
     val running = ConfigLoader.run(spark,
