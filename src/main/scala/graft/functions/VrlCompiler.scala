@@ -162,7 +162,12 @@ object VrlCompiler {
       ListMap(schema.fields.map(f => f.name -> CV(col(f.name), vtOf(f.dataType))): _*),
       Map.empty,
       lit(false), lit(false))
-    block(init, Block(program.stmts))._2.col
+    val (end, v) = block(init, Block(program.stmts))
+    // a failed assert!/assert_eq! or abort in a LEADING statement fails
+    // the condition even though the final expression is the value
+    // (src/conditions/vrl.rs: any runtime error -> condition false)
+    coalesce(v.col, lit(false)) &&
+      !coalesce(end.errored, lit(false)) && !coalesce(end.aborted, lit(false))
   }
 
   // ---------------- statements ----------------

@@ -20,12 +20,22 @@ import org.apache.spark.sql.functions._
 object Dedupe {
 
   /** Keep the first row per key (deterministic via orderCol tiebreak). */
-  def apply(df: DataFrame, matchFields: Seq[String], orderCol: Column): DataFrame = {
-    val w = Window.partitionBy(matchFields.map(col): _*).orderBy(orderCol)
+  def apply(df: DataFrame, matchFields: Seq[String], orderCol: Column): DataFrame =
+    byKeys(df, matchFields.map(resolve(df, _)), orderCol)
+
+  /** Column-expression form; a match field absent from the schema is a
+    * null key (the reference matches on the field's Value, and a missing
+    * field is Null — events without it dedupe together).
+    */
+  def byKeys(df: DataFrame, keys: Seq[Column], orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(orderCol)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  private def resolve(df: DataFrame, path: String): Column =
+    if (df.columns.contains(path.split("\\.", 2)(0))) col(path) else lit(null)
 
   /** Order-insensitive exact dedupe (any representative row). */
   def any(df: DataFrame, matchFields: Seq[String]): DataFrame =

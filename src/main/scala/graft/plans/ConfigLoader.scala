@@ -53,6 +53,12 @@ object ConfigLoader {
       val mm = yamlMap(m)
       mm.getOrElse("type", "vrl") match {
         case "vrl" => mm("source").toString
+        // event-kind predicates (§2.2 is_log/is_metric/is_trace) —
+        // behavior inputs carry a __event_kind column; plain log streams
+        // without one count as logs (the loader's default event type)
+        case "is_log" => """!exists(.__event_kind) || .__event_kind == "log""""
+        case "is_metric" => """.__event_kind == "metric""""
+        case "is_trace" => """.__event_kind == "trace""""
         case other =>
           throw new IllegalArgumentException(s"unsupported condition type $other")
       }
@@ -334,8 +340,15 @@ object ConfigLoader {
       def inputDf(rows: List[(Map[String, Any], Int)]): DataFrame = {
         val bracketed = "^(.*)\\[(\\d+)\\]$".r
         val fieldMaps = rows.map { case (m, seq) =>
-          val raw = m.get("log_fields").map(yamlMap).getOrElse(
-            Map("message" -> m.getOrElse("value", "")))
+          val kind = m.getOrElse("type", "log").toString
+          val raw = kind match {
+            // metric events: the metric table's fields become columns
+            // (name, kind, tags{...}, counter{value}, ...) so VRL
+            // conditions address .tags.message etc.
+            case "metric" => yamlMap(m.getOrElse("metric", null))
+            case _ => m.get("log_fields").map(yamlMap).getOrElse(
+              Map("message" -> m.getOrElse("value", "")))
+          }
           // `field[0]`-style keys assemble into an array field
           // (unit_test.rs feeds log_fields through path insertion)
           val (idx, plain) = raw.partition(kv => bracketed.matches(kv._1))
@@ -345,11 +358,25 @@ object ConfigLoader {
             .map { case (base, vs) =>
               base -> vs.sortBy(_._2).map(_._3.toString)
             }
-          (plain ++ arrays, seq)
+          (plain ++ arrays + ("__event_kind" -> kind), seq)
         }
         val keys = fieldMaps.flatMap(_._1.keys).distinct
+        // nested YAML maps become struct columns (deterministic
+        // key-sorted field order)
+        def typeOf(v: Any): DataType = v match {
+          case mm: java.util.Map[_, _] =>
+            StructType(yamlMap(mm).toSeq.sortBy(_._1)
+              .map { case (k, vv) => StructField(k, typeOf(vv)) })
+          case _: java.lang.Integer | _: java.lang.Long => LongType
+          case _: java.lang.Double | _: java.math.BigDecimal => DoubleType
+          case _: java.lang.Boolean => BooleanType
+          case _: Seq[_] => ArrayType(StringType)
+          case _ => StringType
+        }
         def sparkType(vs: Seq[Any]): DataType =
-          if (vs.exists { case _: java.lang.Double | _: java.math.BigDecimal => true; case _ => false })
+          if (vs.exists(_.isInstanceOf[java.util.Map[_, _]]))
+            vs.collectFirst { case m: java.util.Map[_, _] => typeOf(m) }.get
+          else if (vs.exists { case _: java.lang.Double | _: java.math.BigDecimal => true; case _ => false })
             DoubleType // mixed int/double columns widen (reduce_numbers)
           else vs.collectFirst {
             case _: java.lang.Integer | _: java.lang.Long => LongType
@@ -357,6 +384,20 @@ object ConfigLoader {
             case _: Seq[_] => ArrayType(StringType)
             case _: String => StringType
           }.getOrElse(StringType)
+        def conv(vOpt: Option[Any], dt: DataType): Any = (vOpt, dt) match {
+          case (None, _) => null
+          case (Some(v: java.util.Map[_, _]), st: StructType) =>
+            val mm = yamlMap(v)
+            Row.fromSeq(st.fields.toSeq.map(f => conv(mm.get(f.name), f.dataType)))
+          case (Some(v: java.lang.Integer), LongType) => v.longValue()
+          case (Some(v: java.lang.Long), LongType) => v.longValue()
+          case (Some(v: java.lang.Integer), DoubleType) => v.doubleValue()
+          case (Some(v: java.lang.Long), DoubleType) => v.doubleValue()
+          case (Some(v: java.math.BigDecimal), DoubleType) => v.doubleValue()
+          case (Some(v: java.lang.Double), DoubleType) => v.doubleValue()
+          case (Some(v), StringType) => v.toString
+          case (Some(v), _) => v
+        }
         val schema = StructType(
           keys.map(k => StructField(k,
             sparkType(fieldMaps.flatMap(_._1.get(k))))) ++
@@ -365,20 +406,9 @@ object ConfigLoader {
               // (unit tests assert e.g. exists(.timestamp_end))
               StructField("timestamp", TimestampType)))
         val data = fieldMaps.map { case (m, seq) =>
-          Row.fromSeq(keys.map { k =>
-            (m.get(k), schema(k).dataType) match {
-              case (Some(v: java.lang.Integer), LongType) => v.longValue()
-              case (Some(v: java.lang.Long), LongType) => v.longValue()
-              case (Some(v: java.lang.Integer), DoubleType) => v.doubleValue()
-              case (Some(v: java.lang.Long), DoubleType) => v.doubleValue()
-              case (Some(v: java.math.BigDecimal), DoubleType) => v.doubleValue()
-              case (Some(v: java.lang.Double), DoubleType) => v.doubleValue()
-              case (Some(v), StringType) => v.toString
-              case (Some(v), _) => v
-              case (None, _) => null
-            }
-          } ++ Seq(seq.toLong,
-            new java.sql.Timestamp(1600000000000L + seq * 1000L)))
+          Row.fromSeq(keys.map(k => conv(m.get(k), schema(k).dataType)) ++
+            Seq(seq.toLong,
+              new java.sql.Timestamp(1600000000000L + seq * 1000L)))
         }
         spark.createDataFrame(data.asJava, schema)
       }

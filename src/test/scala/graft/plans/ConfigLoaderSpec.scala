@@ -280,6 +280,23 @@ class ConfigLoaderSpec extends SparkSpec {
     runAll(resourceYaml("reduce.yaml"))
   }
 
+  test("reference filter.yaml behavior file passes as published") {
+    // VRL conditions with leading statements, is_metric conditions, and
+    // metric-typed inserted events (.tags.message addressing)
+    runAll(resourceYaml("filter.yaml"))
+  }
+
+  test("reference route.yaml behavior file passes as published") {
+    // named ports (foo.first/…), an is_log route arm, and a downstream
+    // transform chained off a port
+    runAll(resourceYaml("route.yaml"))
+  }
+
+  test("reference task_transform.yaml behavior file passes as published") {
+    // multi-input fan-in into dedupe and reduce; assert_eq! conditions
+    runAll(resourceYaml("task_transform.yaml"))
+  }
+
   test("reference remap_with_drop.yaml behavior file passes as published") {
     // abort + reroute_dropped: primary silent, `droptest.dropped` port
     // carries the original event
