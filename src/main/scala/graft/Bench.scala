@@ -52,54 +52,6 @@ object Bench {
       results(name) = math.min(once(), once())
     }
 
-    // Steady-state throughput: replicate events REP× in-memory (distinct
-    // event ids) and push through the same filter->remap->reduce pipeline
-    // — amortizes fixed job overhead so the number is compute throughput,
-    // comparable to the reference's sustained MiB/s sizing figures.
-    val REP = 40
-    val (mibPerSec, eventsBytes) = try {
-      val ev = Graft.table(spark, sfDir, "events")
-      val bytes = ev.select(sum(length(col("props")) + lit(64)).cast("double"))
-        .head().getDouble(0)
-      // the source parquet is a single small file (1-2 scan tasks); spread
-      // it across all cores BEFORE the REP× explode so replication and the
-      // pipeline's map side run at full parallelism
-      val replicated = ev
-        .repartition(cpus.toInt * 2)
-        .withColumn("__r", explode(sequence(lit(0), lit(REP - 1))))
-        .withColumn("event_id", col("event_id") * REP + col("__r"))
-        .drop("__r")
-      // best of 3: the first run carries codegen/JIT of this exact plan;
-      // the rest are the steady state the sizing figures describe (this
-      // box varies ±30% run-to-run — see BENCH history)
-      val sec = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        Queries.eventsPipeline(replicated).write.mode("overwrite")
-          .format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      (bytes * REP / 1048576.0 / sec, bytes)
-    } catch { case _: Throwable => (Double.NaN, Double.NaN) }
-
-    // Remap-only throughput (filter -> parse -> project -> noop sink) —
-    // the exact shape of the reference's *_remap_blackhole regression
-    // cases and its 10 MiB/s/vCPU unstructured-log sizing figure.
-    val remapMibPerSec = try {
-      val ev = Graft.table(spark, sfDir, "events")
-      val replicated = ev
-        .repartition(cpus.toInt * 2)
-        .withColumn("__r", explode(sequence(lit(0), lit(REP - 1))))
-        .withColumn("event_id", col("event_id") * REP + col("__r"))
-        .drop("__r")
-      val sec = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        Queries.eventsRemap(replicated).write.mode("overwrite")
-          .format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      eventsBytes * REP / 1048576.0 / sec
-    } catch { case _: Throwable => Double.NaN }
-
     // CPU calibration, single-core and all-cores: fixed integer-hash
     // loops so readers can normalize MiB/s figures across host states.
     // Observed on this box: single-core score stable (~480-500 M it/s)
@@ -111,6 +63,15 @@ object Bench {
       while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
       x
     }
+    def mtProbe(itersPerThread: Int): Double = {
+      val n = cpus.toInt
+      val t0 = System.nanoTime()
+      val threads = (1 to n).map { _ =>
+        new Thread(() => { if (hashLoop(itersPerThread) == 42L) println("") })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      itersPerThread.toDouble * n / ((System.nanoTime() - t0) / 1e9) / 1e6
+    }
     val cpuScore = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -119,26 +80,84 @@ object Bench {
       }
       once(); math.max(once(), once())
     }
-    val cpuScoreMt = {
-      val n = cpus.toInt
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        val threads = (1 to n).map { _ =>
-          new Thread(() => { if (hashLoop(200000000) == 42L) println("") })
-        }
-        threads.foreach(_.start()); threads.foreach(_.join())
-        2e8 * n / ((System.nanoTime() - t0) / 1e9) / 1e6 // aggregate M it/s
-      }
-      once(); math.max(once(), once())
+    val cpuScoreMt = { mtProbe(200000000); math.max(mtProbe(200000000), mtProbe(200000000)) }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) Double.NaN
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
+
+    // Steady-state throughput: replicate events REP× in-memory (distinct
+    // event ids) and push through the same filter->remap->reduce pipeline
+    // — amortizes fixed job overhead so the number is compute throughput,
+    // comparable to the reference's sustained MiB/s sizing figures.
+    //
+    // Robustness (round-6 verdict item 6): the headline pipeline number
+    // was bimodal on this host (157 vs 18 MiB/s an hour apart, same
+    // code). Each throughput shape now runs FIVE attempts with a short
+    // interleaved mt cpu probe before each; the reported figure is the
+    // MEDIAN attempt, the raw attempt and probe arrays ship in the JSON
+    // so a slow host-state is visible rather than inferable, and a
+    // cpu-normalized MiB/s-per-effective-core figure divides out however
+    // many cores the box actually delivered during THIS run.
+    val REP = 40
+    val ATTEMPTS = 5
+    def throughput(shape: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame):
+        (Seq[Double], Seq[Double], Double) = {
+      val ev = Graft.table(spark, sfDir, "events")
+      // the source parquet is a single small file (1-2 scan tasks); spread
+      // it across all cores BEFORE the REP× explode so replication and the
+      // pipeline's map side run at full parallelism
+      val replicated = ev
+        .repartition(cpus.toInt * 2)
+        .withColumn("__r", explode(sequence(lit(0), lit(REP - 1))))
+        .withColumn("event_id", col("event_id") * REP + col("__r"))
+        .drop("__r")
+      // warmup attempt carries whole-stage-codegen + JIT of this plan
+      shape(replicated).write.mode("overwrite").format("noop").save()
+      val attempts = Seq.newBuilder[Double]
+      val probes = Seq.newBuilder[Double]
+      (1 to ATTEMPTS).foreach { _ =>
+        probes += mtProbe(50000000)
+        val t0 = System.nanoTime()
+        shape(replicated).write.mode("overwrite").format("noop").save()
+        attempts += (System.nanoTime() - t0) / 1e9
+      }
+      val a = attempts.result()
+      (a, probes.result(), median(a))
+    }
+    val eventsBytes = try {
+      Graft.table(spark, sfDir, "events")
+        .select(sum(length(col("props")) + lit(64)).cast("double"))
+        .head().getDouble(0)
+    } catch { case _: Throwable => Double.NaN }
+    val mib = eventsBytes * REP / 1048576.0
+    val (pipeAttempts, pipeProbes, pipeMedianSec) =
+      try throughput(Queries.eventsPipeline)
+      catch { case _: Throwable => (Nil, Nil, Double.NaN) }
+    // Remap-only throughput (filter -> parse -> project -> noop sink) —
+    // the exact shape of the reference's *_remap_blackhole regression
+    // cases and its 10 MiB/s/vCPU unstructured-log sizing figure.
+    val (remapAttempts, remapProbes, remapMedianSec) =
+      try throughput(Queries.eventsRemap)
+      catch { case _: Throwable => (Nil, Nil, Double.NaN) }
+    val mibPerSec = mib / pipeMedianSec
+    val remapMibPerSec = mib / remapMedianSec
+    // effective cores delivered during the run = mt probe / single score
+    val effCores = median(pipeProbes ++ remapProbes) / cpuScore
+    val mibPerSecPerEffCore = mibPerSec / effCores
+    val remapMibPerSecPerEffCore = remapMibPerSec / effCores
 
     def fmt(d: Double): String =
       if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
+    def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.sum
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"cores":$cpus}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"events_pipeline_attempts_sec":${arr(pipeAttempts)},"events_remap_attempts_sec":${arr(remapAttempts)},"cpu_probe_mt_mips":${arr(pipeProbes ++ remapProbes)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"cores":$cpus}""")
     spark.stop()
   }
 }

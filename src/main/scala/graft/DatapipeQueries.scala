@@ -36,9 +36,11 @@ object DatapipeQueries {
     // training-mix construction: per-source target fractions via
     // deterministic monotone hash sampling (operators/Sample.stratified)
     "sample_stratified" -> { (s, dir) =>
+      // sub-1% strata (0.004, 0.001) exercise the 24-bit bucket — an
+      // 8-bit bucket would keep zero rows from them
       graft.operators.Sample.stratified(docs(s, dir),
           col("source"), col("doc_id"),
-          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.05))
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.004, "src3" -> 0.001))
         .select(col("doc_id"), col("source"), col("sample_rate"))
         .orderBy(col("doc_id"))
     },
@@ -273,15 +275,22 @@ object DatapipeQueries {
         |$jaccardTail""".stripMargin,
 
     "sample_stratified" ->
-      """WITH f AS (SELECT doc_id, source,
+      """WITH h AS (SELECT doc_id, source,
         |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
-        |    WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.05 END AS fr,
-        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
-        |    AS bucket
-        |  FROM documents)
+        |    WHEN 'src2' THEN 0.004 WHEN 'src3' THEN 0.001 END AS fr,
+        |  md5(coalesce(CAST(doc_id AS VARCHAR), '')) AS m
+        |  FROM documents),
+        |f AS (SELECT doc_id, source, fr,
+        |  (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(m, 5, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(m, 6, 1)) - 1) AS bucket
+        |  FROM h)
         |SELECT doc_id, source, CAST(fr AS DOUBLE) AS sample_rate
-        |FROM f WHERE fr IS NOT NULL AND bucket < CAST(round(fr * 256) AS INT)
+        |FROM f WHERE fr IS NOT NULL
+        |  AND bucket < CAST(floor(fr * 16777216) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_spans" ->

@@ -427,6 +427,52 @@ object TransformQueries {
         .orderBy(col("event_id"), col("origin"))
     },
 
+    "topology_yaml2" -> { (s, dir) =>
+      // round-7 registry widening: a config file driving FOUR newly
+      // YAML-wired surfaces — a datadog_search condition, throttle,
+      // log_to_metric, and incremental_to_absolute — as one Catalyst plan
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  events:
+          |    type: parquet
+          |    table: events
+          |transforms:
+          |  dd:
+          |    type: filter
+          |    inputs: [events]
+          |    condition:
+          |      type: datadog_search
+          |      source: "@event_type:error OR @event_type:purchase"
+          |  thr:
+          |    type: throttle
+          |    inputs: [dd]
+          |    threshold: 5
+          |    window_secs: 3600
+          |    key_field: event_type
+          |  mk:
+          |    type: log_to_metric
+          |    inputs: [thr]
+          |    metrics:
+          |      - type: counter
+          |        name: events_total
+          |        tags:
+          |          etype: "{{ event_type }}"
+          |  abs:
+          |    type: incremental_to_absolute
+          |    inputs: [mk]
+          |    group_by: [name]
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [abs]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("event_id"), col("name"), col("counter_value"),
+          col("abs_value"))
+        .orderBy(col("event_id"))
+    },
+
     "condition_search" -> { (s, dir) =>
       // Datadog-search-style condition (SURVEY §2.2): facet equality,
       // wildcard LIKE, regex, numeric range — compiled to Column predicates
@@ -709,6 +755,21 @@ object TransformQueries {
         |  SELECT event_id, CAST(6 AS BIGINT), 'high' FROM events
         |  WHERE event_type <> 'error' AND value > 150.0)
         |ORDER BY event_id, origin""".stripMargin,
+
+    "topology_yaml2" ->
+      """WITH f AS (
+        |  SELECT * FROM events
+        |  WHERE event_type = 'error' OR event_type = 'purchase'),
+        |t AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY event_type, date_trunc('hour', ts)
+        |    ORDER BY event_id) AS rn
+        |  FROM f)
+        |SELECT event_id, 'events_total' AS name,
+        |       1.0 AS counter_value,
+        |       CAST(sum(1.0) OVER (ORDER BY event_id) AS DOUBLE) AS abs_value
+        |FROM t WHERE rn <= 5
+        |ORDER BY event_id""".stripMargin,
 
     "condition_search" ->
       """SELECT event_id, event_type, round(value,2) AS value FROM events

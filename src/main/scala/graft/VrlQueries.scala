@@ -844,7 +844,7 @@ object VrlQueries {
         |  CASE WHEN value >= 75.0 THEN 'high'
         |       WHEN value >= 25.0 THEN 'mid' ELSE 'low' END AS tier,
         |  lower(etype) || ':' || CAST(k AS VARCHAR) AS tag,
-        |  floor(value / 10.0) AS vbucket,
+        |  CAST(floor(value / 10.0) AS BIGINT) AS vbucket,
         |  md5(lower(etype) || ':' || CAST(k AS VARCHAR)) AS digest,
         |  length(props) AS plen,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day

@@ -364,23 +364,35 @@ object Dedup {
     * graphs are mostly tiny cliques with the occasional chain, and the
     * jump step keeps chains from serializing the loop. Every step is a
     * key-partitioned join/groupBy — the driver holds one change-count
-    * per round, never the graph. Each round localCheckpoints the label
+    * per round, never the graph. Each round checkpoints the label
     * table: the iteration count is bounded, but the PLAN would otherwise
-    * nest one join deeper per round and analysis cost goes quadratic
-    * (at production scale, swap for a reliable checkpoint dir).
+    * nest one join deeper per round and analysis cost goes quadratic.
+    * With `checkpointDir` set the rounds use RELIABLE checkpoints
+    * (survive executor loss — the right mode on a real cluster);
+    * without it, lineage-truncating localCheckpoint (fine on a
+    * single-node sandbox, fragile at scale).
+    *
+    * Exits LOUDLY if maxIter is hit before convergence: partially-merged
+    * labels must not masquerade as clusters (pointer jumping makes 25
+    * rounds ample for any real diameter, so this firing means the input
+    * graph is pathological).
     *
     * `nodes`: one `id` per doc (singletons come out as their own
     * cluster). `edges`: (id_a, id_b) pairs, any orientation, dup-safe.
     * Returns (id, cluster) with cluster = min id in the component.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = nodes.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist()
-    var labels = nodes.select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
+    var labels = ckpt(nodes.select(col("id"), col("id").as("comp")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -398,14 +410,19 @@ object Dedup {
           col("x.comp") === col("y.cid"), "left")
         .select(col("x.id").as("id"),
           coalesce(col("y.ccomp"), col("x.comp")).as("comp"))
-        .localCheckpoint()
-      changed = jumped
+      val stepped = ckpt(jumped)
+      changed = stepped
         .join(labels.select(col("id"), col("comp").as("old")), "id")
         .filter(col("comp") =!= col("old")).count()
-      labels = jumped
+      labels = stepped
       iter += 1
     }
     und.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still moving) — refusing to return " +
+          "partially-merged clusters")
     labels
   }
 }

@@ -54,6 +54,12 @@ object Grok {
     * with cycle detection. A NAMED reference to an alias captures the
     * whole alias match while inner named refs keep their own captures.
     */
+  /** Un-named `(` in grok literal text → `(?:` (keeps group numbering
+    * aligned with the named %{} captures); escaped `\(` stays literal.
+    */
+  private def regexLiteral(s: String): String =
+    s.replaceAll("(?<!\\\\)\\((?!\\?)", "(?:")
+
   def compile(grok: String,
               aliases: Map[String, String] = Map.empty): (String, Seq[String]) = {
     val ref = "%\\{(\\w+)(?::(\\w+))?\\}".r
@@ -64,7 +70,11 @@ object Grok {
       var last = 0
       ref.findAllMatchIn(pattern).foreach { m =>
         val literal = pattern.substring(last, m.start)
-        if (literal.nonEmpty) sb.append(java.util.regex.Pattern.quote(literal))
+        // literal segments are REGEX, as in the reference's grok (the
+        // pattern text outside %{} passes through to the engine) — bare
+        // capturing groups become non-capturing so group numbers keep
+        // mapping positionally onto the %{...:name} captures
+        if (literal.nonEmpty) sb.append(regexLiteral(literal))
         val pname = m.group(1)
         // the OUTER capture name must be recorded before the body is
         // expanded: its "(" precedes any inner alias captures, and
@@ -82,7 +92,7 @@ object Grok {
         last = m.end
       }
       if (last < pattern.length)
-        sb.append(java.util.regex.Pattern.quote(pattern.substring(last)))
+        sb.append(regexLiteral(pattern.substring(last)))
       sb.toString
     }
 

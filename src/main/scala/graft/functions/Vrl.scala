@@ -78,16 +78,19 @@ object Vrl {
   def parseKeyValue(c: Column, fieldSep: String = " ", kvSep: String = "="): Column = {
     val fs = java.util.regex.Pattern.quote(fieldSep)
     val splitPat = fs + "(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)"
+    // keys/values \s-trim (the published fn tolerates padded/multiline
+    // input; Spark's trim() would strip spaces only)
+    def wsTrim(x: Column): Column = regexp_replace(x, "^\\s+|\\s+$", "")
     map_filter(
       map_from_entries(
         transform(
           filter(split(c, splitPat), kv => kv.contains(kvSep)),
           kv => struct(
-            substring_index(kv, kvSep, 1).as("key"),
+            wsTrim(substring_index(kv, kvSep, 1)).as("key"),
             regexp_replace(
-              substr(kv,
+              wsTrim(substr(kv,
                 length(substring_index(kv, kvSep, 1)) + lit(kvSep.length + 1),
-                length(kv)),
+                length(kv))),
               "^\"|\"$", "").as("value")))),
       (k, _) => length(k) > 0)
   }
@@ -123,8 +126,11 @@ object Vrl {
         "protocol", "status", "size"))
     struct(
       g.getField("host").as("host"),
+      nullif(g.getField("ident"), lit("-")).as("identity"),
       g.getField("user").as("user"),
       g.getField("timestamp").as("timestamp"),
+      concat_ws(" ", g.getField("method"), g.getField("path"),
+        g.getField("protocol")).as("message"),
       g.getField("method").as("method"),
       g.getField("path").as("path"),
       g.getField("protocol").as("protocol"),
@@ -168,21 +174,31 @@ object Vrl {
   }
 
   /** parse_glog (google log / klog):
-    * `I0929 12:00:00.123456 1234 file.cc:100] msg`.
+    * `I0929 12:00:00.123456 1234 file.cc:100] msg` — the date is MMDD
+    * (classic) or YYYYMMDD (year-carrying variant the published fn
+    * parses); `timestamp`/`id` are the VRL field names, `month`/`day`/
+    * `thread_id` stay for schema continuity.
     */
   def parseGlog(c: Column): Column = {
-    val pat = "^([IWEF])(\\d{2})(\\d{2}) (\\d{2}:\\d{2}:\\d{2})\\.(\\d+)" +
+    val pat = "^([IWEF])(?:(\\d{4}))?(\\d{2})(\\d{2}) (\\d{2}:\\d{2}:\\d{2})\\.(\\d+)" +
       "\\s+(\\d+) ([^:\\]]+):(\\d+)\\] (.*)$"
-    val g = RegexStruct(c, pat, Seq("lvl", "month", "day", "time", "usec",
-      "thread_id", "file", "line", "message"))
+    val g = RegexStruct(c, pat, Seq("lvl", "year", "month", "day", "time",
+      "usec", "thread_id", "file", "line", "message"))
     val level = g.getField("lvl")
+    val yr = coalesce(g.getField("year"),
+      date_format(current_timestamp(), "yyyy"))
+    val ts = to_timestamp(concat(
+      yr, lit("-"), g.getField("month"), lit("-"), g.getField("day"),
+      lit(" "), g.getField("time"), lit("."), g.getField("usec")))
     struct(
       when(level === "I", "info").when(level === "W", "warning")
         .when(level === "E", "error").when(level === "F", "fatal")
         .as("level"),
+      ts.as("timestamp"),
       g.getField("month").cast("int").as("month"),
       g.getField("day").cast("int").as("day"),
       g.getField("time").as("time"),
+      g.getField("thread_id").cast("long").as("id"),
       g.getField("thread_id").cast("long").as("thread_id"),
       g.getField("file").as("file"),
       g.getField("line").cast("long").as("line"),
@@ -202,6 +218,24 @@ object Vrl {
       f(12).cast("long").as("end"), f(13).as("action"), f(14).as("log_status"))
   }
 
+  /** parse_aws_vpc_flow_log with a custom `format:` field list — each
+    * name takes the published column's type (v5+ custom formats).
+    */
+  def parseVpcFlowLogFormat(c: Column, fields: Seq[String]): Column = {
+    val intFields = Set("version", "srcport", "dstport", "protocol")
+    val longFields = Set("packets", "bytes", "start", "end",
+      "tcp_flags", "traffic_path")
+    val p = split(c, " ")
+    struct(fields.zipWithIndex.map { case (f, i) =>
+      val raw = nullif(element_at(p, i + 1), lit("-"))
+      val typed =
+        if (intFields(f)) raw.cast("int")
+        else if (longFields(f)) raw.cast("long")
+        else raw
+      typed.as(f)
+    }: _*)
+  }
+
   /** parse_tokens: split into tokens, treating "quoted" and [bracketed]
     * chunks as single tokens; the enclosing quotes/brackets are stripped
     * from the emitted token (reference tokenizer yields `some brackets`
@@ -211,7 +245,8 @@ object Vrl {
   def parseTokens(c: Column): Column =
     transform(
       regexp_extract_all(c, lit("\"[^\"]*\"|\\[[^\\]]*\\]|\\S+"), lit(0)),
-      t => regexp_replace(t, "^\"(.*)\"$|^\\[(.*)\\]$", "$1$2"))
+      // a bare `-` token means "absent" in the published tokenizer
+      t => nullif(regexp_replace(t, "^\"(.*)\"$|^\\[(.*)\\]$", "$1$2"), lit("-")))
 
   /** decode_mime_q (RFC 2047 encoded-words): `=?charset?Q|B?payload?=`
     * segments decoded in place (Q: `_`=space + =XX hex; B: base64).
@@ -719,13 +754,39 @@ object Vrl {
       (c / 65536L).cast("long") % 256L,
       (c / 256L).cast("long") % 256L,
       c.cast("long") % 256L)
-  /** ip_cidr_contains("10.1.0.0/16", ip). */
+  /** ip_cidr_contains("10.1.0.0/16", ip) — IPv4 stays pure Column bit
+    * math; IPv6 masks bytes driver-side against the literal CIDR.
+    */
   def ipCidrContains(cidr: String, ip: Column): Column = {
     val Array(base, bits) = cidr.split("/")
-    val baseLong = base.split("\\.").map(_.toLong)
-      .foldLeft(0L)((acc, o) => acc * 256 + o)
-    val mask = if (bits.toInt == 0) 0L else (-1L << (32 - bits.toInt)) & 0xFFFFFFFFL
-    (ipAton(ip).bitwiseAND(lit(mask))) === lit(baseLong & mask)
+    if (base.contains(":")) {
+      val prefix = bits.toInt
+      val baseBytes = java.net.InetAddress.getByName(base).getAddress
+      val f = udf { (s: String) =>
+        if (s == null) null.asInstanceOf[java.lang.Boolean]
+        else try {
+          val b = java.net.InetAddress.getByName(s).getAddress
+          if (b.length != baseBytes.length) java.lang.Boolean.FALSE
+          else {
+            var ok = true
+            var i = 0
+            while (ok && i * 8 < prefix) {
+              val rem = math.min(8, prefix - i * 8)
+              val m = (0xff << (8 - rem)) & 0xff
+              if ((b(i) & m) != (baseBytes(i) & m)) ok = false
+              i += 1
+            }
+            java.lang.Boolean.valueOf(ok)
+          }
+        } catch { case _: Exception => java.lang.Boolean.FALSE }
+      }
+      f(ip)
+    } else {
+      val baseLong = base.split("\\.").map(_.toLong)
+        .foldLeft(0L)((acc, o) => acc * 256 + o)
+      val mask = if (bits.toInt == 0) 0L else (-1L << (32 - bits.toInt)) & 0xFFFFFFFFL
+      (ipAton(ip).bitwiseAND(lit(mask))) === lit(baseLong & mask)
+    }
   }
   /** ip_subnet: mask an IPv4 down to its /n network address. */
   def ipSubnet(ip: Column, prefixBits: Int): Column = {
@@ -1070,6 +1131,7 @@ object Vrl {
     val pat = "^(\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) " +
       "(\\S+) (\\S+) (\\S+) (\\S+) " + q + " " + q + " (\\S+) (\\S+) " +
       "(\\S+) " + q + " " + q + " " + q + " (\\S+) (\\S+) " + q +
+      "(?: " + q + ")?(?: " + q + ")?(?: " + q + ")?(?: " + q + ")?" +
       "(?: " + q + ")?(?: " + q + ")?.*$"
     RegexStruct(c, pat, Seq(
       "type", "timestamp", "elb", "client_host", "target_host",
@@ -1079,7 +1141,8 @@ object Vrl {
       "ssl_cipher", "ssl_protocol", "target_group_arn", "trace_id",
       "domain_name", "chosen_cert_arn", "matched_rule_priority",
       "request_creation_time", "actions_executed", "redirect_url",
-      "error_reason"))
+      "error_reason", "target_port_list", "target_status_code_list",
+      "classification", "classification_reason"))
   }
 
   def parseAwsAlbLogFrom(g: Column): Column = {
@@ -1115,7 +1178,11 @@ object Vrl {
       nil("request_creation_time").as("request_creation_time"),
       nullif(g.getField("actions_executed"), lit("-")).as("actions_executed"),
       nullif(g.getField("redirect_url"), lit("-")).as("redirect_url"),
-      nullif(g.getField("error_reason"), lit("-")).as("error_reason"))
+      nullif(g.getField("error_reason"), lit("-")).as("error_reason"),
+      nil("target_port_list").as("target_port_list"),
+      nil("target_status_code_list").as("target_status_code_list"),
+      nil("classification").as("classification"),
+      nil("classification_reason").as("classification_reason"))
   }
 
   def parseAwsAlbLog(c: Column): Column = parseAwsAlbLogFrom(albTokens(c))
@@ -1177,7 +1244,10 @@ object Vrl {
     * semantics in type-check fns).
     */
   def isNullish(c: Column): Column =
-    c.isNull || trim(c.cast("string")) === "" || c.cast("string") === "-"
+    // \s-trim, not trim(): Spark's trim strips ONLY 0x20, while the
+    // published fn treats \t\r\n-only strings as nullish too
+    c.isNull || c.cast("string").rlike("^[\\s]*$") ||
+      c.cast("string") === "-"
 
   /** is_ipv4 / is_ipv6 (string-shape checks). */
   def isIpv4Str(c: Column): Column =
@@ -1630,5 +1700,301 @@ object Vrl {
       }
     }
     udf(dec, dnstapType).apply(c)
+  }
+
+  // ---- VRL-named syslog / subnet / crypto / variant-JSON helpers ------
+
+  /** parse_syslog with the published field names and types: facility and
+    * severity as KEYWORDS, timestamp as a real timestamp, RFC 5424 with
+    * an RFC 3164 fallback (functions/parse_syslog.cue). Kept separate
+    * from [[parseSyslog3164]] (whose numeric facility/severity several
+    * oracle queries pin).
+    */
+  def parseSyslogNamed(c: Column): Column = {
+    val pat5424 = "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) " +
+      "(?:-|\\[[^\\]]*\\](?:\\[[^\\]]*\\])*) (.*)$"
+    val g5 = RegexStruct(c, pat5424, Seq("pri", "version", "timestamp",
+      "hostname", "appname", "procid", "msgid", "message"))
+    val g3 = parseSyslog3164(c)
+    val pri = coalesce(g5.getField("pri").cast("int"),
+      g3.getField("priority"))
+    val tsPattern = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS][.SS][.S]XXX"
+    struct(
+      toSyslogFacility((pri / 8).cast("int")).as("facility"),
+      toSyslogLevel(pmod(pri, lit(8))).as("severity"),
+      coalesce(to_timestamp(g5.getField("timestamp"), tsPattern),
+        to_timestamp(g3.getField("timestamp"), "MMM d HH:mm:ss"))
+        .as("timestamp"),
+      coalesce(g5.getField("hostname"), g3.getField("hostname"))
+        .as("hostname"),
+      coalesce(g5.getField("appname"), g3.getField("appname")).as("appname"),
+      coalesce(nullif(g5.getField("procid"), lit("-")).try_cast("long"),
+        g3.getField("procid")).as("procid"),
+      nullif(g5.getField("msgid"), lit("-")).as("msgid"),
+      g5.getField("version").cast("long").as("version"),
+      coalesce(g5.getField("message"), g3.getField("message")).as("message"))
+  }
+
+  /** ip_subnet(ip, subnet): subnet is `/prefix` or a netmask string; the
+    * masked network address comes back in canonical form (IPv6 zero-run
+    * compressed, as the published fn prints).
+    */
+  def ipSubnetOf(ip: Column, subnet: String): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else try {
+        val addr = java.net.InetAddress.getByName(s).getAddress
+        val mask: Array[Byte] =
+          if (subnet.startsWith("/")) {
+            val bits = subnet.drop(1).toInt
+            Array.tabulate(addr.length) { i =>
+              val rem = math.min(8, math.max(0, bits - i * 8))
+              ((0xff << (8 - rem)) & 0xff).toByte
+            }
+          } else java.net.InetAddress.getByName(subnet).getAddress
+        if (mask.length != addr.length) null
+        else {
+          val out = addr.indices.map(i => (addr(i) & mask(i)).toByte).toArray
+          val masked = java.net.InetAddress.getByAddress(out)
+          if (out.length == 4) masked.getHostAddress
+          else compressIpv6(masked.getHostAddress)
+        }
+      } catch { case _: Exception => null }
+    }
+    f(ip)
+  }
+
+  /** RFC 5952-style zero-run compression for an expanded IPv6 string. */
+  private def compressIpv6(full: String): String = {
+    val parts = full.split(":").map(p => Integer.parseInt(p, 16))
+    // longest run of zero groups (>= 2) becomes ::
+    var bestStart = -1; var bestLen = 0
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i) == 0) {
+        var j = i
+        while (j < parts.length && parts(j) == 0) j += 1
+        if (j - i > bestLen) { bestStart = i; bestLen = j - i }
+        i = j
+      } else i += 1
+    }
+    if (bestLen < 2) parts.map(_.toHexString).mkString(":")
+    else {
+      val head = parts.take(bestStart).map(_.toHexString).mkString(":")
+      val tail = parts.drop(bestStart + bestLen).map(_.toHexString).mkString(":")
+      s"$head::$tail"
+    }
+  }
+
+  /** Generic MessageDigest hex (SHA-512/256 — VRL's sha2 default — has
+    * no Spark builtin; JDK ships it since 9).
+    */
+  def digestHex(algo: String): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else java.security.MessageDigest.getInstance(algo)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+
+  // ---- variant JSON transforms (compact / flatten / deep merge) -------
+  // The recursive published semantics have no fixed-depth Column form;
+  // the variant value round-trips through its JSON text and a small
+  // driver-written tree transform (tiny err-capture/behavior paths, not
+  // the hot path — the typed TMap/TArr forms above stay pure Column).
+
+  private def jlMap(v: Any): java.util.LinkedHashMap[String, Any] =
+    v.asInstanceOf[java.util.LinkedHashMap[String, Any]]
+
+  private def compactAny(v: Any): Any = v match {
+    case m: java.util.LinkedHashMap[_, _] =>
+      val out = new java.util.LinkedHashMap[String, Any]()
+      jlMap(m).forEach { (k, x) =>
+        val c = compactAny(x)
+        if (!isEmptyJson(c)) out.put(k, c)
+      }
+      out
+    case l: java.util.ArrayList[_] =>
+      val out = new java.util.ArrayList[Any]()
+      l.forEach { x =>
+        val c = compactAny(x)
+        if (!isEmptyJson(c)) out.add(c)
+      }
+      out
+    case other => other
+  }
+  private def isEmptyJson(v: Any): Boolean = v match {
+    case null => true
+    case s: String => s.isEmpty
+    case l: java.util.ArrayList[_] => l.isEmpty
+    case m: java.util.LinkedHashMap[_, _] => m.isEmpty
+    case _ => false
+  }
+
+  private def flattenAny(v: Any): Any = v match {
+    case m: java.util.LinkedHashMap[_, _] =>
+      val out = new java.util.LinkedHashMap[String, Any]()
+      def walk(prefix: String, mm: java.util.LinkedHashMap[String, Any]): Unit =
+        mm.forEach { (k, x) =>
+          val key = if (prefix.isEmpty) k else s"$prefix.$k"
+          x match {
+            case child: java.util.LinkedHashMap[_, _] => walk(key, jlMap(child))
+            case other => out.put(key, other)
+          }
+        }
+      walk("", jlMap(m))
+      out
+    case l: java.util.ArrayList[_] =>
+      val out = new java.util.ArrayList[Any]()
+      def walk(ll: java.util.ArrayList[_]): Unit = ll.forEach {
+        case child: java.util.ArrayList[_] => walk(child)
+        case other => out.add(other)
+      }
+      walk(l)
+      out
+    case other => other
+  }
+
+  private def mergeAny(a: Any, b: Any, deep: Boolean): Any = (a, b) match {
+    case (am: java.util.LinkedHashMap[_, _], bm: java.util.LinkedHashMap[_, _]) =>
+      val out = new java.util.LinkedHashMap[String, Any](jlMap(am))
+      jlMap(bm).forEach { (k, bv) =>
+        if (deep && out.containsKey(k)) out.put(k, mergeAny(out.get(k), bv, deep))
+        else out.put(k, bv)
+      }
+      out
+    case (_, bv) => bv
+  }
+
+  private def jsonTransform(c: Column, f: Any => Any): Column = {
+    val u = udf { (s: String) =>
+      if (s == null) null
+      else try JsonLite.render(f(JsonLite.parse(s)))
+      catch { case _: Exception => null }
+    }
+    parse_json(u(to_json(c)))
+  }
+
+  def compactVariant(c: Column): Column = jsonTransform(c, compactAny)
+  def flattenVariant(c: Column): Column = jsonTransform(c, flattenAny)
+  def mergeVariant(a: Column, b: Column, deep: Boolean): Column = {
+    val u = udf { (x: String, y: String) =>
+      if (x == null || y == null) null
+      else try JsonLite.render(mergeAny(JsonLite.parse(x), JsonLite.parse(y), deep))
+      catch { case _: Exception => null }
+    }
+    parse_json(u(to_json(a), to_json(b)))
+  }
+
+  // ---- JSON parse diagnostics -----------------------------------------
+
+  /** serde_json-compatible parse-error text for a JSON document, or null
+    * when it parses. VRL's parse_json reports exactly this text inside
+    * `function call error for "parse_json" …: unable to parse json: <m>`
+    * (tests/behavior/transforms/remap.yaml remap_infallible_assignment
+    * asserts `key must be a string at line 1 column 3`). Driver-side
+    * literal probes and tiny err-capture paths only — not a hot path.
+    */
+  def jsonParseError(c: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) "expected value at line 1 column 1"
+      else Option(jsonErrorOf(s)).map("unable to parse json: " + _).orNull)
+    f(c)
+  }
+
+  /** Scan a JSON document, returning the first serde_json-style error
+    * (message + 1-based line/column of the offending char) or null.
+    */
+  private[functions] def jsonErrorOf(s: String): String = {
+    val n = s.length
+    var i = 0
+    var err: String = null
+    // serde_json reports the count of consumed chars as the column
+    // (1-based for an offending char, 0 for EOF-at-start)
+    def pos(consumed: Int): String = {
+      val upto = math.min(consumed, n)
+      var line = 1; var nl = -1; var j = 0
+      while (j < upto) { if (s(j) == '\n') { line += 1; nl = j }; j += 1 }
+      s"at line $line column ${consumed - nl - 1}"
+    }
+    def fail(m: String, p: Int): Unit = if (err == null) err = s"$m ${pos(p)}"
+    def ws(): Unit = while (i < n &&
+      (s(i) == ' ' || s(i) == '\t' || s(i) == '\n' || s(i) == '\r')) i += 1
+    def strLit(): Unit = {
+      i += 1 // opening quote
+      while (i < n && s(i) != '"') {
+        if (s(i) == '\\') i += 2 else i += 1
+      }
+      if (i >= n) fail("EOF while parsing a string", n) else i += 1
+    }
+    def numLit(): Unit = {
+      val start = i
+      if (i < n && s(i) == '-') i += 1
+      while (i < n && s(i).isDigit) i += 1
+      if (i < n && s(i) == '.') { i += 1; while (i < n && s(i).isDigit) i += 1 }
+      if (i < n && (s(i) == 'e' || s(i) == 'E')) {
+        i += 1
+        if (i < n && (s(i) == '+' || s(i) == '-')) i += 1
+        while (i < n && s(i).isDigit) i += 1
+      }
+      if (i == start || s.substring(start, i).matches("-")) fail("invalid number", i + 1)
+    }
+    def keyword(k: String): Unit =
+      if (i + k.length <= n && s.substring(i, i + k.length) == k) i += k.length
+      else fail("expected value", i + 1)
+    def objLit(): Unit = {
+      i += 1
+      ws()
+      if (i >= n) { fail("EOF while parsing an object", n); return }
+      if (s(i) == '}') { i += 1; return }
+      var more = true
+      while (more && err == null) {
+        ws()
+        if (i >= n) { fail("EOF while parsing an object", n); return }
+        if (s(i) != '"') { fail("key must be a string", i + 1); return }
+        strLit()
+        ws()
+        if (i >= n || s(i) != ':') { fail("expected `:`", i + 1); return }
+        i += 1
+        value()
+        ws()
+        if (i >= n) { fail("EOF while parsing an object", n); return }
+        if (s(i) == ',') i += 1
+        else if (s(i) == '}') { i += 1; more = false }
+        else fail("expected `,` or `}`", i + 1)
+      }
+    }
+    def arrLit(): Unit = {
+      i += 1
+      ws()
+      if (i >= n) { fail("EOF while parsing a list", n); return }
+      if (s(i) == ']') { i += 1; return }
+      var more = true
+      while (more && err == null) {
+        value()
+        ws()
+        if (i >= n) { fail("EOF while parsing a list", n); return }
+        if (s(i) == ',') i += 1
+        else if (s(i) == ']') { i += 1; more = false }
+        else fail("expected `,` or `]`", i + 1)
+      }
+    }
+    def value(): Unit = {
+      if (err != null) return
+      ws()
+      if (i >= n) { fail("EOF while parsing a value", n); return }
+      s(i) match {
+        case '{' => objLit()
+        case '[' => arrLit()
+        case '"' => strLit()
+        case 't' => keyword("true")
+        case 'f' => keyword("false")
+        case 'n' => keyword("null")
+        case ch if ch == '-' || ch.isDigit => numLit()
+        case _ => fail("expected value", i + 1)
+      }
+    }
+    value()
+    if (err == null) { ws(); if (i < n) fail("trailing characters", i + 1) }
+    err
   }
 }

@@ -42,16 +42,33 @@ object VrlCompiler {
   final case class VrlCompileException(msg: String)
       extends RuntimeException(msg)
 
+  /** Named enrichment tables for the VRL lookup functions
+    * (get_enrichment_table_record / find_enrichment_table_records):
+    * column names + typed rows, registered by the config loader from the
+    * `enrichment_tables:` section. Driver-side and broadcast-sized by
+    * design — the 100 TB path is [[graft.enrich.EnrichmentTable]]'s join.
+    */
+  @volatile var enrichmentTables: Map[String, (Seq[String], Seq[Seq[Any]])] =
+    Map.empty
+
   /** Lightweight type tag threaded through compilation so `+` can pick
     * concat-vs-add and `length` can pick size-vs-strlen statically.
     */
   sealed trait VT
   case object TStr extends VT
+  /** regex literal `r'..'` — string-shaped, but regex-ness is observable
+    * (tag_types_externally tags it "regex", split treats it as a pattern).
+    */
+  case object TRegex extends VT
   case object TInt extends VT
   case object TFloat extends VT
   case object TBool extends VT
   case object TTs extends VT
   case object TArr extends VT
+  /** heterogeneous array — array<variant> (e.g. `.a[0]=0; .a[1]="1"`);
+    * equality compares canonical JSON.
+    */
+  case object TVarArr extends VT
   case object TMap extends VT
   final case class TObj(st: StructType) extends VT
   /** parse_json output: Spark 4 VariantType — path steps become
@@ -69,11 +86,20 @@ object VrlCompiler {
     case BooleanType => TBool
     case TimestampType | TimestampNTZType => TTs
     case s: StructType => TObj(s)
+    case ArrayType(VariantType, _) => TVarArr
     case _: ArrayType => TArr
     case _: MapType => TMap
     case VariantType => TVariant
     case _ => TAny
   }
+
+  /** Backtick-quote a column/field name when it isn't a plain identifier
+    * (quoted-path fields like `"d.e"` become literal dotted names).
+    */
+  private def quoteIfNeeded(name: String): String =
+    if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name
+    else "`" + name.replace("`", "``") + "`"
+  private def colRef(name: String): Column = col(quoteIfNeeded(name))
 
   /** Compilation result: the output event fields (in stable order),
     * plus separate abort and fallible-error predicates so callers can
@@ -99,7 +125,7 @@ object VrlCompiler {
   def compile(schema: StructType, source: String): Compiled = {
     val program = VrlParser.parse(source)
     val init = Env(
-      ListMap(schema.fields.map(f => f.name -> CV(col(f.name), vtOf(f.dataType))): _*),
+      ListMap(schema.fields.map(f => f.name -> CV(colRef(f.name), vtOf(f.dataType))): _*),
       Map.empty,
       lit(false), lit(false))
     val end = program.stmts.foldLeft(init)(stmt)
@@ -139,16 +165,45 @@ object VrlCompiler {
   def runWith(df: DataFrame, source: String,
               dropOnError: Boolean, dropOnAbort: Boolean): graft.operators.Remap.Outputs = {
     val c = compile(df.schema, source)
-    val affected = coalesce(c.dropCond, lit(false))
-    val dropped = coalesce(
-      (if (dropOnAbort) c.abortCond else lit(false)) ||
-        (if (dropOnError) c.errCond else lit(false)), lit(false))
-    val transformed = primaryOf(df, c, !affected)
-    val forwarded = df.filter(affected && !dropped)
-    graft.operators.Remap.Outputs(
-      transformed.unionByName(forwarded, allowMissingColumns = true),
-      df.filter(dropped))
+    val transformed = primaryOf(df, c, !coalesce(c.dropCond, lit(false)))
+    // a program that can neither abort nor error forwards nothing — skip
+    // the union entirely so type-CHANGING programs (e.g. `.a` string →
+    // array) don't force a lossy column-type coercion
+    if (isLitFalse(c.abortCond) && isLitFalse(c.errCond))
+      graft.operators.Remap.Outputs(transformed, df.filter(lit(false)))
+    else {
+      val affected = coalesce(c.dropCond, lit(false))
+      val dropped = coalesce(
+        (if (dropOnAbort) c.abortCond else lit(false)) ||
+          (if (dropOnError) c.errCond else lit(false)), lit(false))
+      val forwarded = df.filter(affected && !dropped)
+      // align the forwarded (original-typed) rows to the transformed
+      // schema: same-type columns pass through, castable ones try_cast,
+      // incompatible ones go null, missing ones go null — a union of
+      // heterogeneous events needs ONE schema and the program's output
+      // shape wins
+      val tSchema = transformed.schema
+      val fTypes = forwarded.schema.fields.map(f => f.name -> f.dataType).toMap
+      val aligned = forwarded.select(tSchema.fields.toSeq.map { f =>
+        val src = fTypes.get(f.name) match {
+          case Some(dt) if dt == f.dataType => colRef(f.name)
+          case Some(dt) if org.apache.spark.sql.catalyst.expressions.Cast
+            .canCast(dt, f.dataType) => colRef(f.name).try_cast(f.dataType)
+          case _ => lit(null).cast(f.dataType)
+        }
+        src.as(f.name)
+      }: _*)
+      graft.operators.Remap.Outputs(
+        transformed.union(aligned), df.filter(dropped))
+    }
   }
+
+  /** Statically-false predicate (an untouched `lit(false)` slot). */
+  private def isLitFalse(c: Column): Boolean =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(false, BooleanType) => true
+      case _ => false
+    }
 
   /** Compile a VRL boolean condition (`condition.type: vrl` in filter /
     * route / unit-test configs, src/conditions/vrl.rs): the program's
@@ -159,7 +214,7 @@ object VrlCompiler {
   def condition(schema: StructType, source: String): Column = {
     val program = VrlParser.parse(source)
     val init = Env(
-      ListMap(schema.fields.map(f => f.name -> CV(col(f.name), vtOf(f.dataType))): _*),
+      ListMap(schema.fields.map(f => f.name -> CV(colRef(f.name), vtOf(f.dataType))): _*),
       Map.empty,
       lit(false), lit(false))
     val (end, v) = block(init, Block(program.stmts))
@@ -178,7 +233,7 @@ object VrlCompiler {
     // secrets live in a `__secrets` map column alongside the event
     // (reference: §1.4 event metadata/secrets, vector-vrl/functions/src/
     // set_secret.rs) — set/remove rebind the map, get reads it
-    case ExprStmt(CallE("set_secret", _, List(k, v), _, None)) =>
+    case ExprStmt(CallE("set_secret", _, List(k, v), _, None, _)) =>
       val (kv, _) = expr(env, k)
       val (vv, _) = expr(env, v)
       val cur = env.fields.get("__secrets").map(_.col)
@@ -187,7 +242,7 @@ object VrlCompiler {
         ("__secrets" -> CV(map_concat(
           map_filter(cur, (mk, _) => !(mk <=> kv.col)),
           map(kv.col, vv.col.cast("string"))), TMap)))
-    case ExprStmt(CallE("remove_secret", _, List(k), _, None)) =>
+    case ExprStmt(CallE("remove_secret", _, List(k), _, None, _)) =>
       env.fields.get("__secrets") match {
         case Some(s) =>
           val (kv, _) = expr(env, k)
@@ -204,7 +259,7 @@ object VrlCompiler {
     // enclosing variable the body assigns — the loop runs inside
     // whole-stage codegen, no per-row interpreter. Event-field
     // assignment inside the body has no Column form and is rejected.
-    case ExprStmt(CallE("for_each", _, List(target), _, Some(cl))) =>
+    case ExprStmt(CallE("for_each", _, List(target), _, Some(cl), _)) =>
       val (tv, tErr) = expr(env, target)
       val acc = assignedVars(cl.body).filter(env.vars.contains).toList.sorted
       if (assignedFields(cl.body).nonEmpty)
@@ -248,7 +303,7 @@ object VrlCompiler {
         // fields copied (unnest.cue) — compiles to a transform-to-array
         // + the explode in primaryOf; element schema resolves in
         // Catalyst analysis, so no static element type is needed
-        case CallE("unnest", _, List(p @ PathE(FieldSeg(f) :: Nil)), _, None) =>
+        case CallE("unnest", _, List(p @ PathE(FieldSeg(f) :: Nil)), _, None, _) =>
           val (arr, _) = expr(env, p)
           val others = env.fields.toSeq.filter(_._1 != f)
           val emit = transform(arr.col, x =>
@@ -260,7 +315,7 @@ object VrlCompiler {
             fields = ListMap(env.fields.toSeq.map { case (n, cv) =>
               if (n == f) n -> CV(lit(null), TAny) else n -> cv }: _*),
             emitN = Some(emit))
-        case CallE("unnest", _, _, _, _) =>
+        case CallE("unnest", _, _, _, _, _) =>
           throw VrlCompileException(
             "unnest: target must be a root-level field path")
         case ObjectE(fs) =>
@@ -278,8 +333,30 @@ object VrlCompiler {
           env.copy(
             fields = ListMap(keys.map(k => k -> CV(lit(null), TAny)): _*),
             emitN = Some(array(structs: _*)))
-        case _ => throw VrlCompileException(
-          "`. =` supports object literals and arrays of object literals")
+        case other =>
+          // general whole-event replacement (remap.yaml remap_mapped_scalars,
+          // remap_function_parse_regex, remap_function_parse_key_value):
+          //  - scalar value -> a log event with the scalar under `message`
+          //  - struct of KNOWN schema -> its fields become the event
+          //  - map -> a dynamic event; kept as `__root_map`, path reads
+          //    fall back to element_at so downstream conditions resolve
+          val (v, errCond) = expr(env, other)
+          val env1 = errCond.foldLeft(env)((e, c) => e.withError(c))
+          v.t match {
+            case TObj(st) if st.fields.nonEmpty =>
+              env1.copy(fields = ListMap(st.fields.toSeq.map(f =>
+                f.name -> CV(v.col.getField(f.name), vtOf(f.dataType))): _*))
+            case TMap =>
+              env1.copy(fields = ListMap("__root_map" -> v))
+            case TStr | TRegex | TInt | TFloat | TBool | TTs =>
+              // the marker lets a later `.` read the scalar back (the
+              // reference keeps scalar events scalar mid-pipeline;
+              // `message` is the log-boundary rendering)
+              env1.copy(fields = ListMap("message" -> v,
+                "__root_scalar" -> CV(lit(true), TBool)))
+            case _ => throw VrlCompileException(
+              "`. =` needs a scalar, a schema-known object, a map, or literals")
+          }
       }
 
     case Assign(_, _, _) if env.emitN.isDefined =>
@@ -287,19 +364,40 @@ object VrlCompiler {
 
     case Assign(target, errT, value) =>
       val (v, errCond) = expr(env, value)
-      val withVal = assign(env, target, v)
-      val out = errT match {
-        case None => withVal
-        case Some(et) => assign(withVal, et, CV(v.col.isNull, TBool))
+      errT match {
+        case None =>
+          // a bang-call error drops the row (drop_on_error) — the
+          // statement doesn't capture it
+          errCond.foldLeft(assign(env, target, v))((e, c) => e.withError(c))
+        case Some(et) =>
+          // `v, err = …` is infallible (assignment.cue): on failure the
+          // target gets the expression type's DEFAULT value (0 / 0.0 /
+          // "" / false / null) and err gets the error MESSAGE; on
+          // success err is null (remap_infallible_assignment,
+          // remap_arithmetic_error `.a == 0.0`)
+          val fallible: Option[(Column, Column)] = value match {
+            case c: CallE =>
+              val cond = errCond.map(_ || v.col.isNull).getOrElse(v.col.isNull)
+              Some(cond -> callErrMsg(env, c))
+            case BinE(op, _, _) if Set("+", "-", "*", "/", "%")(op) =>
+              val cond = errCond.map(_ || v.col.isNull).getOrElse(v.col.isNull)
+              Some(cond -> lit(s"arithmetic error for operator \"$op\""))
+            case _ => errCond.map(c =>
+              c -> lit("runtime error"))
+          }
+          val (vSafe, errVal) = fallible match {
+            case Some((fc, msg)) =>
+              val cond = coalesce(fc, lit(false))
+              (CV(when(cond, defaultOf(v.t)).otherwise(v.col), v.t),
+                when(cond, msg).otherwise(lit(null).cast("string")))
+            case None => (v, lit(null).cast("string"))
+          }
+          assign(assign(env, target, vSafe), et, CV(errVal, TStr))
       }
-      // a bang-call error drops the row (drop_on_error) UNLESS the
-      // statement captures the error (`v, err =` form is infallible)
-      if (errT.isEmpty) errCond.foldLeft(out)((e, c) => e.withError(c))
-      else out
 
     case ExprStmt(IfE(branches, elseB)) => compileIf(env, branches, elseB)._1
 
-    case ExprStmt(CallE("del", _, List(PathE(FieldSeg(f) :: Nil)), _, _)) =>
+    case ExprStmt(CallE("del", _, List(PathE(FieldSeg(f) :: Nil)), _, _, _)) =>
       env.copy(fields = env.fields - f)
 
     case ExprStmt(e) =>
@@ -325,18 +423,20 @@ object VrlCompiler {
 
   private def assign(env: Env, t: Target, v: CV): Env = t match {
     case VarT(name) => env.copy(vars = env.vars + (name -> v))
+    // `%` metadata root — carried as a __metadata event field
+    // (vrl_test_input.yaml `%  = "Metadata"`)
+    case MetaT => env.copy(fields = env.fields + ("__metadata" -> v))
     case PathT(FieldSeg(f) :: Nil) => env.copy(fields = env.fields + (f -> v))
-    case PathT(FieldSeg(f) :: rest) =>
+    case PathT(FieldSeg(f) :: rest)
+        if rest.forall(_.isInstanceOf[FieldSeg]) =>
       // nested path assignment: withField into the existing struct, or
       // a fresh struct when the base is absent / not a struct
       val path = rest.collect { case FieldSeg(n) => n }
-      if (path.length != rest.length)
-        throw VrlCompileException("index assignment is not supported")
       val base = env.fields.get(f)
       val updated = base match {
         case Some(CV(c, TObj(st))) =>
           var col0 = c
-          col0 = col0.withField(path.mkString("."), v.col)
+          col0 = col0.withField(path.map(quoteIfNeeded).mkString("."), v.col)
           CV(col0, TObj(st)) // struct type changed; TObj kept for walk
         case _ =>
           // build struct({...}) bottom-up for a missing base
@@ -348,8 +448,55 @@ object VrlCompiler {
           CV(nested, TObj(StructType(Nil)))
       }
       env.copy(fields = env.fields + (f -> updated))
+    case PathT(FieldSeg(f) :: IndexSeg(i) :: Nil) =>
+      // index assignment `.a[2] = v` (remap.yaml remap_array): the array
+      // grows to i+1 with null fill; elements are VARIANT so mixed types
+      // coexist (`[0, "1", 2.0]`) — all inside codegen'd HOFs
+      val updated = arraySet(env.fields.get(f), i, v)
+      env.copy(fields = env.fields + (f -> updated))
     case PathT(segs) =>
       throw VrlCompileException(s"unsupported assignment target: $segs")
+  }
+
+  /** Set element `i` of a (possibly absent) array, null-filling up to it;
+    * element type is variant so heterogeneous assignments compose.
+    */
+  private def arraySet(base: Option[CV], i: Int, v: CV): CV = {
+    val arr = base match {
+      case Some(CV(c, TVarArr)) => c
+      case Some(CV(c, TArr)) => transform(c, e => e.cast(VariantType))
+      case _ => lit(null).cast(ArrayType(VariantType))
+    }
+    val vv = v.col.cast(VariantType)
+    val curLen = coalesce(array_size(arr), lit(0))
+    val newLen = greatest(curLen, lit(i + 1))
+    CV(transform(sequence(lit(0), newLen - 1),
+      j => when(j === i, vv).otherwise(try_element_at(arr, j + 1))), TVarArr)
+  }
+
+  /** VRL default value per type — what `v, err =` assigns on failure. */
+  private def defaultOf(t: VT): Column = t match {
+    case TInt => lit(0L)
+    case TFloat => lit(0.0)
+    case TStr | TRegex => lit("")
+    case TBool => lit(false)
+    case _ => lit(null)
+  }
+
+  /** The reference's runtime error text for a failed call:
+    * `function call error for "f" at (start:end): <inner>` — the span is
+    * byte offsets into the program source (remap_infallible_assignment
+    * asserts this exact shape).
+    */
+  private def callErrMsg(env: Env, c: CallE): Column = {
+    val prefix = s"""function call error for "${c.name}" at (${c.span._1}:${c.span._2}): """
+    val inner: Column = c.name match {
+      case "parse_json" =>
+        val (av, _) = expr(env, c.args.head)
+        Vrl.jsonParseError(av.col.cast("string"))
+      case _ => lit("function call failed")
+    }
+    concat(lit(prefix), coalesce(inner, lit("function call failed")))
   }
 
   /** if/else-if/else: compile each block against the pre-branch env,
@@ -444,20 +591,34 @@ object VrlCompiler {
   /** Returns (value, optional fallible-error condition from `f!()`). */
   private def expr(env: Env, e: Expr): (CV, Option[Column]) = e match {
     case LitS(v) => (CV(lit(v), TStr), None)
+    case LitR(v) => (CV(lit(v), TRegex), None)
     case LitI(v) => (CV(lit(v), TInt), None)
     case LitF(v) => (CV(lit(v), TFloat), None)
     case LitB(v) => (CV(lit(v), TBool), None)
     case LitNull => (CV(lit(null), TAny), None)
 
     case PathE(Nil) =>
-      // whole-event `.` — expose as a struct of current fields
-      (CV(struct(env.fields.map { case (n, cv) => cv.col.as(n) }.toSeq: _*),
-        TAny), None)
+      // whole-event `.` — a SCALAR event (from `. = 5`-style assignment)
+      // reads back as its value; otherwise a struct of current fields
+      env.fields.get("__root_scalar") match {
+        case Some(_) =>
+          (env.fields.getOrElse("message", CV(lit(null), TAny)), None)
+        case None =>
+          (CV(struct(env.fields.map { case (n, cv) => cv.col.as(n) }.toSeq: _*),
+            TAny), None)
+      }
+
+    case MetaE =>
+      (env.fields.getOrElse("__metadata", CV(lit(null), TAny)), None)
 
     case PathE(FieldSeg(f) :: rest) =>
       env.fields.get(f) match {
         case Some(cv) => (walk(cv, rest), None)
-        case None => (CV(lit(null), TAny), None)
+        case None => env.fields.get("__root_map") match {
+          // dynamic event from `. = <map>` — reads resolve via the map
+          case Some(m) => (walk(CV(element_at(m.col, f), TAny), rest), None)
+          case None => (CV(lit(null), TAny), None)
+        }
       }
 
     case PathE(segs) =>
@@ -476,8 +637,17 @@ object VrlCompiler {
 
     case ArrayE(items) =>
       val parts = items.map(i => expr(env, i))
-      (CV(array(parts.map(_._1.col): _*), TArr),
-        parts.flatMap(_._2).reduceOption(_ || _))
+      val ts = parts.map(_._1.t)
+      val err = parts.flatMap(_._2).reduceOption(_ || _)
+      val distinctTs = ts.filterNot(_ == TAny).distinct
+      if (distinctTs.length <= 1)
+        (CV(array(parts.map(_._1.col): _*),
+          if (distinctTs.headOption.contains(TVariant)) TVarArr else TArr), err)
+      else if (distinctTs.forall(t => t == TInt || t == TFloat))
+        (CV(array(parts.map(_._1.col.cast("double")): _*), TArr), err)
+      else
+        // heterogeneous literal array (`[0, "1", 2.0]`): array<variant>
+        (CV(array(parts.map(_._1.col.cast(VariantType)): _*), TVarArr), err)
 
     case ObjectE(fields) =>
       val parts = fields.map { case (n, v) => (n, expr(env, v)) }
@@ -507,7 +677,7 @@ object VrlCompiler {
       }
       (binop(op, lv, rv), err)
 
-    case CallE("match_datadog_query", _, List(_, q), _, None) =>
+    case CallE("match_datadog_query", _, List(_, q), _, None, _) =>
       // Datadog search syntax over the event (conditions layer §2.2):
       // facets bind to the CURRENT field environment, bare terms match
       // the `message` field (or the event's first string field)
@@ -522,7 +692,77 @@ object VrlCompiler {
         .map(_.col).getOrElse(lit(""))
       (CV(DatadogSearch(fieldMap, default).compile(query), TBool), None)
 
-    case CallE("get_secret", _, List(k), _, None) =>
+    case CallE("tag_types_externally", _, List(argAst), _, None, _) =>
+      // recursive external type tagging (tag_types_externally.cue): leaves
+      // wrap as {"<type>": value}; objects/arrays tag their leaves. The
+      // recursion happens over the literal AST at compile time.
+      val errs = List.newBuilder[Column]
+      def leaf(cv: CV): Column = {
+        val tag = cv.t match {
+          case TStr => "string"
+          case TRegex => "regex"
+          case TInt => "integer"
+          case TFloat => "float"
+          case TBool => "boolean"
+          case TTs => "timestamp"
+          case TArr | TVarArr => "array"
+          case _ => "object"
+        }
+        struct(cv.col.as(tag))
+      }
+      def tagOf(e2: Expr): Column = e2 match {
+        case LitNull => lit(null)
+        case ObjectE(fs) =>
+          struct(fs.map { case (k, v) => tagOf(v).as(k) }: _*)
+        case ArrayE(items) => array(items.map(tagOf): _*)
+        case other =>
+          val (cv, err) = expr(env, other)
+          err.foreach(errs += _)
+          if (cv.t == TAny) lit(null) else leaf(cv)
+      }
+      val out = tagOf(argAst)
+      (CV(out, TObj(StructType(Nil))), errs.result().reduceOption(_ || _))
+
+    case CallE(fn @ ("get_enrichment_table_record" | "find_enrichment_table_records"),
+               _, List(tbl, ObjectE(conds)), named, None, _) =>
+      // enrichment-table VRL functions (enrichment.cue; reference
+      // src/enrichment_tables/). The scale path is a broadcast join
+      // (graft.enrich.EnrichmentTable); HERE the table is a small
+      // driver-registered literal (behavior-test `enrichment_tables:`
+      // section), so the lookup compiles to a broadcast-sized map literal
+      // keyed on the condition fields — still pure Column code.
+      val tname = litOf(tbl) match {
+        case Some(s: String) => s
+        case _ => throw VrlCompileException(s"$fn: table must be a string literal")
+      }
+      val (names, rows) = enrichmentTables.getOrElse(tname,
+        throw VrlCompileException(s"$fn: unknown enrichment table '$tname'"))
+      val keyFields = conds.map(_._1)
+      def rowKey(r: Seq[Any]): String =
+        keyFields.map(k => String.valueOf(r(names.indexOf(k)))).mkString("")
+      def rowStruct(r: Seq[Any]): Column =
+        struct(names.zip(r).map { case (n, v) => lit(v).as(n) }: _*)
+      val probe = concat_ws("",
+        conds.map(c => expr(env, c._2)._1.col.cast("string")): _*)
+      val grouped = rows.groupBy(rowKey)
+      val entries = grouped.toSeq.sortBy(_._1).flatMap { case (k, rs) =>
+        val v = if (fn == "get_enrichment_table_record") rowStruct(rs.head)
+                else array(rs.map(rowStruct): _*)
+        Seq(lit(k), v)
+      }
+      val looked = try_element_at(map(entries: _*), probe)
+      val st = StructType(names.zip(rows.headOption.getOrElse(Seq.empty))
+        .map { case (n, v) => StructField(n, v match {
+          case _: Long | _: Int => LongType
+          case _: Double => DoubleType
+          case _: Boolean => BooleanType
+          case _ => StringType
+        })})
+      if (fn == "get_enrichment_table_record")
+        (CV(looked, TObj(st)), None)
+      else (CV(looked, TArr), None)
+
+    case CallE("get_secret", _, List(k), _, None, _) =>
       val (kv, err) = expr(env, k)
       val out = env.fields.get("__secrets") match {
         case Some(s) => try_element_at(s.col, kv.col)
@@ -530,7 +770,7 @@ object VrlCompiler {
       }
       (CV(out, TStr), err)
 
-    case CallE(name, bang, args, named, Some(cl)) =>
+    case CallE(name, bang, args, named, Some(cl), _) =>
       // closure-bearing call (closure.cue): compile the body against a
       // child scope whose params bind to the HOF lambda variables, so
       // the whole iteration stays inside Catalyst's higher-order
@@ -587,7 +827,7 @@ object VrlCompiler {
       }
       (cv, tErr)
 
-    case CallE(name, bang, args, named, None) =>
+    case CallE(name, bang, args, named, None, span) =>
       val argVs = args.map(a => (a, expr(env, a)))
       val namedVs = named.map { case (n, a) => (n, a, expr(env, a)) }
       val childErr = (argVs.map(_._2._2) ++ namedVs.map(_._3._2))
@@ -606,6 +846,7 @@ object VrlCompiler {
 
   private def litOf(e: Expr): Option[Any] = e match {
     case LitS(v) => Some(v)
+    case LitR(v) => Some(v)
     case LitI(v) => Some(v)
     case LitF(v) => Some(v)
     case LitB(v) => Some(v)
@@ -628,9 +869,15 @@ object VrlCompiler {
       CV(c.getField(n), t)
     case (CV(c, TMap), FieldSeg(n)) => CV(element_at(c, n), TAny)
     case (CV(c, TVariant), FieldSeg(n)) =>
-      CV(try_variant_get(c, s"$$.$n", "variant"), TVariant)
+      // bracket form for names that aren't plain identifiers (flattened
+      // keys like `"field1.field2"`)
+      val p = if (n.matches("[A-Za-z_][A-Za-z0-9_]*")) s"$$.$n"
+              else s"$$['${n.replace("'", "\\'")}']"
+      CV(try_variant_get(c, p, "variant"), TVariant)
     case (CV(c, TVariant), IndexSeg(i)) =>
       CV(try_variant_get(c, s"$$[$i]", "variant"), TVariant)
+    case (CV(c, TVarArr), IndexSeg(i)) =>
+      CV(try_element_at(c, lit(i + 1)), TVariant)
     // try_element_at, not getItem: ANSI mode throws INVALID_ARRAY_INDEX
     // on out-of-bounds, but VRL path misses yield null (element_at is
     // 1-based; VRL indexes are 0-based)
@@ -639,9 +886,51 @@ object VrlCompiler {
     case (CV(c, _), FieldSeg(n)) => CV(c.getField(n), TAny)
   }
 
-  private def isStrTy(t: VT): Boolean = t == TStr
+  private def isStrTy(t: VT): Boolean = t == TStr || t == TRegex
   private def numRank(t: VT): Int = t match {
     case TFloat => 2; case TInt => 1; case _ => 0
+  }
+
+  private def isComposite(t: VT): Boolean = t match {
+    case TObj(_) | TMap | TArr | TVarArr | TVariant => true
+    case _ => false
+  }
+  private def dtOf(t: VT): Option[DataType] = t match {
+    case TStr | TRegex => Some(StringType)
+    case TInt => Some(LongType)
+    case TFloat => Some(DoubleType)
+    case TBool => Some(BooleanType)
+    case TTs => Some(TimestampType)
+    case _ => None
+  }
+
+  /** VRL `==` across our representations: scalar-vs-variant compares
+    * through the variant cast rules; composite comparisons (mixed
+    * struct/map/variant shapes, e.g. `.parts == {…literal…}`) compare
+    * canonical JSON so shape mismatches are `false`, not analysis errors.
+    */
+  private def eqCol(l: CV, r: CV): Column = (l.t, r.t) match {
+    case (TVariant, rt) if dtOf(rt).isDefined =>
+      l.col.try_cast(dtOf(rt).get) <=> r.col
+    case (lt, TVariant) if dtOf(lt).isDefined =>
+      l.col <=> r.col.try_cast(dtOf(lt).get)
+    // variant vs untyped (null literal, walked unknowns): canonical-JSON
+    // compare with JSON null folded onto SQL null, so `.nope == null`
+    // holds for both representations
+    case (TVariant, TAny) =>
+      nullif(to_json(l.col), lit("null")) <=>
+        nullif(to_json(r.col.cast(VariantType)), lit("null"))
+    case (TAny, TVariant) =>
+      nullif(to_json(l.col.cast(VariantType)), lit("null")) <=>
+        nullif(to_json(r.col), lit("null"))
+    case (lt, rt) if isComposite(lt) && isComposite(rt) =>
+      (lt, rt) match {
+        case (TArr, TArr) => l.col <=> r.col
+        case (TObj(a), TObj(b)) if a == b && a.fields.nonEmpty =>
+          l.col <=> r.col
+        case _ => to_json(l.col) <=> to_json(r.col)
+      }
+    case _ => l.col <=> r.col
   }
 
   private def binop(op: String, l: CV, r: CV): CV = op match {
@@ -660,15 +949,25 @@ object VrlCompiler {
       // VRL division is float and errors on zero → try_divide's null
       CV(try_divide(l.col.cast("double"), r.col.cast("double")), TFloat)
     case "%" => CV(try_mod(l.col, r.col), l.t)
-    case "==" => CV(l.col <=> r.col, TBool) // VRL: null == null is true
-    case "!=" => CV(!(l.col <=> r.col), TBool)
+    case "==" => CV(eqCol(l, r), TBool) // VRL: null == null is true
+    case "!=" => CV(!eqCol(l, r), TBool)
     case "<" => CV(l.col < r.col, TBool)
     case "<=" => CV(l.col <= r.col, TBool)
     case ">" => CV(l.col > r.col, TBool)
     case ">=" => CV(l.col >= r.col, TBool)
     case "&&" => CV(l.col && r.col, TBool)
     case "||" => CV(l.col || r.col, TBool)
-    case "??" => CV(coalesce(l.col, r.col), if (l.t == r.t) l.t else TAny)
+    case "??" =>
+      // type unification: a variant arm coerces the other side to
+      // variant so coalesce analyzes (`parse_json(..) ?? "nope"`)
+      (l.t, r.t) match {
+        case (TVariant, rt) if rt != TVariant =>
+          CV(coalesce(l.col, r.col.cast(VariantType)), TVariant)
+        case (lt, TVariant) if lt != TVariant =>
+          CV(coalesce(l.col.cast(VariantType), r.col), TVariant)
+        case _ =>
+          CV(coalesce(l.col, r.col), if (l.t == r.t) l.t else TAny)
+      }
     case other => throw VrlCompileException(s"unknown operator $other")
   }
 }

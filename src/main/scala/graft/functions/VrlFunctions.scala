@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * compiler enforces for e.g. parse_regex patterns.
   */
 object VrlFunctions {
-  import VrlCompiler.{CV, TAny, TArr, TBool, TFloat, TInt, TMap, TObj, TStr, TTs, TVariant, VrlCompileException}
+  import VrlCompiler.{CV, TAny, TArr, TVarArr, TBool, TFloat, TInt, TMap, TObj, TRegex, TStr, TTs, TVariant, VrlCompileException}
 
   final case class Arg(cv: CV, literal: Option[Any])
 
@@ -27,15 +27,56 @@ object VrlFunctions {
     case _ => throw VrlCompileException(s"$fn: $what must be an integer literal")
   }
 
+  /** VRL argument binding: named args bind their parameter; remaining
+    * positional args fill the still-unbound parameters in declaration
+    * order (`replace("foo", pattern: "o", with: "bar", 1)` puts `1` on
+    * `count`). `pos` excludes the value argument.
+    */
+  private def bind(params: Seq[String], pos: List[Arg],
+                   named: Map[String, Arg]): Map[String, Arg] = {
+    var rest = pos
+    params.flatMap { p =>
+      named.get(p) match {
+        case Some(x) => Some(p -> x)
+        case None => rest match {
+          case h :: t => rest = t; Some(p -> h)
+          case Nil => None
+        }
+      }
+    }.toMap
+  }
+
+  /** Rust-regex named groups `(?P<name>…)`/`(?<name>…)` → plain groups +
+    * positional labels. Stripping the names sidesteps java.util.regex's
+    * no-underscore group-name restriction (`(?<bytes_in>…)` is valid in
+    * the reference's regex crate, invalid in Java).
+    */
+  private def regexLabels(rawPat: String): (String, List[String]) = {
+    val namedRe = "\\(\\?P?<([A-Za-z_][A-Za-z0-9_]*)>".r
+    val names = namedRe.findAllMatchIn(rawPat).map(_.group(1)).toList
+    val stripped = namedRe.replaceAllIn(rawPat, "(")
+    val groups = java.util.regex.Pattern.compile(stripped).matcher("").groupCount()
+    val labels =
+      if (names.length == groups) names
+      else (1 to groups).map(i => s"g$i").toList
+    (stripped, labels)
+  }
+
   /** chrono strftime → java.time pattern for the common specifiers
     * (VRL timestamps use strftime-style formats; Spark uses java.time).
     */
-  private[functions] def strftimeToJava(fmt: String): String = {
+  private[functions] def strftimeToJava(fmt: String, forParse: Boolean = false): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < fmt.length) {
       if (fmt(i) == '%' && i + 1 < fmt.length) {
         fmt(i + 1) match {
+          // chrono %+ = RFC 3339: formatting prints a fixed +00:00-style
+          // offset; parsing accepts optional fractions and Z
+          case '+' =>
+            sb.append(
+              if (forParse) "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS][.SS][.S]XXX"
+              else "yyyy-MM-dd'T'HH:mm:ssxxx")
           case 'Y' => sb.append("yyyy"); case 'y' => sb.append("yy")
           case 'm' => sb.append("MM"); case 'd' => sb.append("dd")
           case 'e' => sb.append("d")
@@ -85,7 +126,10 @@ object VrlFunctions {
     })
   }
 
-  def apply(name: String, args: List[Arg], named: Map[String, Arg]): CV = {
+  def apply(name: String, args0: List[Arg], named: Map[String, Arg]): CV = {
+    // `f(value: x)` — the universal first parameter may arrive named
+    val args = if (args0.isEmpty && named.contains("value"))
+      List(named("value")) else args0
     def a(i: Int): Arg = args.lift(i).getOrElse(
       throw VrlCompileException(s"$name: missing argument ${i + 1}"))
     def c(i: Int): Column = a(i).cv.col
@@ -96,36 +140,104 @@ object VrlFunctions {
       case "strip_whitespace" | "trim" => CV(trim(c(0)), TStr)
       case "strip_ansi_escape_codes" => CV(Vrl.stripAnsiEscapeCodes(c(0)), TStr)
       case "length" => a(0).cv.t match {
-        case TArr | TMap | TObj(_) => CV(size(c(0)).cast("long"), TInt)
+        case TArr | TVarArr | TMap | TObj(_) => CV(size(c(0)).cast("long"), TInt)
+        case TVariant =>
+          // dynamic value: array size, object key count, or string length
+          CV(coalesce(
+            array_size(c(0).try_cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.VariantType))),
+            size(c(0).try_cast(org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.VariantType))),
+            length(try_variant_get(c(0), "$", "string"))).cast("long"), TInt)
         case _ => CV(length(c(0)).cast("long"), TInt)
       }
       case "strlen" => CV(length(c(0)).cast("long"), TInt)
       case "split" =>
-        val sep = str(a(1), name, "separator")
-        CV(split(c(0), java.util.regex.Pattern.quote(sep)), TArr)
+        val b = bind(Seq("pattern", "limit"), args.drop(1), named)
+        val sepArg = b.getOrElse("pattern",
+          throw VrlCompileException("split: pattern is required"))
+        val sep = str(sepArg, name, "pattern")
+        // a regex literal splits as a pattern; a plain string splits
+        // literally (published split.cue distinguishes by argument type)
+        val re = if (sepArg.cv.t == VrlCompiler.TRegex) sep
+                 else java.util.regex.Pattern.quote(sep)
+        val limit = b.get("limit").map(x => int(x, name, "limit").toInt)
+          .getOrElse(-1)
+        CV(split(c(0), re, limit), TArr)
       case "join" =>
-        CV(array_join(c(0), str(a(1), name, "separator")), TStr)
+        val sep = args.lift(1).orElse(named.get("separator"))
+          .map(x => str(x, name, "separator")).getOrElse("")
+        CV(array_join(c(0), sep), TStr)
       case "replace" =>
-        // VRL string patterns are literal substrings (regex form uses
-        // r'..' which our parser surfaces as a plain string; callers
-        // needing regex use replace_regex below)
-        CV(org.apache.spark.sql.functions.replace(
-          c(0), lit(str(a(1), name, "pattern")), lit(str(a(2), name, "with"))), TStr)
+        val b = bind(Seq("pattern", "with", "count"), args.drop(1), named)
+        val patArg = b.getOrElse("pattern",
+          throw VrlCompileException("replace: pattern is required"))
+        val pat = str(patArg, name, "pattern")
+        val isRe = patArg.cv.t == VrlCompiler.TRegex
+        val wth = str(b.getOrElse("with",
+          throw VrlCompileException("replace: with is required")), name, "with")
+        val count = b.get("count").map(x => int(x, name, "count").toInt)
+          .getOrElse(-1)
+        if (count >= 0) {
+          // bounded replacement has no Column builtin; tiny regex loop
+          val re = if (isRe) pat else java.util.regex.Pattern.quote(pat)
+          val u = udf { (s: String) =>
+            if (s == null) null
+            else {
+              val m = java.util.regex.Pattern.compile(re).matcher(s)
+              val sb = new StringBuilder; var done = 0; var last = 0
+              while (done < count && m.find()) {
+                sb.append(s.substring(last, m.start())).append(wth)
+                last = m.end(); done += 1
+              }
+              sb.append(s.substring(last)).toString
+            }
+          }
+          CV(u(c(0)), TStr)
+        } else if (isRe)
+          CV(regexp_replace(c(0), pat, java.util.regex.Matcher.quoteReplacement(wth)), TStr)
+        else
+          CV(org.apache.spark.sql.functions.replace(c(0), lit(pat), lit(wth)), TStr)
       case "replace_regex" =>
         CV(regexp_replace(c(0), str(a(1), name, "pattern"), str(a(2), name, "with")), TStr)
-      case "contains" => CV(c(0).contains(c(1)), TBool)
-      case "starts_with" => CV(c(0).startsWith(c(1)), TBool)
-      case "ends_with" => CV(c(0).endsWith(c(1)), TBool)
-      case "slice" =>
-        val start = int(a(1), name, "start")
-        val end = args.lift(2).map(x => int(x, name, "end"))
-        end match {
-          case Some(e) => CV(substring(c(0), start.toInt + 1, (e - start).toInt), TStr)
-          case None => CV(c(0).substr(lit(start.toInt + 1), length(c(0))), TStr)
+      case "contains" | "starts_with" | "ends_with" =>
+        val b = bind(Seq("substring", "case_sensitive"), args.drop(1), named)
+        val sub = b.getOrElse("substring",
+          throw VrlCompileException(s"$name: substring is required")).cv.col
+        val ci = b.get("case_sensitive").flatMap(_.literal).contains(false)
+        val (l0, s0) = if (ci) (lower(c(0)), lower(sub)) else (c(0), sub)
+        name match {
+          case "contains" => CV(l0.contains(s0), TBool)
+          case "starts_with" => CV(l0.startsWith(s0), TBool)
+          case _ => CV(l0.endsWith(s0), TBool)
         }
+      case "slice" =>
+        // negative offsets count from the end (slice.cue)
+        val b = bind(Seq("start", "end"), args.drop(1), named)
+        val start = int(b.getOrElse("start",
+          throw VrlCompileException("slice: start is required")), name, "start").toInt
+        val endOpt = b.get("end").map(x => int(x, name, "end").toInt)
+        val len = length(c(0))
+        val sCol = if (start < 0) greatest(len + start, lit(0))
+                   else least(lit(start), len)
+        val eCol = endOpt match {
+          case Some(e) => if (e < 0) greatest(len + e, lit(0)) else least(lit(e), len)
+          case None => len
+        }
+        CV(substring(c(0), sCol + 1, greatest(eCol - sCol, lit(0))), TStr)
       case "truncate" =>
-        CV(Vrl.truncate(c(0), int(a(1), name, "limit").toInt,
-          named.get("suffix").flatMap(_.literal).contains(true)), TStr)
+        val b = bind(Seq("limit", "suffix"), args.drop(1), named)
+        val limit = int(b.getOrElse("limit",
+          throw VrlCompileException("truncate: limit is required")), name, "limit").toInt
+        val suffix = b.get("suffix").flatMap(_.literal)
+          .orElse(named.get("ellipsis").flatMap(_.literal)) match {
+          case Some(s: String) => s
+          case Some(true) => "..." // legacy ellipsis flag
+          case _ => ""
+        }
+        CV(when(length(c(0)) > limit,
+          concat(substring(c(0), 1, limit), lit(suffix))).otherwise(c(0)), TStr)
       case "snakecase" => CV(Vrl.snakecase(c(0)), TStr)
       case "camelcase" => CV(Vrl.camelcase(c(0)), TStr)
       case "pascalcase" => CV(Vrl.pascalcase(c(0)), TStr)
@@ -136,17 +248,39 @@ object VrlFunctions {
         CV(Vrl.find(c(0), str(a(1), name, "pattern")), TStr)
       case "levenshtein" => CV(levenshtein(c(0), c(1)).cast("long"), TInt)
       case "format_number" =>
-        CV(format_number(c(0), int(a(1), name, "places").toInt), TStr)
+        // scale TRUNCATES (1234.567 @ scale 2 -> "1.234,56"); separators
+        // swap via translate (format_number.cue)
+        val b = bind(Seq("scale", "decimal_separator", "grouping_separator"),
+          args.drop(1), named)
+        val scale = b.get("scale").map(x => int(x, name, "scale").toInt).getOrElse(2)
+        val dSep = b.get("decimal_separator").map(x => str(x, name, "decimal_separator")).getOrElse(".")
+        val gSep = b.get("grouping_separator").map(x => str(x, name, "grouping_separator")).getOrElse(",")
+        val factor = math.pow(10, scale)
+        val truncated = floor(c(0).cast("double") * factor) / factor
+        val formatted = format_number(truncated, scale)
+        CV(if (dSep == "." && gSep == ",") formatted
+           else translate(formatted, ",.", gSep + dSep), TStr)
 
       // ---- parse ----
-      case "parse_json" => CV(parse_json(c(0)), TVariant)
+      // try_parse_json: malformed input is a VRL runtime error (null
+      // here), not a Spark job failure
+      case "parse_json" => CV(try_parse_json(c(0)), TVariant)
       case "parse_key_value" =>
         val fs = named.get("field_delimiter").map(x => str(x, name, "field_delimiter")).getOrElse(" ")
         val kv = named.get("key_value_delimiter").map(x => str(x, name, "key_value_delimiter")).getOrElse("=")
         CV(Vrl.parseKeyValue(c(0), fs, kv), TMap)
       case "parse_logfmt" => CV(Vrl.parseKeyValue(c(0)), TMap)
-      case "parse_syslog" => CV(Vrl.parseSyslog3164(c(0)), TAny)
-      case "parse_common_log" => CV(Vrl.parseCommonLog(c(0)), TAny)
+      case "parse_syslog" =>
+        // published field names/types: facility+severity keywords, real
+        // timestamp, RFC 5424 first with 3164 fallback
+        CV(Vrl.parseSyslogNamed(c(0)), TAny)
+      case "parse_common_log" =>
+        val fmt = args.lift(1).orElse(named.get("timestamp_format"))
+          .map(x => str(x, name, "timestamp_format"))
+          .getOrElse("%d/%b/%Y:%T %z")
+        val p = Vrl.parseCommonLog(c(0))
+        CV(p.withField("timestamp",
+          to_timestamp(p.getField("timestamp"), strftimeToJava(fmt, forParse = true))), TAny)
       case "parse_apache_log" =>
         val fm = args.lift(1).map(x => str(x, name, "format")).getOrElse("common")
         if (fm == "error") CV(Vrl.parseApacheErrorLog(c(0)), TAny)
@@ -156,13 +290,40 @@ object VrlFunctions {
       case "parse_user_agent" => CV(Vrl.parseUserAgent(c(0)), TAny)
       case "parse_query_string" => CV(Vrl.parseQueryString(c(0)), TMap)
       case "parse_url" =>
+        // full published shape: scheme/username/password/host/port/path/
+        // query(map)/fragment (parse_url.cue); username/password default
+        // to "" as the reference does
+        val userinfo = parse_url(c(0), lit("USERINFO"))
+        val authority = parse_url(c(0), lit("AUTHORITY"))
+        val query = parse_url(c(0), lit("QUERY"))
         CV(struct(
           lower(parse_url(c(0), lit("PROTOCOL"))).as("scheme"),
+          coalesce(try_element_at(split(userinfo, ":", 2), lit(1)), lit(""))
+            .as("username"),
+          coalesce(try_element_at(split(userinfo, ":", 2), lit(2)), lit(""))
+            .as("password"),
           parse_url(c(0), lit("HOST")).as("host"),
+          regexp_extract(authority, ":(\\d+)$", 1).try_cast("long").as("port"),
           parse_url(c(0), lit("PATH")).as("path"),
-          parse_url(c(0), lit("QUERY")).as("query")), TAny)
+          coalesce(str_to_map(query, lit("&"), lit("=")),
+            map().cast("map<string,string>")).as("query"),
+          parse_url(c(0), lit("REF")).as("fragment")), TObj(
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "scheme STRING, username STRING, password STRING, host STRING, " +
+              "port BIGINT, path STRING, query MAP<STRING,STRING>, " +
+              "fragment STRING")))
       case "parse_duration" =>
-        CV(Vrl.parseDurationSecs(c(0)), TFloat)
+        // result is expressed in `unit` (parse_duration.cue):
+        // parse_duration("2s", "ms") -> 2000
+        val unit = args.lift(1).orElse(named.get("unit"))
+          .map(x => str(x, name, "unit")).getOrElse("s")
+        val fac = unit match {
+          case "ns" => 1e-9; case "us" | "µs" => 1e-6; case "ms" => 1e-3
+          case "cs" => 1e-2; case "ds" => 1e-1; case "s" => 1.0
+          case "m" => 60.0; case "h" => 3600.0; case "d" => 86400.0
+          case other => throw VrlCompileException(s"parse_duration: unknown unit $other")
+        }
+        CV(Vrl.parseDurationSecs(c(0)) / fac, TFloat)
       case "parse_csv" => CV(Vrl.parseCsvArray(c(0)), TArr)
       case "encode_csv" => CV(Vrl.encodeCsvArray(c(0)), TStr)
       case "parse_cef" => CV(Vrl.parseCef(c(0)), TAny)
@@ -171,7 +332,13 @@ object VrlFunctions {
           .getOrElse(throw VrlCompileException(
             "parse_xml: a literal `schema:` DDL argument is required"))
         CV(Vrl.parseXml(c(0), ddl), TAny)
-      case "parse_aws_vpc_flow_log" => CV(Vrl.parseVpcFlowLog(c(0)), TAny)
+      case "parse_aws_vpc_flow_log" =>
+        args.lift(1).orElse(named.get("format"))
+          .map(x => str(x, name, "format")) match {
+          case Some(fmt) =>
+            CV(Vrl.parseVpcFlowLogFormat(c(0), fmt.split("\\s+").toSeq), TAny)
+          case None => CV(Vrl.parseVpcFlowLog(c(0)), TAny)
+        }
       case "parse_int" =>
         CV(c(0).try_cast("long"), TInt)
       case "parse_float" =>
@@ -196,18 +363,18 @@ object VrlFunctions {
         }
         CV(Grok.parseFirstOf(c(0), pats, aliases), TAny)
       case "parse_timestamp" =>
-        CV(to_timestamp(c(0), strftimeToJava(str(a(1), name, "format"))), TTs)
+        CV(to_timestamp(c(0),
+          strftimeToJava(str(a(1), name, "format"), forParse = true)), TTs)
       case "parse_regex" =>
-        // named captures (?<x>…) keep their names; unnamed groups are
-        // exposed positionally as g<i> (published fn: named + "0","1",…)
-        val pat = str(a(1), name, "pattern")
-        val groups = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
-        val namedIt = "\\(\\?<([A-Za-z][A-Za-z0-9]*)>".r.findAllMatchIn(pat)
-          .map(_.group(1)).toList
-        val labels =
-          if (namedIt.length == groups) namedIt
-          else (1 to groups).map(i => s"g$i").toList
-        CV(RegexStruct(c(0), pat, labels), TAny)
+        val numeric = named.get("numeric_groups").flatMap(_.literal).contains(true)
+        val (pat, labels) = regexLabels(str(a(1), name, "pattern"))
+        // wrap in a group-0 capture when the full match is requested
+        val (finalPat, finalLabels) =
+          if (numeric) (s"($pat)", "0" :: labels) else (pat, labels)
+        val st = org.apache.spark.sql.types.StructType(finalLabels.map(l =>
+          org.apache.spark.sql.types.StructField(l,
+            org.apache.spark.sql.types.StringType)))
+        CV(RegexStruct(c(0), finalPat, finalLabels), TObj(st))
 
       // ---- coerce ----
       case "to_int" => a(0).cv.t match {
@@ -223,7 +390,12 @@ object VrlFunctions {
       }
       case "to_string" => a(0).cv.t match {
         case TVariant => CV(try_variant_get(c(0), "$", "string"), TStr)
-        case _ => CV(c(0).cast("string"), TStr)
+        // timestamps print RFC 3339 with a literal Z (to_string.cue;
+        // remap_coercion asserts "2020-09-14T09:53:44Z")
+        case TTs => CV(date_format(c(0), "yyyy-MM-dd'T'HH:mm:ss'Z'"), TStr)
+        // null coerces to "" (to_string.cue), so an absent field is NOT
+        // a runtime error under to_string!
+        case _ => CV(coalesce(c(0).cast("string"), lit("")), TStr)
       }
       case "to_bool" => CV(c(0).try_cast("boolean"), TBool)
       case "is_null" => CV(c(0).isNull, TBool)
@@ -275,11 +447,14 @@ object VrlFunctions {
       // ---- timestamp ----
       case "now" => CV(current_timestamp(), TTs)
       case "format_timestamp" =>
-        CV(date_format(c(0), strftimeToJava(str(a(1), name, "format"))), TStr)
+        val fmt = args.lift(1).orElse(named.get("format"))
+          .map(x => str(x, name, "format")).getOrElse("%+")
+        CV(date_format(c(0), strftimeToJava(fmt)), TStr)
       case "to_unix_timestamp" =>
-        named.get("unit").flatMap(_.literal) match {
-          case Some("milliseconds") =>
-            CV((c(0).cast("double") * 1000).cast("long"), TInt)
+        args.lift(1).orElse(named.get("unit")).flatMap(_.literal) match {
+          case Some("milliseconds") => CV(unix_millis(c(0)), TInt)
+          case Some("microseconds") => CV(unix_micros(c(0)), TInt)
+          case Some("nanoseconds") => CV(unix_micros(c(0)) * 1000L, TInt)
           case _ => CV(unix_timestamp(c(0)), TInt)
         }
       case "from_unix_timestamp" =>
@@ -292,18 +467,23 @@ object VrlFunctions {
       case "md5" => CV(md5(c(0).cast("binary")), TStr)
       case "sha1" => CV(sha1(c(0).cast("binary")), TStr)
       case "sha2" =>
-        val bits = named.get("variant").flatMap(_.literal) match {
-          case Some("SHA-224") => 224
-          case Some("SHA-384") => 384
-          case Some("SHA-512") => 512
-          case _ => 256
+        // published default variant is SHA-512/256 (sha2.cue) — no Spark
+        // builtin, JDK MessageDigest covers it
+        named.get("variant").flatMap(_.literal) match {
+          case Some("SHA-224") => CV(sha2(c(0).cast("binary"), 224), TStr)
+          case Some("SHA-256") => CV(sha2(c(0).cast("binary"), 256), TStr)
+          case Some("SHA-384") => CV(sha2(c(0).cast("binary"), 384), TStr)
+          case Some("SHA-512") => CV(sha2(c(0).cast("binary"), 512), TStr)
+          case Some("SHA-512/224") => CV(Vrl.digestHex("SHA-512/224")(c(0)), TStr)
+          case _ => CV(Vrl.digestHex("SHA-512/256")(c(0)), TStr)
         }
-        CV(sha2(c(0).cast("binary"), bits), TStr)
       case "sha3" =>
+        // published default variant is SHA3-512 (sha3.cue)
         val variant = named.get("variant").flatMap(_.literal) match {
+          case Some("SHA3-224") => "SHA3-224"
+          case Some("SHA3-256") => "SHA3-256"
           case Some("SHA3-384") => "SHA3-384"
-          case Some("SHA3-512") => "SHA3-512"
-          case _ => "SHA3-256"
+          case _ => "SHA3-512"
         }
         CV(Vrl.sha3Hex(variant)(c(0)), TStr)
       case "encode_base16" => CV(lower(hex(c(0).cast("binary"))), TStr)
@@ -341,32 +521,74 @@ object VrlFunctions {
       case "ip_aton" | "ip_to_int" => CV(Vrl.ipAton(c(0)), TInt)
       case "ip_ntoa" => CV(Vrl.ipNtoa(c(0)), TStr)
       case "ip_cidr_contains" =>
-        CV(Vrl.ipCidrContains(str(a(0), name, "cidr"), c(1)), TBool)
+        val b = bind(Seq("cidr", "value"), args, named)
+        CV(Vrl.ipCidrContains(str(b.getOrElse("cidr",
+          throw VrlCompileException("ip_cidr_contains: cidr is required")),
+          name, "cidr"),
+          b.getOrElse("value", throw VrlCompileException(
+            "ip_cidr_contains: value is required")).cv.col), TBool)
       case "ip_subnet" =>
-        CV(Vrl.ipSubnet(c(0), int(a(1), name, "prefix").toInt), TStr)
+        // subnet is `/prefix` or a netmask string (ip_subnet.cue)
+        val sub = a(1).literal match {
+          case Some(s: String) => s
+          case Some(i: Long) => s"/$i"
+          case _ => throw VrlCompileException(
+            "ip_subnet: subnet must be a literal")
+        }
+        CV(Vrl.ipSubnetOf(c(0), sub), TStr)
 
       // ---- number ----
-      case "round" =>
-        CV(round(c(0), args.lift(1).map(x => int(x, name, "precision").toInt).getOrElse(0)),
-          a(0).cv.t)
-      case "floor" =>
-        CV(Vrl.floorNum(c(0), args.lift(1).map(x => int(x, name, "precision").toInt).getOrElse(0)), TFloat)
-      case "ceil" =>
-        CV(Vrl.ceilNum(c(0), args.lift(1).map(x => int(x, name, "precision").toInt).getOrElse(0)), TFloat)
+      case "round" | "floor" | "ceil" =>
+        val prec = args.lift(1).orElse(named.get("precision"))
+          .map(x => int(x, name, "precision").toInt).getOrElse(0)
+        // precision 0 returns an integer (round.cue/floor.cue/ceil.cue)
+        val v = name match {
+          case "round" => round(c(0), prec)
+          case "floor" => Vrl.floorNum(c(0), prec)
+          case _ => Vrl.ceilNum(c(0), prec)
+        }
+        if (prec == 0) CV(v.cast("long"), TInt) else CV(v, TFloat)
       case "abs" => CV(abs(c(0)), a(0).cv.t)
       case "mod" => CV(try_mod(c(0), c(1)), a(0).cv.t)
 
       // ---- array / map ----
-      case "push" => CV(array_append(c(0), c(1)), TArr)
-      case "append" => CV(concat(c(0), c(1)), TArr)
+      case "push" => a(0).cv.t match {
+        case TVariant => CV(concat(
+          c(0).try_cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.VariantType)),
+          array(c(1).cast(org.apache.spark.sql.types.VariantType))), TVarArr)
+        case TVarArr => CV(array_append(c(0),
+          c(1).cast(org.apache.spark.sql.types.VariantType)), TVarArr)
+        case _ => CV(array_append(c(0), c(1)), TArr)
+      }
+      case "append" => (a(0).cv.t, a(1).cv.t) match {
+        case (TVariant, _) | (_, TVariant) | (TVarArr, _) | (_, TVarArr) =>
+          def va(x: CV): Column = x.t match {
+            case TVariant => x.col.try_cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.VariantType))
+            case TVarArr => x.col
+            case _ => transform(x.col,
+              e => e.cast(org.apache.spark.sql.types.VariantType))
+          }
+          CV(concat(va(a(0).cv), va(a(1).cv)), TVarArr)
+        case _ => CV(concat(c(0), c(1)), TArr)
+      }
       case "flatten" => a(0).cv.t match {
         case TArr => CV(flatten(c(0)), TArr)
+        // recursive flatten over a dynamic value (objects flatten to
+        // dotted keys, arrays flatten fully)
+        case TVariant => CV(Vrl.flattenVariant(c(0)), TVariant)
         case _ => CV(c(0), a(0).cv.t)
       }
       case "unique" => CV(array_distinct(c(0)), TArr)
       case "includes" => CV(array_contains(c(0), c(1)), TBool)
       case "chunks" => CV(Vrl.chunks(c(0), int(a(1), name, "size").toInt), TArr)
-      case "merge" => CV(map_concat(c(0), c(1)), TMap)
+      case "merge" => (a(0).cv.t, a(1).cv.t) match {
+        case (TVariant, _) | (_, TVariant) =>
+          val deep = named.get("deep").flatMap(_.literal).contains(true)
+          CV(Vrl.mergeVariant(c(0), c(1), deep), TVariant)
+        case _ => CV(map_concat(c(0), c(1)), TMap)
+      }
       case "keys" => CV(map_keys(c(0)), TArr)
       case "values" => CV(map_values(c(0)), TArr)
       case "get" =>
@@ -464,6 +686,9 @@ object VrlFunctions {
       // ---- enumerate / match ----
       case "compact" => a(0).cv.t match {
         case TMap => CV(Vrl.compactMap(c(0)), TMap)
+        // recursive compact over a dynamic value (null / "" / empty
+        // collections removed at every depth — compact.cue)
+        case TVariant => CV(Vrl.compactVariant(c(0)), TVariant)
         case _ => CV(Vrl.compactArr(c(0)), TArr)
       }
       case "match_any" =>
@@ -533,7 +758,7 @@ object VrlFunctions {
             .getOrElse(lit(null))).cast("binary")), TAny)
 
       // ---- system probes ----
-      case "get_timezone" =>
+      case "get_timezone" | "get_timezone_name" =>
         CV(lit(java.util.TimeZone.getDefault.getID), TStr)
 
       // ---- random / id (excluded from oracle programs) ----
@@ -578,17 +803,14 @@ object VrlFunctions {
       // are compile-time literals, so this is the identity on the text
       case "to_regex" => a(0).cv
       case "parse_regex_all" =>
-        val pat = str(a(1), name, "pattern")
-        val groups = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
-        val namedGs = "\\(\\?<([A-Za-z][A-Za-z0-9]*)>".r.findAllMatchIn(pat)
-          .map(_.group(1)).toList
-        val labels =
-          if (namedGs.length == groups) namedGs
-          else (1 to groups).map(i => s"g$i").toList
+        val numeric = named.get("numeric_groups").flatMap(_.literal).contains(true)
+        val (pat, labels) = regexLabels(str(a(1), name, "pattern"))
+        val (finalPat, finalLabels) =
+          if (numeric) (s"($pat)", "0" :: labels) else (pat, labels)
         // one struct per whole-pattern match; groups re-derived by
         // re-anchoring the pattern on the matched substring
         CV(transform(regexp_extract_all(c(0), lit(pat), lit(0)),
-          m => RegexStruct(m, pat, labels)), TArr)
+          m => RegexStruct(m, finalPat, finalLabels)), TArr)
       // (match_datadog_query is compiled in VrlCompiler — it needs the
       // event field environment to bind facets)
       // set_semantic_meaning: compile-time schema annotation in the
@@ -612,13 +834,17 @@ object VrlFunctions {
         // per-row PTR lookups from executors are an anti-pattern at scale
         // (and batch plans must be deterministic): the Spark-first form is
         // an enrichment-table join; a literal `table:` map stands in for
-        // the join surface here, no-table means unresolvable (null)
+        // the join surface here. Without a table, only the local
+        // resolver-free cases resolve (loopback -> localhost) and the
+        // published fallback applies: unresolvable returns the input.
         named.get("table").flatMap(_.literal) match {
           case Some(m: Map[_, _]) =>
             val entries = m.toSeq.flatMap { case (k, v) =>
               Seq(lit(k.toString), lit(v.toString)) }
             CV(try_element_at(map(entries: _*), c(0)), TStr)
-          case _ => CV(lit(null).cast("string"), TStr)
+          case _ => CV(
+            when(c(0).isin("127.0.0.1", "::1", "0:0:0:0:0:0:0:1"),
+              lit("localhost")).otherwise(c(0)), TStr)
         }
       case "array" => a(0).cv.t match {
         case TArr | TVariant => a(0).cv

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** `dedupe` — drop events whose selected fields were already seen.
   *
@@ -34,8 +35,37 @@ object Dedupe {
       .drop("__rn")
   }
 
-  private def resolve(df: DataFrame, path: String): Column =
-    if (df.columns.contains(path.split("\\.", 2)(0))) col(path) else lit(null)
+  /** Resolve a match path against the schema, walking nested structs
+    * segment by segment; any absent segment (or a non-struct parent)
+    * yields a null key, exactly like the reference's missing-field-is-
+    * Null match values (dedupe/common.rs). Variant columns resolve via
+    * the variant path and key on canonical JSON (grouping can't order
+    * raw variants).
+    */
+  private def resolve(df: DataFrame, path: String): Column = {
+    val segs = path.split("\\.").toList
+    def walk(dt: DataType, c: Column, rest: List[String]): Column = rest match {
+      case Nil => dt match {
+        case VariantType | ArrayType(VariantType, _) => to_json(c)
+        case _ => c
+      }
+      case s :: tail => dt match {
+        case st: StructType => st.fields.find(_.name == s) match {
+          case Some(f) => walk(f.dataType, c.getField(s), tail)
+          case None => lit(null)
+        }
+        case VariantType =>
+          // remaining segments all walk the variant; key on JSON text
+          val p = "$" + rest.map(x => s"['$x']").mkString
+          to_json(try_variant_get(c, p, "variant"))
+        case _ => lit(null)
+      }
+    }
+    df.schema.fields.find(_.name == segs.head) match {
+      case Some(f) => walk(f.dataType, col(segs.head), segs.tail)
+      case None => lit(null)
+    }
+  }
 
   /** Order-insensitive exact dedupe (any representative row). */
   def any(df: DataFrame, matchFields: Seq[String]): DataFrame =

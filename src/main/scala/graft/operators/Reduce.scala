@@ -102,7 +102,13 @@ object Reduce {
     */
   private def orderedList(c: Column, orderCol: Column): Column =
     transform(
-      array_sort(collect_list(
-        when(c.isNotNull, struct(orderCol.as("o"), c.as("v"))))),
+      // explicit comparator on the order key only: the default struct
+      // comparison would demand ordering on the VALUE type too, which
+      // dynamic (variant) values don't have
+      array_sort(
+        collect_list(
+          when(c.isNotNull, struct(orderCol.as("o"), c.as("v")))),
+        (l, r) => when(l.getField("o") < r.getField("o"), -1)
+          .when(l.getField("o") > r.getField("o"), 1).otherwise(0)),
       x => x.getField("v"))
 }

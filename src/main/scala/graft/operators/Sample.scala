@@ -48,24 +48,29 @@ object Sample {
   /** Stratified sampling to a target mix (beyond the reference: the
     * training-data "source mix" construction step — e.g. keep 80% of
     * web, 100% of books, 5% of logs). Per-stratum deterministic hash
-    * sampling: a row is kept iff the first md5 nibble-pair of its key
-    * falls under round(fraction*256), so resampling with the same key
-    * column is reproducible and monotone (raising a fraction only ADDS
-    * rows — the kept set at f1 is a subset of the kept set at f2>f1,
-    * the property curriculum re-mixes rely on). Pure filter: no
-    * shuffle, pushes to the scan; strata absent from `fractions` drop.
+    * sampling: a row is kept iff the first SIX md5 hex chars of its key
+    * (a 24-bit bucket, 16,777,216 values) fall under
+    * floor(fraction * 2^24), so fractions are exact to ~6e-8 — real
+    * training mixes routinely want 0.1%-of-a-huge-stratum slices, which
+    * an 8-bit bucket would round to zero. Resampling with the same key
+    * column is reproducible and monotone (floor keeps the kept set at f1
+    * a subset of the kept set at f2>f1 — the property curriculum
+    * re-mixes rely on). A null key coalesces to the empty-string bucket
+    * instead of silently dropping the row. Pure filter: no shuffle,
+    * pushes to the scan; strata absent from `fractions` drop.
     */
   def stratified(df: DataFrame, stratum: Column, key: Column,
                  fractions: Map[String, Double],
                  rateField: String = "sample_rate"): DataFrame = {
-    val bucket = conv(substring(md5(key.cast("string")), 1, 2), 16, 10)
-      .cast("int")
+    val bucket = conv(
+      substring(md5(coalesce(key.cast("string"), lit(""))), 1, 6), 16, 10)
+      .cast("long")
     val frac = fractions.foldLeft(lit(null).cast("double")) {
       case (acc, (s, f)) => when(stratum === s, lit(f)).otherwise(acc)
     }
     df.withColumn("__frac", frac)
       .filter(col("__frac").isNotNull &&
-        bucket < round(col("__frac") * 256).cast("int"))
+        bucket < floor(col("__frac") * (1L << 24)).cast("long"))
       .withColumn(rateField, col("__frac")).drop("__frac")
   }
 

@@ -49,6 +49,21 @@ class DedupSpec extends SparkSpec {
     assert(comp(20L) == 20L && comp(21L) == 21L)
   }
 
+  test("connected components: reliable-checkpoint path (chain graph)") {
+    // same chain graph through sparkContext checkpointing — the mode a
+    // real cluster runs (survives executor loss, unlike localCheckpoint)
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val nodes = (1L to 8L).toSeq ++ Seq(10L, 11L)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (10L, 11L))
+    val comp = Dedup.connectedComponents(
+        nodes.toDF("id"), edges.toDF("id_a", "id_b"),
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 8L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+  }
+
   test("connected components: reversed/duplicated edges are harmless") {
     val comp = Dedup.connectedComponents(
         Seq(1L, 2L, 3L).toDF("id"),

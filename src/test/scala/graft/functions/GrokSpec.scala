@@ -12,9 +12,9 @@ class GrokSpec extends SparkSpec {
 
   test("custom aliases expand recursively with correct capture order") {
     val aliases = Map(
-      // literal segments are regex-quoted by the compiler, so brackets
-      // appear as plain text (no escaping needed)
-      "APPLOG" -> "%{TIMESTAMP_ISO8601:ts} [%{LOGLEVEL:lvl}] %{GREEDYDATA:msg}",
+      // literal segments are regex (reference grok semantics), so
+      // literal brackets need escaping
+      "APPLOG" -> "%{TIMESTAMP_ISO8601:ts} \\[%{LOGLEVEL:lvl}\\] %{GREEDYDATA:msg}",
       "WRAPPED" -> "pre %{APPLOG:whole} post")
     val df = Seq("pre 2024-01-02T03:04:05Z [ERROR] boom goes x post").toDF("l")
     val r = df.select(Grok.parse(col("l"), "%{WRAPPED}", aliases = aliases).as("g"))

@@ -71,7 +71,11 @@ class VrlCompilerSpec extends SparkSpec {
         |""".stripMargin)
     val r = out.primary.orderBy("id").collect()
     assert(out.dropped.count() == 0)
-    assert(r.map(_.getAs[Boolean]("uerr")).toSeq == Seq(true, true, true))
+    // VRL semantics: err carries the error MESSAGE, the target gets the
+    // expression type's default (0 for to_int)
+    assert(r.map(_.getAs[String]("uerr")).forall(m =>
+      m != null && m.contains("to_int")))
+    assert(r.map(_.getAs[Long]("unum")).toSeq == Seq(0L, 0L, 0L))
   }
 
   test("variables, del, exists") {
@@ -236,8 +240,10 @@ class VrlCompilerSpec extends SparkSpec {
     val r = out.primary.collect().head
     assert(r.getAs[String]("second") == "b,with \"quote\"")
     assert(r.getAs[String]("back") == "a,\"b,with \"\"quote\"\"\",c")
+    // sha3's published default variant is SHA3-512 (sha3.cue,
+    // remap.yaml remap_function_sha3)
     assert(r.getAs[String]("h3") ==
-      java.security.MessageDigest.getInstance("SHA3-256")
+      java.security.MessageDigest.getInstance("SHA3-512")
         .digest("b,with \"quote\"".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString)
     assert(r.getAs[String]("hx") == "b,with \"quote\"")

@@ -303,6 +303,82 @@ class ConfigLoaderSpec extends SparkSpec {
     runAll(resourceYaml("remap_with_drop.yaml"))
   }
 
+  /** Point `file:` programs / `enrichment_tables:` CSVs at the cloned
+    * reference fixtures (tests/data/…) for the duration of `body`.
+    */
+  private def withBehaviorData(body: => Unit): Unit = {
+    val prev = ConfigLoader.behaviorRoot
+    ConfigLoader.behaviorRoot =
+      getClass.getResource("/behavior-data").getPath
+    try body finally ConfigLoader.behaviorRoot = prev
+  }
+
+  test("reference remap.yaml behavior file passes as published") {
+    // the reference's largest behavior file (90 tests): index-path and
+    // quoted-path assignment, scalar/object/map whole-event assignment,
+    // exact VRL error-message strings with source spans, enrichment
+    // table lookups, `file:` programs, metric-event remapping, and the
+    // long tail of stdlib functions
+    withBehaviorData { runAll(resourceYaml("remap.yaml")) }
+  }
+
+  test("reference vrl_test_input.yaml behavior file passes as published") {
+    // `type: vrl` inputs (the event is the result of a VRL program) and
+    // the `%` metadata root — scalar whole-event round-trips through
+    // `.event = .`
+    runAll(resourceYaml("vrl_test_input.yaml"))
+  }
+
+  test("reference dedupe.yaml behavior file passes as published") {
+    // nested match paths incl. a row whose `a.b` is a SCALAR while other
+    // rows nest `a.b.c` — the input builder degrades the column to
+    // variant and Dedupe keys on the variant path's canonical JSON
+    runAll(resourceYaml("dedupe.yaml"))
+  }
+
+  test("run: file source tails a growing file across micro-batches") {
+    // `type: file` + path = the REAL tail (fingerprint/rotation/
+    // checkpoint FileTail, src/sources/file.rs semantics), reachable
+    // straight from a config file
+    val dir = java.nio.file.Files.createTempDirectory("tailcfg")
+    val log = dir.resolve("app.log")
+    java.nio.file.Files.write(log, "one\ntwo\n".getBytes("UTF-8"))
+    val tmp = java.nio.file.Files.createTempDirectory("tailwork").toString
+    val running = ConfigLoader.run(spark,
+      s"""
+        |sources:
+        |  logs:
+        |    type: file
+        |    path: $dir
+        |transforms:
+        |  up:
+        |    type: remap
+        |    inputs: [logs]
+        |    source: |
+        |      .message = upcase!(.message)
+        |sinks:
+        |  tap2:
+        |    type: memory
+        |    inputs: [up]
+        |""".stripMargin,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      assert(running.tails.nonEmpty)
+      running.processAllAvailable()
+      val batch1 = spark.table("tap2").collect()
+        .map(_.getAs[String]("message")).toSet
+      assert(batch1 == Set("ONE", "TWO"))
+      // second micro-batch: append to the same file — the tail resumes
+      // from its per-fingerprint offset, no re-read of old lines
+      java.nio.file.Files.write(log, "three\n".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+      running.processAllAvailable()
+      val batch2 = spark.table("tap2").collect()
+        .map(_.getAs[String]("message")).toSet
+      assert(batch2 == Set("ONE", "TWO", "THREE"))
+    } finally running.stopAll()
+  }
+
   test("run: demo_logs streaming source -> remap -> memory sink") {
     val tmp = java.nio.file.Files.createTempDirectory("cfgrun").toString
     val running = ConfigLoader.run(spark,
