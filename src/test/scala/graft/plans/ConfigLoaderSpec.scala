@@ -329,6 +329,16 @@ class ConfigLoaderSpec extends SparkSpec {
     runAll(resourceYaml("vrl_test_input.yaml"))
   }
 
+  test("reference example.vrl test file passes as published (vrl crate format)") {
+    // lib/vector-vrl/tests/tests/example.vrl: `# object:` input event,
+    // `# result:` expected event, program returns `.`
+    val in = getClass.getResourceAsStream("/behavior-data/tests/vrl/example.vrl")
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val (actual, expected) = graft.VrlTool.runTestFile(spark, text)
+    assert(actual == expected)
+  }
+
   test("reference dedupe.yaml behavior file passes as published") {
     // nested match paths incl. a row whose `a.b` is a SCALAR while other
     // rows nest `a.b.c` — the input builder degrades the column to
