@@ -387,7 +387,8 @@ object ConfigLoader {
     * parquet tables (`type: parquet`, `table: <name>`), transforms via
     * [[transformOf]], sinks become named outputs.
     */
-  def load(spark: SparkSession, yaml: String, sfDir: String): Topology.Built = {
+  def load(spark: SparkSession, rawYaml: String, sfDir: String): Topology.Built = {
+    val yaml = interpolateSecrets(rawYaml)
     val conf = parseYaml(yaml)
     val sources = yamlMap(conf.getOrElse("sources", null)).map { case (id, v) =>
       val m = yamlMap(v)
@@ -553,6 +554,76 @@ object ConfigLoader {
     * against the repo checkout; tests point this at the cloned fixtures.
     */
   @volatile var behaviorRoot: String = "."
+
+  /** `SECRET[backend.key]` interpolation over the raw config text
+    * (reference src/config/loading — secrets resolve BEFORE the config
+    * deserializes, so they can appear in any string). Backends
+    * (tests/behavior/config/secret.yaml): `test` (fixed replacement),
+    * `file` (JSON map), `directory` (one file per key, optional
+    * trailing-whitespace trim, nested paths), `exec` (spawn a process,
+    * JSON request `{"version":"1.0","secrets":[…]}` on stdin, JSON
+    * `{key: {value, error}}` on stdout — the published protocol).
+    */
+  private[plans] def interpolateSecrets(yaml: String): String = {
+    val conf = parseYaml(yaml)
+    val secretConf = yamlMap(conf.getOrElse("secret", null))
+    if (secretConf.isEmpty) return yaml
+    val re = "SECRET\\[(\\w+)\\.([^\\]]+)\\]".r
+    val wanted = re.findAllMatchIn(yaml).toList
+      .groupBy(_.group(1)).map { case (b, ms) => b -> ms.map(_.group(2)).distinct }
+    val resolved: Map[(String, String), String] = wanted.flatMap {
+      case (backend, keys) =>
+        val bc = yamlMap(secretConf.getOrElse(backend,
+          throw new IllegalArgumentException(s"unknown secret backend $backend")))
+        bc.getOrElse("type", "").toString match {
+          case "test" =>
+            keys.map(k => (backend, k) -> bc("replacement").toString)
+          case "file" =>
+            val doc = graft.functions.JsonLite.parse(new String(
+              java.nio.file.Files.readAllBytes(
+                resolvePath(bc("path").toString)), "UTF-8"))
+              .asInstanceOf[java.util.Map[String, Any]]
+            keys.flatMap(k => Option(doc.get(k)).map(v => (backend, k) -> v.toString))
+          case "directory" =>
+            val dir = resolvePath(bc("path").toString)
+            val trim = boolOpt(bc, "remove_trailing_whitespace", default = false)
+            keys.map { k =>
+              val raw = new String(
+                java.nio.file.Files.readAllBytes(dir.resolve(k)), "UTF-8")
+              (backend, k) -> (if (trim) raw.replaceAll("\\s+$", "") else raw)
+            }
+          case "exec" =>
+            val cmd = strList(bc("command")).map { c =>
+              val p = resolvePath(c)
+              if (java.nio.file.Files.exists(p)) {
+                val f = p.toFile
+                if (!f.canExecute) f.setExecutable(true)
+                p.toString
+              } else c
+            }
+            val pb = new ProcessBuilder(cmd: _*)
+            val proc = pb.start()
+            val req = "{\"version\":\"1.0\",\"secrets\":[" +
+              keys.map(k => "\"" + k + "\"").mkString(",") + "]}"
+            proc.getOutputStream.write(req.getBytes("UTF-8"))
+            proc.getOutputStream.close()
+            val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+            proc.waitFor()
+            val doc = graft.functions.JsonLite.parse(out)
+              .asInstanceOf[java.util.Map[String, Any]]
+            keys.flatMap { k =>
+              Option(doc.get(k)).map(_.asInstanceOf[java.util.Map[String, Any]])
+                .flatMap(m => Option(m.get("value")))
+                .map(v => (backend, k) -> v.toString)
+            }
+          case other => throw new IllegalArgumentException(
+            s"unsupported secret backend type $other")
+        }
+    }
+    re.replaceAllIn(yaml, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        resolved.getOrElse((m.group(1), m.group(2)), m.matched)))
+  }
 
   /** Load the `enrichment_tables:` section (type: file / CSV) into the
     * VRL compiler's table registry — driver-side tiny tables for
@@ -830,7 +901,8 @@ object ConfigLoader {
     * config DAG, and check `outputs` conditions / `no_outputs_from`
     * (unit_test.rs:163 semantics).
     */
-  def runBehavior(spark: SparkSession, yaml: String): Seq[TestResult] = {
+  def runBehavior(spark: SparkSession, rawYaml: String): Seq[TestResult] = {
+    val yaml = interpolateSecrets(rawYaml)
     val conf = parseYaml(yaml)
     val transformConfs = yamlMap(conf.getOrElse("transforms", null))
       .map { case (id, v) => id -> yamlMap(v) }

@@ -339,6 +339,21 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("reference formats/simple.{yaml,yml,json} behavior files pass as published") {
+    // the three config FORMATS of the same nested-assignment test — the
+    // JSON variant parses through the same loader (JSON ⊂ YAML)
+    runAll(resourceYaml("formats/simple.yaml"))
+    runAll(resourceYaml("formats/simple.yml"))
+    runAll(resourceYaml("formats/simple.json"))
+  }
+
+  test("reference config/secret.yaml behavior file passes as published") {
+    // SECRET[backend.key] interpolation over the raw config text: test /
+    // exec (process protocol shim) / file (JSON) / directory (nested
+    // paths + trailing-whitespace trim) backends
+    withBehaviorData { runAll(resourceYaml("config/secret.yaml")) }
+  }
+
   test("reference dedupe.yaml behavior file passes as published") {
     // nested match paths incl. a row whose `a.b` is a SCALAR while other
     // rows nest `a.b.c` — the input builder degrades the column to
