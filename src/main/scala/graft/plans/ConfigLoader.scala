@@ -123,9 +123,25 @@ object ConfigLoader {
         val fieldsConf = yamlMap(conf.getOrElse("fields", null))
         val matches = strList(fieldsConf.getOrElse("match", Nil))
         Topology.Transform.simple(id, inputs, df => {
+          if (df.isStreaming) {
+            // per-key first-seen with TTL state (the reference's LRU/
+            // timed cache analogue) — flatMapGroupsWithState kernel
+            val keyCols = matches.map(m =>
+              if (df.columns.contains(m.split("\\.", 2)(0))) col(m).cast("string")
+              else lit(null).cast("string"))
+            val staged = df.withColumn("__key",
+              concat_ws("", keyCols: _*))
+            implicit val enc: org.apache.spark.sql.Encoder[Row] =
+              org.apache.spark.sql.Encoders.row(staged.schema)
+            val keyIdx = staged.schema.fieldIndex("__key")
+            val grouped = staged.groupByKey(r => String.valueOf(r.get(keyIdx)))(
+              org.apache.spark.sql.Encoders.STRING)
+            graft.streaming.StatefulKernels.dedupe[String, Row](grouped)
+              .toDF().drop("__key")
+          }
           // first-seen-wins needs a deterministic order; behavior inputs
           // carry __seq, batch tables fall back to any-representative
-          if (df.columns.contains("__seq"))
+          else if (df.columns.contains("__seq"))
             graft.operators.Dedupe(df, matches, col("__seq"))
           else graft.operators.Dedupe.any(df, matches)
         })
@@ -220,13 +236,39 @@ object ConfigLoader {
       // round-6 verdict's item 3)
 
       case "throttle" =>
-        // threshold events per key per window (src/transforms/throttle/)
+        // threshold events per key per window (src/transforms/throttle/).
+        // Batch inputs use the windowed-rank form; STREAMING inputs use
+        // the per-key GCRA kernel (flatMapGroupsWithState, bounded
+        // state) — so `vector --config` pipelines with live sources
+        // throttle exactly like the reference's governor-based transform
         val threshold = conf.getOrElse("threshold", "100").toString.toInt
         val windowSecs = conf.getOrElse("window_secs", "1").toString.toDouble
         val keyField = conf.get("key_field").map(_.toString)
         val exclude = conf.get("exclude").map(conditionSource)
         Topology.Transform.simple(id, inputs, df =>
-          graft.operators.Throttle(df,
+          if (df.isStreaming) {
+            val excl = exclude.map(src =>
+              coalesce(VrlCompiler.condition(df.schema, src), lit(false)))
+              .getOrElse(lit(false))
+            val staged = df.withColumn("__excl", excl)
+            implicit val enc: org.apache.spark.sql.Encoder[Row] =
+              org.apache.spark.sql.Encoders.row(staged.schema)
+            val keyIdx = keyField.filter(staged.columns.contains)
+              .map(staged.schema.fieldIndex)
+            val tsIdx = Seq("ts", "timestamp").find(staged.columns.contains)
+              .map(staged.schema.fieldIndex)
+            val exclIdx = staged.schema.fieldIndex("__excl")
+            val grouped = staged.groupByKey(r =>
+              keyIdx.map(i => String.valueOf(r.get(i))).getOrElse(""))(
+              org.apache.spark.sql.Encoders.STRING)
+            graft.streaming.StatefulKernels.throttle[String, Row](
+              grouped, threshold, (windowSecs * 1000).toLong,
+              r => tsIdx.flatMap(i => Option(r.get(i)))
+                .collect { case t: java.sql.Timestamp => t.getTime }
+                .getOrElse(0L),
+              r => r.getBoolean(exclIdx)
+            ).toDF().drop("__excl")
+          } else graft.operators.Throttle(df,
             keyField.map(col).getOrElse(lit(1)),
             tsColOf(df), s"${windowSecs.toLong} seconds", threshold,
             orderColOf(df),
@@ -474,7 +516,52 @@ object ConfigLoader {
     def pollTails(): Int = tails.map(_.poll()).sum
     def processAllAvailable(): Unit = {
       pollTails()
-      queries.values.foreach(_.processAllAvailable())
+      queries.values.foreach { q =>
+        if (hasProcTimeTimeout(q)) awaitDrained(q)
+        else q.processAllAvailable()
+      }
+    }
+
+    /** A plan holding a processing-time-timeout stateful operator
+      * (throttle GCRA, dedupe TTL, …) reports shouldRunAnotherBatch on
+      * EVERY batch, so StreamExecution never signals noNewData and
+      * `processAllAvailable` blocks forever — those queries need the
+      * progress-based drain wait below instead.
+      */
+    private def hasProcTimeTimeout(
+        q: org.apache.spark.sql.streaming.StreamingQuery): Boolean = q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        w.streamingQuery.logicalPlan.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState
+            if f.timeout ==
+              org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout => ()
+        }.isDefined
+      case _ => false
+    }
+
+    /** Wait until two consecutive committed batches newer than the
+      * entry point consumed zero rows. Timeout-check batches fire every
+      * trigger, and batch N+1 is only constructed after batch N commits,
+      * so an empty batch constructed before our poll added data is
+      * always followed by a non-empty one — two empties in a row prove
+      * the sources are drained.
+      */
+    private def awaitDrained(
+        q: org.apache.spark.sql.streaming.StreamingQuery,
+        timeoutMs: Long = 60000L): Unit = {
+      val deadline = System.nanoTime + timeoutMs * 1000000L
+      val floor = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      var lastSeen = floor
+      var emptyRun = 0
+      while (emptyRun < 2 && System.nanoTime < deadline) {
+        val p = q.lastProgress
+        if (p != null && p.batchId > lastSeen) {
+          lastSeen = p.batchId
+          emptyRun = if (p.numInputRows == 0) emptyRun + 1 else 0
+        } else Thread.sleep(25)
+      }
+      if (emptyRun < 2) throw new java.util.concurrent.TimeoutException(
+        s"streaming query ${q.name} did not drain within ${timeoutMs}ms")
     }
     def stopAll(): Unit =
       queries.values.foreach(q => try q.stop() catch { case _: Exception => () })
