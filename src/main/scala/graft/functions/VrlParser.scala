@@ -371,6 +371,17 @@ object VrlParser {
             // `expr.field` — the tokenizer lexes the trailing `.field`
             // as a path token
             advance(); e = AccessE(e, segs)
+          case TOp("[", _) =>
+            // `expr[0]` — static integer index only (VRL paths are
+            // static; dynamic indexing goes through get()). Anything
+            // else after `[` means a fresh array literal, not an index,
+            // so leave the token stream untouched
+            (toks(pos + 1), toks(pos + 2)) match {
+              case (TInt(i, _), TOp("]", _)) =>
+                advance(); advance(); advance()
+                e = AccessE(e, List(IndexSeg(i.toInt)))
+              case _ => more = false
+            }
           case _ => more = false
         }
       }

@@ -130,7 +130,7 @@ object ConfigLoader {
               if (df.columns.contains(m.split("\\.", 2)(0))) col(m).cast("string")
               else lit(null).cast("string"))
             val staged = df.withColumn("__key",
-              concat_ws("", keyCols: _*))
+              concat_ws("\u0001", keyCols: _*))
             implicit val enc: org.apache.spark.sql.Encoder[Row] =
               org.apache.spark.sql.Encoders.row(staged.schema)
             val keyIdx = staged.schema.fieldIndex("__key")
@@ -168,7 +168,36 @@ object ConfigLoader {
           })}
         val startsWhen = conf.get("starts_when").map(conditionSource)
         val endsWhen = conf.get("ends_when").map(conditionSource)
+        val expireMs =
+          conf.getOrElse("expire_after_ms", "30000").toString.toLong
+        val maxEvents = conf.get("max_events").map(_.toString.toInt)
         Topology.Transform.simple(id, inputs, df0 => {
+          if (df0.isStreaming) {
+            // session reduce over live state (ReduceSessions): sessions
+            // span micro-batches and flush on expire_after_ms /
+            // max_events / starts_when / ends_when, like the
+            // reference's transform.rs state machine
+            val staged = df0
+              .withColumn("__starts", startsWhen.map(s => coalesce(
+                VrlCompiler.condition(df0.schema, s), lit(false)))
+                .getOrElse(lit(false)))
+              .withColumn("__ends", endsWhen.map(s => coalesce(
+                VrlCompiler.condition(df0.schema, s), lit(false)))
+                .getOrElse(lit(false)))
+            val schema = staged.schema
+            val strats =
+              if (staged.columns.contains("__seq"))
+                strategies + ("__seq" -> Reduce.Min)
+              else strategies
+            val present = groupBy.filter(staged.columns.contains)
+            val (ds, _) = graft.streaming.RowReduce.run(
+              groupRowsBy(staged, present.map(schema.fieldIndex)),
+              schema, present, strats, Set("__starts", "__ends"),
+              expireMs, maxEvents,
+              startsWhen.map(_ => schema.fieldIndex("__starts")),
+              endsWhen.map(_ => schema.fieldIndex("__ends")))
+            ds.toDF()
+          } else {
           // materialize the order ONCE: monotonically_increasing_id is
           // nondeterministic per evaluation, so computing it separately
           // in the segmentation window and inside Reduce's aggregates
@@ -204,6 +233,7 @@ object ConfigLoader {
               strategies + ("__seq" -> Reduce.Min)
             else strategies
           Reduce(segmented, groupBy :+ "__seg", strats, ord).drop("__seg")
+          }
         })
 
       case "sample" =>
@@ -220,7 +250,16 @@ object ConfigLoader {
             val rate = conf.getOrElse("rate", "10").toString.toInt
             val group = g.toString
             Topology.Transform.simple(id, inputs, df =>
-              graft.operators.Sample.countPerGroup(df, col(group),
+              if (df.isStreaming) {
+                // per-key 1-in-rate counter state (the reference's
+                // default count mode, src/transforms/sample/transform.rs)
+                val keyIdxs =
+                  if (df.columns.contains(group))
+                    Seq(df.schema.fieldIndex(group)) else Nil
+                graft.streaming.StatefulKernels.sampleCount[String, Row](
+                  groupRowsBy(df, keyIdxs), rate)(
+                  org.apache.spark.sql.Encoders.row(df.schema)).toDF()
+              } else graft.operators.Sample.countPerGroup(df, col(group),
                 orderColOf(df), rate))
           case _ =>
             val rate = conf.getOrElse("rate", "10").toString.toInt
@@ -296,7 +335,48 @@ object ConfigLoader {
         }
         val valueField = conf.getOrElse("value_field", "counter_value").toString
         Topology.Transform.simple(id, inputs, df =>
-          Aggregate(df, tsColOf(df), s"$intervalMs milliseconds", groupBy,
+          if (df.isStreaming) {
+            // the reference's ticker shape (aggregate/mod.rs: series →
+            // running aggregate, flushed every interval_ms): per-series
+            // state emits ONE row per quiet interval. The batch form's
+            // event-time tumbling windows are the replay analogue.
+            import graft.streaming.StatefulKernels
+            val staged = df.withColumn("__val",
+              col(valueField).cast("double"))
+            val present = groupBy.filter(staged.columns.contains)
+            val keyIdxs = present.map(staged.schema.fieldIndex)
+            val vi = staged.schema.fieldIndex("__val")
+            val finishVal: StatefulKernels.AggState => Double = mode match {
+              case Aggregate.Latest    => _.last
+              case Aggregate.CountMode => _.n.toDouble
+              case Aggregate.Diff      => s => s.last - s.first
+              case Aggregate.MaxMode   => _.max
+              case Aggregate.MinMode   => _.min
+              case Aggregate.Mean      => s => s.sum / s.n
+              case Aggregate.Stdev     => s =>
+                if (s.n < 2) Double.NaN
+                else math.sqrt(math.max(0.0,
+                  (s.sumSq - s.sum * s.sum / s.n) / (s.n - 1)))
+              case _ => _.sum // SumMode and Auto (counters sum)
+            }
+            val outSchema = StructType(
+              present.map(g => StructField(g, StringType)) :+
+                StructField("value", DoubleType) :+
+                StructField("n_events", LongType))
+            implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
+              org.apache.spark.sql.Encoders.row(outSchema)
+            StatefulKernels.aggregateFlush[String, Row, Row](
+              groupRowsBy(staged, keyIdxs),
+              r => Option(r.get(vi))
+                .map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0),
+              intervalMs,
+              (k, st) => Row.fromSeq(
+                (if (present.isEmpty) Nil
+                 else k.split("\u0001", -1).toSeq) ++
+                  // Seq[Any]: plain Seq(double, long) weakly unifies
+                  // to Seq[Double] and silently widens the count
+                  Seq[Any](finishVal(st), st.n))).toDF()
+          } else Aggregate(df, tsColOf(df), s"$intervalMs milliseconds", groupBy,
             col(valueField), orderColOf(df),
             if (df.columns.contains("kind")) col("kind") else lit("incremental"),
             Seq("value" -> mode)))
@@ -309,7 +389,29 @@ object ConfigLoader {
         val after = conf.getOrElse("num_events_after", "0").toString.toInt
         val keyField = conf.get("key_field").map(_.toString)
         Topology.Transform.simple(id, inputs, df =>
-          graft.operators.WindowLookback(df,
+          if (df.isStreaming) {
+            // per-key ring buffer state (transform.rs:50-80) — the
+            // trigger/forward conditions compile once to Columns and
+            // ride along as staged booleans
+            val staged = df
+              .withColumn("__flush", coalesce(
+                VrlCompiler.condition(df.schema, flushWhen), lit(false)))
+              .withColumn("__fwd", forwardWhen.map(src => coalesce(
+                VrlCompiler.condition(df.schema, src), lit(false)))
+                .getOrElse(lit(false)))
+            implicit val enc: org.apache.spark.sql.Encoder[Row] =
+              org.apache.spark.sql.Encoders.row(staged.schema)
+            val fIdx = staged.schema.fieldIndex("__flush")
+            val wIdx = staged.schema.fieldIndex("__fwd")
+            val keyIdxs = keyField.filter(staged.columns.contains)
+              .map(staged.schema.fieldIndex).toSeq
+            graft.streaming.StatefulKernels.windowLookback[String, Row](
+              groupRowsBy(staged, keyIdxs),
+              flushWhen = _.getBoolean(fIdx),
+              numEventsBefore = before, numEventsAfter = after,
+              forwardWhen = _.getBoolean(wIdx))
+              .toDF().drop("__flush", "__fwd")
+          } else graft.operators.WindowLookback(df,
             keyField.map(col).getOrElse(lit(1)), orderColOf(df),
             coalesce(VrlCompiler.condition(df.schema, flushWhen), lit(false)),
             before, after,
@@ -368,7 +470,28 @@ object ConfigLoader {
         }
         val valueField = conf.getOrElse("value_field", "counter_value").toString
         Topology.Transform.simple(id, inputs, df =>
-          graft.operators.IncrementalToAbsolute(df, seriesKeys,
+          if (df.isStreaming) {
+            // per-series running total with the reference's 5-minute
+            // series-cache TTL (incremental_to_absolute.rs:21-39)
+            val staged = df.withColumn(valueField,
+              col(valueField).cast("double"))
+            implicit val enc: org.apache.spark.sql.Encoder[Row] =
+              org.apache.spark.sql.Encoders.row(staged.schema)
+            val vIdx = staged.schema.fieldIndex(valueField)
+            val kindIdx =
+              if (staged.columns.contains("kind"))
+                Some(staged.schema.fieldIndex("kind")) else None
+            val keyIdxs = seriesKeys.filter(staged.columns.contains)
+              .map(staged.schema.fieldIndex)
+            graft.streaming.StatefulKernels
+              .incrementalToAbsolute[String, Row, Row](
+                groupRowsBy(staged, keyIdxs),
+                r => Option(r.get(vIdx))
+                  .map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0),
+                r => kindIdx.forall(i =>
+                  String.valueOf(r.get(i)) == "incremental"),
+                (r, run) => Row.fromSeq(r.toSeq.updated(vIdx, run))).toDF()
+          } else graft.operators.IncrementalToAbsolute(df, seriesKeys,
             col(valueField), orderColOf(df)))
 
       case "tag_cardinality_limit" =>
@@ -380,12 +503,38 @@ object ConfigLoader {
           case "drop_tag" => TagCardinalityLimit.DropTag
           case _ => TagCardinalityLimit.DropEvent
         }
+        val probabilistic =
+          conf.getOrElse("mode", "exact").toString == "probabilistic"
         Topology.Transform.simple(id, inputs, df =>
-          TagCardinalityLimit(df, tag, limit, orderColOf(df), action))
+          if (df.isStreaming) {
+            // cardinality is GLOBAL per tag key (config.rs:107-127's
+            // single accepted-value set), so all events share one state
+            // keyed by the tag name — exact HashSet or Bloom mode
+            implicit val enc: org.apache.spark.sql.Encoder[Row] =
+              org.apache.spark.sql.Encoders.row(df.schema)
+            val tIdx =
+              if (df.columns.contains(tag))
+                Some(df.schema.fieldIndex(tag)) else None
+            val grouped = df.groupByKey(_ => tag)(
+              org.apache.spark.sql.Encoders.STRING)
+            graft.streaming.StatefulKernels
+              .tagCardinalityLimit[String, Row, Row](
+                grouped, limit,
+                r => tIdx.flatMap(i => Option(r.get(i)).map(String.valueOf)),
+                identity,
+                r => action match {
+                  case TagCardinalityLimit.DropTag => Some(Row.fromSeq(
+                    r.toSeq.zipWithIndex.map { case (v, i) =>
+                      if (tIdx.contains(i)) null else v }))
+                  case _ => None
+                },
+                probabilistic = probabilistic).toDF()
+          } else TagCardinalityLimit(df, tag, limit, orderColOf(df), action))
 
       case "line_agg" | "multiline" =>
         import graft.operators.LineAgg
-        val mode = conf.getOrElse("mode", "continue_through").toString match {
+        val modeName = conf.getOrElse("mode", "continue_through").toString
+        val mode = modeName match {
           case "continue_through" => LineAgg.ContinueThrough
           case "continue_with" => LineAgg.ContinueWith
           case "halt_before" => LineAgg.HaltBefore
@@ -398,8 +547,30 @@ object ConfigLoader {
         val sep = conf.getOrElse("separator", "\n").toString
         val fileField = conf.getOrElse("file_field", "file").toString
         val msgField = conf.getOrElse("message_field", "message").toString
+        val timeoutMs = conf.getOrElse("timeout_ms", "3000").toString.toLong
         Topology.Transform.simple(id, inputs, df =>
-          LineAgg(df,
+          if (df.isStreaming) {
+            // per-file open-group state with the reference's timeout
+            // flush (line_agg.rs:49-58) — the one line_agg behavior the
+            // batch window form cannot express
+            val staged = df
+              .withColumn("__file",
+                (if (df.columns.contains(fileField)) col(fileField)
+                 else lit("-")).cast("string"))
+              .withColumn("__ord", streamOrderColOf(df).cast("long"))
+              .withColumn("__line", col(msgField).cast("string"))
+            implicit val enc: org.apache.spark.sql.Encoder[Row] =
+              org.apache.spark.sql.Encoders.row(staged.schema)
+            val fi = staged.schema.fieldIndex("__file")
+            val oi = staged.schema.fieldIndex("__ord")
+            val li = staged.schema.fieldIndex("__line")
+            graft.streaming.StatefulKernels.lineAgg[String, Row](
+              staged.groupByKey(r => String.valueOf(r.get(fi)))(
+                org.apache.spark.sql.Encoders.STRING),
+              modeName, pattern, sep,
+              r => r.getLong(oi), r => String.valueOf(r.get(li)),
+              timeoutMs).toDF()
+          } else LineAgg(df,
             if (df.columns.contains(fileField)) col(fileField) else lit("-"),
             orderColOf(df), col(msgField), mode, pattern, sep))
 
@@ -407,6 +578,31 @@ object ConfigLoader {
         throw new IllegalArgumentException(s"unsupported transform type: $other")
     }
   }
+
+  /** groupByKey on a string key assembled from column values — the
+    * dispatch step for routing streaming inputs into the
+    * flatMapGroupsWithState kernels. An empty `keyIdxs` puts every
+    * event under one key (global state, as the reference's
+    * single-process transforms).
+    */
+  private def groupRowsBy(df: DataFrame, keyIdxs: Seq[Int])
+      : org.apache.spark.sql.KeyValueGroupedDataset[String, Row] = {
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(df.schema)
+    df.groupByKey(r => keyIdxs.map(i => String.valueOf(r.get(i)))
+      .mkString("\u0001"))(org.apache.spark.sql.Encoders.STRING)
+  }
+
+  /** Streaming-safe order column: __seq (the file tail emits real
+    * arrival order) or event_id when present; otherwise a constant —
+    * the kernels' intra-batch sortBy is stable, so equal keys keep
+    * micro-batch arrival order (monotonically_increasing_id is not
+    * allowed in a streaming plan).
+    */
+  private def streamOrderColOf(df: DataFrame): Column =
+    if (df.columns.contains("__seq")) col("__seq")
+    else if (df.columns.contains("event_id")) col("event_id")
+    else lit(0L)
 
   /** Deterministic per-event order column: behavior inputs carry __seq,
     * the driver tables carry event_id/o_orderkey-style ids; fall back to

@@ -19,19 +19,27 @@ final class FileTailSource(spark: SparkSession, dir: String,
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-  private val mem = MemoryStream[(String, String)]
+  private val mem = MemoryStream[(String, String, Long)]
+  // per-source line sequence: real arrival order for downstream
+  // order-sensitive transforms (line_agg, reduce) — streaming plans
+  // can't synthesize one (monotonically_increasing_id is unsupported)
+  private var seq = 0L
 
   /** fingerprint = CRC32 of the first `FpBytes` bytes (file.rs-style
-    * head checksum; files shorter than the window use what exists,
-    * which means very short fresh files can collide until they grow —
-    * same caveat the reference documents).
+    * head checksum). A file shorter than the window fingerprints over
+    * what exists; its identity is kept stable across growth by
+    * remembering, per path, the prefix length the fingerprint was
+    * computed over — when the file grows, the old-prefix CRC still
+    * matching proves it is the same file and the offsets entry migrates
+    * to the new fingerprint (otherwise every append to a small file
+    * would look like a brand-new file and re-emit from byte 0).
     */
   private val FpBytes = 256
-  private def fingerprintOf(p: java.nio.file.Path): Option[Long] = {
+  private def crcOfFirst(p: java.nio.file.Path, n: Int): Option[Long] = {
     try {
       val in = java.nio.file.Files.newInputStream(p)
       try {
-        val head = in.readNBytes(FpBytes)
+        val head = in.readNBytes(n)
         if (head.isEmpty) None
         else {
           val crc = new java.util.zip.CRC32()
@@ -42,8 +50,35 @@ final class FileTailSource(spark: SparkSession, dir: String,
     } catch { case _: java.io.IOException => None }
   }
 
+  /** Resolve the stable fingerprint for `p` (size known), migrating a
+    * shorter-prefix identity when the file has grown past it.
+    */
+  private def fingerprintOf(p: java.nio.file.Path, size: Long): Option[Long] = {
+    val headLen = math.min(FpBytes.toLong, size).toInt
+    crcOfFirst(p, headLen).map { fpNew =>
+      val key = p.toString
+      pathFp.get(key) match {
+        case Some((len0, fp0)) if len0 == headLen && fp0 == fpNew => fpNew
+        case Some((len0, fp0)) if len0 < headLen &&
+            crcOfFirst(p, len0).contains(fp0) =>
+          // same file, grown past the old window: carry the offset over
+          offsets.remove(fp0).foreach { off =>
+            offsets(fpNew) = math.max(offsets.getOrElse(fpNew, 0L), off)
+          }
+          pathFp(key) = (headLen, fpNew)
+          fpNew
+        case _ =>
+          // new file at this path (fresh, rotated-in, or replaced)
+          pathFp(key) = (headLen, fpNew)
+          fpNew
+      }
+    }
+  }
+
   // fingerprint -> committed byte offset (complete lines only)
   private val offsets = scala.collection.mutable.Map[Long, Long]()
+  // path -> (prefix length, crc) its offsets entry is keyed on
+  private val pathFp = scala.collection.mutable.Map[String, (Int, Long)]()
   loadCheckpoint()
 
   private def loadCheckpoint(): Unit = checkpoint.foreach { cp =>
@@ -54,13 +89,18 @@ final class FileTailSource(spark: SparkSession, dir: String,
           case Array(fp, off) =>
             try offsets(fp.toLong) = off.toLong
             catch { case _: NumberFormatException => () }
+          case Array("P", path, len, fp) =>
+            try pathFp(path) = (len.toInt, fp.toLong)
+            catch { case _: NumberFormatException => () }
           case _ => ()
         }
       }
     }
   }
   private def saveCheckpoint(): Unit = checkpoint.foreach { cp =>
-    val body = offsets.map { case (fp, off) => s"$fp\t$off" }.mkString("\n")
+    val body = (offsets.map { case (fp, off) => s"$fp\t$off" } ++
+      pathFp.map { case (path, (len, fp)) => s"P\t$path\t$len\t$fp" })
+      .mkString("\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(cp),
       body.getBytes("UTF-8"))
   }
@@ -80,8 +120,8 @@ final class FileTailSource(spark: SparkSession, dir: String,
       .sorted()
       .iterator()
     files.forEachRemaining { p =>
-      fingerprintOf(p).foreach { fp =>
-        val size = java.nio.file.Files.size(p)
+      val size = java.nio.file.Files.size(p)
+      fingerprintOf(p, size).foreach { fp =>
         val committed = offsets.getOrElse(fp, 0L)
         // truncation (size shrank below the committed offset) restarts
         val from = if (size < committed) 0L else committed
@@ -98,7 +138,10 @@ final class FileTailSource(spark: SparkSession, dir: String,
               val lines = new String(bytes, 0, lastNl, "UTF-8")
                 .split("\n").filter(_.nonEmpty)
               if (lines.nonEmpty)
-                mem.addData(lines.toIndexedSeq.map(l => (p.toString, l)))
+                mem.addData(lines.toIndexedSeq.map { l =>
+                  seq += 1
+                  (p.toString, l, seq)
+                })
               emitted += lines.length
               offsets(fp) = from + lastNl + 1
             }
@@ -110,7 +153,7 @@ final class FileTailSource(spark: SparkSession, dir: String,
     emitted
   }
 
-  def df: DataFrame = mem.toDF().toDF("file", "message")
+  def df: DataFrame = mem.toDF().toDF("file", "message", "__seq")
 }
 
 object FileTail {

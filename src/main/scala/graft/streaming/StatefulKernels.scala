@@ -188,6 +188,128 @@ object StatefulKernels {
     }
   }
 
+  /** One flushed `line_agg` group: logical event assembled from
+    * consecutive physical lines of one file.
+    */
+  final case class LineAggOut(file: String, grp: Long, first_order: Long,
+                              n_lines: Long, message: String)
+
+  /** `line_agg` — multiline aggregation, streaming form.
+    *
+    * Reference: /root/reference/src/line_agg.rs:24-47 (the four modes)
+    * and :49-58 (timeout: a group with no continuation within
+    * `timeout_ms` flushes as-is — the case the batch form can't express,
+    * since it only sees micro-batch boundaries). Per-file state is the
+    * open group plus the previous line's match flag, mirroring the batch
+    * operator's lag()-based `startsNew` exactly: ContinueThrough starts
+    * on a non-matching line, ContinueWith when the PREVIOUS line didn't
+    * match, HaltBefore on a matching line, HaltWith after a matching
+    * line (first line of a key starts a group in every mode).
+    *
+    * Events within a micro-batch are sorted by `ord` (arrival order is
+    * not guaranteed inside flatMapGroupsWithState); cross-batch order is
+    * the trigger sequence, as in the reference's single-stream reads.
+    */
+  final case class LineAggState(buf: List[(Long, String)],
+                                prevMatched: Boolean, grp: Long)
+
+  def lineAgg[K, V](
+      grouped: KeyValueGroupedDataset[K, V],
+      mode: String, // continue_through | continue_with | halt_before | halt_with
+      pattern: String,
+      separator: String,
+      ord: V => Long,
+      line: V => String,
+      timeoutMs: Long = 3000L): Dataset[LineAggOut] = {
+    val re = java.util.regex.Pattern.compile(pattern)
+    implicit val stateEnc: Encoder[LineAggState] = Encoders.product[LineAggState]
+    implicit val outEnc: Encoder[LineAggOut] = Encoders.product[LineAggOut]
+    grouped.flatMapGroupsWithState[LineAggState, LineAggOut](
+      OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      (key, events, state) =>
+        def flush(st: LineAggState): LineAggOut = {
+          val lines = st.buf.reverse
+          LineAggOut(String.valueOf(key), st.grp, lines.head._1,
+            lines.size.toLong, lines.map(_._2).mkString(separator))
+        }
+        if (state.hasTimedOut) {
+          val out = state.getOption.filter(_.buf.nonEmpty).map(flush).toList
+          state.remove()
+          out.iterator
+        } else {
+          var st = state.getOption.getOrElse(
+            LineAggState(Nil, prevMatched = mode == "halt_with", 0L))
+          val out = scala.collection.mutable.ListBuffer[LineAggOut]()
+          events.toList.sortBy(ord).foreach { v =>
+            val l = line(v)
+            val matches = re.matcher(l).find()
+            val startsNew = mode match {
+              case "continue_through" => !matches
+              case "continue_with"    => !st.prevMatched
+              case "halt_before"      => matches
+              case "halt_with"        => st.prevMatched
+              case other => throw new IllegalArgumentException(
+                s"line_agg: unknown mode $other")
+            }
+            if (startsNew && st.buf.nonEmpty) {
+              out += flush(st)
+              st = st.copy(buf = Nil)
+            }
+            val g = if (startsNew) st.grp + 1 else st.grp
+            st = LineAggState((ord(v), l) :: st.buf, matches, g)
+          }
+          state.update(st)
+          state.setTimeoutDuration(timeoutMs)
+          out.iterator
+        }
+    }
+  }
+
+  /** Running scalar aggregate for the `aggregate` transform's streaming
+    * form: (count, sum, min, max, first, last, sum-of-squares) covers
+    * every mode at flush time.
+    */
+  final case class AggState(n: Long, sum: Double, min: Double, max: Double,
+                            first: Double, last: Double, sumSq: Double) {
+    def add(v: Double): AggState = AggState(n + 1, sum + v,
+      if (n == 0) v else math.min(min, v), if (n == 0) v else math.max(max, v),
+      if (n == 0) v else first, v, sumSq + v * v)
+  }
+
+  /** `aggregate` — interval-flushed metric aggregation, streaming form.
+    *
+    * Reference: /root/reference/src/transforms/aggregate/mod.rs (a map of
+    * series → running aggregate, flushed on a `interval_ms` ticker) —
+    * exactly a per-key state with a processing-time timeout: events fold
+    * into the running AggState and emit NOTHING; the flush fires when
+    * the key sees no traffic for `intervalMs`, emitting one row per
+    * series per quiet interval. The batch `Aggregate` operator's
+    * event-time tumbling windows are the replay/backfill analogue.
+    */
+  def aggregateFlush[K, V, Out: Encoder](
+      grouped: KeyValueGroupedDataset[K, V],
+      value: V => Double,
+      intervalMs: Long,
+      finish: (K, AggState) => Out): Dataset[Out] = {
+    implicit val stateEnc: Encoder[AggState] = Encoders.product[AggState]
+    grouped.flatMapGroupsWithState[AggState, Out](
+      OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      (key, events, state) =>
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(finish(key, _)).toList
+          state.remove()
+          out.iterator
+        } else {
+          var st = state.getOption.getOrElse(
+            AggState(0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+          events.foreach(v => st = st.add(value(v)))
+          state.update(st)
+          state.setTimeoutDuration(intervalMs)
+          Iterator.empty
+        }
+    }
+  }
+
   /** `tag_cardinality_limit` — bound distinct values per tag key.
     *
     * Reference: /root/reference/src/transforms/tag_cardinality_limit/

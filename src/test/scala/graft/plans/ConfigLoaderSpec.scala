@@ -421,8 +421,10 @@ class ConfigLoaderSpec extends SparkSpec {
         java.nio.file.StandardOpenOption.APPEND)
       running.processAllAvailable()
       val batch2 = spark.table("tap2").collect()
-        .map(_.getAs[String]("message")).toSet
-      assert(batch2 == Set("ONE", "TWO", "THREE"))
+        .map(_.getAs[String]("message")).sorted.toSeq
+      // exact multiset: growth past the fingerprint window must migrate
+      // the offset, not re-emit the file from byte 0
+      assert(batch2 == Seq("ONE", "THREE", "TWO"))
     } finally running.stopAll()
   }
 
@@ -456,6 +458,236 @@ class ConfigLoaderSpec extends SparkSpec {
     try {
       running.processAllAvailable()
       assert(spark.table("tap3").count() == 3L)
+    } finally running.stopAll()
+  }
+
+  /** Retry `f` until it passes or the deadline expires — for sinks fed
+    * by timeout-flushed kernels (aggregate/line_agg), whose rows land a
+    * flush interval after the sources drain.
+    */
+  private def eventually[T](deadlineMs: Long = 30000)(f: => T): T = {
+    val end = System.nanoTime + deadlineMs * 1000000L
+    var last: Throwable = null
+    while (System.nanoTime < end) {
+      try return f
+      catch { case t: Throwable => last = t; Thread.sleep(100) }
+    }
+    throw last
+  }
+
+  private def tailConfig(lines: Seq[String], transformYaml: String,
+                         sink: String): ConfigLoader.RunningConfig = {
+    val dir = java.nio.file.Files.createTempDirectory("strmcfg")
+    java.nio.file.Files.write(dir.resolve("a.log"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val tmp = java.nio.file.Files.createTempDirectory("strmwork").toString
+    ConfigLoader.run(spark,
+      s"""
+        |sources:
+        |  logs:
+        |    type: file
+        |    path: $dir
+        |$transformYaml
+        |sinks:
+        |  $sink:
+        |    type: memory
+        |    inputs: [last]
+        |""".stripMargin,
+      "/root/testdata/sf0.001", tmp)
+  }
+
+  test("run: streaming line_agg groups multiline logs with timeout flush") {
+    // halt_before ^START: the first group flushes when START b arrives;
+    // the OPEN group [START b, tail] only exists because of the
+    // reference's timeout flush (line_agg.rs:49-58) — unreachable in
+    // the batch window form
+    val running = tailConfig(
+      Seq("START a", "  frame1", "  frame2", "START b", "  tail"),
+      """
+        |transforms:
+        |  last:
+        |    type: line_agg
+        |    inputs: [logs]
+        |    mode: halt_before
+        |    condition_pattern: "^START"
+        |    timeout_ms: 500
+        |""".stripMargin, "tap5")
+    try {
+      running.processAllAvailable()
+      eventually() {
+        val msgs = spark.table("tap5").collect()
+          .map(_.getAs[String]("message")).toSet
+        assert(msgs == Set("START a\n  frame1\n  frame2", "START b\n  tail"))
+      }
+    } finally running.stopAll()
+  }
+
+  test("run: streaming aggregate flushes per-series sums every interval") {
+    val running = tailConfig(
+      Seq("1", "2", "3.5"),
+      """
+        |transforms:
+        |  vals:
+        |    type: remap
+        |    inputs: [logs]
+        |    source: |
+        |      .val = to_float!(.message)
+        |  last:
+        |    type: aggregate
+        |    inputs: [vals]
+        |    mode: sum
+        |    interval_ms: 600
+        |    group_by: [file]
+        |    value_field: val
+        |""".stripMargin, "tap6")
+    try {
+      running.processAllAvailable()
+      eventually() {
+        val rows = spark.table("tap6").collect()
+        assert(rows.nonEmpty)
+        assert(rows.map(_.getAs[Double]("value")).sum == 6.5)
+        assert(rows.map(_.getAs[Long]("n_events")).sum == 3L)
+      }
+    } finally running.stopAll()
+  }
+
+  test("run: streaming incremental_to_absolute keeps a per-series running sum") {
+    val running = tailConfig(
+      Seq("1", "2", "3"),
+      """
+        |transforms:
+        |  vals:
+        |    type: remap
+        |    inputs: [logs]
+        |    source: |
+        |      .val = to_float!(.message)
+        |  last:
+        |    type: incremental_to_absolute
+        |    inputs: [vals]
+        |    group_by: [file]
+        |    value_field: val
+        |""".stripMargin, "tap7")
+    try {
+      running.processAllAvailable()
+      eventually() {
+        val sums = spark.table("tap7").collect()
+          .map(_.getAs[Double]("val")).sorted.toSeq
+        assert(sums == Seq(1.0, 3.0, 6.0))
+      }
+    } finally running.stopAll()
+  }
+
+  test("run: streaming window emits lookback context around a trigger") {
+    val running = tailConfig(
+      Seq("a", "b", "c", "TRIG", "d", "e"),
+      """
+        |transforms:
+        |  last:
+        |    type: window
+        |    inputs: [logs]
+        |    flush_when: .message == "TRIG"
+        |    num_events_before: 2
+        |    num_events_after: 1
+        |""".stripMargin, "tap8")
+    try {
+      running.processAllAvailable()
+      eventually() {
+        val msgs = spark.table("tap8").collect()
+          .map(_.getAs[String]("message")).toSet
+        assert(msgs == Set("b", "c", "TRIG", "d"))
+      }
+    } finally running.stopAll()
+  }
+
+  test("run: streaming count-mode sample keeps 1-in-rate per key") {
+    val running = tailConfig(
+      (1 to 7).map(i => s"line$i"),
+      """
+        |transforms:
+        |  last:
+        |    type: sample
+        |    inputs: [logs]
+        |    rate: 3
+        |    group_by: file
+        |""".stripMargin, "tap9")
+    try {
+      running.processAllAvailable()
+      // 7 events, 1-in-3 counter: ceil(7/3) = 3 kept (which three
+      // depends on intra-batch iterator order — count is deterministic)
+      assert(spark.table("tap9").count() == 3L)
+    } finally running.stopAll()
+  }
+
+  test("run: streaming tag_cardinality_limit drops events past the limit") {
+    val dir = java.nio.file.Files.createTempDirectory("tclcfg")
+    val log = dir.resolve("a.log")
+    java.nio.file.Files.write(log, "x\ny\n".getBytes("UTF-8"))
+    val tmp = java.nio.file.Files.createTempDirectory("tclwork").toString
+    val running = ConfigLoader.run(spark,
+      s"""
+        |sources:
+        |  logs:
+        |    type: file
+        |    path: $dir
+        |transforms:
+        |  last:
+        |    type: tag_cardinality_limit
+        |    inputs: [logs]
+        |    tag: message
+        |    value_limit: 2
+        |    limit_exceeded_action: drop_event
+        |sinks:
+        |  tap10:
+        |    type: memory
+        |    inputs: [last]
+        |""".stripMargin,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      running.processAllAvailable()
+      // x and y claim both slots in batch 1 (deterministic: the only
+      // two values); batch 2's z exceeds and drops, repeats of x pass
+      java.nio.file.Files.write(log, "z\nx\n".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+      running.processAllAvailable()
+      val msgs = spark.table("tap10").collect()
+        .map(_.getAs[String]("message")).sorted.toSeq
+      assert(msgs == Seq("x", "x", "y"))
+    } finally running.stopAll()
+  }
+
+  test("run: streaming reduce sessions merge per key and flush on ends_when + expiry") {
+    // two sessions: "a b END" closes via ends_when (concat message,
+    // numeric val sums); the trailing "tail" session only flushes via
+    // the expire_after_ms timeout — the cross-micro-batch state the
+    // batch window form cannot hold
+    val running = tailConfig(
+      Seq("a 1", "b 2", "END 3", "tail 4"),
+      """
+        |transforms:
+        |  vals:
+        |    type: remap
+        |    inputs: [logs]
+        |    source: |
+        |      parts = split!(.message, " ")
+        |      .word = parts[0]
+        |      .val = to_float!(parts[1])
+        |  last:
+        |    type: reduce
+        |    inputs: [vals]
+        |    group_by: [file]
+        |    ends_when: .word == "END"
+        |    expire_after_ms: 800
+        |    merge_strategies:
+        |      word: concat
+        |""".stripMargin, "tap11")
+    try {
+      running.processAllAvailable()
+      eventually() {
+        val rows = spark.table("tap11").collect()
+          .map(r => (r.getAs[String]("word"), r.getAs[Double]("val"),
+            r.getAs[Long]("n_events"))).sortBy(_._1)
+        assert(rows.toSeq == Seq(("a b END", 6.0, 3L), ("tail", 4.0, 1L)))
+      }
     } finally running.stopAll()
   }
 

@@ -14,6 +14,31 @@ class FileTailSpec extends SparkSpec {
     spark.sql(s"SELECT message FROM $name").collect().map(_.getString(0)).toSeq
   }
 
+  test("tail: a file shorter than the fingerprint window keeps its identity as it grows") {
+    // head-CRC fingerprints change on every append while size < 256
+    // bytes; the per-path prefix-length migration must carry the
+    // committed offset over instead of re-emitting from byte 0
+    val dir = Files.createTempDirectory("tailsmall")
+    val log = dir.resolve("s.log")
+    Files.write(log, "a\nb\n".getBytes("UTF-8"))
+    val tail = FileTail(spark, dir.toString)
+    val q = tail.df.writeStream.format("memory").queryName("tailsmall").start()
+    try {
+      tail.poll()
+      assert(collected(q, "tailsmall").sorted == Seq("a", "b"))
+      Files.write(log, "c\n".getBytes("UTF-8"), StandardOpenOption.APPEND)
+      tail.poll()
+      assert(collected(q, "tailsmall").sorted == Seq("a", "b", "c"))
+      // grow straight past the 256-byte window in one append
+      val big = (1 to 60).map(i => s"line$i").mkString("", "\n", "\n")
+      Files.write(log, big.getBytes("UTF-8"), StandardOpenOption.APPEND)
+      tail.poll()
+      val all = collected(q, "tailsmall")
+      assert(all.size == 63) // 3 + 60, nothing re-emitted
+      assert(all.count(_ == "a") == 1)
+    } finally q.stop()
+  }
+
   test("tail: appends, partial lines, rotation, checkpoint resume") {
     val dir = Files.createTempDirectory("tail").toString
     val cp = s"$dir/.checkpoint"
