@@ -42,7 +42,10 @@ object Dedupe {
     * the variant path and key on canonical JSON (grouping can't order
     * raw variants).
     */
-  private def resolve(df: DataFrame, path: String): Column = {
+  /** Package-public: the config loader's streaming branch keys on the
+    * same resolution (missing segment -> null, variants -> JSON).
+    */
+  private[graft] def resolve(df: DataFrame, path: String): Column = {
     val segs = path.split("\\.").toList
     def walk(dt: DataType, c: Column, rest: List[String]): Column = rest match {
       case Nil => dt match {

@@ -125,10 +125,11 @@ object ConfigLoader {
         Topology.Transform.simple(id, inputs, df => {
           if (df.isStreaming) {
             // per-key first-seen with TTL state (the reference's LRU/
-            // timed cache analogue) — flatMapGroupsWithState kernel
+            // timed cache analogue) — flatMapGroupsWithState kernel.
+            // Dedupe.resolve handles nested/missing paths and variants
+            // the same way the batch operator keys them
             val keyCols = matches.map(m =>
-              if (df.columns.contains(m.split("\\.", 2)(0))) col(m).cast("string")
-              else lit(null).cast("string"))
+              graft.operators.Dedupe.resolve(df, m).cast("string"))
             val staged = df.withColumn("__key",
               concat_ws("\u0001", keyCols: _*))
             implicit val enc: org.apache.spark.sql.Encoder[Row] =

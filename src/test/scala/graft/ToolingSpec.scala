@@ -1,0 +1,74 @@
+package graft
+
+import graft.SparkSpec
+
+/** `vector graph` / `vector validate` CLI surfaces (graph.rs,
+  * validate.rs).
+  */
+class ToolingSpec extends SparkSpec {
+
+  private val yaml =
+    """
+      |sources:
+      |  in:
+      |    type: parquet
+      |    table: events
+      |transforms:
+      |  router:
+      |    type: route
+      |    inputs: [in]
+      |    route:
+      |      errors: .level == "error"
+      |  up:
+      |    type: remap
+      |    inputs: [router.errors]
+      |    source: |
+      |      .msg = upcase!(.message)
+      |sinks:
+      |  out:
+      |    type: memory
+      |    inputs: [up]
+      |""".stripMargin
+
+  test("graph: DOT output shapes components and labels port edges") {
+    val dot = Graph.dot(yaml)
+    assert(dot.startsWith("digraph {"))
+    assert(dot.contains("""  "in" [shape="trapezium"]"""))
+    assert(dot.contains("""  "router" [shape="diamond"]"""))
+    assert(dot.contains("""  "out" [shape="invtrapezium"]"""))
+    assert(dot.contains("""  "in" -> "router""""))
+    // port-qualified input renders as an edge label (graph.rs:228-236)
+    assert(dot.contains("""  "router" -> "up" [label="errors"]"""))
+    assert(dot.contains("""  "up" -> "out""""))
+  }
+
+  test("graph: mermaid output uses the reference's node brackets") {
+    val mm = Graph.mermaid(yaml)
+    assert(mm.startsWith("flowchart TD;"))
+    assert(mm.contains("  in[/in/]"))
+    assert(mm.contains("  router{router}"))
+    assert(mm.contains("  out[\\out\\]"))
+    assert(mm.contains("  router -->|errors| up"))
+  }
+
+  test("validate: a well-formed config reports every component healthy") {
+    val results = Validate.check(spark, yaml, "/root/testdata/sf0.001")
+    assert(results.map(_._1) == Seq("in", "router", "up", "out"))
+    assert(results.forall(_._2.isEmpty))
+  }
+
+  test("validate: a broken transform is caught at build time, not runtime") {
+    // a missing FIELD is legal VRL (dynamic events: null at runtime);
+    // an unknown FUNCTION is a compile error, which validate must
+    // surface without executing anything
+    val bad = yaml.replace("upcase!(.message)", "upcaze!(.message)")
+    val results = Validate.check(spark, bad, "/root/testdata/sf0.001")
+    assert(results.exists(_._2.nonEmpty))
+  }
+
+  test("validate: an unknown input edge fails") {
+    val bad = yaml.replace("inputs: [up]", "inputs: [nope]")
+    val results = Validate.check(spark, bad, "/root/testdata/sf0.001")
+    assert(results.exists(_._2.nonEmpty))
+  }
+}
