@@ -780,6 +780,19 @@ object ConfigLoader {
           workDir: String): RunningConfig = {
     import graft.streaming.StreamRunner
     pendingTails = Nil
+    // `spark:` — engine-tuning block applied as runtime confs before
+    // any query starts. The headline use at scale: switching the
+    // streaming kernels' state store to RocksDB
+    // (spark.sql.streaming.stateStore.providerClass), which keeps
+    // per-key state on executor disk instead of heap — the 100 TB
+    // posture for dedupe/throttle/reduce state that outgrows memory.
+    // `state_store: rocksdb` is sugar for exactly that conf.
+    yamlMap(parseYaml(yaml).getOrElse("spark", null)).foreach {
+      case ("state_store", v) if v.toString == "rocksdb" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case (k, v) => spark.conf.set(k, v.toString)
+    }
     val built = load(spark, yaml, sfDir)
     val tails = pendingTails
     pendingTails = Nil

@@ -691,6 +691,52 @@ class ConfigLoaderSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("run: spark block switches kernel state to the RocksDB store") {
+    // `spark: {state_store: rocksdb}` applies the provider conf before
+    // the queries start — same GCRA behavior, state on executor disk
+    // (the 100 TB posture for state that outgrows heap)
+    val dir = java.nio.file.Files.createTempDirectory("rockscfg")
+    java.nio.file.Files.write(dir.resolve("a.log"),
+      (1 to 6).map(i => s"line$i").mkString("", "\n", "\n").getBytes("UTF-8"))
+    val tmp = java.nio.file.Files.createTempDirectory("rockswork").toString
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    val running = ConfigLoader.run(spark,
+      s"""
+        |spark:
+        |  state_store: rocksdb
+        |sources:
+        |  logs:
+        |    type: file
+        |    path: $dir
+        |transforms:
+        |  limited:
+        |    type: throttle
+        |    inputs: [logs]
+        |    threshold: 3
+        |    window_secs: 10
+        |sinks:
+        |  tap12:
+        |    type: memory
+        |    inputs: [limited]
+        |""".stripMargin,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"))
+      running.processAllAvailable()
+      assert(spark.table("tap12").count() == 3L)
+    } finally {
+      running.stopAll()
+      prev match {
+        case Some(p) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("run: streaming dedupe uses the TTL first-seen kernel from YAML") {
     // six tailed lines collapse to three by message: the loader routes
     // streaming inputs to the flatMapGroupsWithState first-seen kernel
