@@ -68,6 +68,43 @@ object DatapipeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the end-to-end curation run a training-data team performs before
+    // a pretraining mix — quality gate, corpus-wide exact + near-dup
+    // canonical sets, stratified source mix — composed as ONE Catalyst
+    // plan: the gate is a projection+filter, the two dedup legs arrive
+    // as left-anti hash joins on doc_id, and the mix is the monotone
+    // hash filter, so nothing materializes between stages
+    "curation_pipeline" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val gated = d
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          TextAnalysis.stopwordRatioOf(col("toks")).as("stop_ratio"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityFrom(col("stop_ratio"), col("punct_ratio"),
+            col("n_chars")).as("quality"))
+        .filter(col("quality") >= 0.5)
+      val exactDup = Dedup.exact(d.select("doc_id", "text"), "doc_id",
+        col("text")).select(col("doc_id"))
+      val nearPairs = Dedup.minhashLsh(d, "doc_id", col("text"),
+        shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5)
+      val nearDup = Dedup.connectedComponents(
+          d.select(col("doc_id").as("id")),
+          nearPairs.select(col("id_a"), col("id_b")))
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      val kept = gated
+        .join(exactDup, Seq("doc_id"), "left_anti")
+        .join(nearDup, Seq("doc_id"), "left_anti")
+      graft.operators.Sample.stratified(kept, col("source"), col("doc_id"),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("sample_rate"))
+        .orderBy(col("doc_id"))
+    },
+
     "dedup_ngram" -> { (s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "doc_id", col("text"),
           shingleN = 3, threshold = 0.5)
@@ -251,6 +288,36 @@ object DatapipeQueries {
       |WHERE round(n_common * 1.0 / (za.n + zb.n - n_common), 6) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** LSH candidates -> verified pairs -> connected components: the
+    * canonical-doc CTE chain, shared by the cluster and curation
+    * oracles.
+    */
+  private val clusterCtes =
+    """inv AS (SELECT doc_id, unnest(list_distinct(s)) shv FROM sh),
+      |sz AS (SELECT doc_id, len(list_distinct(s)) n FROM sh),
+      |common AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN inv sa ON sa.doc_id = c.id_a
+      |  JOIN inv sb ON sb.doc_id = c.id_b AND sb.shv = sa.shv
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b
+      |  FROM common JOIN sz za ON za.doc_id = id_a
+      |    JOIN sz zb ON zb.doc_id = id_b
+      |  WHERE round(n_common * 1.0 / (za.n + zb.n - n_common), 6) >= 0.5),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a AS src, b AS dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |comp AS (
+      |  SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
+      |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      |  GROUP BY d.doc_id)""".stripMargin
+
   private val dotExpr =
     "list_sum([CAST(qv[i] AS DOUBLE)*CAST(cv[i] AS DOUBLE) for i in range(1, len(qv)+1)])"
   private def normExpr(v: String) =
@@ -315,32 +382,57 @@ object DatapipeQueries {
     "dedup_clusters" ->
       s"""WITH RECURSIVE $toksCte, $shCte,
         |$minhashCandCtes,
-        |inv AS (SELECT doc_id, unnest(list_distinct(s)) shv FROM sh),
-        |sz AS (SELECT doc_id, len(list_distinct(s)) n FROM sh),
-        |common AS (
-        |  SELECT c.id_a, c.id_b, count(*) AS n_common
-        |  FROM cand c
-        |  JOIN inv sa ON sa.doc_id = c.id_a
-        |  JOIN inv sb ON sb.doc_id = c.id_b AND sb.shv = sa.shv
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b
-        |  FROM common JOIN sz za ON za.doc_id = id_a
-        |    JOIN sz zb ON zb.doc_id = id_b
-        |  WHERE round(n_common * 1.0 / (za.n + zb.n - n_common), 6) >= 0.5),
-        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT a AS src, b AS dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-        |comp AS (
-        |  SELECT d.doc_id,
-        |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
-        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        |  GROUP BY d.doc_id)
+        |$clusterCtes
         |SELECT doc_id, cluster, (doc_id = cluster) AS keep
         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "curation_pipeline" ->
+      s"""WITH RECURSIVE $toksCte, $shCte,
+        |$minhashCandCtes,
+        |$clusterCtes,
+        |q AS (
+        |  SELECT doc_id, source,
+        |    round((least(n_chars / 500.0, 1.0) + least(stop_ratio * 5.0, 1.0)
+        |      + greatest(1.0 - punct_ratio * 4.0, 0.0)) / 3.0, 6) AS quality
+        |  FROM (
+        |    SELECT doc_id, source, n_chars,
+        |      round(len(list_filter(tk,
+        |        x -> x IN ('the','a','of','and','to','in','is','on'))) * 1.0
+        |        / len(tk), 6) AS stop_ratio,
+        |      round((length(text) - length(regexp_replace(text,
+        |        '[[:punct:]]', '', 'g'))) * 1.0 / length(text), 6)
+        |        AS punct_ratio
+        |    FROM (SELECT doc_id, source, text, n_chars,
+        |      list_filter(string_split(text,' '), x -> len(x)>0) AS tk
+        |      FROM documents))),
+        |exact_dup AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn > 1),
+        |kept AS (
+        |  SELECT q.doc_id, q.source, q.quality FROM q
+        |  WHERE quality >= 0.5
+        |    AND doc_id NOT IN (SELECT doc_id FROM exact_dup)
+        |    AND doc_id NOT IN (
+        |      SELECT doc_id FROM comp WHERE doc_id <> cluster)),
+        |h AS (SELECT doc_id, source, quality,
+        |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |    WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 END AS fr,
+        |  md5(coalesce(CAST(doc_id AS VARCHAR), '')) AS m
+        |  FROM kept),
+        |f AS (SELECT doc_id, source, quality, fr,
+        |  (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(m, 5, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(m, 6, 1)) - 1) AS bucket
+        |  FROM h)
+        |SELECT doc_id, source, quality, CAST(fr AS DOUBLE) AS sample_rate
+        |FROM f WHERE fr IS NOT NULL
+        |  AND bucket < CAST(floor(fr * 16777216) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram" ->
       s"""WITH $toksCte, $shCte,
