@@ -16,8 +16,9 @@ object Run {
   def main(args: Array[String]): Unit = {
     def flag(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(k, v) if k == s"--$name" => v }
-    val config = flag("config").getOrElse(
-      sys.error("usage: graft.Run --config <yaml> [--sf-dir DIR] [--work-dir DIR] [--duration SECS]"))
+    val config = flag("config").orElse(flag("config-dir")).getOrElse(
+      sys.error("usage: graft.Run --config <yaml>|--config-dir <dir> " +
+        "[--sf-dir DIR] [--work-dir DIR] [--duration SECS]"))
     val sfDir = flag("sf-dir").getOrElse("/root/testdata/sf0.001")
     val workDir = flag("work-dir").getOrElse(
       java.nio.file.Files.createTempDirectory("graft-run").toString)
@@ -32,8 +33,13 @@ object Run {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val yaml = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(config)), "UTF-8")
+    // a directory merges per the reference's config-dir rules
+    // (namespaced component files, global merging)
+    val yaml =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(config)))
+        plans.ConfigLoader.mergeConfigDir(config)
+      else new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(config)), "UTF-8")
     val running = plans.ConfigLoader.run(spark, yaml, sfDir, workDir)
     if (running.queries.isEmpty) {
       println(s"[graft] batch topology complete; outputs under $workDir")

@@ -57,11 +57,14 @@ object Validate {
   def main(args: Array[String]): Unit = {
     def flag(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(k, v) if k == s"--$name" => v }
-    val config = flag("config").getOrElse(
-      sys.error("usage: graft.Validate --config <yaml> [--sf-dir DIR]"))
+    val config = flag("config").orElse(flag("config-dir")).getOrElse(
+      sys.error("usage: graft.Validate --config <yaml>|--config-dir <dir> [--sf-dir DIR]"))
     val sfDir = flag("sf-dir").getOrElse("/root/testdata/sf0.001")
-    val yaml = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(config)), "UTF-8")
+    val yaml =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(config)))
+        plans.ConfigLoader.mergeConfigDir(config)
+      else new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(config)), "UTF-8")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -695,6 +695,95 @@ object ConfigLoader {
     Topology.build(spark, sources ++ transforms ++ sinks)
   }
 
+  // ---------------- multi-file / directory configs ----------------
+
+  /** Merge a config DIRECTORY the way the reference's loader does
+    * (src/config/loading/mod.rs + config_builder.rs, exercised by
+    * tests/config-dir and tests/namespacing): top-level
+    * .yaml/.yml/.json files merge their sections (JSON ⊂ YAML, so one
+    * parser covers both; TOML is not supported here); subdirectories
+    * named after component namespaces contribute ONE component per
+    * file with id = the file stem (`sources/apache_logs.yaml` →
+    * `sources.apache_logs`), `tests/` files append to the test list;
+    * unknown extensions and unknown subdirectories are ignored.
+    * Duplicate component ids error; duplicate globals error only when
+    * the values CONFLICT (re-stating the same value is fine — the
+    * globals-duplicate fixture must load).
+    *
+    * Returns merged YAML text so the result flows through the same
+    * load/run path (secret interpolation happens on raw text).
+    */
+  def mergeConfigDir(dir: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(dir)
+    val componentSections =
+      Set("sources", "transforms", "sinks", "enrichment_tables")
+    def parseable(n: String) =
+      n.endsWith(".yaml") || n.endsWith(".yml") || n.endsWith(".json")
+    def stem(n: String) = n.substring(0, n.lastIndexOf('.'))
+    def parseFile(p: Path): Any = new org.yaml.snakeyaml.Yaml()
+      .load[Any](new String(Files.readAllBytes(p), "UTF-8"))
+    def listSorted(p: Path): Seq[Path] =
+      Files.list(p).iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+
+    val merged = new java.util.LinkedHashMap[String, Any]()
+    def sectionMap(name: String): java.util.Map[String, Any] =
+      merged.computeIfAbsent(name,
+        _ => new java.util.LinkedHashMap[String, Any]())
+        .asInstanceOf[java.util.Map[String, Any]]
+    def testsList(): java.util.List[Any] =
+      merged.computeIfAbsent("tests", _ => new java.util.ArrayList[Any]())
+        .asInstanceOf[java.util.List[Any]]
+    def putComponent(section: String, id: String, body: Any, src: Path): Unit = {
+      val sec = sectionMap(section)
+      if (sec.containsKey(id)) throw new IllegalArgumentException(
+        s"duplicate component '$id' in $section ($src)")
+      sec.put(id, body)
+    }
+
+    listSorted(root).foreach { p =>
+      val name = p.getFileName.toString
+      if (Files.isRegularFile(p) && parseable(name)) {
+        parseFile(p) match {
+          case m: java.util.Map[_, _] => m.forEach { (k, v) =>
+            val key = String.valueOf(k)
+            if (componentSections.contains(key)) v match {
+              case vm: java.util.Map[_, _] => vm.forEach { (id, body) =>
+                putComponent(key, String.valueOf(id), body, p)
+              }
+              case _ => ()
+            } else if (key == "tests") v match {
+              case l: java.util.List[_] =>
+                l.forEach(t => testsList().add(t))
+              case _ => ()
+            } else {
+              val prev = merged.get(key)
+              if (prev != null && prev != v)
+                throw new IllegalArgumentException(
+                  s"conflicting values for global '$key' ($p)")
+              merged.put(key, v)
+            }
+          }
+          case _ => () // empty or scalar document: nothing to merge
+        }
+      } else if (Files.isDirectory(p)) {
+        if (componentSections.contains(name))
+          listSorted(p)
+            .filter(f => Files.isRegularFile(f) &&
+              parseable(f.getFileName.toString))
+            .foreach(f => putComponent(name,
+              stem(f.getFileName.toString), parseFile(f), f))
+        else if (name == "tests")
+          listSorted(p)
+            .filter(f => Files.isRegularFile(f) &&
+              parseable(f.getFileName.toString))
+            .foreach(f => testsList().add(parseFile(f)))
+        // any other subdirectory is ignored (namespacing/ignore-invalid)
+      }
+    }
+    new org.yaml.snakeyaml.Yaml().dump(merged)
+  }
+
   // ---------------- streaming run (the vector-binary lifecycle) -------
 
   /** file-tail sources created while building the CURRENT config (the
