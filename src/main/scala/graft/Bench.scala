@@ -134,14 +134,19 @@ object Bench {
         .head().getDouble(0)
     } catch { case _: Throwable => Double.NaN }
     val mib = eventsBytes * REP / 1048576.0
+    // dev loop: skip the two REP-heavy batch throughput shapes when
+    // iterating on other bench sections
+    val skipTp = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_THROUGHPUT")
     val (pipeAttempts, pipeProbes, pipeMedianSec) =
-      try throughput(Queries.eventsPipeline)
+      if (skipTp) (Nil, Nil, Double.NaN)
+      else try throughput(Queries.eventsPipeline)
       catch { case _: Throwable => (Nil, Nil, Double.NaN) }
     // Remap-only throughput (filter -> parse -> project -> noop sink) —
     // the exact shape of the reference's *_remap_blackhole regression
     // cases and its 10 MiB/s/vCPU unstructured-log sizing figure.
     val (remapAttempts, remapProbes, remapMedianSec) =
-      try throughput(Queries.eventsRemap)
+      if (skipTp) (Nil, Nil, Double.NaN)
+      else try throughput(Queries.eventsRemap)
       catch { case _: Throwable => (Nil, Nil, Double.NaN) }
     val mibPerSec = mib / pipeMedianSec
     val remapMibPerSec = mib / remapMedianSec
@@ -150,6 +155,62 @@ object Bench {
     val mibPerSecPerEffCore = mibPerSec / effCores
     val remapMibPerSecPerEffCore = remapMibPerSec / effCores
 
+    // Streaming stateful-kernel throughput: synthetic (key, seq) events
+    // through the GCRA throttle kernel (flatMapGroupsWithState, per-key
+    // state) with an AvailableNow trigger — events/s for the stateful
+    // STREAM path, which none of the batch shapes exercise (the
+    // reference is a streaming engine; its regression harness measures
+    // exactly this path). State store commits across all partitions are
+    // inside the measured window.
+    def streamingThrottleRate(): Double = try {
+      import spark.implicits._
+      // parquet-backed file stream, NOT MemoryStream: MemoryStream
+      // embeds the data in the plan and broadcasts it to every task;
+      // a file source scans distributedly like a real deployment
+      def run(total: Int, keys: Int): Double = {
+        val base = java.nio.file.Files
+          .createTempDirectory("bench-stream").toString
+        spark.range(total)
+          .select((col("id") % keys).cast("int").as("_1"),
+            col("id").as("_2"))
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$base/in")
+        val ds = spark.readStream
+          .schema("_1 INT, _2 BIGINT").parquet(s"$base/in")
+          .as[(Int, Long)]
+        val out = graft.streaming.StatefulKernels.throttle[Int, (Int, Long)](
+          ds.groupByKey(_._1),
+          threshold = 100, windowMs = 1000L, eventTimeMs = _._2)
+        val t0 = System.nanoTime()
+        val q = out.writeStream.format("noop")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // the kernel holds ProcessingTimeTimeout state, so the query
+        // schedules timeout-check batches forever and AvailableNow never
+        // self-terminates — drain by progress: stop once the cumulative
+        // input-row count reaches `total`
+        var processed = 0L
+        val seen = scala.collection.mutable.Set.empty[Long]
+        val deadline = t0 + 300L * 1000000000L
+        while (processed < total && System.nanoTime() < deadline) {
+          var fresh = false
+          q.recentProgress.foreach { p =>
+            if (seen.add(p.batchId)) { processed += p.numInputRows; fresh = true }
+          }
+          if (!fresh) Thread.sleep(20)
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        require(processed >= total, s"streaming bench drained $processed/$total")
+        total / secs
+      }
+      run(100000, 1000) // warmup: codegen + state-store setup
+      val attempts = (1 to 3).map(_ => run(2000000, 10000))
+      attempts.sorted.apply(attempts.size / 2)
+    } catch { case _: Throwable => Double.NaN }
+    val streamEventsPerSec = streamingThrottleRate()
+
     def fmt(d: Double): String =
       if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
     def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
@@ -157,7 +218,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.sum
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"events_pipeline_attempts_sec":${arr(pipeAttempts)},"events_remap_attempts_sec":${arr(remapAttempts)},"cpu_probe_mt_mips":${arr(pipeProbes ++ remapProbes)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"cores":$cpus}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"events_pipeline_attempts_sec":${arr(pipeAttempts)},"events_remap_attempts_sec":${arr(remapAttempts)},"cpu_probe_mt_mips":${arr(pipeProbes ++ remapProbes)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"streaming_throttle_events_per_s":${fmt(streamEventsPerSec)},"cores":$cpus}""")
     spark.stop()
   }
 }

@@ -354,6 +354,39 @@ object TransformQueries {
         .orderBy(col("event_id"))
     },
 
+    // MaxMind-DB enrichment through the REAL binary format: build a
+    // spec-conformant .mmdb with the micro writer (fixed literal
+    // networks), then per-row search-tree walk via the broadcast reader
+    // (enrichment_tables geoip type, src/enrichment_tables/geoip.rs).
+    // The oracle recomputes the same mapping as plain range CASEs — any
+    // encode/decode/tree defect breaks the hash.
+    "enrich_mmdb" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val ip = when(pmod(col("user_id"), lit(2)) === 0,
+          concat_ws(".", lit(10), pmod(col("user_id"), lit(256)),
+            pmod(col("user_id") * 7, lit(256)), pmod(col("user_id") * 13, lit(256))))
+        .otherwise(concat_ws(".", lit(192), lit(168),
+          pmod(col("user_id"), lit(256)), pmod(col("user_id") * 3, lit(256))))
+      val db = graft.enrich.Mmdb.build(Seq(
+        "10.0.0.0/9" -> Map[String, Any](
+          "autonomous_system_number" -> 64512L,
+          "autonomous_system_organization" -> "Alpha Net"),
+        "10.128.0.0/9" -> Map[String, Any](
+          "autonomous_system_number" -> 64513L,
+          "autonomous_system_organization" -> "Alpha South"),
+        "192.168.0.0/16" -> Map[String, Any](
+          "autonomous_system_number" -> 64514L,
+          "autonomous_system_organization" -> "Beta Net")),
+        databaseType = "GeoLite2-ASN")
+      graft.enrich.MmdbEnrich.lookup(
+          e.withColumn("ip", ip), col("ip"), graft.enrich.Mmdb(db))
+        .select(col("event_id"), col("ip"),
+          col("autonomous_system_number").as("asn"),
+          col("autonomous_system_organization").as("asn_org"),
+          col("network"))
+        .orderBy(col("event_id"))
+    },
+
     "sample_group" -> { (s, dir) =>
       Sample.countPerGroup(ev(s, dir), col("event_type"), col("event_id"),
           rate = 7)
@@ -731,6 +764,27 @@ object TransformQueries {
         |    CASE WHEN user_id % 2 = 0 THEN 'alpha' ELSE 'beta' END AS network
         |  FROM events)
         |SELECT event_id, ip, network FROM t ORDER BY event_id""".stripMargin,
+
+    "enrich_mmdb" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    CASE WHEN user_id % 2 = 0
+        |      THEN '10.' || (user_id%256) || '.' || (user_id*7%256) || '.'
+        |        || (user_id*13%256)
+        |      ELSE '192.168.' || (user_id%256) || '.' || (user_id*3%256)
+        |    END AS ip,
+        |    CAST(CASE WHEN user_id % 2 = 0 AND user_id % 256 < 128 THEN 64512
+        |         WHEN user_id % 2 = 0 THEN 64513
+        |         ELSE 64514 END AS BIGINT) AS asn,
+        |    CASE WHEN user_id % 2 = 0 AND user_id % 256 < 128 THEN 'Alpha Net'
+        |         WHEN user_id % 2 = 0 THEN 'Alpha South'
+        |         ELSE 'Beta Net' END AS asn_org,
+        |    CASE WHEN user_id % 2 = 0 AND user_id % 256 < 128 THEN '10.0.0.0/9'
+        |         WHEN user_id % 2 = 0 THEN '10.128.0.0/9'
+        |         ELSE '192.168.0.0/16' END AS network
+        |  FROM events)
+        |SELECT event_id, ip, asn, asn_org, network FROM t
+        |ORDER BY event_id""".stripMargin,
 
     "sample_group" ->
       """SELECT event_id, event_type, 7 AS sample_rate FROM events

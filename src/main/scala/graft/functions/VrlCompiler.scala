@@ -51,6 +51,15 @@ object VrlCompiler {
   @volatile var enrichmentTables: Map[String, (Seq[String], Seq[Seq[Any]])] =
     Map.empty
 
+  /** `type: geoip` / `type: mmdb` enrichment tables (MaxMind databases,
+    * reference src/enrichment_tables/{geoip,mmdb}.rs): VRL lookups on
+    * these key on "ip" and compile to a broadcast tree-walk, not an
+    * equality map. Registered by the config loader; value = (reader,
+    * locale).
+    */
+  @volatile var geoipTables: Map[String, (graft.enrich.Mmdb.Reader, String)] =
+    Map.empty
+
   /** Lightweight type tag threaded through compilation so `+` can pick
     * concat-vs-add and `length` can pick size-vs-strlen statically.
     */
@@ -735,6 +744,16 @@ object VrlCompiler {
         case Some(s: String) => s
         case _ => throw VrlCompileException(s"$fn: table must be a string literal")
       }
+      if (geoipTables.contains(tname)) {
+        val (reader, locale) = geoipTables(tname)
+        val ipExpr = conds.collectFirst { case ("ip", e) => e }.getOrElse(
+          throw VrlCompileException(s"$fn: geoip/mmdb tables key on 'ip'"))
+        val (ipv, _) = expr(env, ipExpr)
+        val (looked, st) =
+          graft.enrich.MmdbEnrich.lookupCol(ipv.col, reader, locale)
+        if (fn == "get_enrichment_table_record") (CV(looked, TObj(st)), None)
+        else (CV(when(looked.isNotNull, array(looked)), TArr), None)
+      } else {
       val (names, rows) = enrichmentTables.getOrElse(tname,
         throw VrlCompileException(s"$fn: unknown enrichment table '$tname'"))
       val keyFields = conds.map(_._1)
@@ -761,6 +780,7 @@ object VrlCompiler {
       if (fn == "get_enrichment_table_record")
         (CV(looked, TObj(st)), None)
       else (CV(looked, TArr), None)
+      }
 
     case CallE("get_secret", _, List(k), _, None, _) =>
       val (kv, err) = expr(env, k)
