@@ -629,6 +629,10 @@ object ConfigLoader {
   def load(spark: SparkSession, rawYaml: String, sfDir: String): Topology.Built = {
     val yaml = interpolateSecrets(rawYaml)
     val conf = parseYaml(yaml)
+    // `timezone:` global (src/config/mod.rs GlobalOptions) — governs
+    // timestamp rendering/parsing in every plan built from this config
+    conf.get("timezone").foreach(tz =>
+      spark.conf.set("spark.sql.session.timeZone", tz.toString))
     val sources = yamlMap(conf.getOrElse("sources", null)).map { case (id, v) =>
       val m = yamlMap(v)
       m.getOrElse("type", "").toString match {
@@ -681,6 +685,31 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log,
             sp => graft.streaming.StreamRunner.textDir(
               sp, m.getOrElse("path", sfDir).toString))
+        // self-observability sources (src/sources/internal_metrics.rs,
+        // internal_logs.rs): the engine's own component counters /
+        // process logs as first-class event streams
+        case "internal_metrics" =>
+          val interval =
+            m.getOrElse("scrape_interval_secs", "1").toString.toDouble
+          val ns = m.getOrElse("namespace", "vector").toString
+          val tagsC = yamlMap(m.getOrElse("tags", null))
+          val hostKey = tagsC.getOrElse("host_key", "host").toString
+          val pidKey = tagsC.get("pid_key").map(_.toString).filter(_.nonEmpty)
+          Topology.Source(id, Topology.Metric, sp => {
+            val src = graft.streaming.InternalObs.internalMetrics(
+              sp, interval, ns, hostKey, pidKey)
+            pendingScrapers = src :: pendingScrapers
+            src.df
+          })
+        case "internal_logs" =>
+          val hostKey = m.getOrElse("host_key", "host").toString
+          val pidKey = m.getOrElse("pid_key", "pid").toString
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.InternalObs.internalLogs(
+              sp, hostKey, pidKey)
+            pendingLogTaps = src :: pendingLogTaps
+            src.df
+          })
         case other =>
           throw new IllegalArgumentException(s"unsupported source type: $other")
       }
@@ -791,17 +820,41 @@ object ConfigLoader {
     */
   @volatile private var pendingTails: List[graft.streaming.FileTailSource] = Nil
 
+  /** internal_metrics / internal_logs sources created during a load —
+    * the run lifecycle starts their scrape threads / log appenders and
+    * the RunningConfig owns shutdown.
+    */
+  @volatile private var pendingScrapers:
+    List[graft.streaming.InternalObs.InternalMetricsSource] = Nil
+  @volatile private var pendingLogTaps:
+    List[graft.streaming.InternalObs.InternalLogsSource] = Nil
+
+  /** One component-counter listener per session (internal_metrics.rs
+    * reads ONE process-global registry no matter how many configs run).
+    */
+  private val obsListenerAttached =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  private def ensureObsListener(spark: SparkSession): Unit =
+    if (obsListenerAttached.add(spark))
+      spark.streams.addListener(
+        new graft.streaming.InternalObs.ProgressListener())
+
   /** Handle on a started config: one StreamingQuery per streaming sink
     * (batch sinks have already written and carry no query), plus any
     * file-tail sources the config declared (polled per batch).
     */
   final case class RunningConfig(
       queries: Map[String, org.apache.spark.sql.streaming.StreamingQuery],
-      tails: Seq[graft.streaming.FileTailSource] = Nil) {
+      tails: Seq[graft.streaming.FileTailSource] = Nil,
+      scrapers: Seq[graft.streaming.InternalObs.InternalMetricsSource] = Nil,
+      logTaps: Seq[graft.streaming.InternalObs.InternalLogsSource] = Nil,
+      exporters: Map[String,
+        graft.streaming.InternalObs.PrometheusExporter] = Map.empty) {
     /** Poll tailed files once (ingest appended lines + rotations). */
     def pollTails(): Int = tails.map(_.poll()).sum
     def processAllAvailable(): Unit = {
       pollTails()
+      scrapers.foreach(_.scrapeOnce())
       queries.values.foreach { q =>
         if (hasProcTimeTimeout(q)) awaitDrained(q)
         else q.processAllAvailable()
@@ -849,8 +902,13 @@ object ConfigLoader {
       if (emptyRun < 2) throw new java.util.concurrent.TimeoutException(
         s"streaming query ${q.name} did not drain within ${timeoutMs}ms")
     }
-    def stopAll(): Unit =
+    def stopAll(): Unit = {
       queries.values.foreach(q => try q.stop() catch { case _: Exception => () })
+      scrapers.foreach(s => try s.stop() catch { case _: Exception => () })
+      logTaps.foreach(t => try t.stop() catch { case _: Exception => () })
+      exporters.values.foreach(e =>
+        try e.stop() catch { case _: Exception => () })
+    }
   }
 
   /** The full `vector --config c.yaml` lifecycle (SURVEY §3.1): parse,
@@ -882,11 +940,37 @@ object ConfigLoader {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       case (k, v) => spark.conf.set(k, v.toString)
     }
+    pendingScrapers = Nil
+    pendingLogTaps = Nil
+    // internal_metrics needs the component-counter listener feeding the
+    // registry before any query reports progress
+    if (yamlMap(parseYaml(yaml).getOrElse("sources", null)).values.exists(v =>
+        yamlMap(v).get("type").exists(_.toString == "internal_metrics")))
+      ensureObsListener(spark)
     val built = load(spark, yaml, sfDir)
     val tails = pendingTails
     pendingTails = Nil
+    val scrapers = pendingScrapers
+    val logTaps = pendingLogTaps
+    pendingScrapers = Nil
+    pendingLogTaps = Nil
+    logTaps.foreach(_.start())
+    scrapers.foreach(_.startScraping())
+    val exporters = scala.collection.mutable.Map.empty[String,
+      graft.streaming.InternalObs.PrometheusExporter]
     val sinkConfs = yamlMap(parseYaml(yaml).getOrElse("sinks", null))
       .map { case (id, v) => id -> yamlMap(v) }
+    def exporterFor(id: String, m: Map[String, Any]) = {
+      // src/sinks/prometheus/exporter.rs: default 0.0.0.0:9598; port 0
+      // binds ephemeral (tests read boundPort)
+      val addr = m.getOrElse("address", "0.0.0.0:9598").toString
+      val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
+      val exp = new graft.streaming.InternalObs.PrometheusExporter(port,
+        m.getOrElse("suppress_timestamp", "true").toString.toBoolean,
+        m.getOrElse("flush_period_secs", "60").toString.toLong)
+      exporters(id) = exp
+      exp
+    }
     val queries = sinkConfs.flatMap { case (id, m) =>
       val df = built.outputs(id)
       val tpe = m.getOrElse("type", "console").toString
@@ -905,6 +989,12 @@ object ConfigLoader {
           case "blackhole" => StreamRunner.toBlackhole(df)
           case "memory" =>
             df.writeStream.format("memory").queryName(id)
+          case "prometheus_exporter" =>
+            val exp = exporterFor(id, m)
+            df.writeStream.queryName(id)
+              .option("checkpointLocation", s"$workDir/.ckpt-$id")
+              .foreachBatch((b: org.apache.spark.sql.DataFrame, i: Long) =>
+                exp.update(b, i))
           case other => throw new IllegalArgumentException(
             s"unsupported sink type: $other")
         }
@@ -920,13 +1010,14 @@ object ConfigLoader {
           case "blackhole" =>
             df.write.mode("overwrite").format("noop").save()
           case "memory" => df.createOrReplaceTempView(id)
+          case "prometheus_exporter" => exporterFor(id, m).update(df)
           case other => throw new IllegalArgumentException(
             s"unsupported sink type: $other")
         }
         None
       }
     }
-    RunningConfig(queries.toMap, tails)
+    RunningConfig(queries.toMap, tails, scrapers, logTaps, exporters.toMap)
   }
 
   // ---------------- behavior-test runner ----------------
@@ -1020,7 +1111,21 @@ object ConfigLoader {
   private def registerEnrichmentTables(conf: Map[String, Any]): Unit = {
     val tables = yamlMap(conf.getOrElse("enrichment_tables", null))
     if (tables.isEmpty) return
-    val loaded = tables.map { case (tname, v) =>
+    // `type: geoip` / `type: mmdb` — MaxMind binary databases
+    // (src/enrichment_tables/geoip.rs `path` + `locale`, mmdb.rs `path`);
+    // VRL lookups on them compile to the broadcast tree-walk
+    val (mmdbTables, fileTables) = tables.partition { case (_, v) =>
+      Set("geoip", "mmdb")(yamlMap(v).getOrElse("type", "").toString)
+    }
+    graft.functions.VrlCompiler.geoipTables =
+      graft.functions.VrlCompiler.geoipTables ++ mmdbTables.map {
+        case (tname, v) =>
+          val m = yamlMap(v)
+          val path = resolvePath(m.getOrElse("path", "").toString)
+          val locale = m.getOrElse("locale", "en").toString
+          tname -> (graft.enrich.Mmdb.fromFile(path.toString), locale)
+      }
+    val loaded = fileTables.map { case (tname, v) =>
       val m = yamlMap(v)
       val fileConf = yamlMap(m.getOrElse("file", null))
       val path = resolvePath(fileConf.getOrElse("path", "").toString)

@@ -99,6 +99,26 @@ class ConfigDirSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("timezone global applies to the session while a config loads") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      ConfigLoader.load(spark,
+        """
+          |timezone: America/Los_Angeles
+          |sources:
+          |  ev:
+          |    type: parquet
+          |    table: events
+          |sinks:
+          |  tz_out:
+          |    type: memory
+          |    inputs: [ev]
+          |""".stripMargin, "/root/testdata/sf0.001")
+      assert(spark.conf.get("spark.sql.session.timeZone") ==
+        "America/Los_Angeles")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("duplicate component ids across files error out") {
     val dir = java.nio.file.Files.createTempDirectory("confdup")
     java.nio.file.Files.write(dir.resolve("a.yaml"),

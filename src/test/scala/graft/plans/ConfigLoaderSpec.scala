@@ -354,6 +354,62 @@ class ConfigLoaderSpec extends SparkSpec {
     withBehaviorData { runAll(resourceYaml("config/secret.yaml")) }
   }
 
+  test("geoip enrichment table from YAML: VRL ip lookup on a real mmdb") {
+    // write a spec-conformant MaxMind db with the micro writer, point a
+    // `type: geoip` enrichment table at it, and look up through VRL —
+    // the full reference path (geoip.rs + enrichment.cue) end to end
+    val db = graft.enrich.Mmdb.build(Seq(
+      "10.0.0.0/8" -> Map[String, Any](
+        "autonomous_system_number" -> 64512L,
+        "autonomous_system_organization" -> "Alpha Net"),
+      "203.0.113.0/24" -> Map[String, Any](
+        "autonomous_system_number" -> 64513L,
+        "autonomous_system_organization" -> "Doc Net")),
+      databaseType = "GeoLite2-ASN")
+    val f = java.nio.file.Files.createTempFile("micro", ".mmdb")
+    java.nio.file.Files.write(f, db)
+    try runAll(
+      s"""
+        |enrichment_tables:
+        |  geo:
+        |    type: geoip
+        |    path: ${f.toString}
+        |transforms:
+        |  enrich:
+        |    inputs: []
+        |    type: remap
+        |    source: |
+        |      rec = get_enrichment_table_record("geo", {"ip": .ip})
+        |      .asn = rec.autonomous_system_number
+        |      .org = rec.autonomous_system_organization
+        |      .net = rec.network
+        |tests:
+        |  - name: "hit inside 203.0.113.0/24"
+        |    inputs:
+        |      - insert_at: enrich
+        |        type: log
+        |        log_fields:
+        |          ip: "203.0.113.77"
+        |    outputs:
+        |      - extract_from: enrich
+        |        conditions:
+        |          - type: vrl
+        |            source: '.asn == 64513 && .org == "Doc Net" && .net == "203.0.113.0/24"'
+        |  - name: "miss yields nulls"
+        |    inputs:
+        |      - insert_at: enrich
+        |        type: log
+        |        log_fields:
+        |          ip: "198.51.100.1"
+        |    outputs:
+        |      - extract_from: enrich
+        |        conditions:
+        |          - type: vrl
+        |            source: '.asn == null && .org == null'
+        |""".stripMargin)
+    finally java.nio.file.Files.delete(f)
+  }
+
   test("reference dedupe.yaml behavior file passes as published") {
     // nested match paths incl. a row whose `a.b` is a SCALAR while other
     // rows nest `a.b.c` — the input builder degrades the column to
@@ -827,5 +883,66 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(running.queries.isEmpty) // batch: wrote synchronously
     val written = spark.read.parquet(s"$tmp/out")
     assert(written.count() == 201)
+  }
+
+  test("run: internal_metrics through a prometheus_exporter sink from YAML") {
+    // the full self-observability loop (internal_metrics.rs +
+    // sinks/prometheus/exporter.rs): the engine scrapes its own
+    // registry, the exporter aggregates and serves exposition text
+    val tmp = java.nio.file.Files.createTempDirectory("obswork").toString
+    val running = ConfigLoader.run(spark,
+      """
+        |sources:
+        |  im:
+        |    type: internal_metrics
+        |    scrape_interval_secs: 3600
+        |    tags:
+        |      pid_key: pid
+        |sinks:
+        |  prom:
+        |    type: prometheus_exporter
+        |    address: 127.0.0.1:0
+        |    inputs: [im]
+        |""".stripMargin,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      running.processAllAvailable()
+      val port = running.exporters("prom").boundPort
+      val body = new String(new java.net.URL(
+        s"http://127.0.0.1:$port/metrics").openStream().readAllBytes())
+      assert(body.contains("# TYPE vector_uptime_seconds gauge"))
+      assert(body.contains("vector_uptime_seconds{"))
+      assert(body.contains("host=\""))
+      assert(body.contains("pid=\""))
+    } finally running.stopAll()
+  }
+
+  test("run: internal_logs source taps process log records from YAML") {
+    val tmp = java.nio.file.Files.createTempDirectory("ilwork").toString
+    val running = ConfigLoader.run(spark,
+      """
+        |sources:
+        |  il:
+        |    type: internal_logs
+        |transforms:
+        |  errs_only:
+        |    type: filter
+        |    inputs: [il]
+        |    condition: '.level == "ERROR" && contains!(.message, "cfg-probe")'
+        |sinks:
+        |  tap_il:
+        |    type: memory
+        |    inputs: [errs_only]
+        |""".stripMargin,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      org.apache.logging.log4j.LogManager.getLogger("graft.cfg.probe")
+        .error("cfg-probe fired")
+      running.processAllAvailable()
+      val rows = spark.table("tap_il").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[String]("target") == "graft.cfg.probe")
+      assert(rows(0).getAs[Long]("pid") > 0L)
+    } finally running.stopAll()
   }
 }
