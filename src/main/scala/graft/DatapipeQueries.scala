@@ -157,6 +157,22 @@ object DatapipeQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // benchmark decontamination: docs sharing 8-grams with the
+    // "evaluation set" (stand-in: the 12-token prefixes of every 97th
+    // doc, so prefix-carrying docs MUST flag) — the test-set-leakage
+    // guard every training corpus runs before mixing
+    "decontaminate" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(array_join(slice(Dedup.tokens(col("text")), 1, 12), " ")
+          .as("text"))
+      graft.datapipe.Decontaminate.overlap(
+          d, "doc_id", col("text"), bench, col("text"), n = 8)
+        .select(col("doc").as("doc_id"), col("n_grams"), col("n_hit"),
+          col("hit_ratio"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
     "text_repetition" -> { (s, dir) =>
       // tokens then bigrams bound as real columns: each HOF list is
       // produced once per doc, every statistic reads the bound column
@@ -533,6 +549,30 @@ object DatapipeQueries {
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, nn_id)
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH $toksCte,
+        |sh8 AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 8
+        |    THEN [array_to_string(t[i:i+7],' ') for i in range(1, len(t)-6)]
+        |    ELSE [array_to_string(t,' ')] END s
+        |  FROM toks),
+        |bt AS (SELECT t[1:12] AS t FROM toks WHERE doc_id % 97 = 0),
+        |bsh AS (SELECT
+        |  CASE WHEN len(t) >= 8
+        |    THEN [array_to_string(t[i:i+7],' ') for i in range(1, len(t)-6)]
+        |    ELSE [array_to_string(t,' ')] END s
+        |  FROM bt),
+        |bg AS (SELECT DISTINCT unnest(s) AS g FROM bsh),
+        |cg AS (SELECT doc_id, unnest(list_distinct(s)) AS g FROM sh8),
+        |hit AS (SELECT cg.doc_id,
+        |          count(*) AS n_grams, count(bg.g) AS n_hit
+        |        FROM cg LEFT JOIN bg ON cg.g = bg.g
+        |        GROUP BY cg.doc_id)
+        |SELECT doc_id, n_grams, n_hit,
+        |  round(CAST(n_hit AS DOUBLE) / n_grams, 4) AS hit_ratio,
+        |  CAST(n_hit > 0 AS INT) AS contaminated
+        |FROM hit ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       s"""WITH $toksCte,

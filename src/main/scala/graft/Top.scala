@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** `vector top` equivalent: run a YAML topology and render a live
+  * per-component event-throughput table on an interval, fed by the same
+  * internal metric registry the `internal_metrics` source scrapes
+  * (reference src/top/ — the TUI reads component_received/sent_
+  * events_total over the API; here the registry is in-process).
+  *
+  * Usage: graft.Top --config pipeline.yaml [--sf-dir DIR]
+  *        [--interval SECS] [--duration SECS]
+  */
+object Top {
+  def main(args: Array[String]): Unit = {
+    def flag(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(k, v) if k == s"--$name" => v }
+    val config = flag("config").getOrElse(
+      sys.error("usage: graft.Top --config <yaml> [--sf-dir DIR] " +
+        "[--interval SECS] [--duration SECS]"))
+    val sfDir = flag("sf-dir").getOrElse("/root/testdata/sf0.001")
+    val workDir = java.nio.file.Files.createTempDirectory("graft-top").toString
+    val intervalSecs = flag("interval").map(_.toDouble).getOrElse(2.0)
+    val duration = flag("duration").map(_.toDouble)
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val reg = new streaming.InternalObs.Registry
+    spark.streams.addListener(new streaming.InternalObs.ProgressListener(reg))
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(config)), "UTF-8")
+    val running = plans.ConfigLoader.run(spark, yaml, sfDir, workDir)
+
+    // totals from the previous tick, for rate = delta / interval
+    var prev = Map.empty[(String, String), Double]
+    val t0 = System.nanoTime()
+    def secondsLeft: Boolean =
+      duration.forall(d => (System.nanoTime() - t0) / 1e9 < d)
+    try {
+      while (secondsLeft) {
+        Thread.sleep((intervalSecs * 1000).toLong)
+        running.pollTails()
+        val counters = reg
+          .snapshot("vector", Map.empty,
+            new java.sql.Timestamp(System.currentTimeMillis()))
+          .filter(r => r.name == "component_received_events_total" ||
+            r.name == "component_sent_events_total")
+        val rows = counters.map { r =>
+          val id = r.tags.getOrElse("component_id", "?")
+          val kind = r.tags.getOrElse("component_kind", "?")
+          val tpe = r.tags.getOrElse("component_type", "")
+          val total = r.counter_value.getOrElse(0.0)
+          val key = (id, r.name)
+          val rate = (total - prev.getOrElse(key, 0.0)) / intervalSecs
+          prev += key -> total
+          (id, kind, tpe, r.name.contains("received"), total, rate)
+        }
+        println(f"${Console.BOLD}%s${"COMPONENT"}%-24s${"KIND"}%-8s" +
+          f"${"TYPE"}%-28s${"DIR"}%-6s${"EVENTS"}%12s${"RATE/S"}%12s" +
+          s"${Console.RESET}")
+        rows.sortBy(r => (r._1, !r._4)).foreach {
+          case (id, kind, tpe, recv, total, rate) =>
+            println(f"${id.take(23)}%-24s$kind%-8s${tpe.take(27)}%-28s" +
+              f"${if (recv) "in" else "out"}%-6s${total.toLong}%12d$rate%12.1f")
+        }
+        println()
+      }
+    } finally {
+      running.stopAll()
+      spark.stop()
+    }
+  }
+}

@@ -998,7 +998,10 @@ object ConfigLoader {
           case other => throw new IllegalArgumentException(
             s"unsupported sink type: $other")
         }
-        Some(id -> StreamRunner.start(writer, intervalMs))
+        // name the query after the sink so progress events (and the
+        // internal_metrics component counters derived from them) carry
+        // the component id, not a UUID
+        Some(id -> StreamRunner.start(writer.queryName(id), intervalMs))
       } else {
         tpe match {
           case "console" => df.show(20, truncate = false)
