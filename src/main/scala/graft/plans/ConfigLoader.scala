@@ -710,6 +710,49 @@ object ConfigLoader {
             pendingLogTaps = src :: pendingLogTaps
             src.df
           })
+        // system telemetry (src/sources/host_metrics/) and configured
+        // constants (src/sources/static_metrics.rs)
+        case "host_metrics" =>
+          val interval =
+            m.getOrElse("scrape_interval_secs", "15").toString.toDouble
+          val ns = m.getOrElse("namespace", "host").toString
+          val collectors = m.get("collectors").map(strList)
+            .getOrElse(graft.streaming.HostMetrics.AllCollectors)
+          Topology.Source(id, Topology.Metric, sp => {
+            val src = graft.streaming.HostMetrics.hostMetrics(
+              sp, interval, collectors, ns)
+            pendingScrapers = src :: pendingScrapers
+            src.df
+          })
+        case "static_metrics" =>
+          val interval = m.getOrElse("interval_secs", "1").toString.toDouble
+          val ns = m.getOrElse("namespace", "static").toString
+          val metrics = m.getOrElse("metrics", Nil) match {
+            case l: java.util.List[_] =>
+              import scala.jdk.CollectionConverters._
+              l.asScala.toSeq.map { mv =>
+                val mm = yamlMap(mv)
+                val name = mm.getOrElse("name", "").toString
+                val kind = mm.getOrElse("kind", "absolute").toString
+                val tags = yamlMap(mm.getOrElse("tags", null))
+                  .map { case (k, v) => k -> v.toString }
+                // value: {gauge: {value: x}} | {counter: {value: x}}
+                val vm = yamlMap(mm.getOrElse("value", null))
+                val (vt, v) = vm.headOption match {
+                  case Some((t, body)) =>
+                    (t, yamlMap(body).getOrElse("value", "0").toString.toDouble)
+                  case None => ("gauge", 0.0)
+                }
+                graft.streaming.HostMetrics.StaticMetric(name, vt, v, kind, tags)
+              }
+            case _ => Nil
+          }
+          Topology.Source(id, Topology.Metric, sp => {
+            val src = graft.streaming.HostMetrics.staticMetrics(
+              sp, metrics, interval, ns)
+            pendingScrapers = src :: pendingScrapers
+            src.df
+          })
         case other =>
           throw new IllegalArgumentException(s"unsupported source type: $other")
       }
@@ -825,7 +868,7 @@ object ConfigLoader {
     * the RunningConfig owns shutdown.
     */
   @volatile private var pendingScrapers:
-    List[graft.streaming.InternalObs.InternalMetricsSource] = Nil
+    List[graft.streaming.InternalObs.Scraper] = Nil
   @volatile private var pendingLogTaps:
     List[graft.streaming.InternalObs.InternalLogsSource] = Nil
 
@@ -846,7 +889,7 @@ object ConfigLoader {
   final case class RunningConfig(
       queries: Map[String, org.apache.spark.sql.streaming.StreamingQuery],
       tails: Seq[graft.streaming.FileTailSource] = Nil,
-      scrapers: Seq[graft.streaming.InternalObs.InternalMetricsSource] = Nil,
+      scrapers: Seq[graft.streaming.InternalObs.Scraper] = Nil,
       logTaps: Seq[graft.streaming.InternalObs.InternalLogsSource] = Nil,
       exporters: Map[String,
         graft.streaming.InternalObs.PrometheusExporter] = Map.empty) {

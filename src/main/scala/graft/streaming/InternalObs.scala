@@ -124,6 +124,16 @@ object InternalObs {
     }
   }
 
+  /** Interval-scraping metric sources (internal_metrics, host_metrics,
+    * static_metrics) share this lifecycle; the config runner starts the
+    * ticker and the deterministic test path calls scrapeOnce().
+    */
+  trait Scraper {
+    def scrapeOnce(): Unit
+    def startScraping(): Unit
+    def stop(): Unit
+  }
+
   /** `internal_metrics` source: scrape [[Registry]] every
     * `intervalSecs`, emit metric rows. `scrapeOnce()` is the
     * deterministic test/batch hook (internal_metrics.rs scrape loop).
@@ -133,7 +143,8 @@ object InternalObs {
                                     namespace: String = "vector",
                                     hostKey: String = "host",
                                     pidKey: Option[String] = None,
-                                    reg: Registry = registry) {
+                                    reg: Registry = registry)
+      extends Scraper {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     private implicit val sqlCtx: org.apache.spark.sql.SQLContext =

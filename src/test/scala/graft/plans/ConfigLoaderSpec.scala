@@ -917,6 +917,43 @@ class ConfigLoaderSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("run: host_metrics and static_metrics sources from YAML") {
+    val tmp = java.nio.file.Files.createTempDirectory("hmwork").toString
+    val running = ConfigLoader.run(spark,
+      """
+        |sources:
+        |  hm:
+        |    type: host_metrics
+        |    collectors: [memory, load]
+        |  sm:
+        |    type: static_metrics
+        |    metrics:
+        |      - name: build_info
+        |        value:
+        |          gauge:
+        |            value: 1
+        |        tags:
+        |          version: "2.0"
+        |sinks:
+        |  tap_hm:
+        |    type: memory
+        |    inputs: [hm, sm]
+        |""".stripMargin,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      running.processAllAvailable()
+      val rows = spark.table("tap_hm").collect()
+      val names = rows.map(_.getAs[String]("name")).toSet
+      assert(names.contains("memory_total_bytes"))
+      assert(names.contains("load1"))
+      assert(!names.contains("cpu_seconds_total")) // collector filter held
+      val bi = rows.filter(_.getAs[String]("name") == "build_info")
+      assert(bi.nonEmpty &&
+        bi.head.getAs[Map[String, String]]("tags")("version") == "2.0")
+      assert(bi.head.getAs[String]("namespace") == "static")
+    } finally running.stopAll()
+  }
+
   test("run: internal_logs source taps process log records from YAML") {
     val tmp = java.nio.file.Files.createTempDirectory("ilwork").toString
     val running = ConfigLoader.run(spark,
