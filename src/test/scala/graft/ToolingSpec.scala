@@ -71,4 +71,28 @@ class ToolingSpec extends SparkSpec {
     val results = Validate.check(spark, bad, "/root/testdata/sf0.001")
     assert(results.exists(_._2.nonEmpty))
   }
+
+  test("tap: merged __tap sink materializes any component's output") {
+    // tap the route's errors port mid-topology; the user's own sink
+    // still runs untouched
+    val merged = Tap.tapYaml(
+      yaml.replace(""".level == "error"""", """.event_type == "error""""),
+      "router.errors")
+    val tmp = java.nio.file.Files.createTempDirectory("tapwork").toString
+    val running = plans.ConfigLoader.run(spark, merged,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      running.processAllAvailable()
+      val tapped = spark.table("__tap")
+      assert(tapped.count() > 0)
+      import org.apache.spark.sql.functions.col
+      assert(tapped.filter(col("event_type") =!= "error").count() == 0)
+      assert(spark.table("out").count() == tapped.count())
+    } finally running.stopAll()
+  }
+
+  test("tap: duplicate-id protection still applies to the injected sink") {
+    val clash = yaml.replace("  out:", "  __tap:")
+    intercept[Exception] { Tap.tapYaml(clash, "up") }
+  }
 }
