@@ -710,6 +710,19 @@ object ConfigLoader {
             pendingLogTaps = src :: pendingLogTaps
             src.df
           })
+        // OTLP/HTTP push endpoint (src/sources/opentelemetry/http.rs);
+        // `http.address` picks the port (0 = ephemeral; tests read it
+        // back from the running source)
+        case "opentelemetry" =>
+          val addr = yamlMap(m.getOrElse("http", null))
+            .getOrElse("address", "0.0.0.0:4318").toString
+          val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.StreamRunner.otlpHttp(sp, port)
+            lastOtlpPort = src.boundPort
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
         // system telemetry (src/sources/host_metrics/) and configured
         // constants (src/sources/static_metrics.rs)
         case "host_metrics" =>
@@ -872,6 +885,14 @@ object ConfigLoader {
   @volatile private var pendingLogTaps:
     List[graft.streaming.InternalObs.InternalLogsSource] = Nil
 
+  /** Shutdown hooks for sources that own a server/thread (OTLP HTTP,
+    * future push endpoints) — RunningConfig.stopAll invokes them.
+    */
+  @volatile private var pendingClosers: List[() => Unit] = Nil
+
+  /** Bound port of the most recent OTLP source (ephemeral-port tests). */
+  @volatile var lastOtlpPort: Int = -1
+
   /** One component-counter listener per session (internal_metrics.rs
     * reads ONE process-global registry no matter how many configs run).
     */
@@ -891,6 +912,7 @@ object ConfigLoader {
       tails: Seq[graft.streaming.FileTailSource] = Nil,
       scrapers: Seq[graft.streaming.InternalObs.Scraper] = Nil,
       logTaps: Seq[graft.streaming.InternalObs.InternalLogsSource] = Nil,
+      closers: Seq[() => Unit] = Nil,
       exporters: Map[String,
         graft.streaming.InternalObs.PrometheusExporter] = Map.empty) {
     /** Poll tailed files once (ingest appended lines + rotations). */
@@ -949,6 +971,7 @@ object ConfigLoader {
       queries.values.foreach(q => try q.stop() catch { case _: Exception => () })
       scrapers.foreach(s => try s.stop() catch { case _: Exception => () })
       logTaps.foreach(t => try t.stop() catch { case _: Exception => () })
+      closers.foreach(c => try c() catch { case _: Exception => () })
       exporters.values.foreach(e =>
         try e.stop() catch { case _: Exception => () })
     }
@@ -985,6 +1008,7 @@ object ConfigLoader {
     }
     pendingScrapers = Nil
     pendingLogTaps = Nil
+    pendingClosers = Nil
     // internal_metrics needs the component-counter listener feeding the
     // registry before any query reports progress
     if (yamlMap(parseYaml(yaml).getOrElse("sources", null)).values.exists(v =>
@@ -995,8 +1019,10 @@ object ConfigLoader {
     pendingTails = Nil
     val scrapers = pendingScrapers
     val logTaps = pendingLogTaps
+    val closers = pendingClosers
     pendingScrapers = Nil
     pendingLogTaps = Nil
+    pendingClosers = Nil
     logTaps.foreach(_.start())
     scrapers.foreach(_.startScraping())
     val exporters = scala.collection.mutable.Map.empty[String,
@@ -1063,7 +1089,8 @@ object ConfigLoader {
         None
       }
     }
-    RunningConfig(queries.toMap, tails, scrapers, logTaps, exporters.toMap)
+    RunningConfig(queries.toMap, tails, scrapers, logTaps, closers,
+      exporters.toMap)
   }
 
   // ---------------- behavior-test runner ----------------

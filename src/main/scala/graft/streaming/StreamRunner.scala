@@ -171,6 +171,62 @@ object StreamRunner {
                  intervalMs: Long = 15000): HttpClientSource =
     new HttpClientSource(spark, url, intervalMs)
 
+  /** `opentelemetry` source over OTLP/HTTP (reference
+    * src/sources/opentelemetry/http.rs): POST `/v1/logs` carries a
+    * binary ExportLogsServiceRequest; every LogRecord in the envelope
+    * becomes one log event (resource_logs × scope_logs × log_records
+    * exploded). The response is the empty ExportLogsServiceResponse.
+    * The gRPC transport stays out of scope (no gRPC stack here) —
+    * protocol coverage comes from the protobuf walker both transports
+    * share.
+    */
+  final class OtlpHttpSource(spark: SparkSession, port: Int = 0,
+                             path: String = "/v1/logs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    private implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    private val mem = MemoryStream[Array[Byte]]
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    server.createContext(path, ex => {
+      try {
+        val body = ex.getRequestBody.readAllBytes()
+        if (body.nonEmpty) mem.addData(body)
+        // success reply = empty ExportLogsServiceResponse
+        ex.getResponseHeaders.add("Content-Type", "application/x-protobuf")
+        ex.sendResponseHeaders(200, -1)
+      } finally ex.close()
+    })
+    server.setExecutor(null)
+    server.start()
+    def boundPort: Int = server.getAddress.getPort
+    def df: DataFrame = {
+      import graft.codecs.ProtobufCodec
+      val env = ProtobufCodec.decode(
+        ProtobufCodec.Otlp.ExportLogsServiceRequest, col("value"))
+      mem.toDF().select(env.as("env"))
+        .select(explode(col("env.resource_logs")).as("rl"))
+        .select(explode(col("rl.scope_logs")).as("sl"))
+        .select(explode(col("sl.log_records")).as("r"))
+        .select(
+          timestamp_micros((col("r.time_unix_nano") / 1000).cast("long"))
+            .as("timestamp"),
+          col("r.severity_number").as("severity_number"),
+          col("r.severity_text").as("severity_text"),
+          col("r.body.string_value").as("message"),
+          lower(hex(col("r.trace_id"))).as("trace_id"),
+          lower(hex(col("r.span_id"))).as("span_id"),
+          col("r.dropped_attributes_count").as("dropped_attributes_count"),
+          timestamp_micros((col("r.observed_time_unix_nano") / 1000)
+            .cast("long")).as("observed_timestamp"))
+    }
+    def stop(): Unit = server.stop(0)
+  }
+  def otlpHttp(spark: SparkSession, port: Int = 0,
+               path: String = "/v1/logs"): OtlpHttpSource =
+    new OtlpHttpSource(spark, port, path)
+
   /** `prometheus` scrape source (reference src/sources/prometheus/
     * scrape.rs): http_client poll + exposition-text decode; comment and
     * TYPE/HELP lines are dropped by the decoder returning null.

@@ -917,6 +917,67 @@ class ConfigLoaderSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("run: opentelemetry OTLP/HTTP source from YAML") {
+    import graft.codecs.ProtobufCodec
+    import graft.codecs.ProtobufCodec.Otlp
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, lit}
+    val tmp = java.nio.file.Files.createTempDirectory("otlpwork").toString
+    val running = ConfigLoader.run(spark,
+      """
+        |sources:
+        |  otel:
+        |    type: opentelemetry
+        |    http:
+        |      address: 127.0.0.1:0
+        |transforms:
+        |  sev:
+        |    type: filter
+        |    inputs: [otel]
+        |    condition: '.severity_number >= 9'
+        |sinks:
+        |  tap_otlp:
+        |    type: memory
+        |    inputs: [sev]
+        |""".stripMargin,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      val rec = org.apache.spark.sql.functions.struct(
+        lit(1700000000000000000L).as("time_unix_nano"),
+        lit(13L).as("severity_number"),
+        lit("WARN").as("severity_text"),
+        org.apache.spark.sql.functions
+          .struct(lit("from yaml").as("string_value")).as("body"),
+        lit(null).cast("long").as("dropped_attributes_count"),
+        lit(null).cast("binary").as("trace_id"),
+        lit(null).cast("binary").as("span_id"),
+        lit(null).cast("long").as("observed_time_unix_nano"))
+      val envelope = org.apache.spark.sql.functions.struct(
+        array(org.apache.spark.sql.functions.struct(
+          array(org.apache.spark.sql.functions.struct(
+            array(rec).as("log_records"),
+            lit("").as("schema_url"))).as("scope_logs"),
+          lit("").as("schema_url"))).as("resource_logs"))
+      val bytes = Seq(1).toDF("x")
+        .select(ProtobufCodec.encode(
+          Otlp.ExportLogsServiceRequest, envelope).as("b"))
+        .head().getAs[Array[Byte]]("b")
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${ConfigLoader.lastOtlpPort}/v1/logs")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(bytes)
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+      running.processAllAvailable()
+      val rows = spark.table("tap_otlp").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[String]("message") == "from yaml")
+      assert(rows(0).getAs[String]("severity_text") == "WARN")
+    } finally running.stopAll()
+  }
+
   test("run: host_metrics and static_metrics sources from YAML") {
     val tmp = java.nio.file.Files.createTempDirectory("hmwork").toString
     val running = ConfigLoader.run(spark,

@@ -60,4 +60,70 @@ class HttpSourcesSpec extends SparkSpec {
       q.stop()
     } finally server.stop(0)
   }
+
+  test("opentelemetry OTLP/HTTP source decodes posted export envelopes") {
+    import org.apache.spark.sql.functions._
+    import graft.codecs.ProtobufCodec
+    import graft.codecs.ProtobufCodec.Otlp
+    import spark.implicits._
+    val src = StreamRunner.otlpHttp(spark)
+    try {
+      val q = src.df.writeStream.format("memory")
+        .queryName("otlp_in").start()
+      // one envelope, two LogRecords, built through the same proto
+      // writer the codec roundtrip query uses
+      val rec1 = struct(
+        lit(1700000000000000000L).as("time_unix_nano"),
+        lit(9L).as("severity_number"),
+        lit("INFO").as("severity_text"),
+        struct(lit("hello otlp").as("string_value")).as("body"),
+        lit(null).cast("long").as("dropped_attributes_count"),
+        unhex(lit("0a0b0c")).as("trace_id"),
+        unhex(lit("ff01")).as("span_id"),
+        lit(1700000000500000000L).as("observed_time_unix_nano"))
+      val rec2 = struct(
+        lit(1700000001000000000L).as("time_unix_nano"),
+        lit(17L).as("severity_number"),
+        lit("ERROR").as("severity_text"),
+        struct(lit("boom").as("string_value")).as("body"),
+        lit(3L).as("dropped_attributes_count"),
+        lit(null).cast("binary").as("trace_id"),
+        lit(null).cast("binary").as("span_id"),
+        lit(null).cast("long").as("observed_time_unix_nano"))
+      val envelope = struct(array(struct(
+        array(struct(
+          array(rec1, rec2).as("log_records"),
+          lit("scope-url").as("schema_url"))).as("scope_logs"),
+        lit("res-url").as("schema_url"))).as("resource_logs"))
+      val bytes = Seq(1).toDF("x")
+        .select(ProtobufCodec.encode(
+          Otlp.ExportLogsServiceRequest, envelope).as("b"))
+        .head().getAs[Array[Byte]]("b")
+
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${src.boundPort}/v1/logs")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/x-protobuf")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(bytes)
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+
+      q.processAllAvailable()
+      val rows = spark.table("otlp_in").orderBy("severity_number").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[String]("message") == "hello otlp")
+      assert(rows(0).getAs[String]("trace_id") == "0a0b0c")
+      assert(rows(0).getAs[String]("span_id") == "ff01")
+      assert(rows(0).getAs[java.sql.Timestamp]("timestamp").toInstant
+        .toString == "2023-11-14T22:13:20Z")
+      assert(rows(0).getAs[java.sql.Timestamp]("observed_timestamp")
+        .toInstant.toString == "2023-11-14T22:13:20.500Z")
+      assert(rows(1).getAs[String]("severity_text") == "ERROR")
+      assert(rows(1).getAs[Long]("dropped_attributes_count") == 3L)
+      assert(rows(1).isNullAt(rows(1).fieldIndex("trace_id")))
+      q.stop()
+    } finally src.stop()
+  }
 }
