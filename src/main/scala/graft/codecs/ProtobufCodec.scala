@@ -231,5 +231,58 @@ object ProtobufCodec {
       ProtoField(3, "schema_url", PString)))
     val ExportLogsServiceRequest: ProtoSchema = ProtoSchema(Seq(
       ProtoField(1, "resource_logs", PRepeated(PMessage(ResourceLogs)))))
+
+    // metrics.proto subset: gauge + sum over NumberDataPoints with
+    // string-valued attributes (the oneof value arrives as whichever of
+    // as_double/as_int was written; the other decodes null)
+    val KeyValue: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(1, "key", PString),
+      ProtoField(2, "value", PMessage(AnyValue))))
+    val NumberDataPoint: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(2, "start_time_unix_nano", PFixed64),
+      ProtoField(3, "time_unix_nano", PFixed64),
+      ProtoField(4, "as_double", PDouble),
+      ProtoField(6, "as_int", PFixed64),
+      ProtoField(7, "attributes", PRepeated(PMessage(KeyValue)))))
+    val OtlpGauge: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(1, "data_points", PRepeated(PMessage(NumberDataPoint)))))
+    val OtlpSum: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(1, "data_points", PRepeated(PMessage(NumberDataPoint))),
+      ProtoField(2, "aggregation_temporality", PVarint), // 1=delta 2=cumulative
+      ProtoField(3, "is_monotonic", PVarint)))
+    val OtlpMetric: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(1, "name", PString),
+      ProtoField(2, "description", PString),
+      ProtoField(3, "unit", PString),
+      ProtoField(5, "gauge", PMessage(OtlpGauge)),
+      ProtoField(7, "sum", PMessage(OtlpSum))))
+    val ScopeMetrics: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(2, "metrics", PRepeated(PMessage(OtlpMetric))),
+      ProtoField(3, "schema_url", PString)))
+    val ResourceMetrics: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(2, "scope_metrics", PRepeated(PMessage(ScopeMetrics))),
+      ProtoField(3, "schema_url", PString)))
+    val ExportMetricsServiceRequest: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(1, "resource_metrics", PRepeated(PMessage(ResourceMetrics)))))
+
+    // trace.proto subset: Span identity + timing + string attributes
+    val Span: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(1, "trace_id", PBytes),
+      ProtoField(2, "span_id", PBytes),
+      ProtoField(3, "trace_state", PString),
+      ProtoField(4, "parent_span_id", PBytes),
+      ProtoField(5, "name", PString),
+      ProtoField(6, "kind", PVarint),
+      ProtoField(7, "start_time_unix_nano", PFixed64),
+      ProtoField(8, "end_time_unix_nano", PFixed64),
+      ProtoField(9, "attributes", PRepeated(PMessage(KeyValue)))))
+    val ScopeSpans: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(2, "spans", PRepeated(PMessage(Span))),
+      ProtoField(3, "schema_url", PString)))
+    val ResourceSpans: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(2, "scope_spans", PRepeated(PMessage(ScopeSpans))),
+      ProtoField(3, "schema_url", PString)))
+    val ExportTraceServiceRequest: ProtoSchema = ProtoSchema(Seq(
+      ProtoField(1, "resource_spans", PRepeated(PMessage(ResourceSpans)))))
   }
 }

@@ -633,6 +633,10 @@ object ConfigLoader {
     // timestamp rendering/parsing in every plan built from this config
     conf.get("timezone").foreach(tz =>
       spark.conf.set("spark.sql.session.timeZone", tz.toString))
+    // multi-output sources (opentelemetry's <id>.logs/.metrics/.traces)
+    // append their port-named siblings here
+    val extraSources = scala.collection.mutable.ListBuffer
+      .empty[Topology.Source]
     val sources = yamlMap(conf.getOrElse("sources", null)).map { case (id, v) =>
       val m = yamlMap(v)
       m.getOrElse("type", "").toString match {
@@ -717,12 +721,25 @@ object ConfigLoader {
           val addr = yamlMap(m.getOrElse("http", null))
             .getOrElse("address", "0.0.0.0:4318").toString
           val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
-          Topology.Source(id, Topology.Log, sp => {
-            val src = graft.streaming.StreamRunner.otlpHttp(sp, port)
-            lastOtlpPort = src.boundPort
-            pendingClosers = (() => src.stop()) :: pendingClosers
-            src.df
-          })
+          // the reference exposes named outputs <id>.logs/.metrics/
+          // .traces (sources/opentelemetry/mod.rs); one server feeds
+          // all three, created lazily once; plain `id` aliases logs
+          var shared: Option[graft.streaming.StreamRunner.OtlpHttpSource] =
+            None
+          def srcOf(sp: SparkSession) = shared.getOrElse {
+            val s = graft.streaming.StreamRunner.otlpHttp(sp, port)
+            lastOtlpPort = s.boundPort
+            pendingClosers = (() => s.stop()) :: pendingClosers
+            shared = Some(s)
+            s
+          }
+          extraSources += Topology.Source(s"$id.logs", Topology.Log,
+            sp => srcOf(sp).df)
+          extraSources += Topology.Source(s"$id.metrics", Topology.Metric,
+            sp => srcOf(sp).dfMetrics)
+          extraSources += Topology.Source(s"$id.traces", Topology.Trace,
+            sp => srcOf(sp).dfTraces)
+          Topology.Source(id, Topology.Log, sp => srcOf(sp).df)
         // system telemetry (src/sources/host_metrics/) and configured
         // constants (src/sources/static_metrics.rs)
         case "host_metrics" =>
@@ -777,7 +794,7 @@ object ConfigLoader {
       val m = yamlMap(v)
       Topology.Sink(id, strList(m.getOrElse("inputs", Nil)), Topology.Any)
     }.toSeq
-    Topology.build(spark, sources ++ transforms ++ sinks)
+    Topology.build(spark, sources ++ extraSources ++ transforms ++ sinks)
   }
 
   // ---------------- multi-file / directory configs ----------------

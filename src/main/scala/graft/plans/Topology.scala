@@ -66,10 +66,15 @@ object Topology {
     require(byId.size == components.size, "duplicate component ids")
 
     def producerOf(ref: String): (Component, String) = {
-      val (id, port) = ref.split("\\.", 2) match {
-        case Array(i, p) if byId.contains(i) => (i, p)
-        case _ => (ref, "")
-      }
+      // an exact component id wins over a port split — multi-output
+      // SOURCES register dotted siblings (otel.logs/.metrics/.traces)
+      // as real components, unlike transform ports
+      val (id, port) =
+        if (byId.contains(ref)) (ref, "")
+        else ref.split("\\.", 2) match {
+          case Array(i, p) if byId.contains(i) => (i, p)
+          case _ => (ref, "")
+        }
       (byId.getOrElse(id,
         throw new IllegalArgumentException(s"unknown input '$ref'")), port)
     }

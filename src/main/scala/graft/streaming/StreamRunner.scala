@@ -180,29 +180,42 @@ object StreamRunner {
     * protocol coverage comes from the protobuf walker both transports
     * share.
     */
-  final class OtlpHttpSource(spark: SparkSession, port: Int = 0,
-                             path: String = "/v1/logs") {
+  final class OtlpHttpSource(spark: SparkSession, port: Int = 0) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
+    import graft.codecs.ProtobufCodec
     private implicit val sqlCtx: org.apache.spark.sql.SQLContext =
       spark.sqlContext
     private val mem = MemoryStream[Array[Byte]]
+    private val memMetrics = MemoryStream[Array[Byte]]
+    private val memTraces = MemoryStream[Array[Byte]]
     private val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(port), 0)
-    server.createContext(path, ex => {
+    private def handler(sink: MemoryStream[Array[Byte]])
+        : com.sun.net.httpserver.HttpHandler = ex => {
       try {
         val body = ex.getRequestBody.readAllBytes()
-        if (body.nonEmpty) mem.addData(body)
-        // success reply = empty ExportLogsServiceResponse
+        if (body.nonEmpty) sink.addData(body)
+        // success reply = the empty Export*ServiceResponse
         ex.getResponseHeaders.add("Content-Type", "application/x-protobuf")
         ex.sendResponseHeaders(200, -1)
       } finally ex.close()
-    })
+    }
+    server.createContext("/v1/logs", handler(mem))
+    server.createContext("/v1/metrics", handler(memMetrics))
+    server.createContext("/v1/traces", handler(memTraces))
     server.setExecutor(null)
     server.start()
     def boundPort: Int = server.getAddress.getPort
+
+    /** attributes (repeated KeyValue of string AnyValue) → map column */
+    private def attrsToTags(attrs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      map_from_entries(transform(coalesce(attrs, array()),
+        kv => struct(kv.getField("key"),
+          kv.getField("value").getField("string_value"))))
+
+    /** `<id>.logs` output: one event per LogRecord. */
     def df: DataFrame = {
-      import graft.codecs.ProtobufCodec
       val env = ProtobufCodec.decode(
         ProtobufCodec.Otlp.ExportLogsServiceRequest, col("value"))
       mem.toDF().select(env.as("env"))
@@ -221,11 +234,72 @@ object StreamRunner {
           timestamp_micros((col("r.observed_time_unix_nano") / 1000)
             .cast("long")).as("observed_timestamp"))
     }
+
+    /** `<id>.metrics` output: gauge/sum NumberDataPoints → metric rows
+      * (sum + delta temporality → incremental counter, cumulative →
+      * absolute; gauge → absolute gauge — the reference's normalization
+      * in src/sources/opentelemetry + the sinks' metric model).
+      */
+    def dfMetrics: DataFrame = {
+      val env = ProtobufCodec.decode(
+        ProtobufCodec.Otlp.ExportMetricsServiceRequest, col("value"))
+      val base = memMetrics.toDF().select(env.as("env"))
+        .select(explode(col("env.resource_metrics")).as("rm"))
+        .select(explode(col("rm.scope_metrics")).as("sm"))
+        .select(explode(col("sm.metrics")).as("m"))
+      def points(kind: String) = {
+        val isSum = kind == "sum"
+        val src = if (isSum) col("m.sum") else col("m.gauge")
+        base.filter(src.isNotNull)
+          .select(col("m.name").as("name"), col("m.unit").as("unit"),
+            (if (isSum) when(col("m.sum.aggregation_temporality") === 1,
+                "incremental").otherwise("absolute")
+             else lit("absolute")).as("kind"),
+            lit(if (isSum) "counter" else "gauge").as("value_type"),
+            explode(src.getField("data_points")).as("p"))
+          .select(col("name"), col("unit"), col("kind"), col("value_type"),
+            attrsToTags(col("p.attributes")).as("tags"),
+            timestamp_micros((col("p.time_unix_nano") / 1000).cast("long"))
+              .as("ts"),
+            coalesce(col("p.as_double"), col("p.as_int").cast("double"))
+              .as("value"))
+      }
+      points("gauge").unionByName(points("sum"))
+        .select(col("name"), col("tags"), col("ts"), col("kind"),
+          col("value_type"),
+          when(col("value_type") === "counter", col("value"))
+            .as("counter_value"),
+          when(col("value_type") === "gauge", col("value"))
+            .as("gauge_value"),
+          col("unit"))
+    }
+
+    /** `<id>.traces` output: one event per Span. */
+    def dfTraces: DataFrame = {
+      val env = ProtobufCodec.decode(
+        ProtobufCodec.Otlp.ExportTraceServiceRequest, col("value"))
+      memTraces.toDF().select(env.as("env"))
+        .select(explode(col("env.resource_spans")).as("rs"))
+        .select(explode(col("rs.scope_spans")).as("ss"))
+        .select(explode(col("ss.spans")).as("s"))
+        .select(
+          lower(hex(col("s.trace_id"))).as("trace_id"),
+          lower(hex(col("s.span_id"))).as("span_id"),
+          lower(hex(col("s.parent_span_id"))).as("parent_span_id"),
+          col("s.name").as("name"),
+          col("s.kind").as("kind"),
+          timestamp_micros((col("s.start_time_unix_nano") / 1000)
+            .cast("long")).as("start_timestamp"),
+          timestamp_micros((col("s.end_time_unix_nano") / 1000)
+            .cast("long")).as("end_timestamp"),
+          ((col("s.end_time_unix_nano") - col("s.start_time_unix_nano"))
+            / 1000000).cast("long").as("duration_ms"),
+          attrsToTags(col("s.attributes")).as("attributes"))
+    }
     def stop(): Unit = server.stop(0)
   }
-  def otlpHttp(spark: SparkSession, port: Int = 0,
-               path: String = "/v1/logs"): OtlpHttpSource =
-    new OtlpHttpSource(spark, port, path)
+  def otlpHttp(spark: SparkSession, port: Int = 0): OtlpHttpSource =
+    new OtlpHttpSource(spark, port)
 
   /** `prometheus` scrape source (reference src/sources/prometheus/
     * scrape.rs): http_client poll + exposition-text decode; comment and

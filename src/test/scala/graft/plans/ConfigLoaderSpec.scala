@@ -978,6 +978,62 @@ class ConfigLoaderSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("run: opentelemetry named .metrics output feeds a metric pipeline") {
+    import org.apache.spark.sql.functions.{array, lit, struct, unhex}
+    import graft.codecs.ProtobufCodec
+    import graft.codecs.ProtobufCodec.Otlp
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("otlpm").toString
+    val running = ConfigLoader.run(spark,
+      """
+        |sources:
+        |  otel:
+        |    type: opentelemetry
+        |    http:
+        |      address: 127.0.0.1:0
+        |sinks:
+        |  tap_otlm:
+        |    type: memory
+        |    inputs: [otel.metrics]
+        |""".stripMargin,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      val point = struct(
+        lit(null).cast("long").as("start_time_unix_nano"),
+        lit(1700000000000000000L).as("time_unix_nano"),
+        lit(3.25).as("as_double"),
+        lit(null).cast("long").as("as_int"),
+        lit(null).cast(
+          "array<struct<key:string,value:struct<string_value:string>>>")
+          .as("attributes"))
+      val metric = struct(
+        lit("queue_len").as("name"), lit("").as("description"),
+        lit("1").as("unit"),
+        struct(array(point).as("data_points")).as("gauge"),
+        lit(null).cast(Otlp.OtlpSum.sparkType).as("sum"))
+      val envelope = struct(array(struct(
+        array(struct(array(metric).as("metrics"),
+          lit("").as("schema_url"))).as("scope_metrics"),
+        lit("").as("schema_url"))).as("resource_metrics"))
+      val bytes = Seq(1).toDF("x").select(ProtobufCodec.encode(
+          Otlp.ExportMetricsServiceRequest, envelope).as("b"))
+        .head().getAs[Array[Byte]]("b")
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${ConfigLoader.lastOtlpPort}/v1/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(bytes)
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+      running.processAllAvailable()
+      val rows = spark.table("tap_otlm").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[String]("name") == "queue_len")
+      assert(rows(0).getAs[Double]("gauge_value") == 3.25)
+    } finally running.stopAll()
+  }
+
   test("run: host_metrics and static_metrics sources from YAML") {
     val tmp = java.nio.file.Files.createTempDirectory("hmwork").toString
     val running = ConfigLoader.run(spark,

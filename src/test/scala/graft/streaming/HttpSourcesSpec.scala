@@ -126,4 +126,120 @@ class HttpSourcesSpec extends SparkSpec {
       q.stop()
     } finally src.stop()
   }
+
+  test("OTLP /v1/metrics: gauge and sum data points become metric rows") {
+    import org.apache.spark.sql.functions._
+    import graft.codecs.ProtobufCodec
+    import graft.codecs.ProtobufCodec.Otlp
+    import spark.implicits._
+    val src = StreamRunner.otlpHttp(spark)
+    try {
+      val q = src.dfMetrics.writeStream.format("memory")
+        .queryName("otlp_m").start()
+      def kv(k: String, v: String) = struct(lit(k).as("key"),
+        struct(lit(v).as("string_value")).as("value"))
+      def point(tns: Long, d: java.lang.Double, i: java.lang.Long) = struct(
+        lit(null).cast("long").as("start_time_unix_nano"),
+        lit(tns).as("time_unix_nano"),
+        (if (d == null) lit(null).cast("double") else lit(d.doubleValue()))
+          .as("as_double"),
+        (if (i == null) lit(null).cast("long") else lit(i.longValue()))
+          .as("as_int"),
+        array(kv("env", "prod")).as("attributes"))
+      val gaugeMetric = struct(
+        lit("cpu_temp").as("name"), lit("").as("description"),
+        lit("C").as("unit"),
+        struct(array(point(1700000000000000000L, 41.5, null))
+          .as("data_points")).as("gauge"),
+        lit(null).cast(Otlp.OtlpSum.sparkType).as("sum"))
+      val sumMetric = struct(
+        lit("requests").as("name"), lit("").as("description"),
+        lit("1").as("unit"),
+        lit(null).cast(Otlp.OtlpGauge.sparkType).as("gauge"),
+        struct(array(point(1700000000000000000L, null, 7L))
+            .as("data_points"),
+          lit(1L).as("aggregation_temporality"), // DELTA
+          lit(1L).as("is_monotonic")).as("sum"))
+      val envelope = struct(array(struct(
+        array(struct(array(gaugeMetric, sumMetric).as("metrics"),
+          lit("").as("schema_url"))).as("scope_metrics"),
+        lit("").as("schema_url"))).as("resource_metrics"))
+      val bytes = Seq(1).toDF("x").select(ProtobufCodec.encode(
+          Otlp.ExportMetricsServiceRequest, envelope).as("b"))
+        .head().getAs[Array[Byte]]("b")
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${src.boundPort}/v1/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(bytes)
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+      q.processAllAvailable()
+      val rows = spark.table("otlp_m").collect()
+        .map(r => r.getAs[String]("name") -> r).toMap
+      assert(rows.size == 2)
+      val g = rows("cpu_temp")
+      assert(g.getAs[String]("value_type") == "gauge")
+      assert(g.getAs[String]("kind") == "absolute")
+      assert(g.getAs[Double]("gauge_value") == 41.5)
+      assert(g.getAs[Map[String, String]]("tags")("env") == "prod")
+      val c = rows("requests")
+      assert(c.getAs[String]("value_type") == "counter")
+      assert(c.getAs[String]("kind") == "incremental") // delta temporality
+      assert(c.getAs[Double]("counter_value") == 7.0)  // as_int path
+      q.stop()
+    } finally src.stop()
+  }
+
+  test("OTLP /v1/traces: spans become trace events with duration") {
+    import org.apache.spark.sql.functions._
+    import graft.codecs.ProtobufCodec
+    import graft.codecs.ProtobufCodec.Otlp
+    import spark.implicits._
+    val src = StreamRunner.otlpHttp(spark)
+    try {
+      val q = src.dfTraces.writeStream.format("memory")
+        .queryName("otlp_t").start()
+      val span = struct(
+        unhex(lit("0102030405060708090a0b0c0d0e0f10")).as("trace_id"),
+        unhex(lit("0102030405060708")).as("span_id"),
+        lit("").as("trace_state"),
+        lit(null).cast("binary").as("parent_span_id"),
+        lit("GET /api").as("name"),
+        lit(2L).as("kind"), // SERVER
+        lit(1700000000000000000L).as("start_time_unix_nano"),
+        lit(1700000000250000000L).as("end_time_unix_nano"),
+        array(struct(lit("http.method").as("key"),
+          struct(lit("GET").as("string_value")).as("value")))
+          .as("attributes"))
+      val envelope = struct(array(struct(
+        array(struct(array(span).as("spans"),
+          lit("").as("schema_url"))).as("scope_spans"),
+        lit("").as("schema_url"))).as("resource_spans"))
+      val bytes = Seq(1).toDF("x").select(ProtobufCodec.encode(
+          Otlp.ExportTraceServiceRequest, envelope).as("b"))
+        .head().getAs[Array[Byte]]("b")
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${src.boundPort}/v1/traces")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(bytes)
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+      q.processAllAvailable()
+      val rows = spark.table("otlp_t").collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      assert(r.getAs[String]("trace_id") ==
+        "0102030405060708090a0b0c0d0e0f10")
+      assert(r.getAs[String]("name") == "GET /api")
+      assert(r.getAs[Long]("duration_ms") == 250L)
+      assert(r.getAs[Map[String, String]]("attributes")("http.method")
+        == "GET")
+      assert(r.isNullAt(r.fieldIndex("parent_span_id")))
+      q.stop()
+    } finally src.stop()
+  }
 }
