@@ -173,6 +173,21 @@ object DatapipeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // token-budget mixing: per-source budgets in TOKENS (how real
+    // training mixes are specified), deterministic hash-order prefix —
+    // src0 swallows its stratum whole, src1 cuts mid-stratum, src2
+    // keeps a doc or two, every other source drops
+    "sample_token_budget" -> { (s, dir) =>
+      val d = docs(s, dir).withColumn("n_tokens",
+        size(Dedup.tokens(col("text"))))
+      graft.operators.Sample.tokenBudget(d, col("source"), col("doc_id"),
+          col("n_tokens"),
+          Map("src0" -> 10000L, "src1" -> 700L, "src2" -> 60L))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     "text_repetition" -> { (s, dir) =>
       // tokens then bigrams bound as real columns: each HOF list is
       // produced once per doc, every statistic reads the bound column
@@ -573,6 +588,21 @@ object DatapipeQueries {
         |  round(CAST(n_hit AS DOUBLE) / n_grams, 4) AS hit_ratio,
         |  CAST(n_hit > 0 AS INT) AS contaminated
         |FROM hit ORDER BY doc_id""".stripMargin,
+
+    "sample_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  len(list_filter(string_split(text,' '), x -> len(x)>0)) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT *, CASE source WHEN 'src0' THEN 10000
+        |  WHEN 'src1' THEN 700 WHEN 'src2' THEN 60 END AS budget FROM d),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  budget FROM b)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE budget IS NOT NULL AND cum_tokens <= budget
+        |ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       s"""WITH $toksCte,

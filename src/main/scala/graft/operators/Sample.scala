@@ -74,6 +74,41 @@ object Sample {
       .withColumn(rateField, col("__frac")).drop("__frac")
   }
 
+  /** Token-budget training-mix sampling: per stratum, take documents in
+    * deterministic md5(key) order until the cumulative token count
+    * reaches the stratum's budget (a doc is kept only if it fits
+    * ENTIRELY — the standard budgeted-mix cut). Real mixes are specified
+    * in tokens, not fractions ("200B tokens of web, 30B of code"), so
+    * this is the op that turns those specs into a concrete doc set.
+    *
+    * Determinism + monotonicity: the hash order is stable across runs
+    * and machines, and raising a budget only APPENDS docs to the kept
+    * prefix — the same property curriculum re-mixes rely on in
+    * [[stratified]]. Strata absent from `budgets` drop.
+    *
+    * Scale: one hash-partitioned window per stratum (sort by the 128-bit
+    * key hash inside each partition); no driver state, no collect. For
+    * corpora where single strata skew huge, the window sort is the
+    * bottleneck — pre-filtering with [[stratified]] at an over-estimate
+    * fraction and budgeting the survivors bounds the sort input.
+    */
+  def tokenBudget(df: DataFrame, stratum: Column, key: Column,
+                  tokens: Column, budgets: Map[String, Long],
+                  cumField: String = "cum_tokens"): DataFrame = {
+    val budget = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, b)) => when(stratum === s, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(md5(key.cast("string")), key.cast("string"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__budget", budget)
+      .withColumn(cumField, sum(tokens).over(w))
+      .filter(col("__budget").isNotNull && col(cumField) <= col("__budget"))
+      .drop("__budget")
+  }
+
   /** Count-based 1-in-`rate` per group (the reference's `group_by` mode:
     * an independent counter per group key, transform.rs). Batch form:
     * deterministic rank within (group, orderCol); the streaming

@@ -31,4 +31,30 @@ class SampleSpec extends SparkSpec {
     assert(k100.size == 400)
     assert(k25.nonEmpty && k25.size < k50.size)
   }
+
+  private def tokDf = (1L to 100L).map(i =>
+    (i, if (i % 2 == 0) "web" else "books", 10L + (i % 7)))
+    .toDF("id", "src", "n_tokens")
+
+  test("tokenBudget: strict prefix fit per stratum, others drop") {
+    val out = Sample.tokenBudget(tokDf, $"src", $"id", $"n_tokens",
+      Map("web" -> 100L, "books" -> 1000000L))
+    val bySrc = out.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(bySrc("books") == 50L) // huge budget keeps the stratum
+    // web: ~13 tokens/doc, 100-token budget -> 7-8 docs, never over
+    val webCum = out.filter($"src" === "web")
+      .agg(max($"cum_tokens")).as[Long].head()
+    assert(webCum <= 100L && bySrc("web") >= 6L && bySrc("web") <= 9L)
+    assert(out.filter(!$"src".isin("web", "books")).count() == 0)
+  }
+
+  test("tokenBudget: raising a budget only appends docs (monotone prefix)") {
+    def kept(b: Long): Set[Long] =
+      Sample.tokenBudget(tokDf, $"src", $"id", $"n_tokens",
+        Map("web" -> b, "books" -> b)).select("id").as[Long].collect().toSet
+    val k100 = kept(100L); val k200 = kept(200L); val kAll = kept(100000L)
+    assert(k100.subsetOf(k200) && k200.subsetOf(kAll))
+    assert(k100.nonEmpty && k100.size < k200.size && kAll.size == 100)
+  }
 }
