@@ -95,4 +95,23 @@ class ToolingSpec extends SparkSpec {
     val clash = yaml.replace("  out:", "  __tap:")
     intercept[Exception] { Tap.tapYaml(clash, "up") }
   }
+
+  test("generate: expression scaffolds a config that validates clean") {
+    val cfg = Generate.generate("demo_logs/remap,filter/blackhole")
+    val results = Validate.check(spark, cfg, "/root/testdata/sf0.001")
+    assert(results.map(_._1) ==
+      Seq("source1", "transform1", "transform2", "sink1"))
+    assert(results.forall(_._2.isEmpty))
+  }
+
+  test("generate: named prefixes, omitted dividers, fan-in wiring") {
+    val cfg = Generate.generate("foo:demo_logs,bar:socket//baz:console")
+    assert(cfg.contains("  foo:"))
+    assert(cfg.contains("  bar:"))
+    // no transforms: the sink consumes every source
+    assert(cfg.contains("inputs: [foo, bar]"))
+    val frag = Generate.generate("/filter", fragment = true)
+    assert(!frag.contains("data_dir"))
+    assert(frag.contains("type: filter"))
+  }
 }
