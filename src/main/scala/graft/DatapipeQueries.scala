@@ -95,13 +95,35 @@ object DatapipeQueries {
           nearPairs.select(col("id_a"), col("id_b")))
         .filter(col("id") =!= col("comp"))
         .select(col("id").as("doc_id"))
+      // benchmark decontamination rides the same plan: prefix-seeded
+      // eval set (as in the standalone decontaminate query), any 8-gram
+      // hit drops the doc before mixing
+      val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(array_join(slice(Dedup.tokens(col("text")), 1, 12), " ")
+          .as("text"))
+      val contaminated = graft.datapipe.Decontaminate.overlap(
+          d, "doc_id", col("text"), bench, col("text"), n = 8)
+        .filter(col("contaminated") === 1)
+        .select(col("doc").as("doc_id"))
       val kept = gated
         .join(exactDup, Seq("doc_id"), "left_anti")
         .join(nearDup, Seq("doc_id"), "left_anti")
-      graft.operators.Sample.stratified(kept, col("source"), col("doc_id"),
-          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val mixed = graft.operators.Sample.stratified(kept, col("source"),
+        col("doc_id"),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+      // final budgeted cut in TOKENS per source — the last stage of a
+      // real mix build (fractions get the ratios right, the budget caps
+      // the absolute size)
+      val withToks = mixed.join(
+        d.select(col("doc_id"),
+          size(Dedup.tokens(col("text"))).as("n_tokens")), Seq("doc_id"))
+      graft.operators.Sample.tokenBudget(withToks, col("source"),
+          col("doc_id"), col("n_tokens"),
+          Map("src0" -> 600L, "src1" -> 400L,
+            "src2" -> 10000L, "src3" -> 10000L))
         .select(col("doc_id"), col("source"), col("quality"),
-          col("sample_rate"))
+          col("sample_rate"), col("n_tokens"), col("cum_tokens"))
         .orderBy(col("doc_id"))
     },
 
@@ -441,12 +463,29 @@ object DatapipeQueries {
         |    SELECT doc_id, row_number() OVER (
         |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |    FROM documents) WHERE rn > 1),
+        |sh8 AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 8
+        |    THEN [array_to_string(t[i:i+7],' ') for i in range(1, len(t)-6)]
+        |    ELSE [array_to_string(t,' ')] END s
+        |  FROM toks),
+        |bt AS (SELECT t[1:12] AS t FROM toks WHERE doc_id % 97 = 0),
+        |bsh AS (SELECT
+        |  CASE WHEN len(t) >= 8
+        |    THEN [array_to_string(t[i:i+7],' ') for i in range(1, len(t)-6)]
+        |    ELSE [array_to_string(t,' ')] END s
+        |  FROM bt),
+        |bg AS (SELECT DISTINCT unnest(s) AS g FROM bsh),
+        |contam AS (
+        |  SELECT DISTINCT cg.doc_id
+        |  FROM (SELECT doc_id, unnest(list_distinct(s)) AS g FROM sh8) cg
+        |  JOIN bg ON cg.g = bg.g),
         |kept AS (
         |  SELECT q.doc_id, q.source, q.quality FROM q
         |  WHERE quality >= 0.5
         |    AND doc_id NOT IN (SELECT doc_id FROM exact_dup)
         |    AND doc_id NOT IN (
-        |      SELECT doc_id FROM comp WHERE doc_id <> cluster)),
+        |      SELECT doc_id FROM comp WHERE doc_id <> cluster)
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
         |h AS (SELECT doc_id, source, quality,
         |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
         |    WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 END AS fr,
@@ -459,10 +498,25 @@ object DatapipeQueries {
         |  + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) * 256
         |  + (strpos('0123456789abcdef', substr(m, 5, 1)) - 1) * 16
         |  + (strpos('0123456789abcdef', substr(m, 6, 1)) - 1) AS bucket
-        |  FROM h)
-        |SELECT doc_id, source, quality, CAST(fr AS DOUBLE) AS sample_rate
-        |FROM f WHERE fr IS NOT NULL
-        |  AND bucket < CAST(floor(fr * 16777216) AS BIGINT)
+        |  FROM h),
+        |mix AS (
+        |  SELECT doc_id, source, quality, CAST(fr AS DOUBLE) AS sample_rate
+        |  FROM f WHERE fr IS NOT NULL
+        |    AND bucket < CAST(floor(fr * 16777216) AS BIGINT)),
+        |wt AS (
+        |  SELECT m.doc_id, m.source, m.quality, m.sample_rate,
+        |    CAST(len(t.t) AS INT) AS n_tokens,
+        |    CASE m.source WHEN 'src0' THEN 600 WHEN 'src1' THEN 400
+        |      WHEN 'src2' THEN 10000 WHEN 'src3' THEN 10000 END AS budget
+        |  FROM mix m JOIN toks t ON t.doc_id = m.doc_id),
+        |cum AS (
+        |  SELECT doc_id, source, quality, sample_rate, n_tokens, budget,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM wt)
+        |SELECT doc_id, source, quality, sample_rate, n_tokens, cum_tokens
+        |FROM cum WHERE budget IS NOT NULL AND cum_tokens <= budget
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram" ->
