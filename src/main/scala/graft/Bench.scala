@@ -217,8 +217,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"events_pipeline_attempts_sec":${arr(pipeAttempts)},"events_remap_attempts_sec":${arr(remapAttempts)},"cpu_probe_mt_mips":${arr(pipeProbes ++ remapProbes)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"streaming_throttle_events_per_s":${fmt(streamEventsPerSec)},"cores":$cpus}""")
+    val headline =
+      s""""sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"streaming_throttle_events_per_s":${fmt(streamEventsPerSec)},"cores":$cpus"""
+    // Full detail (every per-query timing + raw attempt/probe arrays) goes
+    // to a file and an early log line; the FINAL stdout line must stay
+    // well under the driver's 2000-char tail capture or the round's bench
+    // is machine-unreadable (round-7 lesson: 3.5 KB line -> parsed:null).
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"events_pipeline_attempts_sec":${arr(pipeAttempts)},"events_remap_attempts_sec":${arr(remapAttempts)},"cpu_probe_mt_mips":${arr(pipeProbes ++ remapProbes)},$headline}"""
+    val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "BENCH_DETAILS.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath), full + "\n")
+    catch { case _: Throwable => () }
+    println(full)
+    val slow = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_detail":"$detailsPath",$headline}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -45,13 +45,7 @@ object Graft {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/$name.parquet"
-    val df0 = spark.read.parquet(path)
-    val df = df0.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
-        df0.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      case None => df0
-    }
+    val df = normalizeTs(spark.read.parquet(path))
     // Parallelism floor for tiny local fixtures: a single-row-group
     // parquet file scans as ONE task, so per-row-expensive pipelines
     // (regex decoders, from_json, crypto) would run effectively
@@ -63,6 +57,30 @@ object Graft {
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
+
+  /** Normalize an events-shaped frame's `ts` column to a UTC-instant
+    * TIMESTAMP regardless of how the driver's parquet generation encoded
+    * it. Two encodings have been observed across rounds:
+    *  - TIMESTAMP(NANOS) read as nanos-since-epoch LongType via the legacy
+    *    conf — convert with integer DIV (epoch nanos ~1.7e18 exceeds the
+    *    2^53 double mantissa, so no double division);
+    *  - timestamp[us] with isAdjustedToUTC=false, which Spark reads as
+    *    TIMESTAMP_NTZ — every query (and the DuckDB oracle, which CASTs to
+    *    plain TIMESTAMP) was written against UTC-instant semantics, so
+    *    cast once here (session tz is UTC).
+    * Shared by `table` and any streaming reader that scans events parquet
+    * directly (streaming file sources can't go through `table`).
+    */
+  def normalizeTs(df0: DataFrame): DataFrame =
+    df0.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df0.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df0.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df0
+    }
 
   /** Single-field JSON long extraction, shared by the event queries —
     * kept behind one helper so the implementation is swappable in one

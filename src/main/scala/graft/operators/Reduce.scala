@@ -67,7 +67,7 @@ object Reduce {
         case None => // type-based defaults, config.rs:82-90
           f.dataType match {
             case _: NumericType => Seq(sum(c).as(f.name))
-            case TimestampType | DateType =>
+            case TimestampType | TimestampNTZType | DateType =>
               Seq(min(c).as(f.name), max(c).as(f.name + "_end"))
             case _ => Seq(agg(First, c, orderCol).as(f.name))
           }

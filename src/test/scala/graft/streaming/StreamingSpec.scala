@@ -205,10 +205,10 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("part-0.parquet"))
-    // same raw schema; same nanos->timestamp conversion; SAME remap code
+    // same raw schema; same ts normalization as Graft.table; SAME remap code
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(raw).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = graft.Graft.normalizeTs(
+      spark.readStream.schema(raw).parquet(streamDir.toString))
     val q = graft.Queries.eventsRemap(stream).writeStream
       .format("memory").queryName("ev_remap")
       .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
