@@ -20,10 +20,12 @@ object Queries {
 
   def all: Map[String, Q] =
     core ++ TransformQueries.queries ++ VrlQueries.queries ++
-      DatapipeQueries.queries ++ CodecQueries.queries
+      DatapipeQueries.queries ++ CodecQueries.queries ++
+      SinkQueries.queries
   def oracles: Map[String, String] =
     coreSql ++ TransformQueries.oracles ++ VrlQueries.oracles ++
-      DatapipeQueries.oracles ++ CodecQueries.oracles
+      DatapipeQueries.oracles ++ CodecQueries.oracles ++
+      SinkQueries.oracles
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{Envelopes, LineCodec}
+
+/** Oracle-checked queries for the sink envelope layer (SURVEY §2.5 —
+  * the HTTP-family sinks: elasticsearch bulk, splunk_hec, loki push,
+  * datadog_logs v2). Each query builds the real request-body text with
+  * the sink's own envelope builder, then parses the fields back out of
+  * that text; the oracle recomputes the same fields straight from the
+  * source columns — a malformed envelope (wrong nesting, bad template
+  * rendering, broken escaping, missing field) breaks equality. The
+  * transport itself (batching, compression, headers) is spec-tested in
+  * SinkSpec against a live local server.
+  */
+object SinkQueries {
+
+  import Queries.Q
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "events")
+
+  val queries: Map[String, Q] = Map(
+
+    // elasticsearch bulk mode: action line + document line per event
+    // (src/sinks/elasticsearch/config.rs BulkConfig; default index
+    // template `vector-%Y.%m.%d` rendered per event timestamp)
+    "sink_es_bulk" -> { (s, dir) =>
+      val base = ev(s, dir).select("event_id", "ts", "user_id", "event_type")
+      val pair = Envelopes.esBulkPair(base, index = "logs-%Y.%m.%d",
+        action = "create")
+      base.select(col("event_id"), pair.as("__p"))
+        .select(
+          col("event_id"),
+          get_json_object(substring_index(col("__p"), "\n", 1),
+            "$.create._index").as("idx"),
+          get_json_object(substring_index(col("__p"), "\n", -1),
+            "$.event_type").as("doc_event_type"),
+          get_json_object(substring_index(col("__p"), "\n", -1),
+            "$.user_id").cast("long").as("doc_user_id"))
+        .orderBy("event_id")
+    },
+
+    // splunk HEC event envelope: fractional epoch `time`, template-
+    // rendered host/sourcetype, event payload under `event`
+    "sink_hec" -> { (s, dir) =>
+      val base = ev(s, dir).select("event_id", "ts", "user_id", "event_type")
+      val line = Envelopes.hecEvent(base, host = "h{{ user_id }}",
+        sourcetype = "graft")
+      base.select(col("event_id"), line.as("__l"))
+        .select(
+          col("event_id"),
+          // whole seconds of the fractional epoch time (exact compare)
+          get_json_object(col("__l"), "$.time").cast("double")
+            .cast("long").as("time_s"),
+          get_json_object(col("__l"), "$.host").as("host"),
+          get_json_object(col("__l"), "$.sourcetype").as("sourcetype"),
+          get_json_object(col("__l"), "$.event.event_type")
+            .as("event_event_type"))
+        .orderBy("event_id")
+    },
+
+    // loki push payload: one stream per rendered label set, values
+    // sorted by ns timestamp — compare the COMPLETE per-stream body text
+    "sink_loki" -> { (s, dir) =>
+      val base = ev(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          concat(col("event_type"), lit(":"),
+            col("event_id").cast("string")).as("message"))
+      Envelopes.lokiStreams(base, Seq("app" -> "{{ event_type }}"),
+        codec = "text")
+        .select(col("__line").as("payload")).orderBy("payload")
+    },
+
+    // datadog logs v2 object: ddsource/service, epoch-ms timestamp, the
+    // full event nested as a JSON string under `message`
+    "sink_datadog" -> { (s, dir) =>
+      val base = ev(s, dir).select("event_id", "ts", "user_id", "event_type")
+      val line = Envelopes.datadogLog(base, ddsource = "vector",
+        service = "webapp")
+      base.select(col("event_id"), line.as("__l"))
+        .select(
+          col("event_id"),
+          get_json_object(col("__l"), "$.ddsource").as("ddsource"),
+          get_json_object(col("__l"), "$.service").as("service"),
+          get_json_object(col("__l"), "$.timestamp").cast("long")
+            .as("ts_ms"),
+          get_json_object(get_json_object(col("__l"), "$.message"),
+            "$.event_type").as("msg_event_type"))
+        .orderBy("event_id")
+    })
+
+  val oracles: Map[String, String] = Map(
+
+    "sink_es_bulk" ->
+      """SELECT event_id,
+        |  'logs-' || strftime(CAST(ts AS TIMESTAMP), '%Y.%m.%d') AS idx,
+        |  event_type AS doc_event_type,
+        |  user_id AS doc_user_id
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sink_hec" ->
+      """SELECT event_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS time_s,
+        |  'h' || CAST(user_id AS VARCHAR) AS host,
+        |  'graft' AS sourcetype,
+        |  event_type AS event_event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sink_loki" ->
+      """SELECT '{"stream":{"app":"' || event_type || '"},"values":['
+        |  || string_agg(
+        |       '["' || CAST(epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS VARCHAR)
+        |         || '","' || event_type || ':' || CAST(event_id AS VARCHAR)
+        |         || '"]',
+        |       ',' ORDER BY CAST(epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS VARCHAR),
+        |                    event_type || ':' || CAST(event_id AS VARCHAR))
+        |  || ']}' AS payload
+        |FROM events GROUP BY event_type ORDER BY payload""".stripMargin,
+
+    "sink_datadog" ->
+      """SELECT event_id,
+        |  'vector' AS ddsource,
+        |  'webapp' AS service,
+        |  epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |  event_type AS msg_event_type
+        |FROM events ORDER BY event_id""".stripMargin)
+}

@@ -96,9 +96,16 @@ object VrlFunctions {
         }
         i += 2
       } else {
-        // quote java-pattern-significant letters
-        if (fmt(i).isLetter) sb.append(s"'${fmt(i)}'") else sb.append(fmt(i))
-        i += 1
+        // quote literal runs whole: per-letter quoting ('l''o''g') is
+        // wrong — java.time reads the inner '' as an ESCAPED QUOTE, so
+        // "log" would render as l'o'g
+        val start = i
+        while (i < fmt.length && !(fmt(i) == '%' && i + 1 < fmt.length))
+          i += 1
+        val run = fmt.substring(start, i)
+        if (run.exists(c => c.isLetter || c == '\''))
+          sb.append("'").append(run.replace("'", "''")).append("'")
+        else sb.append(run)
       }
     }
     sb.toString

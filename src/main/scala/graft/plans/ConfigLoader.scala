@@ -685,6 +685,29 @@ object ConfigLoader {
           val topics = strList(m.getOrElse("topics", Nil)).mkString(",")
           Topology.Source(id, Topology.Log,
             sp => graft.streaming.StreamRunner.kafka(sp, servers, topics))
+        case "vector" =>
+          // vector-to-vector receive side (src/sources/vector/): the
+          // native_json envelope over tcp, newline-framed — pairs with
+          // the `vector` sink. Each `{"log":{...}}` line becomes an
+          // event carrying the payload object json as `message` plus its
+          // event kind; downstream VRL parses fields it needs.
+          val addr = m.getOrElse("address", "localhost:9000").toString
+          val (h, p) = addr.split(":") match {
+            case Array(a, b) => (a, b.toInt)
+            case _ => throw new IllegalArgumentException(
+              s"vector source $id: address must be host:port")
+          }
+          Topology.Source(id, Topology.Log, sp => {
+            import org.apache.spark.sql.functions._
+            val raw = graft.streaming.StreamRunner.socket(sp, h, p)
+            raw.select(
+              coalesce(
+                get_json_object(col("value"), "$.log"),
+                get_json_object(col("value"), "$.metric"),
+                get_json_object(col("value"), "$.trace")).as("message"),
+              graft.codecs.Decode.nativeJsonKind(col("value"))
+                .as("__event_kind"))
+          })
         case "text_dir" =>
           Topology.Source(id, Topology.Log,
             sp => graft.streaming.StreamRunner.textDir(
@@ -1062,10 +1085,17 @@ object ConfigLoader {
       val tpe = m.getOrElse("type", "console").toString
       val intervalMs =
         (m.getOrElse("interval", "0.1").toString.toDouble * 1000).toLong
+      val connector = connectorSink(id, tpe, m, workDir)
       if (df.isStreaming) {
         val writer = tpe match {
+          case _ if connector.isDefined =>
+            val write = connector.get
+            df.writeStream
+              .option("checkpointLocation", s"$workDir/.ckpt-$id")
+              .foreachBatch((b: org.apache.spark.sql.DataFrame, i: Long) =>
+                write(b))
           case "console" => StreamRunner.toConsole(df, intervalMs)
-          case "parquet" | "file" => StreamRunner.toParquet(df,
+          case "parquet" => StreamRunner.toParquet(df,
             m.getOrElse("path", s"$workDir/$id").toString,
             s"$workDir/.ckpt-$id",
             strList(m.getOrElse("partition_by", Nil)))
@@ -1090,8 +1120,9 @@ object ConfigLoader {
         Some(id -> StreamRunner.start(writer.queryName(id), intervalMs))
       } else {
         tpe match {
+          case _ if connector.isDefined => connector.get(df)
           case "console" => df.show(20, truncate = false)
-          case "parquet" | "file" =>
+          case "parquet" =>
             val w = df.write.mode("overwrite")
             val pb = strList(m.getOrElse("partition_by", Nil))
             (if (pb.nonEmpty) w.partitionBy(pb: _*) else w)
@@ -1108,6 +1139,144 @@ object ConfigLoader {
     }
     RunningConfig(queries.toMap, tails, scrapers, logTaps, closers,
       exporters.toMap)
+  }
+
+  /** Sink `encoding:` / `framing:` / `compression:` blocks (every
+    * reference sink takes an EncodingConfigWithFraming —
+    * src/sinks/file/mod.rs:97, http/config.rs:69).
+    */
+  private def sinkEncoding(m: Map[String, Any], defaultCodec: String)
+      : (String, String, String, String) = {
+    val enc = yamlMap(m.getOrElse("encoding", null))
+    val codec = enc.getOrElse("codec", defaultCodec).toString
+    val fr = yamlMap(m.getOrElse("framing", null))
+    val method = fr.getOrElse("method", "newline_delimited").toString
+    val delim = yamlMap(fr.getOrElse("character_delimited", null))
+      .getOrElse("delimiter", ",").toString
+    val compression = m.getOrElse("compression", "none").toString
+    (codec, method, delim, compression)
+  }
+
+  /** The connector sink families beyond the engine-native ones: file
+    * (text, template path), socket (tcp/udp/unix), vector
+    * (vector-to-vector: native_json over tcp), http (generic), and the
+    * HTTP-service envelopes — elasticsearch bulk, splunk_hec, loki,
+    * datadog_logs. Returns the batch-write function; streaming sinks
+    * wrap it in foreachBatch so ONE implementation serves both modes.
+    */
+  private def connectorSink(id: String, tpe: String, m: Map[String, Any],
+                            workDir: String)
+      : Option[org.apache.spark.sql.DataFrame => Unit] = {
+    import graft.sinks.{FileSink, NetworkSinks, Envelopes, LineCodec}
+    def endpoint(default: String = ""): String =
+      m.getOrElse("endpoint",
+        strList(m.getOrElse("endpoints", Nil)).headOption.getOrElse(default))
+        .toString
+    def headerMap(key: String = "headers"): Map[String, String] = {
+      val req = yamlMap(m.getOrElse("request", null))
+      (yamlMap(m.getOrElse(key, null)) ++
+        yamlMap(req.getOrElse("headers", null)))
+        .map { case (k, v) => k -> v.toString }
+    }
+    tpe match {
+      case "file" =>
+        val (codec, framing, delim, compression) = sinkEncoding(m, "text")
+        val cfg = FileSink.Config(
+          m.getOrElse("path", s"$workDir/$id.log").toString,
+          codec, framing, delim, compression)
+        Some(df => FileSink.writeBatch(df, cfg))
+      case "socket" =>
+        val (codec, framing, delim, _) = sinkEncoding(m, "text")
+        val cfg = NetworkSinks.SocketConfig(
+          m.getOrElse("mode", "tcp").toString,
+          m.getOrElse("address", m.getOrElse("path", "")).toString,
+          codec, framing, delim)
+        Some(df => NetworkSinks.writeSocket(df, cfg))
+      case "vector" =>
+        // vector-to-vector transport: the native_json envelope
+        // (lib/codecs native_json.rs) over tcp, newline-framed — the
+        // documented stand-in for the reference's gRPC `vector` sink
+        // (src/sinks/vector/); pairs with the `vector` source below
+        val cfg = NetworkSinks.SocketConfig(
+          "tcp", m.getOrElse("address", "").toString, "native_json")
+        Some(df => NetworkSinks.writeSocket(df, cfg))
+      case "http" =>
+        val (codec, framing, delim, compression) = sinkEncoding(m, "json")
+        val batch = yamlMap(m.getOrElse("batch", null))
+        val cfg = NetworkSinks.HttpConfig(
+          m.getOrElse("uri", "").toString,
+          m.getOrElse("method", "post").toString,
+          codec, framing, delim, compression,
+          batch.getOrElse("max_events", "1000").toString.toInt,
+          headerMap(),
+          contentType = if (codec == "json") "application/x-ndjson"
+            else "text/plain",
+          payloadPrefix = m.getOrElse("payload_prefix", "").toString,
+          payloadSuffix = m.getOrElse("payload_suffix", "").toString)
+        Some(df => NetworkSinks.writeHttp(df, cfg))
+      case "elasticsearch" =>
+        val bulk = yamlMap(m.getOrElse("bulk", null))
+        val index = bulk.getOrElse("index", "vector-%Y.%m.%d").toString
+        val action = bulk.getOrElse("action", "index").toString
+        val batch = yamlMap(m.getOrElse("batch", null))
+        val cfg = NetworkSinks.HttpConfig(
+          endpoint() + "/_bulk", "post", "json", "newline_delimited", "\n",
+          m.getOrElse("compression", "none").toString,
+          batch.getOrElse("max_events", "1000").toString.toInt,
+          headerMap(), contentType = "application/x-ndjson",
+          payloadSuffix = "\n")
+        Some(df => NetworkSinks.writeHttpBody(
+          df.select(Envelopes.esBulkPair(df, index, action).as("__line")),
+          cfg))
+      case "splunk_hec" | "splunk_hec_logs" =>
+        val token = m.getOrElse("default_token", "").toString
+        val batch = yamlMap(m.getOrElse("batch", null))
+        val cfg = NetworkSinks.HttpConfig(
+          endpoint() + "/services/collector/event", "post", "json",
+          "newline_delimited", "\n",
+          m.getOrElse("compression", "none").toString,
+          batch.getOrElse("max_events", "1000").toString.toInt,
+          headerMap() + ("Authorization" -> s"Splunk $token"),
+          contentType = "application/json")
+        val host = m.getOrElse("host_key", "host").toString
+        Some(df => NetworkSinks.writeHttpBody(
+          df.select(Envelopes.hecEvent(df,
+            host = s"{{ $host }}",
+            source = m.getOrElse("source", "").toString,
+            sourcetype = m.getOrElse("sourcetype", "").toString,
+            index = m.getOrElse("index", "").toString).as("__line")), cfg))
+      case "loki" =>
+        val labels = yamlMap(m.getOrElse("labels", null)).toSeq
+          .sortBy(_._1).map { case (k, v) => k -> v.toString }
+        val (codec, _, _, compression) = sinkEncoding(m, "json")
+        val batch = yamlMap(m.getOrElse("batch", null))
+        val cfg = NetworkSinks.HttpConfig(
+          endpoint() + "/loki/api/v1/push", "post", codec,
+          "character_delimited", ",", compression,
+          batch.getOrElse("max_events", "100000").toString.toInt,
+          headerMap(), contentType = "application/json",
+          payloadPrefix = "{\"streams\":[", payloadSuffix = "]}")
+        Some(df => NetworkSinks.writeHttpBody(
+          Envelopes.lokiStreams(df, labels, codec), cfg))
+      case "datadog_logs" =>
+        val batch = yamlMap(m.getOrElse("batch", null))
+        val cfg = NetworkSinks.HttpConfig(
+          endpoint("https://http-intake.logs.datadoghq.com") + "/api/v2/logs",
+          "post", "json", "character_delimited", ",",
+          m.getOrElse("compression", "none").toString,
+          batch.getOrElse("max_events", "1000").toString.toInt,
+          headerMap() ++ m.get("default_api_key")
+            .map(k => "DD-API-KEY" -> k.toString),
+          contentType = "application/json",
+          payloadPrefix = "[", payloadSuffix = "]")
+        Some(df => NetworkSinks.writeHttpBody(
+          df.select(Envelopes.datadogLog(df,
+            ddsource = m.getOrElse("ddsource", "vector").toString,
+            ddtags = m.getOrElse("ddtags", "").toString,
+            service = m.getOrElse("service", "").toString).as("__line")),
+          cfg))
+      case _ => None
+    }
   }
 
   // ---------------- behavior-test runner ----------------

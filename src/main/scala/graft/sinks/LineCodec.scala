@@ -1,0 +1,95 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sink-side event serialization: `encoding.codec` + `framing` from the
+  * reference's sink configs (lib/codecs/src/encoding/ — every sink takes
+  * an `EncodingConfigWithFraming`, e.g. src/sinks/file/mod.rs:97,
+  * src/sinks/http/config.rs:69). The codec turns one event into one
+  * string; the framer joins them on the wire.
+  *
+  * Spark-first: the codec is a single Column expression over the event
+  * row (codegen'd `to_json`/`concat`), so "encode everything" is one
+  * narrow projection — the imperative part of a sink is only the final
+  * byte-pushing loop.
+  */
+object LineCodec {
+
+  /** Columns the engine adds for its own bookkeeping — never serialized. */
+  val InternalCols: Set[String] = Set("__event_kind", "__path", "__route")
+
+  private def userFields(df: DataFrame): Seq[String] =
+    df.schema.fieldNames.toSeq.filterNot(InternalCols.contains)
+
+  /** One event → one serialized string, per the named codec
+    * (lib/codecs/src/encoding/format/): json, text (message field or
+    * whole-row json fallback), logfmt, csv (field order = schema order),
+    * native_json (the `{"log": {...}}` transport envelope), raw_message.
+    */
+  def encode(df: DataFrame, codec: String): Column = codec match {
+    case "json" =>
+      to_json(struct(userFields(df).map(col): _*))
+    case "text" | "raw_message" =>
+      if (df.schema.fieldNames.contains("message")) col("message").cast("string")
+      else to_json(struct(userFields(df).map(col): _*))
+    case "logfmt" | "key_value" =>
+      graft.codecs.Encode.logfmt(map_from_arrays(
+        array(userFields(df).map(lit): _*),
+        array(userFields(df).map(f => col(f).cast("string")): _*)))
+    case "csv" =>
+      concat_ws(",", userFields(df).map(f => col(f).cast("string")): _*)
+    case "native_json" =>
+      to_json(struct(struct(userFields(df).map(col): _*).as("log")))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported sink codec: $other")
+  }
+
+  /** A string Column → its JSON string literal (quoted + escaped), via
+    * Jackson's own escaping: serialize a one-field struct and strip the
+    * `{"v":` … `}` wrapper, so escaping can never drift from to_json's.
+    */
+  def jsonStringLit(c: Column): Column = {
+    val j = to_json(struct(c.cast("string").as("v")))
+    when(c.isNull, lit("\"\""))
+      .otherwise(substring(j, lit(6), length(j) - 6))
+  }
+
+  /** Framing method → the delimiter bytes appended after each frame
+    * (newline_delimited default for text sinks; character_delimited takes
+    * the configured character; bytes = no delimiter —
+    * lib/codecs/src/encoding/framing/).
+    */
+  def frameDelimiter(method: String, delimiter: String = "\n"): Array[Byte] =
+    method match {
+      case "newline_delimited" | "" => "\n".getBytes("UTF-8")
+      case "character_delimited" => delimiter.getBytes("UTF-8")
+      case "bytes" => Array.emptyByteArray
+      case other =>
+        throw new IllegalArgumentException(s"unsupported sink framing: $other")
+    }
+
+  /** Wrap an OutputStream per the sink `compression` option
+    * (src/sinks/file/mod.rs:162-176: none | gzip | zstd). Appending
+    * whole members to an existing file stays valid for both formats
+    * (multi-member gzip/zstd streams decode as concatenation).
+    */
+  def compress(out: java.io.OutputStream, compression: String): java.io.OutputStream =
+    compression match {
+      case "none" | "" => out
+      case "gzip" => new java.util.zip.GZIPOutputStream(out)
+      case "zstd" => new com.github.luben.zstd.ZstdOutputStream(out)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported compression: $other")
+    }
+
+  /** File-extension convention for compressed sink files (the reference
+    * requires the extension be explicit in the path template; we expose
+    * the mapping for tests/docs).
+    */
+  def extension(compression: String): String = compression match {
+    case "gzip" => ".gz"
+    case "zstd" => ".zst"
+    case _ => ""
+  }
+}

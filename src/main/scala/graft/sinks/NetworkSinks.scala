@@ -1,0 +1,151 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** Socket and HTTP sinks (reference src/sinks/socket.rs,
+  * src/sinks/http/config.rs).
+  *
+  * Execution shape: events encode via one codegen'd projection
+  * (LineCodec), then each task opens its OWN connection and streams its
+  * partition — N executors push in parallel, no driver funnel. That is
+  * the same fan-out a 1000-executor cluster needs; the receiving service
+  * is expected to load-balance (as the reference assumes of its
+  * downstream).
+  */
+object NetworkSinks {
+
+  // ---- socket (src/sinks/socket.rs: mode tcp | udp | unix) ----
+
+  case class SocketConfig(
+      mode: String, // tcp | udp | unix
+      address: String, // host:port for tcp/udp; path for unix
+      codec: String = "text",
+      framing: String = "newline_delimited",
+      delimiter: String = "\n")
+      extends Serializable
+
+  def writeSocket(df: DataFrame, cfg: SocketConfig): Unit = {
+    val lines = df.select(LineCodec.encode(df, cfg.codec).as("__line"))
+    val delim = LineCodec.frameDelimiter(cfg.framing, cfg.delimiter)
+    val c = cfg
+    lines.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      c.mode match {
+        case "tcp" =>
+          val (host, port) = splitHostPort(c.address)
+          val sock = new java.net.Socket(host, port)
+          val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+          try rows.foreach { r =>
+            val s = r.getString(0)
+            if (s != null) { out.write(s.getBytes("UTF-8")); out.write(delim) }
+          } finally { out.flush(); sock.close() }
+        case "udp" =>
+          val (host, port) = splitHostPort(c.address)
+          val addr = java.net.InetAddress.getByName(host)
+          val sock = new java.net.DatagramSocket()
+          try rows.foreach { r =>
+            val s = r.getString(0)
+            if (s != null) {
+              val b = s.getBytes("UTF-8") ++ delim
+              sock.send(new java.net.DatagramPacket(b, b.length, addr, port))
+            }
+          } finally sock.close()
+        case "unix" =>
+          val addr = java.net.UnixDomainSocketAddress.of(c.address)
+          val ch = java.nio.channels.SocketChannel.open(
+            java.net.StandardProtocolFamily.UNIX)
+          ch.connect(addr)
+          try rows.foreach { r =>
+            val s = r.getString(0)
+            if (s != null) {
+              val buf = java.nio.ByteBuffer.wrap(s.getBytes("UTF-8") ++ delim)
+              while (buf.hasRemaining) ch.write(buf)
+            }
+          } finally ch.close()
+        case other =>
+          throw new IllegalArgumentException(s"unsupported socket mode: $other")
+      }
+    }
+  }
+
+  private def splitHostPort(address: String): (String, Int) = {
+    val i = address.lastIndexOf(':')
+    (address.substring(0, i), address.substring(i + 1).toInt)
+  }
+
+  // ---- http (src/sinks/http/config.rs) ----
+
+  case class HttpConfig(
+      uri: String,
+      method: String = "post",
+      codec: String = "json",
+      framing: String = "newline_delimited",
+      delimiter: String = "\n",
+      compression: String = "none",
+      // batch.max_events (src/sinks/util/batch.rs) — requests per task
+      // hold at most this many events
+      maxEvents: Int = 1000,
+      headers: Map[String, String] = Map.empty,
+      contentType: String = "application/x-ndjson",
+      // payload_prefix/payload_suffix wrap each request body
+      // (http/config.rs:78,87 — e.g. "{\"data\":[" … "]}")
+      payloadPrefix: String = "",
+      payloadSuffix: String = "")
+      extends Serializable
+
+  /** POST each task's events in batches of `maxEvents`. Returns nothing;
+    * non-2xx responses throw (Spark retries the task — the reference's
+    * retry layer, expressed through the engine's own fault tolerance).
+    */
+  def writeHttp(df: DataFrame, cfg: HttpConfig): Unit =
+    writeHttpBody(
+      df.select(LineCodec.encode(df, cfg.codec).as("__line")), cfg)
+
+  /** Same transport, but the caller supplies the pre-built per-event (or
+    * per-group) body lines — used by the envelope sinks (elasticsearch /
+    * splunk_hec / loki / datadog), which build service-specific shapes.
+    */
+  def writeHttpBody(lines: DataFrame, cfg: HttpConfig): Unit = {
+    val c = cfg
+    lines.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val delim = LineCodec.frameDelimiter(c.framing, c.delimiter)
+      rows.grouped(c.maxEvents).foreach { batch =>
+        val body = new java.io.ByteArrayOutputStream()
+        val out = LineCodec.compress(body, c.compression)
+        out.write(c.payloadPrefix.getBytes("UTF-8"))
+        var first = true
+        for (r <- batch) {
+          val s = r.getString(0)
+          if (s != null) {
+            if (!first) out.write(delim)
+            out.write(s.getBytes("UTF-8"))
+            first = false
+          }
+        }
+        out.write(c.payloadSuffix.getBytes("UTF-8"))
+        out.close()
+        post(c, body.toByteArray)
+      }
+    }
+  }
+
+  private def post(c: HttpConfig, body: Array[Byte]): Unit = {
+    val conn = new java.net.URI(c.uri).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod(c.method.toUpperCase)
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", c.contentType)
+    if (c.compression == "gzip")
+      conn.setRequestProperty("Content-Encoding", "gzip")
+    if (c.compression == "zstd")
+      conn.setRequestProperty("Content-Encoding", "zstd")
+    c.headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    conn.getOutputStream.write(body)
+    conn.getOutputStream.close()
+    val code = conn.getResponseCode
+    // drain so keep-alive can reuse the connection
+    try conn.getInputStream.readAllBytes()
+    catch { case _: java.io.IOException => () }
+    if (code < 200 || code >= 300)
+      throw new java.io.IOException(s"http sink: $code from ${c.uri}")
+  }
+}

@@ -1,0 +1,281 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    ("web", "alpha line", "2024-03-05T10:00:00Z", "h1"),
+    ("web", "beta line", "2024-03-05T11:00:00Z", "h1"),
+    ("api", "gamma line", "2024-03-06T09:00:00Z", "h2"))
+    .toDF("app", "message", "tss", "host")
+    .withColumn("timestamp", col("tss").cast("timestamp")).drop("tss")
+
+  // ---- Template ----
+
+  test("template renders field refs and strftime against event time") {
+    val df = events.select(graft.functions.Template.render(events.schema,
+      "/logs/{{ app }}-%Y-%m-%d.log").as("p"))
+    assert(df.as[String].collect().toSet ==
+      Set("/logs/web-2024-03-05.log", "/logs/api-2024-03-06.log"))
+  }
+
+  test("template: static strings are not dynamic; refs and strftime are") {
+    import graft.functions.Template.isDynamic
+    assert(!isDynamic("/tmp/plain.log"))
+    assert(isDynamic("/tmp/{{ app }}.log"))
+    assert(isDynamic("/tmp/%F.log"))
+    assert(!isDynamic("/tmp/100%%.log")) // %% = literal percent
+  }
+
+  // ---- FileSink ----
+
+  test("file sink: template path routes events to per-app dated files") {
+    val dir = java.nio.file.Files.createTempDirectory("fsink")
+    FileSink.writeBatch(events, FileSink.Config(
+      s"$dir/{{ app }}-%Y-%m-%d.log", codec = "text"))
+    def read(n: String) = new String(java.nio.file.Files.readAllBytes(
+      dir.resolve(n)), "UTF-8")
+    assert(read("web-2024-03-05.log").split("\n").toSet ==
+      Set("alpha line", "beta line"))
+    assert(read("api-2024-03-06.log").trim == "gamma line")
+  }
+
+  test("file sink: gzip compression, json codec, append across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("fsinkgz")
+    val cfg = FileSink.Config(s"$dir/out.log.gz", codec = "json",
+      compression = "gzip")
+    FileSink.writeBatch(events.limit(1), cfg)
+    FileSink.writeBatch(events.limit(1), cfg) // second append = 2nd member
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.FileInputStream(dir.resolve("out.log.gz").toFile))
+    val lines = new String(in.readAllBytes(), "UTF-8").split("\n")
+    assert(lines.length == 2)
+    lines.foreach { l =>
+      assert(get_json_object(lit(l), "$.app") != null)
+      assert(l.contains("\"app\":\"web\""))
+    }
+  }
+
+  test("file sink: zstd round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("fsinkzst")
+    FileSink.writeBatch(events, FileSink.Config(
+      s"$dir/out.log.zst", codec = "text", compression = "zstd"))
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.FileInputStream(dir.resolve("out.log.zst").toFile))
+    val got = new String(in.readAllBytes(), "UTF-8").split("\n").toSet
+    assert(got == Set("alpha line", "beta line", "gamma line"))
+  }
+
+  // ---- Socket sink ----
+
+  test("socket sink: tcp sends newline-framed encoded lines") {
+    val server = new java.net.ServerSocket(0)
+    val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => {
+      try {
+        // one connection per task/partition
+        while (true) {
+          val s = server.accept()
+          val src = scala.io.Source.fromInputStream(s.getInputStream, "UTF-8")
+          src.getLines().foreach(received.put)
+          s.close()
+        }
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      NetworkSinks.writeSocket(events.coalesce(1), NetworkSinks.SocketConfig(
+        "tcp", s"localhost:${server.getLocalPort}", codec = "text"))
+      val got = (1 to 3).map(_ =>
+        received.poll(10, java.util.concurrent.TimeUnit.SECONDS)).toSet
+      assert(got == Set("alpha line", "beta line", "gamma line"))
+    } finally server.close()
+  }
+
+  test("vector sink: native_json envelope round-trips the event") {
+    val server = new java.net.ServerSocket(0)
+    val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => {
+      try while (true) {
+        val s = server.accept()
+        scala.io.Source.fromInputStream(s.getInputStream, "UTF-8")
+          .getLines().foreach(received.put)
+        s.close()
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      NetworkSinks.writeSocket(events.coalesce(1), NetworkSinks.SocketConfig(
+        "tcp", s"localhost:${server.getLocalPort}", codec = "native_json"))
+      val lines = (1 to 3).map(_ =>
+        received.poll(10, java.util.concurrent.TimeUnit.SECONDS))
+      val apps = lines.map(l => spark.range(1).select(
+        get_json_object(lit(l), "$.log.app")).as[String].head)
+      assert(apps.toSet == Set("web", "api"))
+    } finally server.close()
+  }
+
+  // ---- HTTP sink + envelopes ----
+
+  private class CapturingServer {
+    val bodies = new java.util.concurrent.CopyOnWriteArrayList[(String, String, Map[String, String])]()
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/", { ex =>
+      val raw = ex.getRequestBody.readAllBytes()
+      val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+      val body = enc match {
+        case Some("gzip") => new String(new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw)).readAllBytes(), "UTF-8")
+        case _ => new String(raw, "UTF-8")
+      }
+      val hdrs = Seq("Authorization", "DD-API-KEY", "Content-Type")
+        .flatMap(h => Option(ex.getRequestHeaders.getFirst(h)).map(h -> _))
+        .toMap
+      bodies.add((ex.getRequestURI.getPath, body, hdrs))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("http sink: ndjson batches with gzip compression") {
+    val srv = new CapturingServer
+    try {
+      NetworkSinks.writeHttp(events.coalesce(1), NetworkSinks.HttpConfig(
+        s"http://localhost:${srv.port}/ingest", codec = "json",
+        compression = "gzip", maxEvents = 2))
+      // 3 events, maxEvents=2 → 2 requests from the single task
+      assert(srv.bodies.size == 2)
+      val lines = srv.bodies.toArray.map(_.asInstanceOf[(String, String, Map[String, String])])
+        .flatMap(_._2.split("\n"))
+      assert(lines.length == 3)
+      assert(lines.forall(_.contains("\"message\"")))
+    } finally srv.stop()
+  }
+
+  test("elasticsearch sink: bulk action/doc pairs against the _bulk API") {
+    val srv = new CapturingServer
+    try {
+      graft.plans.ConfigLoader.run(spark,
+        s"""
+          |sources:
+          |  ev: {type: parquet, table: events}
+          |sinks:
+          |  es:
+          |    type: elasticsearch
+          |    inputs: [ev]
+          |    endpoints: ["http://localhost:${srv.port}"]
+          |    bulk: {index: "logs-%Y", action: create}
+          |""".stripMargin,
+        "/root/testdata/sf0.001",
+        java.nio.file.Files.createTempDirectory("eswork").toString).stopAll()
+      assert(srv.bodies.size >= 1)
+      val (path, body, hdrs) = srv.bodies.get(0)
+      assert(path == "/_bulk")
+      assert(hdrs("Content-Type") == "application/x-ndjson")
+      assert(body.endsWith("\n")) // _bulk requires the trailing newline
+      val lines = body.trim.split("\n")
+      assert(lines.length % 2 == 0)
+      assert(lines.head.startsWith("{\"create\":{\"_index\":\"logs-20"))
+      assert(lines(1).startsWith("{"))
+    } finally srv.stop()
+  }
+
+  test("splunk_hec sink: event envelope with token auth") {
+    val srv = new CapturingServer
+    try {
+      NetworkSinks.writeHttpBody(
+        events.select(Envelopes.hecEvent(events, host = "{{ host }}",
+          sourcetype = "graft").as("__line")),
+        NetworkSinks.HttpConfig(
+          s"http://localhost:${srv.port}/services/collector/event",
+          headers = Map("Authorization" -> "Splunk tok-123"),
+          contentType = "application/json"))
+      val (path, body, hdrs) = srv.bodies.get(0)
+      assert(path == "/services/collector/event")
+      assert(hdrs("Authorization") == "Splunk tok-123")
+      val first = body.split("\n").head
+      val t = spark.range(1).select(
+        get_json_object(lit(first), "$.time").as[String],
+        get_json_object(lit(first), "$.sourcetype").as[String],
+        get_json_object(lit(first), "$.event.app").as[String]).head()
+      assert(t._2 == "graft" && Set("web", "api").contains(t._3))
+      assert(t._1.toDouble > 1.7e9)
+    } finally srv.stop()
+  }
+
+  test("loki sink: events group into label streams with ns timestamps") {
+    val streams = Envelopes.lokiStreams(events,
+      Seq("app" -> "{{ app }}", "env" -> "prod"), codec = "text")
+      .as[String].collect().sorted
+    assert(streams.length == 2)
+    val web = streams.find(_.contains("\"app\":\"web\"")).get
+    assert(web.contains("\"stream\":{\"app\":\"web\",\"env\":\"prod\"}"))
+    // two values, sorted by ns timestamp, ns = micros * 1000
+    val ns1 = "1709632800000000000" // 2024-03-05T10:00:00Z
+    val ns2 = "1709636400000000000" // 2024-03-05T11:00:00Z
+    assert(web.contains(s"""["$ns1","alpha line"]"""))
+    assert(web.contains(s"""["$ns2","beta line"]"""))
+    assert(web.indexOf(ns1) < web.indexOf(ns2))
+  }
+
+  test("datadog_logs sink: v2 array body with api key header") {
+    val srv = new CapturingServer
+    try {
+      graft.plans.ConfigLoader.run(spark,
+        s"""
+          |sources:
+          |  ev: {type: parquet, table: events}
+          |sinks:
+          |  dd:
+          |    type: datadog_logs
+          |    inputs: [ev]
+          |    endpoint: "http://localhost:${srv.port}"
+          |    default_api_key: key-9
+          |    service: webapp
+          |""".stripMargin,
+        "/root/testdata/sf0.001",
+        java.nio.file.Files.createTempDirectory("ddwork").toString).stopAll()
+      val (path, body, hdrs) = srv.bodies.get(0)
+      assert(path == "/api/v2/logs")
+      assert(hdrs("DD-API-KEY") == "key-9")
+      assert(body.startsWith("[{") && body.endsWith("}]"))
+      val first = body.substring(1, body.indexOf("},{") match {
+        case -1 => body.length - 1; case i => i + 1 })
+      val t = spark.range(1).select(
+        get_json_object(lit(first), "$.ddsource").as[String],
+        get_json_object(lit(first), "$.service").as[String],
+        get_json_object(lit(first), "$.timestamp").as[String]).head()
+      assert(t._1 == "vector" && t._2 == "webapp" && t._3.toLong > 1.6e12)
+    } finally srv.stop()
+  }
+
+  test("file sink from YAML config: template path + json codec + gzip") {
+    val srv = java.nio.file.Files.createTempDirectory("yfsink")
+    graft.plans.ConfigLoader.run(spark,
+      s"""
+        |sources:
+        |  ev: {type: parquet, table: events}
+        |sinks:
+        |  out:
+        |    type: file
+        |    inputs: [ev]
+        |    path: "$srv/ev-%Y.log.gz"
+        |    compression: gzip
+        |    encoding: {codec: json}
+        |""".stripMargin,
+      "/root/testdata/sf0.001",
+      java.nio.file.Files.createTempDirectory("yfwork").toString).stopAll()
+    val files = new java.io.File(srv.toString).listFiles()
+    assert(files.nonEmpty)
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.FileInputStream(files.head))
+    val lines = new String(in.readAllBytes(), "UTF-8").split("\n")
+    assert(lines.nonEmpty && lines.head.startsWith("{"))
+  }
+}
