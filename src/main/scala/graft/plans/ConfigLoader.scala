@@ -426,13 +426,12 @@ object ConfigLoader {
         import graft.operators.LogToMetric
         val specs = yamlList(conf.getOrElse("metrics", Nil)).map(yamlMap)
         Topology.Transform.simple(id, inputs, df => {
-          def tmpl(v: String): Column = {
-            val t = "^\\{\\{\\s*(\\S+)\\s*\\}\\}$".r
-            v match {
-              case t(f) => col(f).cast("string")
-              case s => lit(s)
-            }
-          }
+          // full template strings — mixed literal text, {{ field }} refs
+          // and strftime, not just whole-string refs (src/template/)
+          def tmpl(v: String): Column =
+            if (graft.functions.Template.isDynamic(v))
+              graft.functions.Template.render(df.schema, v)
+            else lit(v)
           val built = specs.map { m =>
             val nm = tmpl(m.getOrElse("name",
               m.getOrElse("field", "counter").toString).toString)

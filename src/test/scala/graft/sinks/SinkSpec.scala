@@ -118,6 +118,53 @@ class SinkSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("vector source from YAML: native_json lines over tcp become events") {
+    // the receive side of the vector-to-vector pair: a server speaking
+    // the sink's wire format (native_json, newline-framed) feeds a
+    // `type: vector` source; events carry the payload json + kind
+    val server = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try while (true) {
+        val s = server.accept()
+        val out = new java.io.PrintWriter(s.getOutputStream, true)
+        out.println("""{"log":{"app":"web","message":"hello"}}""")
+        out.println("""{"metric":{"name":"cpu","value":0.5}}""")
+        Thread.sleep(60000) // keep open; daemon thread dies with the JVM
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true); t.start()
+    val tmp = java.nio.file.Files.createTempDirectory("vecwork").toString
+    val running = graft.plans.ConfigLoader.run(spark,
+      s"""
+        |sources:
+        |  upstream:
+        |    type: vector
+        |    address: localhost:${server.getLocalPort}
+        |sinks:
+        |  tap:
+        |    type: memory
+        |    inputs: [upstream]
+        |""".stripMargin,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      val end = System.nanoTime + 30L * 1000 * 1000 * 1000
+      var ok = false
+      while (!ok && System.nanoTime < end) {
+        running.processAllAvailable()
+        ok = spark.table("tap").count() >= 2
+        if (!ok) Thread.sleep(200)
+      }
+      val rows = spark.table("tap")
+        .select(col("__event_kind"),
+          get_json_object(col("message"), "$.app").as("app"),
+          get_json_object(col("message"), "$.name").as("name"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(rows.contains(("log", "web", null)))
+      assert(rows.contains(("metric", null, "cpu")))
+    } finally { running.stopAll(); server.close() }
+  }
+
   // ---- HTTP sink + envelopes ----
 
   private class CapturingServer {
