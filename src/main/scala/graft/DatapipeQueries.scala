@@ -21,6 +21,17 @@ object DatapipeQueries {
     Graft.table(s, dir, "embeddings")
 
   val queries: Map[String, Q] = Map(
+
+    // training-output sharding: deterministic global shuffle into N
+    // shards — shard = 24-bit md5 bucket mod N, pos = the document's
+    // 1-based position in the shard's md5 shuffle order
+    "shard_assign" -> { (s, dir) =>
+      graft.datapipe.Shards.assign(
+          docs(s, dir).select("doc_id", "source"), col("doc_id"), 8)
+        .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    },
+
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(docs(s, dir).select("doc_id", "text"), "doc_id", col("text"))
         .select(col("doc_id"), col("dup_of"))
@@ -383,6 +394,19 @@ object DatapipeQueries {
     s"CAST(list_sum([CASE WHEN CAST($v[j+1] AS DOUBLE) > 0 THEN (1::BIGINT << j) ELSE 0 END for j in range(0,8)]) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+
+    "shard_assign" ->
+      """WITH hashed AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+        |      AS BIGINT) % 8 AS shard,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT doc_id, source, shard,
+        |  row_number() OVER (PARTITION BY shard
+        |                     ORDER BY h, CAST(doc_id AS VARCHAR)) AS pos
+        |FROM hashed ORDER BY doc_id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS dup_of
         |FROM documents

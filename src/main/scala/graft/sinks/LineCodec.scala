@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
 object LineCodec {
 
   /** Columns the engine adds for its own bookkeeping — never serialized. */
-  val InternalCols: Set[String] = Set("__event_kind", "__path", "__route")
+  val InternalCols: Set[String] =
+    Set("__event_kind", "__path", "__route", "__seq")
 
   private def userFields(df: DataFrame): Seq[String] =
     df.schema.fieldNames.toSeq.filterNot(InternalCols.contains)

@@ -302,6 +302,44 @@ class SinkSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("streaming file sink from YAML: tailed lines land in the template file") {
+    // connector sinks run foreachBatch under streaming — drive the file
+    // sink from a live tailed directory and check appended output
+    val src = java.nio.file.Files.createTempDirectory("sfsrc")
+    java.nio.file.Files.write(src.resolve("a.log"),
+      "one\ntwo\n".getBytes("UTF-8"))
+    val outDir = java.nio.file.Files.createTempDirectory("sfout")
+    val tmp = java.nio.file.Files.createTempDirectory("sfwork").toString
+    val running = graft.plans.ConfigLoader.run(spark,
+      s"""
+        |sources:
+        |  logs:
+        |    type: file
+        |    path: $src
+        |sinks:
+        |  out:
+        |    type: file
+        |    inputs: [logs]
+        |    path: "$outDir/tail-%Y.log"
+        |    encoding: {codec: text}
+        |""".stripMargin,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      val year = java.time.Year.now(java.time.ZoneOffset.UTC).toString
+      val f = outDir.resolve(s"tail-$year.log")
+      val end = System.nanoTime + 30L * 1000 * 1000 * 1000
+      var lines = Set.empty[String]
+      while (lines != Set("one", "two") && System.nanoTime < end) {
+        running.processAllAvailable()
+        if (java.nio.file.Files.exists(f))
+          lines = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+            .split("\n").filter(_.nonEmpty).toSet
+        if (lines != Set("one", "two")) Thread.sleep(200)
+      }
+      assert(lines == Set("one", "two"))
+    } finally running.stopAll()
+  }
+
   test("file sink from YAML config: template path + json codec + gzip") {
     val srv = java.nio.file.Files.createTempDirectory("yfsink")
     graft.plans.ConfigLoader.run(spark,
