@@ -74,6 +74,49 @@ object SinkQueries {
         .select(col("__line").as("payload")).orderBy("payload")
     },
 
+    // influx line protocol: full line text vs a string-built oracle
+    "sink_influx" -> { (s, dir) =>
+      val base = ev(s, dir).select(
+        col("event_id"),
+        lit("events_total").as("name"),
+        map(lit("type"), col("event_type"),
+          lit("host"), concat(lit("h"),
+            pmod(col("user_id"), lit(5)).cast("string"))).as("tags"),
+        Graft.jsonLong(col("props"), "k").cast("double").as("gauge_value"),
+        col("ts").as("timestamp"))
+      base.select(col("event_id"),
+          Envelopes.influxLine(base).as("line"))
+        .orderBy("event_id")
+    },
+
+    // prometheus remote write: encode the prompb WriteRequest fragments,
+    // decode them back with the wire walker, and compare the recovered
+    // series (sorted labels, per-series sample stats) to the oracle
+    "sink_remote_write" -> { (s, dir) =>
+      val base = ev(s, dir).select(
+        concat(lit("ev_"), col("event_type")).as("name"),
+        map(lit("host"), concat(lit("h"),
+          pmod(col("user_id"), lit(5)).cast("string"))).as("tags"),
+        Graft.jsonLong(col("props"), "k").cast("double").as("gauge_value"),
+        col("ts").as("timestamp"))
+      val decoded = Envelopes.remoteWriteSeries(base).select(
+        explode(graft.codecs.ProtobufCodec.decode(
+          Envelopes.PromWriteRequest, col("__bytes"))
+          .getField("timeseries")).as("series"))
+      decoded.select(
+          array_join(transform(col("series.labels"), l => concat(
+            l.getField("name"), lit("="), l.getField("value"))), ",")
+            .as("labels"),
+          size(col("series.samples")).cast("long").as("n_samples"),
+          aggregate(col("series.samples"), lit(0.0),
+            (acc, x) => acc + x.getField("value")).cast("long").as("sum_v"),
+          element_at(col("series.samples"), 1).getField("timestamp")
+            .as("first_ms"),
+          element_at(col("series.samples"), -1).getField("timestamp")
+            .as("last_ms"))
+        .orderBy("labels")
+    },
+
     // datadog logs v2 object: ddsource/service, epoch-ms timestamp, the
     // full event nested as a JSON string under `message`
     "sink_datadog" -> { (s, dir) =>
@@ -119,6 +162,28 @@ object SinkQueries {
         |                    event_type || ':' || CAST(event_id AS VARCHAR))
         |  || ']}' AS payload
         |FROM events GROUP BY event_type ORDER BY payload""".stripMargin,
+
+    "sink_influx" ->
+      """SELECT event_id,
+        |  'events_total,host=h' || CAST(user_id % 5 AS VARCHAR)
+        |    || ',type=' || event_type
+        |    || ' value=' || CAST(CAST(json_extract_string(props,'$.k')
+        |         AS DOUBLE) AS VARCHAR)
+        |    || ' ' || CAST(epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS VARCHAR)
+        |    AS line
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sink_remote_write" ->
+      """SELECT
+        |  '__name__=ev_' || event_type || ',host=h'
+        |    || CAST(user_id % 5 AS VARCHAR) AS labels,
+        |  count(*) AS n_samples,
+        |  CAST(SUM(CAST(json_extract_string(props,'$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_v,
+        |  min(epoch_ms(CAST(ts AS TIMESTAMP))) AS first_ms,
+        |  max(epoch_ms(CAST(ts AS TIMESTAMP))) AS last_ms
+        |FROM events GROUP BY event_type, user_id % 5
+        |ORDER BY labels""".stripMargin,
 
     "sink_datadog" ->
       """SELECT event_id,

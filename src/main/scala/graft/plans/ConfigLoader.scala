@@ -1257,6 +1257,47 @@ object ConfigLoader {
           payloadPrefix = "{\"streams\":[", payloadSuffix = "]}")
         Some(df => NetworkSinks.writeHttpBody(
           Envelopes.lokiStreams(df, labels, codec), cfg))
+      case "prometheus_remote_write" =>
+        // src/sinks/prometheus/remote_write/: snappy-compressed prompb
+        // WriteRequest, per-series label-sorted samples
+        val batch = yamlMap(m.getOrElse("batch", null))
+        val cfg = NetworkSinks.HttpConfig(
+          endpoint(), "post", "json", "bytes", "",
+          "none",
+          batch.getOrElse("max_events", "100000").toString.toInt,
+          headerMap() ++ Map(
+            "Content-Encoding" -> "snappy",
+            "X-Prometheus-Remote-Write-Version" -> "0.1.0"),
+          contentType = "application/x-protobuf")
+        Some(df => NetworkSinks.writeProtoSnappy(
+          Envelopes.remoteWriteSeries(df), cfg))
+      case "clickhouse" =>
+        // src/sinks/clickhouse/: JSONEachRow rows POSTed to
+        // ?query=INSERT INTO <table> FORMAT JSONEachRow
+        val table = m.getOrElse("table", id).toString
+        val db = m.get("database").map(_.toString + ".").getOrElse("")
+        val q = java.net.URLEncoder.encode(
+          s"INSERT INTO $db$table FORMAT JSONEachRow", "UTF-8")
+        val batch = yamlMap(m.getOrElse("batch", null))
+        val cfg = NetworkSinks.HttpConfig(
+          endpoint() + s"/?query=$q", "post", "json", "newline_delimited",
+          "\n", m.getOrElse("compression", "none").toString,
+          batch.getOrElse("max_events", "1000").toString.toInt,
+          headerMap(), contentType = "application/x-ndjson",
+          payloadSuffix = "\n")
+        Some(df => NetworkSinks.writeHttp(df, cfg))
+      case "influxdb" | "influxdb_metrics" =>
+        // src/sinks/influxdb/: line protocol to /write?db=<database>
+        val db = m.getOrElse("database", "vector").toString
+        val batch = yamlMap(m.getOrElse("batch", null))
+        val cfg = NetworkSinks.HttpConfig(
+          endpoint() + s"/write?db=$db", "post", "text",
+          "newline_delimited", "\n",
+          m.getOrElse("compression", "none").toString,
+          batch.getOrElse("max_events", "1000").toString.toInt,
+          headerMap(), contentType = "text/plain")
+        Some(df => NetworkSinks.writeHttpBody(
+          df.select(Envelopes.influxLine(df).as("__line")), cfg))
       case "datadog_logs" =>
         val batch = yamlMap(m.getOrElse("batch", null))
         val cfg = NetworkSinks.HttpConfig(

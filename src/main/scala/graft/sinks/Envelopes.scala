@@ -87,6 +87,91 @@ object Envelopes {
         lit("]}")).as("__line"))
   }
 
+  // ---- prometheus remote write (src/sinks/prometheus/remote_write/) ----
+
+  import graft.codecs.ProtobufCodec
+  import ProtobufCodec._
+
+  /** prompb WriteRequest (prometheus/prompb/types.proto — field numbers
+    * from the published proto): WriteRequest.timeseries=1;
+    * TimeSeries.labels=1,.samples=2; Label.name=1,.value=2;
+    * Sample.value=1,.timestamp=2 (ms).
+    */
+  val PromLabel: ProtoSchema = ProtoSchema(Seq(
+    ProtoField(1, "name", PString), ProtoField(2, "value", PString)))
+  val PromSample: ProtoSchema = ProtoSchema(Seq(
+    ProtoField(1, "value", PDouble), ProtoField(2, "timestamp", PVarint)))
+  val PromTimeSeries: ProtoSchema = ProtoSchema(Seq(
+    ProtoField(1, "labels", PRepeated(PMessage(PromLabel))),
+    ProtoField(2, "samples", PRepeated(PMessage(PromSample)))))
+  val PromWriteRequest: ProtoSchema = ProtoSchema(Seq(
+    ProtoField(1, "timeseries", PRepeated(PMessage(PromTimeSeries)))))
+
+  /** Metric rows → one WriteRequest fragment per series: labels =
+    * `__name__` + tags SORTED by label name (required by the remote-write
+    * spec), samples = the series' batch values sorted by timestamp.
+    * Because proto concatenation merges repeated fields, the transport
+    * can concatenate per-series fragments into ONE request body —
+    * NetworkSinks.writeProtoSnappy does exactly that, then
+    * snappy-compresses. Grouping is one shuffle on the label struct (the
+    * same shape the per-series batching requires).
+    */
+  def remoteWriteSeries(df: DataFrame): DataFrame = {
+    val ts = Template.timestampCol(df.schema)
+    val cols = df.schema.fieldNames.toSet
+    val value = coalesce(
+      (Seq("counter_value", "gauge_value", "value").filter(cols)
+        .map(col) :+ lit(0.0)).map(_.cast("double")): _*)
+    val tags =
+      if (cols("tags")) coalesce(col("tags"),
+        map().cast("map<string,string>"))
+      else map().cast("map<string,string>")
+    val labels = array_sort(concat(
+      array(struct(lit("__name__").as("name"),
+        col("name").cast("string").as("value"))),
+      transform(map_entries(tags), e =>
+        struct(e.getField("key").as("name"),
+          e.getField("value").as("value")))))
+    df.select(labels.as("__labels"),
+        struct(unix_millis(ts).as("t"), value.as("v")).as("__s"))
+      .groupBy(col("__labels"))
+      .agg(array_sort(collect_list(col("__s"))).as("__ss"))
+      .select(ProtobufCodec.encode(PromWriteRequest, struct(
+        array(struct(
+          col("__labels").as("labels"),
+          transform(col("__ss"), s => struct(
+            s.getField("v").as("value"),
+            s.getField("t").as("timestamp"))).as("samples")))
+          .as("timeseries"))).as("__bytes"))
+  }
+
+  /** InfluxDB line protocol encoder (src/sinks/influxdb/: POST /write,
+    * `measurement,tag=v field=value ns`): measurement/tag escaping per
+    * the protocol (`,`, `=`, space backslash-escaped), tags sorted by
+    * key, value as the float field `value=`, ns-precision timestamp.
+    */
+  def influxLine(df: DataFrame): Column = {
+    val ts = Template.timestampCol(df.schema)
+    val cols = df.schema.fieldNames.toSet
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(
+        c, "\\\\", "\\\\\\\\"), "([,= ])", "\\\\$1"), "\n", "\\\\n")
+    val value = coalesce(
+      (Seq("counter_value", "gauge_value", "value").filter(cols)
+        .map(col) :+ lit(0.0)).map(_.cast("double")): _*)
+    val tags =
+      if (cols("tags")) coalesce(col("tags"),
+        map().cast("map<string,string>"))
+      else map().cast("map<string,string>")
+    val tagPart = array_join(
+      transform(array_sort(map_entries(tags)), e => concat(
+        lit(","), esc(e.getField("key")), lit("="),
+        esc(e.getField("value")))), "")
+    concat(esc(col("name").cast("string")), tagPart,
+      lit(" value="), value.cast("string"),
+      lit(" "), (unix_micros(ts) * 1000).cast("string"))
+  }
+
   /** Datadog logs v2 (src/sinks/datadog/logs/: POST /api/v2/logs, a JSON
     * array of log objects): ddsource/ddtags/hostname/service plus
     * message and timestamp (epoch ms). Send with payloadPrefix "[",

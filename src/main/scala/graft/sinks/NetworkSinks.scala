@@ -128,6 +128,28 @@ object NetworkSinks {
     }
   }
 
+  /** Binary-body transport for prometheus remote write: concatenate the
+    * per-series WriteRequest fragments of each batch (proto concatenation
+    * merges the repeated `timeseries` field), snappy-compress the whole
+    * body (the remote-write framing — raw snappy block, not framed), and
+    * POST with the protocol headers.
+    */
+  def writeProtoSnappy(fragments: DataFrame, cfg: HttpConfig): Unit = {
+    val c = cfg
+    fragments.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      rows.grouped(c.maxEvents).foreach { batch =>
+        val raw = new java.io.ByteArrayOutputStream()
+        batch.foreach { r =>
+          val b = r.getAs[Array[Byte]](0)
+          if (b != null) raw.write(b)
+        }
+        if (raw.size() > 0)
+          post(c.copy(compression = "none"),
+            org.xerial.snappy.Snappy.compress(raw.toByteArray))
+      }
+    }
+  }
+
   private def post(c: HttpConfig, body: Array[Byte]): Unit = {
     val conn = new java.net.URI(c.uri).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]

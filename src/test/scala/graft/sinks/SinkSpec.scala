@@ -167,8 +167,27 @@ class SinkSpec extends SparkSpec {
 
   // ---- HTTP sink + envelopes ----
 
+  private class CapturingRawServer {
+    val raw = new java.util.concurrent.CopyOnWriteArrayList[(String, Array[Byte], Map[String, String])]()
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/", { ex =>
+      val hdrs = Seq("Content-Encoding", "Content-Type",
+        "X-Prometheus-Remote-Write-Version")
+        .flatMap(h => Option(ex.getRequestHeaders.getFirst(h)).map(h -> _))
+        .toMap
+      raw.add((ex.getRequestURI.getPath, ex.getRequestBody.readAllBytes(),
+        hdrs))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = server.stop(0)
+  }
+
   private class CapturingServer {
     val bodies = new java.util.concurrent.CopyOnWriteArrayList[(String, String, Map[String, String])]()
+    val queries = new java.util.concurrent.CopyOnWriteArrayList[String]()
     private val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(0), 0)
     server.createContext("/", { ex =>
@@ -183,6 +202,7 @@ class SinkSpec extends SparkSpec {
         .flatMap(h => Option(ex.getRequestHeaders.getFirst(h)).map(h -> _))
         .toMap
       bodies.add((ex.getRequestURI.getPath, body, hdrs))
+      queries.add(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
       ex.sendResponseHeaders(200, -1); ex.close()
     })
     server.start()
@@ -338,6 +358,78 @@ class SinkSpec extends SparkSpec {
       }
       assert(lines == Set("one", "two"))
     } finally running.stopAll()
+  }
+
+  private def metricRows = Seq(
+    ("cpu_total", Map("host" -> "h1"), 0.5, "2024-03-05T10:00:00Z"),
+    ("cpu_total", Map("host" -> "h1"), 0.7, "2024-03-05T10:00:01Z"),
+    ("cpu_total", Map("host" -> "h2"), 0.9, "2024-03-05T10:00:00Z"))
+    .toDF("name", "tags", "gauge_value", "tss")
+    .withColumn("timestamp", col("tss").cast("timestamp")).drop("tss")
+
+  test("prometheus_remote_write: snappy prompb body decodes to sorted series") {
+    val srv = new CapturingRawServer
+    try {
+      NetworkSinks.writeProtoSnappy(
+        Envelopes.remoteWriteSeries(metricRows.coalesce(1)),
+        NetworkSinks.HttpConfig(s"http://localhost:${srv.port}/api/v1/write",
+          headers = Map("Content-Encoding" -> "snappy",
+            "X-Prometheus-Remote-Write-Version" -> "0.1.0"),
+          contentType = "application/x-protobuf"))
+      assert(srv.raw.size == 1)
+      val (_, bytes, hdrs) = srv.raw.get(0)
+      assert(hdrs("Content-Encoding") == "snappy")
+      val wr = graft.codecs.ProtobufCodec.decodeTo(
+        Envelopes.PromWriteRequest,
+        org.xerial.snappy.Snappy.uncompress(bytes))
+      val series = wr.getSeq[org.apache.spark.sql.Row](0)
+      assert(series.length == 2) // one per label set
+      val h1 = series.find(_.getSeq[org.apache.spark.sql.Row](0)
+        .exists(l => l.getString(1) == "h1")).get
+      // labels sorted: __name__ before host
+      assert(h1.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+        == Seq("__name__", "host"))
+      // two samples, timestamp-ordered
+      val samples = h1.getSeq[org.apache.spark.sql.Row](1)
+      assert(samples.map(_.getDouble(0)) == Seq(0.5, 0.7))
+      assert(samples.map(_.getLong(1)).sliding(2).forall(s => s(0) < s(1)))
+    } finally srv.stop()
+  }
+
+  test("influx line protocol: escaped measurement, sorted tags, ns time") {
+    val df = Seq(("disk usage", Map("pa th" -> "/,root", "dev" -> "sda"),
+        42.0, "2024-03-05T10:00:00Z"))
+      .toDF("name", "tags", "gauge_value", "tss")
+      .withColumn("timestamp", col("tss").cast("timestamp")).drop("tss")
+    val line = df.select(Envelopes.influxLine(df)).as[String].head()
+    assert(line ==
+      "disk\\ usage,dev=sda,pa\\ th=/\\,root value=42.0 1709632800000000000")
+  }
+
+  test("clickhouse sink: JSONEachRow insert with query param") {
+    val srv = new CapturingServer
+    try {
+      graft.plans.ConfigLoader.run(spark,
+        s"""
+          |sources:
+          |  ev: {type: parquet, table: events}
+          |sinks:
+          |  ch:
+          |    type: clickhouse
+          |    inputs: [ev]
+          |    endpoint: "http://localhost:${srv.port}"
+          |    database: logs
+          |    table: raw_events
+          |""".stripMargin,
+        "/root/testdata/sf0.001",
+        java.nio.file.Files.createTempDirectory("chwork").toString).stopAll()
+      assert(srv.bodies.size >= 1)
+      val (path, body, _) = srv.bodies.get(0)
+      assert(path == "/")
+      assert(srv.queries.get(0) ==
+        "query=INSERT+INTO+logs.raw_events+FORMAT+JSONEachRow")
+      assert(body.trim.split("\n").head.startsWith("{"))
+    } finally srv.stop()
   }
 
   test("file sink from YAML config: template path + json codec + gzip") {
