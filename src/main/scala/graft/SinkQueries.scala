@@ -117,6 +117,32 @@ object SinkQueries {
         .orderBy("labels")
     },
 
+    // object-store family (aws_s3 / gcp_cloud_storage / azure_blob /
+    // webhdfs): write real objects — template key_prefix partitioning,
+    // gzip bodies, max_bytes object splits — into a local dir standing in
+    // for the bucket, read every object back, and compare the per-prefix
+    // contents to the oracle. Wrong prefix rendering, lost/duplicated
+    // rows at object-roll boundaries, or broken compression all break it.
+    "sink_s3_keys" -> { (s, dir) =>
+      val base = ev(s, dir).select("event_id", "ts", "user_id", "event_type")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-s3-").toString
+      graft.sinks.ObjectStoreSink.writeBatch(base,
+        graft.sinks.ObjectStoreSink.Config(
+          baseUri = tmp,
+          keyPrefix = "type={{ event_type }}/date=%F/",
+          filenameAppendUuid = false, fixedClockMs = Some(0L),
+          codec = "json", compression = "gzip", maxBytes = 256 * 1024))
+      graft.sinks.ObjectStoreSink.readBack(s, tmp)
+        .select(
+          regexp_extract(col("key"), "^(type=[^/]+/date=[^/]+)/", 1)
+            .as("prefix"),
+          get_json_object(col("line"), "$.event_id").cast("long")
+            .as("event_id"))
+        .groupBy("prefix")
+        .agg(count("*").as("n"), sum("event_id").as("sum_id"))
+        .orderBy("prefix")
+    },
+
     // datadog logs v2 object: ddsource/service, epoch-ms timestamp, the
     // full event nested as a JSON string under `message`
     "sink_datadog" -> { (s, dir) =>
@@ -184,6 +210,13 @@ object SinkQueries {
         |  max(epoch_ms(CAST(ts AS TIMESTAMP))) AS last_ms
         |FROM events GROUP BY event_type, user_id % 5
         |ORDER BY labels""".stripMargin,
+
+    "sink_s3_keys" ->
+      """SELECT 'type=' || event_type || '/date='
+        |    || strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS prefix,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY 1 ORDER BY prefix""".stripMargin,
 
     "sink_datadog" ->
       """SELECT event_id,

@@ -65,7 +65,7 @@ object VrlFunctions {
   /** chrono strftime → java.time pattern for the common specifiers
     * (VRL timestamps use strftime-style formats; Spark uses java.time).
     */
-  private[functions] def strftimeToJava(fmt: String, forParse: Boolean = false): String = {
+  private[graft] def strftimeToJava(fmt: String, forParse: Boolean = false): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < fmt.length) {

@@ -1298,6 +1298,50 @@ object ConfigLoader {
           headerMap(), contentType = "text/plain")
         Some(df => NetworkSinks.writeHttpBody(
           df.select(Envelopes.influxLine(df).as("__line")), cfg))
+      case "aws_s3" | "gcp_cloud_storage" | "azure_blob" | "webhdfs" =>
+        // the object-store family shares one sink (ObjectStoreSink):
+        // template key_prefix partitioning, ts+uuid object names,
+        // batch.max_bytes splits (src/sinks/aws_s3/config.rs,
+        // azure_blob/config.rs, gcp/cloud_storage.rs, webhdfs/config.rs).
+        // `endpoint` (or the bucket itself) may be a local dir / any
+        // Hadoop-FS URI — on a real cluster s3a://, gs://, abfs://,
+        // webhdfs:// connectors slot in via the same FileSystem API.
+        import graft.sinks.ObjectStoreSink
+        val (codec, framing, delim, compression) = sinkEncoding(m, "text")
+        val batch = yamlMap(m.getOrElse("batch", null))
+        val container = tpe match {
+          case "azure_blob" => m.getOrElse("container_name", id).toString
+          case "webhdfs" => m.getOrElse("root", id).toString
+          case _ => m.getOrElse("bucket", id).toString
+        }
+        val base = endpoint() match {
+          case "" => container
+          case e => e.stripSuffix("/") + "/" + container.stripPrefix("/")
+        }
+        val (prefix, tsFmt, uuid) = tpe match {
+          case "azure_blob" =>
+            (m.getOrElse("blob_prefix", "blob/%F/").toString,
+              m.getOrElse("blob_time_format", "%s").toString,
+              m.getOrElse("blob_append_uuid", "true").toString.toBoolean)
+          case "webhdfs" =>
+            (m.getOrElse("prefix", "").toString,
+              m.getOrElse("filename_time_format", "%s").toString,
+              m.getOrElse("filename_append_uuid", "true").toString.toBoolean)
+          case _ =>
+            (m.getOrElse("key_prefix", "date=%F").toString,
+              m.getOrElse("filename_time_format", "%s").toString,
+              m.getOrElse("filename_append_uuid", "true").toString.toBoolean)
+        }
+        val cfg = ObjectStoreSink.Config(
+          baseUri = base, keyPrefix = prefix,
+          filenameTimeFormat = tsFmt, filenameAppendUuid = uuid,
+          filenameExtension = m.get("filename_extension").map(_.toString),
+          codec = codec, framing = framing, delimiter = delim,
+          compression = compression,
+          maxBytes = batch.getOrElse("max_bytes", "10000000").toString.toLong,
+          maxEvents = batch.getOrElse("max_events", "0").toString.toInt,
+          fixedClockMs = m.get("__fixed_clock_ms").map(_.toString.toLong))
+        Some(df => ObjectStoreSink.writeBatch(df, cfg))
       case "datadog_logs" =>
         val batch = yamlMap(m.getOrElse("batch", null))
         val cfg = NetworkSinks.HttpConfig(
