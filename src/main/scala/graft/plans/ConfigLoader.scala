@@ -805,6 +805,27 @@ object ConfigLoader {
             pendingScrapers = src :: pendingScrapers
             src.df
           })
+        // agent-protocol servers: fluentd forward (src/sources/fluent/)
+        // and beats/lumberjack v2 (src/sources/logstash.rs); `address`
+        // picks the port (0 = ephemeral, read back via lastAgentPort)
+        case "fluent" =>
+          val addr = m.getOrElse("address", "0.0.0.0:24224").toString
+          val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.AgentSources.fluent(sp, port)
+            lastAgentPort = src.boundPort
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
+        case "logstash" =>
+          val addr = m.getOrElse("address", "0.0.0.0:5044").toString
+          val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.AgentSources.logstash(sp, port)
+            lastAgentPort = src.boundPort
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
         case other =>
           throw new IllegalArgumentException(s"unsupported source type: $other")
       }
@@ -931,6 +952,9 @@ object ConfigLoader {
 
   /** Bound port of the most recent OTLP source (ephemeral-port tests). */
   @volatile var lastOtlpPort: Int = -1
+
+  /** Bound port of the most recent fluent/logstash source (tests). */
+  @volatile var lastAgentPort: Int = -1
 
   /** One component-counter listener per session (internal_metrics.rs
     * reads ONE process-global registry no matter how many configs run).
