@@ -826,6 +826,49 @@ object ConfigLoader {
             pendingClosers = (() => src.stop()) :: pendingClosers
             src.df
           })
+        // HTTP-push agent endpoints (src/sources/{splunk_hec,heroku_logs,
+        // aws_kinesis_firehose,datadog_agent}); `address` picks the port
+        // (0 = ephemeral, read back via lastAgentPort)
+        case "splunk_hec" =>
+          val addr = m.getOrElse("address", "0.0.0.0:8088").toString
+          val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
+          val tokens = m.get("valid_tokens").map(strList).getOrElse(
+            m.get("token").map(t => Seq(t.toString)).getOrElse(Nil))
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.HttpPushSources.splunkHec(sp, port, tokens)
+            lastAgentPort = src.boundPort
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
+        case "heroku_logs" =>
+          val addr = m.getOrElse("address", "0.0.0.0:80").toString
+          val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.HttpPushSources.herokuLogs(sp, port)
+            lastAgentPort = src.boundPort
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
+        case "aws_kinesis_firehose" =>
+          val addr = m.getOrElse("address", "0.0.0.0:443").toString
+          val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
+          val key = m.get("access_key").map(_.toString)
+            .orElse(strList(m.getOrElse("access_keys", Nil)).headOption)
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.HttpPushSources.firehose(sp, port, key)
+            lastAgentPort = src.boundPort
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
+        case "datadog_agent" =>
+          val addr = m.getOrElse("address", "0.0.0.0:8080").toString
+          val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.HttpPushSources.datadogAgent(sp, port)
+            lastAgentPort = src.boundPort
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
         case other =>
           throw new IllegalArgumentException(s"unsupported source type: $other")
       }
