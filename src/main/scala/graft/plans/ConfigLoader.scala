@@ -869,6 +869,28 @@ object ConfigLoader {
             pendingClosers = (() => src.stop()) :: pendingClosers
             src.df
           })
+        // queue consumers: redis BLPOP/SUBSCRIBE (src/sources/redis/)
+        // and NATS SUB with optional queue group (src/sources/nats/)
+        case "redis" =>
+          val url = m.getOrElse("url", "redis://127.0.0.1:6379/0").toString
+          val key = m.getOrElse("key", id).toString
+          val dt = m.getOrElse("data_type", "list").toString
+          val method = yamlMap(m.getOrElse("list", null))
+            .getOrElse("method", "blpop").toString
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.QueueSources.redis(sp, url, key, dt, method)
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
+        case "nats" =>
+          val url = m.getOrElse("url", "nats://127.0.0.1:4222").toString
+          val subject = m.getOrElse("subject", id).toString
+          val queue = m.get("queue").map(_.toString)
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.QueueSources.nats(sp, url, subject, queue)
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
         case other =>
           throw new IllegalArgumentException(s"unsupported source type: $other")
       }
@@ -1365,6 +1387,27 @@ object ConfigLoader {
           headerMap(), contentType = "text/plain")
         Some(df => NetworkSinks.writeHttpBody(
           df.select(Envelopes.influxLine(df).as("__line")), cfg))
+      case "redis" =>
+        // src/sinks/redis/: RESP list lpush/rpush or channel publish,
+        // template key
+        val (codec, _, _, _) = sinkEncoding(m, "json")
+        val cfg = graft.sinks.QueueSinks.RedisConfig(
+          m.getOrElse("url", "redis://127.0.0.1:6379/0").toString,
+          m.getOrElse("key", id).toString,
+          m.getOrElse("data_type", "list").toString,
+          yamlMap(m.getOrElse("list", null))
+            .getOrElse("method", "lpush").toString,
+          codec)
+        Some(df => graft.sinks.QueueSinks.writeRedis(df, cfg))
+      case "nats" =>
+        // src/sinks/nats/: PUB over the NATS text protocol, template
+        // subject
+        val (codec, _, _, _) = sinkEncoding(m, "json")
+        val cfg = graft.sinks.QueueSinks.NatsConfig(
+          m.getOrElse("url", "nats://127.0.0.1:4222").toString,
+          m.getOrElse("subject", id).toString,
+          codec)
+        Some(df => graft.sinks.QueueSinks.writeNats(df, cfg))
       case "aws_s3" | "gcp_cloud_storage" | "azure_blob" | "webhdfs" =>
         // the object-store family shares one sink (ObjectStoreSink):
         // template key_prefix partitioning, ts+uuid object names,

@@ -1,0 +1,126 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.codecs.Resp
+
+/** Queue-connector sinks: `redis` (src/sinks/redis/ — RESP commands
+  * over tcp: list lpush/rpush or pub/sub channel, template key) and
+  * `nats` (src/sinks/nats/ — the NATS text protocol, template subject).
+  *
+  * Execution shape: one codegen'd projection computes (rendered key,
+  * encoded line); each task opens its OWN connection and pipelines its
+  * partition — N executors push in parallel, no driver funnel (same
+  * fan-out as the socket/http sinks).
+  */
+object QueueSinks {
+
+  // ---- redis ----
+
+  case class RedisConfig(
+      url: String, // redis://host:port/db
+      key: String, // template
+      dataType: String = "list", // list | channel
+      method: String = "lpush", // lpush | rpush (list only)
+      codec: String = "json")
+      extends Serializable
+
+  def writeRedis(df: DataFrame, cfg: RedisConfig): Unit = {
+    val keyCol =
+      if (graft.functions.Template.isDynamic(cfg.key))
+        graft.functions.Template.render(df.schema, cfg.key)
+      else lit(cfg.key)
+    val lines = df.select(keyCol.as("__key"),
+      LineCodec.encode(df, cfg.codec).as("__line"))
+    val c = cfg
+    lines.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val (host, port) = Resp.hostPort(c.url)
+      val cmd = c.dataType match {
+        case "channel" => "PUBLISH"
+        case _ => if (c.method == "rpush") "RPUSH" else "LPUSH"
+      }
+      val sock = new java.net.Socket(host, port)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      var pending = 0
+      try {
+        for (r <- rows) {
+          val k = r.getString(0); val line = r.getString(1)
+          if (line != null) {
+            Resp.writeCommand(out, Seq(cmd, k, line))
+            pending += 1
+            // pipeline in windows of 128: keep the socket streaming but
+            // bound unread replies (redis buffers replies per command)
+            if (pending >= 128) {
+              out.flush()
+              (1 to pending).foreach { _ =>
+                Resp.readReply(in) match {
+                  case Resp.Error(e) => throw new java.io.IOException(s"redis: $e")
+                  case _ => ()
+                }
+              }
+              pending = 0
+            }
+          }
+        }
+        out.flush()
+        (1 to pending).foreach { _ =>
+          Resp.readReply(in) match {
+            case Resp.Error(e) => throw new java.io.IOException(s"redis: $e")
+            case _ => ()
+          }
+        }
+      } finally sock.close()
+    }
+  }
+
+  // ---- nats ----
+
+  case class NatsConfig(
+      url: String, // nats://host:port
+      subject: String, // template
+      codec: String = "json")
+      extends Serializable
+
+  private[sinks] def natsHostPort(url: String): (String, Int) = {
+    val u = new java.net.URI(url)
+    (Option(u.getHost).getOrElse("127.0.0.1"),
+      if (u.getPort > 0) u.getPort else 4222)
+  }
+
+  def writeNats(df: DataFrame, cfg: NatsConfig): Unit = {
+    val subjCol =
+      if (graft.functions.Template.isDynamic(cfg.subject))
+        graft.functions.Template.render(df.schema, cfg.subject)
+      else lit(cfg.subject)
+    val lines = df.select(subjCol.as("__subject"),
+      LineCodec.encode(df, cfg.codec).as("__line"))
+    val c = cfg
+    lines.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val (host, port) = natsHostPort(c.url)
+      val sock = new java.net.Socket(host, port)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      try {
+        // server greets with INFO {...}; reply CONNECT then stream PUBs
+        val greeting = in.readLine()
+        if (greeting == null || !greeting.startsWith("INFO"))
+          throw new java.io.IOException(s"nats: bad greeting: $greeting")
+        out.write("CONNECT {\"verbose\":false}\r\n".getBytes("UTF-8"))
+        for (r <- rows) {
+          val subj = r.getString(0); val line = r.getString(1)
+          if (line != null) {
+            val payload = line.getBytes("UTF-8")
+            out.write(s"PUB $subj ${payload.length}\r\n".getBytes("UTF-8"))
+            out.write(payload)
+            out.write("\r\n".getBytes("UTF-8"))
+          }
+        }
+        out.flush()
+      } finally sock.close()
+    }
+  }
+}
