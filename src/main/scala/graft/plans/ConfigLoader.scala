@@ -891,6 +891,16 @@ object ConfigLoader {
             pendingClosers = (() => src.stop()) :: pendingClosers
             src.df
           })
+        // websocket client source (src/sources/websocket/): connect to
+        // `uri`, optional initial subscription message, frames → events
+        case "websocket" =>
+          val uri = m.getOrElse("uri", "ws://127.0.0.1:80/").toString
+          val initial = m.get("message").map(_.toString)
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.WebSocketSource(sp, uri, initial)
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
         case other =>
           throw new IllegalArgumentException(s"unsupported source type: $other")
       }
@@ -1387,6 +1397,22 @@ object ConfigLoader {
           headerMap(), contentType = "text/plain")
         Some(df => NetworkSinks.writeHttpBody(
           df.select(Envelopes.influxLine(df).as("__line")), cfg))
+      case "websocket" =>
+        // src/sinks/websocket/: client connection, one text frame per
+        // event
+        val (codec, _, _, _) = sinkEncoding(m, "json")
+        val uri = m.getOrElse("uri", "ws://127.0.0.1:80/").toString
+        Some(df => graft.sinks.WebSocketSinks.writeWebSocket(df, uri, codec))
+      case "websocket_server" =>
+        // src/sinks/websocket_server/: host the endpoint once, broadcast
+        // every batch to connected clients
+        val (codec, _, _, _) = sinkEncoding(m, "json")
+        val addr = m.getOrElse("address", "0.0.0.0:0").toString
+        val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
+        val server = new graft.sinks.WebSocketSinks.WebSocketServer(port)
+        lastAgentPort = server.boundPort
+        pendingClosers = (() => server.stop()) :: pendingClosers
+        Some(df => server.broadcast(df, codec))
       case "redis" =>
         // src/sinks/redis/: RESP list lpush/rpush or channel publish,
         // template key
