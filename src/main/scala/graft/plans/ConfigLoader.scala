@@ -891,6 +891,22 @@ object ConfigLoader {
             pendingClosers = (() => src.stop()) :: pendingClosers
             src.df
           })
+        // pulsar consumer source (src/sources/pulsar.rs): binary
+        // protocol, Shared subscription over `topics`
+        case "pulsar" =>
+          val endpoint = m.getOrElse("endpoint", "pulsar://127.0.0.1:6650").toString
+          val topics = m.getOrElse("topics", m.getOrElse("topic", "vector")) match {
+            case l: java.util.List[_] => l.toArray.map(_.toString).toSeq
+            case one => Seq(one.toString)
+          }
+          val subscription = m.getOrElse("subscription_name", id).toString
+          val consumer = m.getOrElse("consumer_name", "vector").toString
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.QueueSources.pulsar(sp, endpoint,
+              topics, subscription, consumer)
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
         // amqp consumer source (src/sources/amqp.rs): Basic.Consume on
         // `queue`; exchange/routing-key/delivery-tag land under
         // exchange_key/routing_key_field/offset_key
@@ -1462,6 +1478,17 @@ object ConfigLoader {
             .getOrElse("method", "lpush").toString,
           codec)
         Some(df => graft.sinks.QueueSinks.writeRedis(df, cfg))
+      case "pulsar" =>
+        // src/sinks/pulsar/config.rs: template topic, producer_name,
+        // partition_key_field; SENDs pipelined against SEND_RECEIPTs
+        val (codec, _, _, _) = sinkEncoding(m, "json")
+        val cfg = graft.sinks.QueueSinks.PulsarConfig(
+          m.getOrElse("endpoint", "pulsar://127.0.0.1:6650").toString,
+          m.getOrElse("topic", id).toString,
+          m.getOrElse("producer_name", "vector").toString,
+          m.get("partition_key_field").map(_.toString),
+          codec)
+        Some(df => graft.sinks.QueueSinks.writePulsar(df, cfg))
       case "amqp" =>
         // src/sinks/amqp/config.rs: template exchange + routing_key over
         // one 0.9.1 connection per task

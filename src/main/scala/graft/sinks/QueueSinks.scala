@@ -234,4 +234,89 @@ object QueueSinks {
       } finally sock.close()
     }
   }
+
+  // ---- pulsar ----
+
+  /** `pulsar` sink (src/sinks/pulsar/config.rs: `endpoint`, template
+    * `topic`, `producer_name`, `partition_key_field`). One protocol
+    * connection per task: CONNECT, one PRODUCER per distinct rendered
+    * topic, SENDs pipelined with SEND_RECEIPTs drained in windows.
+    */
+  case class PulsarConfig(
+      endpoint: String, // pulsar://host:port
+      topic: String, // template
+      producerName: String = "graft",
+      partitionKeyField: Option[String] = None,
+      codec: String = "json")
+      extends Serializable
+
+  def writePulsar(df: DataFrame, cfg: PulsarConfig): Unit = {
+    import graft.codecs.Pulsar
+    val topicCol =
+      if (graft.functions.Template.isDynamic(cfg.topic))
+        graft.functions.Template.render(df.schema, cfg.topic)
+      else lit(cfg.topic)
+    val keyCol = cfg.partitionKeyField
+      .filter(f => df.columns.contains(f))
+      .map(f => col(f).cast("string")).getOrElse(lit(null).cast("string"))
+    val lines = df.select(topicCol.as("__topic"), keyCol.as("__key"),
+      LineCodec.encode(df, cfg.codec).as("__line"))
+    val c = cfg
+    lines.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val u = new java.net.URI(c.endpoint)
+      val host = Option(u.getHost).getOrElse("127.0.0.1")
+      val port = if (u.getPort > 0) u.getPort else 6650
+      val sock = new java.net.Socket(host, port)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      try {
+        Pulsar.connect(in, out)
+        var producers = Map.empty[String, Long] // topic -> producer id
+        var nextProducer = 0L; var seq = 0L; var pending = 0
+        def producerFor(topic: String): Long = producers.getOrElse(topic, {
+          // opening a producer is a request/reply: drain outstanding
+          // receipts first so the PRODUCER_SUCCESS read lines up
+          drainReceipts()
+          val pid = nextProducer; nextProducer += 1
+          Pulsar.writeSimple(out, Pulsar.command(Pulsar.PRODUCER,
+            new Pulsar.PW().field(1, topic).field(2, pid).field(3, pid)
+              .field(4, c.producerName).toBytes))
+          out.flush()
+          var f = Pulsar.readFrame(in)
+          while (f.ctype == Pulsar.SEND_RECEIPT) f = Pulsar.readFrame(in)
+          require(f.ctype == Pulsar.PRODUCER_SUCCESS,
+            s"pulsar: expected PRODUCER_SUCCESS, got ${f.ctype}")
+          producers += topic -> pid
+          pid
+        })
+        def drainReceipts(): Unit = {
+          out.flush()
+          while (pending > 0) {
+            val f = Pulsar.readFrame(in)
+            if (f.ctype == Pulsar.SEND_RECEIPT) pending -= 1
+          }
+        }
+        for (r <- rows) {
+          val topic = r.getString(0); val key = r.getString(1)
+          val line = r.getString(2)
+          if (line != null) {
+            val pid = producerFor(topic)
+            seq += 1
+            val meta = new Pulsar.PW().field(1, c.producerName).field(2, seq)
+              .field(3, System.currentTimeMillis())
+            if (key != null) meta.field(11, key) // partition_key
+            Pulsar.writePayload(out,
+              Pulsar.command(Pulsar.SEND,
+                new Pulsar.PW().field(1, pid).field(2, seq).toBytes),
+              meta.toBytes, line.getBytes("UTF-8"))
+            pending += 1
+            if (pending >= 128) drainReceipts()
+          }
+        }
+        drainReceipts()
+        out.flush()
+      } finally sock.close()
+    }
+  }
 }

@@ -283,4 +283,105 @@ object QueueSources {
   def amqp(spark: SparkSession, url: String, queue: String,
            consumerTag: String = "graft"): AmqpSource =
     new AmqpSource(spark, url, queue, consumerTag)
+
+  /** `pulsar` source (src/sources/pulsar.rs — `endpoint`, `topics`,
+    * `subscription_name`, `consumer_name`). Speaks the Pulsar binary
+    * protocol: CONNECT, one Shared SUBSCRIBE per topic, FLOW permits,
+    * MESSAGE frames decoded (MessageMetadata + payload), ACK sent per
+    * message, broker PING answered with PONG.
+    */
+  final class PulsarSource(spark: SparkSession, endpoint: String,
+                           topics: Seq[String], subscription: String,
+                           consumerName: String = "graft") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.codecs.Pulsar
+    private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (topic, producer_name, publish_time millis, payload)
+    private val mem = MemoryStream[(String, String, Long, String)]
+    @volatile private var running = true
+    private val (host, port) = {
+      val u = new java.net.URI(endpoint)
+      (Option(u.getHost).getOrElse("127.0.0.1"),
+        if (u.getPort > 0) u.getPort else 6650)
+    }
+
+    private val thread = new Thread(() => {
+      while (running) {
+        try {
+          val sock = new java.net.Socket(host, port)
+          val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(sock.getInputStream))
+          try {
+            Pulsar.connect(in, out)
+            val byConsumer = topics.zipWithIndex.map { case (t, i) =>
+              Pulsar.writeSimple(out, Pulsar.command(Pulsar.SUBSCRIBE,
+                new Pulsar.PW().field(1, t).field(2, subscription)
+                  .field(3, 1L) // SubType Shared
+                  .field(4, i.toLong).field(5, i.toLong)
+                  .field(6, consumerName).toBytes))
+              out.flush()
+              i.toLong -> t
+            }.toMap
+            // one SUCCESS per subscribe, then grant permits per consumer
+            (1 to topics.size).foreach(_ => Pulsar.readFrame(in))
+            byConsumer.keys.foreach { cid =>
+              Pulsar.writeSimple(out, Pulsar.command(Pulsar.FLOW,
+                new Pulsar.PW().field(1, cid).field(2, 1000L).toBytes))
+            }
+            out.flush()
+            var seen = 0L
+            while (running) {
+              val f = Pulsar.readFrame(in)
+              f.ctype match {
+                case Pulsar.MESSAGE =>
+                  val msg = Pulsar.sub(f.cmd(Pulsar.MESSAGE))
+                  val cid = msg(1).asInstanceOf[Long]
+                  val meta = f.metadata.getOrElse(Map.empty)
+                  mem.addData((byConsumer.getOrElse(cid, ""),
+                    meta.get(1).map(Pulsar.str).getOrElse(""),
+                    meta.get(3).map(_.asInstanceOf[Long]).getOrElse(0L),
+                    new String(f.payload.getOrElse(Array.emptyByteArray),
+                      "UTF-8")))
+                  // cumulative-less individual ack, then renew permits
+                  msg.get(2).foreach { mid =>
+                    Pulsar.writeSimple(out, Pulsar.command(Pulsar.ACK,
+                      new Pulsar.PW().field(1, cid).field(2, 0L)
+                        .field(3, mid.asInstanceOf[Array[Byte]]).toBytes))
+                  }
+                  seen += 1
+                  if (seen % 500 == 0) byConsumer.keys.foreach { c =>
+                    Pulsar.writeSimple(out, Pulsar.command(Pulsar.FLOW,
+                      new Pulsar.PW().field(1, c).field(2, 1000L).toBytes))
+                  }
+                  out.flush()
+                case Pulsar.PING =>
+                  Pulsar.writeSimple(out, Pulsar.command(Pulsar.PONG,
+                    Array.emptyByteArray))
+                  out.flush()
+                case _ => ()
+              }
+            }
+          } finally sock.close()
+        } catch {
+          case _: Exception => if (running) Thread.sleep(200) // reconnect
+        }
+      }
+    }, s"pulsar-source-$subscription")
+    thread.setDaemon(true)
+    thread.start()
+
+    def df: DataFrame = {
+      val d = mem.toDF()
+      d.select(d("_1").as("topic"), d("_2").as("producer_name"),
+        d("_3").as("publish_time"), d("_4").as("message"))
+    }
+    def stop(): Unit = running = false
+  }
+
+  def pulsar(spark: SparkSession, endpoint: String, topics: Seq[String],
+             subscription: String,
+             consumerName: String = "graft"): PulsarSource =
+    new PulsarSource(spark, endpoint, topics, subscription, consumerName)
 }
