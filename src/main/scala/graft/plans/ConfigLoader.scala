@@ -891,6 +891,31 @@ object ConfigLoader {
             pendingClosers = (() => src.stop()) :: pendingClosers
             src.df
           })
+        // aws_sqs source (src/sources/aws_sqs/): ReceiveMessage long
+        // poll + DeleteMessageBatch in the amz-json protocol
+        case "aws_sqs" =>
+          val queueUrl = m.getOrElse("queue_url", "").toString
+          val ep = m.getOrElse("endpoint", "").toString
+          val poll = m.getOrElse("poll_secs", "15").toString.toInt
+          val del = m.getOrElse("delete_message", "true").toString.toBoolean
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.AwsSources.sqs(sp, queueUrl, ep,
+              poll, del)
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
+        // aws_ecs_metrics source (src/sources/aws_ecs_metrics/): poll
+        // the task-metadata endpoint's /task/stats into metric rows
+        case "aws_ecs_metrics" =>
+          val ep = m.getOrElse("endpoint", "http://169.254.170.2/v4").toString
+          val ns = m.getOrElse("namespace", "awsecs").toString
+          val interval = m.getOrElse("scrape_interval_secs", "15").toString.toInt
+          Topology.Source(id, Topology.Metric, sp => {
+            val src = graft.streaming.AwsSources.ecsMetrics(sp, ep, ns, interval)
+            src.startPolling()
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
         // pulsar consumer source (src/sources/pulsar.rs): binary
         // protocol, Shared subscription over `topics`
         case "pulsar" =>
@@ -1478,6 +1503,44 @@ object ConfigLoader {
             .getOrElse("method", "lpush").toString,
           codec)
         Some(df => graft.sinks.QueueSinks.writeRedis(df, cfg))
+      case "aws_sqs" =>
+        // src/sinks/aws_s_s/sqs/: SendMessageBatch, FIFO group/dedup ids
+        val (codec, _, _, _) = sinkEncoding(m, "json")
+        val cfg = graft.sinks.AwsSinks.SqsConfig(
+          m.getOrElse("queue_url", "").toString, endpoint(),
+          m.get("message_group_id").map(_.toString),
+          m.get("message_deduplication_id").map(_.toString), codec)
+        Some(df => graft.sinks.AwsSinks.writeSqs(df, cfg))
+      case "aws_sns" =>
+        // src/sinks/aws_s_s/sns/: PublishBatch in the query protocol
+        val (codec, _, _, _) = sinkEncoding(m, "json")
+        val cfg = graft.sinks.AwsSinks.SnsConfig(
+          m.getOrElse("topic_arn", "").toString, endpoint(), codec)
+        Some(df => graft.sinks.AwsSinks.writeSns(df, cfg))
+      case "aws_kinesis_streams" | "aws_kinesis_firehose" =>
+        // src/sinks/aws_kinesis/: PutRecords / PutRecordBatch with
+        // base64 Data, 500-record API cap per request
+        val (codec, _, _, _) = sinkEncoding(m, "json")
+        val cfg = graft.sinks.AwsSinks.KinesisConfig(
+          m.getOrElse("stream_name", id).toString, endpoint(),
+          m.get("partition_key_field").map(_.toString), codec)
+        if (tpe == "aws_kinesis_streams")
+          Some(df => graft.sinks.AwsSinks.writeKinesisStreams(df, cfg))
+        else
+          Some(df => graft.sinks.AwsSinks.writeKinesisFirehose(df, cfg))
+      case "aws_cloudwatch_logs" =>
+        // src/sinks/aws_cloudwatch_logs/: PutLogEvents per rendered
+        // (group, stream) template pair
+        val (codec, _, _, _) = sinkEncoding(m, "json")
+        val cfg = graft.sinks.AwsSinks.CloudwatchLogsConfig(
+          m.getOrElse("group_name", id).toString,
+          m.getOrElse("stream_name", "vector").toString, endpoint(), codec)
+        Some(df => graft.sinks.AwsSinks.writeCloudwatchLogs(df, cfg))
+      case "aws_cloudwatch_metrics" =>
+        // src/sinks/aws_cloudwatch_metrics/: PutMetricData query protocol
+        val cfg = graft.sinks.AwsSinks.CloudwatchMetricsConfig(
+          m.getOrElse("default_namespace", "vector").toString, endpoint())
+        Some(df => graft.sinks.AwsSinks.writeCloudwatchMetrics(df, cfg))
       case "pulsar" =>
         // src/sinks/pulsar/config.rs: template topic, producer_name,
         // partition_key_field; SENDs pipelined against SEND_RECEIPTs

@@ -150,7 +150,7 @@ object NetworkSinks {
     }
   }
 
-  private def post(c: HttpConfig, body: Array[Byte]): Unit = {
+  private[sinks] def post(c: HttpConfig, body: Array[Byte]): Unit = {
     val conn = new java.net.URI(c.uri).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod(c.method.toUpperCase)
