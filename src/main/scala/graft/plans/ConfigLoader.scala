@@ -891,6 +891,19 @@ object ConfigLoader {
             pendingClosers = (() => src.stop()) :: pendingClosers
             src.df
           })
+        // gcp_pubsub source (src/sources/gcp_pubsub.rs): REST
+        // pull/acknowledge on project + subscription
+        case "gcp_pubsub" =>
+          val project = m.getOrElse("project", "").toString
+          val subscription = m.getOrElse("subscription", "").toString
+          val ep = m.getOrElse("endpoint",
+            "https://pubsub.googleapis.com").toString
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.GcpSources.pubsub(sp, project,
+              subscription, ep)
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
         // aws_sqs source (src/sources/aws_sqs/): ReceiveMessage long
         // poll + DeleteMessageBatch in the amz-json protocol
         case "aws_sqs" =>
@@ -1503,6 +1516,61 @@ object ConfigLoader {
             .getOrElse("method", "lpush").toString,
           codec)
         Some(df => graft.sinks.QueueSinks.writeRedis(df, cfg))
+      case "gcp_pubsub" =>
+        // src/sinks/gcp/pubsub.rs: topics:publish with base64 data
+        val (codec, _, _, _) = sinkEncoding(m, "json")
+        val cfg = graft.sinks.CloudSinks.PubsubConfig(
+          m.getOrElse("project", "").toString,
+          m.getOrElse("topic", id).toString,
+          endpoint("https://pubsub.googleapis.com"), codec)
+        Some(df => graft.sinks.CloudSinks.writePubsub(df, cfg))
+      case "gcp_stackdriver_logs" =>
+        // src/sinks/gcp/stackdriver/logs/: entries:write, template
+        // log_id, monitored resource, severity_key
+        val res = yamlMap(m.getOrElse("resource", null))
+        val cfg = graft.sinks.CloudSinks.StackdriverLogsConfig(
+          m.getOrElse("project_id", "").toString,
+          m.getOrElse("log_id", id).toString,
+          endpoint("https://logging.googleapis.com"),
+          res.getOrElse("type", "global").toString,
+          (res - "type").map { case (k, v) => k -> v.toString },
+          m.get("severity_key").map(_.toString))
+        Some(df => graft.sinks.CloudSinks.writeStackdriverLogs(df, cfg))
+      case "gcp_stackdriver_metrics" =>
+        // src/sinks/gcp/stackdriver/metrics/: timeSeries create
+        val res = yamlMap(m.getOrElse("resource", null))
+        val cfg = graft.sinks.CloudSinks.StackdriverMetricsConfig(
+          m.getOrElse("project_id", "").toString,
+          endpoint("https://monitoring.googleapis.com"),
+          m.getOrElse("default_namespace", "namespace").toString,
+          res.getOrElse("type", "global").toString)
+        Some(df => graft.sinks.CloudSinks.writeStackdriverMetrics(df, cfg))
+      case "gcp_chronicle_unstructured" | "gcp_chronicle" =>
+        // src/sinks/gcp_chronicle/: unstructured entries batchCreate,
+        // one request per rendered log_type template
+        val (codec, _, _, _) = sinkEncoding(m, "json")
+        val cfg = graft.sinks.CloudSinks.ChronicleConfig(
+          m.getOrElse("customer_id", "").toString,
+          m.getOrElse("log_type", id).toString,
+          endpoint("https://malachiteingestion-pa.googleapis.com"), codec)
+        Some(df => graft.sinks.CloudSinks.writeChronicle(df, cfg))
+      case "azure_monitor_logs" =>
+        // src/sinks/azure_monitor_logs/: Data Collector API with the
+        // SharedKey HMAC signature
+        val cfg = graft.sinks.CloudSinks.AzureMonitorConfig(
+          m.getOrElse("customer_id", "").toString,
+          m.getOrElse("shared_key", "").toString,
+          m.getOrElse("log_type", "MyRecordType").toString,
+          endpoint(),
+          m.get("azure_resource_id").map(_.toString))
+        Some(df => graft.sinks.CloudSinks.writeAzureMonitor(df, cfg))
+      case "azure_logs_ingestion" =>
+        // src/sinks/azure_logs_ingestion/: DCR streams ingestion
+        val cfg = graft.sinks.CloudSinks.AzureLogsIngestionConfig(
+          endpoint(), m.getOrElse("dcr_immutable_id", "").toString,
+          m.getOrElse("stream_name", "").toString,
+          m.getOrElse("token", "").toString)
+        Some(df => graft.sinks.CloudSinks.writeAzureLogsIngestion(df, cfg))
       case "aws_sqs" =>
         // src/sinks/aws_s_s/sqs/: SendMessageBatch, FIFO group/dedup ids
         val (codec, _, _, _) = sinkEncoding(m, "json")
