@@ -1516,6 +1516,90 @@ object ConfigLoader {
             .getOrElse("method", "lpush").toString,
           codec)
         Some(df => graft.sinks.QueueSinks.writeRedis(df, cfg))
+      case "datadog_metrics" =>
+        // src/sinks/datadog/metrics/: series v2
+        val cfg = graft.sinks.SaasSinks.DatadogMetricsConfig(
+          endpoint("https://api.datadoghq.com"),
+          m.getOrElse("default_api_key", "").toString,
+          m.get("default_namespace").map(_.toString))
+        Some(df => graft.sinks.SaasSinks.writeDatadogMetrics(df, cfg))
+      case "datadog_events" =>
+        // src/sinks/datadog/events/: v1 events, one request per event
+        val cfg = graft.sinks.SaasSinks.DatadogEventsConfig(
+          endpoint("https://api.datadoghq.com"),
+          m.getOrElse("default_api_key", "").toString)
+        Some(df => graft.sinks.SaasSinks.writeDatadogEvents(df, cfg))
+      case "datadog_traces" =>
+        // src/sinks/datadog/traces/: spans grouped per trace_id
+        val cfg = graft.sinks.SaasSinks.DatadogTracesConfig(
+          endpoint("https://trace.agent.datadoghq.com"),
+          m.getOrElse("default_api_key", "").toString)
+        Some(df => graft.sinks.SaasSinks.writeDatadogTraces(df, cfg))
+      case "new_relic" =>
+        // src/sinks/new_relic/: logs | metrics | events APIs
+        val cfg = graft.sinks.SaasSinks.NewRelicConfig(
+          endpoint("https://log-api.newrelic.com"),
+          m.getOrElse("license_key", "").toString,
+          m.getOrElse("account_id", "").toString,
+          m.getOrElse("api", "logs").toString)
+        Some(df => graft.sinks.SaasSinks.writeNewRelic(df, cfg))
+      case "honeycomb" =>
+        // src/sinks/honeycomb/: /1/batch/{dataset}
+        val cfg = graft.sinks.SaasSinks.HoneycombConfig(
+          endpoint("https://api.honeycomb.io"),
+          m.getOrElse("api_key", "").toString,
+          m.getOrElse("dataset", id).toString)
+        Some(df => graft.sinks.SaasSinks.writeHoneycomb(df, cfg))
+      case "axiom" =>
+        // src/sinks/axiom/: dataset ingest with Bearer token
+        val cfg = graft.sinks.SaasSinks.AxiomConfig(
+          m.getOrElse("url", endpoint("https://api.axiom.co")).toString,
+          m.getOrElse("token", "").toString,
+          m.getOrElse("dataset", id).toString,
+          m.getOrElse("org_id", "").toString)
+        Some(df => graft.sinks.SaasSinks.writeAxiom(df, cfg))
+      case "mezmo" | "logdna" =>
+        // src/sinks/mezmo.rs: /logs/ingest with basic-auth api key
+        val cfg = graft.sinks.SaasSinks.MezmoConfig(
+          endpoint("https://logs.mezmo.com"),
+          m.getOrElse("api_key", "").toString,
+          m.getOrElse("hostname", "vector").toString)
+        Some(df => graft.sinks.SaasSinks.writeMezmo(df, cfg))
+      case "humio_logs" =>
+        // src/sinks/humio/logs.rs: HEC-compatible ingest
+        Some(df => graft.sinks.SaasSinks.writeHumio(df,
+          endpoint("https://cloud.humio.com"),
+          m.getOrElse("token", "").toString))
+      case "sematext_logs" =>
+        // src/sinks/sematext/logs.rs: ES bulk, index = app token
+        Some(df => graft.sinks.SaasSinks.writeSematext(df,
+          endpoint("https://logsene-receiver.sematext.com"),
+          m.getOrElse("token", id).toString))
+      case "appsignal" =>
+        // src/sinks/appsignal/: /vector/events with Bearer push key
+        val cfg = graft.sinks.SaasSinks.AppsignalConfig(
+          endpoint("https://appsignal-endpoint.net"),
+          m.getOrElse("push_api_key", "").toString)
+        Some(df => graft.sinks.SaasSinks.writeAppsignal(df, cfg))
+      case "keep" =>
+        // src/sinks/keep/: alert-event POST with x-api-key
+        val cfg = graft.sinks.SaasSinks.KeepConfig(
+          m.getOrElse("endpoint", endpoint()).toString,
+          m.getOrElse("api_key", "").toString)
+        Some(df => graft.sinks.SaasSinks.writeKeep(df, cfg))
+      case "statsd" =>
+        // src/sinks/statsd/: classic lines over udp/tcp
+        val cfg = graft.sinks.SaasSinks.StatsdSinkConfig(
+          m.getOrElse("address", "127.0.0.1:8125").toString,
+          m.getOrElse("mode", "udp").toString,
+          m.get("default_namespace").map(_.toString))
+        Some(df => graft.sinks.SaasSinks.writeStatsd(df, cfg))
+      case "papertrail" =>
+        // src/sinks/papertrail.rs: syslog over tcp, process template
+        val cfg = graft.sinks.SaasSinks.PapertrailConfig(
+          m.getOrElse("endpoint", endpoint()).toString,
+          m.getOrElse("process", "vector").toString)
+        Some(df => graft.sinks.SaasSinks.writePapertrail(df, cfg))
       case "gcp_pubsub" =>
         // src/sinks/gcp/pubsub.rs: topics:publish with base64 data
         val (codec, _, _, _) = sinkEncoding(m, "json")

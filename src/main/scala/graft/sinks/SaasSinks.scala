@@ -1,0 +1,358 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Template
+import NetworkSinks.HttpConfig
+
+/** The observability-SaaS sink family — each one is its service's
+  * public HTTP body shape built as codegen'd Columns + the shared
+  * batched transport (NetworkSinks.writeHttpBody):
+  *
+  *  - `datadog_metrics` (src/sinks/datadog/metrics/) — `/api/v2/series`.
+  *  - `datadog_events` (src/sinks/datadog/events/) — `/api/v1/events`,
+  *    one request per event (the API is single-event).
+  *  - `datadog_traces` (src/sinks/datadog/traces/) — `/api/v0.2/traces`,
+  *    spans grouped into traces by trace_id.
+  *  - `new_relic` (src/sinks/new_relic/) — the Logs / Metrics / Events
+  *    APIs, selected by `api`, each with its documented envelope.
+  *  - `honeycomb` (src/sinks/honeycomb/) — `/1/batch/{dataset}`.
+  *  - `axiom` (src/sinks/axiom/) — `/v1/datasets/{dataset}/ingest`.
+  *  - `mezmo` (src/sinks/mezmo.rs) — `/logs/ingest` with hostname/now
+  *    query params and basic auth.
+  *  - `humio_logs` (src/sinks/humio/logs.rs) — Humio's HEC-compatible
+  *    `/api/v1/ingest/hec` (reuses the splunk_hec envelope).
+  *  - `sematext_logs` (src/sinks/sematext/logs.rs) — Elasticsearch bulk
+  *    against the logsene receiver, index = the app token.
+  *  - `appsignal` (src/sinks/appsignal/) — `/vector/events`, Bearer key.
+  *  - `keep` (src/sinks/keep/) — alert-event POST with `x-api-key`.
+  *  - `statsd` (src/sinks/statsd/) — classic statsd lines over UDP/TCP.
+  *  - `papertrail` (src/sinks/papertrail.rs) — RFC5424-style syslog
+  *    lines over TCP with the `process` template.
+  */
+object SaasSinks {
+
+  private def userFields(df: DataFrame): Seq[String] =
+    df.columns.filterNot(_.startsWith("__")).toSeq
+
+  private def eventStruct(df: DataFrame): Column =
+    struct(userFields(df).map(col): _*)
+
+  private def tsOf(df: DataFrame): Column = Template.timestampCol(df.schema)
+
+  // ---- datadog_metrics ----
+
+  case class DatadogMetricsConfig(
+      endpoint: String, apiKey: String,
+      defaultNamespace: Option[String] = None)
+      extends Serializable
+
+  /** Series v2. Expects metric-shaped rows: `name`, `value`, optional
+    * `kind` (incremental→count, absolute→gauge), `ts`, `tags` map.
+    */
+  def writeDatadogMetrics(df: DataFrame, cfg: DatadogMetricsConfig): Unit = {
+    val name = cfg.defaultNamespace
+      .map(ns => concat(lit(ns + "."), col("name")))
+      .getOrElse(col("name").cast("string"))
+    val dtype =
+      if (df.columns.contains("kind"))
+        when(col("kind") === "incremental", lit(1)).otherwise(lit(3))
+      else lit(3) // gauge
+    val ts =
+      if (df.columns.contains("ts")) unix_seconds(col("ts").cast("timestamp"))
+      else lit(0L)
+    val tags =
+      if (df.columns.contains("tags"))
+        transform(map_entries(col("tags")),
+          e => concat(e.getField("key"), lit(":"), e.getField("value")))
+      else array().cast("array<string>")
+    val entry = to_json(struct(name.as("metric"), dtype.as("type"),
+      array(struct(ts.as("timestamp"),
+        col("value").cast("double").as("value"))).as("points"),
+      tags.as("tags")))
+    NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
+      HttpConfig(uri = cfg.endpoint.stripSuffix("/") + "/api/v2/series",
+        framing = "character_delimited", delimiter = ",", maxEvents = 1000,
+        contentType = "application/json",
+        headers = Map("DD-API-KEY" -> cfg.apiKey),
+        payloadPrefix = """{"series":[""", payloadSuffix = "]}"))
+  }
+
+  // ---- datadog_events ----
+
+  case class DatadogEventsConfig(endpoint: String, apiKey: String)
+      extends Serializable
+
+  def writeDatadogEvents(df: DataFrame, cfg: DatadogEventsConfig): Unit = {
+    def optCol(n: String): Column =
+      if (df.columns.contains(n)) col(n).cast("string") else lit(null)
+    val title = coalesce(optCol("title"), optCol("message"), lit("event"))
+    val entry = to_json(struct(title.as("title"),
+      coalesce(optCol("text"), optCol("message"), lit("")).as("text"),
+      unix_seconds(tsOf(df)).as("date_happened"),
+      coalesce(optCol("host"), lit(null)).as("host")))
+    NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
+      HttpConfig(uri = cfg.endpoint.stripSuffix("/") + "/api/v1/events",
+        maxEvents = 1, contentType = "application/json",
+        headers = Map("DD-API-KEY" -> cfg.apiKey)))
+  }
+
+  // ---- datadog_traces ----
+
+  case class DatadogTracesConfig(endpoint: String, apiKey: String)
+      extends Serializable
+
+  /** Trace-shaped rows (trace_id, span_id, optional parent_id, name,
+    * service, resource, ts, duration_ms) → one trace array per
+    * trace_id, start/duration in nanoseconds.
+    */
+  def writeDatadogTraces(df: DataFrame, cfg: DatadogTracesConfig): Unit = {
+    def optCol(n: String, dflt: Column): Column =
+      if (df.columns.contains(n)) col(n) else dflt
+    val span = struct(
+      col("trace_id").cast("long").as("trace_id"),
+      col("span_id").cast("long").as("span_id"),
+      optCol("parent_id", lit(0L)).cast("long").as("parent_id"),
+      optCol("name", lit("span")).cast("string").as("name"),
+      optCol("service", lit("service")).cast("string").as("service"),
+      optCol("resource", optCol("name", lit("span"))).cast("string")
+        .as("resource"),
+      (unix_micros(tsOf(df)) * 1000L).as("start"),
+      (optCol("duration_ms", lit(0)).cast("double") * 1e6).cast("long")
+        .as("duration"))
+    val traces = df.groupBy(col("trace_id").as("__tid"))
+      .agg(collect_list(span).as("__spans"))
+    NetworkSinks.writeHttpBody(
+      traces.select(to_json(col("__spans")).as("__line")),
+      HttpConfig(uri = cfg.endpoint.stripSuffix("/") + "/api/v0.2/traces",
+        framing = "character_delimited", delimiter = ",", maxEvents = 1000,
+        contentType = "application/json",
+        headers = Map("DD-API-KEY" -> cfg.apiKey),
+        payloadPrefix = """{"traces":[""", payloadSuffix = "]}"))
+  }
+
+  // ---- new_relic ----
+
+  case class NewRelicConfig(
+      endpoint: String, licenseKey: String, accountId: String = "",
+      api: String = "logs") // logs | metrics | events
+      extends Serializable
+
+  def writeNewRelic(df: DataFrame, cfg: NewRelicConfig): Unit = {
+    val base = cfg.endpoint.stripSuffix("/")
+    val auth = Map("Api-Key" -> cfg.licenseKey)
+    cfg.api match {
+      case "logs" =>
+        val entry = to_json(struct(
+          unix_millis(tsOf(df)).as("timestamp"),
+          (if (df.columns.contains("message")) col("message").cast("string")
+          else to_json(eventStruct(df))).as("message"),
+          eventStruct(df).as("attributes")))
+        NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
+          HttpConfig(uri = base + "/log/v1",
+            framing = "character_delimited", delimiter = ",",
+            maxEvents = 1000, contentType = "application/json",
+            headers = auth,
+            payloadPrefix = """[{"logs":[""", payloadSuffix = "]}]"))
+      case "metrics" =>
+        val entry = to_json(struct(col("name").cast("string").as("name"),
+          lit("gauge").as("type"),
+          col("value").cast("double").as("value"),
+          unix_millis(tsOf(df)).as("timestamp")))
+        NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
+          HttpConfig(uri = base + "/metric/v1",
+            framing = "character_delimited", delimiter = ",",
+            maxEvents = 1000, contentType = "application/json",
+            headers = auth,
+            payloadPrefix = """[{"metrics":[""", payloadSuffix = "]}]"))
+      case "events" =>
+        val entry = to_json(struct(
+          lit("VectorEvent").as("eventType") +:
+            userFields(df).map(col): _*))
+        NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
+          HttpConfig(uri = base + s"/v1/accounts/${cfg.accountId}/events",
+            framing = "character_delimited", delimiter = ",",
+            maxEvents = 1000, contentType = "application/json",
+            headers = auth, payloadPrefix = "[", payloadSuffix = "]"))
+      case other =>
+        throw new IllegalArgumentException(s"new_relic api: $other")
+    }
+  }
+
+  // ---- honeycomb ----
+
+  case class HoneycombConfig(endpoint: String, apiKey: String,
+                             dataset: String)
+      extends Serializable
+
+  def writeHoneycomb(df: DataFrame, cfg: HoneycombConfig): Unit = {
+    val entry = to_json(struct(
+      date_format(tsOf(df), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("time"),
+      eventStruct(df).as("data")))
+    NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
+      HttpConfig(
+        uri = cfg.endpoint.stripSuffix("/") + s"/1/batch/${cfg.dataset}",
+        framing = "character_delimited", delimiter = ",", maxEvents = 1000,
+        contentType = "application/json",
+        headers = Map("X-Honeycomb-Team" -> cfg.apiKey),
+        payloadPrefix = "[", payloadSuffix = "]"))
+  }
+
+  // ---- axiom ----
+
+  case class AxiomConfig(url: String, token: String, dataset: String,
+                         orgId: String = "")
+      extends Serializable
+
+  def writeAxiom(df: DataFrame, cfg: AxiomConfig): Unit = {
+    val entry = to_json(eventStruct(df))
+    NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
+      HttpConfig(
+        uri = cfg.url.stripSuffix("/") +
+          s"/v1/datasets/${cfg.dataset}/ingest",
+        framing = "character_delimited", delimiter = ",", maxEvents = 1000,
+        contentType = "application/json",
+        headers = Map("Authorization" -> s"Bearer ${cfg.token}") ++
+          (if (cfg.orgId.nonEmpty) Map("X-Axiom-Org-Id" -> cfg.orgId)
+          else Map.empty),
+        payloadPrefix = "[", payloadSuffix = "]"))
+  }
+
+  // ---- mezmo (logdna) ----
+
+  case class MezmoConfig(endpoint: String, apiKey: String,
+                         hostname: String = "vector")
+      extends Serializable
+
+  def writeMezmo(df: DataFrame, cfg: MezmoConfig): Unit = {
+    def optCol(n: String): Seq[Column] =
+      if (df.columns.contains(n)) Seq(col(n).cast("string").as(n)) else Nil
+    val entry = to_json(struct(
+      Seq(unix_millis(tsOf(df)).as("timestamp"),
+        (if (df.columns.contains("message")) col("message").cast("string")
+        else to_json(eventStruct(df))).as("line")) ++
+        optCol("app") ++ optCol("level") ++
+        Seq(eventStruct(df).as("meta")): _*))
+    val basic = java.util.Base64.getEncoder.encodeToString(
+      (cfg.apiKey + ":").getBytes("UTF-8"))
+    NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
+      HttpConfig(
+        uri = cfg.endpoint.stripSuffix("/") +
+          s"/logs/ingest?hostname=${cfg.hostname}",
+        framing = "character_delimited", delimiter = ",", maxEvents = 1000,
+        contentType = "application/json",
+        headers = Map("Authorization" -> s"Basic $basic"),
+        payloadPrefix = """{"lines":[""", payloadSuffix = "]}"))
+  }
+
+  // ---- humio_logs (HEC-compatible) ----
+
+  def writeHumio(df: DataFrame, endpoint: String, token: String): Unit =
+    NetworkSinks.writeHttpBody(
+      df.select(Envelopes.hecEvent(df).as("__line")),
+      HttpConfig(
+        uri = endpoint.stripSuffix("/") + "/api/v1/ingest/hec",
+        maxEvents = 1000, contentType = "application/json",
+        headers = Map("Authorization" -> s"Bearer $token")))
+
+  // ---- sematext_logs (ES bulk) ----
+
+  def writeSematext(df: DataFrame, endpoint: String, token: String): Unit =
+    NetworkSinks.writeHttpBody(
+      df.select(Envelopes.esBulkPair(df, index = token).as("__line")),
+      HttpConfig(uri = endpoint.stripSuffix("/") + "/_bulk",
+        maxEvents = 1000, contentType = "application/json",
+        payloadSuffix = "\n"))
+
+  // ---- appsignal ----
+
+  case class AppsignalConfig(endpoint: String, pushApiKey: String)
+      extends Serializable
+
+  def writeAppsignal(df: DataFrame, cfg: AppsignalConfig): Unit = {
+    val entry = to_json(struct(struct(
+      unix_millis(tsOf(df)).as("timestamp"),
+      eventStruct(df).as("fields")).as("log")))
+    NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
+      HttpConfig(
+        uri = cfg.endpoint.stripSuffix("/") + "/vector/events",
+        framing = "character_delimited", delimiter = ",", maxEvents = 1000,
+        contentType = "application/json",
+        headers = Map("Authorization" -> s"Bearer ${cfg.pushApiKey}"),
+        payloadPrefix = "[", payloadSuffix = "]"))
+  }
+
+  // ---- keep ----
+
+  case class KeepConfig(endpoint: String, apiKey: String)
+      extends Serializable
+
+  def writeKeep(df: DataFrame, cfg: KeepConfig): Unit = {
+    val entry = to_json(eventStruct(df))
+    NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
+      HttpConfig(uri = cfg.endpoint,
+        framing = "character_delimited", delimiter = ",", maxEvents = 1000,
+        contentType = "application/json",
+        headers = Map("x-api-key" -> cfg.apiKey),
+        payloadPrefix = "[", payloadSuffix = "]"))
+  }
+
+  // ---- statsd ----
+
+  case class StatsdSinkConfig(address: String, mode: String = "udp",
+                              defaultNamespace: Option[String] = None)
+      extends Serializable
+
+  /** Classic statsd lines `name:value|type|#tags` — gauge `g`,
+    * incremental counter `c` (src/sinks/statsd/encoder.rs). Expects
+    * metric-shaped rows: name, value, optional kind + tags.
+    */
+  def statsdLine(df: DataFrame, defaultNamespace: Option[String]): Column = {
+    val name = defaultNamespace
+      .map(ns => concat(lit(ns + "."), col("name")))
+      .getOrElse(col("name").cast("string"))
+    val mtype =
+      if (df.columns.contains("kind"))
+        when(col("kind") === "incremental", lit("c")).otherwise(lit("g"))
+      else lit("g")
+    val tags =
+      if (df.columns.contains("tags"))
+        when(size(map_entries(col("tags"))) > 0,
+          concat(lit("|#"), array_join(transform(map_entries(col("tags")),
+            e => concat(e.getField("key"), lit(":"), e.getField("value"))),
+            ","))).otherwise(lit(""))
+      else lit("")
+    concat(name, lit(":"), col("value").cast("string"), lit("|"), mtype, tags)
+  }
+
+  def writeStatsd(df: DataFrame, cfg: StatsdSinkConfig): Unit = {
+    val lines = df.select(statsdLine(df, cfg.defaultNamespace).as("message"))
+    NetworkSinks.writeSocket(lines,
+      NetworkSinks.SocketConfig(cfg.mode, cfg.address, codec = "text"))
+  }
+
+  // ---- papertrail ----
+
+  case class PapertrailConfig(endpoint: String, // host:port, tcp
+                              process: String = "vector") // template
+      extends Serializable
+
+  /** RFC3164-style syslog lines over TCP with the `process` template
+    * (src/sinks/papertrail.rs renders `process` into the syslog tag).
+    */
+  def writePapertrail(df: DataFrame, cfg: PapertrailConfig): Unit = {
+    def optCol(n: String, dflt: Column): Column =
+      if (df.columns.contains(n)) col(n).cast("string") else dflt
+    val proc =
+      if (Template.isDynamic(cfg.process))
+        Template.render(df.schema, cfg.process)
+      else lit(cfg.process)
+    val line = graft.codecs.Encode.syslog3164(
+      lit(14), // facility user, severity info
+      tsOf(df), optCol("host", lit("localhost")), proc, lit(0),
+      optCol("message", to_json(eventStruct(df))))
+    NetworkSinks.writeSocket(df.select(line.as("message")),
+      NetworkSinks.SocketConfig("tcp", cfg.endpoint, codec = "text"))
+  }
+}

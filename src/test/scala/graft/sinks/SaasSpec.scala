@@ -1,0 +1,224 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Observability-SaaS sinks against capturing local endpoints — each
+  * asserts the service's documented body shape and auth header.
+  */
+class SaasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private class JsonServer {
+    val reqs = new java.util.concurrent.CopyOnWriteArrayList[
+      (String, String, Map[String, String])]()
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/", { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val hdrs = Seq("Authorization", "DD-API-KEY", "Api-Key",
+        "X-Honeycomb-Team", "x-api-key", "X-Axiom-Org-Id", "Content-Type")
+        .flatMap(h => Option(ex.getRequestHeaders.getFirst(h)).map(h -> _))
+        .toMap
+      reqs.add((ex.getRequestURI.toString, body, hdrs))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    def url: String = s"http://localhost:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+    def all: Seq[(String, String, Map[String, String])] =
+      reqs.toArray.map(_.asInstanceOf[(String, String, Map[String, String])]).toSeq
+  }
+
+  private def metrics = Seq(
+    ("requests_total", "incremental", 5.0, Map("az" -> "a")),
+    ("cpu_pct", "absolute", 0.75, Map("az" -> "b")))
+    .toDF("name", "kind", "value", "tags")
+    .withColumn("ts", lit("2024-03-05T10:00:00Z").cast("timestamp"))
+
+  private def logs = Seq(("web", "alpha", "info"), ("api", "beta", "warn"))
+    .toDF("app", "message", "level")
+    .withColumn("timestamp", lit("2024-03-05T10:00:00Z").cast("timestamp"))
+
+  test("datadog_metrics sink: v2 series with kind→type and tags") {
+    val srv = new JsonServer
+    try {
+      SaasSinks.writeDatadogMetrics(metrics.coalesce(1),
+        SaasSinks.DatadogMetricsConfig(srv.url, "dd-key-1"))
+      val (path, body, hdrs) = srv.all.head
+      assert(path == "/api/v2/series")
+      assert(hdrs("DD-API-KEY") == "dd-key-1")
+      assert(body.contains(
+        """"metric":"requests_total","type":1"""))
+      assert(body.contains(""""metric":"cpu_pct","type":3"""))
+      assert(body.contains(""""timestamp":1709632800,"value":5.0"""))
+      assert(body.contains(""""tags":["az:a"]"""))
+    } finally srv.stop()
+  }
+
+  test("datadog_events sink: one v1 event per request") {
+    val srv = new JsonServer
+    try {
+      SaasSinks.writeDatadogEvents(logs.coalesce(1),
+        SaasSinks.DatadogEventsConfig(srv.url, "dd-key-2"))
+      assert(srv.all.size == 2)
+      assert(srv.all.forall(_._1 == "/api/v1/events"))
+      assert(srv.all.exists(_._2.contains(""""title":"alpha"""")))
+      assert(srv.all.head._2.contains(""""date_happened":1709632800"""))
+    } finally srv.stop()
+  }
+
+  test("datadog_traces sink: spans grouped into traces, ns start/duration") {
+    val srv = new JsonServer
+    try {
+      val spans = Seq((10L, 1L, "q1", "db", 12.5), (10L, 2L, "q2", "db", 3.0),
+        (11L, 3L, "root", "web", 100.0))
+        .toDF("trace_id", "span_id", "name", "service", "duration_ms")
+        .withColumn("timestamp", lit("2024-03-05T10:00:00Z").cast("timestamp"))
+      SaasSinks.writeDatadogTraces(spans.coalesce(1),
+        SaasSinks.DatadogTracesConfig(srv.url, "dd-key-3"))
+      val bodies = srv.all.map(_._2).mkString
+      assert(srv.all.forall(_._1 == "/api/v0.2/traces"))
+      assert(bodies.contains(""""trace_id":10"""))
+      assert(bodies.contains(""""start":1709632800000000000"""))
+      assert(bodies.contains(""""duration":12500000"""))
+    } finally srv.stop()
+  }
+
+  test("new_relic sink: logs api envelope") {
+    val srv = new JsonServer
+    try {
+      SaasSinks.writeNewRelic(logs.coalesce(1), SaasSinks.NewRelicConfig(
+        srv.url, "lic-1", api = "logs"))
+      val (path, body, hdrs) = srv.all.head
+      assert(path == "/log/v1")
+      assert(hdrs("Api-Key") == "lic-1")
+      assert(body.startsWith("""[{"logs":["""))
+      assert(body.contains(""""message":"alpha""""))
+      assert(body.contains(""""attributes":{"app":"web""""))
+    } finally srv.stop()
+  }
+
+  test("new_relic sink: events api adds eventType") {
+    val srv = new JsonServer
+    try {
+      SaasSinks.writeNewRelic(logs.coalesce(1), SaasSinks.NewRelicConfig(
+        srv.url, "lic-2", accountId = "42", api = "events"))
+      val (path, body, _) = srv.all.head
+      assert(path == "/v1/accounts/42/events")
+      assert(body.contains(""""eventType":"VectorEvent""""))
+    } finally srv.stop()
+  }
+
+  test("honeycomb sink: /1/batch with time+data and team header") {
+    val srv = new JsonServer
+    try {
+      SaasSinks.writeHoneycomb(logs.coalesce(1), SaasSinks.HoneycombConfig(
+        srv.url, "hc-key", "my-ds"))
+      val (path, body, hdrs) = srv.all.head
+      assert(path == "/1/batch/my-ds")
+      assert(hdrs("X-Honeycomb-Team") == "hc-key")
+      assert(body.contains(""""time":"2024-03-05T10:00:00Z""""))
+      assert(body.contains(""""data":{"app":"web""""))
+    } finally srv.stop()
+  }
+
+  test("axiom sink: dataset ingest with bearer + org id") {
+    val srv = new JsonServer
+    try {
+      SaasSinks.writeAxiom(logs.coalesce(1), SaasSinks.AxiomConfig(
+        srv.url, "tok-9", "ds1", orgId = "org7"))
+      val (path, body, hdrs) = srv.all.head
+      assert(path == "/v1/datasets/ds1/ingest")
+      assert(hdrs("Authorization") == "Bearer tok-9")
+      assert(hdrs("X-Axiom-Org-Id") == "org7")
+      assert(body.startsWith("[{"))
+    } finally srv.stop()
+  }
+
+  test("mezmo sink: /logs/ingest lines with basic auth") {
+    val srv = new JsonServer
+    try {
+      SaasSinks.writeMezmo(logs.coalesce(1), SaasSinks.MezmoConfig(
+        srv.url, "mz-key", hostname = "h9"))
+      val (path, body, hdrs) = srv.all.head
+      assert(path == "/logs/ingest?hostname=h9")
+      val basic = java.util.Base64.getEncoder.encodeToString(
+        "mz-key:".getBytes("UTF-8"))
+      assert(hdrs("Authorization") == s"Basic $basic")
+      assert(body.startsWith("""{"lines":["""))
+      assert(body.contains(""""line":"alpha""""))
+      assert(body.contains(""""app":"web""""))
+    } finally srv.stop()
+  }
+
+  test("humio + sematext + appsignal + keep envelopes") {
+    val srv = new JsonServer
+    try {
+      SaasSinks.writeHumio(logs.coalesce(1), srv.url, "humio-tok")
+      SaasSinks.writeSematext(logs.coalesce(1), srv.url, "sem-tok")
+      SaasSinks.writeAppsignal(logs.coalesce(1),
+        SaasSinks.AppsignalConfig(srv.url, "as-key"))
+      SaasSinks.writeKeep(logs.coalesce(1),
+        SaasSinks.KeepConfig(srv.url + "/alerts/event/vectordev", "keep-key"))
+      val all = srv.all
+      val humio = all.find(_._1 == "/api/v1/ingest/hec").get
+      assert(humio._3("Authorization") == "Bearer humio-tok")
+      assert(humio._2.contains("\"event\":{"))
+      val sem = all.find(_._1 == "/_bulk").get
+      assert(sem._2.contains("\"_index\":\"sem-tok\""))
+      val as = all.find(_._1 == "/vector/events").get
+      assert(as._3("Authorization") == "Bearer as-key")
+      assert(as._2.contains("\"log\":{"))
+      val keep = all.find(_._1 == "/alerts/event/vectordev").get
+      assert(keep._3("x-api-key") == "keep-key")
+    } finally srv.stop()
+  }
+
+  test("statsd sink: lines over udp with kind→type and tags") {
+    val sock = new java.net.DatagramSocket(0)
+    sock.setSoTimeout(5000)
+    try {
+      SaasSinks.writeStatsd(metrics.coalesce(1), SaasSinks.StatsdSinkConfig(
+        s"127.0.0.1:${sock.getLocalPort}", "udp",
+        defaultNamespace = Some("graft")))
+      val got = scala.collection.mutable.Set.empty[String]
+      while (got.size < 2) {
+        val p = new java.net.DatagramPacket(new Array[Byte](65536), 65536)
+        sock.receive(p)
+        new String(p.getData, 0, p.getLength, "UTF-8").split("\n")
+          .filter(_.nonEmpty).foreach(got += _)
+      }
+      assert(got == Set("graft.requests_total:5.0|c|#az:a",
+        "graft.cpu_pct:0.75|g|#az:b"))
+    } finally sock.close()
+  }
+
+  test("papertrail sink: syslog lines over tcp with process template") {
+    val server = new java.net.ServerSocket(0)
+    val lines = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => {
+      try {
+        while (true) {
+          val s = server.accept()
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+          var l = r.readLine()
+          while (l != null) { lines.add(l); l = r.readLine() }
+          s.close()
+        }
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      SaasSinks.writePapertrail(logs.coalesce(1),
+        SaasSinks.PapertrailConfig(s"127.0.0.1:${server.getLocalPort}",
+          process = "{{ app }}"))
+      val got = (1 to 2).map(_ =>
+        lines.poll(5, java.util.concurrent.TimeUnit.SECONDS)).toSet
+      assert(got.exists(l => l != null && l.startsWith("<14>") &&
+        l.contains(" web[0]: alpha")))
+      assert(got.exists(l => l != null && l.contains(" api[0]: beta")))
+    } finally server.close()
+  }
+}
