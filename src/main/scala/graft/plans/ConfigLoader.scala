@@ -891,6 +891,30 @@ object ConfigLoader {
             pendingClosers = (() => src.stop()) :: pendingClosers
             src.df
           })
+        // service-metric pollers → metric rows on an interval
+        // (apache mod_status ?auto, nginx stub_status, eventstoredb
+        // /stats JSON, postgresql pg_stat_database over the wire)
+        case tpeName @ ("apache_metrics" | "nginx_metrics"
+            | "eventstoredb_metrics" | "postgresql_metrics") =>
+          val eps = strList(m.getOrElse("endpoints",
+            m.getOrElse("endpoint", "")))
+          val ep = eps.headOption.getOrElse("")
+          val interval = m.getOrElse("scrape_interval_secs", "15").toString.toInt
+          Topology.Source(id, Topology.Metric, sp => {
+            val src = tpeName match {
+              case "apache_metrics" =>
+                graft.streaming.PollerSources.apache(sp, ep, interval)
+              case "nginx_metrics" =>
+                graft.streaming.PollerSources.nginx(sp, ep, interval)
+              case "eventstoredb_metrics" =>
+                graft.streaming.PollerSources.eventstore(sp, ep, interval)
+              case _ =>
+                graft.streaming.PollerSources.postgres(sp, ep, interval)
+            }
+            src.startPolling()
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
         // gcp_pubsub source (src/sources/gcp_pubsub.rs): REST
         // pull/acknowledge on project + subscription
         case "gcp_pubsub" =>
@@ -1516,6 +1540,44 @@ object ConfigLoader {
             .getOrElse("method", "lpush").toString,
           codec)
         Some(df => graft.sinks.QueueSinks.writeRedis(df, cfg))
+      case "postgres" =>
+        // src/sinks/postgres/: jsonb_populate_recordset INSERT over the
+        // v3 wire protocol
+        val cfg = graft.sinks.DbSinks.PostgresConfig(
+          m.getOrElse("endpoint", "postgres://postgres@127.0.0.1:5432/postgres").toString,
+          m.getOrElse("table", id).toString)
+        Some(df => graft.sinks.DbSinks.writePostgres(df, cfg))
+      case "doris" =>
+        // src/sinks/doris/: Stream Load PUT with label + basic auth
+        val cfg = graft.sinks.DbSinks.DorisConfig(
+          endpoint("http://127.0.0.1:8030"),
+          m.getOrElse("database", "d").toString,
+          m.getOrElse("table", id).toString,
+          yamlMap(m.getOrElse("auth", null)).getOrElse("user",
+            m.getOrElse("user", "root")).toString,
+          yamlMap(m.getOrElse("auth", null)).getOrElse("password",
+            m.getOrElse("password", "")).toString,
+          m.getOrElse("label_prefix", "vector").toString)
+        Some(df => graft.sinks.DbSinks.writeDoris(df, cfg))
+      case "databend" =>
+        // src/sinks/databend/: streaming-load with insert_sql header
+        val cfg = graft.sinks.DbSinks.DatabendConfig(
+          endpoint("http://127.0.0.1:8000"),
+          m.getOrElse("database", "default").toString,
+          m.getOrElse("table", id).toString,
+          yamlMap(m.getOrElse("auth", null)).getOrElse("user",
+            m.getOrElse("user", "root")).toString,
+          yamlMap(m.getOrElse("auth", null)).getOrElse("password",
+            m.getOrElse("password", "")).toString)
+        Some(df => graft.sinks.DbSinks.writeDatabend(df, cfg))
+      case "greptimedb_logs" =>
+        // src/sinks/greptimedb/logs/: /v1/events/logs JSON array
+        val cfg = graft.sinks.DbSinks.GreptimeLogsConfig(
+          endpoint("http://127.0.0.1:4000"),
+          m.getOrElse("dbname", "public").toString,
+          m.getOrElse("table", id).toString,
+          m.getOrElse("pipeline_name", "greptime_identity").toString)
+        Some(df => graft.sinks.DbSinks.writeGreptimeLogs(df, cfg))
       case "datadog_metrics" =>
         // src/sinks/datadog/metrics/: series v2
         val cfg = graft.sinks.SaasSinks.DatadogMetricsConfig(
