@@ -891,6 +891,26 @@ object ConfigLoader {
             pendingClosers = (() => src.stop()) :: pendingClosers
             src.df
           })
+        // prometheus push-model servers: remote_write (snappy prompb)
+        // and pushgateway (exposition text with grouping labels)
+        case "prometheus_remote_write" =>
+          val addr = m.getOrElse("address", "0.0.0.0:0").toString
+          val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
+          Topology.Source(id, Topology.Metric, sp => {
+            val src = graft.streaming.PromPushSources.remoteWrite(sp, port)
+            lastAgentPort = src.boundPort
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
+        case "prometheus_pushgateway" =>
+          val addr = m.getOrElse("address", "0.0.0.0:0").toString
+          val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
+          Topology.Source(id, Topology.Metric, sp => {
+            val src = graft.streaming.PromPushSources.pushgateway(sp, port)
+            lastAgentPort = src.boundPort
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
         // service-metric pollers → metric rows on an interval
         // (apache mod_status ?auto, nginx stub_status, eventstoredb
         // /stats JSON, postgresql pg_stat_database over the wire)
@@ -1540,6 +1560,16 @@ object ConfigLoader {
             .getOrElse("method", "lpush").toString,
           codec)
         Some(df => graft.sinks.QueueSinks.writeRedis(df, cfg))
+      case "opentelemetry" =>
+        // src/sinks/opentelemetry/: OTLP/HTTP export via the engine's
+        // own proto encoder; mode picks /v1/{logs,metrics,traces}
+        val proto = yamlMap(m.getOrElse("protocol", null))
+        val cfg = graft.sinks.OtlpSink.Config(
+          proto.getOrElse("uri", endpoint("http://127.0.0.1:4318")).toString
+            .stripSuffix("/v1/logs").stripSuffix("/v1/metrics")
+            .stripSuffix("/v1/traces"),
+          m.getOrElse("mode", "logs").toString)
+        Some(df => graft.sinks.OtlpSink.write(df, cfg))
       case "postgres" =>
         // src/sinks/postgres/: jsonb_populate_recordset INSERT over the
         // v3 wire protocol

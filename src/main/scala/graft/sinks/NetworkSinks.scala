@@ -150,6 +150,24 @@ object NetworkSinks {
     }
   }
 
+  /** Binary-body transport for protobuf envelopes (OTLP): concatenate
+    * the per-event request fragments of each batch (proto concatenation
+    * merges the repeated top-level field) and POST as one protobuf body.
+    */
+  def writeProtoConcat(fragments: DataFrame, cfg: HttpConfig): Unit = {
+    val c = cfg
+    fragments.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      rows.grouped(c.maxEvents).foreach { batch =>
+        val raw = new java.io.ByteArrayOutputStream()
+        batch.foreach { r =>
+          val b = r.getAs[Array[Byte]](0)
+          if (b != null) raw.write(b)
+        }
+        if (raw.size() > 0) post(c, raw.toByteArray)
+      }
+    }
+  }
+
   private[sinks] def post(c: HttpConfig, body: Array[Byte]): Unit = {
     val conn = new java.net.URI(c.uri).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
