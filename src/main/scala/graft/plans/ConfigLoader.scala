@@ -891,6 +891,54 @@ object ConfigLoader {
             pendingClosers = (() => src.stop()) :: pendingClosers
             src.df
           })
+        // platform log sources
+        case "journald" =>
+          val path = m.getOrElse("journalctl_path", "journalctl").toString
+          val inc = strList(m.getOrElse("include_units", Nil)).toSet
+          val exc = strList(m.getOrElse("exclude_units", Nil)).toSet
+          val ckpt = m.get("data_dir").map(_.toString + "/journald.cursor")
+          val extra = strList(m.getOrElse("extra_args", Nil))
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.PlatformSources.journald(sp, path,
+              inc, exc, ckpt, extra)
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
+        case "docker_logs" =>
+          val host = m.getOrElse("docker_host", "http://127.0.0.1:2375").toString
+          val inc = strList(m.getOrElse("include_containers", Nil))
+          val exc = strList(m.getOrElse("exclude_containers", Nil))
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.PlatformSources.dockerLogs(sp, host,
+              inc, exc)
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
+        case "kubernetes_logs" =>
+          // pod-log root (the real cluster path by default; any dir in
+          // the same <ns>_<pod>_<uid>/<container>/N.log layout works)
+          val root = m.getOrElse("include_paths_glob_patterns",
+            m.getOrElse("root", "/var/log/pods")) match {
+            case l: java.util.List[_] =>
+              l.toArray.headOption.map(_.toString).getOrElse("/var/log/pods")
+            case s => s.toString
+          }
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.PlatformSources.k8sLogs(sp, root)
+            pendingPollers = (() => src.poll()) :: pendingPollers
+            src.df
+          })
+        case "okta" =>
+          val domain = m.getOrElse("domain", "").toString
+          val token = m.getOrElse("token", "").toString
+          val since = m.getOrElse("since", "600").toString.toLong
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.PlatformSources.okta(sp, domain,
+              token, since)
+            src.startPolling()
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
         // prometheus push-model servers: remote_write (snappy prompb)
         // and pushgateway (exposition text with grouping labels)
         case "prometheus_remote_write" =>
@@ -1160,6 +1208,11 @@ object ConfigLoader {
     */
   @volatile private var pendingClosers: List[() => Unit] = Nil
 
+  /** Per-batch pollers beyond file tails (kubernetes_logs dir scans) —
+    * RunningConfig.pollTails drives them alongside the tails.
+    */
+  @volatile private var pendingPollers: List[() => Int] = Nil
+
   /** Bound port of the most recent OTLP source (ephemeral-port tests). */
   @volatile var lastOtlpPort: Int = -1
 
@@ -1187,9 +1240,10 @@ object ConfigLoader {
       logTaps: Seq[graft.streaming.InternalObs.InternalLogsSource] = Nil,
       closers: Seq[() => Unit] = Nil,
       exporters: Map[String,
-        graft.streaming.InternalObs.PrometheusExporter] = Map.empty) {
+        graft.streaming.InternalObs.PrometheusExporter] = Map.empty,
+      pollers: Seq[() => Int] = Nil) {
     /** Poll tailed files once (ingest appended lines + rotations). */
-    def pollTails(): Int = tails.map(_.poll()).sum
+    def pollTails(): Int = tails.map(_.poll()).sum + pollers.map(_()).sum
     def processAllAvailable(): Unit = {
       pollTails()
       scrapers.foreach(_.scrapeOnce())
@@ -1293,9 +1347,11 @@ object ConfigLoader {
     val scrapers = pendingScrapers
     val logTaps = pendingLogTaps
     val closers = pendingClosers
+    val pollers = pendingPollers
     pendingScrapers = Nil
     pendingLogTaps = Nil
     pendingClosers = Nil
+    pendingPollers = Nil
     logTaps.foreach(_.start())
     scrapers.foreach(_.startScraping())
     val exporters = scala.collection.mutable.Map.empty[String,
@@ -1371,7 +1427,7 @@ object ConfigLoader {
       }
     }
     RunningConfig(queries.toMap, tails, scrapers, logTaps, closers,
-      exporters.toMap)
+      exporters.toMap, pollers)
   }
 
   /** Sink `encoding:` / `framing:` / `compression:` blocks (every
