@@ -891,6 +891,28 @@ object ConfigLoader {
             pendingClosers = (() => src.stop()) :: pendingClosers
             src.df
           })
+        // dnstap: frame-streams receiver, frames decoded by parse_dnstap
+        case "dnstap" =>
+          val addr = m.getOrElse("address", "0.0.0.0:0").toString
+          val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.DnstapMongo.dnstap(sp, port)
+            lastAgentPort = src.boundPort
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
+        // mongodb_metrics: serverStatus over the wire protocol
+        case "mongodb_metrics" =>
+          val eps = strList(m.getOrElse("endpoints",
+            m.getOrElse("endpoint", "mongodb://127.0.0.1:27017")))
+          val interval = m.getOrElse("scrape_interval_secs", "15").toString.toInt
+          Topology.Source(id, Topology.Metric, sp => {
+            val src = graft.streaming.DnstapMongo.mongodbMetrics(sp,
+              eps.headOption.getOrElse("mongodb://127.0.0.1:27017"), interval)
+            src.startPolling()
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
         // platform log sources
         case "journald" =>
           val path = m.getOrElse("journalctl_path", "journalctl").toString
