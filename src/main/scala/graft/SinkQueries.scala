@@ -159,6 +159,104 @@ object SinkQueries {
           get_json_object(get_json_object(col("__l"), "$.message"),
             "$.event_type").as("msg_event_type"))
         .orderBy("event_id")
+    },
+
+    // datadog metrics v2 series entry: kind→type enum, epoch-s points,
+    // `k:v` tag strings (src/sinks/datadog/metrics/)
+    "sink_datadog_metrics" -> { (s, dir) =>
+      val base = ev(s, dir).select(
+        col("event_id"),
+        concat(lit("ev_"), col("event_type")).as("name"),
+        when(pmod(col("event_id"), lit(2)) === 0, lit("incremental"))
+          .otherwise(lit("absolute")).as("kind"),
+        col("value"), col("ts"),
+        map(lit("host"),
+          concat(lit("h"), pmod(col("user_id"), lit(5)))).as("tags"))
+      val entry = graft.sinks.SaasSinks.datadogSeriesEntry(base)
+      base.select(col("event_id"), entry.as("__e"))
+        .select(
+          col("event_id"),
+          get_json_object(col("__e"), "$.metric").as("metric"),
+          get_json_object(col("__e"), "$.type").cast("int").as("mtype"),
+          get_json_object(col("__e"), "$.points[0].timestamp").cast("long")
+            .as("ts_s"),
+          round(get_json_object(col("__e"), "$.points[0].value")
+            .cast("double"), 2).as("v"),
+          get_json_object(col("__e"), "$.tags[0]").as("tag0"))
+        .orderBy("event_id")
+    },
+
+    // cloudwatch PutLogEvents: one body per rendered (group, stream)
+    // template pair, events time-ordered inside each request
+    "sink_cloudwatch_logs" -> { (s, dir) =>
+      val base = ev(s, dir).select(
+        col("event_id"), col("ts"), col("event_type"),
+        concat(col("event_type"), lit("#"), col("event_id")).as("message"))
+      val bodies = graft.sinks.AwsSinks.cloudwatchLogsBodies(base,
+        graft.sinks.AwsSinks.CloudwatchLogsConfig(
+          "lg-{{ event_type }}", "s0", "", codec = "text"))
+      bodies.select(
+        get_json_object(col("__line"), "$.logGroupName").as("group"),
+        get_json_object(col("__line"), "$.logStreamName").as("stream"),
+        size(from_json(get_json_object(col("__line"), "$.logEvents"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("timestamp",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("message",
+                org.apache.spark.sql.types.StringType)))))).as("n"),
+        get_json_object(col("__line"), "$.logEvents[0].timestamp")
+          .cast("long").as("first_ms"))
+        .orderBy("group")
+    },
+
+    // kinesis PutRecords entry: base64 Data + explicit partition key
+    "sink_kinesis" -> { (s, dir) =>
+      val base = ev(s, dir).select(
+        col("event_id"), col("event_type"), col("user_id"))
+      val entry = graft.sinks.AwsSinks.kinesisEntry(base,
+        graft.sinks.AwsSinks.KinesisConfig("st", "",
+          partitionKeyField = Some("user_id"), codec = "csv"))
+      base.select(col("event_id"), entry.as("__e"))
+        .select(
+          col("event_id"),
+          get_json_object(col("__e"), "$.Data").as("data_b64"),
+          get_json_object(col("__e"), "$.PartitionKey").cast("long")
+            .as("pkey"))
+        .orderBy("event_id")
+    },
+
+    // new_relic Logs-API entry: ms timestamp, message fallback to the
+    // event JSON, full event under attributes
+    "sink_newrelic" -> { (s, dir) =>
+      val base = ev(s, dir).select("event_id", "ts", "user_id", "event_type")
+      val entry = graft.sinks.SaasSinks.newRelicLogEntry(base)
+      base.select(col("event_id"), entry.as("__e"))
+        .select(
+          col("event_id"),
+          get_json_object(col("__e"), "$.timestamp").cast("long")
+            .as("ts_ms"),
+          get_json_object(col("__e"), "$.attributes.event_type")
+            .as("attr_event_type"),
+          get_json_object(col("__e"), "$.attributes.user_id").cast("long")
+            .as("attr_user_id"))
+        .orderBy("event_id")
+    },
+
+    // statsd line encode: `name:value|type|#tags` text vs a
+    // string-built oracle (src/sinks/statsd/encoder.rs shape)
+    "sink_statsd_line" -> { (s, dir) =>
+      val base = ev(s, dir).select(
+        col("event_id"),
+        concat(lit("ev_"), col("event_type")).as("name"),
+        when(pmod(col("event_id"), lit(2)) === 0, lit("incremental"))
+          .otherwise(lit("absolute")).as("kind"),
+        round(col("value"), 1).as("value"),
+        map(lit("host"),
+          concat(lit("h"), pmod(col("user_id"), lit(5)))).as("tags"))
+      base.select(col("event_id"),
+        graft.sinks.SaasSinks.statsdLine(base, Some("graft")).as("line"))
+        .orderBy("event_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -224,5 +322,41 @@ object SinkQueries {
         |  'webapp' AS service,
         |  epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
         |  event_type AS msg_event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sink_datadog_metrics" ->
+      """SELECT event_id,
+        |  'ev_' || event_type AS metric,
+        |  CASE WHEN event_id % 2 = 0 THEN 1 ELSE 3 END AS mtype,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s,
+        |  round(value, 2) AS v,
+        |  'host:h' || CAST(user_id % 5 AS VARCHAR) AS tag0
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sink_cloudwatch_logs" ->
+      """SELECT 'lg-' || event_type AS "group", 's0' AS stream,
+        |  CAST(count(*) AS INT) AS n,
+        |  min(epoch_ms(CAST(ts AS TIMESTAMP))) AS first_ms
+        |FROM events GROUP BY event_type ORDER BY "group"""".stripMargin,
+
+    "sink_kinesis" ->
+      """SELECT event_id,
+        |  to_base64(CAST(CAST(event_id AS VARCHAR) || ',' || event_type
+        |    || ',' || CAST(user_id AS VARCHAR) AS BLOB)) AS data_b64,
+        |  user_id AS pkey
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sink_newrelic" ->
+      """SELECT event_id,
+        |  epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |  event_type AS attr_event_type,
+        |  user_id AS attr_user_id
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sink_statsd_line" ->
+      """SELECT event_id,
+        |  'graft.ev_' || event_type || ':' || CAST(round(value,1) AS VARCHAR)
+        |    || '|' || (CASE WHEN event_id % 2 = 0 THEN 'c' ELSE 'g' END)
+        |    || '|#host:h' || CAST(user_id % 5 AS VARCHAR) AS line
         |FROM events ORDER BY event_id""".stripMargin)
 }

@@ -105,14 +105,20 @@ object AwsSinks {
       codec: String = "json")
       extends Serializable
 
-  def writeKinesisStreams(df: DataFrame, cfg: KinesisConfig): Unit = {
-    // no partition key field → random key, the reference's behavior
-    // (aws_kinesis/record.rs): round-robins shards
+  /** One PutRecords entry per event: base64 Data + partition key (no
+    * key field → random uuid, the reference's shard round-robin,
+    * aws_kinesis/record.rs).
+    */
+  def kinesisEntry(df: DataFrame, cfg: KinesisConfig): Column = {
     val key = cfg.partitionKeyField.filter(df.columns.contains)
       .map(f => col(f).cast("string")).getOrElse(uuid())
-    val entry = to_json(struct(
+    to_json(struct(
       base64(LineCodec.encode(df, cfg.codec).cast("binary")).as("Data"),
       key.as("PartitionKey")))
+  }
+
+  def writeKinesisStreams(df: DataFrame, cfg: KinesisConfig): Unit = {
+    val entry = kinesisEntry(df, cfg)
     NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
       amzJson(cfg.endpoint, "Kinesis_20131202.PutRecords",
         s"""{"StreamName":"${cfg.streamName}","Records":[""", "]}", 500))
@@ -143,7 +149,9 @@ object AwsSinks {
     * same single shuffle any per-stream batching needs, log events
     * sorted by timestamp inside each request (API requirement).
     */
-  def writeCloudwatchLogs(df: DataFrame, cfg: CloudwatchLogsConfig): Unit = {
+  /** One PutLogEvents body per rendered (group, stream) pair. */
+  def cloudwatchLogsBodies(df: DataFrame,
+                           cfg: CloudwatchLogsConfig): DataFrame = {
     val ts = Template.timestampCol(df.schema)
     val grouped = df
       .groupBy(Template.render(df.schema, cfg.groupName).as("__group"),
@@ -153,7 +161,11 @@ object AwsSinks {
         LineCodec.encode(df, cfg.codec).as("message")))).as("__events"))
     val body = to_json(struct(col("__group").as("logGroupName"),
       col("__stream").as("logStreamName"), col("__events").as("logEvents")))
-    NetworkSinks.writeHttpBody(grouped.select(body.as("__line")),
+    grouped.select(body.as("__line"))
+  }
+
+  def writeCloudwatchLogs(df: DataFrame, cfg: CloudwatchLogsConfig): Unit = {
+    NetworkSinks.writeHttpBody(cloudwatchLogsBodies(df, cfg),
       HttpConfig(uri = cfg.endpoint, maxEvents = 1,
         headers = Map("X-Amz-Target" -> "Logs_20140328.PutLogEvents"),
         contentType = "application/x-amz-json-1.1"))

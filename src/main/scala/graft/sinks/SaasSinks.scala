@@ -48,11 +48,12 @@ object SaasSinks {
       defaultNamespace: Option[String] = None)
       extends Serializable
 
-  /** Series v2. Expects metric-shaped rows: `name`, `value`, optional
-    * `kind` (incremental→count, absolute→gauge), `ts`, `tags` map.
+  /** One v2 series entry per metric row — kind incremental→count(1),
+    * absolute→gauge(3), tags map → `k:v` strings.
     */
-  def writeDatadogMetrics(df: DataFrame, cfg: DatadogMetricsConfig): Unit = {
-    val name = cfg.defaultNamespace
+  def datadogSeriesEntry(df: DataFrame,
+                         defaultNamespace: Option[String] = None): Column = {
+    val name = defaultNamespace
       .map(ns => concat(lit(ns + "."), col("name")))
       .getOrElse(col("name").cast("string"))
     val dtype =
@@ -67,10 +68,17 @@ object SaasSinks {
         transform(map_entries(col("tags")),
           e => concat(e.getField("key"), lit(":"), e.getField("value")))
       else array().cast("array<string>")
-    val entry = to_json(struct(name.as("metric"), dtype.as("type"),
+    to_json(struct(name.as("metric"), dtype.as("type"),
       array(struct(ts.as("timestamp"),
         col("value").cast("double").as("value"))).as("points"),
       tags.as("tags")))
+  }
+
+  /** Series v2. Expects metric-shaped rows: `name`, `value`, optional
+    * `kind` (incremental→count, absolute→gauge), `ts`, `tags` map.
+    */
+  def writeDatadogMetrics(df: DataFrame, cfg: DatadogMetricsConfig): Unit = {
+    val entry = datadogSeriesEntry(df, cfg.defaultNamespace)
     NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
       HttpConfig(uri = cfg.endpoint.stripSuffix("/") + "/api/v2/series",
         framing = "character_delimited", delimiter = ",", maxEvents = 1000,
@@ -139,16 +147,22 @@ object SaasSinks {
       api: String = "logs") // logs | metrics | events
       extends Serializable
 
+  /** One Logs-API entry per event: ms timestamp + message + the full
+    * event under `attributes`.
+    */
+  def newRelicLogEntry(df: DataFrame): Column =
+    to_json(struct(
+      unix_millis(tsOf(df)).as("timestamp"),
+      (if (df.columns.contains("message")) col("message").cast("string")
+      else to_json(eventStruct(df))).as("message"),
+      eventStruct(df).as("attributes")))
+
   def writeNewRelic(df: DataFrame, cfg: NewRelicConfig): Unit = {
     val base = cfg.endpoint.stripSuffix("/")
     val auth = Map("Api-Key" -> cfg.licenseKey)
     cfg.api match {
       case "logs" =>
-        val entry = to_json(struct(
-          unix_millis(tsOf(df)).as("timestamp"),
-          (if (df.columns.contains("message")) col("message").cast("string")
-          else to_json(eventStruct(df))).as("message"),
-          eventStruct(df).as("attributes")))
+        val entry = newRelicLogEntry(df)
         NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
           HttpConfig(uri = base + "/log/v1",
             framing = "character_delimited", delimiter = ",",
