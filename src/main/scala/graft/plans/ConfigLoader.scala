@@ -1117,7 +1117,33 @@ object ConfigLoader {
       val m = yamlMap(v)
       Topology.Sink(id, strList(m.getOrElse("inputs", Nil)), Topology.Any)
     }.toSeq
-    Topology.build(spark, sources ++ extraSources ++ transforms ++ sinks)
+    // `log_schema:` global (lib/vector-core/src/config/log_schema.rs) —
+    // renames the standard event keys every log source emits. Applied
+    // as a projection wrapper on each Log-kind source, so downstream
+    // transforms/conditions address the user's key names.
+    val logSchema = yamlMap(conf.getOrElse("log_schema", null))
+      .map { case (k, v) => k -> v.toString }
+    val renames = Seq(
+      "message" -> logSchema.getOrElse("message_key", "message"),
+      "timestamp" -> logSchema.getOrElse("timestamp_key", "timestamp"),
+      "host" -> logSchema.getOrElse("host_key", "host"),
+      "source_type" -> logSchema.getOrElse("source_type_key", "source_type"))
+      .filter { case (from, to) => from != to }
+    val renamedSources =
+      if (renames.isEmpty) sources
+      else sources.map {
+        case s @ Topology.Source(id, Topology.Log, build) =>
+          Topology.Source(id, Topology.Log, sp => {
+            val df = build(sp)
+            renames.foldLeft(df) { case (d, (from, to)) =>
+              if (d.columns.contains(from)) d.withColumnRenamed(from, to)
+              else d
+            }
+          })
+        case s => s
+      }
+    Topology.build(spark,
+      renamedSources ++ extraSources ++ transforms ++ sinks)
   }
 
   // ---------------- multi-file / directory configs ----------------

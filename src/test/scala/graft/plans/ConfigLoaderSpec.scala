@@ -439,6 +439,42 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(report.size == 10)
   }
 
+  test("run: log_schema global renames the standard event keys") {
+    // lib/vector-core/src/config/log_schema.rs — message_key/host_key
+    // renames apply to every log source's standard columns
+    val dir = java.nio.file.Files.createTempDirectory("lscfg")
+    java.nio.file.Files.write(dir.resolve("a.log"),
+      "hello world\n".getBytes("UTF-8"))
+    val tmp = java.nio.file.Files.createTempDirectory("lswork").toString
+    val running = ConfigLoader.run(spark,
+      s"""
+        |log_schema:
+        |  message_key: msg
+        |sources:
+        |  logs:
+        |    type: file
+        |    path: $dir
+        |transforms:
+        |  up:
+        |    type: remap
+        |    inputs: [logs]
+        |    source: |
+        |      .msg = upcase!(.msg)
+        |sinks:
+        |  lstap:
+        |    type: memory
+        |    inputs: [up]
+        |""".stripMargin,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      running.processAllAvailable()
+      val rows = spark.table("lstap").collect()
+      assert(rows.nonEmpty)
+      assert(rows.head.schema.fieldNames.contains("msg"))
+      assert(rows.map(_.getAs[String]("msg")).toSet == Set("HELLO WORLD"))
+    } finally running.stopAll()
+  }
+
   test("run: file source tails a growing file across micro-batches") {
     // `type: file` + path = the REAL tail (fingerprint/rotation/
     // checkpoint FileTail, src/sources/file.rs semantics), reachable
