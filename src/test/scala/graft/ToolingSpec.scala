@@ -30,6 +30,38 @@ class ToolingSpec extends SparkSpec {
       |    inputs: [up]
       |""".stripMargin
 
+  test("list: component inventory is sorted, distinct, and loader-backed") {
+    import graft.ListComponents._
+    Seq(sources, transforms, sinks, enrichmentTables).foreach { xs =>
+      assert(xs == xs.sorted && xs.distinct == xs)
+    }
+    // spot-check membership against the YAML loader: a listed transform
+    // type must NOT raise "unsupported transform type" (args may still
+    // be required, but the dispatch arm exists), and an unlisted one must
+    assert(transforms.contains("throttle") && sinks.contains("mqtt") &&
+      sources.contains("pulsar") && enrichmentTables.contains("geoip"))
+    val err = intercept[IllegalArgumentException] {
+      graft.plans.ConfigLoader.load(spark,
+        """
+          |sources:
+          |  in:
+          |    type: no_such_source
+          |sinks:
+          |  out:
+          |    type: console
+          |    inputs: [in]
+          |""".stripMargin, "/root/testdata/sf0.001")
+    }
+    assert(err.getMessage.contains("unsupported source type"))
+    // the json format parses and carries all four groups
+    val json = render("json")
+    val parsed = graft.functions.JsonLite.parse(json)
+      .asInstanceOf[java.util.Map[String, Any]]
+    assert(parsed.containsKey("sources") && parsed.containsKey("sinks") &&
+      parsed.containsKey("transforms") &&
+      parsed.containsKey("enrichment_tables"))
+  }
+
   test("graph: DOT output shapes components and labels port edges") {
     val dot = Graph.dot(yaml)
     assert(dot.startsWith("digraph {"))
