@@ -131,7 +131,10 @@ object SinkQueries {
           baseUri = tmp,
           keyPrefix = "type={{ event_type }}/date=%F/",
           filenameAppendUuid = false, fixedClockMs = Some(0L),
-          codec = "json", compression = "gzip", maxBytes = 256 * 1024))
+          codec = "json", compression = "gzip", maxBytes = 256 * 1024,
+          // few prefixes, many tasks → co-locate each prefix on one
+          // task; objects scale as prefixes, not tasks × prefixes
+          partitionByPrefix = true))
       graft.sinks.ObjectStoreSink.readBack(s, tmp)
         .select(
           regexp_extract(col("key"), "^(type=[^/]+/date=[^/]+)/", 1)

@@ -1982,6 +1982,8 @@ object ConfigLoader {
           compression = compression,
           maxBytes = batch.getOrElse("max_bytes", "10000000").toString.toLong,
           maxEvents = batch.getOrElse("max_events", "0").toString.toInt,
+          partitionByPrefix = m.getOrElse("partition_by_prefix", "false")
+            .toString.toBoolean,
           fixedClockMs = m.get("__fixed_clock_ms").map(_.toString.toLong))
         Some(df => ObjectStoreSink.writeBatch(df, cfg))
       case "datadog_logs" =>

@@ -46,6 +46,15 @@ object ObjectStoreSink {
       // like the reference's encoded-batch accounting); 0 = unbounded
       maxBytes: Long = 10L * 1024 * 1024,
       maxEvents: Int = 0,
+      /** Shuffle rows so each rendered prefix lands on ONE task before
+        * writing. Off (default): zero-shuffle, every task uploads its
+        * own objects — max parallel fan-out, but object count scales as
+        * tasks × prefixes. On: one hash shuffle on the prefix, object
+        * count scales as prefixes (the reference's per-instance
+        * granularity) — the right trade when prefixes are few and many
+        * tiny objects would hurt the downstream reader.
+        */
+      partitionByPrefix: Boolean = false,
       /** fixed clock (epoch ms) for deterministic tests; None = now() */
       fixedClockMs: Option[Long] = None)
       extends Serializable {
@@ -76,9 +85,12 @@ object ObjectStoreSink {
       if (graft.functions.Template.isDynamic(cfg.keyPrefix))
         graft.functions.Template.render(df.schema, cfg.keyPrefix)
       else lit(cfg.keyPrefix)
-    val lines = df
+    val projected = df
       .select(rendered.as("__prefix"), LineCodec.encode(df, cfg.codec).as("__line"))
-      .sortWithinPartitions("__prefix")
+    val lines =
+      (if (cfg.partitionByPrefix) projected.repartition(col("__prefix"))
+      else projected)
+        .sortWithinPartitions("__prefix")
     val delim = LineCodec.frameDelimiter(cfg.framing, cfg.delimiter)
     val c = cfg
     val hconf = new org.apache.spark.util.SerializableConfiguration(
