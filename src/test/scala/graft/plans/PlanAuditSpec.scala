@@ -1,0 +1,91 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits for the properties that decide whether these
+  * plans survive a 1000-executor, 100 TB run — asserted, not eyeballed,
+  * so a regression that silently un-broadcasts a join or blocks filter
+  * pushdown fails CI rather than surfacing as a cluster bill:
+  *
+  *  - predicate pushdown reaches the parquet scan (PushedFilters)
+  *  - column pruning reaches the scan (ReadSchema carries only the
+  *    projected columns, not the whole table)
+  *  - the enrichment join broadcasts its small side (no shuffle of the
+  *    big fact stream)
+  *  - aggregation is partial/final (map-side combine before the
+  *    exchange)
+  *  - the remap hot path stays inside WholeStageCodegen with ZERO
+  *    exchanges (a pure pipeline must not shuffle)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  /** AQE leaves codegen markers out of the formatted plan until the
+    * final plan exists; CodegenMode reports the compiled subtrees up
+    * front ("Found N WholeStageCodegen subtrees").
+    */
+  private def codegenSubtrees(df: org.apache.spark.sql.DataFrame): Int = {
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    "WholeStageCodegen subtree".r.findAllIn(s).size.max(
+      if (s.contains("Found 0 WholeStageCodegen")) 0
+      else "\\*\\(\\d+\\)".r.findAllIn(s).size)
+  }
+
+  test("q1_agg: filter pushdown, partial aggregation, codegen") {
+    val df = graft.SparkEntry.queries("q1_agg")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"no pushed filter in:\n$p")
+    // partial/final pair: two HashAggregate nodes around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregate in:\n$p")
+    assert(codegenSubtrees(df) >= 1, "no codegen span")
+  }
+
+  test("scan prunes columns: 2-column projection reads 2 columns") {
+    val df = graft.Graft.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = plan(df)
+    // ReadSchema must not mention unprojected wide columns
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment"), s"l_comment not pruned:\n$p")
+    assert(!p.contains("l_shipdate"), "l_shipdate not pruned")
+  }
+
+  test("enrichment join broadcasts the small side") {
+    val df = graft.SparkEntry.queries("enrich_join")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"enrichment join does not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "small-dim enrichment fell back to a sort-merge join")
+  }
+
+  test("remap hot path: zero exchanges, one codegen pipeline") {
+    val ev = graft.Graft.table(spark, dir, "events")
+    val df = graft.Queries.eventsRemap(ev)
+    val p = plan(df)
+    // Graft.table's small-file parallelism floor adds one ROUND-ROBIN
+    // repartition; what must NOT appear is a requirements-driven
+    // (hash/range) shuffle — the remap itself is shuffle-free
+    assert(!p.contains("ENSURE_REQUIREMENTS"),
+      s"pure remap pipeline shuffles:\n$p")
+    assert(codegenSubtrees(df) >= 1, "no codegen span")
+  }
+
+  test("exact dedup is a single shuffle") {
+    val df = graft.SparkEntry.queries("dedup_exact")(spark, dir)
+    val p = plan(df)
+    val exchanges = "ENSURE_REQUIREMENTS".r.findAllIn(p).size
+    // one hash shuffle for the group-by; the final orderBy of the
+    // deterministic gate adds a range exchange — nothing else
+    assert(exchanges <= 2, s"dedup_exact shuffles $exchanges times:\n$p")
+  }
+}
