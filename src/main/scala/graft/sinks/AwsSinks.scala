@@ -193,7 +193,7 @@ object AwsSinks {
       if (df.columns.contains("tags")) to_json(col("tags")).as("__tags")
       else lit(null).cast("string").as("__tags")
     val rows = df.select(col("name").cast("string").as("__name"),
-      col("value").cast("double").as("__value"), ts, tags)
+      SaasSinks.metricValue(df).as("__value"), ts, tags)
     val c = cfg
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")

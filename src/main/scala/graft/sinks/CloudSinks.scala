@@ -108,7 +108,7 @@ object CloudSinks {
       struct(lit(cfg.resourceType).as("type")).as("resource"),
       array(struct(
         struct(ts.as("endTime")).as("interval"),
-        struct(col("value").cast("double").as("doubleValue")).as("value")))
+        struct(SaasSinks.metricValue(df).as("doubleValue")).as("value")))
         .as("points")))
     NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
       HttpConfig(

@@ -75,7 +75,7 @@ object OtlpSink {
     val point = struct(
       (unix_micros(ts) * 1000L).as("start_time_unix_nano"),
       (unix_micros(ts) * 1000L).as("time_unix_nano"),
-      col("value").cast("double").as("as_double"),
+      SaasSinks.metricValue(df).as("as_double"),
       lit(null).cast("long").as("as_int"),
       attrs.as("attributes"))
     val isCounter =

@@ -41,6 +41,17 @@ object SaasSinks {
 
   private def tsOf(df: DataFrame): Column = Template.timestampCol(df.schema)
 
+  /** The metric value of a metric-shaped frame — plain `value`, or the
+    * internal model's counter_value/gauge_value split (LogToMetric
+    * output), whichever columns exist.
+    */
+  private[sinks] def metricValue(df: DataFrame): Column = {
+    val cols = df.columns.toSet
+    val cands = Seq("counter_value", "gauge_value", "value").filter(cols)
+    require(cands.nonEmpty, s"no metric value column in ${df.columns.toSeq}")
+    coalesce(cands.map(c => col(c).cast("double")): _*)
+  }
+
   // ---- datadog_metrics ----
 
   case class DatadogMetricsConfig(
@@ -70,7 +81,7 @@ object SaasSinks {
       else array().cast("array<string>")
     to_json(struct(name.as("metric"), dtype.as("type"),
       array(struct(ts.as("timestamp"),
-        col("value").cast("double").as("value"))).as("points"),
+        metricValue(df).as("value"))).as("points"),
       tags.as("tags")))
   }
 
@@ -172,7 +183,7 @@ object SaasSinks {
       case "metrics" =>
         val entry = to_json(struct(col("name").cast("string").as("name"),
           lit("gauge").as("type"),
-          col("value").cast("double").as("value"),
+          metricValue(df).as("value"),
           unix_millis(tsOf(df)).as("timestamp")))
         NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
           HttpConfig(uri = base + "/metric/v1",
@@ -337,7 +348,8 @@ object SaasSinks {
             e => concat(e.getField("key"), lit(":"), e.getField("value"))),
             ","))).otherwise(lit(""))
       else lit("")
-    concat(name, lit(":"), col("value").cast("string"), lit("|"), mtype, tags)
+    concat(name, lit(":"), metricValue(df).cast("string"), lit("|"), mtype,
+      tags)
   }
 
   def writeStatsd(df: DataFrame, cfg: StatsdSinkConfig): Unit = {
