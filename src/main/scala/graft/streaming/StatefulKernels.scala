@@ -188,6 +188,65 @@ object StatefulKernels {
     }
   }
 
+  /** `delay` — hold each event for `delayMs` of processing time.
+    *
+    * Reference: /root/reference/src/transforms/delay.rs (DelayQueue with
+    * `delay_ms`, `queue_capacity`, `overflow_strategy`, and an optional
+    * `condition` re-armed each period until it passes). Distributed
+    * form: per-key state holds (deadline, event) pairs; events whose
+    * deadline has passed emit on the next data batch or processing-time
+    * timeout tick, so the delay resolves at micro-batch granularity (≥
+    * the configured delay, the same lower-bound guarantee the reference
+    * gives). Overflow: `drop_newest` drops arrivals past capacity,
+    * `forward` emits them undelayed; `block` has no micro-batch
+    * equivalent (there is no in-operator backpressure), so it holds
+    * past capacity — documented, capacity becomes advisory.
+    */
+  def delay[K, V](
+      grouped: KeyValueGroupedDataset[K, V],
+      delayMs: Long,
+      queueCapacity: Int = 500,
+      overflowStrategy: String = "block", // block | drop_newest | forward
+      condition: V => Boolean = (_: V) => true,
+      nowMs: () => Long = () => System.currentTimeMillis())(
+      implicit encV: Encoder[V], ct: ClassTag[V]): Dataset[V] = {
+    implicit val stateEnc: Encoder[List[(Long, V)]] =
+      Encoders.kryo[List[(Long, V)]]
+    grouped.flatMapGroupsWithState[List[(Long, V)], V](
+      OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      (_, events, state) =>
+        val now = nowMs()
+        var queue = state.getOption.getOrElse(Nil)
+        val out = scala.collection.mutable.ListBuffer[V]()
+        events.foreach { v =>
+          if (queue.size >= queueCapacity && overflowStrategy == "drop_newest") {
+            () // dropped, the reference's intentional drop
+          } else if (queue.size >= queueCapacity &&
+              overflowStrategy == "forward") {
+            out += v
+          } else {
+            queue = queue :+ (now + delayMs, v)
+          }
+        }
+        // emit expired entries; a failed condition re-arms one period
+        // (delay.rs: "delay in provided delay periods until the
+        // condition is met")
+        val (due, pending) = queue.partition(_._1 <= now)
+        val rearmed = due.flatMap { case (_, v) =>
+          if (condition(v)) { out += v; None }
+          else Some((now + delayMs, v))
+        }
+        queue = pending ++ rearmed
+        if (queue.isEmpty) state.remove()
+        else {
+          state.update(queue)
+          state.setTimeoutDuration(
+            math.max(1L, queue.map(_._1).min - now))
+        }
+        out.iterator
+    }
+  }
+
   /** One flushed `line_agg` group: logical event assembled from
     * consecutive physical lines of one file.
     */
