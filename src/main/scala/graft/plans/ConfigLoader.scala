@@ -275,6 +275,20 @@ object ConfigLoader {
       // every type a `vector --config` file can name now loads (the
       // round-6 verdict's item 3)
 
+      case "aws_ec2_metadata" =>
+        // src/transforms/aws_ec2_metadata.rs — IMDSv2 fetch at build
+        // time (token + identity document + network paths), enrichment
+        // as literal columns. `endpoint` override for tests;
+        // `fields` allowlist; `namespace` key prefix.
+        val ep = conf.getOrElse("endpoint", "http://169.254.169.254").toString
+        val allow = strList(conf.getOrElse("fields", Nil)).toSet
+        val ns = conf.get("namespace").map(_.toString + ".").getOrElse("")
+        Topology.Transform.simple(id, inputs, df => {
+          val fetched = graft.streaming.Ec2Metadata.fetch(ep, allow)
+          graft.operators.Misc.environmentEnrich(df,
+            fetched.fields.map { case (k, v) => (ns + k) -> v })
+        })
+
       case "delay" =>
         // hold each event delay_ms of processing time
         // (src/transforms/delay.rs: DelayQueue + queue_capacity +
