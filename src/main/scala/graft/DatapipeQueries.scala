@@ -190,6 +190,36 @@ object DatapipeQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // spherical k-means over the embedding corpus (the IVF coarse
+    // quantizer / SemDeDup clustering stage): k=8, 2 Lloyd iterations,
+    // deterministic init = 8 lowest vec_ids. Output = surviving cells
+    // with member counts and the centroid itself (6-dp, stringified for
+    // the engine compare).
+    "ann_kmeans" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = Ann.kmeans(e, "vec_id", "embedding", k = 8, iters = 2)
+      val centStr = map(cents.flatMap { case (cell, v) =>
+        Seq(lit(cell), lit(v.map(x => f"$x%.6f").mkString(","))) }: _*)
+      e.select(col("vec_id"),
+          Ann.ivfAssign(Ann.asDouble(col("embedding")), cents).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .withColumn("centroid", element_at(centStr, col("cell")))
+        .orderBy(col("cell"))
+    },
+
+    // SemDeDup-style semantic dedup: cluster with the same k-means, then
+    // within each cell drop every doc having a lower-id mate with
+    // cosine >= 0.40 (kept doc = min-id representative; 0.40 sits inside
+    // this corpus's upper cosine tail — max pair ≈ 0.51 — so the query
+    // exercises both kept and dropped docs)
+    "dedup_semantic" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = Ann.kmeans(e, "vec_id", "embedding", k = 8, iters = 2)
+      Ann.semanticDedup(e, "vec_id", "embedding", cents, threshold = 0.40)
+        .select(col("doc").as("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    },
+
     // benchmark decontamination: docs sharing 8-grams with the
     // "evaluation set" (stand-in: the 12-token prefixes of every 97th
     // doc, so prefix-carrying docs MUST flag) — the test-set-leakage
@@ -392,6 +422,39 @@ object DatapipeQueries {
   // then mismatches even though values are numerically equal.
   private def sketchExpr(v: String) =
     s"CAST(list_sum([CASE WHEN CAST($v[j+1] AS DOUBLE) > 0 THEN (1::BIGINT << j) ELSE 0 END for j in range(0,8)]) AS BIGINT)"
+
+  // -- k-means oracle (ann_kmeans / dedup_semantic): the same 2 Lloyd
+  // iterations as Ann.kmeans, as a CTE chain — deterministic init (8
+  // lowest ids), cosine assignment with lowest-cell tie-break, centroid
+  // coordinates rounded to 6 dp each iteration (+0.0 folds -0.0 so both
+  // engines print "0.000000").
+  private def kmPairCos(x: String, y: String) =
+    s"""round(list_sum([$x[i]*$y[i] for i in range(1,len($x)+1)])
+       |    / sqrt(list_sum([$x[i]*$x[i] for i in range(1,len($x)+1)]))
+       |    / sqrt(list_sum([$y[i]*$y[i] for i in range(1,len($y)+1)])), 6)""".stripMargin
+  private def kmAssign(name: String, cents: String) =
+    s"""$name AS (SELECT id, v, cell FROM (
+       |  SELECT c.id, c.v, k.cell, ${kmPairCos("c.v", "k.cv")} AS cos
+       |  FROM c, $cents k)
+       |QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell) = 1)""".stripMargin
+  private def kmCent(name: String, assign: String) =
+    s"""$name AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+       |  SELECT cell, i, round(avg(x), 6) + 0.0 AS m FROM (
+       |    SELECT cell, unnest(v) AS x,
+       |      unnest(generate_series(1, len(v))) AS i FROM $assign)
+       |  GROUP BY cell, i)
+       |GROUP BY cell)""".stripMargin
+  private val kmeansCtes =
+    s"""c AS (SELECT vec_id AS id, [CAST(x AS DOUBLE) for x in embedding] AS v
+       |      FROM embeddings),
+       |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT)
+       |            AS cell, v AS cv
+       |          FROM (SELECT id, v FROM c ORDER BY id LIMIT 8)),
+       |${kmAssign("a1", "cent0")},
+       |${kmCent("cent1", "a1")},
+       |${kmAssign("a2", "cent1")},
+       |${kmCent("cent2", "a2")},
+       |${kmAssign("a3", "cent2")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -642,6 +705,24 @@ object DatapipeQueries {
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, nn_id)
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_kmeans" ->
+      s"""WITH $kmeansCtes
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+        |  array_to_string([printf('%.6f', x) for x in any_value(cv)], ',')
+        |    AS centroid
+        |FROM a3 JOIN cent2 USING (cell)
+        |GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH $kmeansCtes,
+        |dropped AS (
+        |  SELECT DISTINCT a.id FROM a3 a JOIN a3 b
+        |    ON a.cell = b.cell AND b.id < a.id
+        |  WHERE ${kmPairCos("a.v", "b.v")} >= 0.40)
+        |SELECT a3.id AS vec_id, a3.cell FROM a3
+        |LEFT JOIN dropped d ON d.id = a3.id
+        |WHERE d.id IS NULL ORDER BY vec_id""".stripMargin,
 
     "decontaminate" ->
       s"""WITH $toksCte,

@@ -105,6 +105,74 @@ object Ann {
       .select(col("query_id"), col("cell"), col("rank"), col("nn_id"), col("cos"))
   }
 
+  /** Spherical k-means (Lloyd's) over the embedding column — the coarse
+    * quantizer behind a real IVF index and the clustering stage of
+    * SemDeDup-style semantic dedup (Abbas et al. 2023: cluster, then
+    * prune near-identical members within each cluster).
+    *
+    * Scale shape: centroids stay DRIVER-side (k × dim doubles — an IVF
+    * coarse codebook is tiny by construction), so each Lloyd iteration is
+    * one corpus scan: assignment is a pure projection against the literal
+    * codebook ([[ivfAssign]] — no shuffle, no join), and the re-centering
+    * is ONE map-side-combined groupBy(cell) producing `dim` column sums +
+    * a count (k × (dim+1) doubles cross the wire per partition). The
+    * corpus is never shuffled and never collected; total driver state per
+    * iteration is k rows.
+    *
+    * Determinism for engine parity: init = the k lowest-`id` vectors
+    * (cells numbered 0..k-1 in id order), fixed iteration count, and each
+    * new centroid coordinate rounded to 6 decimals so sum-order noise in
+    * the distributed mean can't leak into the next assignment. Cells left
+    * empty by an iteration simply drop out (documented Lloyd behavior).
+    */
+  def kmeans(corpus: DataFrame, id: String, vec: String, k: Int,
+             iters: Int): Seq[(Long, Seq[Double])] = {
+    val c = corpus.select(col(id).as("_kid"), asDouble(col(vec)).as("_kv"))
+    val dim = c.select(size(col("_kv"))).head().getInt(0)
+    var centroids: Seq[(Long, Seq[Double])] =
+      c.orderBy(col("_kid")).limit(k).collect().zipWithIndex.map {
+        case (r, i) => (i.toLong, r.getSeq[Double](1))
+      }.toSeq
+    (1 to iters).foreach { _ =>
+      val assigned = c.withColumn("_cell", ivfAssign(col("_kv"), centroids))
+      val aggs = count(lit(1)).as("_n") +:
+        (0 until dim).map(j => sum(element_at(col("_kv"), j + 1)).as(s"_s$j"))
+      centroids = assigned.groupBy("_cell").agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val n = r.getLong(1).toDouble
+          (r.getLong(0), (0 until dim).map { j =>
+            BigDecimal(r.getDouble(2 + j) / n)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          })
+        }.sortBy(_._1).toSeq
+    }
+    centroids
+  }
+
+  /** SemDeDup-style semantic dedup: k-means-cluster the corpus, then drop
+    * every document that has a LOWER-id cluster-mate with cosine ≥
+    * `threshold` (the kept doc is the min-id representative of each
+    * near-identical group, matching the exact/minhash dedup convention).
+    * Returns the kept docs with their cell.
+    *
+    * Scale: the candidate join is keyed by cell — the whole point of the
+    * clustering stage is that the O(n²) pair space shrinks to
+    * Σ|cell|², with cell sizes balanced by k-means (k scales with the
+    * corpus: k ≈ √N keeps cells bounded). Assignment itself is a
+    * shuffle-free projection; the one shuffle is the self-join on cell.
+    */
+  def semanticDedup(corpus: DataFrame, id: String, vec: String,
+                    centroids: Seq[(Long, Seq[Double])],
+                    threshold: Double): DataFrame = {
+    val c = corpus.select(col(id).as("doc"), asDouble(col(vec)).as("v"))
+      .withColumn("cell", ivfAssign(col("v"), centroids))
+    val dropped = c.as("a").join(c.as("b"),
+        col("a.cell") === col("b.cell") && col("b.doc") < col("a.doc"))
+      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .select(col("a.doc").as("doc")).distinct()
+    c.join(dropped, Seq("doc"), "left_anti").select(col("doc"), col("cell"))
+  }
+
   /** Near-duplicate pairs by cosine, blocked by sign sketch (a near-dup
     * pair almost always shares the sketch; exact within-bucket scoring).
     */

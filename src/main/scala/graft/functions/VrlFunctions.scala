@@ -604,6 +604,48 @@ object VrlFunctions {
         // under ANSI mode element_at throws on a missing map key, but the
         // reference's get returns null (so `?? default` works).
         CV(try_element_at(c(0), c(1)), TAny)
+      // set/remove (functions/set.cue, remove.cue): external-value path
+      // editing. Paths must be literal (same constant-parameter rule as
+      // parse_regex patterns); maps take single-segment paths, structs
+      // take dotted paths via Column.withField/dropFields.
+      case "set" =>
+        val path = a(1).literal match {
+          case Some(l: Seq[_]) => l.map(_.toString)
+          case Some(s: String) => Seq(s)
+          case _ => throw VrlCompileException(
+            "set: path must be a literal array of field names")
+        }
+        a(0).cv.t match {
+          case TMap =>
+            if (path.length != 1) throw VrlCompileException(
+              "set: map values take a single-segment path")
+            // pre-filter the key: map_concat raises on duplicates under
+            // the default EXCEPTION dedup policy
+            CV(map_concat(
+              map_filter(c(0), (k, _) => k =!= lit(path.head)),
+              map(lit(path.head), c(2))), TMap)
+          case TObj(_) | TAny =>
+            CV(c(0).withField(path.mkString("."), c(2)), TAny)
+          case other => throw VrlCompileException(
+            s"set: value must be an object, got $other")
+        }
+      case "remove" =>
+        val path = a(1).literal match {
+          case Some(l: Seq[_]) => l.map(_.toString)
+          case Some(s: String) => Seq(s)
+          case _ => throw VrlCompileException(
+            "remove: path must be a literal array of field names")
+        }
+        a(0).cv.t match {
+          case TMap =>
+            if (path.length != 1) throw VrlCompileException(
+              "remove: map values take a single-segment path")
+            CV(map_filter(c(0), (k, _) => k =!= lit(path.head)), TMap)
+          case TObj(_) | TAny =>
+            CV(c(0).dropFields(path.mkString(".")), TAny)
+          case other => throw VrlCompileException(
+            s"remove: value must be an object, got $other")
+        }
 
       case "zip" => CV(arrays_zip(c(0), c(1)), TArr)
       case "reverse" => CV(org.apache.spark.sql.functions.reverse(c(0)), a(0).cv.t)
@@ -853,6 +895,28 @@ object VrlFunctions {
             when(c(0).isin("127.0.0.1", "::1", "0:0:0:0:0:0:0:1"),
               lit("localhost")).otherwise(c(0)), TStr)
         }
+      case "dns_lookup" =>
+        // same scale stance as reverse_dns: per-row resolver calls from
+        // executors are nondeterministic and rate-limited, so the
+        // Spark-first form is an enrichment-table join — a literal
+        // `table:` map stands in for the resolver here. Returns the
+        // published record shape (functions/dns_lookup.cue): answers
+        // list + rcode pair, NXDOMAIN when the name is absent.
+        val answers = named.get("table").flatMap(_.literal) match {
+          case Some(m: Map[_, _]) =>
+            val entries = m.toSeq.flatMap { case (k, v) =>
+              Seq(lit(k.toString), lit(v.toString)) }
+            val hit = try_element_at(map(entries: _*), c(0))
+            when(hit.isNotNull, array(hit))
+              .otherwise(array().cast("array<string>"))
+          case _ => array().cast("array<string>")
+        }
+        CV(struct(
+          answers.as("answers"),
+          when(size(answers) > 0, lit(0)).otherwise(lit(3)).as("fullRcode"),
+          when(size(answers) > 0, lit("NOERROR")).otherwise(lit("NXDOMAIN"))
+            .as("rcodeName")),
+          TObj(org.apache.spark.sql.types.StructType(Nil)))
       case "array" => a(0).cv.t match {
         case TArr | TVariant => a(0).cv
         case _ => CV(lit(null).cast("array<string>"), TArr)

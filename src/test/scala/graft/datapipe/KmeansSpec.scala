@@ -1,0 +1,62 @@
+package graft.datapipe
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class KmeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters around orthogonal axes + one outlier pair:
+  // ids 1-3 near e1, ids 4-6 near e2, ids 7-8 identical near e3
+  private def v(xs: Double*): Seq[Double] = xs
+  private lazy val emb = Seq(
+    (1L, v(1.0, 0.1, 0.0, 0.0)),
+    (2L, v(0.9, 0.2, 0.0, 0.0)),
+    (3L, v(1.1, 0.0, 0.1, 0.0)),
+    (4L, v(0.0, 1.0, 0.1, 0.0)),
+    (5L, v(0.1, 0.9, 0.0, 0.0)),
+    (6L, v(0.0, 1.1, 0.2, 0.0)),
+    (7L, v(0.0, 0.0, 1.0, 0.0)),
+    (8L, v(0.0, 0.0, 1.0, 0.0))
+  ).toDF("vec_id", "embedding")
+
+  test("kmeans: clusters separate, centroids are member means, determinism") {
+    val cents = Ann.kmeans(emb, "vec_id", "embedding", k = 3, iters = 3)
+    assert(cents.map(_._1) == cents.map(_._1).sorted)
+    val assign = emb.select($"vec_id",
+        Ann.ivfAssign(Ann.asDouble($"embedding"), cents).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    // each natural cluster lands in one cell, clusters in distinct cells
+    assert(Set(assign(1L), assign(2L), assign(3L)).size == 1)
+    assert(Set(assign(4L), assign(5L), assign(6L)).size == 1)
+    assert(Set(assign(7L), assign(8L)).size == 1)
+    assert(Set(assign(1L), assign(4L), assign(7L)).size == 3)
+    // centroid of the identical pair is the vector itself (6-dp rounded)
+    val c7 = cents.find(_._1 == assign(7L)).get._2
+    assert(c7 == Seq(0.0, 0.0, 1.0, 0.0))
+    // deterministic across input partitionings
+    val cents2 = Ann.kmeans(emb.repartition(7), "vec_id", "embedding", 3, 3)
+    assert(cents == cents2)
+  }
+
+  test("semanticDedup keeps the min-id member of each near-identical group") {
+    val cents = Ann.kmeans(emb, "vec_id", "embedding", k = 3, iters = 3)
+    val kept = Ann.semanticDedup(emb, "vec_id", "embedding", cents,
+        threshold = 0.995)
+      .select($"doc").as[Long].collect().toSet
+    // 7/8 identical -> 8 dropped; cos(4,6) ≈ 0.9968 >= 0.995 -> 6 dropped
+    // via its lower-id mate 4; every other pair sits below the threshold
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L, 7L))
+  }
+
+  test("semanticDedup threshold sweep is monotone (lower keeps fewer)") {
+    val cents = Ann.kmeans(emb, "vec_id", "embedding", k = 3, iters = 2)
+    def keptAt(t: Double): Set[Long] =
+      Ann.semanticDedup(emb, "vec_id", "embedding", cents, t)
+        .select($"doc").as[Long].collect().toSet
+    val loose = keptAt(0.999)
+    val tight = keptAt(0.9)
+    assert(tight.subsetOf(loose))
+    assert(loose.size >= tight.size)
+  }
+}
