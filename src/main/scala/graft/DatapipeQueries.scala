@@ -220,6 +220,22 @@ object DatapipeQueries {
         .orderBy(col("vec_id"))
     },
 
+    // learned language-id: multinomial Naive Bayes fitted on the 80%
+    // train split (doc_id % 5 != 0), scored on the held-out 20% —
+    // counting-only training, so the DuckDB oracle replays the exact fit
+    "classify_lang" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val train = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val test = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      graft.datapipe.Classifier
+        .naiveBayes(train, test, "doc_id", col("text"), col("lang"),
+          vocabSize = 500)
+        .join(test.select(col("doc_id"), col("lang").as("actual")),
+          Seq("doc_id"))
+        .withColumn("correct", (col("pred") === col("actual")).cast("int"))
+        .orderBy(col("doc_id"))
+    },
+
     // benchmark decontamination: docs sharing 8-grams with the
     // "evaluation set" (stand-in: the 12-token prefixes of every 97th
     // doc, so prefix-carrying docs MUST flag) — the test-set-leakage
@@ -723,6 +739,45 @@ object DatapipeQueries {
         |SELECT a3.id AS vec_id, a3.cell FROM a3
         |LEFT JOIN dropped d ON d.id = a3.id
         |WHERE d.id IS NULL ORDER BY vec_id""".stripMargin,
+
+    "classify_lang" ->
+      """WITH tr AS (SELECT doc_id, lang,
+        |  list_filter(string_split(text,' '), x -> len(x)>0) t
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |te AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> len(x)>0) t
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |occ AS (SELECT lang, unnest(t) AS tok FROM tr),
+        |vocab AS (SELECT tok FROM (
+        |    SELECT tok, count(*) AS df FROM occ GROUP BY tok)
+        |  QUALIFY row_number() OVER (ORDER BY df DESC, tok) <= 500),
+        |classes AS (SELECT lang, count(*) AS n_docs FROM tr GROUP BY lang),
+        |ntrain AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tr),
+        |priors AS (SELECT lang,
+        |  round(ln(n_docs / (SELECT n FROM ntrain)), 6) AS prior
+        |  FROM classes),
+        |counts AS (SELECT lang, tok, count(*) AS cnt
+        |  FROM occ JOIN vocab USING (tok) GROUP BY lang, tok),
+        |totals AS (SELECT lang, sum(cnt) AS total_c FROM counts GROUP BY lang),
+        |vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+        |grid AS (SELECT c.lang, v.tok FROM classes c, vocab v),
+        |logp AS (SELECT g.lang, g.tok,
+        |  round(ln((coalesce(cnt, 0) + 1.0) /
+        |           (total_c + (SELECT v FROM vs))), 6) AS lp
+        |  FROM grid g
+        |  LEFT JOIN counts USING (lang, tok) JOIN totals USING (lang)),
+        |scored AS (SELECT x.doc_id, l.lang,
+        |  round(p.prior + sum(l.lp), 4) AS score
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM te) x
+        |  JOIN logp l USING (tok) JOIN priors p ON p.lang = l.lang
+        |  GROUP BY x.doc_id, l.lang, p.prior),
+        |pred AS (SELECT doc_id, lang AS pred, score FROM scored
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, lang) = 1)
+        |SELECT p.doc_id, p.pred, p.score, d.lang AS actual,
+        |  CAST(p.pred = d.lang AS INT) AS correct
+        |FROM pred p JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "decontaminate" ->
       s"""WITH $toksCte,

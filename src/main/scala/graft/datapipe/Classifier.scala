@@ -1,0 +1,88 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Learned document classifiers for corpus curation — the trainable
+  * counterpart to TextAnalysis's heuristic language-id and quality
+  * scores. Multinomial Naive Bayes in closed form: training is counting,
+  * so the whole fit is two aggregations, no iterative optimizer, and the
+  * result is exactly reproducible by any SQL engine (the oracle replays
+  * it in DuckDB).
+  *
+  * Scale shape (the 100 TB posture):
+  *  - Tokenize-and-explode is the only row-multiplying step; both the
+  *    vocabulary and the per-class token counts come out of ONE
+  *    hash-partitioned groupBy each, with map-side partial aggregation.
+  *  - The fitted model is a top-V vocabulary × C classes table — bounded
+  *    by construction (V·C rows), so scoring BROADCASTS the model and
+  *    the corpus is never shuffled on a model key: explode → broadcast
+  *    join → one groupBy(doc) for the per-class score sums.
+  *  - Everything downstream of the explode is codegen'd Column algebra;
+  *    no UDFs anywhere.
+  *
+  * Determinism for engine parity: vocabulary ties break by token text,
+  * log-probabilities are rounded to 6 dp before scoring, scores to 4 dp,
+  * and the argmax tie-breaks to the lexicographically smallest class.
+  */
+object Classifier {
+
+  /** Fit multinomial NB on `train` and score `test`.
+    *
+    * Returns one row per test doc: (id, pred, score) where score is the
+    * winning class's log-likelihood (4 dp). Unknown tokens (outside the
+    * top-`vocabSize` training vocabulary) are ignored — the standard
+    * bounded-vocab practice that keeps the model broadcastable.
+    */
+  def naiveBayes(train: DataFrame, test: DataFrame, id: String,
+                 text: Column, label: Column,
+                 vocabSize: Int = 2000): DataFrame = {
+    val tr = train.select(col(id).as("_id"), label.as("_cls"),
+      Dedup.tokens(text).as("_toks"))
+    val te = test.select(col(id).as("_id"), Dedup.tokens(text).as("_toks"))
+
+    // class priors: log(docs_c / docs) — C rows (total is a driver scalar)
+    val nTrain = tr.count().toDouble
+    val classes = tr.groupBy("_cls").agg(count(lit(1)).as("n_docs"))
+    val priors = classes.select(col("_cls"),
+      round(log(col("n_docs") / nTrain), 6).as("prior"))
+
+    // token occurrences in training docs (one explode, reused twice)
+    val occ = tr.select(col("_cls"), explode(col("_toks")).as("tok"))
+
+    // vocabulary: top-V tokens by total occurrence count, ties by token —
+    // limit() is TakeOrderedAndProject (distributed top-K, per-partition
+    // heads merged on the driver), NOT a global sort
+    val vocab = occ.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(vocabSize).select("tok")
+
+    // per-class token counts over the vocab + add-one smoothing.
+    // The (class × vocab) grid must be DENSE: a vocab token never seen
+    // in class c still contributes log(1/(total_c+V)) when a test doc
+    // contains it, so cross-join the grid and left-join the counts.
+    val counts = occ.join(vocab, Seq("tok")).groupBy("_cls", "tok")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("_cls").agg(sum(col("cnt")).as("total_c"))
+    val vSize = vocab.count()
+    val grid = classes.select("_cls").crossJoin(vocab)
+    val logp = grid
+      .join(counts, Seq("_cls", "tok"), "left")
+      .join(totals, Seq("_cls"))
+      .select(col("_cls"), col("tok"),
+        round(log((coalesce(col("cnt"), lit(0L)) + 1.0) /
+          (col("total_c") + lit(vSize.toDouble))), 6).as("logp"))
+
+    // score: explode test tokens, broadcast-join the model, one
+    // groupBy(doc, class) sum, then argmax with smallest-class tie-break
+    val scored = te.select(col("_id"), explode(col("_toks")).as("tok"))
+      .join(broadcast(logp), Seq("tok"))
+      .groupBy("_id", "_cls").agg(sum(col("logp")).as("ll"))
+      .join(broadcast(priors), Seq("_cls"))
+      .withColumn("score", round(col("prior") + col("ll"), 4))
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col("score").desc, col("_cls"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("_id").as(id), col("_cls").as("pred"), col("score"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.datapipe
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // separable two-class corpus: "fish" vocabulary vs "bird" vocabulary,
+  // with one shared filler token
+  private lazy val train = Seq(
+    (1L, "trout salmon gill fin the", "fish"),
+    (2L, "salmon fin scale trout the", "fish"),
+    (3L, "gill scale salmon fin the", "fish"),
+    (4L, "wing beak feather sparrow the", "bird"),
+    (5L, "sparrow feather wing beak the", "bird"),
+    (6L, "beak wing sparrow feather the", "bird")
+  ).toDF("doc_id", "text", "lang")
+
+  test("naive bayes separates held-out docs by vocabulary") {
+    val test = Seq(
+      (10L, "trout gill fin"),
+      (11L, "feather beak wing"),
+      (12L, "salmon salmon the")
+    ).toDF("doc_id", "text")
+    val pred = Classifier.naiveBayes(train, test, "doc_id",
+        $"text", $"lang", vocabSize = 100)
+      .select($"doc_id", $"pred").as[(Long, String)].collect().toMap
+    assert(pred == Map(10L -> "fish", 11L -> "bird", 12L -> "fish"))
+  }
+
+  test("unknown-only docs drop out; scores are finite and negative") {
+    val test = Seq(
+      (20L, "quantum flux capacitor"), // fully out-of-vocabulary
+      (21L, "trout beak the")          // mixed -> still scored
+    ).toDF("doc_id", "text")
+    val out = Classifier.naiveBayes(train, test, "doc_id",
+        $"text", $"lang", vocabSize = 100)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    assert(!out.contains(20L))
+    assert(out(21L) < 0.0 && !out(21L).isNaN)
+  }
+
+  test("deterministic across input partitionings") {
+    val test = Seq((10L, "trout gill fin"), (11L, "feather beak wing"))
+      .toDF("doc_id", "text")
+    val a = Classifier.naiveBayes(train, test, "doc_id", $"text", $"lang", 100)
+      .orderBy($"doc_id").collect().toSeq
+    val b = Classifier.naiveBayes(train.repartition(5), test.repartition(3),
+        "doc_id", $"text", $"lang", 100)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
