@@ -148,10 +148,28 @@ object Bench {
       if (skipTp) (Nil, Nil, Double.NaN)
       else try throughput(Queries.eventsRemap)
       catch { case _: Throwable => (Nil, Nil, Double.NaN) }
+    // the other two BASELINE sizing classes: structured-log transcode
+    // (json->typed->json, 25 MiB/s/vCPU class) and the metric pipeline
+    // (2 samples/event + per-series agg, 25 MiB/s/vCPU ≈ 100k/s/vCPU)
+    val (structAttempts, structProbes, structMedianSec) =
+      if (skipTp) (Nil, Nil, Double.NaN)
+      else try throughput(Queries.eventsStructured)
+      catch { case _: Throwable => (Nil, Nil, Double.NaN) }
+    val (metricAttempts, metricProbes, metricMedianSec) =
+      if (skipTp) (Nil, Nil, Double.NaN)
+      else try throughput(Queries.metricsPipeline)
+      catch { case _: Throwable => (Nil, Nil, Double.NaN) }
     val mibPerSec = mib / pipeMedianSec
     val remapMibPerSec = mib / remapMedianSec
+    val structMibPerSec = mib / structMedianSec
+    val metricMibPerSec = mib / metricMedianSec
+    val eventRows = try {
+      Graft.table(spark, sfDir, "events").count().toDouble
+    } catch { case _: Throwable => Double.NaN }
+    val metricSamplesPerSec = eventRows * REP * 2 / metricMedianSec
     // effective cores delivered during the run = mt probe / single score
-    val effCores = median(pipeProbes ++ remapProbes) / cpuScore
+    val effCores = median(pipeProbes ++ remapProbes ++ structProbes ++
+      metricProbes) / cpuScore
     val mibPerSecPerEffCore = mibPerSec / effCores
     val remapMibPerSecPerEffCore = remapMibPerSec / effCores
 
@@ -218,13 +236,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.sum
     val headline =
-      s""""sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"streaming_throttle_events_per_s":${fmt(streamEventsPerSec)},"cores":$cpus"""
+      s""""sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"events_structured_mib_per_s":${fmt(structMibPerSec)},"metrics_mib_per_s":${fmt(metricMibPerSec)},"metrics_samples_per_s":${fmt(metricSamplesPerSec)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"streaming_throttle_events_per_s":${fmt(streamEventsPerSec)},"cores":$cpus"""
     // Full detail (every per-query timing + raw attempt/probe arrays) goes
     // to a file and an early log line; the FINAL stdout line must stay
     // well under the driver's 2000-char tail capture or the round's bench
     // is machine-unreadable (round-7 lesson: 3.5 KB line -> parsed:null).
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"events_pipeline_attempts_sec":${arr(pipeAttempts)},"events_remap_attempts_sec":${arr(remapAttempts)},"cpu_probe_mt_mips":${arr(pipeProbes ++ remapProbes)},$headline}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"events_pipeline_attempts_sec":${arr(pipeAttempts)},"events_remap_attempts_sec":${arr(remapAttempts)},"events_structured_attempts_sec":${arr(structAttempts)},"metrics_attempts_sec":${arr(metricAttempts)},"cpu_probe_mt_mips":${arr(pipeProbes ++ remapProbes ++ structProbes ++ metricProbes)},$headline}"""
     val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "BENCH_DETAILS.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath), full + "\n")
     catch { case _: Throwable => () }

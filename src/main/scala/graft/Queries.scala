@@ -80,6 +80,44 @@ object Queries {
             x => x.getField("msg"))).as("msgs"))
   }
 
+  /** Structured-log class (BASELINE: ~25 MiB/s/vCPU): full JSON parse →
+    * typed columns → re-encode JSON — the reference's
+    * http_text_to_http_json transcode regression shape. Everything stays
+    * inside whole-stage codegen (from_json/to_json are native).
+    */
+  def eventsStructured(ev: DataFrame): DataFrame =
+    withParsed(ev, from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))) { p =>
+      Seq(col("event_id"),
+        to_json(struct(
+          col("event_id").as("id"),
+          col("event_type").as("kind"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("user_id").as("user"),
+          round(col("value"), 3).as("value"),
+          p.getField("k").as("k"),
+          (p.getField("k") % 16).cast("string").as("bucket"))).as("body"))
+    }
+
+  /** Metric class (BASELINE: ~25 MiB/s/vCPU ≈ 100k samples/s/vCPU): each
+    * event fans out to two metric samples (counter + gauge, the
+    * log_to_metric shape), then one map-side-combined groupBy aggregates
+    * per series — the aggregate-transform pipeline. The fan-out doubles
+    * the sample count, so Bench reports samples/s alongside MiB/s.
+    */
+  def metricsPipeline(ev: DataFrame): DataFrame = {
+    val samples = ev.select(col("event_type"), col("ts"),
+        explode(array(
+          struct(lit("events_total").as("name"),
+            lit("incremental").as("kind"), lit(1.0).as("v")),
+          struct(lit("value_gauge").as("name"),
+            lit("absolute").as("kind"), col("value").as("v")))).as("m"))
+    samples.groupBy(col("m.name"), col("m.kind"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd-HH").as("hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("m.v")), 2).as("sum_v"),
+        max(col("m.v")).as("max_v"))
+  }
+
   // ---------------------------------------------------------------------
   // Relational showcase (TPC-H-flavored) — exercises scan+filter+agg+join
   // ---------------------------------------------------------------------
