@@ -167,6 +167,13 @@ object Bench {
       Graft.table(spark, sfDir, "events").count().toDouble
     } catch { case _: Throwable => Double.NaN }
     val metricSamplesPerSec = eventRows * REP * 2 / metricMedianSec
+    // events/s alongside MiB/s: the baseline quotes both (sizing.md
+    // pairs each MiB/s class with an events/s figure at an assumed
+    // event size — 256 B unstructured, 768 B structured). Our synthetic
+    // events are ~73 B, so MiB/s understates per-event work by ~3-10×;
+    // events/s is the size-independent comparison.
+    val remapEventsPerSec = eventRows * REP / remapMedianSec
+    val structEventsPerSec = eventRows * REP / structMedianSec
     // effective cores delivered during the run = mt probe / single score
     val effCores = median(pipeProbes ++ remapProbes ++ structProbes ++
       metricProbes) / cpuScore
@@ -236,7 +243,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.sum
     val headline =
-      s""""sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"events_structured_mib_per_s":${fmt(structMibPerSec)},"metrics_mib_per_s":${fmt(metricMibPerSec)},"metrics_samples_per_s":${fmt(metricSamplesPerSec)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"streaming_throttle_events_per_s":${fmt(streamEventsPerSec)},"cores":$cpus"""
+      s""""sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"events_structured_mib_per_s":${fmt(structMibPerSec)},"metrics_mib_per_s":${fmt(metricMibPerSec)},"metrics_samples_per_s":${fmt(metricSamplesPerSec)},"events_remap_events_per_s":${fmt(remapEventsPerSec)},"events_structured_events_per_s":${fmt(structEventsPerSec)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"streaming_throttle_events_per_s":${fmt(streamEventsPerSec)},"cores":$cpus"""
     // Full detail (every per-query timing + raw attempt/probe arrays) goes
     // to a file and an early log line; the FINAL stdout line must stay
     // well under the driver's 2000-char tail capture or the round's bench
