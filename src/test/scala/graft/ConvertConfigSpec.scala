@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{ConfigLoader, Toml}
+
+/** convert-config: toml/yaml/json interchange (src/convert_config.rs). */
+class ConvertConfigSpec extends AnyFunSuite {
+
+  private val vectorToml =
+    """# classic Vector TOML config
+      |data_dir = "/var/lib/vector"
+      |
+      |[sources.in]
+      |type = "demo_logs"
+      |format = "syslog"
+      |interval = 0.5
+      |
+      |[transforms.parse]
+      |type = "remap"
+      |inputs = ["in"]
+      |source = '''
+      |. = parse_syslog!(.message)
+      |.tag = "x"
+      |'''
+      |
+      |[transforms.keep]
+      |type = "filter"
+      |inputs = ["parse"]
+      |condition = { type = "vrl", source = ".severity != \"debug\"" }
+      |
+      |[sinks.out]
+      |type = "console"
+      |inputs = ["keep"]
+      |encoding.codec = "json"
+      |buffer.max_events = 1_000
+      |
+      |[[tests]]
+      |name = "t1"
+      |
+      |[[tests.outputs]]
+      |extract_from = "parse"
+      |""".stripMargin
+
+  test("toml parser handles vector config shapes") {
+    val c = Toml.parse(vectorToml)
+    assert(c("data_dir") == "/var/lib/vector")
+    val src = c("sources").asInstanceOf[Map[String, Any]]("in")
+      .asInstanceOf[Map[String, Any]]
+    assert(src("type") == "demo_logs" && src("interval") == 0.5)
+    val remap = c("transforms").asInstanceOf[Map[String, Any]]("parse")
+      .asInstanceOf[Map[String, Any]]
+    assert(remap("source").toString.contains("parse_syslog!(.message)"))
+    val keep = c("transforms").asInstanceOf[Map[String, Any]]("keep")
+      .asInstanceOf[Map[String, Any]]
+    val cond = keep("condition").asInstanceOf[Map[String, Any]]
+    assert(cond("source") == ".severity != \"debug\"")
+    val sink = c("sinks").asInstanceOf[Map[String, Any]]("out")
+      .asInstanceOf[Map[String, Any]]
+    assert(sink("encoding").asInstanceOf[Map[String, Any]]("codec") == "json")
+    assert(sink("buffer").asInstanceOf[Map[String, Any]]("max_events") == 1000L)
+    val tests = c("tests").asInstanceOf[List[Map[String, Any]]]
+    assert(tests.head("name") == "t1")
+    assert(tests.head("outputs").asInstanceOf[List[Map[String, Any]]]
+      .head("extract_from") == "parse")
+  }
+
+  test("toml -> yaml conversion yields a loadable config") {
+    val yaml = ConvertConfig.render(Toml.parse(vectorToml), "yaml")
+    val conf = ConfigLoader.parseYaml(yaml)
+    assert(conf.contains("sources") && conf.contains("sinks"))
+    // the YAML path must preserve the multiline VRL program intact
+    assert(yaml.contains("parse_syslog!"))
+  }
+
+  test("round trip toml -> json -> toml preserves the tree") {
+    val c1 = Toml.parse(vectorToml)
+    val json = ConvertConfig.render(c1, "json")
+    val tmp = Files.createTempFile("cc", ".json")
+    Files.writeString(tmp, json)
+    val c2 = ConvertConfig.load(tmp)
+    val c3 = Toml.parse(Toml.render(c2))
+    assert(normalize(c1) == normalize(c3))
+  }
+
+  test("directory walk mirrors the tree; existing output refuses") {
+    val in = Files.createTempDirectory("cc_in")
+    Files.createDirectories(in.resolve("sub"))
+    Files.writeString(in.resolve("a.toml"), "[sources.x]\ntype = \"stdin\"\n")
+    Files.writeString(in.resolve("sub/b.json"),
+      """{"sinks": {"y": {"type": "console", "inputs": ["x"]}}}""")
+    Files.writeString(in.resolve("notes.txt"), "ignored")
+    val out = in.resolveSibling(in.getFileName.toString + "_out")
+    assert(ConvertConfig.convertOne(in.resolve("a.toml"),
+      out.resolve("a.yaml"), "yaml"))
+    assert(ConvertConfig.convertOne(in.resolve("sub/b.json"),
+      out.resolve("sub/b.yaml"), "yaml"))
+    assert(Files.exists(out.resolve("a.yaml")))
+    assert(Files.exists(out.resolve("sub/b.yaml")))
+    val loaded = ConfigLoader.parseYaml(Files.readString(out.resolve("sub/b.yaml")))
+    assert(loaded("sinks").asInstanceOf[java.util.Map[_, _]].containsKey("y")
+      || loaded("sinks").isInstanceOf[Map[_, _]])
+  }
+
+  test("the reference's own convert fixtures agree across all three formats") {
+    // tests/data/cmd/config/{config_1.yaml,config_2.toml,config_3.json} —
+    // the reference's convert_config test corpus, cloned verbatim (+
+    // provenance headers). The yaml variant carries an extra explicit
+    // `uri: null` (serde default surfaced); convert_config.rs documents
+    // null-valued defaults as a best-effort artifact, so nulls are
+    // dropped before comparing.
+    def res(n: String) = Paths.get(getClass.getResource(s"/convert/$n").toURI)
+    val fromYaml = dropNulls(normalize(ConvertConfig.load(res("config_1.yaml"))))
+    val fromToml = dropNulls(normalize(ConvertConfig.load(res("config_2.toml"))))
+    val fromJson = dropNulls(normalize(ConvertConfig.load(res("config_3.json"))))
+    assert(fromToml == fromJson)
+    assert(fromYaml == fromJson)
+    // and each re-renders into every format and re-parses identically
+    for (fmt <- Seq("yaml", "json", "toml")) {
+      val txt = ConvertConfig.render(
+        ConvertConfig.load(res("config_2.toml")), fmt)
+      val tmp = Files.createTempFile("cc_ref", "." + fmt)
+      Files.writeString(tmp, txt)
+      assert(dropNulls(normalize(ConvertConfig.load(tmp))) == fromToml,
+        s"round trip through $fmt diverged")
+    }
+  }
+
+  private def dropNulls(v: Any): Any = v match {
+    case m: Map[_, _] =>
+      m.collect { case (k, x) if x != null => k -> dropNulls(x) }
+    case l: Seq[_] => l.map(dropNulls)
+    case other => other
+  }
+
+  // ints may round-trip json as Integer vs Long; compare as strings
+  private def normalize(v: Any): Any = v match {
+    case m: Map[_, _] => m.map { case (k, x) => k.toString -> normalize(x) }
+    case l: Seq[_] => l.map(normalize)
+    case n: Number => n.toString.stripSuffix(".0")
+    case other => other
+  }
+}
