@@ -107,8 +107,7 @@ object Graph {
       args.sliding(2).collectFirst { case Array(k, v) if k == s"--$name" => v }
     val config = flag("config").getOrElse(
       sys.error("usage: graft.Graph --config <yaml> [--format dot|mermaid]"))
-    val yaml = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(config)), "UTF-8")
+    val yaml = plans.ConfigLoader.readConfigFile(config)
     flag("format").getOrElse("dot") match {
       case "dot" => println(dot(yaml))
       case "mermaid" => println(mermaid(yaml))

@@ -34,12 +34,8 @@ object Run {
     spark.sparkContext.setLogLevel("WARN")
 
     // a directory merges per the reference's config-dir rules
-    // (namespaced component files, global merging)
-    val yaml =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(config)))
-        plans.ConfigLoader.mergeConfigDir(config)
-      else new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(config)), "UTF-8")
+    // (namespaced component files, global merging); .toml converts
+    val yaml = plans.ConfigLoader.readConfigFile(config)
     val running = plans.ConfigLoader.run(spark, yaml, sfDir, workDir)
     if (running.queries.isEmpty) {
       println(s"[graft] batch topology complete; outputs under $workDir")

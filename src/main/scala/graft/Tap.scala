@@ -53,8 +53,7 @@ object Tap {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val yaml = tapYaml(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(config)), "UTF-8"), component)
+    val yaml = tapYaml(plans.ConfigLoader.readConfigFile(config), component)
     val running = plans.ConfigLoader.run(spark, yaml, sfDir, workDir)
 
     val t0 = System.nanoTime()

@@ -34,8 +34,7 @@ object Top {
 
     val reg = new streaming.InternalObs.Registry
     spark.streams.addListener(new streaming.InternalObs.ProgressListener(reg))
-    val yaml = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(config)), "UTF-8")
+    val yaml = plans.ConfigLoader.readConfigFile(config)
     val running = plans.ConfigLoader.run(spark, yaml, sfDir, workDir)
 
     // totals from the previous tick, for rate = delta / interval

@@ -60,11 +60,7 @@ object Validate {
     val config = flag("config").orElse(flag("config-dir")).getOrElse(
       sys.error("usage: graft.Validate --config <yaml>|--config-dir <dir> [--sf-dir DIR]"))
     val sfDir = flag("sf-dir").getOrElse("/root/testdata/sf0.001")
-    val yaml =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(config)))
-        plans.ConfigLoader.mergeConfigDir(config)
-      else new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(config)), "UTF-8")
+    val yaml = plans.ConfigLoader.readConfigFile(config)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -1208,16 +1208,34 @@ object ConfigLoader {
     * Returns merged YAML text so the result flows through the same
     * load/run path (secret interpolation happens on raw text).
     */
+  /** Read a config path as YAML text — the loader's native input. A
+    * directory merges per the config-dir rules; a `.toml` file converts
+    * through the TOML reader (config/format.rs: toml/yaml/json are
+    * interchangeable config formats; JSON is already a YAML subset).
+    */
+  def readConfigFile(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) mergeConfigDir(path)
+    else {
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      if (path.endsWith(".toml")) Toml.toYaml(text) else text
+    }
+  }
+
   def mergeConfigDir(dir: String): String = {
     import java.nio.file.{Files, Path, Paths}
     val root = Paths.get(dir)
     val componentSections =
       Set("sources", "transforms", "sinks", "enrichment_tables")
     def parseable(n: String) =
-      n.endsWith(".yaml") || n.endsWith(".yml") || n.endsWith(".json")
+      n.endsWith(".yaml") || n.endsWith(".yml") || n.endsWith(".json") ||
+        n.endsWith(".toml")
     def stem(n: String) = n.substring(0, n.lastIndexOf('.'))
-    def parseFile(p: Path): Any = new org.yaml.snakeyaml.Yaml()
-      .load[Any](new String(Files.readAllBytes(p), "UTF-8"))
+    def parseFile(p: Path): Any = {
+      val text = new String(Files.readAllBytes(p), "UTF-8")
+      if (p.getFileName.toString.endsWith(".toml")) Toml.toJava(Toml.parse(text))
+      else new org.yaml.snakeyaml.Yaml().load[Any](text)
+    }
     def listSorted(p: Path): Seq[Path] =
       Files.list(p).iterator().asScala.toSeq.sortBy(_.getFileName.toString)
 

@@ -252,6 +252,30 @@ object Toml {
     }
   }
 
+  /** TOML text → equivalent YAML text (the config loader's native
+    * input — config/format.rs treats toml/yaml/json as interchangeable
+    * config formats).
+    */
+  def toYaml(text: String): String = {
+    val opts = new org.yaml.snakeyaml.DumperOptions
+    opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+    opts.setIndent(2)
+    new org.yaml.snakeyaml.Yaml(opts).dump(toJava(parse(text)))
+  }
+
+  /** Deep scala→java conversion (snakeyaml dumps java collections). */
+  def toJava(v: Any): Any = v match {
+    case m: Map[_, _] =>
+      val jm = new java.util.LinkedHashMap[String, Any]()
+      m.foreach { case (k, x) => jm.put(k.toString, toJava(x)) }
+      jm
+    case l: Seq[_] =>
+      val jl = new java.util.ArrayList[Any]()
+      l.foreach(x => jl.add(toJava(x)))
+      jl
+    case other => other
+  }
+
   /** Render a config tree back to TOML (tables for nested maps,
     * [[array-of-tables]] for lists of maps, inline syntax otherwise).
     */

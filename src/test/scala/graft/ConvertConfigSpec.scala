@@ -127,6 +127,20 @@ class ConvertConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("a .toml config loads directly through the config loader") {
+    // config/format.rs: toml is a first-class config format, not just a
+    // convert-config input — the reference's own fixture must validate
+    val toml = res("config_2.toml")
+    val yaml = ConfigLoader.readConfigFile(toml.toString)
+    val results = Validate.check(SparkSpec.session, yaml,
+      "/root/testdata/sf0.001")
+    assert(results.map(_._1) == Seq("source0", "transform0", "sink0"))
+    assert(results.forall(_._2.isEmpty), results.toString)
+  }
+
+  private def res(n: String) =
+    Paths.get(getClass.getResource(s"/convert/$n").toURI)
+
   private def dropNulls(v: Any): Any = v match {
     case m: Map[_, _] =>
       m.collect { case (k, x) if x != null => k -> dropNulls(x) }
