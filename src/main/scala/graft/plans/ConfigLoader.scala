@@ -1062,6 +1062,24 @@ object ConfigLoader {
             pendingClosers = (() => src.stop()) :: pendingClosers
             src.df
           })
+        // aws_s3 source (src/sources/aws_s3/): S3 ObjectCreated
+        // notifications from an `sqs:` queue drive object GETs; lines
+        // become events with bucket/object/region metadata
+        case "aws_s3" =>
+          val sqsM = yamlMap(m.getOrElse("sqs", null))
+          val queueUrl = sqsM.getOrElse("queue_url", "").toString
+          val sqsEp = sqsM.getOrElse("endpoint",
+            m.getOrElse("sqs_endpoint", "")).toString
+          val s3Ep = m.getOrElse("endpoint", "").toString
+          val poll = sqsM.getOrElse("poll_secs", "15").toString.toInt
+          val del = sqsM.getOrElse("delete_message", "true").toString.toBoolean
+          val region = m.getOrElse("region", "").toString
+          Topology.Source(id, Topology.Log, sp => {
+            val src = graft.streaming.AwsSources.s3(sp, queueUrl, sqsEp,
+              s3Ep, poll, region, del)
+            pendingClosers = (() => src.stop()) :: pendingClosers
+            src.df
+          })
         // aws_sqs source (src/sources/aws_sqs/): ReceiveMessage long
         // poll + DeleteMessageBatch in the amz-json protocol
         case "aws_sqs" =>

@@ -77,6 +77,112 @@ object AwsSources {
     def stop(): Unit = running = false
   }
 
+  /** `aws_s3` source (src/sources/aws_s3/mod.rs + sqs.rs): S3
+    * ObjectCreated event notifications arrive on an SQS queue; each
+    * record triggers a GET of the named object, whose (optionally
+    * gzipped) lines become events carrying bucket/object/region
+    * metadata (sqs.rs:915-934 legacy keys). The SQS message is deleted
+    * only AFTER its objects ingest — the reference gates the delete on
+    * event acknowledgement the same way (at-least-once).
+    */
+  final class S3BucketSource(spark: SparkSession, queueUrl: String,
+                             sqsEndpoint: String, s3Endpoint: String,
+                             pollSecs: Int = 15, region: String = "",
+                             deleteMessage: Boolean = true) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    private val mem = MemoryStream[(String, String, String, String)]
+    @volatile private var running = true
+
+    private def fetchObject(bucket: String, key: String): Seq[String] = {
+      val conn = new java.net.URI(
+        s"${s3Endpoint.stripSuffix("/")}/$bucket/$key")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val raw = conn.getInputStream.readAllBytes()
+      val enc = Option(conn.getHeaderField("Content-Encoding")).getOrElse("")
+      val bytes =
+        if (key.endsWith(".gz") || enc == "gzip")
+          new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(raw)).readAllBytes()
+        else raw
+      new String(bytes, "UTF-8").split("\n", -1).toSeq
+        .filter(_.nonEmpty)
+    }
+
+    private val thread = new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      while (running) {
+        try {
+          val resp = httpJson(sqsEndpoint, "AmazonSQS.ReceiveMessage",
+            s"""{"QueueUrl":"$queueUrl","MaxNumberOfMessages":10,""" +
+              s""""WaitTimeSeconds":${math.min(pollSecs, 20)}}""")
+          val msgs = resp.asInstanceOf[java.util.Map[String, Any]].asScala
+            .getOrElse("Messages", new java.util.ArrayList[Any]())
+            .asInstanceOf[java.util.List[Any]].asScala
+            .map(_.asInstanceOf[java.util.Map[String, Any]].asScala).toSeq
+          val done = msgs.flatMap { m =>
+            val body = m("Body").toString
+            // s3:TestEvent is the bucket-notification handshake ping
+            if (body.contains("s3:TestEvent")) Some(m)
+            else try {
+              val records = JsonLite.parse(body)
+                .asInstanceOf[java.util.Map[String, Any]].asScala
+                .getOrElse("Records", new java.util.ArrayList[Any]())
+                .asInstanceOf[java.util.List[Any]].asScala
+                .map(_.asInstanceOf[java.util.Map[String, Any]].asScala)
+              records.foreach { r =>
+                // only ObjectCreated:* kinds ingest (sqs.rs:641)
+                if (r.getOrElse("eventName", "").toString
+                    .startsWith("ObjectCreated")) {
+                  val reg = r.getOrElse("awsRegion", region).toString
+                  val s3 = r("s3").asInstanceOf[java.util.Map[String, Any]]
+                    .asScala
+                  val bucket = s3("bucket")
+                    .asInstanceOf[java.util.Map[String, Any]]
+                    .asScala("name").toString
+                  // notification keys arrive url-encoded (+ for space)
+                  val key = java.net.URLDecoder.decode(
+                    s3("object").asInstanceOf[java.util.Map[String, Any]]
+                      .asScala("key").toString, "UTF-8")
+                  fetchObject(bucket, key)
+                    .foreach(line => mem.addData((line, bucket, key, reg)))
+                }
+              }
+              Some(m)
+            } catch { case _: Exception => None } // keep msg for redelivery
+          }
+          if (deleteMessage && done.nonEmpty) {
+            val entries = done.zipWithIndex.map { case (m, i) =>
+              s"""{"Id":"$i","ReceiptHandle":"${m.getOrElse(
+                "ReceiptHandle", "")}"}"""
+            }.mkString(",")
+            httpJson(sqsEndpoint, "AmazonSQS.DeleteMessageBatch",
+              s"""{"QueueUrl":"$queueUrl","Entries":[$entries]}""")
+          }
+          if (msgs.isEmpty) Thread.sleep(100)
+        } catch {
+          case _: Exception => if (running) Thread.sleep(500)
+        }
+      }
+    }, "s3-bucket-source")
+    thread.setDaemon(true)
+    thread.start()
+
+    def df: DataFrame = mem.toDF().select(
+      org.apache.spark.sql.functions.col("_1").as("message"),
+      org.apache.spark.sql.functions.col("_2").as("bucket"),
+      org.apache.spark.sql.functions.col("_3").as("object"),
+      org.apache.spark.sql.functions.col("_4").as("region"))
+    def stop(): Unit = running = false
+  }
+
+  def s3(spark: SparkSession, queueUrl: String, sqsEndpoint: String,
+         s3Endpoint: String, pollSecs: Int = 15, region: String = "",
+         deleteMessage: Boolean = true): S3BucketSource =
+    new S3BucketSource(spark, queueUrl, sqsEndpoint, s3Endpoint, pollSecs,
+      region, deleteMessage)
+
   def sqs(spark: SparkSession, queueUrl: String, endpoint: String = "",
           pollSecs: Int = 15, deleteMessage: Boolean = true): SqsSource =
     new SqsSource(spark, queueUrl, endpoint, pollSecs, deleteMessage)

@@ -130,6 +130,82 @@ class AwsSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("aws_s3 source: SQS notifications drive object GETs, gzip + metadata") {
+    // one server plays both roles: amz-json SQS on /, S3 objects under
+    // /<bucket>/<key>
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    val deletes = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    @volatile var pending = true
+    val notif =
+      """{"Records":[
+        |  {"eventName":"ObjectCreated:Put","awsRegion":"us-east-1",
+        |   "s3":{"bucket":{"name":"logs"},"object":{"key":"app/a.log"}}},
+        |  {"eventName":"ObjectCreated:Copy","awsRegion":"us-east-1",
+        |   "s3":{"bucket":{"name":"logs"},"object":{"key":"app/b.log.gz"}}},
+        |  {"eventName":"ObjectRemoved:Delete","awsRegion":"us-east-1",
+        |   "s3":{"bucket":{"name":"logs"},"object":{"key":"app/gone.log"}}}
+        |]}""".stripMargin.replace("\n", "")
+    server.createContext("/", { ex =>
+      val target = Option(ex.getRequestHeaders.getFirst("X-Amz-Target"))
+        .getOrElse("")
+      val path = ex.getRequestURI.getPath
+      val out: Array[Byte] =
+        if (target == "AmazonSQS.ReceiveMessage") {
+          if (pending) {
+            pending = false
+            (s"""{"Messages":[{"Body":${jsonStr(notif)},"ReceiptHandle":"rh1"}]}""")
+              .getBytes("UTF-8")
+          } else "{}".getBytes("UTF-8")
+        } else if (target == "AmazonSQS.DeleteMessageBatch") {
+          deletes.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+          "{}".getBytes("UTF-8")
+        } else if (path == "/logs/app/a.log") {
+          "plain one\nplain two\n".getBytes("UTF-8")
+        } else if (path == "/logs/app/b.log.gz") {
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write("zipped line\n".getBytes("UTF-8")); gz.close()
+          bos.toByteArray
+        } else "missing".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out); ex.close()
+    })
+    server.start()
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    try {
+      val src = graft.streaming.AwsSources.s3(spark,
+        "https://sqs.local/123/notif", s"$base/", base, pollSecs = 1)
+      try {
+        val q = src.df.writeStream.format("memory").queryName("s3src").start()
+        val deadline = System.currentTimeMillis() + 8000
+        var rows = Array.empty[org.apache.spark.sql.Row]
+        while (rows.length < 3 && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable()
+          rows = spark.sql(
+            "SELECT message, bucket, object, region FROM s3src").collect()
+        }
+        val got = rows.map(r => (r.getString(0), r.getString(1),
+          r.getString(2), r.getString(3))).toSet
+        // ObjectCreated:Put and :Copy ingest (plain + gzip); the
+        // ObjectRemoved record must NOT trigger a fetch
+        assert(got == Set(
+          ("plain one", "logs", "app/a.log", "us-east-1"),
+          ("plain two", "logs", "app/a.log", "us-east-1"),
+          ("zipped line", "logs", "app/b.log.gz", "us-east-1")))
+        // the notification deletes only after ingest
+        val dl2 = System.currentTimeMillis() + 3000
+        while (deletes.isEmpty && System.currentTimeMillis() < dl2)
+          Thread.sleep(50)
+        assert(deletes.toArray.exists(_.toString.contains("rh1")))
+        q.stop()
+      } finally src.stop()
+    } finally server.stop(0)
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   test("aws_sqs source polls ReceiveMessage and deletes consumed batches") {
     val srv = new AmzServer
     srv.reply =
