@@ -88,4 +88,39 @@ class PlanAuditSpec extends SparkSpec {
     // deterministic gate adds a range exchange — nothing else
     assert(exchanges <= 2, s"dedup_exact shuffles $exchanges times:\n$p")
   }
+
+  test("kmeans assignment is a shuffle-free projection") {
+    import graft.datapipe.Ann
+    val e = graft.Graft.table(spark, dir, "embeddings")
+    val cents = Ann.kmeans(e, "vec_id", "embedding", k = 4, iters = 1)
+    val assigned = e.select(col("vec_id"),
+      Ann.ivfAssign(Ann.asDouble(col("embedding")), cents).as("cell"))
+    val p = plan(assigned)
+    // the codebook is a literal: no join, no exchange anywhere in the
+    // assignment — a 100 TB corpus pass is scan + project
+    assert(!p.contains("Exchange") || !p.contains("ENSURE_REQUIREMENTS"),
+      s"kmeans assignment shuffles:\n$p")
+    assert(!p.contains("Join"), s"kmeans assignment joins:\n$p")
+  }
+
+  test("semantic dedup: the candidate join is keyed (hash), not a cross") {
+    import graft.datapipe.Ann
+    val e = graft.Graft.table(spark, dir, "embeddings")
+    val cents = Ann.kmeans(e, "vec_id", "embedding", k = 4, iters = 1)
+    val df = Ann.semanticDedup(e, "vec_id", "embedding", cents, 0.4)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"semantic dedup degenerated to a cross join:\n$p")
+  }
+
+  test("naive bayes: the fitted model broadcasts; the corpus side doesn't") {
+    val d = graft.Graft.table(spark, dir, "documents")
+    val train = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val test0 = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val df = graft.datapipe.Classifier.naiveBayes(
+      train, test0, "doc_id", col("text"), col("lang"), 200)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"model join does not broadcast:\n$p")
+  }
 }
