@@ -99,6 +99,17 @@ object ConfigLoader {
         val source = conditionSource(conf("condition"))
         Topology.Transform.simple(id, inputs, df =>
           df.filter(coalesce(VrlCompiler.condition(df.schema, source), lit(false))))
+      // lua transform (src/transforms/lua/): v1 script body over the
+      // `event` global, v2 process hook (event, emit) — micro-Lua
+      // interpreter, compiled at load, executed in a distributed flatMap
+      case "lua" =>
+        val version = conf.getOrElse("version",
+          if (conf.contains("hooks")) "2" else "1").toString
+        val source = conf.get("source").map(_.toString).getOrElse("")
+        val hook = yamlMap(conf.getOrElse("hooks", null))
+          .get("process").map(_.toString)
+        Topology.Transform.simple(id, inputs, df =>
+          graft.operators.Lua(df, version, source, hook))
       case "route" =>
         val routes = yamlMap(conf("route")).toSeq.map { case (port, c) =>
           port -> conditionSource(c)

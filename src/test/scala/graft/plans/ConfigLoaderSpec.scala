@@ -417,24 +417,30 @@ class ConfigLoaderSpec extends SparkSpec {
     runAll(resourceYaml("dedupe.yaml"))
   }
 
-  test("behavior suite inventory: every cloned reference file runs or is a named skip") {
-    // self-reporting coverage of tests/behavior/: each cloned file
-    // either executes green here or appears as an EXPLICIT named skip —
-    // lua_v1/v2 script bodies are Lua programs (the operator's typed
-    // flatMap stands in for the interpreter by design, Misc.scala), so
-    // they are boundary skips, not silent absences
+  test("reference lua_v1.yaml behavior file passes as published") {
+    // unversioned + version-1 lua scripts: multiple assignment over the
+    // `event` global (micro-Lua interpreter, operators/Lua.scala)
+    runAll(resourceYaml("lua_v1.yaml"))
+  }
+
+  test("reference lua_v2.yaml behavior file passes as published") {
+    // v2 process hooks (inline + named-in-source), log field edits,
+    // metric counter arithmetic, and log<->metric type conversions
+    runAll(resourceYaml("lua_v2.yaml"))
+  }
+
+  test("behavior suite inventory: every cloned reference file runs — zero skips") {
+    // self-reporting coverage of tests/behavior/: all TEN of the
+    // reference's behavior files execute verbatim (the lua pair joined
+    // in round 8 via the micro-Lua interpreter)
     val runnable = Seq("reduce.yaml", "filter.yaml", "route.yaml",
       "task_transform.yaml", "remap_with_drop.yaml", "remap.yaml",
-      "dedupe.yaml", "vrl_test_input.yaml")
-    val skipped = Map(
-      "lua_v1.yaml" -> "unsupported: lua (typed flatMap stands in for the interpreter)",
-      "lua_v2.yaml" -> "unsupported: lua (typed flatMap stands in for the interpreter)")
-    (runnable ++ skipped.keys).foreach { f =>
+      "dedupe.yaml", "vrl_test_input.yaml", "lua_v1.yaml", "lua_v2.yaml")
+    runnable.foreach { f =>
       assert(getClass.getResourceAsStream(s"/behavior/$f") != null,
         s"behavior file $f not cloned into test resources")
     }
-    val report = runnable.map(f => s"$f: RUN") ++
-      skipped.map { case (f, why) => s"$f: SKIP ($why)" }
+    val report = runnable.map(f => s"$f: RUN")
     info(report.mkString("\n"))
     assert(report.size == 10)
   }
