@@ -236,6 +236,17 @@ object DatapipeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // bigram-LM perplexity (KenLM/CCNet-style quality filter): fit on
+    // the 80% split, score held-out docs by exp(mean bigram nll)
+    "text_perplexity" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val train = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val test = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      graft.datapipe.Classifier.bigramPerplexity(
+          train, test, "doc_id", col("text"), vocabSize = 500)
+        .orderBy(col("doc_id"))
+    },
+
     // benchmark decontamination: docs sharing 8-grams with the
     // "evaluation set" (stand-in: the 12-token prefixes of every 97th
     // doc, so prefix-carrying docs MUST flag) — the test-set-leakage
@@ -778,6 +789,46 @@ object DatapipeQueries {
         |  CAST(p.pred = d.lang AS INT) AS correct
         |FROM pred p JOIN documents d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_perplexity" ->
+      """WITH tr AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> len(x)>0) t
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |te AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> len(x)>0) t
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |trtok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos,
+        |  unnest(t) AS w FROM tr),
+        |tetok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos,
+        |  unnest(t) AS w FROM te),
+        |vocab AS (SELECT w FROM (
+        |    SELECT w, count(*) AS cnt FROM trtok GROUP BY w)
+        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, w) <= 500),
+        |veff AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS v FROM vocab),
+        |trm AS (SELECT doc_id, pos,
+        |  CASE WHEN v.w IS NULL THEN '<unk>' ELSE t.w END AS wm
+        |  FROM trtok t LEFT JOIN vocab v USING (w)),
+        |tem AS (SELECT doc_id, pos,
+        |  CASE WHEN v.w IS NULL THEN '<unk>' ELSE t.w END AS wm
+        |  FROM tetok t LEFT JOIN vocab v USING (w)),
+        |trbg AS (SELECT wm AS w1,
+        |  lead(wm) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM trm QUALIFY w2 IS NOT NULL),
+        |tebg AS (SELECT doc_id, wm AS w1,
+        |  lead(wm) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tem QUALIFY w2 IS NOT NULL),
+        |bc AS (SELECT w1, w2, count(*) AS c2 FROM trbg GROUP BY w1, w2),
+        |wt AS (SELECT w1, sum(c2) AS c1 FROM bc GROUP BY w1),
+        |sc AS (SELECT b.doc_id,
+        |  round(ln((coalesce(c.c2, 0) + 1.0) /
+        |           (coalesce(t.c1, 0) + (SELECT v FROM veff))), 6) AS logp
+        |  FROM tebg b LEFT JOIN bc c USING (w1, w2)
+        |  LEFT JOIN wt t USING (w1)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(-sum(logp) / count(*), 4) AS nll
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, nll, round(exp(nll), 4) AS ppl
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "decontaminate" ->
       s"""WITH $toksCte,

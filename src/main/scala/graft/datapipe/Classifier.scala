@@ -85,4 +85,59 @@ object Classifier {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("_id").as(id), col("_cls").as("pred"), col("score"))
   }
+
+  /** Bigram language-model perplexity — the KenLM/CCNet-style quality
+    * filter: train an add-one-smoothed bigram LM on `train`, score each
+    * `test` doc by per-bigram negative log-likelihood (perplexity =
+    * exp(nll)). High-perplexity docs are "unnatural" under the corpus
+    * distribution and get filtered from training mixes.
+    *
+    * Closed form again: training is counting (bigram counts + their
+    * first-token marginals over a bounded top-V vocabulary, out-of-vocab
+    * tokens collapsing to `<unk>`), so the DuckDB oracle replays the fit
+    * exactly. Scale shape: tokens explode once with position; the vocab
+    * map and both count tables broadcast (V and V·V-observed bounded);
+    * bigram assembly is one `lead()` window per doc — a single hash
+    * shuffle on doc id, which the per-doc aggregation then reuses.
+    *
+    * Engine parity: log-probs rounded to 6 dp, per-doc nll to 4 before
+    * exp, smallest-token tie-break in the vocabulary cut.
+    */
+  def bigramPerplexity(train: DataFrame, test: DataFrame, id: String,
+                       text: Column, vocabSize: Int = 2000): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(id).as("_id"),
+      posexplode(Dedup.tokens(text)).as(Seq("pos", "w")))
+    val trTok = toks(train)
+
+    val vocab = trTok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize).select("w")
+    // effective vocabulary = kept tokens + <unk>
+    val vEff = vocab.count().toDouble + 1.0
+
+    def mapped(tok: DataFrame) = tok
+      .join(broadcast(vocab.withColumn("known", lit(true))), Seq("w"), "left")
+      .withColumn("wm", when(col("known"), col("w")).otherwise(lit("<unk>")))
+    def bigrams(tok: DataFrame) = {
+      val w = Window.partitionBy("_id").orderBy("pos")
+      mapped(tok)
+        .withColumn("w2", lead(col("wm"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("_id"), col("wm").as("w1"), col("w2"))
+    }
+
+    val bc = bigrams(trTok).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val wt = bc.groupBy("w1").agg(sum(col("c2")).as("c1"))
+
+    val scored = bigrams(toks(test))
+      .join(broadcast(bc), Seq("w1", "w2"), "left")
+      .join(broadcast(wt), Seq("w1"), "left")
+      .withColumn("logp", round(
+        log((coalesce(col("c2"), lit(0L)) + 1.0) /
+          (coalesce(col("c1"), lit(0L)) + lit(vEff))), 6))
+    scored.groupBy("_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("logp")) / count(lit(1)), 4).as("nll"))
+      .withColumn("ppl", round(exp(col("nll")), 4))
+      .select(col("_id").as(id), col("n_bigrams"), col("nll"), col("ppl"))
+  }
 }

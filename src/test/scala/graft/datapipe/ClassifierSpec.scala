@@ -41,6 +41,38 @@ class ClassifierSpec extends SparkSpec {
     assert(out(21L) < 0.0 && !out(21L).isNaN)
   }
 
+  test("bigram perplexity: in-distribution text scores lower than scrambled") {
+    // train: a tiny corpus with STRONG bigram structure (a->b always)
+    val lmTrain = Seq.tabulate(8)(i =>
+      (i.toLong, "the cat sat on the mat and the cat ran"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val lmTest = Seq(
+      (100L, "the cat sat on the mat"),  // in-distribution bigrams
+      (101L, "mat the on sat cat the")   // same tokens, broken bigrams
+    ).toDF("doc_id", "text")
+    val out = Classifier.bigramPerplexity(lmTrain, lmTest, "doc_id",
+        $"text", vocabSize = 100)
+      .select($"doc_id", $"ppl").as[(Long, Double)].collect().toMap
+    assert(out(100L) < out(101L),
+      s"natural ${out(100L)} should beat scrambled ${out(101L)}")
+  }
+
+  test("bigram perplexity is deterministic and bounded") {
+    val lmTrain = Seq((1L, "a b a b a b"), (2L, "a b c a b c"))
+      .toDF("doc_id", "text")
+    val lmTest = Seq((10L, "a b c"), (11L, "c b a")).toDF("doc_id", "text")
+    val a = Classifier.bigramPerplexity(lmTrain, lmTest, "doc_id", $"text", 10)
+      .orderBy($"doc_id").collect().toSeq
+    val b = Classifier.bigramPerplexity(lmTrain.repartition(3),
+        lmTest.repartition(2), "doc_id", $"text", 10)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b)
+    a.foreach { r =>
+      val ppl = r.getAs[Double]("ppl")
+      assert(ppl > 1.0 && ppl.isFinite)
+    }
+  }
+
   test("deterministic across input partitionings") {
     val test = Seq((10L, "trout gill fin"), (11L, "feather beak wing"))
       .toDF("doc_id", "text")
