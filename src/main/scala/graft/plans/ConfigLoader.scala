@@ -390,8 +390,40 @@ object ConfigLoader {
           case gs => gs
         }
         val valueField = conf.getOrElse("value_field", "counter_value").toString
+        // `event_time:` block — the Spark-native extension the reference
+        // lacks (its windows are processing-time only): true event-time
+        // tumbling windows with a watermark, so late data lands in its
+        // own window and replay/backfill produce identical results.
+        val eventTime = conf.get("event_time").map(yamlMap)
         Topology.Transform.simple(id, inputs, df =>
-          if (df.isStreaming) {
+          if (df.isStreaming && eventTime.nonEmpty) {
+            val et = eventTime.get
+            val tsField = et.getOrElse("timestamp_field", "timestamp").toString
+            val wm = et.getOrElse("watermark", "0 seconds").toString
+            val winDur = et.getOrElse("window",
+              s"$intervalMs milliseconds").toString
+            val staged = df
+              .withColumn("__val", col(valueField).cast("double"))
+              .withWatermark(tsField, wm)
+            val keys = groupBy.filter(staged.columns.contains)
+            val valueAgg: Column = (mode match {
+              case Aggregate.CountMode => count(lit(1)).cast("double")
+              case Aggregate.MaxMode => max(col("__val"))
+              case Aggregate.MinMode => min(col("__val"))
+              case Aggregate.Mean => sum(col("__val")) / count(lit(1))
+              case Aggregate.Stdev =>
+                sqrt((sum(col("__val") * col("__val")) -
+                  sum(col("__val")) * sum(col("__val")) / count(lit(1))) /
+                  (count(lit(1)) - 1))
+              case _ => sum(col("__val")) // sum / auto / latest-as-sum
+            }).as("value")
+            staged.groupBy(
+                window(col(tsField), winDur) +: keys.map(col): _*)
+              .agg(valueAgg, count(lit(1)).as("n_events"))
+              .select(keys.map(col) ++ Seq(
+                col("window.start").as("window_start"),
+                col("value"), col("n_events")): _*)
+          } else if (df.isStreaming) {
             // the reference's ticker shape (aggregate/mod.rs: series →
             // running aggregate, flushed every interval_ms): per-series
             // state emits ONE row per quiet interval. The batch form's

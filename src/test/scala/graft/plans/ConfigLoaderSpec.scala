@@ -649,6 +649,45 @@ class ConfigLoaderSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("run: event_time aggregate closes watermarked windows on late-data bounds") {
+    // events at t=100s and t=200s land in the [0, 3600) window; the
+    // t=7300s event pushes the watermark past that window's end, so
+    // append mode emits it — the LAST window stays open (correct
+    // watermark semantics; the reference can't express this at all,
+    // its windows are processing-time only)
+    val running = tailConfig(
+      Seq("100", "200", "7300"),
+      """
+        |transforms:
+        |  vals:
+        |    type: remap
+        |    inputs: [logs]
+        |    source: |
+        |      .val = to_float!(.message)
+        |      .event_ts = from_unix_timestamp!(to_int!(.message))
+        |  last:
+        |    type: aggregate
+        |    inputs: [vals]
+        |    mode: sum
+        |    interval_ms: 3600000
+        |    value_field: val
+        |    event_time:
+        |      timestamp_field: event_ts
+        |      watermark: "0 seconds"
+        |""".stripMargin, "tap_et")
+    try {
+      running.processAllAvailable()
+      eventually() {
+        val rows = spark.table("tap_et").collect()
+        assert(rows.length == 1, rows.mkString(","))
+        assert(rows.head.getAs[Double]("value") == 300.0)
+        assert(rows.head.getAs[Long]("n_events") == 2L)
+        assert(rows.head.getAs[java.sql.Timestamp]("window_start")
+          .toInstant.getEpochSecond == 0L)
+      }
+    } finally running.stopAll()
+  }
+
   test("run: streaming incremental_to_absolute keeps a per-series running sum") {
     val running = tailConfig(
       Seq("1", "2", "3"),
