@@ -32,20 +32,86 @@ object Lua {
       "sketch")
 
   def apply(df: DataFrame, version: String, source: String,
-            processHook: Option[String]): DataFrame = {
+            processHook: Option[String], initHook: Option[String] = None,
+            shutdownHook: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // compile now: a syntax error surfaces at config load, not per task
     val chunk = if (source.nonEmpty) MicroLua.parse(source) else Nil
-    val inlineHook: Option[LuaFunction] = processHook.flatMap { h =>
-      if (h.trim.startsWith("function")) Some(MicroLua.parseFunction(h))
-      else None
-    }
-    val hookName: Option[String] = processHook.filter(!_.trim.startsWith("function"))
+    def compiled(h: Option[String]): Option[Either[LuaFunction, String]] =
+      h.map { s =>
+        if (s.trim.startsWith("function")) Left(MicroLua.parseFunction(s))
+        else Right(s.trim)
+      }
+    val process = compiled(processHook)
+    val init = compiled(initHook)
+    val shutdown = compiled(shutdownHook)
     val isV2 = version == "2" || processHook.nonEmpty
 
     val outJson = df.toJSON.mapPartitions { it =>
-      it.flatMap { line =>
+      // ONE VM environment per partition: the reference keeps one Lua VM
+      // per transform whose globals persist across events (v2/mod.rs) —
+      // per-partition persistence is the distributed analogue, so
+      // stateful hooks (counters, buffers flushed by shutdown) work
+      // within a partition. Cross-partition globals don't exist, same as
+      // cross-instance globals don't in a scaled-out reference
+      // deployment.
+      val env = new MicroLua.Env(None)
+      // v2's `source:` defines named hook functions — run it once per
+      // partition; a v1 `source:` IS the per-event script and must only
+      // run with `event` bound
+      if (isV2) MicroLua.exec(chunk, env)
+      def resolve(h: Either[LuaFunction, String], what: String): LuaFunction =
+        h match {
+          case Left(f) => f
+          case Right(n) => env.get(n) match {
+            case f: LuaFunction => f
+            case _ => throw new MicroLua.LuaError(
+              s"$what hook '$n' is not a function")
+          }
+        }
+      val out = List.newBuilder[(String, Table)]
+      val emit: Function1[Any, Any] = {
+        case e: Table @unchecked =>
+          e.getOrElse("log", null) match {
+            case l: Table @unchecked => out += (("log", deepCopy(l)))
+            case _ => e.getOrElse("metric", null) match {
+              case m: Table @unchecked => out += (("metric", deepCopy(m)))
+              case _ => ()
+            }
+          }
+          null
+        case _ => null
+      }
+      def callHook(fn: LuaFunction, args: List[Any]): Unit = {
+        val local = new MicroLua.Env(Some(env))
+        fn.params.zipWithIndex.foreach { case (p, k) =>
+          local.declare(p, if (k < args.length) args(k) else null)
+        }
+        MicroLua.exec(fn.body, local)
+      }
+      def render(kind: String, t: Table,
+                 meta: Option[java.util.Map[String, Any]]): String = {
+        val jm = fromLua(t).asInstanceOf[java.util.LinkedHashMap[String, Any]]
+        if (kind == "metric")
+          MetricValueKinds.find(jm.containsKey).foreach(jm.put("type", _))
+        jm.put("__event_kind", kind)
+        meta.foreach { row =>
+          Option(row.get("__seq")).foreach(jm.put("__seq", _))
+          Option(row.get("timestamp")).foreach { ts =>
+            if (!jm.containsKey("timestamp")) jm.put("timestamp", ts)
+          }
+        }
+        JsonLite.render(jm)
+      }
+
+      init.foreach(h => callHook(resolve(h, "init"), List(emit)))
+      val initRows = {
+        val r = out.result(); out.clear()
+        r.map { case (k, t) => render(k, t, None) }
+      }
+
+      val perRow = it.flatMap { line =>
         val row = JsonLite.parse(line)
           .asInstanceOf[java.util.Map[String, Any]]
         val kind = Option(row.get("__event_kind")).map(_.toString)
@@ -56,7 +122,9 @@ object Lua {
         }
         val emitted =
           if (!isV2) {
-            val env = new MicroLua.Env(None)
+            // v1 runs the script in the SHARED per-partition state with
+            // `event` rebound per row — globals persist across events,
+            // exactly the one-Lua-state semantics of v1/mod.rs
             env.declare("event", fields)
             MicroLua.exec(chunk, env)
             env.get("event") match {
@@ -69,48 +137,35 @@ object Lua {
               fields.remove("type") // synthetic value-kind column
               event("metric") = fields
             } else event("log") = fields
-            val out = List.newBuilder[(String, Table)]
-            val emit: Function1[Any, Any] = {
-              case e: Table @unchecked =>
-                e.getOrElse("log", null) match {
-                  case l: Table @unchecked => out += (("log", deepCopy(l)))
-                  case _ => e.getOrElse("metric", null) match {
-                    case m: Table @unchecked =>
-                      out += (("metric", deepCopy(m)))
-                    case _ => ()
-                  }
-                }
-                null
-              case _ => null
-            }
-            val env = new MicroLua.Env(None)
-            MicroLua.exec(chunk, env)
-            val fn = inlineHook.orElse(hookName.map { n =>
-              env.get(n) match {
-                case f: LuaFunction => f
-                case _ => throw new MicroLua.LuaError(
-                  s"process hook '$n' is not a function")
-              }
-            }).getOrElse(throw new MicroLua.LuaError(
-              "lua v2: a process hook is required"))
-            val local = new MicroLua.Env(None)
-            local.declare(fn.params.headOption.getOrElse("event"), event)
-            if (fn.params.length > 1) local.declare(fn.params(1), emit)
-            MicroLua.exec(fn.body, local)
-            out.result()
+            val fn = resolve(process.getOrElse(throw new MicroLua.LuaError(
+              "lua v2: a process hook is required")), "process")
+            callHook(fn, List(event, emit))
+            val r = out.result(); out.clear(); r
           }
-        emitted.map { case (k, t) =>
-          val jm = fromLua(t).asInstanceOf[java.util.LinkedHashMap[String, Any]]
-          if (k == "metric")
-            MetricValueKinds.find(jm.containsKey).foreach(jm.put("type", _))
-          jm.put("__event_kind", k)
-          Option(row.get("__seq")).foreach(jm.put("__seq", _))
-          Option(row.get("timestamp")).foreach { ts =>
-            if (!jm.containsKey("timestamp")) jm.put("timestamp", ts)
+        emitted.map { case (k, t) => render(k, t, Some(row)) }
+      }
+
+      // shutdown runs after the partition drains (v2/mod.rs shutdown
+      // hook — last chance to emit buffered state)
+      val tail = new Iterator[String] {
+        private var done = false
+        private var pending: List[String] = Nil
+        def hasNext: Boolean = pending.nonEmpty || {
+          if (!done) {
+            done = true
+            shutdown.foreach(h =>
+              callHook(resolve(h, "shutdown"), List(emit)))
+            pending = out.result().map { case (k, t) => render(k, t, None) }
+            out.clear()
           }
-          JsonLite.render(jm)
+          pending.nonEmpty
+        }
+        def next(): String = {
+          if (!hasNext) throw new NoSuchElementException
+          val h = pending.head; pending = pending.tail; h
         }
       }
+      initRows.iterator ++ perRow ++ tail
     }
     val out = spark.read.json(outJson)
     // read.json parses the ISO text back as string; restore the

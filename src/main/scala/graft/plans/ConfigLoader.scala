@@ -106,10 +106,12 @@ object ConfigLoader {
         val version = conf.getOrElse("version",
           if (conf.contains("hooks")) "2" else "1").toString
         val source = conf.get("source").map(_.toString).getOrElse("")
-        val hook = yamlMap(conf.getOrElse("hooks", null))
-          .get("process").map(_.toString)
+        val hooks = yamlMap(conf.getOrElse("hooks", null))
         Topology.Transform.simple(id, inputs, df =>
-          graft.operators.Lua(df, version, source, hook))
+          graft.operators.Lua(df, version, source,
+            hooks.get("process").map(_.toString),
+            hooks.get("init").map(_.toString),
+            hooks.get("shutdown").map(_.toString)))
       case "route" =>
         val routes = yamlMap(conf("route")).toSeq.map { case (port, c) =>
           port -> conditionSource(c)

@@ -25,8 +25,37 @@ class StreamingSpec extends SparkSpec {
     val q = f(mem.toDS()).writeStream
       .format("memory").queryName(name).outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
-    q.stop()
+    // ProcessingTimeTimeout queries never self-terminate under
+    // AvailableNow (timeout-check batches schedule forever), so a plain
+    // awaitTermination always burns its full timeout. Drain by output
+    // stability instead: done when rows exist and stay unchanged longer
+    // than any test's expire window (1.5s) plus slack.
+    val deadline = System.currentTimeMillis() + 30000
+    var last = -1L
+    var stableSince = System.currentTimeMillis()
+    var drained = false
+    while (!drained && q.isActive &&
+      System.currentTimeMillis() < deadline) {
+      val n = spark.table(name).count()
+      if (n != last) { last = n; stableSince = System.currentTimeMillis() }
+      else if (n > 0 &&
+        System.currentTimeMillis() - stableSince > 2500) drained = true
+      Thread.sleep(100)
+    }
+    // stop() interrupts the stream thread; if a state-store commit is in
+    // flight (ProcessingTimeTimeout queries schedule batches forever, so
+    // one usually is), the terminal CANNOT_COMMIT(InterruptedException)
+    // is the documented benign teardown race — swallow ONLY that
+    try q.stop() catch {
+      case e: Throwable if {
+        var c: Throwable = e; var benign = false
+        while (c != null && !benign) {
+          benign = c.isInstanceOf[InterruptedException]
+          c = c.getCause
+        }
+        benign
+      } => ()
+    }
     spark.table(name).as[O].collect().toSeq
   }
 
@@ -40,7 +69,7 @@ class StreamingSpec extends SparkSpec {
         ReduceSessions.Config[Ev, (Int, Double)](
           init = e => (1, e.value),
           merge = (a, e) => (a._1 + 1, a._2 + e.value),
-          maxEvents = Some(2)))(
+          maxEvents = Some(2), expireAfterMs = 1500L))(
         (k, a, r) => SessionOut(k, a._1, a._2, r.toString))
     }
     // key a: [1,2] flushed by MaxEvents; the open sessions ([3] for a,
@@ -62,7 +91,7 @@ class StreamingSpec extends SparkSpec {
         ReduceSessions.Config[Ev, (Int, Double)](
           init = e => (1, e.value),
           merge = (a, e) => (a._1 + 1, a._2 + e.value),
-          endsWhen = Some(_.kind == "end")))(
+          endsWhen = Some(_.kind == "end"), expireAfterMs = 1500L))(
         (k, a, r) => SessionOut(k, a._1, a._2, r.toString))
     }
     assert(out.toSet == Set(
@@ -80,7 +109,7 @@ class StreamingSpec extends SparkSpec {
         ReduceSessions.Config[Ev, (Int, Double)](
           init = e => (1, e.value),
           merge = (a, e) => (a._1 + 1, a._2 + e.value),
-          startsWhen = Some(_.kind == "start")))(
+          startsWhen = Some(_.kind == "start"), expireAfterMs = 1500L))(
         (k, a, r) => SessionOut(k, a._1, a._2, r.toString))
     }
     assert(out.toSet == Set(
