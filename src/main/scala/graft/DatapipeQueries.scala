@@ -247,6 +247,16 @@ object DatapipeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // DSIR importance weights: log p_target/p_raw over hashed bigrams,
+    // target = the src0 slice (the "clean domain"), raw = everything
+    "dsir_weights" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.datapipe.Classifier.importanceWeights(
+          d, d.filter(col("source") === "src0"), "doc_id", col("text"),
+          buckets = 1024)
+        .orderBy(col("doc_id"))
+    },
+
     // benchmark decontamination: docs sharing 8-grams with the
     // "evaluation set" (stand-in: the 12-token prefixes of every 97th
     // doc, so prefix-carrying docs MUST flag) — the test-set-leakage
@@ -829,6 +839,33 @@ object DatapipeQueries {
         |  FROM sc GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, nll, round(exp(nll), 4) AS ppl
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "dsir_weights" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  list_filter(string_split(text,' '), x -> len(x)>0) t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, source,
+        |  unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+        |  FROM d),
+        |bk AS (SELECT doc_id, source,
+        |  CAST(('0x' || substr(md5(g), 1, 6)) AS BIGINT) % 1024 AS b
+        |  FROM bg),
+        |tc AS (SELECT b, count(*) AS c FROM bk WHERE source = 'src0'
+        |       GROUP BY b),
+        |rc AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+        |tt AS (SELECT CAST(sum(c) AS DOUBLE) AS v FROM tc),
+        |rt AS (SELECT CAST(sum(c) AS DOUBLE) AS v FROM rc),
+        |ratio AS (SELECT r.range AS b,
+        |  round(ln((coalesce(tc.c, 0) + 1.0) / ((SELECT v FROM tt) + 1024))
+        |    - ln((coalesce(rc.c, 0) + 1.0) / ((SELECT v FROM rt) + 1024)),
+        |    6) AS lr
+        |  FROM range(1024) r LEFT JOIN tc ON tc.b = r.range
+        |  LEFT JOIN rc ON rc.b = r.range)
+        |SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(round(sum(CAST(lr AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS log_weight
+        |FROM bk JOIN ratio USING (b)
+        |GROUP BY bk.doc_id ORDER BY doc_id""".stripMargin,
 
     "decontaminate" ->
       s"""WITH $toksCte,

@@ -140,4 +140,68 @@ object Classifier {
       .withColumn("ppl", round(exp(col("nll")), 4))
       .select(col("_id").as(id), col("n_bigrams"), col("nll"), col("ppl"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each raw doc
+    * by log p_target(x)/p_raw(x) under bag-of-hashed-bigram unigram
+    * models — docs that look like the target domain get high weights and
+    * survive the resampling cut.
+    *
+    * Hashed features sidestep vocabulary management entirely: a bigram
+    * maps to one of `buckets` ids via the 24-bit md5 prefix (the
+    * engine-portable hash the shard/sampling ops already use), so BOTH
+    * distributions are dense bounded vectors that fit in a broadcast no
+    * matter the corpus size. Fitting is one groupBy(bucket) per side;
+    * scoring is explode → broadcast join → one groupBy(doc). Add-one
+    * smoothing keeps unseen buckets finite; log-ratios round to 6 dp and
+    * doc weights to 4 for engine parity.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, id: String,
+                        text: Column, buckets: Int = 4096): DataFrame = {
+    def grams(df: DataFrame, cols: Column*) = {
+      val toks = Dedup.tokens(text)
+      // zip tokens with their successors; the zip's trailing (w_n, null)
+      // pair must become null (not a stray unigram via concat_ws's
+      // null-skipping), then filter out
+      df.select(cols :+ filter(
+        zip_with(toks, slice(toks, 2, 100000),
+          (a, b) => when(b.isNotNull, concat(a, lit(" "), b))),
+        g => g.isNotNull).as("_gs"): _*)
+    }
+    def bucketed(df: DataFrame, cols: Column*) = {
+      val g = grams(df, cols: _*)
+      val keep = g.columns.filter(_ != "_gs").map(col).toSeq
+      g.select(keep :+ explode(col("_gs")).as("_g"): _*)
+        .withColumn("b", pmod(
+          conv(substring(md5(col("_g")), 1, 6), 16, 10).cast("long"),
+          lit(buckets)))
+    }
+
+    def dist(df: DataFrame): DataFrame =
+      bucketed(df).groupBy("b").agg(count(lit(1)).as("c"))
+    val tCounts = dist(target)
+    val rCounts = dist(raw)
+    val tTotal = tCounts.agg(sum(col("c"))).head().getLong(0).toDouble
+    val rTotal = rCounts.agg(sum(col("c"))).head().getLong(0).toDouble
+    // dense log-ratio table: every bucket present (unseen buckets carry
+    // the smoothed floor), so scoring needs no outer-join fallback logic
+    val ratio = raw.sparkSession.range(buckets).select(col("id").as("b"))
+      .join(tCounts.withColumnRenamed("c", "ct"), Seq("b"), "left")
+      .join(rCounts.withColumnRenamed("c", "cr"), Seq("b"), "left")
+      .select(col("b"), round(
+        log((coalesce(col("ct"), lit(0L)) + 1.0) / (tTotal + buckets)) -
+          log((coalesce(col("cr"), lit(0L)) + 1.0) / (rTotal + buckets)),
+        6).as("lr"))
+
+    // decimal sum: lr values are exact 6-dp decimals, so a decimal
+    // accumulator is associative — any partitioning yields the identical
+    // sum, and the 4-dp round can't flip on summation-order fp noise
+    bucketed(raw, col(id).as("_id"))
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("lr").cast("decimal(18,6)")), 4).cast("double")
+          .as("log_weight"))
+      .select(col("_id").as(id), col("n_grams"), col("log_weight"))
+  }
 }

@@ -73,6 +73,26 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("DSIR weights rank target-like docs above off-domain docs") {
+    val raw = Seq(
+      (1L, "trout salmon gill fin trout salmon"),
+      (2L, "wing beak feather sparrow wing beak"),
+      (3L, "trout salmon gill fin gill fin")
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, "trout salmon gill fin scale trout salmon gill"))
+      .toDF("doc_id", "text")
+    val w = Classifier.importanceWeights(raw, target, "doc_id",
+        $"text", buckets = 256)
+      .select($"doc_id", $"log_weight").as[(Long, Double)].collect().toMap
+    assert(w(1L) > w(2L) && w(3L) > w(2L),
+      s"fish docs should outrank the bird doc: $w")
+    // deterministic across partitionings (decimal-sum associativity)
+    val w2 = Classifier.importanceWeights(raw.repartition(5), target,
+        "doc_id", $"text", buckets = 256)
+      .select($"doc_id", $"log_weight").as[(Long, Double)].collect().toMap
+    assert(w == w2)
+  }
+
   test("deterministic across input partitionings") {
     val test = Seq((10L, "trout gill fin"), (11L, "feather beak wing"))
       .toDF("doc_id", "text")
