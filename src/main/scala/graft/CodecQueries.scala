@@ -236,6 +236,42 @@ object CodecQueries {
           p.getField("flag").as("a_flag"),
           length(col("abytes")).as("alen"))
       }.orderBy(col("event_id"))
+    },
+
+    // The generic source `decoding:` block (ConfigLoader.applyDecoding —
+    // the exact code path a YAML `decoding: {codec: syslog}` invokes):
+    // rendered RFC5424 lines in, flattened event fields out.
+    "decoding_block_syslog" -> { (s, dir) =>
+      val line = format_string(
+        "<%d>1 %s host%d app%d %d ID%d - %s happened",
+        pmod(col("k"), lit(192)).cast("int"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        col("user_id"), pmod(col("user_id"), lit(5)), col("event_id"),
+        pmod(col("k"), lit(10)), col("event_type"))
+      val raw = ev(s, dir).select(line.as("message"))
+      graft.plans.ConfigLoader.applyDecoding(raw,
+        Map("decoding" -> java.util.Map.of("codec", "syslog")))
+        .select(col("procid").cast("long").as("procid"),
+          col("facility"), col("severity"), col("hostname"),
+          col("appname"), col("msgid"), col("message"),
+          col("timestamp").as("sl_ts"))
+        .orderBy(col("procid"))
+    },
+
+    // The `framing: {method: octet_counting}` block: one chunk carrying
+    // two counted frames explodes to two messages, keeping sibling
+    // columns (event_id provenance survives the explode).
+    "decoding_block_octet" -> { (s, dir) =>
+      val m1 = col("event_type")
+      val m2 = concat(lit("X"), col("event_type"))
+      val chunk = concat(
+        length(m1).cast("string"), lit(" "), m1,
+        length(m2).cast("string"), lit(" "), m2)
+      val raw = ev(s, dir).select(col("event_id"), chunk.as("message"))
+      graft.plans.ConfigLoader.applyDecoding(raw,
+        Map("framing" -> java.util.Map.of("method", "octet_counting")))
+        .select(col("event_id"), col("message"))
+        .orderBy(col("event_id"), col("message"))
     }
   )
 
@@ -371,6 +407,25 @@ object CodecQueries {
         |            WHEN 2*event_id < 268435456 THEN 4
         |            ELSE 5 END
         |    + 1 + length(event_type) + 8 + 1 AS INT) AS alen
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "decoding_block_syslog" ->
+      """SELECT event_id AS procid,
+        |  CAST(k % 192 // 8 AS INT) AS facility,
+        |  CAST(k % 192 % 8 AS INT) AS severity,
+        |  'host' || CAST(user_id AS VARCHAR) AS hostname,
+        |  'app' || CAST(user_id % 5 AS VARCHAR) AS appname,
+        |  'ID' || CAST(k % 10 AS VARCHAR) AS msgid,
+        |  event_type || ' happened' AS message,
+        |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS sl_ts
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY procid""".stripMargin,
+
+    "decoding_block_octet" ->
+      """SELECT event_id, message FROM (
+        |  SELECT event_id, event_type AS message FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'X' || event_type AS message FROM events)
+        |ORDER BY event_id, message""".stripMargin
   )
 }

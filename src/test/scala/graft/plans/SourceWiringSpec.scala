@@ -1,0 +1,476 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** YAML wiring for the formerly code-only sources (http_server,
+  * http_client, prometheus scrape, stdin, exec, syslog, statsd —
+  * reference config types src/sources/http_server.rs, http_client/,
+  * prometheus/scrape.rs, stdin.rs, exec/, syslog.rs, statsd/), the
+  * generic `decoding:`/`framing:` source blocks
+  * (lib/codecs/src/decoding/mod.rs), and the loader-registry parity
+  * that keeps `vector list` honest.
+  */
+class SourceWiringSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def eventually[T](deadlineMs: Long = 30000)(f: => T): T = {
+    val end = System.nanoTime + deadlineMs * 1000000L
+    var last: Throwable = null
+    while (System.nanoTime < end) {
+      try return f
+      catch { case t: Throwable => last = t; Thread.sleep(100) }
+    }
+    throw last
+  }
+
+  private def tmpWork(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  // ---- registry parity -------------------------------------------------
+
+  test("registry: every listed source type reaches a loader dispatch arm") {
+    // drive each type through `load`; the arm exists iff the loader does
+    // NOT answer "unsupported source type" (missing args / unreachable
+    // peers throw other errors — that's fine, the dispatch is proven).
+    // Listener types get an ephemeral 127.0.0.1 bind; pollers get a
+    // closed local port so nothing hangs on a real network.
+    val extra: Map[String, String] = Map(
+      "exec" -> "command: [echo, hi]",
+      "stdin" -> "", "file_descriptor" -> "",
+      "http_server" -> "address: 127.0.0.1:0",
+      "syslog" -> "address: 127.0.0.1:0",
+      "statsd" -> "address: 127.0.0.1:0",
+      "fluent" -> "address: 127.0.0.1:0",
+      "logstash" -> "address: 127.0.0.1:0",
+      "splunk_hec" -> "address: 127.0.0.1:0",
+      "heroku_logs" -> "address: 127.0.0.1:0",
+      "aws_kinesis_firehose" -> "address: 127.0.0.1:0",
+      "datadog_agent" -> "address: 127.0.0.1:0",
+      "dnstap" -> "address: 127.0.0.1:0",
+      "prometheus_remote_write" -> "address: 127.0.0.1:0",
+      "prometheus_pushgateway" -> "address: 127.0.0.1:0",
+      "opentelemetry" -> "http:\n      address: 127.0.0.1:0",
+      "http_client" -> "endpoint: http://127.0.0.1:9/x",
+      "prometheus" -> "endpoint: http://127.0.0.1:9/metrics",
+      "prometheus_scrape" -> "endpoint: http://127.0.0.1:9/metrics",
+      "gcp_pubsub" -> "endpoint: http://127.0.0.1:9",
+      "okta" -> "domain: 127.0.0.1:9",
+      "aws_s3" -> "endpoint: http://127.0.0.1:9",
+      "aws_sqs" -> "endpoint: http://127.0.0.1:9",
+      "aws_ecs_metrics" -> "endpoint: http://127.0.0.1:9",
+      "mongodb_metrics" -> "endpoint: mongodb://127.0.0.1:9",
+      "apache_metrics" -> "endpoint: http://127.0.0.1:9",
+      "nginx_metrics" -> "endpoint: http://127.0.0.1:9",
+      "eventstoredb_metrics" -> "endpoint: http://127.0.0.1:9",
+      "postgresql_metrics" -> "endpoint: http://127.0.0.1:9",
+      "docker_logs" -> "docker_host: http://127.0.0.1:9",
+      "parquet" -> "table: events",
+      "file" -> "table: events")
+    val savedIn = System.in
+    System.setIn(new java.io.ByteArrayInputStream(Array.emptyByteArray))
+    try ConfigLoader.sourceTypes.foreach { t =>
+      val args = extra.get(t).filter(_.nonEmpty)
+        .map(a => "\n    " + a.replace("\n", "\n")).getOrElse("")
+      val yaml =
+        s"""
+          |sources:
+          |  in:
+          |    type: $t$args
+          |sinks:
+          |  out:
+          |    type: blackhole
+          |    inputs: [in]
+          |""".stripMargin
+      try ConfigLoader.load(spark, yaml, sf)
+      catch {
+        case e: Throwable =>
+          assert(!String.valueOf(e.getMessage)
+              .contains("unsupported source type"),
+            s"source type '$t' is listed but has no dispatch arm")
+      } finally ConfigLoader.closePendingSources()
+    } finally System.setIn(savedIn)
+  }
+
+  test("registry: every listed transform type reaches a dispatch arm") {
+    ConfigLoader.transformTypes.foreach { t =>
+      val yaml =
+        s"""
+          |sources:
+          |  in:
+          |    type: parquet
+          |    table: events
+          |transforms:
+          |  tr:
+          |    type: $t
+          |    inputs: [in]
+          |sinks:
+          |  out:
+          |    type: blackhole
+          |    inputs: [tr]
+          |""".stripMargin
+      try ConfigLoader.load(spark, yaml, sf)
+      catch {
+        case e: Throwable =>
+          assert(!String.valueOf(e.getMessage)
+              .contains("unsupported transform type"),
+            s"transform type '$t' is listed but has no dispatch arm")
+      }
+    }
+  }
+
+  test("registry: every listed sink type reaches a dispatch arm") {
+    val native = Set("console", "parquet", "kafka", "blackhole", "memory",
+      "prometheus_exporter")
+    val work = tmpWork("sinkreg")
+    ConfigLoader.sinkTypes.foreach { t =>
+      val arm = native(t) || {
+        try ConfigLoader.connectorSink("out", t, Map.empty, work).isDefined
+        catch { case _: Exception => true } // arm reached, args missing
+      }
+      assert(arm, s"sink type '$t' is listed but has no dispatch arm")
+    }
+    // and the reverse: an unlisted type resolves to no connector
+    assert(ConfigLoader.connectorSink("out", "no_such_sink",
+      Map.empty, work).isEmpty)
+  }
+
+  // ---- run-tests for the newly wired source types ----------------------
+
+  test("run: http_server source ingests POSTed lines from YAML") {
+    val running = ConfigLoader.run(spark,
+      """
+        |sources:
+        |  in:
+        |    type: http_server
+        |    address: 127.0.0.1:0
+        |sinks:
+        |  http_tap:
+        |    type: memory
+        |    inputs: [in]
+        |""".stripMargin, sf, tmpWork("httpsrv"))
+    try {
+      val port = ConfigLoader.lastAgentPort
+      assert(port > 0)
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write("alpha\nbeta\n".getBytes("UTF-8"))
+      conn.getOutputStream.close()
+      assert(conn.getResponseCode == 200)
+      running.processAllAvailable()
+      val got = spark.table("http_tap").collect()
+        .map(_.getAs[String]("message")).toSet
+      assert(got == Set("alpha", "beta"))
+    } finally running.stopAll()
+  }
+
+  test("run: http_client source polls an endpoint from YAML") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/feed", ex => {
+      val body = "one\ntwo\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    val running = ConfigLoader.run(spark,
+      s"""
+        |sources:
+        |  in:
+        |    type: http_client
+        |    endpoint: http://127.0.0.1:$port/feed
+        |    scrape_interval_secs: 0.2
+        |sinks:
+        |  hc_tap:
+        |    type: memory
+        |    inputs: [in]
+        |""".stripMargin, sf, tmpWork("httpcli"))
+    try eventually() {
+      running.processAllAvailable()
+      val got = spark.table("hc_tap").collect()
+        .map(_.getAs[String]("message")).toSet
+      assert(got == Set("one", "two"))
+    } finally { running.stopAll(); server.stop(0) }
+  }
+
+  test("run: prometheus scrape source decodes exposition text from YAML") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/metrics", ex => {
+      val body = ("# HELP up Up.\n# TYPE up gauge\n" +
+        "up{job=\"api\"} 1\nrequests_total 42\n").getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    val running = ConfigLoader.run(spark,
+      s"""
+        |sources:
+        |  in:
+        |    type: prometheus
+        |    endpoints: [http://127.0.0.1:$port/metrics]
+        |    scrape_interval_secs: 0.2
+        |sinks:
+        |  prom_tap:
+        |    type: memory
+        |    inputs: [in]
+        |""".stripMargin, sf, tmpWork("promscrape"))
+    try eventually() {
+      running.processAllAvailable()
+      val rows = spark.table("prom_tap").collect()
+      val byName = rows.map(r =>
+        r.getAs[String]("name") -> r.getAs[Double]("value")).toMap
+      assert(byName.get("up").contains(1.0))
+      assert(byName.get("requests_total").contains(42.0))
+      val upTags = rows.find(_.getAs[String]("name") == "up").get
+        .getAs[Map[String, String]]("tags")
+      assert(upTags == Map("job" -> "api"))
+    } finally { running.stopAll(); server.stop(0) }
+  }
+
+  test("run: stdin source reads driver stdin (batch) from YAML") {
+    val savedIn = System.in
+    System.setIn(new java.io.ByteArrayInputStream(
+      "first line\nsecond line\n".getBytes("UTF-8")))
+    try {
+      val running = ConfigLoader.run(spark,
+        """
+          |sources:
+          |  in:
+          |    type: stdin
+          |sinks:
+          |  stdin_tap:
+          |    type: memory
+          |    inputs: [in]
+          |""".stripMargin, sf, tmpWork("stdincfg"))
+      try {
+        val got = spark.table("stdin_tap").collect()
+          .map(_.getAs[String]("message")).toSeq
+        assert(got == Seq("first line", "second line"))
+      } finally running.stopAll()
+    } finally System.setIn(savedIn)
+  }
+
+  test("run: exec source captures the command's stdout from YAML") {
+    val running = ConfigLoader.run(spark,
+      """
+        |sources:
+        |  in:
+        |    type: exec
+        |    command: [printf, 'a\nb\n']
+        |sinks:
+        |  exec_tap:
+        |    type: memory
+        |    inputs: [in]
+        |""".stripMargin, sf, tmpWork("execcfg"))
+    try {
+      val got = spark.table("exec_tap").collect()
+        .map(_.getAs[String]("message")).toSeq
+      assert(got == Seq("a", "b"))
+    } finally running.stopAll()
+  }
+
+  test("run: syslog tcp source accepts octet-counted AND newline frames") {
+    val running = ConfigLoader.run(spark,
+      """
+        |sources:
+        |  in:
+        |    type: syslog
+        |    mode: tcp
+        |    address: 127.0.0.1:0
+        |sinks:
+        |  syslog_tap:
+        |    type: memory
+        |    inputs: [in]
+        |""".stripMargin, sf, tmpWork("syslogcfg"))
+    try {
+      val port = ConfigLoader.lastAgentPort
+      val msg1 = "<165>1 2024-02-13T21:53:30.605Z host1 app - ID47 - counted"
+      val msg2 = "<34>1 2024-02-13T21:53:31.000Z host2 su - - - plain line"
+      val sock = new java.net.Socket("127.0.0.1", port)
+      val out = sock.getOutputStream
+      // RFC6587 octet-counting frame, then a newline frame — the
+      // listener auto-detects per frame like the reference
+      out.write(s"${msg1.length} $msg1".getBytes("UTF-8"))
+      out.write((msg2 + "\n").getBytes("UTF-8"))
+      out.flush()
+      sock.close()
+      eventually() {
+        running.processAllAvailable()
+        val rows = spark.table("syslog_tap").collect()
+        assert(rows.length == 2)
+        val byHost = rows.map(r => r.getAs[String]("hostname") -> r).toMap
+        assert(byHost("host1").getAs[String]("appname") == "app")
+        assert(byHost("host1").getAs[String]("message") == "counted")
+        assert(byHost("host1").getAs[Int]("facility") == 20)
+        assert(byHost("host2").getAs[String]("message") == "plain line")
+        assert(byHost("host2").getAs[Int]("severity") == 2)
+      }
+    } finally running.stopAll()
+  }
+
+  test("run: statsd udp source decodes lines to metric rows") {
+    val running = ConfigLoader.run(spark,
+      """
+        |sources:
+        |  in:
+        |    type: statsd
+        |    address: 127.0.0.1:0
+        |sinks:
+        |  statsd_tap:
+        |    type: memory
+        |    inputs: [in]
+        |""".stripMargin, sf, tmpWork("statsdcfg"))
+    try {
+      val port = ConfigLoader.lastAgentPort
+      val sock = new java.net.DatagramSocket()
+      val payload =
+        "gorets:2|c|@0.5\ntemp:21.5|g|#env:prod\n".getBytes("UTF-8")
+      sock.send(new java.net.DatagramPacket(payload, payload.length,
+        java.net.InetAddress.getByName("127.0.0.1"), port))
+      sock.close()
+      eventually() {
+        running.processAllAvailable()
+        val rows = spark.table("statsd_tap").collect()
+        assert(rows.length == 2)
+        val byName = rows.map(r => r.getAs[String]("name") -> r).toMap
+        // counter at @0.5 sample rate represents 2/0.5 = 4 increments
+        assert(byName("gorets").getAs[Double]("counter_value") == 4.0)
+        assert(byName("gorets").getAs[String]("kind") == "incremental")
+        assert(byName("temp").getAs[Double]("gauge_value") == 21.5)
+        assert(byName("temp").getAs[String]("kind") == "absolute")
+        assert(byName("temp").getAs[Map[String, String]]("tags") ==
+          Map("env" -> "prod"))
+      }
+    } finally running.stopAll()
+  }
+
+  // ---- decoding:/framing: blocks ---------------------------------------
+
+  test("run: socket source + decoding.codec syslog parses from YAML") {
+    // the Spark socket source CONNECTS to a feed server — start one,
+    // then point the YAML at it; the decoding block turns raw lines
+    // into RFC5424 fields with no transform in between
+    val server = new java.net.ServerSocket(0,
+      1, java.net.InetAddress.getByName("127.0.0.1"))
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = sock.getOutputStream
+        out.write(("<165>1 2024-02-13T21:53:30.605Z h1 nginx 77 ID1 - GET /\n" +
+          "<165>1 2024-02-13T21:53:31.605Z h2 nginx 78 ID2 - POST /x\n")
+          .getBytes("UTF-8"))
+        out.flush()
+        // keep the connection open until the test ends
+        Thread.sleep(25000)
+        sock.close()
+      } catch { case _: Exception => () }
+    }, "syslog-feeder")
+    feeder.setDaemon(true)
+    feeder.start()
+    val running = ConfigLoader.run(spark,
+      s"""
+        |sources:
+        |  in:
+        |    type: socket
+        |    address: 127.0.0.1:${server.getLocalPort}
+        |    decoding:
+        |      codec: syslog
+        |sinks:
+        |  sockdec_tap:
+        |    type: memory
+        |    inputs: [in]
+        |""".stripMargin, sf, tmpWork("sockdec"))
+    try eventually() {
+      val rows = spark.table("sockdec_tap").collect()
+      assert(rows.length == 2)
+      val byHost = rows.map(r => r.getAs[String]("hostname") -> r).toMap
+      assert(byHost("h1").getAs[String]("appname") == "nginx")
+      assert(byHost("h1").getAs[String]("procid") == "77")
+      assert(byHost("h2").getAs[String]("message") == "POST /x")
+    } finally { running.stopAll(); server.close() }
+  }
+
+  test("run: http_server + framing octet_counting + gelf decoding") {
+    // one POST body carries two octet-counted GELF frames (no newlines,
+    // so the body arrives as ONE chunk that framing must split)
+    val g1 = """{"version":"1.1","host":"a","short_message":"first"}"""
+    val g2 = """{"version":"1.1","host":"b","short_message":"second"}"""
+    val running = ConfigLoader.run(spark,
+      """
+        |sources:
+        |  in:
+        |    type: http_server
+        |    address: 127.0.0.1:0
+        |    framing:
+        |      method: octet_counting
+        |    decoding:
+        |      codec: gelf
+        |sinks:
+        |  gelf_tap:
+        |    type: memory
+        |    inputs: [in]
+        |""".stripMargin, sf, tmpWork("gelfdec"))
+    try {
+      val port = ConfigLoader.lastAgentPort
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        s"${g1.length} $g1${g2.length} $g2".getBytes("UTF-8"))
+      conn.getOutputStream.close()
+      assert(conn.getResponseCode == 200)
+      eventually() {
+        running.processAllAvailable()
+        val rows = spark.table("gelf_tap").collect()
+        assert(rows.length == 2)
+        val byHost = rows.map(r => r.getAs[String]("host") -> r).toMap
+        assert(byHost("a").getAs[String]("short_message") == "first")
+        assert(byHost("b").getAs[String]("message") == "second")
+      }
+    } finally running.stopAll()
+  }
+
+  test("decoding: metric-shaped codecs flip the source's event kind") {
+    def kindOf(codec: String) = ConfigLoader.decodedKind(
+      Map("decoding" -> java.util.Map.of("codec", codec)),
+      Topology.Log)
+    assert(kindOf("statsd") == Topology.Metric)
+    assert(kindOf("influxdb") == Topology.Metric)
+    assert(kindOf("syslog") == Topology.Log)
+    assert(kindOf("json") == Topology.Log)
+  }
+
+  test("decoding: csv, json-fields, and influxdb decode rendered lines") {
+    import spark.implicits._
+    val csv = ConfigLoader.applyDecoding(
+      Seq("1,alice,ok", "2,bob,err").toDF("message"),
+      Map("decoding" -> java.util.Map.of("codec", "csv", "csv",
+        java.util.Map.of("fields", java.util.List.of("id", "user", "st")))))
+    assert(csv.columns.toSeq == Seq("id", "user", "st"))
+    assert(csv.collect().map(_.getAs[String]("user")).toSet ==
+      Set("alice", "bob"))
+    val json = ConfigLoader.applyDecoding(
+      Seq("""{"a":"x","b":"2"}""").toDF("message"),
+      Map("decoding" -> java.util.Map.of("codec", "json",
+        "fields", java.util.List.of("a", "b"))))
+    assert(json.select("a", "b").head ==
+      org.apache.spark.sql.Row("x", "2"))
+    val influx = ConfigLoader.applyDecoding(
+      Seq("cpu,host=h1 usage=0.5 1700000000000000000").toDF("message"),
+      Map("decoding" -> java.util.Map.of("codec", "influxdb")))
+    val r = influx.head
+    assert(r.getAs[String]("measurement") == "cpu")
+    assert(r.getAs[Map[String, String]]("tags") == Map("host" -> "h1"))
+    assert(r.getAs[Map[String, Double]]("fields") == Map("usage" -> 0.5))
+  }
+}
