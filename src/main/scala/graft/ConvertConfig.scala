@@ -42,21 +42,35 @@ object ConvertConfig {
         s"Output path $out already exists. Please provide a non-existing output path.")
       sys.exit(78)
     }
-    var failed = 0
-    if (Files.isDirectory(in)) {
-      val files = Files.walk(in).iterator().asScala
-        .filter(p => Files.isRegularFile(p) && Exts(ext(p))).toList
-      files.foreach { p =>
-        val rel = in.relativize(p).toString
-        val target = out.resolve(swapExt(rel, fmt))
-        if (!convertOne(p, target, fmt)) failed += 1
-      }
-      if (files.isEmpty)
-        System.err.println(s"No config files (toml/yaml/json) under $in")
-    } else {
-      if (!convertOne(in, out, fmt)) failed += 1
-    }
+    val failed =
+      if (Files.isDirectory(in)) convertTree(in, out, fmt)
+      else if (convertOne(in, out, fmt)) 0 else 1
     if (failed > 0) sys.exit(1)
+  }
+
+  /** Convert a directory tree; returns the failure count. Inputs sharing
+    * a stem (a.toml + a.yaml) would resolve to the same output file and
+    * silently clobber each other — the collision is reported instead of
+    * converting either.
+    */
+  def convertTree(in: Path, out: Path, fmt: String): Int = {
+    var failed = 0
+    val files = Files.walk(in).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && Exts(ext(p))).toList
+    val byTarget = files.groupBy(p =>
+      out.resolve(swapExt(in.relativize(p).toString, fmt)))
+    byTarget.toSeq.sortBy(_._1.toString).foreach {
+      case (target, sources) if sources.length > 1 =>
+        System.err.println(s"Failed to convert ${sources.mkString(", ")}: " +
+          s"all would write $target — rename the inputs to distinct stems")
+        failed += sources.length
+      case (target, Seq(p)) =>
+        if (!convertOne(p, target, fmt)) failed += 1
+      case _ => ()
+    }
+    if (files.isEmpty)
+      System.err.println(s"No config files (toml/yaml/json) under $in")
+    failed
   }
 
   private def ext(p: Path): String = {

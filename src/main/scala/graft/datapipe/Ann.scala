@@ -66,14 +66,32 @@ object Ann {
       .select(col("query_id"), col("bucket"), col("rank"), col("nn_id"), col("cos"))
   }
 
-  /** Nearest-centroid cell id for one vector against a literal codebook.
-    * The codebook is driver-collected (an IVF coarse quantizer is tiny by
-    * construction — k ≈ √N entries), so assignment is a pure projection:
-    * a 100 TB corpus pass is scan+project with NO shuffle, and the cell
-    * id doubles as the physical partition key of the index. Ties break
-    * to the smallest cell id (cos rounded to 6 for engine parity).
+  /** Above this codebook size, [[ivfAssign]] switches from inlined
+    * literals to the broadcast-closure UDF: the literal plan carries
+    * O(k·dim) literals and k cosine subtrees, which blows past codegen's
+    * 64 KB method limit and plan-serialization budgets at the k ≈ √N a
+    * 100 TB corpus needs (10⁴-10⁶ centroids). Small codebooks keep the
+    * codegen'd literal path — it fuses into whole-stage codegen with the
+    * surrounding projection.
     */
-  def ivfAssign(v: Column, codebook: Seq[(Long, Seq[Double])]): Column = {
+  val LiteralCodebookMax = 64
+
+  /** Nearest-centroid cell id for one vector. The codebook is
+    * driver-collected (an IVF coarse quantizer is small relative to the
+    * corpus), so assignment is a pure projection either way: a 100 TB
+    * corpus pass is scan+project with NO shuffle, and the cell id
+    * doubles as the physical partition key of the index. Ties break to
+    * the smallest cell id (cos rounded to 6 for engine parity). Both
+    * paths compute identical doubles (sequential left-to-right dot
+    * product, HALF_UP rounding) — [[graft.datapipe]]'s AnnSpec asserts
+    * path equality on the same codebook.
+    */
+  def ivfAssign(v: Column, codebook: Seq[(Long, Seq[Double])]): Column =
+    if (codebook.size <= LiteralCodebookMax) ivfAssignLiteral(v, codebook)
+    else ivfAssignBroadcast(v, codebook)
+
+  private[datapipe] def ivfAssignLiteral(
+      v: Column, codebook: Seq[(Long, Seq[Double])]): Column = {
     val scored = array(codebook.sortBy(_._1).map { case (cid, cv) =>
       struct(
         round(cosine(v, typedlit(cv)), 6).as("cos"),
@@ -81,6 +99,51 @@ object Ann {
     }: _*)
     // struct max = lexicographic: highest cos, then highest -cell id
     (-array_max(scored).getField("neg_cell")).as("cell")
+  }
+
+  /** Large-k assignment: the codebook ships ONCE per executor inside the
+    * task closure (Spark torrent-broadcasts task binaries), and the scan
+    * stays a single projection whose plan size is O(1) in k. The scoring
+    * loop mirrors the literal path exactly: left-to-right dot product,
+    * cos rounded HALF_UP to 6 decimals, ties to the smallest cell id.
+    */
+  private[datapipe] def ivfAssignBroadcast(
+      v: Column, codebook: Seq[(Long, Seq[Double])]): Column = {
+    val cells: Array[(Long, Array[Double])] =
+      codebook.sortBy(_._1).map { case (cid, cv) => (cid, cv.toArray) }
+        .toArray
+    val assign = udf { (vec: Seq[Double]) =>
+      if (vec == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val x = vec.toArray
+        var nx = 0.0
+        var i = 0
+        while (i < x.length) { nx += x(i) * x(i); i += 1 }
+        var bestCos = Double.NegativeInfinity
+        var bestCell = -1L
+        var c = 0
+        while (c < cells.length) {
+          val (cid, y) = cells(c)
+          var dot = 0.0
+          var ny = 0.0
+          var j = 0
+          while (j < y.length) {
+            dot += x(j) * y(j); ny += y(j) * y(j); j += 1
+          }
+          val cos = BigDecimal(dot / math.sqrt(nx) / math.sqrt(ny))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          // strict > + ascending cid order = smallest cell wins ties,
+          // identical to the literal path's (cos, -cid) struct max;
+          // NaN ranks greatest like Spark's ordering (zero-norm vectors)
+          if (cos > bestCos || (cos.isNaN && !bestCos.isNaN)) {
+            bestCos = cos; bestCell = cid
+          }
+          c += 1
+        }
+        java.lang.Long.valueOf(bestCell)
+      }
+    }
+    assign(v).as("cell")
   }
 
   /** IVF (inverted-file) top-k: coarse-quantize corpus and probes to

@@ -26,7 +26,10 @@ import graft.functions.MicroLua.{LuaFunction, Table}
   */
 object Lua {
 
-  private val MetaKeys = Set("__event_kind", "__seq", "timestamp")
+  // `timestamp` is NOT stripped: scripts read/condition on
+  // event.log.timestamp (supported by the reference) as the ISO-8601
+  // string toJSON renders; render() restores the timestamp type after
+  private val MetaKeys = Set("__event_kind", "__seq")
   private val MetricValueKinds =
     Seq("counter", "gauge", "set", "distribution", "histogram", "summary",
       "sketch")
@@ -36,6 +39,14 @@ object Lua {
             shutdownHook: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the dynamic output schema needs a batch inference pass
+    // (read.json below) — fail AT CONFIG LOAD on a streaming input
+    // instead of surfacing Spark's opaque writeStream error at runtime
+    if (df.isStreaming) throw new IllegalArgumentException(
+      "lua transform: streaming sources are not supported — Lua output " +
+        "schema is discovered by a batch inference pass. Feed the lua " +
+        "stage from a batch source, or replace it with a remap (VRL) " +
+        "transform whose schema is static.")
     // compile now: a syntax error surfaces at config load, not per task
     val chunk = if (source.nonEmpty) MicroLua.parse(source) else Nil
     def compiled(h: Option[String]): Option[Either[LuaFunction, String]] =

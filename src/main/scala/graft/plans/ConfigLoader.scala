@@ -408,6 +408,16 @@ object ConfigLoader {
               .withColumn("__val", col(valueField).cast("double"))
               .withWatermark(tsField, wm)
             val keys = groupBy.filter(staged.columns.contains)
+            // latest/diff order by event time (max_by/min_by on the
+            // window's timestamps); auto dispatches per series kind —
+            // incremental counters sum, absolute gauges keep the latest
+            // (aggregate.rs:47-76 semantics)
+            val latestAgg = max_by(col("__val"), col(tsField))
+            val autoAgg =
+              if (staged.columns.contains("kind"))
+                when(max(col("kind")) === "absolute", latestAgg)
+                  .otherwise(sum(col("__val")))
+              else sum(col("__val"))
             val valueAgg: Column = (mode match {
               case Aggregate.CountMode => count(lit(1)).cast("double")
               case Aggregate.MaxMode => max(col("__val"))
@@ -417,7 +427,11 @@ object ConfigLoader {
                 sqrt((sum(col("__val") * col("__val")) -
                   sum(col("__val")) * sum(col("__val")) / count(lit(1))) /
                   (count(lit(1)) - 1))
-              case _ => sum(col("__val")) // sum / auto / latest-as-sum
+              case Aggregate.Latest => latestAgg
+              case Aggregate.Diff =>
+                latestAgg - min_by(col("__val"), col(tsField))
+              case Aggregate.SumMode => sum(col("__val"))
+              case _ => autoAgg // Auto: kind-dispatched
             }).as("value")
             staged.groupBy(
                 window(col(tsField), winDur) +: keys.map(col): _*)

@@ -292,9 +292,12 @@ object Toml {
       case s: String =>
         "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       case b: Boolean => b.toString
-      case null => "\"\""
-      case l: Seq[_] => l.map(scalar).mkString("[", ", ", "]")
-      case m: Map[_, _] => m.map { case (k, x) =>
+      // TOML has no null: null-valued KEYS are omitted entirely (below,
+      // matching the reference's omission of unset defaults); a null
+      // inside an array/inline-map is likewise dropped
+      case l: Seq[_] =>
+        l.filter(_ != null).map(scalar).mkString("[", ", ", "]")
+      case m: Map[_, _] => m.collect { case (k, x) if x != null =>
         s"$k = ${scalar(x)}" }.mkString("{ ", ", ", " }")
       case other => other.toString
     }
@@ -313,7 +316,8 @@ object Toml {
       if (header.nonEmpty &&
           (plain.nonEmpty || m.isEmpty || header.get.startsWith("[[")))
         sb ++= header.get + "\n"
-      plain.foreach { case (k, v) => sb ++= s"$k = ${scalar(v)}\n" }
+      plain.foreach { case (k, v) =>
+        if (v != null) sb ++= s"$k = ${scalar(v)}\n" }
       if (plain.nonEmpty || (header.nonEmpty && m.isEmpty)) sb ++= "\n"
       nested.foreach {
         case (k, v: Map[String @unchecked, Any @unchecked]) =>

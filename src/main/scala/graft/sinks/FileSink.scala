@@ -41,20 +41,29 @@ object FileSink {
   /** Write one (micro-)batch. Serializable helper shared by the batch
     * sink and the streaming foreachBatch sink.
     */
-  def writeBatch(df: DataFrame, cfg: Config): Unit = {
+  /** The routing plan [[writeBatch]] executes — split out so the plan
+    * audit can assert its shape: a dynamic template path gets exactly
+    * ONE hash shuffle on the rendered path (co-locating each output
+    * file's lines); a static path skips the shuffle entirely.
+    */
+  def routed(df: DataFrame, cfg: Config): DataFrame = {
     val dynamic = graft.functions.Template.isDynamic(cfg.path)
     val rendered =
       if (dynamic) graft.functions.Template.render(df.schema, cfg.path)
       else lit(cfg.path)
     val lines = df.select(rendered.as("__path"),
       LineCodec.encode(df, cfg.codec).as("__line"))
+    if (dynamic)
+      lines.repartition(col("__path")).sortWithinPartitions("__path")
+    else if (cfg.singleFile) lines.coalesce(1)
+    else lines
+  }
+
+  def writeBatch(df: DataFrame, cfg: Config): Unit = {
+    val dynamic = graft.functions.Template.isDynamic(cfg.path)
     val delim = LineCodec.frameDelimiter(cfg.framing, cfg.delimiter)
     val compression = cfg.compression
-    val routed =
-      if (dynamic)
-        lines.repartition(col("__path")).sortWithinPartitions("__path")
-      else if (cfg.singleFile) lines.coalesce(1)
-      else lines
+    val routed = this.routed(df, cfg)
     val suffixPerTask = !dynamic && !cfg.singleFile
     routed.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       var current: String = null

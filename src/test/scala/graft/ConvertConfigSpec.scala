@@ -103,6 +103,37 @@ class ConvertConfigSpec extends AnyFunSuite {
       || loaded("sinks").isInstanceOf[Map[_, _]])
   }
 
+  test("toml render omits null-valued keys (TOML has no null)") {
+    // `uri: null` converted to TOML must come out ABSENT, not `uri = ""`
+    // (set-but-empty changes semantics from unset default)
+    val toml = Toml.render(Map(
+      "sinks" -> Map("s" -> Map(
+        "type" -> "console", "uri" -> null,
+        "req" -> Map("a" -> null, "b" -> 1L),
+        "list" -> List("x", null)))))
+    assert(!toml.contains("uri"))
+    val back = Toml.parse(toml)
+    val s = back("sinks").asInstanceOf[Map[String, Any]]("s")
+      .asInstanceOf[Map[String, Any]]
+    assert(!s.contains("uri"))
+    assert(s("type") == "console")
+    assert(s("list") == List("x"))
+    assert(s("req").asInstanceOf[Map[String, Any]] == Map("b" -> 1L))
+  }
+
+  test("directory conversion reports stem collisions instead of overwriting") {
+    val in = Files.createTempDirectory("cc_clash")
+    Files.writeString(in.resolve("a.toml"), "[sources.x]\ntype = \"stdin\"\n")
+    Files.writeString(in.resolve("a.yaml"),
+      "sources:\n  y:\n    type: stdin\n")
+    Files.writeString(in.resolve("ok.toml"), "[sources.z]\ntype = \"stdin\"\n")
+    val out = in.resolveSibling(in.getFileName.toString + "_out")
+    val failed = ConvertConfig.convertTree(in, out, "json")
+    assert(failed == 2) // both colliding inputs refused
+    assert(!Files.exists(out.resolve("a.json")))
+    assert(Files.exists(out.resolve("ok.json"))) // non-colliding proceeds
+  }
+
   test("the reference's own convert fixtures agree across all three formats") {
     // tests/data/cmd/config/{config_1.yaml,config_2.toml,config_3.json} —
     // the reference's convert_config test corpus, cloned verbatim (+

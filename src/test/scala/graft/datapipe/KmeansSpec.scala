@@ -59,4 +59,65 @@ class KmeansSpec extends SparkSpec {
     assert(tight.subsetOf(loose))
     assert(loose.size >= tight.size)
   }
+
+  // deterministic pseudo-vectors (no RNG — resumability contract):
+  // component c of vector j = a fixed mixed-congruential pattern
+  private def pseudoVec(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(c => (((j * 37 + c * 17) % 101) - 50) / 50.0)
+
+  test("ivfAssign: broadcast path matches the literal path at large k") {
+    val dim = 8
+    val k = Ann.LiteralCodebookMax + 36 // forces the broadcast path
+    val codebook: Seq[(Long, Seq[Double])] =
+      (0 until k).map(j => (j.toLong, pseudoVec(j + 1000, dim)))
+    val probes = (1 to 200).map(j => (j.toLong, pseudoVec(j, dim)))
+      .toDF("vec_id", "embedding")
+    val both = probes.select($"vec_id",
+        Ann.ivfAssignLiteral(Ann.asDouble($"embedding"), codebook)
+          .as("lit_cell"),
+        Ann.ivfAssignBroadcast(Ann.asDouble($"embedding"), codebook)
+          .as("bc_cell"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"vec ${r.getLong(0)}: literal=${r.getLong(1)} broadcast=${r.getLong(2)}")
+    }
+    // assignments hit many distinct cells (the parity isn't vacuous)
+    assert(both.map(_.getLong(1)).distinct.length > 10)
+    // and the dispatching entry point picks the O(1)-plan path: no
+    // inlined per-centroid cosine subtrees in the analyzed plan
+    val bigPlan = probes.select(
+        Ann.ivfAssign(Ann.asDouble($"embedding"), codebook))
+      .queryExecution.analyzed.toString
+    assert(!bigPlan.contains("zip_with"))
+    val smallPlan = probes.select(
+        Ann.ivfAssign(Ann.asDouble($"embedding"), codebook.take(8)))
+      .queryExecution.analyzed.toString
+    assert(smallPlan.contains("zip_with")) // small k keeps codegen path
+  }
+
+  test("kmeans and semanticDedup stay correct above the literal ceiling") {
+    // k > LiteralCodebookMax drives every Lloyd iteration and the dedup
+    // assignment through the broadcast path; with 80 probes and k=70
+    // most cells hold ≤2 members and the identical pair still collapses
+    val dim = 6
+    val rows = ((1 to 78).map(j => (j.toLong, pseudoVec(j * 3, dim))) ++
+      Seq((79L, pseudoVec(7, dim)), (80L, pseudoVec(7, dim))))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Ann.kmeans(df, "vec_id", "embedding",
+      k = Ann.LiteralCodebookMax + 6, iters = 2)
+    assert(cents.nonEmpty && cents.map(_._1) == cents.map(_._1).sorted)
+    val kept = Ann.semanticDedup(df, "vec_id", "embedding", cents,
+        threshold = 0.9999)
+      .select($"doc").as[Long].collect().toSet
+    // 80 is identical to 79 (same pseudoVec(7)), so it always has a
+    // lower-id near-identical cluster-mate and must be dropped; the
+    // bulk of the lattice survives
+    assert(!kept.contains(80L))
+    assert(kept.size >= 60 && kept.size < 80)
+    // determinism across partitionings with the broadcast path
+    val cents2 = Ann.kmeans(df.repartition(13), "vec_id", "embedding",
+      k = Ann.LiteralCodebookMax + 6, iters = 2)
+    assert(cents == cents2)
+  }
 }

@@ -60,4 +60,37 @@ class LuaStateSpec extends SparkSpec {
       .map(r => (r.getAs[String]("message"), r.getAs[Long]("n"))).toSeq
     assert(rows == Seq(("a", 1L), ("b", 2L), ("c", 3L)))
   }
+
+  test("scripts see event.timestamp (ISO string) and the type round-trips") {
+    // the reference exposes the event's timestamp to Lua; a script
+    // conditioning on it must not read nil, and an untouched timestamp
+    // keeps its TimestampType after the transform
+    val df = Seq(("a", java.sql.Timestamp.valueOf("2024-03-01 10:00:00")))
+      .toDF("message", "timestamp")
+      .withColumn("__event_kind", lit("log")).coalesce(1)
+    val out = Lua(df, "1",
+      source =
+        """if event.timestamp == nil then
+          |  event.had_ts = "missing"
+          |else
+          |  event.had_ts = "present"
+          |end
+          |""".stripMargin, processHook = None)
+    val r = out.select($"had_ts", $"timestamp").head()
+    assert(r.getString(0) == "present")
+    assert(r.get(1).isInstanceOf[java.sql.Timestamp])
+    assert(r.getTimestamp(1).toInstant ==
+      java.time.Instant.parse("2024-03-01T10:00:00Z"))
+  }
+
+  test("a streaming input fails at config load with a clear message") {
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val err = intercept[IllegalArgumentException] {
+      Lua(mem.toDF().withColumnRenamed("value", "message"), "1",
+        source = "event.x = 1", processHook = None)
+    }
+    assert(err.getMessage.contains("streaming sources are not supported"))
+  }
 }

@@ -688,6 +688,72 @@ class ConfigLoaderSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("run: event_time aggregate mode latest keeps the last sample, not the sum") {
+    // two samples in the [0, 3600) window (100@t=100, 200@t=200); the
+    // t=7300 sample closes it. latest must emit 200.0 — a sum would be
+    // 300.0 (the round-8 defect: latest silently collapsed to sum)
+    val running = tailConfig(
+      Seq("100", "200", "7300"),
+      """
+        |transforms:
+        |  vals:
+        |    type: remap
+        |    inputs: [logs]
+        |    source: |
+        |      .val = to_float!(.message)
+        |      .event_ts = from_unix_timestamp!(to_int!(.message))
+        |  last:
+        |    type: aggregate
+        |    inputs: [vals]
+        |    mode: latest
+        |    interval_ms: 3600000
+        |    value_field: val
+        |    event_time:
+        |      timestamp_field: event_ts
+        |      watermark: "0 seconds"
+        |""".stripMargin, "tap_et_latest")
+    try {
+      running.processAllAvailable()
+      eventually() {
+        val rows = spark.table("tap_et_latest").collect()
+        assert(rows.length == 1, rows.mkString(","))
+        assert(rows.head.getAs[Double]("value") == 200.0)
+        assert(rows.head.getAs[Long]("n_events") == 2L)
+      }
+    } finally running.stopAll()
+  }
+
+  test("run: event_time aggregate mode diff emits last-minus-first by event time") {
+    val running = tailConfig(
+      Seq("50", "200", "7300"),
+      """
+        |transforms:
+        |  vals:
+        |    type: remap
+        |    inputs: [logs]
+        |    source: |
+        |      .val = to_float!(.message)
+        |      .event_ts = from_unix_timestamp!(to_int!(.message))
+        |  last:
+        |    type: aggregate
+        |    inputs: [vals]
+        |    mode: diff
+        |    interval_ms: 3600000
+        |    value_field: val
+        |    event_time:
+        |      timestamp_field: event_ts
+        |      watermark: "0 seconds"
+        |""".stripMargin, "tap_et_diff")
+    try {
+      running.processAllAvailable()
+      eventually() {
+        val rows = spark.table("tap_et_diff").collect()
+        assert(rows.length == 1, rows.mkString(","))
+        assert(rows.head.getAs[Double]("value") == 150.0)
+      }
+    } finally running.stopAll()
+  }
+
   test("run: streaming incremental_to_absolute keeps a per-series running sum") {
     val running = tailConfig(
       Seq("1", "2", "3"),

@@ -96,11 +96,69 @@ class PlanAuditSpec extends SparkSpec {
     val assigned = e.select(col("vec_id"),
       Ann.ivfAssign(Ann.asDouble(col("embedding")), cents).as("cell"))
     val p = plan(assigned)
-    // the codebook is a literal: no join, no exchange anywhere in the
-    // assignment — a 100 TB corpus pass is scan + project
-    assert(!p.contains("Exchange") || !p.contains("ENSURE_REQUIREMENTS"),
+    // the codebook is a literal: no join, and no requirements-driven
+    // (hash/range) exchange anywhere in the assignment — a 100 TB
+    // corpus pass is scan + project. (Graft.table's small-file
+    // parallelism floor may add a round-robin repartition; that is the
+    // only exchange allowed.)
+    assert(!p.contains("ENSURE_REQUIREMENTS"),
       s"kmeans assignment shuffles:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"kmeans assignment hash-partitions:\n$p")
     assert(!p.contains("Join"), s"kmeans assignment joins:\n$p")
+  }
+
+  test("large-k assignment keeps an O(1) plan (broadcast codebook)") {
+    import graft.datapipe.Ann
+    val e = graft.Graft.table(spark, dir, "embeddings")
+    val dim = e.select(size(Ann.asDouble(col("embedding")))).head.getInt(0)
+    val k = Ann.LiteralCodebookMax * 4
+    val codebook: Seq[(Long, Seq[Double])] = (0 until k).map(j =>
+      (j.toLong, (0 until dim).map(c => ((j * 31 + c * 7) % 13 - 6) / 6.0)))
+    val bigK = e.select(col("vec_id"),
+      Ann.ivfAssign(Ann.asDouble(col("embedding")), codebook).as("cell"))
+    val p = plan(bigK)
+    // no O(k) literal tree: the per-centroid cosine subtrees (zip_with/
+    // aggregate chains) must NOT be inlined k times; plan size stays
+    // bounded as k grows — the property that survives k ≈ √N at 100 TB
+    assert(!p.contains("zip_with"), s"large-k plan inlines the codebook:\n$p")
+    assert(p.length < 20000, s"large-k plan grew with k (${p.length} chars)")
+    assert(!p.contains("ENSURE_REQUIREMENTS") && !p.contains("Join"),
+      s"large-k assignment is not a pure projection:\n$p")
+  }
+
+  test("loki envelope: label grouping is exactly one shuffle") {
+    val ev = graft.Graft.table(spark, dir, "events")
+      .withColumn("message", col("event_type"))
+    val df = graft.sinks.Envelopes.lokiStreams(ev,
+      Seq("app" -> "{{ event_type }}"), "json")
+    val p = plan(df)
+    val exchanges = "ENSURE_REQUIREMENTS".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"loki envelope shuffles $exchanges times (want exactly 1):\n$p")
+    // and the per-stream aggregation is partial/final around it
+    assert("ObjectHashAggregate|HashAggregate|SortAggregate".r
+      .findAllIn(p).size >= 2, s"no partial aggregate:\n$p")
+  }
+
+  test("file sink: static path skips the shuffle, template path has one") {
+    import graft.sinks.FileSink
+    val ev = graft.Graft.table(spark, dir, "events")
+      .withColumn("message", col("event_type"))
+    val staticPlan = plan(FileSink.routed(ev,
+      FileSink.Config("/tmp/out.log", singleFile = false)))
+    // Graft.table's parallelism floor adds a round-robin repartition;
+    // the sink itself must add no keyed shuffle for a static path
+    assert(!staticPlan.contains("hashpartitioning") &&
+        !staticPlan.contains("ENSURE_REQUIREMENTS"),
+      s"static-path file sink shuffles:\n$staticPlan")
+    val tplPlan = plan(FileSink.routed(ev,
+      FileSink.Config("/tmp/{{ event_type }}.log", singleFile = false)))
+    assert("REPARTITION_BY_COL|hashpartitioning".r.findAllIn(tplPlan).nonEmpty,
+      s"template-path file sink does not co-locate by path:\n$tplPlan")
+    assert("ENSURE_REQUIREMENTS".r.findAllIn(tplPlan).isEmpty,
+      s"template-path file sink has a requirements-driven shuffle beyond " +
+        s"the path repartition:\n$tplPlan")
   }
 
   test("semantic dedup: the candidate join is keyed (hash), not a cross") {
@@ -122,5 +180,15 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(df)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"model join does not broadcast:\n$p")
+    // scoring side: the model join must not shuffle the corpus (it
+    // broadcasts the model instead — a sort-merge join here would be a
+    // corpus-wide exchange on a model key). The FIT contributes several
+    // bounded-size shuffles (vocab/class aggregations over the train
+    // split), so only a pathological growth is gated.
+    assert(!p.contains("SortMergeJoin"),
+      s"model join shuffles the corpus side:\n$p")
+    val exchanges = "ENSURE_REQUIREMENTS".r.findAllIn(p).size
+    assert(exchanges <= 12,
+      s"classifier plan shuffles $exchanges times:\n$p")
   }
 }
