@@ -35,9 +35,10 @@ object Run {
 
     // a directory merges per the reference's config-dir rules
     // (namespaced component files, global merging); .toml converts
-    val yaml = plans.ConfigLoader.readConfigFile(config)
-    val running = plans.ConfigLoader.run(spark, yaml, sfDir, workDir)
-    if (running.queries.isEmpty) {
+    var yaml = plans.ConfigLoader.readConfigFile(config)
+    var running = plans.ConfigLoader.run(spark, yaml, sfDir, workDir)
+    val watch = args.contains("--watch")
+    if (running.queries.isEmpty && !watch) {
       println(s"[graft] batch topology complete; outputs under $workDir")
     } else {
       println(s"[graft] streaming: ${running.queries.keys.mkString(", ")} " +
@@ -47,6 +48,26 @@ object Run {
           Thread.sleep(secs * 1000)
           running.processAllAvailable()
           running.stopAll()
+        case None if watch =>
+          // `--watch`: poll the config for edits; graph-diff and rewire
+          // only the changed components (the reference's SIGHUP reload —
+          // src/config/diff.rs + src/topology/running.rs)
+          while (true) {
+            Thread.sleep(1000)
+            val next = try plans.ConfigLoader.readConfigFile(config)
+              catch { case _: Exception => yaml } // mid-save partial read
+            if (next != yaml) {
+              val (restart, removed) =
+                plans.ConfigLoader.diffConfigs(yaml, next)
+              println(s"[graft] config changed: restarting " +
+                s"${restart.mkString(", ")}" +
+                (if (removed.nonEmpty)
+                  s"; removing ${removed.mkString(", ")}" else ""))
+              running = plans.ConfigLoader.reload(spark, running, yaml,
+                next, sfDir, workDir)
+              yaml = next
+            }
+          }
         case None =>
           spark.streams.awaitAnyTermination()
       }

@@ -983,7 +983,18 @@ object ConfigLoader {
             case _ => throw new IllegalArgumentException(
               s"socket source $id: address must be host:port")
           }
-          Topology.Source(id, Topology.Log,
+          val socketTls = graft.streaming.Tls.configOf(
+            yamlMap(m.getOrElse("tls", null)))
+          if (socketTls.enabled)
+            // Spark's socket format can't wrap TLS — a client-socket
+            // reader over the configured trust settings replaces it
+            Topology.Source(id, Topology.Log, sp => {
+              val src = graft.streaming.SocketServers.tcpClient(sp, h, p,
+                Some(graft.streaming.Tls.clientContext(socketTls)))
+              pendingClosers = (() => src.stop()) :: pendingClosers
+              src.df
+            })
+          else Topology.Source(id, Topology.Log,
             sp => graft.streaming.StreamRunner.socket(sp, h, p)
               .withColumnRenamed("value", "message"))
         case "kafka" =>
@@ -1437,8 +1448,13 @@ object ConfigLoader {
           val addr = m.getOrElse("address", "0.0.0.0:8080").toString
           val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
           val path = m.getOrElse("path", "/").toString
+          val srvTls = graft.streaming.Tls.configOf(
+            yamlMap(m.getOrElse("tls", null)))
           Topology.Source(id, Topology.Log, sp => {
-            val src = graft.streaming.StreamRunner.httpServer(sp, port, path)
+            val src = graft.streaming.StreamRunner.httpServer(sp, port, path,
+              if (srvTls.enabled)
+                Some(graft.streaming.Tls.serverContext(srvTls))
+              else None)
             lastAgentPort = src.boundPort
             pendingClosers = (() => src.stop()) :: pendingClosers
             src.df
@@ -1607,6 +1623,150 @@ object ConfigLoader {
     * through the TOML reader (config/format.rs: toml/yaml/json are
     * interchangeable config formats; JSON is already a YAML subset).
     */
+  // ---------------- live reload (src/config/diff.rs semantics) ---------
+
+  /** The upstream component closure of a sink: every source/transform id
+    * reachable through `inputs` edges (port-qualified refs resolve to
+    * their component).
+    */
+  private def upstreamClosure(conf: Map[String, Any],
+                              sinkId: String): Set[String] = {
+    val sources = yamlMap(conf.getOrElse("sources", null))
+    val transforms = yamlMap(conf.getOrElse("transforms", null))
+    val sinks = yamlMap(conf.getOrElse("sinks", null))
+    def compOf(ref: String): Option[String] =
+      if (sources.contains(ref) || transforms.contains(ref)) Some(ref)
+      else {
+        val head = ref.split("\\.", 2).head
+        if (sources.contains(head) || transforms.contains(head)) Some(head)
+        else None
+      }
+    def inputsOf(id: String): Seq[String] =
+      strList(yamlMap(transforms.getOrElse(id,
+        sinks.getOrElse(id, null))).getOrElse("inputs", Nil))
+    val seen = scala.collection.mutable.Set[String]()
+    def walk(id: String): Unit =
+      inputsOf(id).flatMap(compOf).foreach { c =>
+        if (seen.add(c) && transforms.contains(c)) walk(c)
+      }
+    walk(sinkId)
+    seen.toSet
+  }
+
+  /** Graph-diff two configs the way the reference's SIGHUP reload does
+    * (src/config/diff.rs: components added / changed / removed;
+    * src/topology/running.rs rewires only the changed pieces). Returns
+    * (sinksToRestart, sinksToRemove): a sink restarts when its own
+    * config, any upstream component's config, or a global changed —
+    * and, because each sink is one Catalyst plan over shared source
+    * instances, restart-sets expand until no restarted sink shares an
+    * upstream with a kept one.
+    */
+  def diffConfigs(oldYaml: String, newYaml: String)
+      : (Set[String], Set[String]) = {
+    val oldConf = parseYaml(oldYaml)
+    val newConf = parseYaml(newYaml)
+    val oldSinks = yamlMap(oldConf.getOrElse("sinks", null))
+    val newSinks = yamlMap(newConf.getOrElse("sinks", null))
+    val removed = oldSinks.keySet -- newSinks.keySet
+    val sections = Set("sources", "transforms", "sinks")
+    val globalsChanged =
+      (oldConf -- sections) != (newConf -- sections)
+    def compCfg(conf: Map[String, Any], id: String): Any = {
+      val s = yamlMap(conf.getOrElse("sources", null))
+      val t = yamlMap(conf.getOrElse("transforms", null))
+      s.getOrElse(id, t.getOrElse(id, null))
+    }
+    val directlyChanged = newSinks.keySet.filter { id =>
+      globalsChanged ||
+        oldSinks.get(id) != newSinks.get(id) ||
+        upstreamClosure(newConf, id).exists(c =>
+          compCfg(oldConf, c) != compCfg(newConf, c)) ||
+        upstreamClosure(oldConf, id) != upstreamClosure(newConf, id)
+    }
+    // expand over shared upstreams: a restarted subgraph re-instantiates
+    // its sources, so any kept sink sharing one must restart too
+    var restart = directlyChanged
+    var grew = true
+    while (grew) {
+      val closures = restart.map(upstreamClosure(newConf, _))
+        .foldLeft(Set.empty[String])(_ ++ _)
+      val more = (newSinks.keySet -- restart).filter(id =>
+        upstreamClosure(newConf, id).exists(closures))
+      grew = more.nonEmpty
+      restart = restart ++ more
+    }
+    (restart, removed)
+  }
+
+  /** Re-render the subset of a config feeding `keepSinks` (globals +
+    * upstream closures) — the partial topology a reload restarts.
+    */
+  def renderPartial(yaml: String, keepSinks: Set[String]): String = {
+    val conf = parseYaml(yaml)
+    val keepComps = keepSinks.flatMap(upstreamClosure(conf, _))
+    def filterSection(name: String, keep: Set[String]) = {
+      val m = yamlMap(conf.getOrElse(name, null))
+      val kept = m.filter { case (k, _) => keep(k) }
+      if (kept.isEmpty) None
+      else Some(name -> kept)
+    }
+    val out = new java.util.LinkedHashMap[String, Any]()
+    (conf -- Set("sources", "transforms", "sinks")).foreach {
+      case (k, v) => out.put(k, v) }
+    filterSection("sources", keepComps).foreach { case (k, v) =>
+      val jm = new java.util.LinkedHashMap[String, Any]()
+      v.foreach { case (id, c) => jm.put(id, c) }
+      out.put(k, jm)
+    }
+    filterSection("transforms", keepComps).foreach { case (k, v) =>
+      val jm = new java.util.LinkedHashMap[String, Any]()
+      v.foreach { case (id, c) => jm.put(id, c) }
+      out.put(k, jm)
+    }
+    filterSection("sinks", keepSinks).foreach { case (k, v) =>
+      val jm = new java.util.LinkedHashMap[String, Any]()
+      v.foreach { case (id, c) => jm.put(id, c) }
+      out.put(k, jm)
+    }
+    val opts = new org.yaml.snakeyaml.DumperOptions
+    opts.setDefaultFlowStyle(
+      org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+    new org.yaml.snakeyaml.Yaml(opts).dump(out)
+  }
+
+  /** Apply a config edit to a running topology: stop ONLY the affected
+    * sinks' queries, restart them from the new config (checkpoints under
+    * the same work dir resume where state is compatible), and leave
+    * untouched queries running — the `vector` SIGHUP/`--watch` reload
+    * lifecycle. Driver-side listener sources of a RESTARTED subgraph are
+    * re-instantiated; a listener on a fixed port therefore needs its
+    * port free (ephemeral `:0` test listeners always are). Untouched
+    * subgraphs keep their existing source instances untouched.
+    */
+  def reload(spark: SparkSession, running: RunningConfig,
+             oldYaml: String, newYaml: String, sfDir: String,
+             workDir: String): RunningConfig = {
+    val (restart, removed) = diffConfigs(oldYaml, newYaml)
+    (restart ++ removed).foreach { id =>
+      running.queries.get(id).foreach(q =>
+        try q.stop() catch { case _: Exception => () })
+    }
+    if (restart.isEmpty)
+      running.copy(queries = running.queries -- removed)
+    else {
+      val fresh = run(spark, renderPartial(newYaml, restart), sfDir, workDir)
+      RunningConfig(
+        running.queries -- removed -- restart ++ fresh.queries,
+        running.tails ++ fresh.tails,
+        running.scrapers ++ fresh.scrapers,
+        running.logTaps ++ fresh.logTaps,
+        running.closers ++ fresh.closers,
+        running.exporters ++ fresh.exporters,
+        running.pollers ++ fresh.pollers)
+    }
+  }
+
   def readConfigFile(path: String): String = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isDirectory(p)) mergeConfigDir(path)
@@ -1983,7 +2143,9 @@ object ConfigLoader {
         val cfg = NetworkSinks.SocketConfig(
           m.getOrElse("mode", "tcp").toString,
           m.getOrElse("address", m.getOrElse("path", "")).toString,
-          codec, framing, delim)
+          codec, framing, delim,
+          tls = graft.streaming.Tls.configOf(
+            yamlMap(m.getOrElse("tls", null))))
         Some(df => NetworkSinks.writeSocket(df, cfg))
       case "vector" =>
         // vector-to-vector transport: the native_json envelope
@@ -2005,7 +2167,9 @@ object ConfigLoader {
           contentType = if (codec == "json") "application/x-ndjson"
             else "text/plain",
           payloadPrefix = m.getOrElse("payload_prefix", "").toString,
-          payloadSuffix = m.getOrElse("payload_suffix", "").toString)
+          payloadSuffix = m.getOrElse("payload_suffix", "").toString,
+          tls = graft.streaming.Tls.configOf(
+            yamlMap(m.getOrElse("tls", null))))
         Some(df => NetworkSinks.writeHttp(df, cfg))
       case "elasticsearch" =>
         val bulk = yamlMap(m.getOrElse("bulk", null))

@@ -21,7 +21,10 @@ object NetworkSinks {
       address: String, // host:port for tcp/udp; path for unix
       codec: String = "text",
       framing: String = "newline_delimited",
-      delimiter: String = "\n")
+      delimiter: String = "\n",
+      // `tls:` (src/tls/settings.rs shape) — the CONFIG ships to the
+      // executor; the SSLContext is built per task (not serializable)
+      tls: graft.streaming.Tls.Config = graft.streaming.Tls.Config())
       extends Serializable
 
   def writeSocket(df: DataFrame, cfg: SocketConfig): Unit = {
@@ -32,7 +35,8 @@ object NetworkSinks {
       c.mode match {
         case "tcp" =>
           val (host, port) = splitHostPort(c.address)
-          val sock = new java.net.Socket(host, port)
+          val sock = graft.streaming.Tls.clientSocketFactory(c.tls)
+            .createSocket(host, port)
           val out = new java.io.BufferedOutputStream(sock.getOutputStream)
           try rows.foreach { r =>
             val s = r.getString(0)
@@ -89,7 +93,10 @@ object NetworkSinks {
       // payload_prefix/payload_suffix wrap each request body
       // (http/config.rs:78,87 — e.g. "{\"data\":[" … "]}")
       payloadPrefix: String = "",
-      payloadSuffix: String = "")
+      payloadSuffix: String = "",
+      // `tls:` for https:// endpoints beyond the JDK default roots
+      // (custom ca_file, or verify_certificate: false)
+      tls: graft.streaming.Tls.Config = graft.streaming.Tls.Config())
       extends Serializable
 
   /** POST each task's events in batches of `maxEvents`. Returns nothing;
@@ -171,6 +178,14 @@ object NetworkSinks {
   private[sinks] def post(c: HttpConfig, body: Array[Byte]): Unit = {
     val conn = new java.net.URI(c.uri).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
+    conn match {
+      case https: javax.net.ssl.HttpsURLConnection if c.tls.enabled =>
+        https.setSSLSocketFactory(
+          graft.streaming.Tls.clientContext(c.tls).getSocketFactory)
+        if (!c.tls.verifyCertificate)
+          https.setHostnameVerifier((_, _) => true)
+      case _ => ()
+    }
     conn.setRequestMethod(c.method.toUpperCase)
     conn.setDoOutput(true)
     conn.setRequestProperty("Content-Type", c.contentType)

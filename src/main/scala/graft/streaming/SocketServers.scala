@@ -155,6 +155,40 @@ object SocketServers {
     def stop(): Unit = { running = false; sock.close() }
   }
 
+  /** TCP line CLIENT: connects OUT to host:port (the Spark socket
+    * source's shape) but through an arbitrary socket factory — the TLS
+    * path for `type: socket` sources, which Spark's built-in socket
+    * format cannot wrap.
+    */
+  final class TcpLineClient(spark: SparkSession, host: String, port: Int,
+                            tls: Option[javax.net.ssl.SSLContext]) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    private implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    private val mem = MemoryStream[String]
+    private val sock = tls match {
+      case Some(ctx) => ctx.getSocketFactory.createSocket(host, port)
+      case None => new java.net.Socket(host, port)
+    }
+    private val readThread = new Thread(() => {
+      try {
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+        var line = reader.readLine()
+        while (line != null) {
+          if (line.nonEmpty) mem.addData(line)
+          line = reader.readLine()
+        }
+      } catch { case _: java.io.IOException => () }
+    }, s"tcp-line-client-$host:$port")
+    readThread.setDaemon(true)
+    readThread.start()
+
+    def df: DataFrame = mem.toDF().withColumnRenamed("value", "message")
+    def stop(): Unit = try sock.close() catch { case _: Exception => () }
+  }
+
   def tcp(spark: SparkSession, port: Int,
           framing: String = "newline_delimited",
           tls: Option[javax.net.ssl.SSLContext] = None): TcpLineServer =
@@ -162,4 +196,8 @@ object SocketServers {
 
   def udp(spark: SparkSession, port: Int): UdpLineServer =
     new UdpLineServer(spark, port)
+
+  def tcpClient(spark: SparkSession, host: String, port: Int,
+                tls: Option[javax.net.ssl.SSLContext] = None): TcpLineClient =
+    new TcpLineClient(spark, host, port, tls)
 }

@@ -108,13 +108,24 @@ object StreamRunner {
     * http_server is likewise a single listener; at scale a load
     * balancer fans out over many single-listener instances).
     */
-  final class HttpServerSource(spark: SparkSession, port: Int, path: String) {
+  final class HttpServerSource(spark: SparkSession, port: Int, path: String,
+                               tls: Option[javax.net.ssl.SSLContext] = None) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     private val mem = MemoryStream[String]
-    private val server = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress(port), 0)
+    private val server = tls match {
+      case Some(ctx) =>
+        // `tls:` block → HTTPS listener (reference src/sources/util/http:
+        // every HTTP-push source takes TlsEnableableConfig)
+        val s = com.sun.net.httpserver.HttpsServer.create(
+          new java.net.InetSocketAddress(port), 0)
+        s.setHttpsConfigurator(
+          new com.sun.net.httpserver.HttpsConfigurator(ctx))
+        s
+      case None => com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress(port), 0)
+    }
     server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
       try {
         val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
@@ -129,9 +140,10 @@ object StreamRunner {
     def df: DataFrame = mem.toDF().withColumnRenamed("value", "message")
     def stop(): Unit = server.stop(0)
   }
-  def httpServer(spark: SparkSession, port: Int = 0,
-                 path: String = "/"): HttpServerSource =
-    new HttpServerSource(spark, port, path)
+  def httpServer(spark: SparkSession, port: Int = 0, path: String = "/",
+                 tls: Option[javax.net.ssl.SSLContext] = None)
+      : HttpServerSource =
+    new HttpServerSource(spark, port, path, tls)
 
   /** `http_client` source (reference src/sources/http_client/): poll a
     * URL on an interval from a driver thread, newline-frame each

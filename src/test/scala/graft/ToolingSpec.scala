@@ -136,6 +136,98 @@ class ToolingSpec extends SparkSpec {
     assert(results.forall(_._2.isEmpty))
   }
 
+  test("reload: graph-diff restarts only the changed pipeline") {
+    // two independent file-tail pipelines; editing pipeline A's remap
+    // must restart A's query only — B's StreamingQuery instance keeps
+    // running untouched and still processes appended data
+    val dirA = java.nio.file.Files.createTempDirectory("rlA")
+    val dirB = java.nio.file.Files.createTempDirectory("rlB")
+    java.nio.file.Files.write(dirA.resolve("a.log"), "one\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dirB.resolve("b.log"), "x\n".getBytes("UTF-8"))
+    def configWith(transformA: String) =
+      s"""
+        |sources:
+        |  srcA:
+        |    type: file
+        |    path: $dirA
+        |  srcB:
+        |    type: file
+        |    path: $dirB
+        |transforms:
+        |  upA:
+        |    type: remap
+        |    inputs: [srcA]
+        |    source: |
+        |      $transformA
+        |  upB:
+        |    type: remap
+        |    inputs: [srcB]
+        |    source: |
+        |      .msg = downcase!(.message)
+        |sinks:
+        |  rl_outA:
+        |    type: memory
+        |    inputs: [upA]
+        |  rl_outB:
+        |    type: memory
+        |    inputs: [upB]
+        |""".stripMargin
+    val yaml1 = configWith(".msg = upcase!(.message)")
+    val yaml2 = configWith(""".msg = "edited-" + .message""")
+    // the diff itself: only A's chain restarts, nothing is removed
+    val (restart, removed) = plans.ConfigLoader.diffConfigs(yaml1, yaml2)
+    assert(restart == Set("rl_outA"))
+    assert(removed.isEmpty)
+    val tmp = java.nio.file.Files.createTempDirectory("rlwork").toString
+    var running = plans.ConfigLoader.run(spark, yaml1,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      running.processAllAvailable()
+      assert(spark.table("rl_outA").collect()
+        .map(_.getAs[String]("msg")).toSet == Set("ONE"))
+      val qB = running.queries("rl_outB")
+      running = plans.ConfigLoader.reload(spark, running, yaml1, yaml2,
+        "/root/testdata/sf0.001", tmp)
+      // B: the SAME query instance, never stopped
+      assert(running.queries("rl_outB") eq qB)
+      assert(qB.isActive)
+      running.processAllAvailable()
+      // A: new behavior (restarted subgraph re-tails the file)
+      assert(spark.table("rl_outA").collect()
+        .map(_.getAs[String]("msg")).toSet == Set("edited-one"))
+      // B still ingests appended data through the untouched query
+      java.nio.file.Files.write(dirB.resolve("b.log"),
+        "y\n".getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+      running.processAllAvailable()
+      assert(spark.table("rl_outB").collect()
+        .map(_.getAs[String]("msg")).toSet == Set("x", "y"))
+    } finally running.stopAll()
+  }
+
+  test("reload: removed sinks stop; global change restarts everything") {
+    val y1 =
+      """
+        |timezone: UTC
+        |sources:
+        |  in: {type: parquet, table: events}
+        |sinks:
+        |  s1: {type: memory, inputs: [in]}
+        |  s2: {type: memory, inputs: [in]}
+        |""".stripMargin
+    val yRemoved = y1.replace("  s2: {type: memory, inputs: [in]}\n", "")
+    val (r1, gone) = plans.ConfigLoader.diffConfigs(y1, yRemoved)
+    assert(gone == Set("s2") && r1.isEmpty)
+    val yGlobal = y1.replace("timezone: UTC", "timezone: America/New_York")
+    val (r2, _) = plans.ConfigLoader.diffConfigs(y1, yGlobal)
+    assert(r2 == Set("s1", "s2"))
+    // shared-upstream expansion: editing s1's private transform chain
+    // does not touch s2 unless they share a component — here they share
+    // the source, so a source edit restarts both
+    val ySrc = y1.replace("table: events", "table: orders")
+    val (r3, _) = plans.ConfigLoader.diffConfigs(y1, ySrc)
+    assert(r3 == Set("s1", "s2"))
+  }
+
   test("generate: named prefixes, omitted dividers, fan-in wiring") {
     val cfg = Generate.generate("foo:demo_logs,bar:socket//baz:console")
     assert(cfg.contains("  foo:"))
