@@ -231,7 +231,11 @@ object Bench {
         total / secs
       }
       run(100000, 1000) // warmup: codegen + state-store setup
-      val attempts = (1 to 3).map(_ => run(2000000, 10000))
+      // five attempts, median: round-9 adjudication measured the same
+      // kernel at 1.2-2.0M ev/s across host states with IDENTICAL code
+      // (git-diff-verified vs round 7), so a wider sample is the only
+      // defense (see BENCH_NOTES_r09.md)
+      val attempts = (1 to 5).map(_ => run(2000000, 10000))
       attempts.sorted.apply(attempts.size / 2)
     } catch { case _: Throwable => Double.NaN }
     val streamEventsPerSec = streamingThrottleRate()
