@@ -302,6 +302,38 @@ object DatapipeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Published rule-based quality filters (datapipe/QualityRules):
+    // the synthetic docs are single-line word soup, so both queries
+    // first derive a richer text deterministically (punctuation,
+    // newlines, bullets, stop-words injected via literal replaces the
+    // oracle mirrors exactly) — the rules then see a pass/fail MIX.
+    "quality_gopher" -> { (s, dir) =>
+      import graft.datapipe.QualityRules
+      val t2 = replace(
+        replace(col("text"), lit(" merge "),
+          lit(".\nwe have to merge with that of and the lot. ")),
+        lit(" slow "), lit("...\n• slow "))
+      QualityRules.gopherMetrics(
+          docs(s, dir).select(col("doc_id"), t2.as("t2")), col("t2"))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("bullet_ratio"), col("ellipsis_ratio"),
+          col("alpha_ratio"), col("stopword_hits"), col("gopher_pass"))
+        .orderBy(col("doc_id"))
+    },
+
+    "quality_c4" -> { (s, dir) =>
+      import graft.datapipe.QualityRules
+      val t2 = replace(
+        replace(col("text"), lit(" merge "),
+          lit(".\nwe have to merge with that of and the lot. ")),
+        lit(" slow "), lit("...\n• slow "))
+      QualityRules.c4Metrics(
+          docs(s, dir).select(col("doc_id"), t2.as("t2")), col("t2"))
+        .select(col("doc_id"), col("clean_text"), col("n_sentences"),
+          col("c4_pass"))
+        .orderBy(col("doc_id"))
+    },
+
     "text_stats" -> { (s, dir) =>
       // staged projections: tokenize once, derive each ratio once, then
       // fan out — the split/filter lambda is evaluated once per doc
@@ -926,6 +958,87 @@ object DatapipeQueries {
         |                         for d in list_distinct(b)]) * 1.0 / len(b), 6)
         |    ELSE 0.0 END AS top_bigram_share
         |FROM bg ORDER BY doc_id""".stripMargin,
+
+    "quality_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    replace(replace(text,
+        |      ' merge ', '.' || chr(10) || 'we have to merge with that of and the lot. '),
+        |      ' slow ', '...' || chr(10) || '• slow ') AS t2
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, t2,
+        |    len(regexp_split_to_array(trim(t2), '\s+')) AS n_words,
+        |    length(regexp_replace(t2, '\s+', '', 'g')) AS nw_chars,
+        |    (length(t2) - length(replace(t2, '#', ''))) +
+        |      (length(t2) - length(replace(t2, '...', ''))) / 3 AS n_sym,
+        |    string_split(t2, chr(10)) AS ls,
+        |    regexp_split_to_array(trim(t2), '\s+') AS ws
+        |  FROM t)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        |  round(nw_chars * 1.0 / n_words, 6) AS mean_word_len,
+        |  round(n_sym * 1.0 / n_words, 6) AS symbol_ratio,
+        |  round(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]')))
+        |    * 1.0 / len(ls), 6) AS bullet_ratio,
+        |  round(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+        |    * 1.0 / len(ls), 6) AS ellipsis_ratio,
+        |  round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+        |    * 1.0 / n_words, 6) AS alpha_ratio,
+        |  CAST((CASE WHEN regexp_matches(lower(t2), '\bthe\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bbe\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bto\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bof\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\band\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bthat\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bhave\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bwith\b') THEN 1 ELSE 0 END)
+        |    AS INT) AS stopword_hits,
+        |  (n_words BETWEEN 50 AND 100000
+        |    AND round(nw_chars * 1.0 / n_words, 6) BETWEEN 3.0 AND 10.0
+        |    AND round(n_sym * 1.0 / n_words, 6) <= 0.1
+        |    AND round(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]')))
+        |      * 1.0 / len(ls), 6) <= 0.9
+        |    AND round(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+        |      * 1.0 / len(ls), 6) <= 0.3
+        |    AND round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+        |      * 1.0 / n_words, 6) >= 0.8
+        |    AND ((CASE WHEN regexp_matches(lower(t2), '\bthe\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bbe\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bto\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bof\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\band\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bthat\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bhave\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bwith\b') THEN 1 ELSE 0 END)) >= 2
+        |  ) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "quality_c4" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    replace(replace(text,
+        |      ' merge ', '.' || chr(10) || 'we have to merge with that of and the lot. '),
+        |      ' slow ', '...' || chr(10) || '• slow ') AS t2
+        |  FROM documents),
+        |c AS (
+        |  -- array_to_string of an empty list is NULL in DuckDB; Spark's
+        |  -- array_join is '' — coalesce for parity
+        |  SELECT doc_id,
+        |    coalesce(array_to_string(list_filter(string_split(t2, chr(10)),
+        |      l -> regexp_matches(l, '[.!?"'']\s*$')
+        |        AND len(regexp_split_to_array(trim(l), '\s+')) >= 5),
+        |      chr(10)), '') AS clean_text
+        |  FROM t)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(clean_text)
+        |    - length(regexp_replace(clean_text, '[.!?]', '', 'g')) AS INT)
+        |    AS n_sentences,
+        |  (NOT contains(clean_text, '{')
+        |    AND NOT contains(lower(clean_text), 'lorem ipsum')
+        |    AND length(clean_text)
+        |      - length(regexp_replace(clean_text, '[.!?]', '', 'g')) >= 3
+        |    AND length(clean_text) > 0) AS c4_pass
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       """WITH t AS (

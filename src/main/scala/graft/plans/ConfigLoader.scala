@@ -767,6 +767,15 @@ object ConfigLoader {
     * Framing: `newline_delimited`, `character_delimited` (`.delimiter`),
     * `octet_counting`, `bytes`.
     */
+  /** The binary payload of a framed source row: kafka-style binary
+    * `value` directly; string sources carry base64.
+    */
+  private def binPayload(df: DataFrame): Column =
+    if (df.columns.contains("value") &&
+        df.schema(df.schema.fieldIndex("value")).dataType ==
+          org.apache.spark.sql.types.BinaryType) col("value")
+    else unbase64(col("message"))
+
   private[graft] def applyDecoding(df0: DataFrame, m: Map[String, Any])
       : DataFrame = {
     import graft.codecs.{Decode, Framing}
@@ -839,6 +848,53 @@ object ConfigLoader {
       case Some("logfmt") =>
         framed.withColumn("data",
           graft.functions.Vrl.parseKeyValue(col("message"), " ", "="))
+      case Some("avro") =>
+        // decoding.avro.schema = the writer schema JSON (the reference's
+        // avro deserializer config, lib/codecs decoding avro). Binary
+        // sources (kafka value) decode their bytes directly; string
+        // sources carry base64 (binary-transparent strings boundary).
+        val schema = yamlMap(dec.getOrElse("avro", null))
+          .getOrElse("schema", "").toString
+        require(schema.nonEmpty, "decoding.avro.schema is required")
+        framed
+          .select(graft.codecs.AvroCodec.decode(schema, binPayload(framed))
+            .as("__a"))
+          .filter(col("__a").isNotNull)
+          .select(col("__a.*"))
+      case Some("protobuf") =>
+        // decoding.protobuf.fields = [{no, name, type}] — an inline
+        // message schema (the reference takes a compiled desc_file +
+        // message_type; a descriptor-set walker is out of scope in this
+        // sandbox, so the schema is declared inline). Types: int64,
+        // sint64, double, fixed64, string, bytes (+ repeated_<t>).
+        import graft.codecs.ProtobufCodec
+        val pfs = yamlList(yamlMap(dec.getOrElse("protobuf", null))
+          .getOrElse("fields", Nil)).map { f =>
+          val fm = yamlMap(f)
+          def ptypeOf(t: String): ProtobufCodec.PType = t match {
+            case "int64" | "int32" | "uint64" | "uint32" | "bool" =>
+              ProtobufCodec.PVarint
+            case "sint64" | "sint32" => ProtobufCodec.PSint
+            case "double" => ProtobufCodec.PDouble
+            case "fixed64" => ProtobufCodec.PFixed64
+            case "string" => ProtobufCodec.PString
+            case "bytes" => ProtobufCodec.PBytes
+            case r if r.startsWith("repeated_") =>
+              ProtobufCodec.PRepeated(ptypeOf(r.stripPrefix("repeated_")))
+            case other => throw new IllegalArgumentException(
+              s"decoding.protobuf: unsupported field type $other")
+          }
+          ProtobufCodec.ProtoField(
+            fm.getOrElse("no", "0").toString.toInt,
+            fm.getOrElse("name", "").toString,
+            ptypeOf(fm.getOrElse("type", "string").toString))
+        }
+        require(pfs.nonEmpty, "decoding.protobuf.fields is required")
+        framed
+          .select(ProtobufCodec.decode(ProtobufCodec.ProtoSchema(pfs),
+            binPayload(framed)).as("__p"))
+          .filter(col("__p").isNotNull)
+          .select(col("__p.*"))
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported decoding codec: $other")
     }

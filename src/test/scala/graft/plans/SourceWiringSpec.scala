@@ -473,4 +473,38 @@ class SourceWiringSpec extends SparkSpec {
     assert(r.getAs[Map[String, String]]("tags") == Map("host" -> "h1"))
     assert(r.getAs[Map[String, Double]]("fields") == Map("usage" -> 0.5))
   }
+
+  test("decoding: avro and protobuf decode binary payloads from config") {
+    import spark.implicits._
+    // avro: encode with the writer schema, round-trip through the
+    // decoding block over a kafka-shaped binary `value` column
+    val schema =
+      """{"type":"record","name":"E","fields":[
+        |{"name":"id","type":"long"},{"name":"tag","type":"string"}]}"""
+        .stripMargin
+    val payloads = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .select(graft.codecs.AvroCodec.encode(schema,
+        struct(col("id"), col("tag"))).as("value"))
+    val avro = ConfigLoader.applyDecoding(payloads,
+      Map("decoding" -> java.util.Map.of("codec", "avro",
+        "avro", java.util.Map.of("schema", schema))))
+    assert(avro.orderBy("id").collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("tag"))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // protobuf: inline field schema, same round trip
+    import graft.codecs.ProtobufCodec._
+    val ps = ProtoSchema(Seq(ProtoField(1, "n", PVarint),
+      ProtoField(2, "s", PString)))
+    val pbin = Seq((7L, "x"), (8L, "y")).toDF("n", "s")
+      .select(graft.codecs.ProtobufCodec.encode(ps,
+        struct(col("n"), col("s"))).as("value"))
+    val pb = ConfigLoader.applyDecoding(pbin,
+      Map("decoding" -> java.util.Map.of("codec", "protobuf",
+        "protobuf", java.util.Map.of("fields", java.util.List.of(
+          java.util.Map.of("no", "1", "name", "n", "type", "int64"),
+          java.util.Map.of("no", "2", "name", "s", "type", "string"))))))
+    assert(pb.orderBy("n").collect().map(r =>
+      (r.getAs[Long]("n"), r.getAs[String]("s"))).toSeq ==
+      Seq((7L, "x"), (8L, "y")))
+  }
 }
