@@ -302,6 +302,48 @@ object DatapipeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Exact duplicated-span REMOVAL (Lee et al. 2021 exact-substring
+    // dedup over stride-1 windows): repeated 8-token windows are excised
+    // everywhere except their canonical first occurrence, overlaps
+    // merged, text rebuilt.
+    "dedup_span_removal" -> { (s, dir) =>
+      Dedup.removeDupSpans(docs(s, dir), "doc_id", col("text"),
+          windowTokens = 8)
+        .select(col("doc").as("doc_id"), col("n_tokens"),
+          col("n_removed"), col("n_spans_removed"), col("cleaned_text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // GPT-style sequence packing: md5-order concat + fixed 512-token
+    // windows; per-doc placement via a two-phase distributed prefix sum
+    "pack_sequences" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).as("n_toks"))
+      graft.datapipe.Packing.pack(d, col("doc_id"), col("n_toks"),
+          seqLen = 512, buckets = 16, sepTokens = 1)
+        .select(col("doc_id"), col("n_toks"), col("offset"),
+          col("first_seq"), col("offset_in_seq"), col("last_seq"),
+          col("n_seqs_spanned"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII redaction (regex scrub): deterministic identifiers injected
+    // into the word soup, counted + redacted — both engines run the
+    // same RE2-compatible patterns
+    "pii_redact" -> { (s, dir) =>
+      import graft.datapipe.Pii
+      val t2 = replace(replace(replace(col("text"),
+        lit(" data "), lit(" mail bob.lee+x@ex-ample.org now ")),
+        lit(" key "), lit(" host 10.42.7.250 dial +555-867-5309 ")),
+        lit(" row "), lit(" ssn 123-45-6789 card 4242 4242 4242 4242 "))
+      Pii.stats(docs(s, dir).select(col("doc_id"), t2.as("t2")),
+          col("t2"))
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"),
+          col("n_ssn"), col("n_phone"), col("n_card"), col("n_pii"),
+          col("redacted"))
+        .orderBy(col("doc_id"))
+    },
+
     // Published rule-based quality filters (datapipe/QualityRules):
     // the synthetic docs are single-line word soup, so both queries
     // first derive a richer text deterministically (punctuation,
@@ -958,6 +1000,134 @@ object DatapipeQueries {
         |                         for d in list_distinct(b)]) * 1.0 / len(b), 6)
         |    ELSE 0.0 END AS top_bigram_share
         |FROM bg ORDER BY doc_id""".stripMargin,
+
+    "dedup_span_removal" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS doc,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |tk2 AS (SELECT doc, t, len(t) AS n_tokens FROM tk),
+        |w0 AS (
+        |  SELECT doc, t, unnest(range(1, n_tokens - 8 + 2)) AS start
+        |  FROM tk2 WHERE n_tokens >= 8),
+        |wins AS (
+        |  SELECT doc, start,
+        |    md5(array_to_string(t[start:start+7], ' ')) AS wh
+        |  FROM w0),
+        |marked AS (
+        |  SELECT doc, start, start + 7 AS e,
+        |    count(*) OVER (PARTITION BY wh) AS cnt,
+        |    row_number() OVER (PARTITION BY wh ORDER BY doc, start) AS rn
+        |  FROM wins),
+        |cuts AS (SELECT doc, start, e FROM marked WHERE cnt > 1 AND rn > 1),
+        |isl0 AS (
+        |  SELECT doc, start, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY doc ORDER BY start, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR start > max(e) OVER (PARTITION BY doc ORDER BY start, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM cuts),
+        |isl1 AS (
+        |  SELECT doc, start, e,
+        |    sum(ni) OVER (PARTITION BY doc ORDER BY start, e
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl0),
+        |isl AS (
+        |  SELECT doc, island, min(start) AS s, max(e) AS e
+        |  FROM isl1 GROUP BY doc, island),
+        |per AS (
+        |  SELECT doc, count(*) AS n_spans_removed,
+        |    CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+        |  FROM isl GROUP BY doc),
+        |cov AS (SELECT DISTINCT doc, unnest(range(s, e + 1)) AS i FROM isl),
+        |pos AS (
+        |  SELECT doc, unnest(range(1, n_tokens + 1)) AS i, t
+        |  FROM tk2 WHERE n_tokens > 0),
+        |kept AS (
+        |  SELECT p.doc, p.i, p.t[p.i] AS tok FROM pos p
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cov c WHERE c.doc = p.doc AND c.i = p.i)),
+        |clean AS (
+        |  SELECT doc, string_agg(tok, ' ' ORDER BY i) AS cleaned_text
+        |  FROM kept GROUP BY doc)
+        |SELECT tk2.doc AS doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  coalesce(per.n_removed, 0) AS n_removed,
+        |  coalesce(per.n_spans_removed, 0) AS n_spans_removed,
+        |  coalesce(clean.cleaned_text, '') AS cleaned_text
+        |FROM tk2
+        |LEFT JOIN per ON per.doc = tk2.doc
+        |LEFT JOIN clean ON clean.doc = tk2.doc
+        |ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS n_toks,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+        |      AS BIGINT) % 16 AS b,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |placed AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(coalesce(sum(n_toks + 1) OVER (
+        |      ORDER BY b, h, CAST(doc_id AS VARCHAR)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS "offset"
+        |  FROM d)
+        |SELECT doc_id, n_toks, "offset",
+        |  "offset" // 512 AS first_seq,
+        |  CASE WHEN n_toks > 0 THEN ("offset" + n_toks - 1) // 512
+        |       ELSE "offset" // 512 END AS last_seq,
+        |  "offset" % 512 AS offset_in_seq,
+        |  CAST((CASE WHEN n_toks > 0 THEN ("offset" + n_toks - 1) // 512
+        |       ELSE "offset" // 512 END) - "offset" // 512 + 1 AS INT)
+        |    AS n_seqs_spanned
+        |FROM placed ORDER BY doc_id""".stripMargin,
+
+    "pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(text,
+        |      ' data ', ' mail bob.lee+x@ex-ample.org now '),
+        |      ' key ', ' host 10.42.7.250 dial +555-867-5309 '),
+        |      ' row ', ' ssn 123-45-6789 card 4242 4242 4242 4242 ') AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS INT)
+        |    AS n_phone,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b')) AS INT)
+        |    AS n_card,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   + len(regexp_extract_all(t2,
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+        |   + len(regexp_extract_all(t2,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+        |   + len(regexp_extract_all(t2,
+        |    '\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b'))
+        |   + len(regexp_extract_all(t2,
+        |    '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b')) AS INT)
+        |    AS n_pii,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |    '\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b', '<CARD>', 'g')
+        |    AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "quality_gopher" ->
       """WITH t AS (

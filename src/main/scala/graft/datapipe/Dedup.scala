@@ -352,6 +352,73 @@ object Dedup {
           .as("dup_span_ratio"))
   }
 
+  /** Exact duplicated-span REMOVAL (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — their
+    * exact-substring dedup, here over stride-1 token windows instead of
+    * a suffix array): any `windowTokens`-token window whose hash occurs
+    * more than once corpus-wide is excised from every occurrence EXCEPT
+    * the canonical first one (min (doc, start) — the usual keep-first
+    * convention), overlapping excisions merged per document before
+    * cutting so adjacent duplicated windows remove one contiguous span.
+    *
+    * Scale shape: one shuffle on window hash (count + canonical pick —
+    * map-side combined), one shuffle on doc (the islands window + the
+    * rebuild agg); the window inventory is stride-1 so it is
+    * O(corpus tokens) rows — the same order as tokenization itself.
+    * Interval merging is the gaps-and-islands window pattern, not a
+    * per-doc loop. Returns (doc, n_tokens, n_removed, n_spans_removed,
+    * cleaned_text).
+    */
+  def removeDupSpans(docs: DataFrame, id: String, text: Column,
+                     windowTokens: Int = 8): DataFrame = {
+    val W = windowTokens
+    val toks = docs.select(col(id).as("doc"), tokens(text).as("t"))
+      .withColumn("n_tokens", size(col("t")))
+    // stride-1 windows with their 1-based start token index
+    val wins = toks.filter(col("n_tokens") >= W)
+      .select(col("doc"),
+        posexplode(transform(sequence(lit(0), col("n_tokens") - W),
+          i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(W)))))))
+      .select(col("doc"), (col("pos") + 1).as("start"), col("col").as("wh"))
+    // canonical occurrence per duplicated hash = min (doc, start)
+    val dupHashes = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc"), col("start"))).as("canon"))
+      .filter(col("cnt") > 1)
+    val toCut = wins.join(dupHashes, "wh")
+      .filter(!(col("doc") === col("canon.doc") &&
+        col("start") === col("canon.start")))
+      .select(col("doc"), col("start"), (col("start") + W - 1).as("end"))
+    // merge overlapping/adjacent ranges per doc (gaps-and-islands)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("start"), col("end"))
+    val runMax = max(col("end")).over(byDoc
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val islands = toCut
+      .withColumn("new_island",
+        when(runMax.isNull || col("start") > runMax, 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(byDoc))
+      .groupBy(col("doc"), col("island"))
+      .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+    val perDoc = islands.groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+          .as("spans"),
+        count(lit(1)).as("n_spans_removed"),
+        sum(col("e") - col("s") + 1).as("n_removed"))
+    // rebuild: keep tokens whose 1-based index is outside every span —
+    // HOF filter with index, no per-token explode
+    toks.join(perDoc, Seq("doc"), "left")
+      .select(col("doc"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_spans_removed"), lit(0L)).as("n_spans_removed"),
+        array_join(
+          when(col("spans").isNull, col("t")).otherwise(
+            filter(col("t"), (_, i) =>
+              !exists(col("spans"), r =>
+                i + 1 >= r.getField("s") && i + 1 <= r.getField("e")))),
+          " ").as("cleaned_text"))
+  }
+
   /** Connected components over an undirected near-dup edge list — the
     * clustering step after candidate generation: every doc in a
     * component is a near-dup of the others (transitively), and dedup
