@@ -635,51 +635,61 @@ object ConfigLoader {
           } else TagCardinalityLimit(df, tag, limit, orderColOf(df), action))
 
       case "line_agg" | "multiline" =>
-        import graft.operators.LineAgg
-        val modeName = conf.getOrElse("mode", "continue_through").toString
-        val mode = modeName match {
-          case "continue_through" => LineAgg.ContinueThrough
-          case "continue_with" => LineAgg.ContinueWith
-          case "halt_before" => LineAgg.HaltBefore
-          case "halt_with" => LineAgg.HaltWith
-          case other => throw new IllegalArgumentException(
-            s"line_agg: unknown mode $other")
-        }
-        val pattern = conf.getOrElse("condition_pattern",
-          conf.getOrElse("pattern", ".*")).toString
-        val sep = conf.getOrElse("separator", "\n").toString
-        val fileField = conf.getOrElse("file_field", "file").toString
-        val msgField = conf.getOrElse("message_field", "message").toString
-        val timeoutMs = conf.getOrElse("timeout_ms", "3000").toString.toLong
-        Topology.Transform.simple(id, inputs, df =>
-          if (df.isStreaming) {
-            // per-file open-group state with the reference's timeout
-            // flush (line_agg.rs:49-58) — the one line_agg behavior the
-            // batch window form cannot express
-            val staged = df
-              .withColumn("__file",
-                (if (df.columns.contains(fileField)) col(fileField)
-                 else lit("-")).cast("string"))
-              .withColumn("__ord", streamOrderColOf(df).cast("long"))
-              .withColumn("__line", col(msgField).cast("string"))
-            implicit val enc: org.apache.spark.sql.Encoder[Row] =
-              org.apache.spark.sql.Encoders.row(staged.schema)
-            val fi = staged.schema.fieldIndex("__file")
-            val oi = staged.schema.fieldIndex("__ord")
-            val li = staged.schema.fieldIndex("__line")
-            graft.streaming.StatefulKernels.lineAgg[String, Row](
-              staged.groupByKey(r => String.valueOf(r.get(fi)))(
-                org.apache.spark.sql.Encoders.STRING),
-              modeName, pattern, sep,
-              r => r.getLong(oi), r => String.valueOf(r.get(li)),
-              timeoutMs).toDF()
-          } else LineAgg(df,
-            if (df.columns.contains(fileField)) col(fileField) else lit("-"),
-            orderColOf(df), col(msgField), mode, pattern, sep))
+        Topology.Transform.simple(id, inputs, lineAggFn(conf))
 
       case other =>
         throw new IllegalArgumentException(s"unsupported transform type: $other")
     }
+  }
+
+  /** line_agg / multiline body (src/transforms/line_agg + the file
+    * source's embedded `multiline:` block, src/sources/file.rs — both
+    * share this). `start_pattern` (the file-source spelling) is an
+    * accepted alias for the aggregation pattern.
+    */
+  private def lineAggFn(conf: Map[String, Any]): DataFrame => DataFrame = {
+    import graft.operators.LineAgg
+    val modeName = conf.getOrElse("mode", "continue_through").toString
+    val mode = modeName match {
+      case "continue_through" => LineAgg.ContinueThrough
+      case "continue_with" => LineAgg.ContinueWith
+      case "halt_before" => LineAgg.HaltBefore
+      case "halt_with" => LineAgg.HaltWith
+      case other => throw new IllegalArgumentException(
+        s"line_agg: unknown mode $other")
+    }
+    val pattern = conf.getOrElse("condition_pattern",
+      conf.getOrElse("start_pattern", conf.getOrElse("pattern", ".*")))
+      .toString
+    val sep = conf.getOrElse("separator", "\n").toString
+    val fileField = conf.getOrElse("file_field", "file").toString
+    val msgField = conf.getOrElse("message_field", "message").toString
+    val timeoutMs = conf.getOrElse("timeout_ms", "3000").toString.toLong
+    df =>
+      if (df.isStreaming) {
+        // per-file open-group state with the reference's timeout
+        // flush (line_agg.rs:49-58) — the one line_agg behavior the
+        // batch window form cannot express
+        val staged = df
+          .withColumn("__file",
+            (if (df.columns.contains(fileField)) col(fileField)
+             else lit("-")).cast("string"))
+          .withColumn("__ord", streamOrderColOf(df).cast("long"))
+          .withColumn("__line", col(msgField).cast("string"))
+        implicit val enc: org.apache.spark.sql.Encoder[Row] =
+          org.apache.spark.sql.Encoders.row(staged.schema)
+        val fi = staged.schema.fieldIndex("__file")
+        val oi = staged.schema.fieldIndex("__ord")
+        val li = staged.schema.fieldIndex("__line")
+        graft.streaming.StatefulKernels.lineAgg[String, Row](
+          staged.groupByKey(r => String.valueOf(r.get(fi)))(
+            org.apache.spark.sql.Encoders.STRING),
+          modeName, pattern, sep,
+          r => r.getLong(oi), r => String.valueOf(r.get(li)),
+          timeoutMs).toDF()
+      } else LineAgg(df,
+        if (df.columns.contains(fileField)) col(fileField) else lit("-"),
+        orderColOf(df), col(msgField), mode, pattern, sep)
   }
 
   /** groupByKey on a string key assembled from column values — the
@@ -1013,10 +1023,13 @@ object ConfigLoader {
             if (p == null) "." else p.toString
           }
           val ckpt = m.get("checkpoint").map(_.toString)
+          // embedded `multiline:` block (src/sources/file.rs multiline
+          // config) = the line_agg machinery applied at the source
+          val multiline = m.get("multiline").map(yamlMap).map(lineAggFn)
           Topology.Source(id, Topology.Log, sp => {
             val tail = graft.streaming.FileTail(sp, dir, ckpt)
             pendingTails = tail :: pendingTails
-            tail.df
+            multiline.fold(tail.df)(f => f(tail.df))
           })
         case "parquet" | "file" =>
           val table = m.getOrElse("table", id).toString
@@ -2090,7 +2103,7 @@ object ConfigLoader {
       exp
     }
     val queries = sinkConfs.flatMap { case (id, m) =>
-      val df = built.outputs(id)
+      val df = encodingTransform(built.outputs(id), m)
       val tpe = m.getOrElse("type", "console").toString
       val intervalMs =
         (m.getOrElse("interval", "0.1").toString.toDouble * 1000).toLong
@@ -2148,6 +2161,58 @@ object ConfigLoader {
     }
     RunningConfig(queries.toMap, tails, scrapers, logTaps, closers,
       exporters.toMap, pollers)
+  }
+
+  /** The reference's encoding Transformer
+    * (lib/codecs/src/encoding/transformer.rs): `encoding.only_fields` /
+    * `encoding.except_fields` project the event before serialization
+    * (mutually exclusive, like the reference's validation), and
+    * `encoding.timestamp_format` rewrites every timestamp column —
+    * `unix` / `unix_ms` / `unix_us` / `unix_ns` integer epochs or
+    * `rfc3339` strings. Applied to the sink's INPUT DataFrame in
+    * [[run]], so every sink type gets the same controls. Field paths
+    * address top-level columns (the dynamic-schema nested-path subset
+    * is a documented boundary).
+    */
+  private[graft] def encodingTransform(df: DataFrame,
+                                       m: Map[String, Any]): DataFrame = {
+    val enc = yamlMap(m.getOrElse("encoding", null))
+    val only = strList(enc.getOrElse("only_fields", Nil))
+    val except = strList(enc.getOrElse("except_fields", Nil))
+    require(only.isEmpty || except.isEmpty,
+      "encoding: only_fields and except_fields are mutually exclusive")
+    val projected =
+      if (only.nonEmpty) {
+        val present = only.filter(df.columns.contains)
+        require(present.nonEmpty,
+          s"encoding.only_fields: none of $only exist on the event")
+        df.select(present.map(col): _*)
+      }
+      else if (except.nonEmpty) df.drop(except: _*)
+      else df
+    enc.get("timestamp_format").map(_.toString) match {
+      case None => projected
+      case Some(fmt) =>
+        projected.schema.fields.foldLeft(projected) { (d, f) =>
+          f.dataType match {
+            case org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.TimestampNTZType =>
+              val c = col(f.name).cast("timestamp")
+              val out = fmt match {
+                case "unix" => unix_timestamp(c)
+                case "unix_ms" => unix_millis(c)
+                case "unix_us" => unix_micros(c)
+                case "unix_ns" => unix_micros(c) * 1000
+                case "rfc3339" =>
+                  date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+                case other => throw new IllegalArgumentException(
+                  s"encoding.timestamp_format: unknown format $other")
+              }
+              d.withColumn(f.name, out)
+            case _ => d
+          }
+        }
+    }
   }
 
   /** Sink `encoding:` / `framing:` / `compression:` blocks (every

@@ -688,6 +688,91 @@ class ConfigLoaderSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("run: file source multiline block aggregates at the source") {
+    // the file source's embedded multiline: config (src/sources/file.rs)
+    // — java-style stack traces group under their leading line without
+    // a separate transform
+    val dir = java.nio.file.Files.createTempDirectory("mlcfg")
+    java.nio.file.Files.write(dir.resolve("app.log"),
+      ("ERROR boom\n  at a.b\n  at c.d\nINFO fine\nERROR again\n  at e.f\n")
+        .getBytes("UTF-8"))
+    val tmp = java.nio.file.Files.createTempDirectory("mlwork").toString
+    val running = ConfigLoader.run(spark,
+      s"""
+        |sources:
+        |  logs:
+        |    type: file
+        |    path: $dir
+        |    multiline:
+        |      mode: halt_before
+        |      start_pattern: '^\\S'
+        |      timeout_ms: 500
+        |sinks:
+        |  ml_tap:
+        |    type: memory
+        |    inputs: [logs]
+        |""".stripMargin, "/root/testdata/sf0.001", tmp)
+    try eventually() {
+      running.processAllAvailable()
+      val got = spark.table("ml_tap").collect()
+        .map(_.getAs[String]("message")).toSet
+      assert(got == Set(
+        "ERROR boom\n  at a.b\n  at c.d",
+        "INFO fine",
+        "ERROR again\n  at e.f"))
+    } finally running.stopAll()
+  }
+
+  test("run: encoding only_fields/except_fields/timestamp_format transform the sink input") {
+    val tmp = java.nio.file.Files.createTempDirectory("encwork").toString
+    val running = ConfigLoader.run(spark,
+      """
+        |sources:
+        |  in:
+        |    type: parquet
+        |    table: events
+        |sinks:
+        |  enc_only:
+        |    type: memory
+        |    inputs: [in]
+        |    encoding:
+        |      only_fields: [event_id, event_type]
+        |  enc_except:
+        |    type: memory
+        |    inputs: [in]
+        |    encoding:
+        |      except_fields: [props]
+        |      timestamp_format: unix_ms
+        |""".stripMargin, "/root/testdata/sf0.001", tmp)
+    try {
+      val only = spark.table("enc_only")
+      assert(only.columns.toSeq == Seq("event_id", "event_type"))
+      val except = spark.table("enc_except")
+      assert(!except.columns.contains("props"))
+      // ts became a unix-ms long
+      assert(except.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      val ms = except.orderBy("event_id").head().getAs[Long]("ts")
+      assert(ms > 1600000000000L && ms < 2000000000000L)
+    } finally running.stopAll()
+    // mutual exclusion is validated at load
+    intercept[IllegalArgumentException] {
+      ConfigLoader.run(spark,
+        """
+          |sources:
+          |  in: {type: parquet, table: events}
+          |sinks:
+          |  bad:
+          |    type: memory
+          |    inputs: [in]
+          |    encoding:
+          |      only_fields: [event_id]
+          |      except_fields: [props]
+          |""".stripMargin, "/root/testdata/sf0.001",
+        java.nio.file.Files.createTempDirectory("encbad").toString)
+    }
+  }
+
   test("run: event_time aggregate mode latest keeps the last sample, not the sum") {
     // two samples in the [0, 3600) window (100@t=100, 200@t=200); the
     // t=7300 sample closes it. latest must emit 200.0 — a sum would be

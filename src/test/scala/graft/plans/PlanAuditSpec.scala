@@ -161,6 +161,43 @@ class PlanAuditSpec extends SparkSpec {
         s"the path repartition:\n$tplPlan")
   }
 
+  test("pii redaction is a shuffle-free projection") {
+    val d = graft.Graft.table(spark, dir, "documents")
+    val p = plan(graft.datapipe.Pii.stats(d, col("text")))
+    assert(!p.contains("ENSURE_REQUIREMENTS") && !p.contains("hashpartitioning"),
+      s"pii redaction shuffles:\n$p")
+    assert(!p.contains("Join"))
+  }
+
+  test("span removal: hash + doc shuffles only, keyed joins, no cross") {
+    val d = graft.Graft.table(spark, dir, "documents")
+    val p = plan(graft.datapipe.Dedup.removeDupSpans(d, "doc_id",
+      col("text"), 8))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"span removal degenerated to a cross join:\n$p")
+    // window-hash agg, islands window, rebuild join — a handful of keyed
+    // exchanges; anything beyond that is a plan regression
+    val exchanges = "ENSURE_REQUIREMENTS".r.findAllIn(p).size
+    assert(exchanges <= 6, s"span removal shuffles $exchanges times:\n$p")
+  }
+
+  test("packing: one bucket shuffle, prefix broadcast, no global window") {
+    val d = graft.Graft.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.datapipe.Dedup.tokens(col("text"))).as("n_toks"))
+    val p = plan(graft.datapipe.Packing.pack(d, col("doc_id"),
+      col("n_toks"), 512, buckets = 16))
+    // the 100 TB hazard is a SINGLE-PARTITION window (an empty
+    // partitionBy) — the plan must window over the bucket key instead
+    assert(!p.contains("Window [") ||
+      !p.contains("windowspecdefinition()"), "global (unkeyed) window")
+    assert(p.contains("hashpartitioning"),
+      s"packing lost its bucket shuffle:\n$p")
+    val exchanges = "ENSURE_REQUIREMENTS".r.findAllIn(p).size
+    assert(exchanges <= 2, s"packing shuffles $exchanges times:\n$p")
+  }
+
   test("semantic dedup: the candidate join is keyed (hash), not a cross") {
     import graft.datapipe.Ann
     val e = graft.Graft.table(spark, dir, "embeddings")
