@@ -2,22 +2,71 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** `vector top` equivalent: run a YAML topology and render a live
-  * per-component event-throughput table on an interval, fed by the same
-  * internal metric registry the `internal_metrics` source scrapes
-  * (reference src/top/ — the TUI reads component_received/sent_
-  * events_total over the API; here the registry is in-process).
+/** `vector top` equivalent: render a live per-component
+  * event-throughput table on an interval.
   *
-  * Usage: graft.Top --config pipeline.yaml [--sf-dir DIR]
-  *        [--interval SECS] [--duration SECS]
+  * Two modes, matching the reference (src/top/ attaches to a RUNNING
+  * instance over its API):
+  *  - `--url http://host:port` — poll a running `graft.Run` instance's
+  *    `api:` endpoint (/api/components) and render its totals/rates;
+  *  - `--config pipeline.yaml` — run the topology in-process and read
+  *    the registry directly (the standalone convenience mode).
+  *
+  * Usage: graft.Top --url http://127.0.0.1:8686 | --config pipeline.yaml
+  *        [--sf-dir DIR] [--interval SECS] [--duration SECS]
   */
 object Top {
+
+  /** One /api/components poll → (id, kind, type, received, sent). */
+  private[graft] def fetchComponents(url: String)
+      : Seq[(String, String, String, Long, Long)] = {
+    val conn = new java.net.URI(url.stripSuffix("/") + "/api/components")
+      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(5000)
+    val body = try new String(conn.getInputStream.readAllBytes(), "UTF-8")
+    finally conn.disconnect()
+    val arr = graft.functions.JsonLite.parse(body)
+      .asInstanceOf[java.util.List[Any]]
+    import scala.jdk.CollectionConverters._
+    arr.asScala.toSeq.map { o =>
+      val m = o.asInstanceOf[java.util.Map[String, Any]]
+      def s(k: String) = String.valueOf(m.get(k))
+      def l(k: String) = Option(m.get(k))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+      (s("componentId"), s("componentKind"), s("componentType"),
+        l("receivedEventsTotal"), l("sentEventsTotal"))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     def flag(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(k, v) if k == s"--$name" => v }
+    flag("url").foreach { url =>
+      val intervalSecs = flag("interval").map(_.toDouble).getOrElse(2.0)
+      val duration = flag("duration").map(_.toDouble)
+      var prev = Map.empty[(String, Boolean), Long]
+      val t0 = System.nanoTime()
+      while (duration.forall(d => (System.nanoTime() - t0) / 1e9 < d)) {
+        Thread.sleep((intervalSecs * 1000).toLong)
+        val comps = fetchComponents(url)
+        println(f"${Console.BOLD}${"COMPONENT"}%-24s${"KIND"}%-10s" +
+          f"${"TYPE"}%-24s${"IN"}%12s${"OUT"}%12s${"RATE/S"}%12s" +
+          s"${Console.RESET}")
+        comps.foreach { case (id, kind, tpe, recv, sent) =>
+          val rate =
+            (sent - prev.getOrElse((id, false), 0L)) / intervalSecs
+          prev += (id, false) -> sent
+          println(f"${id.take(23)}%-24s$kind%-10s${tpe.take(23)}%-24s" +
+            f"$recv%12d$sent%12d$rate%12.1f")
+        }
+        println()
+      }
+      return
+    }
     val config = flag("config").getOrElse(
-      sys.error("usage: graft.Top --config <yaml> [--sf-dir DIR] " +
-        "[--interval SECS] [--duration SECS]"))
+      sys.error("usage: graft.Top --url <api-url> | --config <yaml> " +
+        "[--sf-dir DIR] [--interval SECS] [--duration SECS]"))
     val sfDir = flag("sf-dir").getOrElse("/root/testdata/sf0.001")
     val workDir = java.nio.file.Files.createTempDirectory("graft-top").toString
     val intervalSecs = flag("interval").map(_.toDouble).getOrElse(2.0)

@@ -1952,6 +1952,11 @@ object ConfigLoader {
   /** Bound port of the most recent fluent/logstash source (tests). */
   @volatile var lastAgentPort: Int = -1
 
+  /** Bound port of the `api:` endpoint started by the most recent run
+    * (ephemeral `:0` addresses — tests read it back).
+    */
+  @volatile var lastApiPort: Int = -1
+
   /** One component-counter listener per session (internal_metrics.rs
     * reads ONE process-global registry no matter how many configs run).
     */
@@ -2069,6 +2074,24 @@ object ConfigLoader {
     pendingScrapers = Nil
     pendingLogTaps = Nil
     pendingClosers = Nil
+    // `api:` global (src/api/): health + component observability
+    // endpoint — the surface `vector top` connects to
+    val apiConf = yamlMap(parseYaml(yaml).getOrElse("api", null))
+    val apiEnabled = apiConf.getOrElse("enabled", "false").toString.toBoolean
+    if (apiEnabled) {
+      ensureObsListener(spark)
+      val addr = apiConf.getOrElse("address", "127.0.0.1:8686").toString
+      val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
+      val conf0 = parseYaml(yaml)
+      def section(name: String, kind: String) =
+        yamlMap(conf0.getOrElse(name, null)).map { case (id, v) =>
+          (id, kind, yamlMap(v).getOrElse("type", "").toString) }.toSeq
+      val comps = section("sources", "source") ++
+        section("transforms", "transform") ++ section("sinks", "sink")
+      val api = new graft.streaming.ApiServer(port, () => comps)
+      lastApiPort = api.boundPort
+      pendingClosers = (() => api.stop()) :: pendingClosers
+    }
     // internal_metrics needs the component-counter listener feeding the
     // registry before any query reports progress
     if (yamlMap(parseYaml(yaml).getOrElse("sources", null)).values.exists(v =>

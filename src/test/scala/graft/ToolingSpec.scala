@@ -204,6 +204,71 @@ class ToolingSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("api: health + components endpoints serve the live topology") {
+    val dir = java.nio.file.Files.createTempDirectory("apisrc")
+    java.nio.file.Files.write(dir.resolve("a.log"),
+      "one\ntwo\nthree\n".getBytes("UTF-8"))
+    val tmp = java.nio.file.Files.createTempDirectory("apiwork").toString
+    val running = plans.ConfigLoader.run(spark,
+      s"""
+        |api:
+        |  enabled: true
+        |  address: 127.0.0.1:0
+        |sources:
+        |  logs:
+        |    type: file
+        |    path: $dir
+        |transforms:
+        |  up:
+        |    type: remap
+        |    inputs: [logs]
+        |    source: |
+        |      .msg = upcase!(.message)
+        |sinks:
+        |  api_out:
+        |    type: memory
+        |    inputs: [up]
+        |""".stripMargin, "/root/testdata/sf0.001", tmp)
+    try {
+      running.processAllAvailable()
+      val port = plans.ConfigLoader.lastApiPort
+      def get(path: String): String = {
+        val c = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        try new String(c.getInputStream.readAllBytes(), "UTF-8")
+        finally c.disconnect()
+      }
+      assert(get("/health") == """{"ok":true}""")
+      val comps = get("/api/components")
+      assert(comps.contains(""""componentId":"logs""""))
+      assert(comps.contains(""""componentKind":"transform""""))
+      assert(comps.contains(""""componentId":"api_out""""))
+      // the sink's sent counter reflects the processed rows
+      val sent = """"componentId":"api_out"[^}]*"sentEventsTotal":(\d+)""".r
+      val n = sent.findFirstMatchIn(comps).map(_.group(1).toLong)
+      assert(n.exists(_ >= 3L), s"api_out totals missing in $comps")
+      // graphql-shaped health + components queries answer
+      def post(body: String): String = {
+        val c = new java.net.URL(s"http://127.0.0.1:$port/graphql")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("POST")
+        c.setDoOutput(true)
+        c.getOutputStream.write(body.getBytes("UTF-8"))
+        c.getOutputStream.close()
+        try new String(c.getInputStream.readAllBytes(), "UTF-8")
+        finally c.disconnect()
+      }
+      assert(post("""{"query":"{ health }"}""") ==
+        """{"data":{"health":true}}""")
+      assert(post("""{"query":"{ components { nodes { componentId } } }"}""")
+        .contains(""""componentId":"up""""))
+      // `vector top --url` consumes the same endpoint
+      val top = Top.fetchComponents(s"http://127.0.0.1:$port")
+      assert(top.map(_._1).toSet == Set("logs", "up", "api_out"))
+      assert(top.find(_._1 == "api_out").exists(_._5 >= 3L))
+    } finally running.stopAll()
+  }
+
   test("reload: removed sinks stop; global change restarts everything") {
     val y1 =
       """
