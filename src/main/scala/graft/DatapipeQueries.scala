@@ -302,6 +302,37 @@ object DatapipeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The round-9 curation stages composed as ONE Catalyst plan:
+    // Gopher quality gate → PII redaction → exact duplicated-span
+    // removal → sequence packing. Every stage is individually
+    // oracle-proven (quality_gopher, pii_redact, dedup_span_removal,
+    // pack_sequences); this query proves they COMPOSE — filters and
+    // projections flow across stage boundaries, and the whole chain is
+    // two keyed shuffles (window-hash, doc) plus the packing bucket.
+    "curation_pipeline2" -> { (s, dir) =>
+      import graft.datapipe.{Packing, Pii, QualityRules}
+      val t2 = replace(replace(replace(replace(col("text"),
+        lit(" merge "),
+        lit(".\nwe have to merge with that of and the lot. ")),
+        lit(" slow "), lit("...\n• slow ")),
+        lit(" data "), lit(" mail bob.lee+x@ex-ample.org now ")),
+        lit(" row "), lit(" ssn 123-45-6789 spare "))
+      val enriched = docs(s, dir).select(col("doc_id"), t2.as("t2"))
+      val gated = QualityRules.gopherMetrics(enriched, col("t2"))
+        .filter(col("gopher_pass"))
+        .select(col("doc_id"), Pii.redact(col("t2")).as("red"))
+      val cleaned = Dedup.removeDupSpans(gated, "doc_id", col("red"), 8)
+        .select(col("doc").as("doc_id"), col("n_removed"),
+          col("cleaned_text"))
+      val sized = cleaned.withColumn("n_toks",
+        size(Dedup.tokens(col("cleaned_text"))))
+      Packing.pack(sized.select("doc_id", "n_toks", "n_removed"),
+          col("doc_id"), col("n_toks"), seqLen = 256, buckets = 8)
+        .select(col("doc_id"), col("n_toks"), col("n_removed"),
+          col("offset"), col("first_seq"), col("last_seq"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact duplicated-span REMOVAL (Lee et al. 2021 exact-substring
     // dedup over stride-1 windows): repeated 8-token windows are excised
     // everywhere except their canonical first occurrence, overlaps
@@ -1000,6 +1031,128 @@ object DatapipeQueries {
         |                         for d in list_distinct(b)]) * 1.0 / len(b), 6)
         |    ELSE 0.0 END AS top_bigram_share
         |FROM bg ORDER BY doc_id""".stripMargin,
+
+    "curation_pipeline2" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(text,
+        |      ' merge ', '.' || chr(10) || 'we have to merge with that of and the lot. '),
+        |      ' slow ', '...' || chr(10) || '• slow '),
+        |      ' data ', ' mail bob.lee+x@ex-ample.org now '),
+        |      ' row ', ' ssn 123-45-6789 spare ') AS t2
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, t2,
+        |    len(regexp_split_to_array(trim(t2), '\s+')) AS n_words,
+        |    length(regexp_replace(t2, '\s+', '', 'g')) AS nw_chars,
+        |    (length(t2) - length(replace(t2, '#', ''))) +
+        |      (length(t2) - length(replace(t2, '...', ''))) / 3 AS n_sym,
+        |    string_split(t2, chr(10)) AS ls,
+        |    regexp_split_to_array(trim(t2), '\s+') AS ws
+        |  FROM base),
+        |gated AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(t2,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |      '\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+        |      '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b', '<CARD>', 'g')
+        |      AS red
+        |  FROM m
+        |  WHERE n_words BETWEEN 50 AND 100000
+        |    AND round(nw_chars * 1.0 / n_words, 6) BETWEEN 3.0 AND 10.0
+        |    AND round(n_sym * 1.0 / n_words, 6) <= 0.1
+        |    AND round(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]')))
+        |      * 1.0 / len(ls), 6) <= 0.9
+        |    AND round(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+        |      * 1.0 / len(ls), 6) <= 0.3
+        |    AND round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+        |      * 1.0 / n_words, 6) >= 0.8
+        |    AND ((CASE WHEN regexp_matches(lower(t2), '\bthe\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bbe\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bto\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bof\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\band\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bthat\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bhave\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bwith\b') THEN 1 ELSE 0 END)) >= 2),
+        |tk2 AS (
+        |  SELECT doc_id AS doc,
+        |    list_filter(string_split(red, ' '), x -> len(x) > 0) AS t
+        |  FROM gated),
+        |tk3 AS (SELECT doc, t, len(t) AS n_tokens FROM tk2),
+        |w0 AS (
+        |  SELECT doc, t, unnest(range(1, n_tokens - 8 + 2)) AS start
+        |  FROM tk3 WHERE n_tokens >= 8),
+        |wins AS (
+        |  SELECT doc, start,
+        |    md5(array_to_string(t[start:start+7], ' ')) AS wh
+        |  FROM w0),
+        |marked AS (
+        |  SELECT doc, start, start + 7 AS e,
+        |    count(*) OVER (PARTITION BY wh) AS cnt,
+        |    row_number() OVER (PARTITION BY wh ORDER BY doc, start) AS rn
+        |  FROM wins),
+        |cuts AS (SELECT doc, start, e FROM marked WHERE cnt > 1 AND rn > 1),
+        |isl0 AS (
+        |  SELECT doc, start, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY doc ORDER BY start, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR start > max(e) OVER (PARTITION BY doc ORDER BY start, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM cuts),
+        |isl1 AS (
+        |  SELECT doc, start, e,
+        |    sum(ni) OVER (PARTITION BY doc ORDER BY start, e
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl0),
+        |isl AS (
+        |  SELECT doc, island, min(start) AS s, max(e) AS e
+        |  FROM isl1 GROUP BY doc, island),
+        |per AS (
+        |  SELECT doc, CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+        |  FROM isl GROUP BY doc),
+        |cov AS (SELECT DISTINCT doc, unnest(range(s, e + 1)) AS i FROM isl),
+        |pos AS (
+        |  SELECT doc, unnest(range(1, n_tokens + 1)) AS i, t
+        |  FROM tk3 WHERE n_tokens > 0),
+        |kept AS (
+        |  SELECT p.doc, p.i, p.t[p.i] AS tok FROM pos p
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cov c WHERE c.doc = p.doc AND c.i = p.i)),
+        |clean AS (
+        |  SELECT doc, string_agg(tok, ' ' ORDER BY i) AS cleaned_text
+        |  FROM kept GROUP BY doc),
+        |sized AS (
+        |  SELECT tk3.doc AS doc_id,
+        |    CAST(len(list_filter(string_split(
+        |      coalesce(clean.cleaned_text, ''), ' '), x -> len(x) > 0))
+        |      AS INT) AS n_toks,
+        |    coalesce(per.n_removed, 0) AS n_removed
+        |  FROM tk3
+        |  LEFT JOIN per ON per.doc = tk3.doc
+        |  LEFT JOIN clean ON clean.doc = tk3.doc),
+        |keyed AS (
+        |  SELECT doc_id, n_toks, n_removed,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+        |      AS BIGINT) % 8 AS b,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM sized),
+        |placed AS (
+        |  SELECT doc_id, n_toks, n_removed,
+        |    CAST(coalesce(sum(CAST(n_toks AS BIGINT) + 1) OVER (
+        |      ORDER BY b, h, CAST(doc_id AS VARCHAR)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS "offset"
+        |  FROM keyed)
+        |SELECT doc_id, n_toks, n_removed, "offset",
+        |  "offset" // 256 AS first_seq,
+        |  CASE WHEN n_toks > 0 THEN ("offset" + n_toks - 1) // 256
+        |       ELSE "offset" // 256 END AS last_seq
+        |FROM placed ORDER BY doc_id""".stripMargin,
 
     "dedup_span_removal" ->
       """WITH tk AS (
