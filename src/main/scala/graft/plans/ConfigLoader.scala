@@ -982,7 +982,8 @@ object ConfigLoader {
     * instead). Test/tooling hook so a load-only caller leaks nothing.
     */
   def closePendingSources(): Unit = {
-    pendingClosers.foreach(c => try c() catch { case _: Exception => () })
+    pendingClosers.foreach { case (_, c) =>
+      try c() catch { case _: Exception => () } }
     pendingScrapers.foreach(s => try s.stop() catch { case _: Exception => () })
     pendingLogTaps.foreach(t => try t.stop() catch { case _: Exception => () })
     pendingClosers = Nil
@@ -1060,7 +1061,7 @@ object ConfigLoader {
             Topology.Source(id, Topology.Log, sp => {
               val src = graft.streaming.SocketServers.tcpClient(sp, h, p,
                 Some(graft.streaming.Tls.clientContext(socketTls)))
-              pendingClosers = (() => src.stop()) :: pendingClosers
+              addCloser(id, () => src.stop())
               src.df
             })
           else Topology.Source(id, Topology.Log,
@@ -1138,7 +1139,7 @@ object ConfigLoader {
           def srcOf(sp: SparkSession) = shared.getOrElse {
             val s = graft.streaming.StreamRunner.otlpHttp(sp, port)
             lastOtlpPort = s.boundPort
-            pendingClosers = (() => s.stop()) :: pendingClosers
+            addCloser(id, () => s.stop())
             shared = Some(s)
             s
           }
@@ -1201,7 +1202,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.AgentSources.fluent(sp, port)
             lastAgentPort = src.boundPort
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         case "logstash" =>
@@ -1210,7 +1211,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.AgentSources.logstash(sp, port)
             lastAgentPort = src.boundPort
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // HTTP-push agent endpoints (src/sources/{splunk_hec,heroku_logs,
@@ -1224,7 +1225,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.HttpPushSources.splunkHec(sp, port, tokens)
             lastAgentPort = src.boundPort
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         case "heroku_logs" =>
@@ -1233,7 +1234,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.HttpPushSources.herokuLogs(sp, port)
             lastAgentPort = src.boundPort
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         case "aws_kinesis_firehose" =>
@@ -1244,7 +1245,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.HttpPushSources.firehose(sp, port, key)
             lastAgentPort = src.boundPort
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         case "datadog_agent" =>
@@ -1253,7 +1254,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.HttpPushSources.datadogAgent(sp, port)
             lastAgentPort = src.boundPort
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // queue consumers: redis BLPOP/SUBSCRIBE (src/sources/redis/)
@@ -1266,7 +1267,7 @@ object ConfigLoader {
             .getOrElse("method", "blpop").toString
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.QueueSources.redis(sp, url, key, dt, method)
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         case "nats" =>
@@ -1275,7 +1276,7 @@ object ConfigLoader {
           val queue = m.get("queue").map(_.toString)
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.QueueSources.nats(sp, url, subject, queue)
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // dnstap: frame-streams receiver, frames decoded by parse_dnstap
@@ -1285,7 +1286,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.DnstapMongo.dnstap(sp, port)
             lastAgentPort = src.boundPort
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // mongodb_metrics: serverStatus over the wire protocol
@@ -1297,7 +1298,7 @@ object ConfigLoader {
             val src = graft.streaming.DnstapMongo.mongodbMetrics(sp,
               eps.headOption.getOrElse("mongodb://127.0.0.1:27017"), interval)
             src.startPolling()
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // platform log sources
@@ -1310,7 +1311,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.PlatformSources.journald(sp, path,
               inc, exc, ckpt, extra)
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         case "docker_logs" =>
@@ -1320,7 +1321,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.PlatformSources.dockerLogs(sp, host,
               inc, exc)
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         case "kubernetes_logs" =>
@@ -1345,7 +1346,7 @@ object ConfigLoader {
             val src = graft.streaming.PlatformSources.okta(sp, domain,
               token, since)
             src.startPolling()
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // prometheus push-model servers: remote_write (snappy prompb)
@@ -1356,7 +1357,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Metric, sp => {
             val src = graft.streaming.PromPushSources.remoteWrite(sp, port)
             lastAgentPort = src.boundPort
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         case "prometheus_pushgateway" =>
@@ -1365,7 +1366,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Metric, sp => {
             val src = graft.streaming.PromPushSources.pushgateway(sp, port)
             lastAgentPort = src.boundPort
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // service-metric pollers → metric rows on an interval
@@ -1389,7 +1390,7 @@ object ConfigLoader {
                 graft.streaming.PollerSources.postgres(sp, ep, interval)
             }
             src.startPolling()
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // gcp_pubsub source (src/sources/gcp_pubsub.rs): REST
@@ -1402,7 +1403,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.GcpSources.pubsub(sp, project,
               subscription, ep)
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // aws_s3 source (src/sources/aws_s3/): S3 ObjectCreated
@@ -1420,7 +1421,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.AwsSources.s3(sp, queueUrl, sqsEp,
               s3Ep, poll, region, del)
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // aws_sqs source (src/sources/aws_sqs/): ReceiveMessage long
@@ -1433,7 +1434,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.AwsSources.sqs(sp, queueUrl, ep,
               poll, del)
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // aws_ecs_metrics source (src/sources/aws_ecs_metrics/): poll
@@ -1445,7 +1446,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Metric, sp => {
             val src = graft.streaming.AwsSources.ecsMetrics(sp, ep, ns, interval)
             src.startPolling()
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // pulsar consumer source (src/sources/pulsar.rs): binary
@@ -1461,7 +1462,7 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.QueueSources.pulsar(sp, endpoint,
               topics, subscription, consumer)
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // amqp consumer source (src/sources/amqp.rs): Basic.Consume on
@@ -1479,7 +1480,7 @@ object ConfigLoader {
           val offKey = m.getOrElse("offset_key", "offset").toString
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.QueueSources.amqp(sp, url, queue, tag)
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df(exKey, rkKey, offKey)
           })
         // mqtt client source (src/sources/mqtt/config.rs): subscribe to
@@ -1498,7 +1499,7 @@ object ConfigLoader {
             val src = graft.streaming.QueueSources.mqtt(sp, host, port,
               topics, clientId, m.get("user").map(_.toString),
               m.get("password").map(_.toString))
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df(topicKey)
           })
         // websocket client source (src/sources/websocket/): connect to
@@ -1508,7 +1509,7 @@ object ConfigLoader {
           val initial = m.get("message").map(_.toString)
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.WebSocketSource(sp, uri, initial)
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // http_server source (src/sources/http_server.rs): a listening
@@ -1525,7 +1526,7 @@ object ConfigLoader {
                 Some(graft.streaming.Tls.serverContext(srvTls))
               else None)
             lastAgentPort = src.boundPort
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // http_client source (src/sources/http_client/mod.rs): poll a
@@ -1540,7 +1541,7 @@ object ConfigLoader {
             val src = graft.streaming.StreamRunner.httpClient(sp, ep,
               (interval * 1000).toLong)
             src.startPolling()
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             src.df
           })
         // prometheus scrape source (src/sources/prometheus/scrape.rs):
@@ -1555,7 +1556,7 @@ object ConfigLoader {
             val src = graft.streaming.StreamRunner.httpClient(sp, ep,
               (interval * 1000).toLong)
             src.startPolling()
-            pendingClosers = (() => src.stop()) :: pendingClosers
+            addCloser(id, () => src.stop())
             graft.streaming.StreamRunner.prometheusScrape(src)
           })
         // stdin source (src/sources/stdin.rs): driver stdin, batch form
@@ -1583,7 +1584,7 @@ object ConfigLoader {
               case "udp" =>
                 val src = graft.streaming.SocketServers.udp(sp, port)
                 lastAgentPort = src.boundPort
-                pendingClosers = (() => src.stop()) :: pendingClosers
+                addCloser(id, () => src.stop())
                 src.df
               case _ =>
                 val src = graft.streaming.SocketServers.tcp(sp, port,
@@ -1592,7 +1593,7 @@ object ConfigLoader {
                     Some(graft.streaming.Tls.serverContext(tlsCfg))
                   else None)
                 lastAgentPort = src.boundPort
-                pendingClosers = (() => src.stop()) :: pendingClosers
+                addCloser(id, () => src.stop())
                 src.df
             }
             val toks = raw.select(graft.codecs.Decode
@@ -1612,12 +1613,12 @@ object ConfigLoader {
               case "tcp" =>
                 val src = graft.streaming.SocketServers.tcp(sp, port)
                 lastAgentPort = src.boundPort
-                pendingClosers = (() => src.stop()) :: pendingClosers
+                addCloser(id, () => src.stop())
                 src.df
               case _ =>
                 val src = graft.streaming.SocketServers.udp(sp, port)
                 lastAgentPort = src.boundPort
-                pendingClosers = (() => src.stop()) :: pendingClosers
+                addCloser(id, () => src.stop())
                 src.df
             }
             statsdMetricRows(raw)
@@ -1821,8 +1822,21 @@ object ConfigLoader {
       running.queries.get(id).foreach(q =>
         try q.stop() catch { case _: Exception => () })
     }
+    // stop the affected subgraphs' OWN listeners/pollers so their ports
+    // are free before the rebuilt sources bind (closers are tagged with
+    // their component id)
+    val oldConf = parseYaml(oldYaml)
+    val affectedComps: Set[String] =
+      (restart ++ removed).flatMap(s =>
+        upstreamClosure(oldConf, s) + s)
+    val (stopNow, keepClosers) = running.closers.partition {
+      case (cid, _) => affectedComps(cid)
+    }
+    stopNow.foreach { case (_, c) =>
+      try c() catch { case _: Exception => () } }
     if (restart.isEmpty)
-      running.copy(queries = running.queries -- removed)
+      running.copy(queries = running.queries -- removed,
+        closers = keepClosers)
     else {
       val fresh = run(spark, renderPartial(newYaml, restart), sfDir, workDir)
       RunningConfig(
@@ -1830,7 +1844,7 @@ object ConfigLoader {
         running.tails ++ fresh.tails,
         running.scrapers ++ fresh.scrapers,
         running.logTaps ++ fresh.logTaps,
-        running.closers ++ fresh.closers,
+        keepClosers ++ fresh.closers,
         running.exporters ++ fresh.exporters,
         running.pollers ++ fresh.pollers)
     }
@@ -1939,7 +1953,14 @@ object ConfigLoader {
   /** Shutdown hooks for sources that own a server/thread (OTLP HTTP,
     * future push endpoints) — RunningConfig.stopAll invokes them.
     */
-  @volatile private var pendingClosers: List[() => Unit] = Nil
+  /** (component id, stop) — tagged so [[reload]] can stop exactly the
+    * restarted subgraph's listeners/pollers (freeing their ports) while
+    * untouched components keep running.
+    */
+  @volatile private var pendingClosers: List[(String, () => Unit)] = Nil
+
+  private def addCloser(id: String, f: () => Unit): Unit =
+    pendingClosers = (id, f) :: pendingClosers
 
   /** Per-batch pollers beyond file tails (kubernetes_logs dir scans) —
     * RunningConfig.pollTails drives them alongside the tails.
@@ -1976,7 +1997,7 @@ object ConfigLoader {
       tails: Seq[graft.streaming.FileTailSource] = Nil,
       scrapers: Seq[graft.streaming.InternalObs.Scraper] = Nil,
       logTaps: Seq[graft.streaming.InternalObs.InternalLogsSource] = Nil,
-      closers: Seq[() => Unit] = Nil,
+      closers: Seq[(String, () => Unit)] = Nil,
       exporters: Map[String,
         graft.streaming.InternalObs.PrometheusExporter] = Map.empty,
       pollers: Seq[() => Int] = Nil) {
@@ -2036,7 +2057,8 @@ object ConfigLoader {
       queries.values.foreach(q => try q.stop() catch { case _: Exception => () })
       scrapers.foreach(s => try s.stop() catch { case _: Exception => () })
       logTaps.foreach(t => try t.stop() catch { case _: Exception => () })
-      closers.foreach(c => try c() catch { case _: Exception => () })
+      closers.foreach { case (_, c) =>
+        try c() catch { case _: Exception => () } }
       exporters.values.foreach(e =>
         try e.stop() catch { case _: Exception => () })
     }
@@ -2090,7 +2112,7 @@ object ConfigLoader {
         section("transforms", "transform") ++ section("sinks", "sink")
       val api = new graft.streaming.ApiServer(port, () => comps)
       lastApiPort = api.boundPort
-      pendingClosers = (() => api.stop()) :: pendingClosers
+      addCloser("__api", () => api.stop())
     }
     // internal_metrics needs the component-counter listener feeding the
     // registry before any query reports progress
@@ -2414,7 +2436,7 @@ object ConfigLoader {
         val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
         val server = new graft.sinks.WebSocketSinks.WebSocketServer(port)
         lastAgentPort = server.boundPort
-        pendingClosers = (() => server.stop()) :: pendingClosers
+        addCloser(id, () => server.stop())
         Some(df => server.broadcast(df, codec))
       case "redis" =>
         // src/sinks/redis/: RESP list lpush/rpush or channel publish,

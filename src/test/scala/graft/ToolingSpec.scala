@@ -269,6 +269,72 @@ class ToolingSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("reload: a restarted subgraph's listener frees and rebinds its port") {
+    // pick a fixed free port — the reload must stop the OLD syslog
+    // listener (tagged closer) before the rebuilt source binds it again
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    def cfg(suffix: String) =
+      s"""
+        |sources:
+        |  sys:
+        |    type: syslog
+        |    mode: tcp
+        |    address: 127.0.0.1:$port
+        |transforms:
+        |  up:
+        |    type: remap
+        |    inputs: [sys]
+        |    source: |
+        |      .tag = "$suffix"
+        |sinks:
+        |  rl_port_tap:
+        |    type: memory
+        |    inputs: [up]
+        |""".stripMargin
+    val tmp = java.nio.file.Files.createTempDirectory("rlport").toString
+    var running = plans.ConfigLoader.run(spark, cfg("v1"),
+      "/root/testdata/sf0.001", tmp)
+    def send(msg: String): Unit = {
+      val sock = new java.net.Socket("127.0.0.1", port)
+      sock.getOutputStream.write(
+        s"<34>1 2024-01-01T00:00:00Z h app - - - $msg\n".getBytes("UTF-8"))
+      sock.getOutputStream.flush()
+      sock.close()
+    }
+    def eventually[T](f: => T): T = {
+      val end = System.nanoTime + 30000L * 1000000L
+      var last: Throwable = null
+      while (System.nanoTime < end) {
+        try return f
+        catch { case t: Throwable => last = t; Thread.sleep(100) }
+      }
+      throw last
+    }
+    try {
+      send("first")
+      eventually {
+        running.processAllAvailable()
+        assert(spark.table("rl_port_tap").collect()
+          .map(r => r.getAs[String]("message") -> r.getAs[String]("tag"))
+          .toSet == Set("first" -> "v1"))
+      }
+      running = plans.ConfigLoader.reload(spark, running, cfg("v1"),
+        cfg("v2"), "/root/testdata/sf0.001", tmp)
+      // the rebuilt listener owns the SAME port; new events carry the
+      // edited transform's tag
+      send("second")
+      eventually {
+        running.processAllAvailable()
+        val got = spark.table("rl_port_tap").collect()
+          .map(r => r.getAs[String]("message") -> r.getAs[String]("tag"))
+          .toSet
+        assert(got.contains("second" -> "v2"), got.toString)
+      }
+    } finally running.stopAll()
+  }
+
   test("reload: removed sinks stop; global change restarts everything") {
     val y1 =
       """
