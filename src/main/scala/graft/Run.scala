@@ -36,6 +36,21 @@ object Run {
     // a directory merges per the reference's config-dir rules
     // (namespaced component files, global merging); .toml converts
     var yaml = plans.ConfigLoader.readConfigFile(config)
+    // `--require-healthy` (the reference flag): run every sink's
+    // healthcheck BEFORE starting the topology; abort on failure
+    if (args.contains("--require-healthy")) {
+      val results = plans.ConfigLoader.healthchecks(yaml)
+      results.foreach {
+        case (id, Right(_)) => println(s"[graft] healthcheck $id: ok")
+        case (id, Left(err)) =>
+          println(s"[graft] healthcheck $id: FAILED — $err")
+      }
+      if (results.exists(_._2.isLeft)) {
+        System.err.println("[graft] aborting: a required healthcheck failed")
+        spark.stop()
+        sys.exit(78)
+      }
+    }
     var running = plans.ConfigLoader.run(spark, yaml, sfDir, workDir)
     val watch = args.contains("--watch")
     if (running.queries.isEmpty && !watch) {

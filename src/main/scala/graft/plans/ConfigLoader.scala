@@ -1693,6 +1693,66 @@ object ConfigLoader {
     * through the TOML reader (config/format.rs: toml/yaml/json are
     * interchangeable config formats; JSON is already a YAML subset).
     */
+  // ---------------- sink healthchecks ----------------------------------
+
+  /** Startup healthchecks (the reference registers one healthcheck per
+    * sink and `--require-healthy` aborts startup when any fails —
+    * src/topology/builder.rs healthcheck tasks). The generic check here:
+    * TCP-connect to the sink's configured network endpoint (`address` /
+    * `uri` / `endpoint` / first of `endpoints`); sinks without a network
+    * endpoint are trivially healthy (file/console/memory...), and
+    * `healthcheck: false` or `healthcheck: {enabled: false}` skips,
+    * matching the reference's per-sink opt-out.
+    */
+  def healthchecks(yaml: String): Seq[(String, Either[String, Unit])] = {
+    val conf = parseYaml(yaml)
+    yamlMap(conf.getOrElse("sinks", null)).toSeq.sortBy(_._1).map {
+      case (id, v) =>
+        val m = yamlMap(v)
+        val enabled = m.get("healthcheck") match {
+          case Some(b: java.lang.Boolean) => b.booleanValue
+          case Some(hm) =>
+            yamlMap(hm).getOrElse("enabled", "true").toString.toBoolean
+          case None => true
+        }
+        val target: Option[(String, Int)] = {
+          val raw = m.get("address").orElse(m.get("uri"))
+            .orElse(m.get("endpoint"))
+            .orElse(strList(m.getOrElse("endpoints", Nil)).headOption)
+            .map(_.toString)
+          raw.flatMap { s =>
+            try {
+              if (s.contains("://")) {
+                val u = new java.net.URI(s)
+                Option(u.getHost).map(h =>
+                  (h, if (u.getPort > 0) u.getPort
+                      else if (u.getScheme == "https") 443 else 80))
+              } else {
+                val i = s.lastIndexOf(':')
+                if (i > 0) Some((s.substring(0, i),
+                  s.substring(i + 1).toInt))
+                else None
+              }
+            } catch { case _: Exception => None }
+          }
+        }
+        val result: Either[String, Unit] =
+          if (!enabled || target.isEmpty) Right(())
+          else {
+            val (h, p) = target.get
+            val sock = new java.net.Socket()
+            try {
+              sock.connect(new java.net.InetSocketAddress(h, p), 2000)
+              Right(())
+            } catch {
+              case e: Exception =>
+                Left(s"$h:$p unreachable (${e.getClass.getSimpleName})")
+            } finally { try sock.close() catch { case _: Exception => () } }
+          }
+        id -> result
+    }
+  }
+
   // ---------------- live reload (src/config/diff.rs semantics) ---------
 
   /** The upstream component closure of a sink: every source/transform id

@@ -359,6 +359,41 @@ class ToolingSpec extends SparkSpec {
     assert(r3 == Set("s1", "s2"))
   }
 
+  test("healthchecks: live endpoints pass, dead ones fail, opt-out skips") {
+    val live = new java.net.ServerSocket(0,
+      1, java.net.InetAddress.getByName("127.0.0.1"))
+    val deadPort = { // a port with nothing listening
+      val p = new java.net.ServerSocket(0)
+      val n = p.getLocalPort; p.close(); n
+    }
+    try {
+      val results = plans.ConfigLoader.healthchecks(
+        s"""
+          |sinks:
+          |  ok_sock:
+          |    type: socket
+          |    inputs: [in]
+          |    address: 127.0.0.1:${live.getLocalPort}
+          |  dead_http:
+          |    type: http
+          |    inputs: [in]
+          |    uri: http://127.0.0.1:$deadPort/ingest
+          |  dead_but_skipped:
+          |    type: socket
+          |    inputs: [in]
+          |    address: 127.0.0.1:$deadPort
+          |    healthcheck: false
+          |  no_endpoint:
+          |    type: console
+          |    inputs: [in]
+          |""".stripMargin).toMap
+      assert(results("ok_sock").isRight)
+      assert(results("dead_http").isLeft)
+      assert(results("dead_but_skipped").isRight)
+      assert(results("no_endpoint").isRight)
+    } finally live.close()
+  }
+
   test("generate: named prefixes, omitted dividers, fan-in wiring") {
     val cfg = Generate.generate("foo:demo_logs,bar:socket//baz:console")
     assert(cfg.contains("  foo:"))
