@@ -2156,6 +2156,15 @@ object ConfigLoader {
     pendingScrapers = Nil
     pendingLogTaps = Nil
     pendingClosers = Nil
+    // `proxy:` global (src/config/proxy.rs): HTTP(S) proxy settings
+    // every http-transport sink constructed from THIS config inherits
+    val proxyConf = yamlMap(parseYaml(yaml).getOrElse("proxy", null))
+    graft.sinks.NetworkSinks.globalProxy = graft.sinks.NetworkSinks.ProxyConfig(
+      enabled = proxyConf.getOrElse("enabled",
+        proxyConf.nonEmpty.toString).toString.toBoolean,
+      http = proxyConf.get("http").map(_.toString),
+      https = proxyConf.get("https").map(_.toString),
+      noProxy = strList(proxyConf.getOrElse("no_proxy", Nil)))
     // `api:` global (src/api/): health + component observability
     // endpoint — the surface `vector top` connects to
     val apiConf = yamlMap(parseYaml(yaml).getOrElse("api", null))
@@ -2926,6 +2935,39 @@ object ConfigLoader {
                 .flatMap(m => Option(m.get("value")))
                 .map(v => (backend, k) -> v.toString)
             }
+          case "aws_secrets_manager" =>
+            // src/secrets/aws_secrets_manager.rs: GetSecretValue on
+            // `secret_id`; the SecretString is a JSON document whose
+            // keys are the SECRET[backend.key] keys. Wire protocol:
+            // amz-json-1.1 POST with the X-Amz-Target header (the same
+            // public protocol the AwsSinks speak).
+            val secretId = bc("secret_id").toString
+            val region = bc.getOrElse("region", "us-east-1").toString
+            val ep = bc.getOrElse("endpoint",
+              s"https://secretsmanager.$region.amazonaws.com").toString
+            val conn = new java.net.URI(ep).toURL.openConnection()
+              .asInstanceOf[java.net.HttpURLConnection]
+            conn.setRequestMethod("POST")
+            conn.setDoOutput(true)
+            conn.setConnectTimeout(5000)
+            conn.setReadTimeout(5000)
+            conn.setRequestProperty("Content-Type",
+              "application/x-amz-json-1.1")
+            conn.setRequestProperty("X-Amz-Target",
+              "secretsmanager.GetSecretValue")
+            conn.getOutputStream.write(
+              s"""{"SecretId":"$secretId"}""".getBytes("UTF-8"))
+            conn.getOutputStream.close()
+            val resp = new String(conn.getInputStream.readAllBytes(),
+              "UTF-8")
+            conn.disconnect()
+            val env = graft.functions.JsonLite.parse(resp)
+              .asInstanceOf[java.util.Map[String, Any]]
+            val doc = graft.functions.JsonLite.parse(
+              String.valueOf(env.get("SecretString")))
+              .asInstanceOf[java.util.Map[String, Any]]
+            keys.flatMap(k =>
+              Option(doc.get(k)).map(v => (backend, k) -> v.toString))
           case other => throw new IllegalArgumentException(
             s"unsupported secret backend type $other")
         }

@@ -14,6 +14,12 @@ import org.apache.spark.sql.DataFrame
   */
 object NetworkSinks {
 
+  /** The `proxy:` global parsed from the active config (set by
+    * ConfigLoader.run before sinks build; every HttpConfig picks it up
+    * as its default).
+    */
+  @volatile var globalProxy: ProxyConfig = ProxyConfig()
+
   // ---- socket (src/sinks/socket.rs: mode tcp | udp | unix) ----
 
   case class SocketConfig(
@@ -78,6 +84,33 @@ object NetworkSinks {
 
   // ---- http (src/sinks/http/config.rs) ----
 
+  /** The `proxy:` global (reference src/config/proxy.rs GlobalOptions:
+    * enabled/http/https/no_proxy) — ships inside each sink's config so
+    * executors apply it without driver state.
+    */
+  case class ProxyConfig(
+      enabled: Boolean = false,
+      http: Option[String] = None,
+      https: Option[String] = None,
+      noProxy: Seq[String] = Nil)
+      extends Serializable {
+    def forUri(uri: java.net.URI): Option[java.net.Proxy] = {
+      if (!enabled) return None
+      val host = Option(uri.getHost).getOrElse("")
+      if (noProxy.exists(p => host == p || host.endsWith("." + p)))
+        return None
+      val chosen =
+        if (uri.getScheme == "https") https.orElse(http) else http
+      chosen.map { p =>
+        val pu = new java.net.URI(
+          if (p.contains("://")) p else s"http://$p")
+        new java.net.Proxy(java.net.Proxy.Type.HTTP,
+          new java.net.InetSocketAddress(pu.getHost,
+            if (pu.getPort > 0) pu.getPort else 3128))
+      }
+    }
+  }
+
   case class HttpConfig(
       uri: String,
       method: String = "post",
@@ -96,7 +129,12 @@ object NetworkSinks {
       payloadSuffix: String = "",
       // `tls:` for https:// endpoints beyond the JDK default roots
       // (custom ca_file, or verify_certificate: false)
-      tls: graft.streaming.Tls.Config = graft.streaming.Tls.Config())
+      tls: graft.streaming.Tls.Config = graft.streaming.Tls.Config(),
+      // defaults to the process-global `proxy:` setting AT CONSTRUCTION
+      // (driver-side; the value serializes into the task closure), the
+      // same process-global default semantics the reference gives
+      // GlobalOptions.proxy
+      proxy: ProxyConfig = NetworkSinks.globalProxy)
       extends Serializable
 
   /** POST each task's events in batches of `maxEvents`. Returns nothing;
@@ -176,8 +214,11 @@ object NetworkSinks {
   }
 
   private[sinks] def post(c: HttpConfig, body: Array[Byte]): Unit = {
-    val conn = new java.net.URI(c.uri).toURL.openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
+    val uri = new java.net.URI(c.uri)
+    val conn = (c.proxy.forUri(uri) match {
+      case Some(p) => uri.toURL.openConnection(p)
+      case None => uri.toURL.openConnection()
+    }).asInstanceOf[java.net.HttpURLConnection]
     conn match {
       case https: javax.net.ssl.HttpsURLConnection if c.tls.enabled =>
         https.setSSLSocketFactory(

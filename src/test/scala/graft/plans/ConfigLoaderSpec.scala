@@ -347,6 +347,48 @@ class ConfigLoaderSpec extends SparkSpec {
     runAll(resourceYaml("formats/simple.json"))
   }
 
+  test("aws_secrets_manager backend resolves over the amz-json protocol") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var sawTarget: String = null
+    @volatile var sawBody: String = null
+    server.createContext("/", ex => {
+      sawTarget = ex.getRequestHeaders.getFirst("X-Amz-Target")
+      sawBody = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val resp = ("""{"ARN":"arn:aws:secretsmanager:x","Name":"s",""" +
+        """"SecretString":"{\"api_token\":\"s3cr3t-tok\"}"}""")
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try {
+      val yaml =
+        s"""
+          |secret:
+          |  awssm:
+          |    type: aws_secrets_manager
+          |    secret_id: prod/pipeline
+          |    endpoint: http://127.0.0.1:${server.getAddress.getPort}/
+          |sources:
+          |  in: {type: parquet, table: events}
+          |transforms:
+          |  up:
+          |    type: remap
+          |    inputs: [in]
+          |    source: |
+          |      .token = "SECRET[awssm.api_token]"
+          |sinks:
+          |  sm_out: {type: memory, inputs: [up]}
+          |""".stripMargin
+      val resolved = ConfigLoader.interpolateSecrets(yaml)
+      assert(resolved.contains(""".token = "s3cr3t-tok""""))
+      assert(sawTarget == "secretsmanager.GetSecretValue")
+      assert(sawBody.contains(""""SecretId":"prod/pipeline""""))
+    } finally server.stop(0)
+  }
+
   test("reference config/secret.yaml behavior file passes as published") {
     // SECRET[backend.key] interpolation over the raw config text: test /
     // exec (process protocol shim) / file (JSON) / directory (nested
