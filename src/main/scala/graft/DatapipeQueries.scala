@@ -302,6 +302,17 @@ object DatapipeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Temperature-weighted source mixing (exponentiated sampling,
+    // alpha=0.5): small sources up-weight; the budgeted draw reuses the
+    // deterministic monotone md5 sampler
+    "sample_temperature" -> { (s, dir) =>
+      graft.operators.Sample.temperatureMix(
+          docs(s, dir).select("doc_id", "source"),
+          col("source"), col("doc_id"), budgetFraction = 0.4)
+        .select(col("doc_id"), col("source"), col("sample_rate"))
+        .orderBy(col("doc_id"))
+    },
+
     // The round-9 curation stages composed as ONE Catalyst plan:
     // Gopher quality gate → PII redaction → exact duplicated-span
     // removal → sequence packing. Every stage is individually
@@ -1031,6 +1042,34 @@ object DatapipeQueries {
         |                         for d in list_distinct(b)]) * 1.0 / len(b), 6)
         |    ELSE 0.0 END AS top_bigram_share
         |FROM bg ORDER BY doc_id""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH n AS (
+        |  SELECT source, count(*) AS ns FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(ns) AS BIGINT) AS N,
+        |    list_sum(list(sqrt(ns) ORDER BY source)) AS sw
+        |  FROM n),
+        |fr AS (
+        |  SELECT source,
+        |    round(least(1.0,
+        |      floor(N * 0.4) * (sqrt(ns) / sw) / ns), 6) AS f
+        |  FROM n, tot),
+        |h AS (
+        |  SELECT d.doc_id, d.source, fr.f,
+        |    md5(coalesce(CAST(d.doc_id AS VARCHAR), '')) AS m
+        |  FROM documents d JOIN fr USING (source)),
+        |b AS (SELECT doc_id, source, f,
+        |  (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(m, 5, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(m, 6, 1)) - 1) AS bucket
+        |  FROM h)
+        |SELECT doc_id, source, CAST(f AS DOUBLE) AS sample_rate
+        |FROM b WHERE bucket < floor(f * 16777216)
+        |ORDER BY doc_id""".stripMargin,
 
     "curation_pipeline2" ->
       """WITH base AS (

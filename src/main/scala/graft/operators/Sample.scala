@@ -123,4 +123,41 @@ object Sample {
       .drop("__rn")
       .withColumn(rateField, lit(rate))
   }
+
+  /** Temperature-weighted source mixing — the multilingual/multi-domain
+    * sampling rule (exponentiated sampling as in mBERT/XLM-R; the
+    * motivation behind UniMax): source s with n_s docs gets weight
+    * w_s = n_s^alpha / Σ_t n_t^alpha (alpha = 1/temperature; alpha < 1
+    * up-weights small sources), and a total budget of
+    * floor(budgetFraction·N) docs allocates fraction
+    * f_s = min(1, B·w_s / n_s) to each source, drawn with the
+    * deterministic monotone md5 sampler ([[stratified]]).
+    *
+    * Scale shape: sizes are ONE count aggregation (the driver holds
+    * |sources| rows); the draw is a pure filter that pushes to the
+    * scan. Engine-parity determinism: fractions round to 6 decimals,
+    * the weight denominator folds in source-name order (float addition
+    * is order-sensitive), and the default alpha=0.5 uses sqrt — exactly
+    * rounded by IEEE 754 in every engine, unlike a general pow.
+    */
+  def temperatureMix(df: DataFrame, stratum: Column, key: Column,
+                     budgetFraction: Double, alpha: Double = 0.5,
+                     rateField: String = "sample_rate"): DataFrame = {
+    val counts = df.groupBy(stratum.as("__s")).count()
+      .collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val budget = math.floor(total * budgetFraction)
+    def weight(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble)
+      else math.pow(n.toDouble, alpha)
+    val denom = counts.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + weight(n) }
+    val fractions = counts.map { case (s, n) =>
+      s -> BigDecimal(math.min(1.0, budget * (weight(n) / denom) / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    stratified(df, stratum, key, fractions, rateField)
+  }
 }

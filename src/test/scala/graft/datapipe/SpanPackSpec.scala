@@ -78,6 +78,31 @@ class SpanPackSpec extends SparkSpec {
       (expect + 31) / 32)
   }
 
+  test("temperatureMix: alpha<1 up-weights small sources; budget holds") {
+    import graft.operators.Sample
+    // heavily skewed: 9000 web docs vs 100 code docs
+    val docs = ((1L to 9000L).map(i => (i, "web")) ++
+      (9001L to 9100L).map(i => (i, "code"))).toDF("doc_id", "source")
+    val kept = Sample.temperatureMix(docs, col("source"), col("doc_id"),
+      budgetFraction = 0.1, alpha = 0.5)
+    val rates = kept.groupBy("source")
+      .agg(first(col("sample_rate")).as("r"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    // proportional sampling would keep 10% of each; sqrt weighting must
+    // sample code at ~10x the rate of web
+    assert(rates("code")._1 > rates("web")._1 * 5,
+      s"no up-weighting: $rates")
+    // realized totals near the budget (910 docs), hash noise aside
+    val total = rates.values.map(_._2).sum
+    assert(total > 700 && total < 1100, s"budget off: $total")
+    // determinism: same fractions on a different partitioning
+    val again = Sample.temperatureMix(docs.repartition(7), col("source"),
+      col("doc_id"), 0.1, 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("packing: deterministic across input partitionings") {
     val docs = (1L to 200L).map(i => (i, (i % 13 + 1).toInt))
       .toDF("doc_id", "n_toks")
