@@ -302,6 +302,18 @@ object DatapipeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Product quantization (Jégou et al. 2011): 4×16-dim sub-codebooks,
+    // corpus encoded to 4 codes/vector, probes ranked against the
+    // RECONSTRUCTED vectors — the memory-bounded ANN scale path
+    "ann_pq" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val cbs = Ann.pqCodebooks(e, "vec_id", "embedding",
+        m = 4, k = 8, iters = 2)
+      val probes = e.filter(col("vec_id") < 3)
+      Ann.pqTopK(e, probes, "vec_id", "embedding", k = 5, cbs)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Temperature-weighted source mixing (exponentiated sampling,
     // alpha=0.5): small sources up-weight; the budgeted draw reuses the
     // deterministic monotone md5 sampler
@@ -585,6 +597,37 @@ object DatapipeQueries {
     s"""round(list_sum([$x[i]*$y[i] for i in range(1,len($x)+1)])
        |    / sqrt(list_sum([$x[i]*$x[i] for i in range(1,len($x)+1)]))
        |    / sqrt(list_sum([$y[i]*$y[i] for i in range(1,len($y)+1)])), 6)""".stripMargin
+  /** [[kmAssign]] generalized over the source table (the PQ subspace
+    * chains run one k-means per sliced-vector table).
+    */
+  private def kmAssignOn(src: String, name: String, cents: String) =
+    s"""$name AS (SELECT id, v, cell FROM (
+       |  SELECT s.id, s.v, k.cell, ${kmPairCos("s.v", "k.cv")} AS cos
+       |  FROM $src s, $cents k)
+       |QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell) = 1)""".stripMargin
+
+  /** One PQ subspace chain: slice, init from the k lowest ids, two
+    * Lloyd iterations, final assign, reconstruct (the same conventions
+    * as Ann.kmeans — proven by the ann_kmeans oracle).
+    */
+  private def pqSubCtes(j: Int, sub: Int, k: Int): String = {
+    val s0 = j * sub + 1
+    val e0 = s0 + sub - 1
+    s"""c$j AS (SELECT vec_id AS id,
+       |  [CAST(x AS DOUBLE) for x in embedding[$s0:$e0]] AS v
+       |  FROM embeddings),
+       |cent${j}_0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1
+       |    AS BIGINT) AS cell, v AS cv
+       |  FROM (SELECT id, v FROM c$j ORDER BY id LIMIT $k)),
+       |${kmAssignOn(s"c$j", s"a${j}_1", s"cent${j}_0")},
+       |${kmCent(s"cent${j}_1", s"a${j}_1")},
+       |${kmAssignOn(s"c$j", s"a${j}_2", s"cent${j}_1")},
+       |${kmCent(s"cent${j}_2", s"a${j}_2")},
+       |${kmAssignOn(s"c$j", s"a${j}_3", s"cent${j}_2")},
+       |r$j AS (SELECT a.id, k.cv FROM a${j}_3 a
+       |        JOIN cent${j}_2 k USING (cell))""".stripMargin
+  }
+
   private def kmAssign(name: String, cents: String) =
     s"""$name AS (SELECT id, v, cell FROM (
        |  SELECT c.id, c.v, k.cell, ${kmPairCos("c.v", "k.cv")} AS cos
@@ -1042,6 +1085,27 @@ object DatapipeQueries {
         |                         for d in list_distinct(b)]) * 1.0 / len(b), 6)
         |    ELSE 0.0 END AS top_bigram_share
         |FROM bg ORDER BY doc_id""".stripMargin,
+
+    "ann_pq" ->
+      s"""WITH ${(0 until 4).map(j => pqSubCtes(j, 16, 8)).mkString(",\n")},
+        |rec AS (
+        |  SELECT r0.id, r0.cv || r1.cv || r2.cv || r3.cv AS rv
+        |  FROM r0 JOIN r1 USING (id) JOIN r2 USING (id)
+        |       JOIN r3 USING (id)),
+        |probes AS (
+        |  SELECT vec_id AS query_id,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS qv
+        |  FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT p.query_id, r.id AS nn_id,
+        |    ${kmPairCos("p.qv", "r.rv")} AS pq_cos
+        |  FROM probes p, rec r WHERE r.id <> p.query_id)
+        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank,
+        |  nn_id, pq_cos
+        |FROM scored
+        |WINDOW w AS (PARTITION BY query_id ORDER BY pq_cos DESC, nn_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "sample_temperature" ->
       """WITH n AS (

@@ -19,11 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity of two double arrays (deterministic fold). */
+  /** Cosine similarity of two double arrays (deterministic fold).
+    * Zero-norm inputs yield NaN — the same value DuckDB's 0/0 produces
+    * and what ANSI mode would otherwise throw on (PQ subvectors can be
+    * all-zero even when full vectors never are).
+    */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+    val na = dot(a, a)
+    val nb = dot(b, b)
+    when(na === 0.0 || nb === 0.0, lit(Double.NaN))
+      .otherwise(dot(a, b) / sqrt(na) / sqrt(nb))
   }
 
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
@@ -234,6 +241,71 @@ object Ann {
       .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
       .select(col("a.doc").as("doc")).distinct()
     c.join(dropped, Seq("doc"), "left_anti").select(col("doc"), col("cell"))
+  }
+
+  /** Product quantization (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"): split the vector into `m` contiguous
+    * subspaces, k-means each subspace independently (the sub-codebooks),
+    * and encode every vector as m small codes. At 100 TB this is THE
+    * memory story for ANN — a 64-dim float vector becomes m bytes, and
+    * scoring reads codebook entries instead of raw vectors. Scoring here
+    * is reconstruction-based (concat the chosen sub-centroids, exact
+    * cosine against the probe) — semantically identical to ADC lookup
+    * tables, which are the constant-factor fast path.
+    *
+    * Sub-codebooks come from [[kmeans]] on sliced vectors, so they
+    * inherit its determinism (lowest-id init, fixed iterations, 6-dp
+    * centroid rounding) and its broadcast path above
+    * [[LiteralCodebookMax]] entries.
+    */
+  def pqCodebooks(corpus: DataFrame, id: String, vec: String, m: Int,
+                  k: Int, iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val sliced = corpus.select(col(id),
+        slice(asDouble(col(vec)), j * sub + 1, sub).as("__sub"))
+      kmeans(sliced, id, "__sub", k, iters)
+    }
+  }
+
+  /** Encode every vector as its per-subspace nearest-centroid codes. */
+  def pqEncode(corpus: DataFrame, id: String, vec: String,
+               codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val m = codebooks.size
+    val sub = codebooks.head.head._2.size
+    val codes = (0 until m).map(j =>
+      ivfAssign(slice(asDouble(col(vec)), j * sub + 1, sub),
+        codebooks(j)).as(s"code_$j"))
+    corpus.select(col(id).as("doc") +: codes: _*)
+  }
+
+  /** PQ top-k: rank the whole corpus for each probe by cosine between
+    * the probe's EXACT vector and each doc's RECONSTRUCTED (quantized)
+    * vector. Probes broadcast; the corpus side is a pure projection over
+    * its codes — no raw-vector reads in the scoring loop.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+             vec: String, k: Int,
+             codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val m = codebooks.size
+    val encoded = pqEncode(corpus, id, vec, codebooks)
+    val rec = concat((0 until m).map { j =>
+      val lut = typedlit(codebooks(j).toMap)
+      element_at(lut, col(s"code_$j"))
+    }: _*)
+    val recd = encoded.withColumn("rv", rec)
+    val q = queries.select(col(id).as("query_id"),
+      asDouble(col(vec)).as("qv"))
+    val scored = recd.join(broadcast(q), col("doc") =!= col("query_id"))
+      .withColumn("pq_cos", round(cosine(col("qv"), col("rv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_cos").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc").as("nn_id"),
+        col("pq_cos"))
   }
 
   /** Near-duplicate pairs by cosine, blocked by sign sketch (a near-dup

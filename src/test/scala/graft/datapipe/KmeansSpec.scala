@@ -60,6 +60,33 @@ class KmeansSpec extends SparkSpec {
     assert(loose.size >= tight.size)
   }
 
+  test("product quantization: codes bounded, identical vectors co-rank") {
+    val cbs = Ann.pqCodebooks(emb, "vec_id", "embedding",
+      m = 2, k = 3, iters = 2)
+    assert(cbs.size == 2)
+    assert(cbs.forall(_.forall(_._2.size == 2))) // 4-dim → two 2-dim subs
+    val codes = Ann.pqEncode(emb, "vec_id", "embedding", cbs)
+    assert(codes.columns.toSeq == Seq("doc", "code_0", "code_1"))
+    val cells = cbs.map(_.map(_._1).toSet)
+    codes.collect().foreach { r =>
+      assert(cells(0).contains(r.getLong(1)))
+      assert(cells(1).contains(r.getLong(2)))
+    }
+    // identical docs 7/8 share codes, so each ranks in the other's list
+    // with the SAME reconstructed score
+    val top = Ann.pqTopK(emb, emb.filter($"vec_id".isin(7L, 8L)),
+      "vec_id", "embedding", k = 7, cbs)
+    val m78 = top.filter($"query_id" === 7L && $"nn_id" === 8L)
+      .head().getAs[Double]("pq_cos")
+    val m87 = top.filter($"query_id" === 8L && $"nn_id" === 7L)
+      .head().getAs[Double]("pq_cos")
+    assert(m78 == m87)
+    // determinism across partitionings (codebooks + ranking)
+    val cbs2 = Ann.pqCodebooks(emb.repartition(5), "vec_id", "embedding",
+      m = 2, k = 3, iters = 2)
+    assert(cbs == cbs2)
+  }
+
   // deterministic pseudo-vectors (no RNG — resumability contract):
   // component c of vector j = a fixed mixed-congruential pattern
   private def pseudoVec(j: Int, dim: Int): Seq[Double] =
