@@ -198,6 +198,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"packing shuffles $exchanges times:\n$p")
   }
 
+  test("pq encode is a shuffle-free projection; scoring broadcasts probes") {
+    import graft.datapipe.Ann
+    val e = graft.Graft.table(spark, dir, "embeddings")
+    val cbs = Ann.pqCodebooks(e, "vec_id", "embedding", m = 4, k = 8,
+      iters = 1)
+    val enc = plan(Ann.pqEncode(e, "vec_id", "embedding", cbs))
+    assert(!enc.contains("ENSURE_REQUIREMENTS") && !enc.contains("Join"),
+      s"pq encode is not a pure projection:\n$enc")
+    val top = plan(Ann.pqTopK(e, e.filter(col("vec_id") < 3), "vec_id",
+      "embedding", 5, cbs))
+    assert(top.contains("BroadcastNestedLoopJoin") ||
+      top.contains("BroadcastExchange"),
+      s"pq scoring does not broadcast the probes:\n$top")
+    assert(!top.contains("SortMergeJoin"),
+      "pq scoring shuffled the corpus for the probe join")
+  }
+
   test("semantic dedup: the candidate join is keyed (hash), not a cross") {
     import graft.datapipe.Ann
     val e = graft.Graft.table(spark, dir, "embeddings")
