@@ -29,8 +29,10 @@ class StreamingSpec extends SparkSpec {
     // AvailableNow (timeout-check batches schedule forever), so a plain
     // awaitTermination always burns its full timeout. Drain by output
     // stability instead: done when rows exist and stay unchanged longer
-    // than any test's expire window (1.5s) plus slack.
-    val deadline = System.currentTimeMillis() + 30000
+    // than any test's expire window (1.5s) plus slack. 90s deadline:
+    // under FULL-SUITE parallel load a single micro-batch can stall
+    // >30s (observed flake), while isolated runs finish in seconds.
+    val deadline = System.currentTimeMillis() + 90000
     var last = -1L
     var stableSince = System.currentTimeMillis()
     var drained = false
