@@ -782,6 +782,94 @@ object VrlCompiler {
       else (CV(looked, TArr), None)
       }
 
+    // internal-metrics VRL functions (lib/vector-vrl/metrics/src/):
+    // get_vector_metric(key, tags) → first match / null,
+    // find_vector_metrics(key, tags) → array of matches,
+    // aggregate_vector_metrics(function, key, tags) → sum/avg/min/max
+    // over counter+gauge values. Resolved against a SNAPSHOT of the
+    // internal registry at COMPILE (plan-build) time — the Spark
+    // analogue of the reference's coarse metrics_storage_refresh_period
+    // snapshot (a compiled plan re-reads on restart, not per event), so
+    // key/tags/function must be literals. Tag values support '*'
+    // wildcards like the reference.
+    case CallE(fn @ ("get_vector_metric" | "find_vector_metrics"
+        | "aggregate_vector_metrics"), _, args, named, None, _) =>
+      def litStr(e: VrlAst.Expr, what: String): String = e match {
+        case LitS(s) => s
+        case _ => throw VrlCompileException(
+          s"$fn: $what must be a string literal (compile-time snapshot)")
+      }
+      def litTags(e: Option[VrlAst.Expr]): Map[String, String] = e match {
+        case None => Map.empty
+        case Some(ObjectE(fields)) =>
+          fields.map { case (k, v) => k -> litStr(v, s"tag '$k'") }.toMap
+        case Some(_) => throw VrlCompileException(
+          s"$fn: tags must be an object literal")
+      }
+      def wildcard(pat: String, v: String): Boolean = {
+        val re = pat.split("\\*", -1)
+          .map(java.util.regex.Pattern.quote).mkString("^", ".*", "$")
+        v.matches(re)
+      }
+      val (aggFun, key, tagsE) = fn match {
+        case "aggregate_vector_metrics" =>
+          (Some(litStr(args.head, "function")), litStr(args(1), "key"),
+            args.lift(2).orElse(named.collectFirst {
+              case ("tags", e) => e }))
+        case _ =>
+          (None, litStr(args.head, "key"),
+            args.lift(1).orElse(named.collectFirst {
+              case ("tags", e) => e }))
+      }
+      val tags = litTags(tagsE)
+      val rows = graft.streaming.InternalObs.registry
+        .snapshot("vector", Map.empty, new java.sql.Timestamp(0L))
+        .filter(_.name == key)
+        .filter(r => tags.forall { case (k, pat) =>
+          r.tags.get(k).exists(v => wildcard(pat, v)) })
+        .sortBy(r => r.tags.toSeq.sorted.mkString(""))
+      val metricSt = StructType(Seq(
+        StructField("name", StringType),
+        StructField("tags", MapType(StringType, StringType)),
+        StructField("type", StringType),
+        StructField("kind", StringType),
+        StructField("value", DoubleType)))
+      def metricStruct(r: graft.streaming.InternalObs.MetricRow): Column =
+        struct(lit(r.name).as("name"),
+          typedLit(r.tags).as("tags"),
+          lit(r.value_type).as("type"),
+          lit(r.kind).as("kind"),
+          lit(r.counter_value.orElse(r.gauge_value).getOrElse(0.0))
+            .as("value"))
+      val values = rows.flatMap(r => r.counter_value.orElse(r.gauge_value))
+      fn match {
+        case "get_vector_metric" =>
+          (rows.headOption.map(r => CV(metricStruct(r), TObj(metricSt)))
+            .getOrElse(CV(lit(null).cast(metricSt), TObj(metricSt))), None)
+        case "find_vector_metrics" =>
+          val arr =
+            if (rows.isEmpty)
+              lit(null).cast(ArrayType(metricSt))
+            else array(rows.map(metricStruct): _*)
+          (CV(arr, TArr), None)
+        case _ =>
+          val out: Column = aggFun.get match {
+            case "sum" => lit(values.sum)
+            case "avg" =>
+              if (values.isEmpty) lit(null).cast("double")
+              else lit(values.sum / values.size)
+            case "max" =>
+              if (values.isEmpty) lit(null).cast("double")
+              else lit(values.max)
+            case "min" =>
+              if (values.isEmpty) lit(null).cast("double")
+              else lit(values.min)
+            case other => throw VrlCompileException(
+              s"aggregate_vector_metrics: unknown function '$other'")
+          }
+          (CV(out, TFloat), None)
+      }
+
     case CallE("get_secret", _, List(k), _, None, _) =>
       val (kv, err) = expr(env, k)
       val out = env.fields.get("__secrets") match {
