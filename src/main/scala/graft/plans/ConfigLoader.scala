@@ -1842,7 +1842,9 @@ object ConfigLoader {
       else Some(name -> kept)
     }
     val out = new java.util.LinkedHashMap[String, Any]()
-    (conf -- Set("sources", "transforms", "sinks")).foreach {
+    // `api:` stays with the ORIGINAL run — a partial restart must not
+    // bind a second server on the same port
+    (conf -- Set("sources", "transforms", "sinks", "api")).foreach {
       case (k, v) => out.put(k, v) }
     filterSection("sources", keepComps).foreach { case (k, v) =>
       val jm = new java.util.LinkedHashMap[String, Any]()

@@ -266,7 +266,55 @@ class ToolingSpec extends SparkSpec {
       val top = Top.fetchComponents(s"http://127.0.0.1:$port")
       assert(top.map(_._1).toSet == Set("logs", "up", "api_out"))
       assert(top.find(_._1 == "api_out").exists(_._5 >= 3L))
+      // a reload with api: enabled must NOT try to bind a second API
+      // server on the same port (renderPartial drops the api global) —
+      // the original endpoint keeps serving
+      val yamlApi =
+        s"""
+          |api:
+          |  enabled: true
+          |  address: 127.0.0.1:$port
+          |sources:
+          |  logs:
+          |    type: file
+          |    path: $dir
+          |transforms:
+          |  up:
+          |    type: remap
+          |    inputs: [logs]
+          |    source: |
+          |      .msg = upcase!(.message)
+          |sinks:
+          |  api_out:
+          |    type: memory
+          |    inputs: [up]
+          |""".stripMargin
+      val edited = yamlApi.replace("upcase!(.message)",
+        "downcase!(.message)")
+      val running2 = plans.ConfigLoader.reload(spark, running, yamlApi,
+        edited, "/root/testdata/sf0.001", tmp)
+      try {
+        running2.processAllAvailable()
+        assert(get("/health") == """{"ok":true}""")
+        eventuallyMs() {
+          running2.processAllAvailable()
+          assert(spark.table("api_out").collect()
+            .map(_.getAs[String]("msg")).toSet == Set("one", "two", "three"))
+        }
+      } finally running2.stopAll()
+      // running2 superseded `running`; the outer stopAll is a harmless
+      // double-stop on the already-stopped merged components
     } finally running.stopAll()
+  }
+
+  private def eventuallyMs[T](deadlineMs: Long = 30000)(f: => T): T = {
+    val end = System.nanoTime + deadlineMs * 1000000L
+    var last: Throwable = null
+    while (System.nanoTime < end) {
+      try return f
+      catch { case t: Throwable => last = t; Thread.sleep(100) }
+    }
+    throw last
   }
 
   test("reload: a restarted subgraph's listener frees and rebinds its port") {
