@@ -1896,9 +1896,16 @@ object ConfigLoader {
     }
     stopNow.foreach { case (_, c) =>
       try c() catch { case _: Exception => () } }
+    // prometheus_exporter sinks own a listening port too — stop the
+    // affected ones so the rebuilt sink can rebind
+    val (expStop, expKeep) = running.exporters.partition {
+      case (sid, _) => restart(sid) || removed(sid)
+    }
+    expStop.values.foreach(e =>
+      try e.stop() catch { case _: Exception => () })
     if (restart.isEmpty)
       running.copy(queries = running.queries -- removed,
-        closers = keepClosers)
+        closers = keepClosers, exporters = expKeep)
     else {
       val fresh = run(spark, renderPartial(newYaml, restart), sfDir, workDir)
       RunningConfig(
@@ -1907,7 +1914,7 @@ object ConfigLoader {
         running.scrapers ++ fresh.scrapers,
         running.logTaps ++ fresh.logTaps,
         keepClosers ++ fresh.closers,
-        running.exporters ++ fresh.exporters,
+        expKeep ++ fresh.exporters,
         running.pollers ++ fresh.pollers)
     }
   }
