@@ -1564,11 +1564,25 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log,
             sp => graft.streaming.StreamRunner.stdin(sp))
         // exec source (src/sources/exec/): run `command` on the driver,
-        // one event per stdout line (scheduled mode, one invocation)
+        // one event per stdout line. `mode: scheduled` +
+        // `scheduled.exec_interval_secs` re-invokes on an interval as a
+        // streaming source; without it, one batch invocation.
         case "exec" =>
           val command = strList(m.getOrElse("command", Nil))
           require(command.nonEmpty, s"exec source $id: command is required")
-          Topology.Source(id, Topology.Log,
+          val scheduled = yamlMap(m.getOrElse("scheduled", null))
+          if (m.getOrElse("mode", "").toString == "scheduled" ||
+              scheduled.nonEmpty) {
+            val interval = scheduled
+              .getOrElse("exec_interval_secs", "60").toString.toDouble
+            Topology.Source(id, Topology.Log, sp => {
+              val src = graft.streaming.StreamRunner.execScheduled(sp,
+                command, (interval * 1000).toLong)
+              src.startPolling()
+              addCloser(id, () => src.stop())
+              src.df
+            })
+          } else Topology.Source(id, Topology.Log,
             sp => graft.streaming.StreamRunner.exec(sp, command))
         // syslog source (src/sources/syslog.rs): tcp (octet-counting or
         // newline framing per RFC6587) or udp listener; each frame

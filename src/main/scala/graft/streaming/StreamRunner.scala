@@ -79,10 +79,8 @@ object StreamRunner {
     base.select(col("timestamp"), col("value"), line.as("message"))
   }
 
-  /** `exec` source (reference src/sources/exec/): run a process on the
-    * driver, one row per stdout line. Scheduled mode = re-invoke per
-    * batch in foreachBatch; streaming mode is out of scope (single
-    * process, inherently driver-side).
+  /** `exec` source, one-shot form (reference src/sources/exec/): run a
+    * process on the driver, one row per stdout line.
     */
   def exec(spark: SparkSession, command: Seq[String]): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -92,6 +90,46 @@ object StreamRunner {
     import spark.implicits._
     lines.toDF("message")
   }
+
+  /** `exec` source, SCHEDULED mode (exec/config.rs Mode::Scheduled +
+    * `scheduled.exec_interval_secs`): re-invoke the command on an
+    * interval from a driver thread, each run's stdout lines becoming
+    * events on a streaming DataFrame. (Mode::Streaming — one long-lived
+    * process with respawn — is the same MemoryStream shape fed by a
+    * single reader; the scheduled form covers the cron-style use.)
+    */
+  final class ExecScheduledSource(spark: SparkSession,
+                                  command: Seq[String], intervalMs: Long) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    private implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    private val mem = MemoryStream[String]
+    @volatile private var running = false
+    def runOnce(): Unit = {
+      import scala.jdk.CollectionConverters._
+      val proc = new ProcessBuilder(command.asJava)
+        .redirectErrorStream(true).start()
+      val lines = scala.io.Source.fromInputStream(proc.getInputStream)
+        .getLines().toIndexedSeq
+      proc.waitFor()
+      if (lines.nonEmpty) mem.addData(lines)
+    }
+    private val thread = new Thread(() => {
+      while (running) {
+        try runOnce() catch { case _: Exception => () }
+        Thread.sleep(intervalMs)
+      }
+    }, s"exec-scheduled")
+    thread.setDaemon(true)
+    def startPolling(): Unit = { running = true; thread.start() }
+    def df: DataFrame = mem.toDF().withColumnRenamed("value", "message")
+    def stop(): Unit = running = false
+  }
+
+  def execScheduled(spark: SparkSession, command: Seq[String],
+                    intervalMs: Long): ExecScheduledSource =
+    new ExecScheduledSource(spark, command, intervalMs)
 
   /** `stdin` / `file_descriptors` source: driver stdin, batch form. */
   def stdin(spark: SparkSession): DataFrame = {

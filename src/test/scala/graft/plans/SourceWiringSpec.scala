@@ -278,6 +278,32 @@ class SourceWiringSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("run: exec scheduled mode re-invokes on an interval (streaming)") {
+    val running = ConfigLoader.run(spark,
+      """
+        |sources:
+        |  in:
+        |    type: exec
+        |    mode: scheduled
+        |    command: [date, '+tick']
+        |    scheduled:
+        |      exec_interval_secs: 0.2
+        |sinks:
+        |  exec_sched_tap:
+        |    type: memory
+        |    inputs: [in]
+        |""".stripMargin, sf, tmpWork("execsched"))
+    try eventually() {
+      running.processAllAvailable()
+      // at least two invocations landed — the source is streaming and
+      // re-running the command, not a one-shot batch
+      val n = spark.table("exec_sched_tap")
+        .filter(org.apache.spark.sql.functions.col("message") === "tick")
+        .count()
+      assert(n >= 2, s"only $n scheduled invocations")
+    } finally running.stopAll()
+  }
+
   test("run: syslog tcp source accepts octet-counted AND newline frames") {
     val running = ConfigLoader.run(spark,
       """
