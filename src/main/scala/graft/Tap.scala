@@ -16,8 +16,57 @@ object Tap {
   /** Merge one extra `__tap` memory sink on `component` into the config —
     * the same section-merging path as --config-dir, so the user config
     * is untouched and duplicate-id checks still apply.
+    *
+    * `component` supports the reference's tap glob patterns
+    * (src/tap/mod.rs: `vector tap 'parse*'`): '*' matches any run of
+    * characters in component ids; all matching sources/transforms fan
+    * into the one tap sink (matching the reference merging multiple
+    * matched outputs onto one tap stream). A pattern that matches
+    * nothing fails loudly, like an unknown id would.
     */
   def tapYaml(configText: String, component: String): String = {
+    val inputs: Seq[String] =
+      if (!component.contains("*")) Seq(component)
+      else {
+        val conf = plans.ConfigLoader.parseYaml(configText)
+        def ids(section: String): Seq[String] = conf.get(section) match {
+          case Some(m: java.util.Map[_, _]) =>
+            import scala.jdk.CollectionConverters._
+            m.asScala.keys.map(_.toString).toSeq
+          case _ => Nil
+        }
+        val re = component.split("\\*", -1)
+          .map(java.util.regex.Pattern.quote).mkString("^", ".*", "$")
+        // route-style transforms expose only NAMED ports — a glob match
+        // on one taps every port (reference tap patterns match outputs)
+        def yamlMapOf(v: Any): Map[String, Any] = v match {
+          case m: java.util.Map[_, _] =>
+            import scala.jdk.CollectionConverters._
+            m.asScala.map { case (k, x) => k.toString -> (x: Any) }.toMap
+          case _ => Map.empty
+        }
+        val transforms = yamlMapOf(conf.getOrElse("transforms", null))
+        def outputsOf(id: String): Seq[String] =
+          transforms.get(id).map(yamlMapOf) match {
+            case Some(t) if t.getOrElse("type", "") == "route" =>
+              yamlMapOf(t.getOrElse("route", null)).keys.toSeq.sorted
+                .map(p => s"$id.$p") :+ s"$id._unmatched"
+            case Some(t) if t.getOrElse("type", "") == "exclusive_route" =>
+              (t.getOrElse("routes", null) match {
+                case l: java.util.List[_] =>
+                  import scala.jdk.CollectionConverters._
+                  l.asScala.toSeq.map(r =>
+                    yamlMapOf(r).getOrElse("name", "").toString)
+                case _ => Nil
+              }).sorted.map(p => s"$id.$p") :+ s"$id._unmatched"
+            case _ => Seq(id)
+          }
+        val matched = (ids("sources") ++ ids("transforms"))
+          .filter(_.matches(re)).sorted.flatMap(outputsOf)
+        require(matched.nonEmpty,
+          s"tap: pattern '$component' matches no source or transform")
+        matched
+      }
     val dir = java.nio.file.Files.createTempDirectory("graft-tap-cfg")
     java.nio.file.Files.write(dir.resolve("00-main.yaml"),
       configText.getBytes("UTF-8"))
@@ -25,7 +74,7 @@ object Tap {
       s"""sinks:
          |  __tap:
          |    type: memory
-         |    inputs: ["$component"]
+         |    inputs: [${inputs.map("\"" + _ + "\"").mkString(", ")}]
          |""".stripMargin.getBytes("UTF-8"))
     plans.ConfigLoader.mergeConfigDir(dir.toString)
   }

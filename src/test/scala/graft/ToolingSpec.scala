@@ -123,6 +123,22 @@ class ToolingSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("tap: glob patterns fan every matching component into one tap") {
+    // 'rout*' matches the route transform; its default port feeds the
+    // tap alongside nothing else — and a no-match pattern fails loudly
+    val merged = Tap.tapYaml(yaml, "rou*")
+    val tmp = java.nio.file.Files.createTempDirectory("tapglob").toString
+    val running = plans.ConfigLoader.run(spark, merged,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      running.processAllAvailable()
+      assert(spark.table("__tap").count() > 0)
+    } finally running.stopAll()
+    intercept[IllegalArgumentException] {
+      Tap.tapYaml(yaml, "zz*")
+    }
+  }
+
   test("tap: duplicate-id protection still applies to the injected sink") {
     val clash = yaml.replace("  out:", "  __tap:")
     intercept[Exception] { Tap.tapYaml(clash, "up") }
