@@ -858,6 +858,14 @@ object ConfigLoader {
       case Some("logfmt") =>
         framed.withColumn("data",
           graft.functions.Vrl.parseKeyValue(col("message"), " ", "="))
+      case Some("vrl") =>
+        // decoding.vrl.source (lib/codecs/src/decoding/format/vrl.rs):
+        // a VRL program runs over each frame; rows it aborts/errors on
+        // are dropped (the decoder's failed-decode semantics)
+        val src = yamlMap(dec.getOrElse("vrl", null))
+          .getOrElse("source", "").toString
+        require(src.nonEmpty, "decoding.vrl.source is required")
+        graft.functions.VrlCompiler.run(framed, src).primary
       case Some("avro") =>
         // decoding.avro.schema = the writer schema JSON (the reference's
         // avro deserializer config, lib/codecs decoding avro). Binary

@@ -500,6 +500,23 @@ class SourceWiringSpec extends SparkSpec {
     assert(r.getAs[Map[String, Double]]("fields") == Map("usage" -> 0.5))
   }
 
+  test("decoding: the vrl codec runs a program per frame") {
+    import spark.implicits._
+    val out = ConfigLoader.applyDecoding(
+      Seq("a=1 b=x", "a=2 b=y", "drop me").toDF("message"),
+      Map("decoding" -> java.util.Map.of("codec", "vrl",
+        "vrl", java.util.Map.of("source",
+          """parsed = parse_key_value!(.message)
+            |if parsed.a == null { abort }
+            |.a = to_int!(parsed.a)
+            |.b = parsed.b
+            |""".stripMargin))))
+    val rows = out.orderBy("a").collect()
+    assert(rows.length == 2) // the abort dropped the unparseable frame
+    assert(rows.map(r => (r.getAs[Long]("a"), r.getAs[String]("b")))
+      .toSeq == Seq((1L, "x"), (2L, "y")))
+  }
+
   test("decoding: avro and protobuf decode binary payloads from config") {
     import spark.implicits._
     // avro: encode with the writer schema, round-trip through the
