@@ -26,6 +26,12 @@ object Packing {
   def pack(docs: DataFrame, key: Column, nTokens: Column, seqLen: Int,
            buckets: Int = 64, sepTokens: Int = 1): DataFrame = {
     require(seqLen > 0 && buckets > 0)
+    // the prefix table is a PLAN-EMBEDDED map literal (O(buckets) plan
+    // size) — ample for shard-count-scale bucket counts, guarded so a
+    // runaway value fails loudly instead of blowing plan serialization;
+    // past this, swap the literal for a broadcast join on __b
+    require(buckets <= 65536,
+      s"pack: buckets=$buckets exceeds the literal-prefix bound (65536)")
     val bucket = Shards.shardId(key, buckets)
     val sized = docs
       .withColumn("__b", bucket)
