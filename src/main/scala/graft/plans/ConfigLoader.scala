@@ -2429,6 +2429,7 @@ object ConfigLoader {
           m.getOrElse("method", "post").toString,
           codec, framing, delim, compression,
           batch.getOrElse("max_events", "1000").toString.toInt,
+          batch.getOrElse("max_bytes", "0").toString.toLong,
           headerMap(),
           contentType = if (codec == "json") "application/x-ndjson"
             else "text/plain",
@@ -2446,7 +2447,7 @@ object ConfigLoader {
           endpoint() + "/_bulk", "post", "json", "newline_delimited", "\n",
           m.getOrElse("compression", "none").toString,
           batch.getOrElse("max_events", "1000").toString.toInt,
-          headerMap(), contentType = "application/x-ndjson",
+          headers = headerMap(), contentType = "application/x-ndjson",
           payloadSuffix = "\n")
         Some(df => NetworkSinks.writeHttpBody(
           df.select(Envelopes.esBulkPair(df, index, action).as("__line")),
@@ -2459,7 +2460,7 @@ object ConfigLoader {
           "newline_delimited", "\n",
           m.getOrElse("compression", "none").toString,
           batch.getOrElse("max_events", "1000").toString.toInt,
-          headerMap() + ("Authorization" -> s"Splunk $token"),
+          headers = headerMap() + ("Authorization" -> s"Splunk $token"),
           contentType = "application/json")
         val host = m.getOrElse("host_key", "host").toString
         Some(df => NetworkSinks.writeHttpBody(
@@ -2477,7 +2478,7 @@ object ConfigLoader {
           endpoint() + "/loki/api/v1/push", "post", codec,
           "character_delimited", ",", compression,
           batch.getOrElse("max_events", "100000").toString.toInt,
-          headerMap(), contentType = "application/json",
+          headers = headerMap(), contentType = "application/json",
           payloadPrefix = "{\"streams\":[", payloadSuffix = "]}")
         Some(df => NetworkSinks.writeHttpBody(
           Envelopes.lokiStreams(df, labels, codec), cfg))
@@ -2489,7 +2490,7 @@ object ConfigLoader {
           endpoint(), "post", "json", "bytes", "",
           "none",
           batch.getOrElse("max_events", "100000").toString.toInt,
-          headerMap() ++ Map(
+          headers = headerMap() ++ Map(
             "Content-Encoding" -> "snappy",
             "X-Prometheus-Remote-Write-Version" -> "0.1.0"),
           contentType = "application/x-protobuf")
@@ -2507,7 +2508,7 @@ object ConfigLoader {
           endpoint() + s"/?query=$q", "post", "json", "newline_delimited",
           "\n", m.getOrElse("compression", "none").toString,
           batch.getOrElse("max_events", "1000").toString.toInt,
-          headerMap(), contentType = "application/x-ndjson",
+          headers = headerMap(), contentType = "application/x-ndjson",
           payloadSuffix = "\n")
         Some(df => NetworkSinks.writeHttp(df, cfg))
       case "influxdb" | "influxdb_metrics" =>
@@ -2519,7 +2520,7 @@ object ConfigLoader {
           "newline_delimited", "\n",
           m.getOrElse("compression", "none").toString,
           batch.getOrElse("max_events", "1000").toString.toInt,
-          headerMap(), contentType = "text/plain")
+          headers = headerMap(), contentType = "text/plain")
         Some(df => NetworkSinks.writeHttpBody(
           df.select(Envelopes.influxLine(df).as("__line")), cfg))
       case "websocket" =>
@@ -2879,7 +2880,7 @@ object ConfigLoader {
           "post", "json", "character_delimited", ",",
           m.getOrElse("compression", "none").toString,
           batch.getOrElse("max_events", "1000").toString.toInt,
-          headerMap() ++ m.get("default_api_key")
+          headers = headerMap() ++ m.get("default_api_key")
             .map(k => "DD-API-KEY" -> k.toString),
           contentType = "application/json",
           payloadPrefix = "[", payloadSuffix = "]")

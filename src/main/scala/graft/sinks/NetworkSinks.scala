@@ -118,9 +118,11 @@ object NetworkSinks {
       framing: String = "newline_delimited",
       delimiter: String = "\n",
       compression: String = "none",
-      // batch.max_events (src/sinks/util/batch.rs) — requests per task
-      // hold at most this many events
+      // batch.max_events / batch.max_bytes (src/sinks/util/batch.rs) —
+      // a request closes at whichever bound fills first; 0 = unbounded
+      // bytes
       maxEvents: Int = 1000,
+      maxBytes: Long = 0L,
       headers: Map[String, String] = Map.empty,
       contentType: String = "application/x-ndjson",
       // payload_prefix/payload_suffix wrap each request body
@@ -149,11 +151,40 @@ object NetworkSinks {
     * per-group) body lines — used by the envelope sinks (elasticsearch /
     * splunk_hec / loki / datadog), which build service-specific shapes.
     */
+  /** Chunk rows by event count AND cumulative payload bytes — a batch
+    * closes at whichever bound fills first (batch.rs semantics; a
+    * single over-budget event still ships alone).
+    */
+  private[sinks] def chunked(rows: Iterator[org.apache.spark.sql.Row],
+                             maxEvents: Int, maxBytes: Long)
+      : Iterator[Seq[org.apache.spark.sql.Row]] =
+    if (maxBytes <= 0L) rows.grouped(maxEvents).map(_.toSeq)
+    else new Iterator[Seq[org.apache.spark.sql.Row]] {
+      private val it = rows.buffered
+      def hasNext: Boolean = it.hasNext
+      def next(): Seq[org.apache.spark.sql.Row] = {
+        val batch = Seq.newBuilder[org.apache.spark.sql.Row]
+        var n = 0
+        var bytes = 0L
+        var full = false
+        while (!full && it.hasNext && n < maxEvents) {
+          val sz = Option(it.head.getString(0))
+            .map(_.getBytes("UTF-8").length.toLong).getOrElse(0L)
+          if (n > 0 && bytes + sz > maxBytes) full = true
+          else {
+            batch += it.next(); n += 1; bytes += sz
+            if (bytes >= maxBytes) full = true
+          }
+        }
+        batch.result()
+      }
+    }
+
   def writeHttpBody(lines: DataFrame, cfg: HttpConfig): Unit = {
     val c = cfg
     lines.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val delim = LineCodec.frameDelimiter(c.framing, c.delimiter)
-      rows.grouped(c.maxEvents).foreach { batch =>
+      chunked(rows, c.maxEvents, c.maxBytes).foreach { batch =>
         val body = new java.io.ByteArrayOutputStream()
         val out = LineCodec.compress(body, c.compression)
         out.write(c.payloadPrefix.getBytes("UTF-8"))
