@@ -2393,9 +2393,24 @@ object ConfigLoader {
         .toString
     def headerMap(key: String = "headers"): Map[String, String] = {
       val req = yamlMap(m.getOrElse("request", null))
+      // `auth:` strategy sugar (src/http.rs Auth: basic = user+password
+      // base64, bearer = token) — renders to the Authorization header
+      // every HTTP-transport sink sends
+      val auth = yamlMap(m.getOrElse("auth", null))
+      val authHeader: Map[String, String] =
+        auth.getOrElse("strategy", "").toString match {
+          case "basic" =>
+            val cred = auth.getOrElse("user", "").toString + ":" +
+              auth.getOrElse("password", "").toString
+            Map("Authorization" -> ("Basic " + java.util.Base64.getEncoder
+              .encodeToString(cred.getBytes("UTF-8"))))
+          case "bearer" =>
+            Map("Authorization" -> s"Bearer ${auth.getOrElse("token", "")}")
+          case _ => Map.empty
+        }
       (yamlMap(m.getOrElse(key, null)) ++
         yamlMap(req.getOrElse("headers", null)))
-        .map { case (k, v) => k -> v.toString }
+        .map { case (k, v) => k -> v.toString } ++ authHeader
     }
     tpe match {
       case "file" =>

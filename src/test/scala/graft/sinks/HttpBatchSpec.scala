@@ -29,6 +29,47 @@ class HttpBatchSpec extends SparkSpec {
       maxEvents = 10, maxBytes = 0)) == Seq(Seq("a", "b", "c")))
   }
 
+  test("auth: strategy renders the Authorization header from YAML") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/a", ex => {
+      seen.add(ex.getRequestHeaders.getFirst("Authorization"))
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    })
+    server.start()
+    val work = java.nio.file.Files.createTempDirectory("authwork").toString
+    try {
+      val running = graft.plans.ConfigLoader.run(spark,
+        s"""
+          |sources:
+          |  in: {type: parquet, table: region}
+          |sinks:
+          |  basic_out:
+          |    type: http
+          |    inputs: [in]
+          |    uri: http://127.0.0.1:${server.getAddress.getPort}/a
+          |    auth:
+          |      strategy: basic
+          |      user: bob
+          |      password: hunter2
+          |  bearer_out:
+          |    type: http
+          |    inputs: [in]
+          |    uri: http://127.0.0.1:${server.getAddress.getPort}/a
+          |    auth:
+          |      strategy: bearer
+          |      token: tok123
+          |""".stripMargin, "/root/testdata/sf0.001", work)
+      running.stopAll()
+      val got = seen.toArray.map(_.toString).toSet
+      val basic = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("bob:hunter2".getBytes("UTF-8"))
+      assert(got == Set(basic, "Bearer tok123"), got.toString)
+    } finally server.stop(0)
+  }
+
   test("http sink splits requests when max_bytes fills first") {
     val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val server = com.sun.net.httpserver.HttpServer.create(
