@@ -1528,11 +1528,21 @@ object ConfigLoader {
           val path = m.getOrElse("path", "/").toString
           val srvTls = graft.streaming.Tls.configOf(
             yamlMap(m.getOrElse("tls", null)))
+          // inbound `auth:` (http_server.rs: username+password → the
+          // Basic credentials the server requires; mismatches get 401)
+          val srvAuth = yamlMap(m.getOrElse("auth", null))
+          val expectAuth: Option[String] =
+            if (srvAuth.isEmpty) None
+            else Some("Basic " + java.util.Base64.getEncoder.encodeToString(
+              (srvAuth.getOrElse("username", "").toString + ":" +
+                srvAuth.getOrElse("password", "").toString)
+                .getBytes("UTF-8")))
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.StreamRunner.httpServer(sp, port, path,
               if (srvTls.enabled)
                 Some(graft.streaming.Tls.serverContext(srvTls))
-              else None)
+              else None,
+              expectAuth)
             lastAgentPort = src.boundPort
             addCloser(id, () => src.stop())
             src.df

@@ -147,7 +147,11 @@ object StreamRunner {
     * balancer fans out over many single-listener instances).
     */
   final class HttpServerSource(spark: SparkSession, port: Int, path: String,
-                               tls: Option[javax.net.ssl.SSLContext] = None) {
+                               tls: Option[javax.net.ssl.SSLContext] = None,
+                               // expected Authorization header value
+                               // (src/sources/http_server.rs auth:
+                               // username+password -> Basic); None = open
+                               auth: Option[String] = None) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -166,10 +170,17 @@ object StreamRunner {
     }
     server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
       try {
-        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-        val lines = body.split("\n").filter(_.nonEmpty)
-        if (lines.nonEmpty) mem.addData(lines.toIndexedSeq)
-        ex.sendResponseHeaders(200, -1)
+        val authorized = auth.forall(expected =>
+          expected == ex.getRequestHeaders.getFirst("Authorization"))
+        if (!authorized) {
+          ex.getRequestBody.readAllBytes() // drain
+          ex.sendResponseHeaders(401, -1)
+        } else {
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          val lines = body.split("\n").filter(_.nonEmpty)
+          if (lines.nonEmpty) mem.addData(lines.toIndexedSeq)
+          ex.sendResponseHeaders(200, -1)
+        }
       } finally ex.close()
     })
     server.setExecutor(null)
@@ -179,9 +190,9 @@ object StreamRunner {
     def stop(): Unit = server.stop(0)
   }
   def httpServer(spark: SparkSession, port: Int = 0, path: String = "/",
-                 tls: Option[javax.net.ssl.SSLContext] = None)
-      : HttpServerSource =
-    new HttpServerSource(spark, port, path, tls)
+                 tls: Option[javax.net.ssl.SSLContext] = None,
+                 auth: Option[String] = None): HttpServerSource =
+    new HttpServerSource(spark, port, path, tls, auth)
 
   /** `http_client` source (reference src/sources/http_client/): poll a
     * URL on an interval from a driver thread, newline-frame each

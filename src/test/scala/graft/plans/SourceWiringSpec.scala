@@ -168,6 +168,44 @@ class SourceWiringSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("run: http_server auth rejects bad credentials with 401") {
+    val running = ConfigLoader.run(spark,
+      """
+        |sources:
+        |  in:
+        |    type: http_server
+        |    address: 127.0.0.1:0
+        |    auth:
+        |      username: u1
+        |      password: pw
+        |sinks:
+        |  http_auth_tap:
+        |    type: memory
+        |    inputs: [in]
+        |""".stripMargin, sf, tmpWork("httpauth"))
+    try {
+      val port = ConfigLoader.lastAgentPort
+      def post(body: String, auth: Option[String]): Int = {
+        val c = new java.net.URL(s"http://127.0.0.1:$port/")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("POST")
+        c.setDoOutput(true)
+        auth.foreach(a => c.setRequestProperty("Authorization", a))
+        c.getOutputStream.write(body.getBytes("UTF-8"))
+        c.getOutputStream.close()
+        try c.getResponseCode finally c.disconnect()
+      }
+      val good = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("u1:pw".getBytes("UTF-8"))
+      assert(post("denied\n", None) == 401)
+      assert(post("denied\n", Some("Basic d3Jvbmc=")) == 401)
+      assert(post("granted\n", Some(good)) == 200)
+      running.processAllAvailable()
+      assert(spark.table("http_auth_tap").collect()
+        .map(_.getAs[String]("message")).toSet == Set("granted"))
+    } finally running.stopAll()
+  }
+
   test("run: http_client source polls an endpoint from YAML") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
