@@ -335,10 +335,14 @@ class ToolingSpec extends SparkSpec {
 
   test("reload: a restarted subgraph's listener frees and rebinds its port") {
     // pick a fixed free port — the reload must stop the OLD syslog
-    // listener (tagged closer) before the rebuilt source binds it again
-    val probe = new java.net.ServerSocket(0)
-    val port = probe.getLocalPort
-    probe.close()
+    // listener (tagged closer) before the rebuilt source binds it again.
+    // SO_REUSEADDR-style probe race under parallel suites: hold the
+    // probe until just before use and retry if another suite grabs it
+    def freePort(): Int = {
+      val probe = new java.net.ServerSocket(0)
+      try probe.getLocalPort finally probe.close()
+    }
+    var port = freePort()
     def cfg(suffix: String) =
       s"""
         |sources:
@@ -358,8 +362,20 @@ class ToolingSpec extends SparkSpec {
         |    inputs: [up]
         |""".stripMargin
     val tmp = java.nio.file.Files.createTempDirectory("rlport").toString
-    var running = plans.ConfigLoader.run(spark, cfg("v1"),
-      "/root/testdata/sf0.001", tmp)
+    var running: plans.ConfigLoader.RunningConfig = null
+    var attempts = 0
+    while (running == null) {
+      attempts += 1
+      try running = plans.ConfigLoader.run(spark, cfg("v1"),
+        "/root/testdata/sf0.001", tmp)
+      catch {
+        // another parallel suite won the probe-close-bind race — pick
+        // a fresh port and retry
+        case _: java.net.BindException if attempts < 5 =>
+          plans.ConfigLoader.closePendingSources()
+          port = freePort()
+      }
+    }
     def send(msg: String): Unit = {
       val sock = new java.net.Socket("127.0.0.1", port)
       sock.getOutputStream.write(
