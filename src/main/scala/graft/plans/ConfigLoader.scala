@@ -924,7 +924,8 @@ object ConfigLoader {
     */
   private val byteStreamSources = Set(
     "socket", "kafka", "file", "stdin", "file_descriptor", "exec",
-    "http_server", "demo_logs", "http_client", "redis", "nats", "amqp",
+    "http_server", "http", "demo_logs", "http_client", "redis", "nats",
+    "amqp",
     "mqtt", "pulsar", "websocket", "aws_s3", "aws_sqs", "gcp_pubsub",
     "heroku_logs", "parquet", "text_dir", "vector")
 
@@ -941,7 +942,8 @@ object ConfigLoader {
     "aws_s3", "aws_sqs", "datadog_agent", "demo_logs", "dnstap",
     "docker_logs", "eventstoredb_metrics", "exec", "file",
     "file_descriptor", "fluent", "gcp_pubsub", "heroku_logs",
-    "host_metrics", "http_client", "http_server", "internal_logs",
+    "host_metrics", "http", "http_client", "http_server",
+    "internal_logs",
     "internal_metrics", "journald", "kafka", "kubernetes_logs",
     "logstash", "mongodb_metrics", "mqtt", "nats", "nginx_metrics",
     "okta", "opentelemetry", "parquet", "postgresql_metrics",
@@ -1522,7 +1524,7 @@ object ConfigLoader {
           })
         // http_server source (src/sources/http_server.rs): a listening
         // HTTP endpoint; request bodies newline-frame into events
-        case "http_server" =>
+        case "http_server" | "http" =>
           val addr = m.getOrElse("address", "0.0.0.0:8080").toString
           val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
           val path = m.getOrElse("path", "/").toString

@@ -41,6 +41,7 @@ class SourceWiringSpec extends SparkSpec {
       "exec" -> "command: [echo, hi]",
       "stdin" -> "", "file_descriptor" -> "",
       "http_server" -> "address: 127.0.0.1:0",
+      "http" -> "address: 127.0.0.1:0",
       "syslog" -> "address: 127.0.0.1:0",
       "statsd" -> "address: 127.0.0.1:0",
       "fluent" -> "address: 127.0.0.1:0",
