@@ -154,23 +154,49 @@ object Ann {
   }
 
   /** IVF (inverted-file) top-k: coarse-quantize corpus and probes to
-    * their nearest-centroid cell, search only the probe's cell (nprobe=1).
-    * The recall/speed knob is the codebook size; the corpus side stays
-    * shuffle-free because [[ivfAssign]] is a projection and the per-cell
-    * search reuses the broadcast-probe pattern of [[signLshTopK]].
+    * centroid cells, search only the probe's `nprobe` NEAREST cells
+    * (nprobe=1 = classic single-cell; higher values trade candidate
+    * volume for recall — the standard IVF knob). The corpus side stays
+    * shuffle-free because [[ivfAssign]] is a projection; probes are
+    * broadcast-sized, so their per-cell ranking explodes only the probe
+    * set, never the corpus.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-              k: Int, codebook: Seq[(Long, Seq[Double])]): DataFrame = {
+              k: Int, codebook: Seq[(Long, Seq[Double])],
+              nprobe: Int = 1): DataFrame = {
     val c = corpus.select(col(id).as("nn_id"), asDouble(col(vec)).as("cv"))
       .withColumn("cell", ivfAssign(col("cv"), codebook))
-    val q = queries.select(col(id).as("query_id"), asDouble(col(vec)).as("qv"))
-      .withColumn("cell", ivfAssign(col("qv"), codebook))
+    val q0 = queries.select(col(id).as("query_id"), asDouble(col(vec)).as("qv"))
+    val q =
+      if (nprobe <= 1) q0.withColumn("cell", ivfAssign(col("qv"), codebook))
+      else {
+        // probe-side: rank ALL cells by cosine, keep the top nprobe —
+        // probes are few, so the |probes| × k explode is broadcast-sized
+        val cellScores = array(codebook.sortBy(_._1).map { case (cid, cv) =>
+          struct(round(cosine(col("qv"), typedlit(cv)), 6).as("cos"),
+            lit(-cid).as("neg_cell"))
+        }: _*)
+        q0.withColumn("cell",
+            explode(slice(reverse(array_sort(cellScores)), 1, nprobe)
+              .getField("neg_cell")))
+          .withColumn("cell", -col("cell"))
+      }
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id"))
-    scored.withColumn("rank", row_number().over(w))
+    // a candidate can appear through several probed cells — dedup by
+    // (query, neighbor) keeping its best cell before ranking
+    val dedup =
+      if (nprobe <= 1) scored
+      else {
+        val wd = Window.partitionBy(col("query_id"), col("nn_id"))
+          .orderBy(col("cos").desc, col("cell"))
+        scored.withColumn("__rn", row_number().over(wd))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    dedup.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cell"), col("rank"), col("nn_id"), col("cos"))
   }

@@ -87,6 +87,30 @@ class KmeansSpec extends SparkSpec {
     assert(cbs == cbs2)
   }
 
+  test("ivf nprobe: full-probe equals brute force; recall grows with nprobe") {
+    val cents = Ann.kmeans(emb, "vec_id", "embedding", k = 3, iters = 2)
+    val brute = Ann.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "nn_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // probing EVERY cell makes IVF exact
+    val full = Ann.ivfTopK(emb, emb, "vec_id", "embedding", k = 3, cents,
+        nprobe = cents.size)
+      .select("query_id", "rank", "nn_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(full == brute)
+    // candidate sets grow with nprobe: per query, the best cos at
+    // nprobe=2 is >= the best at nprobe=1
+    def best(np: Int): Map[Long, Double] =
+      Ann.ivfTopK(emb, emb, "vec_id", "embedding", k = 1, cents, np)
+        .collect().map(r =>
+          r.getAs[Long]("query_id") -> r.getAs[Double]("cos")).toMap
+    val b1 = best(1)
+    val b2 = best(2)
+    b1.keys.foreach(q => assert(b2(q) >= b1(q), s"recall shrank for $q"))
+  }
+
   // deterministic pseudo-vectors (no RNG — resumability contract):
   // component c of vector j = a fixed mixed-congruential pattern
   private def pseudoVec(j: Int, dim: Int): Seq[Double] =
