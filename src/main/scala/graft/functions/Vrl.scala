@@ -1032,6 +1032,13 @@ object Vrl {
   def toSyslogFacility(code: Column): Column =
     element_at(array(syslogFacilities.map(lit): _*), code.cast("int") + 1)
 
+  /** to_syslog_facility_code: keyword -> facility code (the inverse).
+    * Unknown keyword is fallible in the reference -> null here.
+    */
+  def toSyslogFacilityCode(kw: Column): Column =
+    (nullif(array_position(array(syslogFacilities.map(lit): _*), lower(kw)),
+      lit(0L)) - 1).cast("long")
+
   // ---- IPv6 family (ip_to_ipv6.cue, ipv6_to_ipv4.cue, ip_pton/ntop) ----
 
   private def isIpv4(c: Column): Column =

@@ -718,6 +718,7 @@ object VrlFunctions {
       case "to_syslog_level" => CV(Vrl.toSyslogLevel(c(0)), TStr)
       case "to_syslog_severity" => CV(Vrl.toSyslogSeverity(c(0)), TInt)
       case "to_syslog_facility" => CV(Vrl.toSyslogFacility(c(0)), TStr)
+      case "to_syslog_facility_code" => CV(Vrl.toSyslogFacilityCode(c(0)), TInt)
 
       // ---- ipv6 family ----
       case "ip_to_ipv6" => CV(Vrl.ipToIpv6(c(0)), TStr)
@@ -791,6 +792,12 @@ object VrlFunctions {
       }
       case "is_timestamp" => a(0).cv.t match {
         case TTs => CV(c(0).isNotNull, TBool)
+        case _ => CV(lit(false), TBool)
+      }
+      // regexes are a compile-time type in this lowering (LitR -> TRegex),
+      // so the predicate resolves statically like the reference's type checker
+      case "is_regex" => a(0).cv.t match {
+        case TRegex => CV(lit(true), TBool)
         case _ => CV(lit(false), TBool)
       }
 

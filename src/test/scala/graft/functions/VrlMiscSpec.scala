@@ -30,6 +30,24 @@ class VrlMiscSpec extends SparkSpec {
     assert(out.toSeq == Seq("kern", "cron", "local7"))
   }
 
+  test("to_syslog_facility_code inverts the keyword table; unknown errors") {
+    val df = Seq((1L, "kern"), (2L, "cron"), (3L, "local7"), (4L, "nope"))
+      .toDF("id", "s")
+    val out = VrlCompiler.run(df,
+      """.c = to_syslog_facility_code(.s) ?? -1""")
+      .primary.orderBy("id").select("c").as[Long].collect()
+    assert(out.toSeq == Seq(0L, 9L, 23L, -1L))
+  }
+
+  test("is_regex resolves statically on the compile-time type") {
+    val r = run1("x",
+      """.yes = is_regex(r'\d+')
+        |.no = is_regex(.s)
+        |.no2 = is_regex(42)""".stripMargin)
+    assert(r.getAs[Boolean]("yes") && !r.getAs[Boolean]("no") &&
+      !r.getAs[Boolean]("no2"))
+  }
+
   test("ipv6_to_ipv4 errors (null) on a non-mapped address") {
     val r = run1("2001:db8::1", """.v4 = ipv6_to_ipv4(.s) ?? "unmapped"""")
     assert(r.getAs[String]("v4") == "unmapped")
