@@ -499,6 +499,29 @@ object VrlQueries {
         .orderBy(col("event_id"))
     },
 
+    // validate_json_schema (vector 0.49, VRL release-notes 0.50
+    // semantics): 1/3 of rows carry a type violation, high-k rows a
+    // `maximum` violation — boolean result + the collected errors on
+    // the error channel, both oracle-compared string-exact.
+    "vrl_json_schema" -> { (s, dir) =>
+      val schemaPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_vjs_schema.json")
+      java.nio.file.Files.write(schemaPath,
+        ("""{"type":"object","required":["k"],"properties":""" +
+         """{"k":{"type":"integer","maximum":80}},""" +
+         """"additionalProperties":false}""").getBytes("UTF-8"))
+      val in = ev(s, dir).select(
+        col("event_id"),
+        when(pmod(col("k"), lit(3)) === 0,
+          concat(lit("{\"k\": \""), col("k"), lit("\"}")))
+          .otherwise(col("props")).as("s"))
+      graft.functions.VrlCompiler.run(in,
+        s""".valid, .err = validate_json_schema(.s, "$schemaPath")""")
+        .primary
+        .select(col("event_id"), col("valid"), col("err"))
+        .orderBy(col("event_id"))
+    },
+
     // Round-6 long-tail: haversine, shannon_entropy, charset + CBOR
     // roundtrips, all through the VRL compiler (program above).
     "vrl_longtail2" -> { (s, dir) =>
@@ -936,6 +959,23 @@ object VrlQueries {
         |  true AS ip4ok, false AS ip4bad, true AS ip6ok,
         |  true AS isj, false AS isj2
         |FROM b ORDER BY event_id""".stripMargin,
+
+    "vrl_json_schema" ->
+      """WITH t AS (SELECT *,
+        |    CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN k % 3 = 0 OR k > 80 THEN false ELSE true END AS valid,
+        |  CASE WHEN k % 3 = 0 THEN
+        |    'function call error for "validate_json_schema" at (15:69): ' ||
+        |    'JSON schema validation failed: "' || CAST(k AS VARCHAR) ||
+        |    '" is not of type "integer" at /k'
+        |  WHEN k > 80 THEN
+        |    'function call error for "validate_json_schema" at (15:69): ' ||
+        |    'JSON schema validation failed: ' || CAST(k AS VARCHAR) ||
+        |    ' is greater than the maximum of 80 at /k'
+        |  ELSE NULL END AS err
+        |FROM t ORDER BY event_id""".stripMargin,
 
     "vrl_longtail2" ->
       """WITH t AS (SELECT *,

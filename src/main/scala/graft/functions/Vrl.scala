@@ -1032,6 +1032,45 @@ object Vrl {
   def toSyslogFacility(code: Column): Column =
     element_at(array(syslogFacilities.map(lit): _*), code.cast("int") + 1)
 
+  /** validate_json_schema(value, schema, ignore_unknown_formats):
+    * true when the JSON payload validates; error (null) when it does not
+    * or the payload is not JSON — the post-0.50 semantics where failure
+    * is carried on the error channel. The schema text is parsed once at
+    * compile time; the parsed tree rides the UDF closure (bounded —
+    * schema files are small by construction).
+    */
+  def validateJsonSchema(c: Column, schemaJson: String,
+                         ignoreUnknown: Boolean): Column = {
+    val schema = JsonLite.parse(schemaJson)
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else try {
+        val v = JsonLite.parse(s)
+        if (JsonSchema.validate(schema, v, ignoreUnknown).isEmpty)
+          java.lang.Boolean.TRUE
+        else null
+      } catch { case _: Exception => null }
+    }
+    f(c)
+  }
+
+  /** The validation-failure detail for the error channel:
+    * `JSON schema validation failed: <err1>, <err2>` or null when valid.
+    */
+  def validateJsonSchemaErr(c: Column, schemaJson: String,
+                            ignoreUnknown: Boolean): Column = {
+    val schema = JsonLite.parse(schemaJson)
+    val f = udf { (s: String) =>
+      if (s == null) "value is null"
+      else try {
+        val errs = JsonSchema.validate(schema, JsonLite.parse(s), ignoreUnknown)
+        if (errs.isEmpty) null
+        else "JSON schema validation failed: " + errs.mkString(", ")
+      } catch { case e: Exception => s"unable to parse json: ${e.getMessage}" }
+    }
+    f(c)
+  }
+
   /** to_syslog_facility_code: keyword -> facility code (the inverse).
     * Unknown keyword is fallible in the reference -> null here.
     */

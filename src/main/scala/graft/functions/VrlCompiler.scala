@@ -503,6 +503,24 @@ object VrlCompiler {
       case "parse_json" =>
         val (av, _) = expr(env, c.args.head)
         Vrl.jsonParseError(av.col.cast("string"))
+      case "validate_json_schema" =>
+        // rebuild the detailed error from the same compile-time schema
+        // literal the main lowering used (0.50 release-notes semantics:
+        // the collected validation errors ride the error channel)
+        val pathLit = (c.args.lift(1).toList ++
+          c.named.collect { case ("schema_definition", e) => e }).collectFirst {
+            case VrlAst.LitS(s) => s }
+        val ignore = (c.args.lift(2).toList ++
+          c.named.collect { case ("ignore_unknown_formats", e) => e })
+          .collectFirst { case VrlAst.LitB(b) => b }.getOrElse(false)
+        pathLit match {
+          case Some(p) =>
+            val schemaJson = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(p)), "UTF-8")
+            val (av, _) = expr(env, c.args.head)
+            Vrl.validateJsonSchemaErr(av.col.cast("string"), schemaJson, ignore)
+          case None => lit("function call failed")
+        }
       case _ => lit("function call failed")
     }
     concat(lit(prefix), coalesce(inner, lit("function call failed")))

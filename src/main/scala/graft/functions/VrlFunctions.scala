@@ -720,6 +720,31 @@ object VrlFunctions {
       case "to_syslog_facility" => CV(Vrl.toSyslogFacility(c(0)), TStr)
       case "to_syslog_facility_code" => CV(Vrl.toSyslogFacilityCode(c(0)), TInt)
 
+      // ---- json schema ----
+      case "validate_json_schema" =>
+        val b = bind(Seq("schema_definition", "ignore_unknown_formats"),
+          args.drop(1), named)
+        val path = str(b.getOrElse("schema_definition",
+          throw VrlCompileException(
+            "validate_json_schema: schema_definition is required")),
+          name, "schema_definition")
+        val ignore = b.get("ignore_unknown_formats").flatMap(_.literal) match {
+          case Some(x: Boolean) => x
+          case Some(other) => throw VrlCompileException(
+            s"validate_json_schema: ignore_unknown_formats must be a boolean literal, got $other")
+          case None => false
+        }
+        // like the reference, the schema file is loaded when the program
+        // compiles — a bad path is a compile-time error, not per-row
+        val schemaJson = try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), "UTF-8")
+          catch { case e: Exception => throw VrlCompileException(
+            s"validate_json_schema: cannot read schema file $path: ${e.getMessage}") }
+        try JsonLite.parse(schemaJson)
+        catch { case e: Exception => throw VrlCompileException(
+          s"validate_json_schema: schema file $path is not valid JSON: ${e.getMessage}") }
+        CV(Vrl.validateJsonSchema(c(0).cast("string"), schemaJson, ignore), TBool)
+
       // ---- ipv6 family ----
       case "ip_to_ipv6" => CV(Vrl.ipToIpv6(c(0)), TStr)
       case "ipv6_to_ipv4" => CV(Vrl.ipv6ToIpv4(c(0)), TStr)

@@ -255,13 +255,22 @@ class ToolingSpec extends SparkSpec {
         finally c.disconnect()
       }
       assert(get("/health") == """{"ok":true}""")
-      val comps = get("/api/components")
+      // the sink's sent counter reflects the processed rows; under a
+      // loaded suite run the file source may need another discovery
+      // cycle before the first batch lands, so poll up to 30s
+      val sent = """"componentId":"api_out"[^}]*"sentEventsTotal":(\d+)""".r
+      val deadline = System.currentTimeMillis() + 30000
+      var comps = get("/api/components")
+      var n = sent.findFirstMatchIn(comps).map(_.group(1).toLong)
+      while (!n.exists(_ >= 3L) && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        running.processAllAvailable()
+        comps = get("/api/components")
+        n = sent.findFirstMatchIn(comps).map(_.group(1).toLong)
+      }
       assert(comps.contains(""""componentId":"logs""""))
       assert(comps.contains(""""componentKind":"transform""""))
       assert(comps.contains(""""componentId":"api_out""""))
-      // the sink's sent counter reflects the processed rows
-      val sent = """"componentId":"api_out"[^}]*"sentEventsTotal":(\d+)""".r
-      val n = sent.findFirstMatchIn(comps).map(_.group(1).toLong)
       assert(n.exists(_ >= 3L), s"api_out totals missing in $comps")
       // graphql-shaped health + components queries answer
       def post(body: String): String = {

@@ -106,9 +106,12 @@ class YamlConnectorSpec extends SparkSpec {
         |""".stripMargin,
       "/root/testdata/sf0.001", tmp)
     try {
-      val deadline = System.currentTimeMillis() + 8000
+      // generous: under a fully loaded suite run the first microbatch of
+      // a rate-limited poll source can take >8s to even schedule
+      val deadline = System.currentTimeMillis() + 30000
       var hit = false
       while (!hit && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
         running.processAllAvailable()
         hit = srv.all.exists { case (_, body, hdrs) =>
           hdrs.get("X-Amz-Target").contains("Logs_20140328.PutLogEvents") &&
