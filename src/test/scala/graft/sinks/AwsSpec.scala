@@ -178,7 +178,7 @@ class AwsSpec extends SparkSpec {
         "https://sqs.local/123/notif", s"$base/", base, pollSecs = 1)
       try {
         val q = src.df.writeStream.format("memory").queryName("s3src").start()
-        val deadline = System.currentTimeMillis() + 8000
+        val deadline = System.currentTimeMillis() + 30000
         var rows = Array.empty[org.apache.spark.sql.Row]
         while (rows.length < 3 && System.currentTimeMillis() < deadline) {
           q.processAllAvailable()
@@ -194,7 +194,7 @@ class AwsSpec extends SparkSpec {
           ("plain two", "logs", "app/a.log", "us-east-1"),
           ("zipped line", "logs", "app/b.log.gz", "us-east-1")))
         // the notification deletes only after ingest
-        val dl2 = System.currentTimeMillis() + 3000
+        val dl2 = System.currentTimeMillis() + 20000
         while (deletes.isEmpty && System.currentTimeMillis() < dl2)
           Thread.sleep(50)
         assert(deletes.toArray.exists(_.toString.contains("rh1")))
@@ -216,7 +216,7 @@ class AwsSpec extends SparkSpec {
         "https://sqs.local/123/q1", srv.url, pollSecs = 1)
       try {
         val q = src.df.writeStream.format("memory").queryName("sqsq").start()
-        val deadline = System.currentTimeMillis() + 5000
+        val deadline = System.currentTimeMillis() + 25000
         var got = Set.empty[String]
         while (got.size < 2 && System.currentTimeMillis() < deadline) {
           q.processAllAvailable()
@@ -225,7 +225,7 @@ class AwsSpec extends SparkSpec {
         }
         assert(got == Set("""{"n":1}""", """{"n":2}"""))
         // a delete for the received batch went back with both handles
-        val deadline2 = System.currentTimeMillis() + 3000
+        val deadline2 = System.currentTimeMillis() + 20000
         var deletes = Seq.empty[String]
         while (deletes.isEmpty && System.currentTimeMillis() < deadline2) {
           deletes = srv.reqs.toArray

@@ -144,7 +144,7 @@ class CloudSpec extends SparkSpec {
         srv.url)
       try {
         val q = src.df.writeStream.format("memory").queryName("psq").start()
-        val deadline = System.currentTimeMillis() + 5000
+        val deadline = System.currentTimeMillis() + 25000
         var got = Set.empty[(String, String)]
         while (got.isEmpty && System.currentTimeMillis() < deadline) {
           q.processAllAvailable()
@@ -153,7 +153,7 @@ class CloudSpec extends SparkSpec {
         }
         assert(got.contains(("m1", """{"n":1}""")))
         // the pull went to :pull and the ack carried the ackId
-        val deadline2 = System.currentTimeMillis() + 3000
+        val deadline2 = System.currentTimeMillis() + 20000
         var acks = Seq.empty[String]
         while (acks.isEmpty && System.currentTimeMillis() < deadline2)
           acks = srv.all.filter(_._1.endsWith(":acknowledge")).map(_._2)

@@ -51,7 +51,7 @@ class DnstapMongoSpec extends SparkSpec {
       val fbody = new Array[Byte](flen); in.readFully(fbody)
       assert(java.nio.ByteBuffer.wrap(fbody).getInt == 0x05)
       sock.close()
-      val deadline = System.currentTimeMillis() + 5000
+      val deadline = System.currentTimeMillis() + 25000
       var rows = Array.empty[Row]
       while (rows.isEmpty && System.currentTimeMillis() < deadline) {
         q.processAllAvailable()

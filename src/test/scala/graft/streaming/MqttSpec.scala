@@ -106,7 +106,7 @@ class MqttSpec extends SparkSpec {
       try {
         val q = src.df.writeStream.format("memory").queryName("mq").start()
         // wait for the subscriber to register, then publish via the sink
-        val deadline = System.currentTimeMillis() + 5000
+        val deadline = System.currentTimeMillis() + 25000
         Thread.sleep(300)
         val df = Seq(("sensors/a/temp", "21"), ("sensors/b/temp", "22"),
           ("other/x", "no")).toDF("topic", "message")
@@ -153,7 +153,7 @@ class MqttSpec extends SparkSpec {
         val seed = Seq(("in/a", "hello")).toDF("topic", "message")
         graft.sinks.QueueSinks.writeMqtt(seed, graft.sinks.QueueSinks.MqttConfig(
           "127.0.0.1", srv.port, "{{ topic }}", qos = 0, codec = "text"))
-        val deadline = System.currentTimeMillis() + 8000
+        val deadline = System.currentTimeMillis() + 30000
         var hit = false
         while (!hit && System.currentTimeMillis() < deadline) {
           handle.processAllAvailable()

@@ -26,7 +26,7 @@ class OtlpPromSpec extends SparkSpec {
         graft.sinks.NetworkSinks.HttpConfig(
           s"http://localhost:${src.boundPort}/api/v1/write",
           contentType = "application/x-protobuf"))
-      val deadline = System.currentTimeMillis() + 5000
+      val deadline = System.currentTimeMillis() + 25000
       var got = Set.empty[(String, String, Double, Long)]
       while (got.size < 2 && System.currentTimeMillis() < deadline) {
         q.processAllAvailable()
@@ -55,7 +55,7 @@ class OtlpPromSpec extends SparkSpec {
           "queue_depth 7\n").getBytes("UTF-8"))
       conn.getOutputStream.close()
       assert(conn.getResponseCode == 200)
-      val deadline = System.currentTimeMillis() + 5000
+      val deadline = System.currentTimeMillis() + 25000
       var got = Set.empty[(String, String, Double)]
       while (got.size < 2 && System.currentTimeMillis() < deadline) {
         q.processAllAvailable()
@@ -78,7 +78,7 @@ class OtlpPromSpec extends SparkSpec {
         .withColumn("timestamp", lit("2024-03-05T10:00:00Z").cast("timestamp"))
       graft.sinks.OtlpSink.write(logs.coalesce(1), graft.sinks.OtlpSink.Config(
         s"http://localhost:${otlp.boundPort}"))
-      val deadline = System.currentTimeMillis() + 5000
+      val deadline = System.currentTimeMillis() + 25000
       var got = Set.empty[(String, String)]
       while (got.size < 2 && System.currentTimeMillis() < deadline) {
         q.processAllAvailable()
@@ -100,7 +100,7 @@ class OtlpPromSpec extends SparkSpec {
         .withColumn("ts", lit("2024-03-05T10:00:00Z").cast("timestamp"))
       graft.sinks.OtlpSink.write(m.coalesce(1), graft.sinks.OtlpSink.Config(
         s"http://localhost:${otlp.boundPort}", mode = "metrics"))
-      val deadline = System.currentTimeMillis() + 5000
+      val deadline = System.currentTimeMillis() + 25000
       var got = Set.empty[(String, Double)]
       while (got.size < 2 && System.currentTimeMillis() < deadline) {
         q.processAllAvailable()

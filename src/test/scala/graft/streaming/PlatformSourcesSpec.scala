@@ -13,7 +13,7 @@ class PlatformSourcesSpec extends SparkSpec {
       q: org.apache.spark.sql.streaming.StreamingQuery,
       want: Int, sql: String)(
       row: org.apache.spark.sql.Row => T): Set[T] = {
-    val deadline = System.currentTimeMillis() + 8000
+    val deadline = System.currentTimeMillis() + 30000
     var got = Set.empty[T]
     while (got.size < want && System.currentTimeMillis() < deadline) {
       q.processAllAvailable()

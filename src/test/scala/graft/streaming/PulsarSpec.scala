@@ -123,7 +123,7 @@ class PulsarSpec extends SparkSpec {
         Thread.sleep(300)
         srv.queue.add(("jobs", "prod-a", """{"n":1}"""))
         srv.queue.add(("jobs", "prod-a", """{"n":2}"""))
-        val deadline = System.currentTimeMillis() + 5000
+        val deadline = System.currentTimeMillis() + 25000
         var got = Set.empty[(String, String, Long, String)]
         while (got.size < 2 && System.currentTimeMillis() < deadline) {
           q.processAllAvailable()
@@ -165,7 +165,7 @@ class PulsarSpec extends SparkSpec {
       try {
         Thread.sleep(300)
         srv.queue.add(("ingest", "seed", "hello"))
-        val deadline = System.currentTimeMillis() + 8000
+        val deadline = System.currentTimeMillis() + 30000
         var hit = false
         while (!hit && System.currentTimeMillis() < deadline) {
           handle.processAllAvailable()

@@ -98,7 +98,7 @@ class QueueSpec extends SparkSpec {
         s"redis://127.0.0.1:${srv.port}/0", "mylist")
       try {
         val q = src.df.writeStream.format("memory").queryName("rq").start()
-        val deadline = System.currentTimeMillis() + 5000
+        val deadline = System.currentTimeMillis() + 25000
         var got = Set.empty[String]
         while (got.size < 2 && System.currentTimeMillis() < deadline) {
           q.processAllAvailable()
@@ -120,7 +120,7 @@ class QueueSpec extends SparkSpec {
         val q = src.df.writeStream.format("memory").queryName("rc").start()
         Thread.sleep(200) // let SUBSCRIBE land
         srv.list.add("pub1")
-        val deadline = System.currentTimeMillis() + 5000
+        val deadline = System.currentTimeMillis() + 25000
         var got = Set.empty[String]
         while (got.isEmpty && System.currentTimeMillis() < deadline) {
           q.processAllAvailable()
@@ -220,7 +220,7 @@ class QueueSpec extends SparkSpec {
           graft.sinks.QueueSinks.NatsConfig(
             s"nats://127.0.0.1:${srv.port}", "events.{{ topic }}",
             codec = "text"))
-        val deadline = System.currentTimeMillis() + 5000
+        val deadline = System.currentTimeMillis() + 25000
         var got = Set.empty[(String, String)]
         while (got.isEmpty && System.currentTimeMillis() < deadline) {
           q.processAllAvailable()

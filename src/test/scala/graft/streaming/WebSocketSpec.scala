@@ -73,7 +73,7 @@ class WebSocketSpec extends SparkSpec {
     try {
       val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
       Ws.clientHandshake(sock, s"127.0.0.1:${srv.boundPort}", "/")
-      val deadline = System.currentTimeMillis() + 5000
+      val deadline = System.currentTimeMillis() + 25000
       while (srv.clientCount == 0 && System.currentTimeMillis() < deadline)
         Thread.sleep(20)
       srv.broadcast(Seq(("hello", 1)).toDF("msg", "n"), "json")
@@ -113,7 +113,7 @@ class WebSocketSpec extends SparkSpec {
       initialMessage = Some("""{"subscribe":"all"}"""))
     try {
       val q = src.df.writeStream.format("memory").queryName("ws_src").start()
-      val deadline = System.currentTimeMillis() + 5000
+      val deadline = System.currentTimeMillis() + 25000
       var got = Set.empty[String]
       while (got.size < 2 && System.currentTimeMillis() < deadline) {
         q.processAllAvailable()
@@ -174,7 +174,7 @@ class WebSocketSpec extends SparkSpec {
           |    uri: "ws://127.0.0.1:${server.getLocalPort}/"
           |    encoding: {codec: json}
           |""".stripMargin, "/root/testdata/sf0.001", work).stopAll()
-      val deadline = System.currentTimeMillis() + 5000
+      val deadline = System.currentTimeMillis() + 25000
       while (received.size() < 5 && System.currentTimeMillis() < deadline)
         Thread.sleep(20)
       assert(received.size() == 5) // region has 5 rows
