@@ -32,9 +32,9 @@ class DelaySpec extends SparkSpec {
     def emitted(): Set[String] =
       spark.sql(s"SELECT _1 FROM $name").collect().map(_.getString(0)).toSet
 
-    /** Poll until `want` is a subset of the emitted set (or 10s). */
+    /** Poll until `want` is a subset of the emitted set (or 30s). */
     def await(want: Set[String]): Set[String] = {
-      val deadline = System.currentTimeMillis() + 10000
+      val deadline = System.currentTimeMillis() + 30000
       var got = emitted()
       while (!want.subsetOf(got) && System.currentTimeMillis() < deadline) {
         Thread.sleep(50); got = emitted()
