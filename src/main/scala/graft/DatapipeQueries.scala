@@ -22,6 +22,24 @@ object DatapipeQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // Byte-level BPE tokenization (Sennrich 2016 / GPT-2 byte variant):
+    // train 200 merges on the corpus itself, tokenize every document,
+    // decode back. The oracle hash-compares the DECODED text against the
+    // source string (byte-exact inverse) — any defect in the byte table,
+    // pre-tokenizer or merge application breaks equality; merge-order
+    // semantics are pinned separately by BpeSpec's textbook corpus.
+    "tokenize_bpe" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val model = graft.datapipe.Bpe.train(d, col("text"), numMerges = 200)
+      d.withColumn("ids", graft.datapipe.Bpe.encodeCol(model, col("text")))
+        .select(
+          col("doc_id"),
+          graft.datapipe.Bpe.decodeCol(model, col("ids")).as("decoded"),
+          (size(col("ids")) <= octet_length(col("text"))).as("within_bytes"),
+          (size(col("ids")) > 0).as("nonempty"))
+        .orderBy(col("doc_id"))
+    },
+
     // training-output sharding: deterministic global shuffle into N
     // shards — shard = 24-bit md5 bucket mod N, pos = the document's
     // 1-based position in the shard's md5 shuffle order
@@ -653,6 +671,11 @@ object DatapipeQueries {
        |${kmAssign("a3", "cent2")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "tokenize_bpe" ->
+      """SELECT doc_id, text AS decoded, true AS within_bytes,
+        |  (n_chars > 0) AS nonempty
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "shard_assign" ->
       """WITH hashed AS (
