@@ -210,4 +210,38 @@ object Bpe {
     val f = udf((a: Array[Int]) => if (a == null) null else model.decode(a))
     f(ids)
   }
+
+  // ---- model files (the GPT-2 published format: merges.txt lists one
+  // "a b" rule per line under a version header; vocab.json maps token
+  // string -> id) so trained tokenizers interop with standard tooling --
+
+  def save(model: Model, dir: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    val merges = ("#version: 0.2" +:
+      model.merges.map { case (a, b) => s"$a $b" }).mkString("\n") + "\n"
+    java.nio.file.Files.write(d.resolve("merges.txt"),
+      merges.getBytes("UTF-8"))
+    val vocab = model.vocab.zipWithIndex.map { case (t, i) =>
+      "\"" + t.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\":" + i
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(d.resolve("vocab.json"),
+      vocab.getBytes("UTF-8"))
+  }
+
+  def load(dir: String): Model = {
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "merges.txt")), "UTF-8")
+      .split("\n").iterator
+      .filter(l => l.nonEmpty && !l.startsWith("#version"))
+    Model(lines.map { l =>
+      val i = l.indexOf(' ')
+      (l.substring(0, i), l.substring(i + 1))
+    }.toVector)
+  }
 }

@@ -70,4 +70,25 @@ class BpeSpec extends SparkSpec {
     val model2 = Bpe.train(docs, col("text"), numMerges = 100)
     assert(model2.merges == model.merges)
   }
+
+  test("save/load roundtrips through the GPT-2 merges.txt format") {
+    val corpus = Seq("low lower lowest", "newest widest\nnew line")
+      .toDF("text")
+    val model = Bpe.train(corpus, col("text"), numMerges = 20)
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Bpe.save(model, dir)
+    val loaded = Bpe.load(dir)
+    assert(loaded.merges == model.merges)
+    assert(loaded.vocab == model.vocab)
+    val merges = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "merges.txt")), "UTF-8")
+    assert(merges.startsWith("#version: 0.2\n"))
+    val vocabJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "vocab.json")), "UTF-8")
+    // vocab.json parses as JSON and inverts to the id order
+    val parsed = graft.functions.JsonLite.parse(vocabJson)
+      .asInstanceOf[java.util.Map[String, Any]]
+    assert(parsed.size == model.vocab.size)
+    assert(parsed.get(model.vocab.head) == 0L)
+  }
 }
