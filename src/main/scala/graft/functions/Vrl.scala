@@ -1922,6 +1922,26 @@ object Vrl {
 
   def compactVariant(c: Column): Column = jsonTransform(c, compactAny)
   def flattenVariant(c: Column): Column = jsonTransform(c, flattenAny)
+  /** Remove a top-level key from a dynamic (variant/map-shaped) event —
+    * the `del(.f)` path when the event is a `. = <map>` root.
+    */
+  def variantRemoveKey(c: Column, key: String): Column = {
+    val u = udf { (x: String) =>
+      if (x == null) null
+      else try {
+        JsonLite.parse(x) match {
+          case m: java.util.Map[_, _] =>
+            val mm = new java.util.LinkedHashMap[String, Any](
+              m.asInstanceOf[java.util.Map[String, Any]])
+            mm.remove(key)
+            JsonLite.render(mm)
+          case _ => x
+        }
+      } catch { case _: Exception => null }
+    }
+    parse_json(u(to_json(c)))
+  }
+
   def mergeVariant(a: Column, b: Column, deep: Boolean): Column = {
     val u = udf { (x: String, y: String) =>
       if (x == null || y == null) null

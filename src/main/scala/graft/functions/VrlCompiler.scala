@@ -127,16 +127,32 @@ object VrlCompiler {
   private final case class Env(fields: ListMap[String, CV],
                                vars: Map[String, CV],
                                aborted: Column, errored: Column,
-                               emitN: Option[Column] = None) {
+                               emitN: Option[Column] = None,
+                               inputSchema: StructType = new StructType()) {
     def withError(c: Column): Env = copy(errored = errored || c)
   }
+
+  /** Resolve a column's Catalyst type at COMPILE time by analyzing a
+    * zero-row projection over the input schema — lets `. =` / `|=`
+    * accept functions whose Column is a struct even when the VT layer
+    * only knows TAny (parse_syslog, parse_apache_log, ...). Returns None
+    * when the column references mid-program synthetics the input schema
+    * can't resolve.
+    */
+  private def resolvedType(env: Env, c: Column): Option[DataType] =
+    scala.util.Try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        env.inputSchema).select(c).schema.head.dataType
+    }.toOption
 
   def compile(schema: StructType, source: String): Compiled = {
     val program = VrlParser.parse(source)
     val init = Env(
       ListMap(schema.fields.map(f => f.name -> CV(colRef(f.name), vtOf(f.dataType))): _*),
       Map.empty,
-      lit(false), lit(false))
+      lit(false), lit(false), inputSchema = schema)
     val end = program.stmts.foldLeft(init)(stmt)
     Compiled(end.fields.map { case (n, cv) => (n, cv.col) }.toSeq,
       end.aborted, end.errored, end.emitN)
@@ -302,6 +318,78 @@ object VrlCompiler {
           acc.map(n => n -> CV(folded.getField(n), env.vars(n).t)))
       }
 
+    // `v = del(.f)` — read-and-remove (del.cue returns the deleted
+    // value); field removal falls through to dynamic-root key removal
+    case Assign(t, None, CallE("del", _, List(p @ PathE(FieldSeg(f) :: Nil)), _, _, _))
+        if !t.isInstanceOf[PathT] || t.asInstanceOf[PathT].segs.nonEmpty =>
+      val (v, _) = expr(env, p)
+      val env1 =
+        if (env.fields.contains(f)) env.copy(fields = env.fields - f)
+        else env.fields.get("__root_map") match {
+          case Some(m) => env.copy(fields = env.fields +
+            ("__root_map" -> CV(Vrl.variantRemoveKey(m.col, f), m.t)))
+          case None => env
+        }
+      assign(env1, t, v)
+
+    // `. |= expr` — shallow merge into the whole event
+    // (assignment.cue's merge-assignment; config/examples use it for
+    // `. |= parse_apache_log!(...)` and wrapped-JSON traversal)
+    case MergeAssign(PathT(Nil), errT, value) =>
+      if (errT.isDefined) throw VrlCompileException(
+        "`., err |= …` is not supported on the event root; use `. |= …`")
+      val (v0, errCond) = expr(env, value)
+      val env1 = errCond.foldLeft(env)((e, c) => e.withError(c))
+      val needResolve = v0.t match {
+        case TAny => true
+        case TObj(st) => st.fields.isEmpty
+        case _ => false
+      }
+      val v =
+        if (!needResolve) v0
+        else resolvedType(env1, v0.col) match {
+          case Some(st: StructType) if st.fields.nonEmpty => CV(v0.col, TObj(st))
+          case Some(_: MapType) => CV(v0.col, TMap)
+          case Some(VariantType) => CV(v0.col, TVariant)
+          case _ => v0
+        }
+      v.t match {
+        case TObj(st) =>
+          // static shallow merge: RHS keys override in place, new keys
+          // append (keeps output column order stable)
+          val updated = env1.fields.toSeq.map { case (n, cv) =>
+            st.fields.find(_.name == n) match {
+              case Some(fd) => n -> CV(v.col.getField(n), vtOf(fd.dataType))
+              case None => n -> cv
+            }
+          }
+          val appended = st.fields.toSeq
+            .filterNot(fd => env1.fields.contains(fd.name))
+            .map(fd => fd.name -> CV(v.col.getField(fd.name), vtOf(fd.dataType)))
+          env1.copy(fields = ListMap((updated ++ appended): _*))
+        case TMap | TVariant =>
+          // dynamic merge: JSON-bridge the current event, merge keys,
+          // keep the event dynamic (reads fall back to __root_map)
+          val lhs: Column = env1.fields.get("__root_map") match {
+            case Some(m) => m.col
+            case None => struct(env1.fields.map {
+              case (n, cv) => cv.col.as(n) }.toSeq: _*)
+          }
+          env1.copy(fields = ListMap("__root_map" ->
+            CV(Vrl.mergeVariant(lhs, v.col, deep = false), TVariant)))
+        case _ => throw VrlCompileException(
+          "`. |= …` needs an object-shaped right-hand side")
+      }
+
+    // non-root `target |= expr` desugars to target = merge(target, expr)
+    case MergeAssign(t, errT, value) =>
+      val lhsExpr: Expr = t match {
+        case PathT(segs) => PathE(segs)
+        case VarT(n) => VarE(n)
+        case MetaT => MetaE
+      }
+      stmt(env, Assign(t, errT, MergeWrapE(lhsExpr, value)))
+
     // whole-event replacement `. = …` (remap.rs: assigning an ARRAY to
     // the root emits one event per element — the 1→N remap path)
     case Assign(PathT(Nil), _, value) =>
@@ -355,7 +443,7 @@ object VrlCompiler {
             case TObj(st) if st.fields.nonEmpty =>
               env1.copy(fields = ListMap(st.fields.toSeq.map(f =>
                 f.name -> CV(v.col.getField(f.name), vtOf(f.dataType))): _*))
-            case TMap =>
+            case TMap | TVariant =>
               env1.copy(fields = ListMap("__root_map" -> v))
             case TStr | TRegex | TInt | TFloat | TBool | TTs =>
               // the marker lets a later `.` read the scalar back (the
@@ -363,8 +451,26 @@ object VrlCompiler {
               // `message` is the log-boundary rendering)
               env1.copy(fields = ListMap("message" -> v,
                 "__root_scalar" -> CV(lit(true), TBool)))
-            case _ => throw VrlCompileException(
-              "`. =` needs a scalar, a schema-known object, a map, or literals")
+            case _ =>
+              // TAny: ask Catalyst what the column actually is (covers
+              // struct-building parse_* functions typed TAny)
+              resolvedType(env1, v.col) match {
+                case Some(st: StructType) if st.fields.nonEmpty =>
+                  env1.copy(fields = ListMap(st.fields.toSeq.map(f =>
+                    f.name -> CV(v.col.getField(f.name), vtOf(f.dataType))): _*))
+                case Some(_: MapType) =>
+                  env1.copy(fields = ListMap("__root_map" ->
+                    CV(v.col, TMap)))
+                case Some(VariantType) =>
+                  env1.copy(fields = ListMap("__root_map" ->
+                    CV(v.col, TVariant)))
+                case Some(StringType | LongType | IntegerType | DoubleType |
+                          FloatType | BooleanType | TimestampType) =>
+                  env1.copy(fields = ListMap("message" -> v,
+                    "__root_scalar" -> CV(lit(true), TBool)))
+                case _ => throw VrlCompileException(
+                  "`. =` needs a scalar, a schema-known object, a map, or literals")
+              }
           }
       }
 
@@ -635,6 +741,11 @@ object VrlCompiler {
             TAny), None)
       }
 
+    case MergeWrapE(l, r) =>
+      val (lv, e1) = expr(env, l)
+      val (rv, e2) = expr(env, r)
+      (mergeCV(env, lv, rv), (e1.toSeq ++ e2.toSeq).reduceOption(_ || _))
+
     case MetaE =>
       (env.fields.getOrElse("__metadata", CV(lit(null), TAny)), None)
 
@@ -642,8 +753,15 @@ object VrlCompiler {
       env.fields.get(f) match {
         case Some(cv) => (walk(cv, rest), None)
         case None => env.fields.get("__root_map") match {
-          // dynamic event from `. = <map>` — reads resolve via the map
-          case Some(m) => (walk(CV(element_at(m.col, f), TAny), rest), None)
+          // dynamic event from `. = <map|variant>` — reads resolve
+          // through the stored value (element_at for maps,
+          // try_variant_get for variants)
+          case Some(m) =>
+            val base = m.t match {
+              case TVariant => walk(m, FieldSeg(f) :: Nil)
+              case _ => CV(element_at(m.col, f), TAny)
+            }
+            (walk(base, rest), None)
           case None => (CV(lit(null), TAny), None)
         }
       }
@@ -989,6 +1107,36 @@ object VrlCompiler {
   }
 
   /** Walk residual path segments over a value of (possibly) known type. */
+  /** Shallow merge for `|=` on a non-root target: static struct+struct
+    * when both schemas are known, map_concat for maps, JSON-bridge
+    * otherwise (same stance as the `merge` stdlib function).
+    */
+  private def mergeCV(env: Env, l0: CV, r0: CV): CV = {
+    def byCatalyst(v: CV): CV = resolvedType(env, v.col) match {
+      case Some(st: StructType) if st.fields.nonEmpty => CV(v.col, TObj(st))
+      case Some(_: MapType) => CV(v.col, TMap)
+      case Some(VariantType) => CV(v.col, TVariant)
+      case _ => v
+    }
+    def resolve(v: CV): CV = v.t match {
+      case TAny => byCatalyst(v)
+      // object literals in expression position carry a schemaless TObj
+      case TObj(st) if st.fields.isEmpty => byCatalyst(v)
+      case _ => v
+    }
+    val (l, r) = (resolve(l0), resolve(r0))
+    (l.t, r.t) match {
+      case (TObj(ls), TObj(rs)) =>
+        val keep = ls.fields.filterNot(f => rs.fieldNames.contains(f.name))
+        val cols = keep.map(f => l.col.getField(f.name).as(f.name)) ++
+          rs.fields.map(f => r.col.getField(f.name).as(f.name))
+        CV(struct(cols.toSeq: _*),
+          TObj(StructType(keep.toSeq ++ rs.fields.toSeq)))
+      case (TMap, TMap) => CV(map_concat(l.col, r.col), TMap)
+      case _ => CV(Vrl.mergeVariant(l.col, r.col, deep = false), TVariant)
+    }
+  }
+
   private def walk(cv: CV, segs: List[Seg]): CV = segs.foldLeft(cv) {
     case (CV(c, TObj(st)), FieldSeg(n)) =>
       val t = st.fields.find(_.name == n).map(f => vtOf(f.dataType)).getOrElse(TAny)

@@ -955,6 +955,10 @@ object VrlFunctions {
       }
       case "object" => a(0).cv.t match {
         case TMap | TObj(_) | TVariant => a(0).cv
+        // TAny may well BE object-shaped (struct-building parse_*
+        // functions) — pass through and let the consumer resolve the
+        // Catalyst type; statically-scalar values stay a type error
+        case TAny => a(0).cv
         case _ => CV(lit(null).cast("map<string,string>"), TMap)
       }
       case "parse_dnstap" =>

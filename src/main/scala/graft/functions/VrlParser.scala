@@ -65,6 +65,16 @@ object VrlAst {
   final case class PathT(segs: List[Seg]) extends Target
   final case class VarT(name: String) extends Target
   case object MetaT extends Target
+  /** `target |= expr` — shallow object merge into the target
+    * (assignment.cue's merge-assignment operator).
+    */
+  final case class MergeAssign(target: Target, errTarget: Option[Target],
+                               value: Expr) extends Stmt
+  /** Compiler-internal desugar of a non-root `|=`: merge(lhs, rhs) with
+    * the lhs already expressed as a readable expression. Never produced
+    * by the parser.
+    */
+  final case class MergeWrapE(lhs: Expr, rhs: Expr) extends Expr
   final case class Assign(target: Target, errTarget: Option[Target],
                           value: Expr) extends Stmt
   final case class ExprStmt(e: Expr) extends Stmt
@@ -206,7 +216,7 @@ object VrlParser {
         case _ =>
           val two = if (i + 1 < n) src.substring(i, i + 2) else ""
           two match {
-            case "==" | "!=" | "<=" | ">=" | "&&" | "||" | "??" | "->" =>
+            case "==" | "!=" | "<=" | ">=" | "&&" | "||" | "??" | "->" | "|=" =>
               out += TOp(two, i); i += 2
             case _ =>
               c match {
@@ -282,11 +292,17 @@ object VrlParser {
                 case Some(t2) if isOp("=") =>
                   advance(); skipNlInExpr()
                   return Assign(t1, Some(t2), expr())
+                case Some(t2) if isOp("|=") =>
+                  advance(); skipNlInExpr()
+                  return MergeAssign(t1, Some(t2), expr())
                 case _ => pos = mark
               }
             } else if (isOp("=")) {
               advance(); skipNlInExpr()
               return Assign(t1, None, expr())
+            } else if (isOp("|=")) {
+              advance(); skipNlInExpr()
+              return MergeAssign(t1, None, expr())
             } else pos = mark
           case None => pos = mark
         }

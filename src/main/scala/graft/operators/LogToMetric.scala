@@ -19,14 +19,38 @@ object LogToMetric {
   sealed trait MetricSpec {
     def name: Column
     def tags: Seq[(String, Column)]
+    /** Row gate: the reference emits NO metric for an event missing the
+      * configured `field` (log_to_metric.rs parse_log error path) — the
+      * loader passes `field IS NOT NULL` (or false when the column
+      * doesn't exist at all); direct API users default to all rows.
+      */
+    def gate: Column = lit(true)
   }
   /** Counter: +1 per event, or `increment_by_value` of a field. */
   final case class Counter(name: Column, tags: Seq[(String, Column)],
-                           incrementBy: Option[Column] = None) extends MetricSpec
+                           incrementBy: Option[Column] = None,
+                           override val gate: Column = lit(true))
+      extends MetricSpec
   final case class Gauge(name: Column, tags: Seq[(String, Column)],
-                         value: Column) extends MetricSpec
+                         value: Column,
+                         override val gate: Column = lit(true))
+      extends MetricSpec
   final case class SetMetric(name: Column, tags: Seq[(String, Column)],
-                             value: Column) extends MetricSpec
+                             value: Column,
+                             override val gate: Column = lit(true))
+      extends MetricSpec
+  /** Histogram/Summary: one distribution sample (value, rate 1) per
+    * event (log_to_metric.rs:418-472 — both configure a Distribution
+    * metric; the statistic only picks the downstream aggregation).
+    */
+  final case class Histogram(name: Column, tags: Seq[(String, Column)],
+                             value: Column,
+                             override val gate: Column = lit(true))
+      extends MetricSpec
+  final case class Summary(name: Column, tags: Seq[(String, Column)],
+                           value: Column,
+                           override val gate: Column = lit(true))
+      extends MetricSpec
 
   /** Emit one metric row per spec per input log. Output columns: name,
     * tags (map), ts, kind, value_type, counter_value/gauge_value/
@@ -35,18 +59,31 @@ object LogToMetric {
   def apply(df: DataFrame, ts: Column, specs: Seq[MetricSpec],
             carry: Seq[String] = Nil): DataFrame =
     specs.map { spec =>
-      val (vtype, kind, counter, gauge, setv) = spec match {
-        case Counter(_, _, inc) =>
+      val nullDist = lit(null)
+        .cast("array<struct<value:double,rate:bigint>>")
+      def dist(v: Column) =
+        array(struct(v.cast("double").as("value"), lit(1L).as("rate")))
+      val (vtype, kind, counter, gauge, setv, distv) = spec match {
+        case Counter(_, _, inc, _) =>
           ("counter", "incremental", inc.getOrElse(lit(1.0)).cast("double"),
-            lit(null).cast("double"), lit(null).cast("array<string>"))
-        case Gauge(_, _, v) =>
+            lit(null).cast("double"), lit(null).cast("array<string>"),
+            nullDist)
+        case Gauge(_, _, v, _) =>
           ("gauge", "absolute", lit(null).cast("double"), v.cast("double"),
-            lit(null).cast("array<string>"))
-        case SetMetric(_, _, v) =>
+            lit(null).cast("array<string>"), nullDist)
+        case SetMetric(_, _, v, _) =>
           ("set", "incremental", lit(null).cast("double"),
-            lit(null).cast("double"), array(v.cast("string")))
+            lit(null).cast("double"), array(v.cast("string")), nullDist)
+        case Histogram(_, _, v, _) =>
+          ("distribution", "incremental", lit(null).cast("double"),
+            lit(null).cast("double"), lit(null).cast("array<string>"),
+            dist(v))
+        case Summary(_, _, v, _) =>
+          ("distribution", "incremental", lit(null).cast("double"),
+            lit(null).cast("double"), lit(null).cast("array<string>"),
+            dist(v))
       }
-      df.select(carry.map(col) :+
+      df.filter(spec.gate).select(carry.map(col) :+
         spec.name.as("name") :+
         map(spec.tags.flatMap { case (k, v) => Seq(lit(k), v.cast("string")) }: _*)
           .as("tags") :+
@@ -55,18 +92,25 @@ object LogToMetric {
         lit(vtype).as("value_type") :+
         counter.as("counter_value") :+
         gauge.as("gauge_value") :+
-        setv.as("set_values"): _*)
+        setv.as("set_values") :+
+        distv.as("dist_samples"): _*)
     }.reduce(_.unionByName(_))
 
   /** `metric_to_log`: flatten a metric row into a log line + fields. */
-  def metricToLog(metrics: DataFrame): DataFrame =
+  def metricToLog(metrics: DataFrame): DataFrame = {
+    val rendered = Seq(
+      col("counter_value").cast("string"),
+      col("gauge_value").cast("string"),
+      array_join(col("set_values"), ",")) ++
+      (if (metrics.columns.contains("dist_samples"))
+        Seq(array_join(transform(col("dist_samples"),
+          s => s.getField("value").cast("string")), ","))
+      else Nil)
     metrics.withColumn(
       "message",
       format_string("%s %s %s=%s",
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
         col("kind"), col("name"),
-        coalesce(
-          col("counter_value").cast("string"),
-          col("gauge_value").cast("string"),
-          array_join(col("set_values"), ","))))
+        coalesce(rendered: _*)))
+  }
 }

@@ -540,14 +540,38 @@ object ConfigLoader {
               m.getOrElse("field", "counter").toString).toString)
             val tags = yamlMap(m.getOrElse("tags", null)).toSeq.sortBy(_._1)
               .map { case (k, v) => k -> tmpl(v.toString) }
+            // reference semantics: an event missing the configured field
+            // yields no metric (log_to_metric.rs error path) — and a
+            // field the schema doesn't know at all gates the whole spec
+            // off instead of failing analysis
+            def fieldOf(name: String): (Column, Column) =
+              if (df.columns.contains(name)) (col(name), col(name).isNotNull)
+              else (lit(null), lit(false))
             m.getOrElse("type", "counter").toString match {
               case "counter" =>
                 val inc = m.get("increment_by_value").map(_.toString.toBoolean)
                   .getOrElse(false)
-                LogToMetric.Counter(nm, tags,
-                  if (inc) Some(col(m("field").toString)) else None)
-              case "gauge" => LogToMetric.Gauge(nm, tags, col(m("field").toString))
-              case "set" => LogToMetric.SetMetric(nm, tags, col(m("field").toString))
+                if (inc) {
+                  val (v, g) = fieldOf(m("field").toString)
+                  LogToMetric.Counter(nm, tags, Some(v), g)
+                } else m.get("field") match {
+                  case Some(f) =>
+                    val (_, g) = fieldOf(f.toString)
+                    LogToMetric.Counter(nm, tags, None, g)
+                  case None => LogToMetric.Counter(nm, tags, None)
+                }
+              case "gauge" =>
+                val (v, g) = fieldOf(m("field").toString)
+                LogToMetric.Gauge(nm, tags, v, g)
+              case "set" =>
+                val (v, g) = fieldOf(m("field").toString)
+                LogToMetric.SetMetric(nm, tags, v, g)
+              case "histogram" =>
+                val (v, g) = fieldOf(m("field").toString)
+                LogToMetric.Histogram(nm, tags, v, g)
+              case "summary" =>
+                val (v, g) = fieldOf(m("field").toString)
+                LogToMetric.Summary(nm, tags, v, g)
               case other => throw new IllegalArgumentException(
                 s"log_to_metric: unsupported metric type $other")
             }
@@ -800,6 +824,14 @@ object ConfigLoader {
       else df0
     val framed = fr.get("method").map(_.toString) match {
       case None | Some("bytes") => dfm
+      case Some("varint_length_delimited") =>
+        // binary framing ([uvarint len][payload] repeated — the
+        // ClickHouse-style protobuf stream): frames stay binary in
+        // `value` for the binary decoders; `message` carries base64
+        // (binary-transparent strings boundary)
+        dfm.withColumn("value",
+            explode(Framing.varintLengthDelimited(binPayload(dfm))))
+          .withColumn("message", base64(col("value")))
       case Some(method) =>
         val frames: Column = method match {
           case "newline_delimited" =>
