@@ -140,6 +140,119 @@ object ProtobufCodec {
     out.toByteArray
   }
 
+  // ---- compiled descriptor sets ---------------------------------------
+
+  /** Build the ProtoSchema for `messageType` from a compiled
+    * FileDescriptorSet (`protoc --descriptor_set_out`) — the reference's
+    * `desc_file` + `message_type` decoder config
+    * (lib/codecs/src/decoding/format/protobuf.rs). The descriptor file
+    * is itself protobuf; this walks it with the same Reader using the
+    * published descriptor.proto field numbers:
+    * FileDescriptorSet.file=1; FileDescriptorProto{package=2,
+    * message_type=4}; DescriptorProto{name=1, field=2, nested_type=3};
+    * FieldDescriptorProto{name=1, number=3, label=4, type=5,
+    * type_name=6}.
+    */
+  def fromDescriptorSet(bytes: Array[Byte], messageType: String): ProtoSchema = {
+    final case class RawField(name: String, number: Int, label: Int,
+                              tpe: Int, typeName: String)
+    final case class RawMsg(name: String, fields: Seq[RawField],
+                            nested: Seq[RawMsg])
+
+    def walk(b: Array[Byte]): Seq[(Int, Int, Any)] = {
+      val r = new Reader(b)
+      val out = Seq.newBuilder[(Int, Int, Any)]
+      while (r.hasMore) {
+        val tag = r.readVarint()
+        val no = (tag >>> 3).toInt
+        val wt = (tag & 7).toInt
+        val v: Any = wt match {
+          case 0 => r.readVarint()
+          case 1 => r.readFixed64()
+          case 2 => r.readBytes(r.readVarint().toInt)
+          case 5 => r.readBytes(4)
+          case other => throw new RuntimeException(s"bad wire type $other")
+        }
+        out += ((no, wt, v))
+      }
+      out.result()
+    }
+    def str(v: Any): String = new String(v.asInstanceOf[Array[Byte]], "UTF-8")
+
+    def parseField(b: Array[Byte]): RawField = {
+      var (name, number, label, tpe, tn) = ("", 0, 1, 0, "")
+      walk(b).foreach {
+        case (1, 2, v) => name = str(v)
+        case (3, 0, v) => number = v.asInstanceOf[Long].toInt
+        case (4, 0, v) => label = v.asInstanceOf[Long].toInt
+        case (5, 0, v) => tpe = v.asInstanceOf[Long].toInt
+        case (6, 2, v) => tn = str(v)
+        case _ => ()
+      }
+      RawField(name, number, label, tpe, tn)
+    }
+    def parseMsg(b: Array[Byte]): RawMsg = {
+      var name = ""
+      val fs = Seq.newBuilder[RawField]
+      val ns = Seq.newBuilder[RawMsg]
+      walk(b).foreach {
+        case (1, 2, v) => name = str(v)
+        case (2, 2, v) => fs += parseField(v.asInstanceOf[Array[Byte]])
+        case (3, 2, v) => ns += parseMsg(v.asInstanceOf[Array[Byte]])
+        case _ => ()
+      }
+      RawMsg(name, fs.result(), ns.result())
+    }
+
+    // index every message under its fully-qualified ".pkg.Outer.Nested"
+    val byFqn = scala.collection.mutable.Map[String, RawMsg]()
+    walk(bytes).foreach {
+      case (1, 2, fileB) =>
+        var pkg = ""
+        val msgs = Seq.newBuilder[RawMsg]
+        walk(fileB.asInstanceOf[Array[Byte]]).foreach {
+          case (2, 2, v) => pkg = str(v)
+          case (4, 2, v) => msgs += parseMsg(v.asInstanceOf[Array[Byte]])
+          case _ => ()
+        }
+        def index(prefix: String, m: RawMsg): Unit = {
+          val fqn = s"$prefix.${m.name}"
+          byFqn(fqn) = m
+          m.nested.foreach(index(fqn, _))
+        }
+        msgs.result().foreach(index(if (pkg.isEmpty) "" else s".$pkg", _))
+      case _ => ()
+    }
+
+    def schemaOf(m: RawMsg, seen: Set[String]): ProtoSchema =
+      ProtoSchema(m.fields.map { f =>
+        val base: PType = f.tpe match {
+          case 1 => PDouble
+          case 3 | 4 | 5 | 8 | 13 | 14 => PVarint // int64/uint64/int32/bool/uint32/enum
+          case 6 | 16 => PFixed64                 // fixed64/sfixed64
+          case 9 => PString
+          case 12 => PBytes
+          case 17 | 18 => PSint                   // sint32/sint64
+          case 11 =>
+            val target = byFqn.getOrElse(f.typeName, throw new IllegalArgumentException(
+              s"descriptor: unresolved message type ${f.typeName}"))
+            if (seen(f.typeName)) throw new IllegalArgumentException(
+              s"descriptor: recursive message type ${f.typeName} unsupported")
+            PMessage(schemaOf(target, seen + f.typeName))
+          case other => throw new IllegalArgumentException(
+            s"descriptor: unsupported field type $other for ${f.name}")
+        }
+        ProtoField(f.number, f.name,
+          if (f.label == 3) PRepeated(base) else base)
+      })
+
+    val fqn = if (messageType.startsWith(".")) messageType else s".$messageType"
+    val root = byFqn.getOrElse(fqn, throw new IllegalArgumentException(
+      s"descriptor: message type $messageType not found " +
+        s"(known: ${byFqn.keys.toSeq.sorted.mkString(", ")})"))
+    schemaOf(root, Set(fqn))
+  }
+
   private def decodeRecord(schema: ProtoSchema, bytes: Array[Byte]): Row = {
     val byNo = schema.fields.map(f => f.no -> f).toMap
     val values = scala.collection.mutable.Map[Int, Any]()
@@ -185,6 +298,12 @@ object ProtobufCodec {
     */
   def decodeTo(schema: ProtoSchema, bytes: Array[Byte]): Row =
     decodeRecord(schema, bytes)
+
+  /** Row-level encode (the inverse of [[decodeTo]]) — also how the spec
+    * self-hosts descriptor-set fixtures without protoc.
+    */
+  def encodeTo(schema: ProtoSchema, r: Row): Array[Byte] =
+    encodeRecord(schema, r)
 
   /** struct column → proto3 message bytes (null row → null). */
   def encode(schema: ProtoSchema, record: Column): Column = {

@@ -912,12 +912,22 @@ object ConfigLoader {
           .filter(col("__a").isNotNull)
           .select(col("__a.*"))
       case Some("protobuf") =>
-        // decoding.protobuf.fields = [{no, name, type}] — an inline
-        // message schema (the reference takes a compiled desc_file +
-        // message_type; a descriptor-set walker is out of scope in this
-        // sandbox, so the schema is declared inline). Types: int64,
+        // decoding.protobuf: EITHER the reference's desc_file +
+        // message_type (a compiled FileDescriptorSet, walked by
+        // ProtobufCodec.fromDescriptorSet) OR an inline
+        // fields: [{no, name, type}] message schema. Types: int64,
         // sint64, double, fixed64, string, bytes (+ repeated_<t>).
         import graft.codecs.ProtobufCodec
+        val pconf = yamlMap(dec.getOrElse("protobuf", null))
+        val descSchema = pconf.get("desc_file").map { descPath =>
+          val mt = pconf.getOrElse("message_type",
+            throw new IllegalArgumentException(
+              "decoding.protobuf.message_type is required with desc_file"))
+            .toString
+          ProtobufCodec.fromDescriptorSet(
+            java.nio.file.Files.readAllBytes(resolvePath(descPath.toString)),
+            mt)
+        }
         val pfs = yamlList(yamlMap(dec.getOrElse("protobuf", null))
           .getOrElse("fields", Nil)).map { f =>
           val fm = yamlMap(f)
@@ -939,10 +949,13 @@ object ConfigLoader {
             fm.getOrElse("name", "").toString,
             ptypeOf(fm.getOrElse("type", "string").toString))
         }
-        require(pfs.nonEmpty, "decoding.protobuf.fields is required")
+        val schema = descSchema.getOrElse {
+          require(pfs.nonEmpty,
+            "decoding.protobuf needs desc_file+message_type or fields")
+          ProtobufCodec.ProtoSchema(pfs)
+        }
         framed
-          .select(ProtobufCodec.decode(ProtobufCodec.ProtoSchema(pfs),
-            binPayload(framed)).as("__p"))
+          .select(ProtobufCodec.decode(schema, binPayload(framed)).as("__p"))
           .filter(col("__p").isNotNull)
           .select(col("__p.*"))
       case Some(other) => throw new IllegalArgumentException(

@@ -7,8 +7,10 @@ import graft.SparkSpec
   * loader: `. = parse_syslog!`, `. |= parse_apache_log!`, wrapped-JSON
   * del/merge chains, log_to_metric histogram/summary, env-var
   * interpolation, varint framing. The one exclusion is
-  * varint_framing_protobuf.yaml, whose decoder needs a compiled
-  * protobuf desc_file (documented descriptor boundary).
+  * varint_framing_protobuf.yaml, whose desc_file
+  * ("path/to/your/protobuf.desc") doesn't exist on disk — the decoder
+  * itself is supported (DescriptorSetSpec drives desc_file +
+  * message_type end-to-end with a self-hosted descriptor fixture).
   */
 class ReferenceConfigsSpec extends SparkSpec {
 
