@@ -2474,7 +2474,8 @@ object ConfigLoader {
         val (codec, framing, delim, compression) = sinkEncoding(m, "text")
         val cfg = FileSink.Config(
           m.getOrElse("path", s"$workDir/$id.log").toString,
-          codec, framing, delim, compression)
+          codec, framing, delim, compression,
+          encConf = yamlMap(m.getOrElse("encoding", null)))
         Some(df => FileSink.writeBatch(df, cfg))
       case "socket" =>
         val (codec, framing, delim, _) = sinkEncoding(m, "text")
@@ -2483,7 +2484,8 @@ object ConfigLoader {
           m.getOrElse("address", m.getOrElse("path", "")).toString,
           codec, framing, delim,
           tls = graft.streaming.Tls.configOf(
-            yamlMap(m.getOrElse("tls", null))))
+            yamlMap(m.getOrElse("tls", null))),
+          encConf = yamlMap(m.getOrElse("encoding", null)))
         Some(df => NetworkSinks.writeSocket(df, cfg))
       case "vector" =>
         // vector-to-vector transport: the native_json envelope
@@ -2508,7 +2510,8 @@ object ConfigLoader {
           payloadPrefix = m.getOrElse("payload_prefix", "").toString,
           payloadSuffix = m.getOrElse("payload_suffix", "").toString,
           tls = graft.streaming.Tls.configOf(
-            yamlMap(m.getOrElse("tls", null))))
+            yamlMap(m.getOrElse("tls", null))),
+          encConf = yamlMap(m.getOrElse("encoding", null)))
         Some(df => NetworkSinks.writeHttp(df, cfg))
       case "elasticsearch" =>
         val bulk = yamlMap(m.getOrElse("bulk", null))

@@ -35,7 +35,9 @@ object FileSink {
       compression: String = "none",
       // strict single-file append for a static path (single writer task);
       // false = one part file per task, reference-compatible contents
-      singleFile: Boolean = true)
+      singleFile: Boolean = true,
+      // codec-specific encoding options (e.g. encoding.cef.*)
+      encConf: Map[String, Any] = Map.empty)
       extends Serializable
 
   /** Write one (micro-)batch. Serializable helper shared by the batch
@@ -52,7 +54,7 @@ object FileSink {
       if (dynamic) graft.functions.Template.render(df.schema, cfg.path)
       else lit(cfg.path)
     val lines = df.select(rendered.as("__path"),
-      LineCodec.encode(df, cfg.codec).as("__line"))
+      LineCodec.encode(df, cfg.codec, cfg.encConf).as("__line"))
     if (dynamic)
       lines.repartition(col("__path")).sortWithinPartitions("__path")
     else if (cfg.singleFile) lines.coalesce(1)

@@ -28,7 +28,8 @@ object LineCodec {
     * whole-row json fallback), logfmt, csv (field order = schema order),
     * native_json (the `{"log": {...}}` transport envelope), raw_message.
     */
-  def encode(df: DataFrame, codec: String): Column = codec match {
+  def encode(df: DataFrame, codec: String,
+             conf: Map[String, Any] = Map.empty): Column = codec match {
     case "json" =>
       to_json(struct(userFields(df).map(col): _*))
     case "text" | "raw_message" =>
@@ -42,6 +43,59 @@ object LineCodec {
       concat_ws(",", userFields(df).map(f => col(f).cast("string")): _*)
     case "native_json" =>
       to_json(struct(struct(userFields(df).map(col): _*).as("log")))
+    case "gelf" =>
+      // encoding/format/gelf.rs: version/host/short_message/timestamp/
+      // level from the event; remaining fields ride as _-prefixed extras
+      def c(n: String, dflt: Column): Column =
+        if (df.columns.contains(n)) col(n) else dflt
+      val core = Set("host", "message", "short_message", "ts", "timestamp",
+        "level", "severity")
+      val extras = userFields(df).filterNot(core.contains)
+      to_json(struct(
+        (lit("1.1").as("version") +:
+          c("host", lit("localhost")).cast("string").as("host") +:
+          coalesce(c("short_message", lit(null)), c("message", lit(null)))
+            .cast("string").as("short_message") +:
+          unix_timestamp(c("ts", c("timestamp", current_timestamp())))
+            .cast("double").as("timestamp") +:
+          c("level", c("severity", lit(1))).cast("int").as("level") +:
+          extras.map(f => col(f).as(s"_$f"))): _*))
+    case "cef" =>
+      // encoding/format/cef.rs config shape: device_vendor /
+      // device_product / device_version / device_event_class_id / name /
+      // severity literals-or-fields + extensions {key: field}
+      val cm = conf.get("cef").map {
+        case m: java.util.Map[_, _] =>
+          m.asInstanceOf[java.util.Map[String, Any]]
+            .entrySet().toArray.map(_.asInstanceOf[
+              java.util.Map.Entry[String, Any]])
+            .map(e => e.getKey -> e.getValue).toMap
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        case _ => Map.empty[String, Any]
+      }.getOrElse(Map.empty[String, Any])
+      def fieldOr(key: String, dflt: String): Column = {
+        val v = cm.getOrElse(key, dflt).toString
+        if (df.columns.contains(v)) col(v) else lit(v)
+      }
+      val extensions = (cm.get("extensions") match {
+        case Some(m: java.util.Map[_, _]) =>
+          m.asInstanceOf[java.util.Map[String, Any]]
+            .entrySet().toArray.map(_.asInstanceOf[
+              java.util.Map.Entry[String, Any]])
+            .map(e => e.getKey -> e.getValue.toString).toSeq
+        case Some(m: Map[_, _]) =>
+          m.asInstanceOf[Map[String, Any]].toSeq.map { case (k, v) => k -> v.toString }
+        case _ => Nil
+      }).sortBy(_._1).map { case (k, f) =>
+        k -> (if (df.columns.contains(f)) col(f) else lit(f)) }
+      graft.codecs.Encode.cef(
+        cm.getOrElse("device_vendor", "Graft").toString,
+        cm.getOrElse("device_product", "graft").toString,
+        cm.getOrElse("device_version", "1.0").toString,
+        fieldOr("device_event_class_id", "0"),
+        fieldOr("name", "event"),
+        fieldOr("severity", "5"),
+        extensions)
     case other =>
       throw new IllegalArgumentException(s"unsupported sink codec: $other")
   }

@@ -30,11 +30,13 @@ object NetworkSinks {
       delimiter: String = "\n",
       // `tls:` (src/tls/settings.rs shape) — the CONFIG ships to the
       // executor; the SSLContext is built per task (not serializable)
-      tls: graft.streaming.Tls.Config = graft.streaming.Tls.Config())
+      tls: graft.streaming.Tls.Config = graft.streaming.Tls.Config(),
+      // codec-specific encoding options (e.g. encoding.cef.*)
+      encConf: Map[String, Any] = Map.empty)
       extends Serializable
 
   def writeSocket(df: DataFrame, cfg: SocketConfig): Unit = {
-    val lines = df.select(LineCodec.encode(df, cfg.codec).as("__line"))
+    val lines = df.select(LineCodec.encode(df, cfg.codec, cfg.encConf).as("__line"))
     val delim = LineCodec.frameDelimiter(cfg.framing, cfg.delimiter)
     val c = cfg
     lines.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -136,7 +138,9 @@ object NetworkSinks {
       // (driver-side; the value serializes into the task closure), the
       // same process-global default semantics the reference gives
       // GlobalOptions.proxy
-      proxy: ProxyConfig = NetworkSinks.globalProxy)
+      proxy: ProxyConfig = NetworkSinks.globalProxy,
+      // codec-specific encoding options (e.g. encoding.cef.*)
+      encConf: Map[String, Any] = Map.empty)
       extends Serializable
 
   /** POST each task's events in batches of `maxEvents`. Returns nothing;
@@ -145,7 +149,7 @@ object NetworkSinks {
     */
   def writeHttp(df: DataFrame, cfg: HttpConfig): Unit =
     writeHttpBody(
-      df.select(LineCodec.encode(df, cfg.codec).as("__line")), cfg)
+      df.select(LineCodec.encode(df, cfg.codec, cfg.encConf).as("__line")), cfg)
 
   /** Same transport, but the caller supplies the pre-built per-event (or
     * per-group) body lines — used by the envelope sinks (elasticsearch /
