@@ -73,6 +73,11 @@ class ProxySpec extends SparkSpec {
       assert(g.forUri(new java.net.URI("http://api.example.com/x")).nonEmpty)
       assert(g.forUri(new java.net.URI("http://internal.example/x")).isEmpty)
       assert(g.forUri(new java.net.URI("http://sub.internal.example/x")).isEmpty)
-    } finally running.stopAll()
+    } finally {
+      running.stopAll()
+      // the global is process-wide: leave it clean or every later spec's
+      // direct-HTTP sink routes to this dead proxy
+      NetworkSinks.globalProxy = NetworkSinks.ProxyConfig()
+    }
   }
 }
