@@ -54,7 +54,7 @@ object FileSink {
       if (dynamic) graft.functions.Template.render(df.schema, cfg.path)
       else lit(cfg.path)
     val lines = df.select(rendered.as("__path"),
-      LineCodec.encode(df, cfg.codec, cfg.encConf).as("__line"))
+      LineCodec.encodeLine(df, cfg.codec, cfg.encConf).as("__line"))
     if (dynamic)
       lines.repartition(col("__path")).sortWithinPartitions("__path")
     else if (cfg.singleFile) lines.coalesce(1)
@@ -87,11 +87,9 @@ object FileSink {
                 new java.io.FileOutputStream(f, true)), compression)
             current = path
           }
-          val line = r.getString(1)
-          if (line != null) {
-            out.write(line.getBytes("UTF-8"))
-            out.write(delim)
-          }
+          val line = LineCodec.rowBytes(r, 1)
+          if (line != null)
+            out.write(LineCodec.frameBytes(line, cfg.framing, delim))
         }
       } finally close()
     }

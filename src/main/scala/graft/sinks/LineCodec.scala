@@ -100,6 +100,82 @@ object LineCodec {
       throw new IllegalArgumentException(s"unsupported sink codec: $other")
   }
 
+  private def anyMap(v: Any): Map[String, Any] = v match {
+    case m: java.util.Map[_, _] =>
+      val b = Map.newBuilder[String, Any]
+      m.asInstanceOf[java.util.Map[String, Any]]
+        .forEach((k, x) => b += (k -> x))
+      b.result()
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    case _ => Map.empty
+  }
+
+  /** Binary sink codecs — protobuf (the reference's desc_file +
+    * message_type encoder config) and avro (writer schema JSON). Returns
+    * None for string codecs so callers fall through to [[encode]].
+    */
+  def encodeBinaryOpt(df: DataFrame, codec: String,
+                      conf: Map[String, Any]): Option[Column] = codec match {
+    case "protobuf" =>
+      val pm = anyMap(conf.getOrElse("protobuf", null))
+      val schema = (pm.get("desc_file"), pm.get("message_type")) match {
+        case (Some(d), Some(mt)) =>
+          graft.codecs.ProtobufCodec.fromDescriptorSet(
+            java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(d.toString)), mt.toString)
+        case _ => throw new IllegalArgumentException(
+          "encoding.protobuf needs desc_file and message_type")
+      }
+      // encode by the descriptor's field names; absent event fields ride
+      // as nulls (proto3 unset)
+      val cols = schema.sparkType.fields.toSeq.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name) else lit(null))
+          .cast(f.dataType).as(f.name))
+      Some(graft.codecs.ProtobufCodec.encode(schema, struct(cols: _*)))
+    case "avro" =>
+      val am = anyMap(conf.getOrElse("avro", null))
+      val schemaJson = am.getOrElse("schema",
+        throw new IllegalArgumentException(
+          "encoding.avro.schema is required")).toString
+      Some(graft.codecs.AvroCodec.encode(schemaJson,
+        struct(userFields(df).map(col): _*)))
+    case _ => None
+  }
+
+  /** The serialized-line column for a sink: binary codecs when
+    * configured, else the string codec (as binary UTF-8 never
+    * round-trips wrong, callers write bytes either way).
+    */
+  def encodeLine(df: DataFrame, codec: String,
+                 conf: Map[String, Any]): Column =
+    encodeBinaryOpt(df, codec, conf)
+      .getOrElse(encode(df, codec, conf))
+
+  /** Extract a line cell written by [[encodeLine]] as bytes. */
+  def rowBytes(r: org.apache.spark.sql.Row, i: Int): Array[Byte] =
+    r.get(i) match {
+      case null => null
+      case b: Array[Byte] => b
+      case s: String => s.getBytes("UTF-8")
+      case other => other.toString.getBytes("UTF-8")
+    }
+
+  /** Apply framing to one serialized frame: varint_length_delimited
+    * prefixes the uvarint byte length (the encoding side of the
+    * ClickHouse protobuf stream); everything else appends the delimiter.
+    */
+  def frameBytes(payload: Array[Byte], method: String,
+                 delim: Array[Byte]): Array[Byte] = method match {
+    case "varint_length_delimited" =>
+      val out = new java.io.ByteArrayOutputStream(payload.length + 5)
+      var v = payload.length.toLong
+      while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+      out.write(payload)
+      out.toByteArray
+    case _ => payload ++ delim
+  }
+
   /** A string Column → its JSON string literal (quoted + escaped), via
     * Jackson's own escaping: serialize a one-field struct and strip the
     * `{"v":` … `}` wrapper, so escaping can never drift from to_json's.
@@ -120,6 +196,8 @@ object LineCodec {
       case "newline_delimited" | "" => "\n".getBytes("UTF-8")
       case "character_delimited" => delimiter.getBytes("UTF-8")
       case "bytes" => Array.emptyByteArray
+      // per-frame length prefix; applied by frameBytes, no delimiter
+      case "varint_length_delimited" => Array.emptyByteArray
       case other =>
         throw new IllegalArgumentException(s"unsupported sink framing: $other")
     }

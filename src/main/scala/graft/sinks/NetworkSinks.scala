@@ -36,7 +36,8 @@ object NetworkSinks {
       extends Serializable
 
   def writeSocket(df: DataFrame, cfg: SocketConfig): Unit = {
-    val lines = df.select(LineCodec.encode(df, cfg.codec, cfg.encConf).as("__line"))
+    val lines = df.select(
+      LineCodec.encodeLine(df, cfg.codec, cfg.encConf).as("__line"))
     val delim = LineCodec.frameDelimiter(cfg.framing, cfg.delimiter)
     val c = cfg
     lines.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -47,17 +48,17 @@ object NetworkSinks {
             .createSocket(host, port)
           val out = new java.io.BufferedOutputStream(sock.getOutputStream)
           try rows.foreach { r =>
-            val s = r.getString(0)
-            if (s != null) { out.write(s.getBytes("UTF-8")); out.write(delim) }
+            val b = LineCodec.rowBytes(r, 0)
+            if (b != null) out.write(LineCodec.frameBytes(b, c.framing, delim))
           } finally { out.flush(); sock.close() }
         case "udp" =>
           val (host, port) = splitHostPort(c.address)
           val addr = java.net.InetAddress.getByName(host)
           val sock = new java.net.DatagramSocket()
           try rows.foreach { r =>
-            val s = r.getString(0)
-            if (s != null) {
-              val b = s.getBytes("UTF-8") ++ delim
+            val p0 = LineCodec.rowBytes(r, 0)
+            if (p0 != null) {
+              val b = LineCodec.frameBytes(p0, c.framing, delim)
               sock.send(new java.net.DatagramPacket(b, b.length, addr, port))
             }
           } finally sock.close()
@@ -67,9 +68,10 @@ object NetworkSinks {
             java.net.StandardProtocolFamily.UNIX)
           ch.connect(addr)
           try rows.foreach { r =>
-            val s = r.getString(0)
-            if (s != null) {
-              val buf = java.nio.ByteBuffer.wrap(s.getBytes("UTF-8") ++ delim)
+            val b0 = LineCodec.rowBytes(r, 0)
+            if (b0 != null) {
+              val buf = java.nio.ByteBuffer.wrap(
+                LineCodec.frameBytes(b0, c.framing, delim))
               while (buf.hasRemaining) ch.write(buf)
             }
           } finally ch.close()

@@ -125,4 +125,34 @@ class DescriptorSetSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("name")).toSeq == Seq("one", "two"))
     java.nio.file.Files.delete(descPath)
   }
+
+  test("sink-side protobuf + varint framing roundtrips through a file") {
+    val descPath = java.nio.file.Files.createTempFile("evt3", ".desc")
+    java.nio.file.Files.write(descPath, descBytes)
+    val outFile = java.nio.file.Files.createTempDirectory("pbout")
+      .resolve("events.pb")
+    val df = Seq((10L, "alpha", 0.5), (11L, "beta", 1.5))
+      .toDF("id", "name", "score")
+    graft.sinks.FileSink.writeBatch(df, graft.sinks.FileSink.Config(
+      outFile.toString, codec = "protobuf",
+      framing = "varint_length_delimited",
+      encConf = Map("protobuf" -> java.util.Map.of(
+        "desc_file", descPath.toString, "message_type", "test.Event"))))
+    // decode the produced stream with the source-side framing + decoder
+    val chunk = java.nio.file.Files.readAllBytes(outFile)
+    val back = graft.plans.ConfigLoader.applyDecoding(
+      Seq(java.util.Base64.getEncoder.encodeToString(chunk)).toDF("message"),
+      Map(
+        "framing" -> java.util.Map.of("method", "varint_length_delimited"),
+        "decoding" -> java.util.Map.of(
+          "codec", "protobuf",
+          "protobuf", java.util.Map.of(
+            "desc_file", descPath.toString,
+            "message_type", "test.Event"))))
+      .orderBy("id").collect()
+    assert(back.map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
+      r.getAs[Double]("score"))).toSeq ==
+      Seq((10L, "alpha", 0.5), (11L, "beta", 1.5)))
+    java.nio.file.Files.delete(descPath)
+  }
 }
