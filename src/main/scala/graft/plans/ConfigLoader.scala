@@ -2323,9 +2323,12 @@ object ConfigLoader {
             m.getOrElse("path", s"$workDir/$id").toString,
             s"$workDir/.ckpt-$id",
             strList(m.getOrElse("partition_by", Nil)))
-          case "kafka" => StreamRunner.toKafka(df,
-            m.getOrElse("bootstrap_servers", "").toString,
-            m.getOrElse("topic", id).toString, s"$workDir/.ckpt-$id")
+          case "kafka" =>
+            val (kcodec, _, _, _) = sinkEncoding(m, "json")
+            StreamRunner.toKafka(df,
+              m.getOrElse("bootstrap_servers", "").toString,
+              m.getOrElse("topic", id).toString, s"$workDir/.ckpt-$id",
+              kcodec, yamlMap(m.getOrElse("encoding", null)))
           case "blackhole" => StreamRunner.toBlackhole(df)
           case "memory" =>
             df.writeStream.format("memory").queryName(id)

@@ -391,8 +391,10 @@ object StreamRunner {
   }
 
   def toKafka(df: DataFrame, servers: String, topic: String,
-              checkpoint: String): DataStreamWriter[Row] =
-    df.select(to_json(struct(col("*"))).as("value")).writeStream
+              checkpoint: String, codec: String = "json",
+              encConf: Map[String, Any] = Map.empty): DataStreamWriter[Row] =
+    df.select(graft.sinks.LineCodec.encodeLine(df, codec, encConf)
+        .cast("binary").as("value")).writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("topic", topic)
