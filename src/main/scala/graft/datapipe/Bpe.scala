@@ -51,7 +51,7 @@ object Bpe {
   private[datapipe] val preTokenRe = java.util.regex.Pattern.compile(
     """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
 
-  private[datapipe] def preTokenize(text: String): Seq[String] = {
+  private[graft] def preTokenize(text: String): Seq[String] = {
     val m = preTokenRe.matcher(text)
     val out = Seq.newBuilder[String]
     while (m.find()) out += m.group()

@@ -245,4 +245,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 12,
       s"classifier plan shuffles $exchanges times:\n$p")
   }
+
+  test("bpe encode is a shuffle-free projection; train counts are TopK") {
+    import graft.datapipe.Bpe
+    val docs = graft.Graft.table(spark, dir, "documents")
+    val model = Bpe.train(docs, col("text"), numMerges = 30)
+    // encode: broadcast rank table inside one UDF projection — a 100 TB
+    // tokenization pass is scan + project, no exchange, no join
+    val encoded = docs.select(col("doc_id"),
+      Bpe.encodeCol(model, col("text")).as("ids"))
+    val pe = plan(encoded)
+    assert(!pe.contains("ENSURE_REQUIREMENTS") && !pe.contains("Join"),
+      s"bpe encode is not a pure projection:\n$pe")
+    // train's frequency cut: orderBy+limit must plan as TakeOrdered
+    // (a bounded TopK), never a global sort of the distinct-word table
+    val pretok = udf((s: String) =>
+      if (s == null) Array.empty[String]
+      else graft.datapipe.Bpe.preTokenize(s).toArray)
+    val freq = docs.select(explode(pretok(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(1000)
+    val pf = plan(freq)
+    assert(pf.contains("TakeOrderedAndProject"),
+      s"bpe train word cut is a full sort:\n$pf")
+  }
+
+  test("vrl_json_schema: validation is projection-only over the scan") {
+    val df = graft.SparkEntry.queries("vrl_json_schema")(spark, dir)
+    val p = plan(df)
+    // per-row schema validation must not introduce joins or hash
+    // shuffles — only the deterministic-gate orderBy's range exchange
+    assert(!p.contains("hashpartitioning"),
+      s"vrl_json_schema hash-partitions:\n$p")
+    assert(!p.contains("Join"), s"vrl_json_schema joins:\n$p")
+  }
+
+  test("merge-assignment events stay a zero-exchange projection") {
+    val ev = graft.Graft.table(spark, dir, "events")
+      .select(col("event_id"), concat(lit("<34>1 2024-02-13T21:53:30Z h a 1 i - m"),
+        col("event_type")).as("message"))
+    val out = graft.functions.VrlCompiler.run(ev,
+      """. |= object!(parse_syslog!(string!(.message)))""").primary
+    val p = plan(out)
+    assert(!p.contains("ENSURE_REQUIREMENTS") && !p.contains("Join"),
+      s"|= merge introduced a shuffle or join:\n$p")
+  }
 }
