@@ -40,6 +40,19 @@ object DatapipeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // RAG/context-window chunking: 500-char windows with 100-char
+    // overlap, one row per (doc, chunk) — scan + posexplode, shuffle-free
+    "chunk_documents" -> { (s, dir) =>
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+          posexplode(graft.datapipe.TextAnalysis.chunks(
+            col("text"), size = 500, overlap = 100)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          col("col").as("chunk"),
+          length(col("col")).cast("long").as("chunk_chars"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // training-output sharding: deterministic global shuffle into N
     // shards — shard = 24-bit md5 bucket mod N, pos = the document's
     // 1-based position in the shard's md5 shuffle order
@@ -676,6 +689,18 @@ object DatapipeQueries {
       """SELECT doc_id, text AS decoded, true AS within_bytes,
         |  (n_chars > 0) AS nonempty
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "chunk_documents" ->
+      """WITH p AS (SELECT doc_id, text, length(text) AS len,
+        |  CASE WHEN length(text) <= 500 THEN 1
+        |       ELSE CAST(ceil((length(text) - 500) / 400.0) AS BIGINT) + 1
+        |  END AS n
+        |  FROM documents)
+        |SELECT doc_id, i AS chunk_id,
+        |  substr(text, CAST(i*400 + 1 AS INT), 500) AS chunk,
+        |  length(substr(text, CAST(i*400 + 1 AS INT), 500)) AS chunk_chars
+        |FROM p, unnest(generate_series(0, n-1)) AS t(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "shard_assign" ->
       """WITH hashed AS (

@@ -106,4 +106,20 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = fingerprintOf(tokens(text))
   def fingerprintOf(toks: Column): Column =
     md5(array_join(transform(toks, t => lower(t)), " "))
+
+  /** Fixed-size overlapping character windows — RAG/context-window prep.
+    * A doc of length L yields 1 chunk when L <= size, else
+    * ceil((L-size)/stride)+1 with stride = size-overlap; the last chunk
+    * may run short. Pure projection + posexplode: a 100 TB chunking
+    * pass is scan + explode, no shuffle, no state.
+    */
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    require(overlap < size, "chunk overlap must be smaller than size")
+    val stride = size - overlap
+    val len = length(text)
+    val n = when(len <= size, lit(1L)).otherwise(
+      ceil((len - size).cast("double") / stride).cast("long") + 1L)
+    transform(sequence(lit(0L), n - 1),
+      i => text.substr((i * stride + 1).cast("int"), lit(size)))
+  }
 }

@@ -290,4 +290,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("ENSURE_REQUIREMENTS") && !p.contains("Join"),
       s"|= merge introduced a shuffle or join:\n$p")
   }
+
+  test("chunking is scan + explode, no exchange beyond the gate sort") {
+    val df = graft.SparkEntry.queries("chunk_documents")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("hashpartitioning"), s"chunking hash-partitions:\n$p")
+    assert(!p.contains("Join"), s"chunking joins:\n$p")
+    assert(p.contains("Generate"), s"chunking lost its explode:\n$p")
+  }
 }
