@@ -131,15 +131,19 @@ object Topology {
       })
     }
     // fan-in: many inputs union by name (builder.rs:498-630)
-    def fanIn(refs: Seq[String]): DataFrame =
+    def fanIn(id: String, refs: Seq[String]): DataFrame = {
+      if (refs.isEmpty) throw new IllegalArgumentException(
+        s"component '$id' has no inputs — every transform and sink " +
+          "must name at least one upstream component")
       refs.map(outputOf).reduce(_.unionByName(_, allowMissingColumns = true))
+    }
     def compute(c: Component): Unit = c match {
       case s: Source =>
         outputs.getOrElseUpdate(s.id, s.load(spark))
       case t: Transform =>
         if (!outputs.contains(t.id) &&
             !outputs.keys.exists(_.startsWith(t.id + "."))) {
-          val in = fanIn(t.inputs)
+          val in = fanIn(t.id, t.inputs)
           t.apply(in).foreach { case (port, df) =>
             outputs(if (port.isEmpty) t.id else s"${t.id}.$port") = df
           }
@@ -148,7 +152,7 @@ object Topology {
     }
 
     val sinkFrames = components.collect {
-      case s: Sink => s.id -> fanIn(s.inputs)
+      case s: Sink => s.id -> fanIn(s.id, s.inputs)
     }.toMap
     Built(sinkFrames)
   }
