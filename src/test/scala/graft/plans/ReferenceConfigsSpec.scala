@@ -40,6 +40,14 @@ class ReferenceConfigsSpec extends SparkSpec {
     files.foreach(loadable)
   }
 
+  test("the namespaced config directory merges and loads") {
+    val ns = root.resolve("examples").resolve("namespacing")
+    assume(java.nio.file.Files.exists(ns))
+    val yaml = ConfigLoader.readConfigFile(ns.toString)
+    val plan = ConfigLoader.load(spark, yaml, "/root/testdata/sf0.001")
+    assert(plan.outputs.keySet == Set("es_cluster", "s3_archives"))
+  }
+
   test("log_to_metric histogram/summary emit distribution samples") {
     val tmp = java.nio.file.Files.createTempDirectory("l2mh").toString
     ConfigLoader.run(spark,
