@@ -26,6 +26,9 @@ object ProtobufCodec {
   case object PSint extends PType // zigzag sint32/sint64
   case object PDouble extends PType // fixed64 double
   case object PFixed64 extends PType // fixed64 integral
+  case object PFloat extends PType // fixed32 float
+  case object PFixed32 extends PType // fixed32 unsigned integral
+  case object PSfixed32 extends PType // fixed32 signed integral
   case object PString extends PType
   case object PBytes extends PType
   final case class PMessage(schema: ProtoSchema) extends PType
@@ -37,8 +40,9 @@ object ProtobufCodec {
   final case class ProtoField(no: Int, name: String, ptype: PType)
   final case class ProtoSchema(fields: Seq[ProtoField]) {
     private def dataType(t: PType): DataType = t match {
-      case PVarint | PSint | PFixed64 => LongType
+      case PVarint | PSint | PFixed64 | PFixed32 | PSfixed32 => LongType
       case PDouble => DoubleType
+      case PFloat => FloatType
       case PString => StringType
       case PBytes => BinaryType
       case PMessage(s) => s.sparkType
@@ -52,6 +56,7 @@ object ProtobufCodec {
   private def wireType(t: PType): Int = t match {
     case PVarint | PSint => 0
     case PDouble | PFixed64 => 1
+    case PFloat | PFixed32 | PSfixed32 => 5
     case PString | PBytes | _: PMessage => 2
     case PRepeated(e) => wireType(e)
   }
@@ -77,6 +82,14 @@ object ProtobufCodec {
         result |= (b & 0x7FL) << shift; shift += 7
       } while ((b & 0x80) != 0 && shift < 70)
       result
+    }
+    def readFixed32(): Int = {
+      if (pos + 4 > bytes.length) throw new RuntimeException("truncated fixed32")
+      var v = 0
+      var i = 3
+      while (i >= 0) { v = (v << 8) | (bytes(pos + i) & 0xFF); i -= 1 }
+      pos += 4
+      v
     }
     def readFixed64(): Long = {
       if (pos + 8 > bytes.length) throw new RuntimeException("truncated fixed64")
@@ -116,6 +129,16 @@ object ProtobufCodec {
         case PDouble =>
           var x = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
           (0 until 8).foreach { _ => out.write((x & 0xFF).toInt); x >>>= 8 }
+        case PFloat =>
+          var x = java.lang.Float.floatToIntBits(v match {
+            case f: Float => f
+            case d: Double => d.toFloat
+            case other => other.asInstanceOf[Number].floatValue
+          })
+          (0 until 4).foreach { _ => out.write(x & 0xFF); x >>>= 8 }
+        case PFixed32 | PSfixed32 =>
+          var x = v.asInstanceOf[Long].toInt
+          (0 until 4).foreach { _ => out.write(x & 0xFF); x >>>= 8 }
         case PString =>
           val b = v.asInstanceOf[String].getBytes("UTF-8")
           writeVarint(out, b.length.toLong); out.write(b)
@@ -228,8 +251,11 @@ object ProtobufCodec {
       ProtoSchema(m.fields.map { f =>
         val base: PType = f.tpe match {
           case 1 => PDouble
+          case 2 => PFloat
           case 3 | 4 | 5 | 8 | 13 | 14 => PVarint // int64/uint64/int32/bool/uint32/enum
           case 6 | 16 => PFixed64                 // fixed64/sfixed64
+          case 7 => PFixed32
+          case 15 => PSfixed32
           case 9 => PString
           case 12 => PBytes
           case 17 | 18 => PSint                   // sint32/sint64
@@ -263,6 +289,9 @@ object ProtobufCodec {
       case PSint => unzigzag(rd.readVarint())
       case PFixed64 => rd.readFixed64()
       case PDouble => java.lang.Double.longBitsToDouble(rd.readFixed64())
+      case PFloat => java.lang.Float.intBitsToFloat(rd.readFixed32())
+      case PFixed32 => rd.readFixed32() & 0xFFFFFFFFL
+      case PSfixed32 => rd.readFixed32().toLong
       case PString => new String(rd.readBytes(rd.readVarint().toInt), "UTF-8")
       case PBytes => rd.readBytes(rd.readVarint().toInt)
       case PMessage(inner) =>
@@ -282,6 +311,24 @@ object ProtobufCodec {
                 scala.collection.mutable.ListBuffer.empty) += readValue(elem)
             case t => values(no) = readValue(t)
           }
+        // PACKED repeated scalars (proto3 default for numeric repeated
+        // fields): one length-delimited blob of back-to-back values
+        case Some(ProtoField(_, _, PRepeated(elem)))
+            if wt == 2 && wireType(elem) != 2 =>
+          val blob = rd.readBytes(rd.readVarint().toInt)
+          val sub = new Reader(blob)
+          val buf = repeated.getOrElseUpdate(no,
+            scala.collection.mutable.ListBuffer.empty)
+          while (sub.hasMore) buf += (elem match {
+            case PVarint => sub.readVarint()
+            case PSint => unzigzag(sub.readVarint())
+            case PFixed64 => sub.readFixed64()
+            case PDouble => java.lang.Double.longBitsToDouble(sub.readFixed64())
+            case PFloat => java.lang.Float.intBitsToFloat(sub.readFixed32())
+            case PFixed32 => sub.readFixed32() & 0xFFFFFFFFL
+            case PSfixed32 => sub.readFixed32().toLong
+            case other => throw new IllegalStateException(s"packed $other")
+          })
         case _ => rd.skip(wt) // unknown or mistyped field: skip
       }
     }

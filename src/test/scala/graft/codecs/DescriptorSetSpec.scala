@@ -126,6 +126,45 @@ class DescriptorSetSpec extends SparkSpec {
     java.nio.file.Files.delete(descPath)
   }
 
+  test("packed repeated scalars and fixed32 family decode (proto3 wire)") {
+    // message with float score=1, repeated int64 vals=2, sfixed32 off=3
+    val schema = ProtoSchema(Seq(
+      ProtoField(1, "score", PFloat),
+      ProtoField(2, "vals", PRepeated(PVarint)),
+      ProtoField(3, "off", PSfixed32)))
+    // hand-build the PACKED proto3 layout other emitters produce:
+    // field 2 as ONE length-delimited blob of varints
+    val out = new java.io.ByteArrayOutputStream()
+    def vint(v: Long): Unit = {
+      var x = v
+      while ((x & ~0x7FL) != 0) { out.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt)
+    }
+    vint((1L << 3) | 5) // score, wire 5
+    var fb = java.lang.Float.floatToIntBits(2.5f)
+    (0 until 4).foreach { _ => out.write(fb & 0xFF); fb >>>= 8 }
+    vint((2L << 3) | 2) // vals, PACKED: wire 2
+    val packed = new java.io.ByteArrayOutputStream()
+    Seq(3L, 270L, 86942L).foreach { v =>
+      var x = v
+      while ((x & ~0x7FL) != 0) { packed.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
+      packed.write(x.toInt)
+    }
+    vint(packed.size().toLong); out.write(packed.toByteArray)
+    vint((3L << 3) | 5) // off, sfixed32 = -7
+    var ob = -7
+    (0 until 4).foreach { _ => out.write(ob & 0xFF); ob >>>= 8 }
+
+    val r = decodeTo(schema, out.toByteArray)
+    assert(r.getFloat(0) == 2.5f)
+    assert(r.getSeq[Long](1) == Seq(3L, 270L, 86942L))
+    assert(r.getLong(2) == -7L)
+    // our own (unpacked) encode of the same row decodes identically
+    val r2 = decodeTo(schema, encodeTo(schema, sRow(schema,
+      2.5f, Seq(3L, 270L, 86942L), -7L)))
+    assert(r2 == r)
+  }
+
   test("sink-side protobuf + varint framing roundtrips through a file") {
     val descPath = java.nio.file.Files.createTempFile("evt3", ".desc")
     java.nio.file.Files.write(descPath, descBytes)
