@@ -18,9 +18,10 @@ import org.apache.avro.io.{DecoderFactory, EncoderFactory}
   * from UDFs. The schema travels as JSON text and is parsed once per
   * executor via a cache — Schema itself is not serializable.
   *
-  * Supported field types: long/int, double/float, string, boolean, and
-  * their `["null", T]` unions — the flat-record subset the reference's
-  * transport codecs exercise.
+  * Supported field types: long/int, double/float, string, boolean,
+  * bytes/fixed, enum (as string), arrays, string-keyed maps, nested
+  * records, and `["null", T]` unions — recursive, so real-world writer
+  * schemas decode without flattening.
   */
 object AvroCodec {
 
@@ -57,8 +58,81 @@ object AvroCodec {
     case Schema.Type.FLOAT => FloatType
     case Schema.Type.STRING => StringType
     case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.BYTES => BinaryType
+    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+    case Schema.Type.ENUM => StringType
+    case Schema.Type.ARRAY =>
+      val (et, _) = unwrap(s.getElementType)
+      ArrayType(sparkType(et))
+    case Schema.Type.MAP =>
+      val (vt, _) = unwrap(s.getValueType)
+      MapType(StringType, sparkType(vt))
+    case Schema.Type.RECORD =>
+      StructType(s.getFields.toArray.map { f0 =>
+        val f = f0.asInstanceOf[Schema.Field]
+        val (ft, nullable) = unwrap(f.schema())
+        StructField(f.name(), sparkType(ft), nullable)
+      })
     case other => throw new IllegalArgumentException(s"unsupported avro type $other")
+  }
+
+  /** Avro runtime value → Spark row value (recursive). */
+  private def avroToSpark(v: Any, s: Schema): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case bb: java.nio.ByteBuffer =>
+      val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+    case fx: org.apache.avro.generic.GenericFixed => fx.bytes()
+    case e: org.apache.avro.generic.GenericEnumSymbol[_] => e.toString
+    case rec: GenericRecord =>
+      val (rs, _) = unwrap(s)
+      Row.fromSeq(rs.getFields.toArray.map { f0 =>
+        val f = f0.asInstanceOf[Schema.Field]
+        avroToSpark(rec.get(f.name()), f.schema())
+      }.toSeq)
+    case arr: java.util.Collection[_] =>
+      val (as, _) = unwrap(s)
+      val et = as.getElementType
+      arr.toArray.map(avroToSpark(_, et)).toSeq
+    case m: java.util.Map[_, _] =>
+      val (ms, _) = unwrap(s)
+      val vt = ms.getValueType
+      val b = Map.newBuilder[String, Any]
+      m.forEach((k, x) => b += (k.toString -> avroToSpark(x, vt)))
+      b.result()
+    case other => other
+  }
+
+  /** Spark row value → Avro runtime value (inverse of [[avroToSpark]]). */
+  private def sparkToAvro(v: Any, s0: Schema): Any = {
+    val (s, _) = unwrap(s0)
+    v match {
+      case null => null
+      case str: String => s.getType match {
+        case Schema.Type.ENUM => new GenericData.EnumSymbol(s, str)
+        case _ => new org.apache.avro.util.Utf8(str)
+      }
+      case b: Array[Byte] => s.getType match {
+        case Schema.Type.FIXED => new GenericData.Fixed(s, b)
+        case _ => java.nio.ByteBuffer.wrap(b)
+      }
+      case r: Row =>
+        val rec = new GenericData.Record(s)
+        s.getFields.forEach { f =>
+          rec.put(f.name(), sparkToAvro(r.get(r.fieldIndex(f.name())), f.schema()))
+        }
+        rec
+      case seq: scala.collection.Seq[_] =>
+        val out = new java.util.ArrayList[Any](seq.length)
+        seq.foreach(e => out.add(sparkToAvro(e, s.getElementType)))
+        out
+      case m: scala.collection.Map[_, _] =>
+        val out = new java.util.HashMap[Any, Any]()
+        m.foreach { case (k, x) =>
+          out.put(new org.apache.avro.util.Utf8(k.toString),
+            sparkToAvro(x, s.getValueType)) }
+        out
+      case other => other
+    }
   }
 
   /** struct column → Avro binary datum. */
@@ -67,15 +141,7 @@ object AvroCodec {
       if (r == null) null
       else {
         val schema = schemaOf(schemaJson)
-        val rec = new GenericData.Record(schema)
-        schema.getFields.forEach { f =>
-          val v = r.get(r.fieldIndex(f.name())) match {
-            case null => null
-            case s: String => new org.apache.avro.util.Utf8(s)
-            case other => other
-          }
-          rec.put(f.name(), v)
-        }
+        val rec = sparkToAvro(r, schema).asInstanceOf[GenericRecord]
         val out = new java.io.ByteArrayOutputStream()
         val e = EncoderFactory.get().binaryEncoder(out, null)
         new GenericDatumWriter[GenericRecord](schema).write(rec, e)
@@ -98,13 +164,7 @@ object AvroCodec {
           val schema = schemaOf(schemaJson)
           val d = DecoderFactory.get().binaryDecoder(bytes, null)
           val rec = new GenericDatumReader[GenericRecord](schema).read(null, d)
-          Row.fromSeq(schema.getFields.toArray.map { f0 =>
-            val f = f0.asInstanceOf[Schema.Field]
-            rec.get(f.name()) match {
-              case u: org.apache.avro.util.Utf8 => u.toString
-              case other => other
-            }
-          }.toSeq)
+          avroToSpark(rec, schema).asInstanceOf[Row]
         } catch { case _: Exception => null }
       }
     }

@@ -88,6 +88,39 @@ class BinaryCodecSpec extends SparkSpec {
     assert(rt.getLong(0) == -9876543210L && rt.isNullAt(1))
   }
 
+  test("avro roundtrip: nested record, array, map, enum, bytes") {
+    val schemaJson =
+      """{"type":"record","name":"Doc","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"tags","type":{"type":"array","items":"string"}},
+        |{"name":"scores","type":{"type":"map","values":"double"}},
+        |{"name":"kind","type":{"type":"enum","name":"K","symbols":["A","B"]}},
+        |{"name":"blob","type":"bytes"},
+        |{"name":"inner","type":["null",{"type":"record","name":"I","fields":[
+        |  {"name":"x","type":"long"},
+        |  {"name":"ys","type":{"type":"array","items":"double"}}]}]}
+        |]}""".stripMargin
+    val inner = Row(7L, Seq(1.5, 2.5))
+    val row = Row(42L, Seq("a", "b"), Map("p" -> 0.25), "B",
+      Array[Byte](1, 2, 3), inner)
+    val st = AvroCodec.sparkSchema(schemaJson)
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(row)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("r", st))))
+    val rt = df.select(AvroCodec.decode(schemaJson,
+        AvroCodec.encode(schemaJson, col("r"))).as("p"))
+      .select(col("p.id"), col("p.tags"), col("p.scores"), col("p.kind"),
+        col("p.blob"), col("p.inner.x"), col("p.inner.ys"))
+      .collect().head
+    assert(rt.getLong(0) == 42L)
+    assert(rt.getSeq[String](1) == Seq("a", "b"))
+    assert(rt.getMap[String, Double](2) == Map("p" -> 0.25))
+    assert(rt.getString(3) == "B")
+    assert(rt.getAs[Array[Byte]](4).toSeq == Seq[Byte](1, 2, 3))
+    assert(rt.getLong(5) == 7L && rt.getSeq[Double](6) == Seq(1.5, 2.5))
+  }
+
   test("varint framing handles frames >127 bytes and drops truncated tail") {
     val big = "x" * 300
     val packed = Seq(Seq("small", big)).toDF("parts")
