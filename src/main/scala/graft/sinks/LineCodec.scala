@@ -40,7 +40,20 @@ object LineCodec {
         array(userFields(df).map(lit): _*),
         array(userFields(df).map(f => col(f).cast("string")): _*)))
     case "csv" =>
-      concat_ws(",", userFields(df).map(f => col(f).cast("string")): _*)
+      // encoding.csv.fields pins the column order (encoding/format/
+      // csv.rs CsvSerializerConfig); default = schema order
+      val csvFields = anyMap(conf.getOrElse("csv", null))
+        .get("fields") match {
+        case Some(l: java.util.List[_]) =>
+          l.toArray.map(_.toString).toSeq
+        case Some(l: Seq[_]) => l.map(_.toString)
+        case _ => userFields(df)
+      }
+      // coalesce to "" per cell: concat_ws SKIPS nulls, which would
+      // shift every later column left and break alignment
+      concat_ws(",", csvFields.map(f =>
+        coalesce((if (df.columns.contains(f)) col(f) else lit(null))
+          .cast("string"), lit(""))): _*)
     case "native_json" =>
       to_json(struct(struct(userFields(df).map(col): _*).as("log")))
     case "gelf" =>

@@ -39,6 +39,18 @@ class SinkCodecSpec extends SparkSpec {
     assert(line.contains("src=10.1.2.3") && line.contains("msg=evil"), line)
   }
 
+  test("csv sink codec honors encoding.csv.fields order") {
+    val df = Seq(("a1", "b1", "c1")).toDF("a", "b", "c")
+    val conf = Map[String, Any]("csv" -> java.util.Map.of(
+      "fields", java.util.List.of("c", "a", "missing")))
+    val line = df.select(LineCodec.encode(df, "csv", conf).as("l"))
+      .head().getString(0)
+    assert(line == "c1,a1,") // missing field renders an EMPTY cell
+    val dflt = df.select(LineCodec.encode(df, "csv").as("l"))
+      .head().getString(0)
+    assert(dflt == "a1,b1,c1")
+  }
+
   test("yaml file sink with encoding.codec cef writes CEF lines") {
     val dir = java.nio.file.Files.createTempDirectory("cefsink")
     val out = dir.resolve("out.log")
