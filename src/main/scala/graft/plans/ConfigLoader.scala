@@ -832,6 +832,12 @@ object ConfigLoader {
         dfm.withColumn("value",
             explode(Framing.varintLengthDelimited(binPayload(dfm))))
           .withColumn("message", base64(col("value")))
+      case Some("length_delimited") =>
+        // 32-bit big-endian length prefix (tokio-util default) — same
+        // binary surfacing as the varint variant
+        dfm.withColumn("value",
+            explode(Framing.lengthDelimited(binPayload(dfm))))
+          .withColumn("message", base64(col("value")))
       case Some(method) =>
         val frames: Column = method match {
           case "newline_delimited" =>
@@ -879,6 +885,16 @@ object ConfigLoader {
           .filter(col("__m.measurement").isNotNull)
           .select(col("__m.*"))
       case Some("statsd") => statsdMetricRows(framed)
+      case Some("native") =>
+        // the protobuf event format (lib/vector-core/proto/event.proto)
+        // — same output shape as native_json: the event's field map as
+        // JSON under `message`, the oneof arm under __event_kind
+        framed
+          .select(graft.codecs.NativeCodec.decode(binPayload(framed))
+            .as("__n"))
+          .filter(col("__n").isNotNull)
+          .select(col("__n.json").as("message"),
+            col("__n.kind").as("__event_kind"))
       case Some("native_json") =>
         framed.select(
           coalesce(

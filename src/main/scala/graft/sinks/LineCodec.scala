@@ -152,6 +152,10 @@ object LineCodec {
           "encoding.avro.schema is required")).toString
       Some(graft.codecs.AvroCodec.encode(schemaJson,
         struct(userFields(df).map(col): _*)))
+    case "native" =>
+      // protobuf EventWrapper{log} of the event's field map
+      Some(graft.codecs.NativeCodec.encode(
+        to_json(struct(userFields(df).map(col): _*))))
     case _ => None
   }
 
@@ -186,6 +190,11 @@ object LineCodec {
       out.write(v.toInt)
       out.write(payload)
       out.toByteArray
+    case "length_delimited" =>
+      // 32-bit big-endian length prefix (tokio-util default)
+      val n = payload.length
+      Array[Byte]((n >>> 24).toByte, (n >>> 16).toByte,
+        (n >>> 8).toByte, n.toByte) ++ payload
     case _ => payload ++ delim
   }
 
@@ -209,8 +218,9 @@ object LineCodec {
       case "newline_delimited" | "" => "\n".getBytes("UTF-8")
       case "character_delimited" => delimiter.getBytes("UTF-8")
       case "bytes" => Array.emptyByteArray
-      // per-frame length prefix; applied by frameBytes, no delimiter
-      case "varint_length_delimited" => Array.emptyByteArray
+      // per-frame length prefixes; applied by frameBytes, no delimiter
+      case "varint_length_delimited" | "length_delimited" =>
+        Array.emptyByteArray
       case other =>
         throw new IllegalArgumentException(s"unsupported sink framing: $other")
     }
