@@ -838,6 +838,11 @@ object ConfigLoader {
         dfm.withColumn("value",
             explode(Framing.lengthDelimited(binPayload(dfm))))
           .withColumn("message", base64(col("value")))
+      case Some("chunked_gelf") =>
+        // GELF UDP chunking (0x1e0f magic + msg id + seq/total):
+        // reassemble across rows — ONE shuffle on msg_id, incomplete
+        // messages drop (chunked_gelf.rs discard semantics)
+        Framing.chunkedGelf(dfm, binPayload(dfm))
       case Some(method) =>
         val frames: Column = method match {
           case "newline_delimited" =>

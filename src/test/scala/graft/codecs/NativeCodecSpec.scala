@@ -76,6 +76,23 @@ class NativeCodecSpec extends SparkSpec {
     assert(back.toSeq == Seq("one", "two"))
   }
 
+  test("chunked_gelf framing reassembles through the YAML dispatch") {
+    // two GELF messages, 3 and 2 chunks, shuffled arrival order
+    val payloads = Seq((77L, """{"short_message":"first","host":"a"}""", 3),
+      (88L, """{"short_message":"second","host":"b"}""", 2))
+    val chunks = payloads.toDF("id", "payload", "n")
+      .select(explode(Framing.gelfChunksOf(col("id"), col("payload"),
+        col("n"))).as("c"))
+      .select(base64(col("c")).as("message"))
+      .orderBy(rand(7))
+    val out = graft.plans.ConfigLoader.applyDecoding(chunks,
+      Map("framing" -> java.util.Map.of("method", "chunked_gelf"),
+        "decoding" -> java.util.Map.of("codec", "gelf")))
+      .select(col("short_message")).orderBy("short_message")
+      .as[String].collect()
+    assert(out.toSeq == Seq("first", "second"))
+  }
+
   test("yaml surface: sink-side native encode feeds source-side decode") {
     val df = Seq((1L, "alpha", 0.5), (2L, "beta", 1.5))
       .toDF("id", "name", "score")
