@@ -93,6 +93,29 @@ class NativeCodecSpec extends SparkSpec {
     assert(out.toSeq == Seq("first", "second"))
   }
 
+  test("otlp decoder: LogRecords explode through the YAML dispatch") {
+    import org.apache.spark.sql.Row
+    import ProtobufCodec.Otlp
+    def lr(ns: Long, sev: String, body: String) = Row(ns, 9L, sev,
+      Row(body), 0L, Array.emptyByteArray, Array.emptyByteArray, ns)
+    val envelope = Row(Seq(Row(Seq(Row(Seq(
+      lr(1700000000000000000L, "INFO", "hello"),
+      lr(1700000001000000000L, "WARN", "there")), "s")), "r")))
+    val st = Otlp.ExportLogsServiceRequest.sparkType
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(envelope)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("r", st))))
+      .select(ProtobufCodec.encode(Otlp.ExportLogsServiceRequest, col("r"))
+        .as("value"))
+    val out = graft.plans.ConfigLoader.applyDecoding(df,
+      Map("decoding" -> java.util.Map.of("codec", "otlp")))
+      .select(col("message"), col("severity_text")).orderBy("message")
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("hello", "INFO"), ("there", "WARN")))
+  }
+
   test("yaml surface: sink-side native encode feeds source-side decode") {
     val df = Seq((1L, "alpha", 0.5), (2L, "beta", 1.5))
       .toDF("id", "name", "score")
