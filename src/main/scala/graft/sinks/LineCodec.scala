@@ -73,6 +73,46 @@ object LineCodec {
             .cast("double").as("timestamp") +:
           c("level", c("severity", lit(1))).cast("int").as("level") +:
           extras.map(f => col(f).as(s"_$f"))): _*))
+    case "syslog" =>
+      // encoding/format/syslog.rs: rfc 3164|5424, facility/severity/
+      // app_name/proc_id/msg_id are PATHS into the event (fall back to
+      // user/informational and dashes when absent)
+      val sm = anyMap(conf.getOrElse("syslog", null))
+      def pathCol(key: String): Option[Column] =
+        sm.get(key).map(_.toString).filter(df.columns.contains).map(col)
+      val fac = pathCol("facility")
+        .map(c => coalesce(graft.functions.Vrl.toSyslogFacilityCode(c),
+          c.cast("long"), lit(1L)))
+        .getOrElse(lit(1L)) // user
+      val sev = pathCol("severity")
+        .map(c => coalesce(graft.functions.Vrl.toSyslogSeverity(c),
+          c.cast("long"), lit(6L)))
+        .getOrElse(lit(6L)) // informational
+      val pri = fac * 8 + sev
+      val host = Seq("hostname", "host").find(df.columns.contains)
+        .map(col).getOrElse(lit("localhost")).cast("string")
+      val app = pathCol("app_name").getOrElse(lit("graft")).cast("string")
+      val procId = pathCol("proc_id")
+      val msgId = pathCol("msg_id")
+      val ts = Seq("timestamp", "ts").find(df.columns.contains)
+        .map(col(_).cast("timestamp")).getOrElse(current_timestamp())
+      val msg =
+        if (df.columns.contains("message")) col("message").cast("string")
+        else to_json(struct(userFields(df).map(col): _*))
+      sm.getOrElse("rfc", "rfc5424").toString match {
+        case "rfc3164" =>
+          graft.codecs.Encode.syslog3164(pri, ts, host, app,
+            procId.map(_.cast("long")).getOrElse(lit(0L)), msg)
+        case _ =>
+          concat(lit("<"), pri.cast("string"), lit(">1 "),
+            date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"), lit(" "),
+            host, lit(" "), app, lit(" "),
+            coalesce(procId.map(_.cast("string")).getOrElse(lit(null))
+              .cast("string"), lit("-")), lit(" "),
+            coalesce(msgId.map(_.cast("string")).getOrElse(lit(null))
+              .cast("string"), lit("-")),
+            lit(" - "), msg)
+      }
     case "cef" =>
       // encoding/format/cef.rs config shape: device_vendor /
       // device_product / device_version / device_event_class_id / name /
@@ -156,6 +196,34 @@ object LineCodec {
       // protobuf EventWrapper{log} of the event's field map
       Some(graft.codecs.NativeCodec.encode(
         to_json(struct(userFields(df).map(col): _*))))
+    case "otlp" =>
+      // encoding/format/otlp: a single-LogRecord export envelope per
+      // event (batching happens at the transport layer)
+      import graft.codecs.ProtobufCodec
+      val ts = Seq("timestamp", "ts").find(df.columns.contains)
+        .map(c => (unix_micros(col(c).cast("timestamp")) * 1000L))
+        .getOrElse(lit(0L))
+      val msg =
+        if (df.columns.contains("message")) col("message").cast("string")
+        else to_json(struct(userFields(df).map(col): _*))
+      val sevText = Seq("severity_text", "level", "severity")
+        .find(df.columns.contains).map(col(_).cast("string"))
+        .getOrElse(lit(""))
+      val rec = struct(
+        ts.as("time_unix_nano"),
+        lit(0L).as("severity_number"),
+        sevText.as("severity_text"),
+        struct(msg.as("string_value")).as("body"),
+        lit(0L).as("dropped_attributes_count"),
+        lit(Array.emptyByteArray).as("trace_id"),
+        lit(Array.emptyByteArray).as("span_id"),
+        ts.as("observed_time_unix_nano"))
+      val envelope = struct(array(struct(
+        array(struct(array(rec).as("log_records"),
+          lit("").as("schema_url"))).as("scope_logs"),
+        lit("").as("schema_url"))).as("resource_logs"))
+      Some(ProtobufCodec.encode(ProtobufCodec.Otlp.ExportLogsServiceRequest,
+        envelope))
     case _ => None
   }
 

@@ -116,6 +116,19 @@ class NativeCodecSpec extends SparkSpec {
       Seq(("hello", "INFO"), ("there", "WARN")))
   }
 
+  test("otlp encoder -> otlp decoder closes the loop") {
+    val df = Seq(("hello otlp", "warn")).toDF("message", "level")
+      .withColumn("timestamp", lit("2024-03-05T10:00:00Z").cast("timestamp"))
+    val encoded = df.select(graft.sinks.LineCodec
+      .encodeLine(df, "otlp", Map.empty).as("value"))
+    val back = graft.plans.ConfigLoader.applyDecoding(encoded,
+      Map("decoding" -> java.util.Map.of("codec", "otlp"))).head()
+    assert(back.getAs[String]("message") == "hello otlp")
+    assert(back.getAs[String]("severity_text") == "warn")
+    assert(back.getAs[java.sql.Timestamp]("timestamp").toInstant
+      == java.time.Instant.parse("2024-03-05T10:00:00Z"))
+  }
+
   test("yaml surface: sink-side native encode feeds source-side decode") {
     val df = Seq((1L, "alpha", 0.5), (2L, "beta", 1.5))
       .toDF("id", "name", "score")

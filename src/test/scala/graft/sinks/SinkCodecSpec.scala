@@ -51,6 +51,38 @@ class SinkCodecSpec extends SparkSpec {
     assert(dflt == "a1,b1,c1")
   }
 
+  test("syslog sink codec: rfc5424 + rfc3164, parseable by our own decoder") {
+    val df = Seq(("h1", "web", "warning", "local0", "something broke", 42L))
+      .toDF("hostname", "app", "level", "fac", "message", "pid")
+      .withColumn("timestamp",
+        lit("2024-03-05T10:00:00Z").cast("timestamp"))
+    val conf = Map[String, Any]("syslog" -> java.util.Map.of(
+      "rfc", "rfc5424", "facility", "fac", "severity", "level",
+      "app_name", "app", "proc_id", "pid"))
+    val line5424 = df.select(LineCodec.encode(df, "syslog", conf).as("l"))
+      .head().getString(0)
+    // local0=16, warning=4 -> pri 132
+    assert(line5424.startsWith("<132>1 2024-03-05T10:00:00.000Z h1 web 42 - - "),
+      line5424)
+    assert(line5424.endsWith("something broke"))
+    // roundtrip through the RFC5424 decoder
+    val parsed = df.sparkSession.createDataset(Seq(line5424))(
+      org.apache.spark.sql.Encoders.STRING).toDF("line")
+      .select(graft.codecs.Decode.syslog5424Tokens(
+        org.apache.spark.sql.functions.col("line")).as("t"))
+      .select("t.*").head()
+    assert(parsed.getAs[String]("hostname") == "h1")
+    assert(parsed.getAs[String]("appname") == "web")
+
+    val conf3164 = Map[String, Any]("syslog" -> java.util.Map.of(
+      "rfc", "rfc3164", "severity", "level", "app_name", "app",
+      "proc_id", "pid"))
+    val line3164 = df.select(LineCodec.encode(df, "syslog", conf3164).as("l"))
+      .head().getString(0)
+    // default facility user=1, warning=4 -> pri 12
+    assert(line3164.startsWith("<12>Mar 05 10:00:00 h1 web[42]: "), line3164)
+  }
+
   test("yaml file sink with encoding.codec cef writes CEF lines") {
     val dir = java.nio.file.Files.createTempDirectory("cefsink")
     val out = dir.resolve("out.log")
