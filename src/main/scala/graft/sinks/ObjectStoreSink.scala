@@ -77,6 +77,117 @@ object ObjectStoreSink {
       .withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.ofEpochMilli(epochMs))
 
+  // ---- parquet object encoding (encoding/format/parquet.rs: columnar
+  // export at the encoder edge; objects carry real parquet files) ------
+
+  private def parquetSchema(st: org.apache.spark.sql.types.StructType)
+      : org.apache.parquet.schema.MessageType = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val b = Types.buildMessage()
+    st.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.optional(INT64).named(f.name)
+        case IntegerType => b.optional(INT32).named(f.name)
+        case DoubleType => b.optional(DOUBLE).named(f.name)
+        case FloatType => b.optional(FLOAT).named(f.name)
+        case BooleanType => b.optional(BOOLEAN).named(f.name)
+        case BinaryType => b.optional(BINARY).named(f.name)
+        case TimestampType => b.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case _ => b.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+      }
+    }
+    b.named("event")
+  }
+
+  /** `encoding.codec: parquet`: each object is a real parquet file of
+    * the batch's events (complex columns pre-rendered to JSON strings in
+    * the projection; same key/filename/batch machinery as line codecs).
+    */
+  private def writeParquet(df: DataFrame, cfg: Config,
+                           rendered: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.types._
+    val user = df.schema.fields.toSeq
+      .filterNot(f => LineCodec.InternalCols.contains(f.name))
+    val simplified = user.map { f =>
+      f.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+             BinaryType | TimestampType | StringType => col(f.name)
+        case _ => to_json(col(f.name)).as(f.name)
+      }
+    }
+    val projected = df.select(rendered.as("__prefix"),
+      struct(simplified: _*).as("__row"))
+    val lines =
+      (if (cfg.partitionByPrefix) projected.repartition(col("__prefix"))
+       else projected).sortWithinPartitions("__prefix")
+    val rowSchema = lines.schema("__row").dataType
+      .asInstanceOf[StructType]
+    val c = cfg
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    lines.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      import org.apache.parquet.example.data.simple.SimpleGroupFactory
+      import org.apache.parquet.hadoop.example.ExampleParquetWriter
+      val base = new org.apache.hadoop.fs.Path(c.baseUri)
+      val fs = base.getFileSystem(hconf.value)
+      val msgType = parquetSchema(rowSchema)
+      val factory = new SimpleGroupFactory(msgType)
+      var prefix: String = null
+      var writer: org.apache.parquet.hadoop.ParquetWriter[
+        org.apache.parquet.example.data.Group] = null
+      var nEvents = 0
+      var seq = 0
+      def open(pfx: String): Unit = {
+        val now = c.fixedClockMs.getOrElse(System.currentTimeMillis())
+        val ts = formatTs(c.filenameTimeFormat, now)
+        val uid =
+          if (c.filenameAppendUuid) "-" + java.util.UUID.randomUUID().toString
+          else {
+            seq += 1
+            s"-p${org.apache.spark.TaskContext.getPartitionId()}-$seq"
+          }
+        val p = new org.apache.hadoop.fs.Path(base, s"$pfx$ts$uid.parquet")
+        fs.mkdirs(p.getParent)
+        writer = ExampleParquetWriter.builder(p)
+          .withConf(hconf.value).withType(msgType).build()
+        prefix = pfx; nEvents = 0
+      }
+      def close(): Unit = if (writer != null) { writer.close(); writer = null }
+      try {
+        for (r <- rows) {
+          val pfx = Option(r.getString(0)).getOrElse("")
+          val row = r.getStruct(1)
+          val full = c.maxEvents > 0 && nEvents >= c.maxEvents
+          if (writer == null || pfx != prefix || full) { close(); open(pfx) }
+          val g = factory.newGroup()
+          rowSchema.fields.zipWithIndex.foreach { case (f, i) =>
+            if (!row.isNullAt(i)) f.dataType match {
+              case LongType => g.append(f.name, row.getLong(i))
+              case IntegerType => g.append(f.name, row.getInt(i))
+              case DoubleType => g.append(f.name, row.getDouble(i))
+              case FloatType => g.append(f.name, row.getFloat(i))
+              case BooleanType => g.append(f.name, row.getBoolean(i))
+              case BinaryType => g.append(f.name,
+                org.apache.parquet.io.api.Binary.fromConstantByteArray(
+                  row.getAs[Array[Byte]](i)))
+              case TimestampType => g.append(f.name,
+                row.getAs[java.sql.Timestamp](i).getTime * 1000L +
+                  (row.getAs[java.sql.Timestamp](i).getNanos / 1000L) % 1000L)
+              case _ => g.append(f.name, String.valueOf(row.get(i)))
+            }
+          }
+          writer.write(g)
+          nEvents += 1
+        }
+      } finally close()
+    }
+  }
+
   /** Write one (micro-)batch; shared by the batch sink and the streaming
     * foreachBatch wrapper.
     */
@@ -85,6 +196,7 @@ object ObjectStoreSink {
       if (graft.functions.Template.isDynamic(cfg.keyPrefix))
         graft.functions.Template.render(df.schema, cfg.keyPrefix)
       else lit(cfg.keyPrefix)
+    if (cfg.codec == "parquet") return writeParquet(df, cfg, rendered)
     val projected = df
       .select(rendered.as("__prefix"), LineCodec.encode(df, cfg.codec).as("__line"))
     val lines =
