@@ -188,6 +188,132 @@ object ObjectStoreSink {
     }
   }
 
+  // ---- arrow object encoding (encoding/format/arrow.rs) ---------------
+
+  private def arrowField(f: org.apache.spark.sql.types.StructField)
+      : org.apache.arrow.vector.types.pojo.Field = {
+    import org.apache.spark.sql.types._
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit}
+    val t: ArrowType = f.dataType match {
+      case LongType => new ArrowType.Int(64, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case DoubleType =>
+        new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case FloatType =>
+        new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case BinaryType => ArrowType.Binary.INSTANCE
+      case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+      case _ => ArrowType.Utf8.INSTANCE
+    }
+    new Field(f.name, FieldType.nullable(t), java.util.Collections.emptyList())
+  }
+
+  /** `encoding.codec: arrow`: each object is an Arrow IPC stream of the
+    * batch's events (same projection/simplification as parquet).
+    */
+  private def writeArrow(df: DataFrame, cfg: Config,
+                         rendered: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.types._
+    val user = df.schema.fields.toSeq
+      .filterNot(f => LineCodec.InternalCols.contains(f.name))
+    val simplified = user.map { f =>
+      f.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+             BinaryType | TimestampType | StringType => col(f.name)
+        case _ => to_json(col(f.name)).as(f.name)
+      }
+    }
+    val projected = df.select(rendered.as("__prefix"),
+      struct(simplified: _*).as("__row"))
+    val lines =
+      (if (cfg.partitionByPrefix) projected.repartition(col("__prefix"))
+       else projected).sortWithinPartitions("__prefix")
+    val rowSchema = lines.schema("__row").dataType.asInstanceOf[StructType]
+    val c = cfg
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    lines.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      import org.apache.arrow.memory.RootAllocator
+      import org.apache.arrow.vector._
+      import org.apache.arrow.vector.ipc.ArrowStreamWriter
+      val base = new org.apache.hadoop.fs.Path(c.baseUri)
+      val fs = base.getFileSystem(hconf.value)
+      val arrowSchema = new org.apache.arrow.vector.types.pojo.Schema(
+        java.util.Arrays.asList(rowSchema.fields.map(arrowField): _*))
+      var seq = 0
+      def flush(pfx: String, buf: Seq[org.apache.spark.sql.Row]): Unit =
+        if (buf.nonEmpty) {
+          val now = c.fixedClockMs.getOrElse(System.currentTimeMillis())
+          val ts = formatTs(c.filenameTimeFormat, now)
+          val uid =
+            if (c.filenameAppendUuid)
+              "-" + java.util.UUID.randomUUID().toString
+            else {
+              seq += 1
+              s"-p${org.apache.spark.TaskContext.getPartitionId()}-$seq"
+            }
+          val p = new org.apache.hadoop.fs.Path(base, s"$pfx$ts$uid.arrow")
+          fs.mkdirs(p.getParent)
+          val alloc = new RootAllocator()
+          val root = VectorSchemaRoot.create(arrowSchema, alloc)
+          try {
+            root.allocateNew()
+            buf.zipWithIndex.foreach { case (r, i) =>
+              rowSchema.fields.zipWithIndex.foreach { case (f, j) =>
+                val vec = root.getVector(f.name)
+                if (r.isNullAt(j)) () // nullable by default
+                else f.dataType match {
+                  case LongType =>
+                    vec.asInstanceOf[BigIntVector].setSafe(i, r.getLong(j))
+                  case IntegerType =>
+                    vec.asInstanceOf[IntVector].setSafe(i, r.getInt(j))
+                  case DoubleType =>
+                    vec.asInstanceOf[Float8Vector].setSafe(i, r.getDouble(j))
+                  case FloatType =>
+                    vec.asInstanceOf[Float4Vector].setSafe(i, r.getFloat(j))
+                  case BooleanType =>
+                    vec.asInstanceOf[BitVector]
+                      .setSafe(i, if (r.getBoolean(j)) 1 else 0)
+                  case BinaryType =>
+                    vec.asInstanceOf[VarBinaryVector]
+                      .setSafe(i, r.getAs[Array[Byte]](j))
+                  case TimestampType =>
+                    val t = r.getAs[java.sql.Timestamp](j)
+                    vec.asInstanceOf[TimeStampMicroTZVector].setSafe(i,
+                      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+                  case _ =>
+                    vec.asInstanceOf[VarCharVector].setSafe(i,
+                      String.valueOf(r.get(j)).getBytes("UTF-8"))
+                }
+              }
+            }
+            root.setRowCount(buf.length)
+            val out = fs.create(p, false)
+            try {
+              val w = new ArrowStreamWriter(root, null,
+                java.nio.channels.Channels.newChannel(out))
+              w.start(); w.writeBatch(); w.end(); w.close()
+            } finally out.close()
+          } finally { root.close(); alloc.close() }
+        }
+      var prefix: String = null
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      for (r <- rows) {
+        val pfx = Option(r.getString(0)).getOrElse("")
+        val full = c.maxEvents > 0 && buf.length >= c.maxEvents
+        if ((prefix != null && pfx != prefix) || full) {
+          flush(prefix, buf.toSeq); buf.clear()
+        }
+        prefix = pfx
+        buf += r.getStruct(1)
+      }
+      flush(prefix, buf.toSeq)
+    }
+  }
+
   /** Write one (micro-)batch; shared by the batch sink and the streaming
     * foreachBatch wrapper.
     */
@@ -197,6 +323,7 @@ object ObjectStoreSink {
         graft.functions.Template.render(df.schema, cfg.keyPrefix)
       else lit(cfg.keyPrefix)
     if (cfg.codec == "parquet") return writeParquet(df, cfg, rendered)
+    if (cfg.codec == "arrow") return writeArrow(df, cfg, rendered)
     val projected = df
       .select(rendered.as("__prefix"), LineCodec.encode(df, cfg.codec).as("__line"))
     val lines =

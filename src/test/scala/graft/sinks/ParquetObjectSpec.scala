@@ -39,6 +39,38 @@ class ParquetObjectSpec extends SparkSpec {
     assert(errs == 2)
   }
 
+  test("arrow objects roundtrip through an IPC reader") {
+    val base = java.nio.file.Files.createTempDirectory("arrowobj").toString
+    val df = Seq((1L, "alpha", 0.5), (2L, "beta", 1.5))
+      .toDF("id", "name", "score")
+      .withColumn("ts", lit("2024-03-05T10:00:00Z").cast("timestamp"))
+    ObjectStoreSink.writeBatch(df.coalesce(1), ObjectStoreSink.Config(
+      base, keyPrefix = "a/", codec = "arrow",
+      filenameAppendUuid = false, fixedClockMs = Some(1709632800000L)))
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+      .toArray.map(_.toString).filter(_.endsWith(".arrow"))
+    assert(files.length == 1, files.toSeq)
+    // read back with the arrow IPC stream reader
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(files.head))
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+    try {
+      assert(reader.loadNextBatch())
+      val root = reader.getVectorSchemaRoot
+      assert(root.getRowCount == 2)
+      val ids = root.getVector("id")
+        .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+      val names = root.getVector("name")
+        .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+      assert(Seq(ids.get(0), ids.get(1)).sorted == Seq(1L, 2L))
+      assert(new String(names.get(0), "UTF-8") == "alpha")
+      val tsv = root.getVector("ts")
+        .asInstanceOf[org.apache.arrow.vector.TimeStampMicroTZVector]
+      assert(tsv.get(0) == 1709632800000000L)
+    } finally { reader.close(); in.close(); alloc.close() }
+  }
+
   test("max_events splits parquet objects") {
     val base = java.nio.file.Files.createTempDirectory("pqobj2").toString
     val df = (1 to 10).map(i => (i.toLong, s"m$i")).toDF("id", "m")
