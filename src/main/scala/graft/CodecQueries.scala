@@ -89,6 +89,30 @@ object CodecQueries {
       }.orderBy(col("event_id"))
     },
 
+    // native (event.proto) roundtrip: event fields -> EventWrapper
+    // bytes -> decode -> extract — the oracle recomputes every field
+    // from the source columns, so any Value-tree encode/decode defect
+    // breaks equality
+    "codec_native_rt" -> { (s, dir) =>
+      import graft.codecs.NativeCodec
+      val json = to_json(struct(
+        col("event_id"), col("event_type"), col("user_id"),
+        round(col("value"), 2).as("v2"), col("k")))
+      val dec = NativeCodec.decode(NativeCodec.encode(json))
+      ev(s, dir).withColumn("__d", dec).select(
+        col("event_id"),
+        col("__d").getField("kind").as("kind"),
+        get_json_object(col("__d").getField("json"), "$.event_type")
+          .as("etype"),
+        get_json_object(col("__d").getField("json"), "$.user_id")
+          .cast("long").as("uid"),
+        get_json_object(col("__d").getField("json"), "$.v2")
+          .cast("double").as("v2"),
+        get_json_object(col("__d").getField("json"), "$.k")
+          .cast("long").as("k2"))
+        .orderBy(col("event_id"))
+    },
+
     "codec_cef" -> { (s, dir) =>
       ev(s, dir).select(
         col("event_id"),
@@ -305,6 +329,12 @@ object CodecQueries {
         |  'h' || CAST(user_id AS VARCHAR) AS tag_host,
         |  CAST(k AS DOUBLE) AS usage, CAST(k * 2 AS DOUBLE) AS idle,
         |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS il_ts
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "codec_native_rt" ->
+      """SELECT event_id, 'log' AS kind, event_type AS etype,
+        |  user_id AS uid, round(value, 2) AS v2, k AS k2
         |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
         |      FROM events) ORDER BY event_id""".stripMargin,
 
