@@ -901,23 +901,19 @@ object ConfigLoader {
           .select(col("__n.json").as("message"),
             col("__n.kind").as("__event_kind"))
       case Some("otlp") =>
-        // decoding/format/otlp: each frame is a binary
-        // ExportLogsServiceRequest; every LogRecord becomes one event
-        // (the same flattening the opentelemetry source applies)
-        val env = graft.codecs.ProtobufCodec.decode(
-          graft.codecs.ProtobufCodec.Otlp.ExportLogsServiceRequest,
-          binPayload(framed))
-        framed.select(env.as("env"))
-          .filter(col("env").isNotNull)
-          .select(explode(col("env.resource_logs")).as("rl"))
-          .select(explode(col("rl.scope_logs")).as("sl"))
-          .select(explode(col("sl.log_records")).as("r"))
-          .select(
-            timestamp_micros((col("r.time_unix_nano") / 1000).cast("long"))
-              .as("timestamp"),
-            col("r.severity_number").as("severity_number"),
-            col("r.severity_text").as("severity_text"),
-            col("r.body.string_value").as("message"))
+        // decoding/format/otlp: each frame is a binary export request;
+        // `otlp.signal: logs|metrics|traces` (default logs) picks the
+        // envelope — the same flattening the opentelemetry source applies
+        import graft.streaming.StreamRunner.OtlpFlatten
+        val signal = yamlMap(dec.getOrElse("otlp", null))
+          .getOrElse("signal", "logs").toString
+        signal match {
+          case "logs" => OtlpFlatten.logs(framed, binPayload(framed))
+          case "metrics" => OtlpFlatten.metrics(framed, binPayload(framed))
+          case "traces" => OtlpFlatten.traces(framed, binPayload(framed))
+          case other => throw new IllegalArgumentException(
+            s"decoding.otlp.signal: unsupported signal $other")
+        }
       case Some("native_json") =>
         framed.select(
           coalesce(

@@ -269,17 +269,36 @@ object StreamRunner {
     server.start()
     def boundPort: Int = server.getAddress.getPort
 
-    /** attributes (repeated KeyValue of string AnyValue) → map column */
-    private def attrsToTags(attrs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    /** `<id>.logs` output: one event per LogRecord. */
+    def df: DataFrame = OtlpFlatten.logs(mem.toDF(), col("value"))
+
+    /** `<id>.metrics` output: gauge/sum NumberDataPoints → metric rows. */
+    def dfMetrics: DataFrame =
+      OtlpFlatten.metrics(memMetrics.toDF(), col("value"))
+
+    /** `<id>.traces` output: one event per Span. */
+    def dfTraces: DataFrame =
+      OtlpFlatten.traces(memTraces.toDF(), col("value"))
+    def stop(): Unit = server.stop(0)
+  }
+  /** OTLP envelope flattening shared by the opentelemetry source and
+    * the generic `decoding.codec: otlp` path — any DataFrame carrying
+    * binary export payloads in `binCol` flattens to one row per
+    * LogRecord / NumberDataPoint / Span.
+    */
+  object OtlpFlatten {
+    import graft.codecs.ProtobufCodec
+
+    def attrsToTags(attrs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       map_from_entries(transform(coalesce(attrs, array()),
         kv => struct(kv.getField("key"),
           kv.getField("value").getField("string_value"))))
 
-    /** `<id>.logs` output: one event per LogRecord. */
-    def df: DataFrame = {
+    def logs(in: DataFrame, binCol: org.apache.spark.sql.Column): DataFrame = {
       val env = ProtobufCodec.decode(
-        ProtobufCodec.Otlp.ExportLogsServiceRequest, col("value"))
-      mem.toDF().select(env.as("env"))
+        ProtobufCodec.Otlp.ExportLogsServiceRequest, binCol)
+      in.select(env.as("env"))
+        .filter(col("env").isNotNull)
         .select(explode(col("env.resource_logs")).as("rl"))
         .select(explode(col("rl.scope_logs")).as("sl"))
         .select(explode(col("sl.log_records")).as("r"))
@@ -296,15 +315,11 @@ object StreamRunner {
             .cast("long")).as("observed_timestamp"))
     }
 
-    /** `<id>.metrics` output: gauge/sum NumberDataPoints → metric rows
-      * (sum + delta temporality → incremental counter, cumulative →
-      * absolute; gauge → absolute gauge — the reference's normalization
-      * in src/sources/opentelemetry + the sinks' metric model).
-      */
-    def dfMetrics: DataFrame = {
+    def metrics(in: DataFrame, binCol: org.apache.spark.sql.Column): DataFrame = {
       val env = ProtobufCodec.decode(
-        ProtobufCodec.Otlp.ExportMetricsServiceRequest, col("value"))
-      val base = memMetrics.toDF().select(env.as("env"))
+        ProtobufCodec.Otlp.ExportMetricsServiceRequest, binCol)
+      val base = in.select(env.as("env"))
+        .filter(col("env").isNotNull)
         .select(explode(col("env.resource_metrics")).as("rm"))
         .select(explode(col("rm.scope_metrics")).as("sm"))
         .select(explode(col("sm.metrics")).as("m"))
@@ -335,11 +350,11 @@ object StreamRunner {
           col("unit"))
     }
 
-    /** `<id>.traces` output: one event per Span. */
-    def dfTraces: DataFrame = {
+    def traces(in: DataFrame, binCol: org.apache.spark.sql.Column): DataFrame = {
       val env = ProtobufCodec.decode(
-        ProtobufCodec.Otlp.ExportTraceServiceRequest, col("value"))
-      memTraces.toDF().select(env.as("env"))
+        ProtobufCodec.Otlp.ExportTraceServiceRequest, binCol)
+      in.select(env.as("env"))
+        .filter(col("env").isNotNull)
         .select(explode(col("env.resource_spans")).as("rs"))
         .select(explode(col("rs.scope_spans")).as("ss"))
         .select(explode(col("ss.spans")).as("s"))
@@ -357,8 +372,8 @@ object StreamRunner {
             / 1000000).cast("long").as("duration_ms"),
           attrsToTags(col("s.attributes")).as("attributes"))
     }
-    def stop(): Unit = server.stop(0)
   }
+
   def otlpHttp(spark: SparkSession, port: Int = 0): OtlpHttpSource =
     new OtlpHttpSource(spark, port)
 

@@ -129,6 +129,29 @@ class NativeCodecSpec extends SparkSpec {
       == java.time.Instant.parse("2024-03-05T10:00:00Z"))
   }
 
+  test("otlp decoder: metrics and traces signals flatten too") {
+    import org.apache.spark.sql.Row
+    import ProtobufCodec.Otlp
+    // metrics: a gauge with one data point (rows follow sparkType order)
+    val point = Row(1700000000000000000L, 1700000000000000000L, 2.5, null,
+      Seq(Row("az", Row("a"))))
+    val metric = Row("cpu", "", "pct", Row(Seq(point)), null)
+    val mEnv = Row(Seq(Row(Seq(Row(Seq(metric), "")), "")))
+    val mdf = spark.createDataFrame(
+      java.util.List.of(Row(mEnv)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("r",
+          Otlp.ExportMetricsServiceRequest.sparkType))))
+      .select(ProtobufCodec.encode(Otlp.ExportMetricsServiceRequest,
+        col("r")).as("value"))
+    val mOut = graft.plans.ConfigLoader.applyDecoding(mdf,
+      Map("decoding" -> java.util.Map.of("codec", "otlp",
+        "otlp", java.util.Map.of("signal", "metrics")))).head()
+    assert(mOut.getAs[String]("name") == "cpu")
+    assert(mOut.getAs[Double]("gauge_value") == 2.5)
+    assert(mOut.getAs[Map[String, String]]("tags") == Map("az" -> "a"))
+  }
+
   test("yaml surface: sink-side native encode feeds source-side decode") {
     val df = Seq((1L, "alpha", 0.5), (2L, "beta", 1.5))
       .toDF("id", "name", "score")
