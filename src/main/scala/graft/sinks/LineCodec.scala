@@ -117,30 +117,15 @@ object LineCodec {
       // encoding/format/cef.rs config shape: device_vendor /
       // device_product / device_version / device_event_class_id / name /
       // severity literals-or-fields + extensions {key: field}
-      val cm = conf.get("cef").map {
-        case m: java.util.Map[_, _] =>
-          m.asInstanceOf[java.util.Map[String, Any]]
-            .entrySet().toArray.map(_.asInstanceOf[
-              java.util.Map.Entry[String, Any]])
-            .map(e => e.getKey -> e.getValue).toMap
-        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
-        case _ => Map.empty[String, Any]
-      }.getOrElse(Map.empty[String, Any])
+      val cm = anyMap(conf.getOrElse("cef", null))
       def fieldOr(key: String, dflt: String): Column = {
         val v = cm.getOrElse(key, dflt).toString
         if (df.columns.contains(v)) col(v) else lit(v)
       }
-      val extensions = (cm.get("extensions") match {
-        case Some(m: java.util.Map[_, _]) =>
-          m.asInstanceOf[java.util.Map[String, Any]]
-            .entrySet().toArray.map(_.asInstanceOf[
-              java.util.Map.Entry[String, Any]])
-            .map(e => e.getKey -> e.getValue.toString).toSeq
-        case Some(m: Map[_, _]) =>
-          m.asInstanceOf[Map[String, Any]].toSeq.map { case (k, v) => k -> v.toString }
-        case _ => Nil
-      }).sortBy(_._1).map { case (k, f) =>
-        k -> (if (df.columns.contains(f)) col(f) else lit(f)) }
+      val extensions = anyMap(cm.getOrElse("extensions", null)).toSeq
+        .map { case (k, v) => k -> v.toString }
+        .sortBy(_._1).map { case (k, f) =>
+          k -> (if (df.columns.contains(f)) col(f) else lit(f)) }
       graft.codecs.Encode.cef(
         cm.getOrElse("device_vendor", "Graft").toString,
         cm.getOrElse("device_product", "graft").toString,
