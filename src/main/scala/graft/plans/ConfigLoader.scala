@@ -1163,28 +1163,38 @@ object ConfigLoader {
           Topology.Source(id, Topology.Log,
             sp => graft.streaming.StreamRunner.kafka(sp, servers, topics))
         case "vector" =>
-          // vector-to-vector receive side (src/sources/vector/): the
-          // native_json envelope over tcp, newline-framed — pairs with
-          // the `vector` sink. Each `{"log":{...}}` line becomes an
-          // event carrying the payload object json as `message` plus its
-          // event kind; downstream VRL parses fields it needs.
+          // vector-to-vector receive side (src/sources/vector/).
+          // `transport: grpc` = the reference's real protocol: a
+          // Vector/PushEvents h2c server decoding EventWrapper payloads
+          // through the native codec. Default tcp keeps the
+          // native_json-over-tcp pair.
           val addr = m.getOrElse("address", "localhost:9000").toString
           val (h, p) = addr.split(":") match {
             case Array(a, b) => (a, b.toInt)
             case _ => throw new IllegalArgumentException(
               s"vector source $id: address must be host:port")
           }
-          Topology.Source(id, Topology.Log, sp => {
-            import org.apache.spark.sql.functions._
-            val raw = graft.streaming.StreamRunner.socket(sp, h, p)
-            raw.select(
-              coalesce(
-                get_json_object(col("value"), "$.log"),
-                get_json_object(col("value"), "$.metric"),
-                get_json_object(col("value"), "$.trace")).as("message"),
-              graft.codecs.Decode.nativeJsonKind(col("value"))
-                .as("__event_kind"))
-          })
+          m.getOrElse("transport", "tcp").toString match {
+            case "grpc" =>
+              Topology.Source(id, Topology.Log, sp => {
+                val src = new graft.streaming.Grpc.VectorPushSource(sp, p)
+                lastAgentPort = src.boundPort
+                addCloser(id, () => src.stop())
+                src.df
+              })
+            case _ =>
+              Topology.Source(id, Topology.Log, sp => {
+                import org.apache.spark.sql.functions._
+                val raw = graft.streaming.StreamRunner.socket(sp, h, p)
+                raw.select(
+                  coalesce(
+                    get_json_object(col("value"), "$.log"),
+                    get_json_object(col("value"), "$.metric"),
+                    get_json_object(col("value"), "$.trace")).as("message"),
+                  graft.codecs.Decode.nativeJsonKind(col("value"))
+                    .as("__event_kind"))
+              })
+          }
         case "text_dir" =>
           Topology.Source(id, Topology.Log,
             sp => graft.streaming.StreamRunner.textDir(
@@ -2526,13 +2536,41 @@ object ConfigLoader {
           encConf = yamlMap(m.getOrElse("encoding", null)))
         Some(df => NetworkSinks.writeSocket(df, cfg))
       case "vector" =>
-        // vector-to-vector transport: the native_json envelope
-        // (lib/codecs native_json.rs) over tcp, newline-framed — the
-        // documented stand-in for the reference's gRPC `vector` sink
-        // (src/sinks/vector/); pairs with the `vector` source below
-        val cfg = NetworkSinks.SocketConfig(
-          "tcp", m.getOrElse("address", "").toString, "native_json")
-        Some(df => NetworkSinks.writeSocket(df, cfg))
+        // vector-to-vector transport. `transport: grpc` speaks the
+        // reference's ACTUAL protocol — Vector/PushEvents of EventWrapper
+        // payloads over h2c (src/sinks/vector/, vector.proto) via the
+        // from-scratch Grpc transport; default tcp keeps the
+        // native_json-over-tcp pair (same payload semantics, kept as the
+        // in-repo default for checkpoint compatibility).
+        m.getOrElse("transport", "tcp").toString match {
+          case "grpc" =>
+            val addr = m.getOrElse("address", "").toString
+            val (gh, gp) = (addr.substring(0, addr.lastIndexOf(':')),
+              addr.substring(addr.lastIndexOf(':') + 1).toInt)
+            Some(df => {
+              val cols = df.columns
+                .filterNot(graft.sinks.LineCodec.InternalCols.contains)
+              val jsons = df.select(to_json(struct(cols.map(col): _*))
+                .as("__j"))
+              jsons.foreachPartition {
+                (rows: Iterator[org.apache.spark.sql.Row]) =>
+                  val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+                  rows.foreach { r =>
+                    buf += r.getString(0)
+                    if (buf.length >= 500) {
+                      graft.streaming.Grpc.pushEvents(gh, gp, buf.toSeq)
+                      buf.clear()
+                    }
+                  }
+                  if (buf.nonEmpty)
+                    graft.streaming.Grpc.pushEvents(gh, gp, buf.toSeq)
+              }
+            })
+          case _ =>
+            val cfg = NetworkSinks.SocketConfig(
+              "tcp", m.getOrElse("address", "").toString, "native_json")
+            Some(df => NetworkSinks.writeSocket(df, cfg))
+        }
       case "http" =>
         val (codec, framing, delim, compression) = sinkEncoding(m, "json")
         val batch = yamlMap(m.getOrElse("batch", null))

@@ -97,7 +97,7 @@ object AgentSources {
                 Seq(FluentEvent(tag, timeMs(t), MsgPack.toJson(record)))
               case _ => Nil
             }
-            if (events.nonEmpty) mem.addData(events)
+            if (events.nonEmpty) mem.synchronized { mem.addData(events) }
             // ack contract: echo the chunk id back as {"ack": chunk}
             options.get("chunk").foreach { chunk =>
               MsgPack.write(out,
@@ -170,7 +170,7 @@ object AgentSources {
             val len = in.readInt()
             val payload = new Array[Byte](len)
             in.readFully(payload)
-            mem.addData(new String(payload, "UTF-8"))
+            mem.synchronized { mem.addData(new String(payload, "UTF-8")) }
             st.seen += 1
             maybeAck(st, out)
           case 'D' =>
@@ -181,8 +181,10 @@ object AgentSources {
               val v = new Array[Byte](in.readInt()); in.readFully(v)
               (new String(k, "UTF-8"), new String(v, "UTF-8"))
             }
-            mem.addData(MsgPack.toJson(MpMap(fields.map { case (k, v) =>
-              (MpString(k): Value) -> (MpString(v): Value) }.toVector)))
+            mem.synchronized {
+              mem.addData(MsgPack.toJson(MpMap(fields.map { case (k, v) =>
+                (MpString(k): Value) -> (MpString(v): Value) }.toVector)))
+            }
             st.seen += 1
             maybeAck(st, out)
           case 'C' =>

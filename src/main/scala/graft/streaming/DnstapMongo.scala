@@ -76,7 +76,7 @@ object DnstapMongo {
               }
             } else {
               val data = new Array[Byte](len); in.readFully(data)
-              mem.addData(data)
+              mem.synchronized { mem.addData(data) }
             }
           } catch { case _: Exception => () }
           finally sock.close()

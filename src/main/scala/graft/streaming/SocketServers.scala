@@ -85,7 +85,8 @@ object SocketServers {
       try {
         framing match {
           case "octet_counting" =>
-            octetFrames(sock.getInputStream)(l => mem.addData(l))
+            octetFrames(sock.getInputStream)(l =>
+              mem.synchronized { mem.addData(l) })
           case f =>
             val delim = if (f.startsWith("character_delimited:"))
               f.substring("character_delimited:".length) else "\n"
@@ -94,7 +95,7 @@ object SocketServers {
             if (delim == "\n") {
               var line = reader.readLine()
               while (line != null) {
-                if (line.nonEmpty) mem.addData(line)
+                if (line.nonEmpty) mem.synchronized { mem.addData(line) }
                 line = reader.readLine()
               }
             } else {
@@ -103,7 +104,8 @@ object SocketServers {
               var n = reader.read(buf)
               while (n >= 0) { all.appendAll(buf, 0, n); n = reader.read(buf) }
               all.toString.split(java.util.regex.Pattern.quote(delim))
-                .filter(_.nonEmpty).foreach(mem.addData(_))
+                .filter(_.nonEmpty)
+                .foreach(l => mem.synchronized { mem.addData(l) })
             }
         }
       } catch { case _: java.io.IOException => () }
@@ -177,7 +179,7 @@ object SocketServers {
           new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
         var line = reader.readLine()
         while (line != null) {
-          if (line.nonEmpty) mem.addData(line)
+          if (line.nonEmpty) mem.synchronized { mem.addData(line) }
           line = reader.readLine()
         }
       } catch { case _: java.io.IOException => () }
