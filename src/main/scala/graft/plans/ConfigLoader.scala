@@ -1231,13 +1231,18 @@ object ConfigLoader {
           val addr = yamlMap(m.getOrElse("http", null))
             .getOrElse("address", "0.0.0.0:4318").toString
           val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
+          // `grpc.address` starts the OTLP/gRPC listener alongside HTTP
+          // (the reference's source serves both protocols)
+          val grpcPort = yamlMap(m.getOrElse("grpc", null)).get("address")
+            .map(_.toString)
+            .map(a => a.substring(a.lastIndexOf(':') + 1).toInt)
           // the reference exposes named outputs <id>.logs/.metrics/
           // .traces (sources/opentelemetry/mod.rs); one server feeds
           // all three, created lazily once; plain `id` aliases logs
           var shared: Option[graft.streaming.StreamRunner.OtlpHttpSource] =
             None
           def srcOf(sp: SparkSession) = shared.getOrElse {
-            val s = graft.streaming.StreamRunner.otlpHttp(sp, port)
+            val s = graft.streaming.StreamRunner.otlpHttp(sp, port, grpcPort)
             lastOtlpPort = s.boundPort
             addCloser(id, () => s.stop())
             shared = Some(s)

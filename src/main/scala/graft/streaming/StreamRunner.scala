@@ -241,7 +241,8 @@ object StreamRunner {
     * protocol coverage comes from the protobuf walker both transports
     * share.
     */
-  final class OtlpHttpSource(spark: SparkSession, port: Int = 0) {
+  final class OtlpHttpSource(spark: SparkSession, port: Int = 0,
+                             grpcPort: Option[Int] = None) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     import graft.codecs.ProtobufCodec
@@ -269,6 +270,20 @@ object StreamRunner {
     server.start()
     def boundPort: Int = server.getAddress.getPort
 
+    // `grpc.address` (the reference's opentelemetry source accepts BOTH
+    // protocols): the collector service paths route to the same streams
+    private val grpcServer = grpcPort.map(gp =>
+      new Grpc.Server(gp, (path, req) => {
+        val sink =
+          if (path.contains("LogsService")) mem
+          else if (path.contains("MetricsService")) memMetrics
+          else if (path.contains("TraceService")) memTraces
+          else throw new IllegalArgumentException(s"unknown rpc $path")
+        if (req.nonEmpty) sink.synchronized { sink.addData(req) }
+        Array.emptyByteArray // empty Export*ServiceResponse
+      }))
+    def grpcBoundPort: Option[Int] = grpcServer.map(_.boundPort)
+
     /** `<id>.logs` output: one event per LogRecord. */
     def df: DataFrame = OtlpFlatten.logs(mem.toDF(), col("value"))
 
@@ -279,7 +294,7 @@ object StreamRunner {
     /** `<id>.traces` output: one event per Span. */
     def dfTraces: DataFrame =
       OtlpFlatten.traces(memTraces.toDF(), col("value"))
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = { server.stop(0); grpcServer.foreach(_.stop()) }
   }
   /** OTLP envelope flattening shared by the opentelemetry source and
     * the generic `decoding.codec: otlp` path — any DataFrame carrying
@@ -374,8 +389,9 @@ object StreamRunner {
     }
   }
 
-  def otlpHttp(spark: SparkSession, port: Int = 0): OtlpHttpSource =
-    new OtlpHttpSource(spark, port)
+  def otlpHttp(spark: SparkSession, port: Int = 0,
+               grpcPort: Option[Int] = None): OtlpHttpSource =
+    new OtlpHttpSource(spark, port, grpcPort)
 
   /** `prometheus` scrape source (reference src/sources/prometheus/
     * scrape.rs): http_client poll + exposition-text decode; comment and

@@ -61,6 +61,38 @@ class GrpcSpec extends AnyFunSuite {
     } finally running.stopAll()
   }
 
+  test("OTLP/gRPC: LogsService Export lands in the opentelemetry source") {
+    val spark = graft.Graft.session(4)
+    val src = graft.streaming.StreamRunner.otlpHttp(spark, 0, Some(0))
+    try {
+      // build an ExportLogsServiceRequest with the repo's own encoder
+      import org.apache.spark.sql.Row
+      import graft.codecs.ProtobufCodec
+      def sRow(schema: ProtobufCodec.ProtoSchema, vals: Any*): Row =
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          vals.toArray, schema.sparkType)
+      val lrS = ProtobufCodec.Otlp.LogRecord
+      val lr = sRow(lrS, 1700000000000000000L, 9L, "ERROR",
+        sRow(ProtobufCodec.Otlp.AnyValue, "grpc-hello"), 0L,
+        Array.emptyByteArray, Array.emptyByteArray, 0L)
+      val env = sRow(ProtobufCodec.Otlp.ExportLogsServiceRequest,
+        Seq(sRow(ProtobufCodec.Otlp.ResourceLogs,
+          Seq(sRow(ProtobufCodec.Otlp.ScopeLogs, Seq(lr), "")), "")))
+      val req = ProtobufCodec.encodeTo(
+        ProtobufCodec.Otlp.ExportLogsServiceRequest, env)
+      val resp = Grpc.call("127.0.0.1", src.grpcBoundPort.get,
+        "/opentelemetry.proto.collector.logs.v1.LogsService/Export", req)
+      assert(resp.isEmpty) // empty ExportLogsServiceResponse
+      val q = src.df.writeStream.format("memory").queryName("otlpg").start()
+      q.processAllAvailable()
+      val rows = spark.table("otlpg").collect()
+      q.stop()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("message") == "grpc-hello")
+      assert(rows.head.getAs[String]("severity_text") == "ERROR")
+    } finally src.stop()
+  }
+
   test("unary call roundtrips request bytes and surfaces the path") {
     val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val srv = new Grpc.Server(0, (path, req) => {
