@@ -2715,7 +2715,8 @@ object ConfigLoader {
           proto.getOrElse("uri", endpoint("http://127.0.0.1:4318")).toString
             .stripSuffix("/v1/logs").stripSuffix("/v1/metrics")
             .stripSuffix("/v1/traces"),
-          m.getOrElse("mode", "logs").toString)
+          m.getOrElse("mode", "logs").toString,
+          grpc = proto.getOrElse("type", "http").toString == "grpc")
         Some(df => graft.sinks.OtlpSink.write(df, cfg))
       case "postgres" =>
         // src/sinks/postgres/: jsonb_populate_recordset INSERT over the

@@ -20,12 +20,49 @@ object OtlpSink {
   case class Config(
       endpoint: String,
       mode: String = "logs", // logs | metrics | traces
-      maxEvents: Int = 1000)
+      maxEvents: Int = 1000,
+      // `protocol: grpc` — the collector-service Export RPC instead of
+      // OTLP/HTTP, over the in-repo h2c gRPC transport
+      grpc: Boolean = false)
       extends Serializable
 
   private def http(cfg: Config, path: String): HttpConfig =
     HttpConfig(uri = cfg.endpoint.stripSuffix("/") + path,
       maxEvents = cfg.maxEvents, contentType = "application/x-protobuf")
+
+  /** Ship fragment batches: concatenated repeated-field fragments form
+    * one Export*ServiceRequest per batch; gRPC calls the collector
+    * service, HTTP posts to the /v1/<signal> path.
+    */
+  private def ship(fragments: DataFrame, cfg: Config, signal: String): Unit =
+    if (!cfg.grpc)
+      NetworkSinks.writeProtoConcat(fragments, http(cfg, s"/v1/$signal"))
+    else {
+      val uri = new java.net.URI(
+        if (cfg.endpoint.contains("://")) cfg.endpoint
+        else s"http://${cfg.endpoint}")
+      val (host, port) = (uri.getHost, uri.getPort)
+      val service = signal match {
+        case "metrics" =>
+          "/opentelemetry.proto.collector.metrics.v1.MetricsService/Export"
+        case "traces" =>
+          "/opentelemetry.proto.collector.trace.v1.TraceService/Export"
+        case _ =>
+          "/opentelemetry.proto.collector.logs.v1.LogsService/Export"
+      }
+      val max = cfg.maxEvents
+      fragments.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.grouped(max).foreach { batch =>
+          val raw = new java.io.ByteArrayOutputStream()
+          batch.foreach { r =>
+            val b = r.getAs[Array[Byte]](0)
+            if (b != null) raw.write(b)
+          }
+          if (raw.size() > 0)
+            graft.streaming.Grpc.call(host, port, service, raw.toByteArray)
+        }
+      }
+    }
 
   def write(df: DataFrame, cfg: Config): Unit = cfg.mode match {
     case "metrics" => writeMetrics(df, cfg)
@@ -57,8 +94,7 @@ object OtlpSink {
       struct(array(struct(array(struct(array(record).as("log_records"),
         lit(null).cast("string").as("schema_url"))).as("scope_logs"),
         lit(null).cast("string").as("schema_url"))).as("resource_logs")))
-    NetworkSinks.writeProtoConcat(df.select(fragment.as("__bytes")),
-      http(cfg, "/v1/logs"))
+    ship(df.select(fragment.as("__bytes")), cfg, "logs")
   }
 
   def writeMetrics(df: DataFrame, cfg: Config): Unit = {
@@ -92,8 +128,7 @@ object OtlpSink {
       struct(array(struct(array(struct(array(metric).as("metrics"),
         lit(null).cast("string").as("schema_url"))).as("scope_metrics"),
         lit(null).cast("string").as("schema_url"))).as("resource_metrics")))
-    NetworkSinks.writeProtoConcat(df.select(fragment.as("__bytes")),
-      http(cfg, "/v1/metrics"))
+    ship(df.select(fragment.as("__bytes")), cfg, "metrics")
   }
 
   def writeTraces(df: DataFrame, cfg: Config): Unit = {
@@ -124,7 +159,6 @@ object OtlpSink {
       struct(array(struct(array(struct(array(span).as("spans"),
         lit(null).cast("string").as("schema_url"))).as("scope_spans"),
         lit(null).cast("string").as("schema_url"))).as("resource_spans")))
-    NetworkSinks.writeProtoConcat(df.select(fragment.as("__bytes")),
-      http(cfg, "/v1/traces"))
+    ship(df.select(fragment.as("__bytes")), cfg, "traces")
   }
 }

@@ -93,6 +93,30 @@ class GrpcSpec extends AnyFunSuite {
     } finally src.stop()
   }
 
+  test("otlp sink protocol grpc exports into the otlp grpc source") {
+    val spark = graft.Graft.session(4)
+    val src = graft.streaming.StreamRunner.otlpHttp(spark, 0, Some(0))
+    try {
+      val df = {
+        import spark.implicits._
+        Seq(("one", "WARN"), ("two", "ERROR"))
+          .toDF("message", "severity_text")
+          .withColumn("timestamp",
+            org.apache.spark.sql.functions.lit("2024-03-05T10:00:00Z")
+              .cast("timestamp"))
+      }
+      graft.sinks.OtlpSink.write(df.coalesce(1), graft.sinks.OtlpSink.Config(
+        s"http://127.0.0.1:${src.grpcBoundPort.get}", grpc = true))
+      val q = src.df.writeStream.format("memory").queryName("otlpg2").start()
+      q.processAllAvailable()
+      val rows = spark.table("otlpg2")
+        .orderBy("message").collect()
+      q.stop()
+      assert(rows.map(_.getAs[String]("message")).toSeq == Seq("one", "two"))
+      assert(rows.head.getAs[String]("severity_text") == "WARN")
+    } finally src.stop()
+  }
+
   test("unary call roundtrips request bytes and surfaces the path") {
     val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val srv = new Grpc.Server(0, (path, req) => {
