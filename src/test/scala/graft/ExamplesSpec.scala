@@ -31,11 +31,13 @@ class ExamplesSpec extends SparkSpec {
       .replace("bootstrap_servers: kafka.internal:9092",
         "address: 127.0.0.1:9")
       .replace("address: 0.0.0.0:8080", "address: 127.0.0.1:0")
+      .replace("address: 0.0.0.0:6000", "address: 127.0.0.1:0")
   }
 
   private val examples = Seq("tail_to_loki.yaml",
     "syslog_tls_to_elasticsearch.yaml", "kafka_gelf_to_s3.yaml",
-    "protobuf_varint_to_clickhouse.yaml", "llm_curation.yaml")
+    "protobuf_varint_to_clickhouse.yaml", "llm_curation.yaml",
+    "grpc_aggregator.yaml")
 
   examples.foreach { name =>
     test(s"examples/$name validates clean") {
