@@ -129,14 +129,229 @@ object NativeCodec {
     def bytesAll(): Array[Byte] = r.bytes(r.end - r.pos)
   }
 
+  /** google.protobuf.Timestamp submessage → RFC3339 string. */
+  private def decodeProtoTimestamp(r: R): String = {
+    var secs = 0L; var nanos = 0L
+    fields(r) {
+      case (1, 0) => secs = r.varint(); true
+      case (2, 0) => nanos = r.varint(); true
+      case _ => false
+    }
+    val inst = java.time.Instant.ofEpochSecond(secs, nanos)
+    java.time.format.DateTimeFormatter.ISO_INSTANT.format(inst)
+  }
+
+  /** Metric message (event.proto `message Metric`: name=1 string,
+    * timestamp=2, tags_v1=3 / tags_v2=20, kind=4 enum, value oneof
+    * 5-17, namespace=11, interval_ms=18) → the native_json metric
+    * object shape (`{"name":…,"kind":…,"counter":{"value":…},…}`).
+    * This is the REAL schema walk — the name bytes are a plain string,
+    * not a map entry (a real vector agent's metric would otherwise
+    * fail to parse).
+    */
+  private def decodeMetric(mr: R): java.util.Map[String, Any] = {
+    val out = new java.util.LinkedHashMap[String, Any]()
+    val tags = new java.util.LinkedHashMap[String, Any]()
+    def doubles1(r: R, no: Int): Double = {
+      var v = 0.0
+      fields(r) {
+        case (`no`, 1) => v = java.lang.Double.longBitsToDouble(r.fixed(8)); true
+        case _ => false
+      }
+      v
+    }
+    fields(mr) {
+      case (1, 2) => out.put("name", new String(mr.sub().bytesAll(), "UTF-8")); true
+      case (2, 2) => out.put("timestamp", decodeProtoTimestamp(mr.sub())); true
+      case (3, 2) => // tags_v1: map<string, string>
+        val er = mr.sub(); var k: String = null; var v: String = null
+        fields(er) {
+          case (1, 2) => k = new String(er.sub().bytesAll(), "UTF-8"); true
+          case (2, 2) => v = new String(er.sub().bytesAll(), "UTF-8"); true
+          case _ => false
+        }
+        if (k != null) tags.put(k, v); true
+      case (20, 2) => // tags_v2: map<string, TagValues{repeated TagValue}>
+        val er = mr.sub(); var k: String = null; var v: String = null
+        fields(er) {
+          case (1, 2) => k = new String(er.sub().bytesAll(), "UTF-8"); true
+          case (2, 2) =>
+            val tv = er.sub()
+            fields(tv) {
+              case (1, 2) => // TagValue { optional string value = 1 }
+                val one = tv.sub()
+                fields(one) {
+                  case (1, 2) => v = new String(one.sub().bytesAll(), "UTF-8"); true
+                  case _ => false
+                }
+                true
+              case _ => false
+            }
+            true
+          case _ => false
+        }
+        if (k != null) tags.put(k, v); true
+      case (4, 0) =>
+        out.put("kind",
+          if (mr.varint() == 1L) "absolute" else "incremental"); true
+      case (11, 2) =>
+        out.put("namespace", new String(mr.sub().bytesAll(), "UTF-8")); true
+      case (18, 0) =>
+        out.put("interval_ms", java.lang.Long.valueOf(mr.varint())); true
+      case (5, 2) => // Counter { double value = 1 }
+        val m = new java.util.LinkedHashMap[String, Any]()
+        m.put("value", java.lang.Double.valueOf(doubles1(mr.sub(), 1)))
+        out.put("counter", m); true
+      case (6, 2) => // Gauge { double value = 1 }
+        val m = new java.util.LinkedHashMap[String, Any]()
+        m.put("value", java.lang.Double.valueOf(doubles1(mr.sub(), 1)))
+        out.put("gauge", m); true
+      case (7, 2) => // Set { repeated string values = 1 }
+        val sr = mr.sub()
+        val vs = new java.util.ArrayList[Any]()
+        fields(sr) {
+          case (1, 2) => vs.add(new String(sr.sub().bytesAll(), "UTF-8")); true
+          case _ => false
+        }
+        val m = new java.util.LinkedHashMap[String, Any]()
+        m.put("values", vs); out.put("set", m); true
+      case (12, 2) => // Distribution2 { samples=1, statistic=2 }
+        val dr = mr.sub()
+        val samples = new java.util.ArrayList[Any]()
+        var stat = "histogram"
+        fields(dr) {
+          case (1, 2) =>
+            val s = dr.sub(); var v = 0.0; var rate = 0L
+            fields(s) {
+              case (1, 1) => v = java.lang.Double.longBitsToDouble(s.fixed(8)); true
+              case (2, 0) => rate = s.varint(); true
+              case _ => false
+            }
+            val sm = new java.util.LinkedHashMap[String, Any]()
+            sm.put("value", java.lang.Double.valueOf(v))
+            sm.put("rate", java.lang.Long.valueOf(rate))
+            samples.add(sm); true
+          case (2, 0) =>
+            stat = if (dr.varint() == 1L) "summary" else "histogram"; true
+          case _ => false
+        }
+        val m = new java.util.LinkedHashMap[String, Any]()
+        m.put("samples", samples); m.put("statistic", stat)
+        out.put("distribution", m); true
+      case (no, 2) if no == 13 || no == 16 =>
+        // AggregatedHistogram2/3 { buckets=1{upper_limit=1,count=2},
+        // count=2, sum=3 }
+        val hr = mr.sub()
+        val buckets = new java.util.ArrayList[Any]()
+        var cnt = 0L; var sum = 0.0
+        fields(hr) {
+          case (1, 2) =>
+            val b2 = hr.sub(); var ul = 0.0; var c = 0L
+            fields(b2) {
+              case (1, 1) => ul = java.lang.Double.longBitsToDouble(b2.fixed(8)); true
+              case (2, 0) => c = b2.varint(); true
+              case _ => false
+            }
+            val bm = new java.util.LinkedHashMap[String, Any]()
+            bm.put("upper_limit", java.lang.Double.valueOf(ul))
+            bm.put("count", java.lang.Long.valueOf(c))
+            buckets.add(bm); true
+          case (2, 0) => cnt = hr.varint(); true
+          case (3, 1) => sum = java.lang.Double.longBitsToDouble(hr.fixed(8)); true
+          case _ => false
+        }
+        val m = new java.util.LinkedHashMap[String, Any]()
+        m.put("buckets", buckets)
+        m.put("count", java.lang.Long.valueOf(cnt))
+        m.put("sum", java.lang.Double.valueOf(sum))
+        out.put("aggregated_histogram", m); true
+      case (no, 2) if no == 14 || no == 17 =>
+        // AggregatedSummary2/3 { quantiles=1{quantile=1,value=2},
+        // count=2, sum=3 }
+        val sr = mr.sub()
+        val quantiles = new java.util.ArrayList[Any]()
+        var cnt = 0L; var sum = 0.0
+        fields(sr) {
+          case (1, 2) =>
+            val q2 = sr.sub(); var q = 0.0; var v = 0.0
+            fields(q2) {
+              case (1, 1) => q = java.lang.Double.longBitsToDouble(q2.fixed(8)); true
+              case (2, 1) => v = java.lang.Double.longBitsToDouble(q2.fixed(8)); true
+              case _ => false
+            }
+            val qm = new java.util.LinkedHashMap[String, Any]()
+            qm.put("quantile", java.lang.Double.valueOf(q))
+            qm.put("value", java.lang.Double.valueOf(v))
+            quantiles.add(qm); true
+          case (2, 0) => cnt = sr.varint(); true
+          case (3, 1) => sum = java.lang.Double.longBitsToDouble(sr.fixed(8)); true
+          case _ => false
+        }
+        val m = new java.util.LinkedHashMap[String, Any]()
+        m.put("quantiles", quantiles)
+        m.put("count", java.lang.Long.valueOf(cnt))
+        m.put("sum", java.lang.Double.valueOf(sum))
+        out.put("aggregated_summary", m); true
+      case (15, 2) => // Sketch { AgentDDSketch agent_dd_sketch = 1 }
+        val kr = mr.sub()
+        fields(kr) {
+          case (1, 2) =>
+            val ar = kr.sub()
+            val m = new java.util.LinkedHashMap[String, Any]()
+            val ks = new java.util.ArrayList[Any]()
+            val ns = new java.util.ArrayList[Any]()
+            fields(ar) {
+              case (1, 0) => m.put("count", java.lang.Long.valueOf(ar.varint())); true
+              case (2, 1) => m.put("min", java.lang.Double.valueOf(
+                java.lang.Double.longBitsToDouble(ar.fixed(8)))); true
+              case (3, 1) => m.put("max", java.lang.Double.valueOf(
+                java.lang.Double.longBitsToDouble(ar.fixed(8)))); true
+              case (4, 1) => m.put("sum", java.lang.Double.valueOf(
+                java.lang.Double.longBitsToDouble(ar.fixed(8)))); true
+              case (5, 1) => m.put("avg", java.lang.Double.valueOf(
+                java.lang.Double.longBitsToDouble(ar.fixed(8)))); true
+              case (6, 2) => // packed sint32 k (zigzag)
+                val pr = ar.sub()
+                while (pr.hasMore) {
+                  val z = pr.varint()
+                  ks.add(java.lang.Long.valueOf((z >>> 1) ^ -(z & 1)))
+                }
+                true
+              case (6, 0) =>
+                val z = ar.varint()
+                ks.add(java.lang.Long.valueOf((z >>> 1) ^ -(z & 1))); true
+              case (7, 2) => // packed uint32 n
+                val pr = ar.sub()
+                while (pr.hasMore) ns.add(java.lang.Long.valueOf(pr.varint()))
+                true
+              case (7, 0) => ns.add(java.lang.Long.valueOf(ar.varint())); true
+              case _ => false
+            }
+            m.put("k", ks); m.put("n", ns)
+            val wrap = new java.util.LinkedHashMap[String, Any]()
+            wrap.put("AgentDDSketch", m)
+            out.put("sketch", wrap); true
+          case _ => false
+        }
+        true
+      case _ => false
+    }
+    if (!tags.isEmpty) out.put("tags", tags)
+    out
+  }
+
   /** EventWrapper bytes → (kind, fields-JSON); null on malformed. */
   def decodeWrapper(b: Array[Byte]): (String, String) = {
     var kind: String = null
     var json: String = null
     val r = new R(b, 0, b.length)
     fields(r) {
-      case (no, 2) if no >= 1 && no <= 3 =>
-        kind = no match { case 1 => "log"; case 2 => "metric"; case _ => "trace" }
+      case (2, 2) => // Metric arm: structured schema, not a fields map
+        kind = "metric"
+        json = JsonLite.render(decodeMetric(r.sub()))
+        true
+      case (no, 2) if no == 1 || no == 3 =>
+        kind = if (no == 1) "log" else "trace"
         val lr = r.sub()
         // Log/Trace: fields map at 1, whole-event Value at 2
         var m: Any = null

@@ -1177,7 +1177,8 @@ object ConfigLoader {
           m.getOrElse("transport", "tcp").toString match {
             case "grpc" =>
               Topology.Source(id, Topology.Log, sp => {
-                val src = new graft.streaming.Grpc.VectorPushSource(sp, p)
+                val src = new graft.streaming.Grpc.VectorPushSource(sp, p,
+                  bindHost = h)
                 lastAgentPort = src.boundPort
                 addCloser(id, () => src.stop())
                 src.df
@@ -1233,16 +1234,22 @@ object ConfigLoader {
           val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
           // `grpc.address` starts the OTLP/gRPC listener alongside HTTP
           // (the reference's source serves both protocols)
-          val grpcPort = yamlMap(m.getOrElse("grpc", null)).get("address")
+          val grpcAddr = yamlMap(m.getOrElse("grpc", null)).get("address")
             .map(_.toString)
-            .map(a => a.substring(a.lastIndexOf(':') + 1).toInt)
+          val grpcPort =
+            grpcAddr.map(a => a.substring(a.lastIndexOf(':') + 1).toInt)
+          val grpcHost = grpcAddr.map { a =>
+            val c = a.lastIndexOf(':')
+            if (c > 0) a.substring(0, c) else "0.0.0.0"
+          }.getOrElse("0.0.0.0")
           // the reference exposes named outputs <id>.logs/.metrics/
           // .traces (sources/opentelemetry/mod.rs); one server feeds
           // all three, created lazily once; plain `id` aliases logs
           var shared: Option[graft.streaming.StreamRunner.OtlpHttpSource] =
             None
           def srcOf(sp: SparkSession) = shared.getOrElse {
-            val s = graft.streaming.StreamRunner.otlpHttp(sp, port, grpcPort)
+            val s = graft.streaming.StreamRunner.otlpHttp(sp, port, grpcPort,
+              grpcHost)
             lastOtlpPort = s.boundPort
             addCloser(id, () => s.stop())
             shared = Some(s)
@@ -1720,7 +1727,9 @@ object ConfigLoader {
                   "octet_counting",
                   if (tlsCfg.enabled)
                     Some(graft.streaming.Tls.serverContext(tlsCfg))
-                  else None)
+                  else None,
+                  maxLength = m.getOrElse("max_length", "102400")
+                    .toString.toInt)
                 lastAgentPort = src.boundPort
                 addCloser(id, () => src.stop())
                 src.df
@@ -2310,14 +2319,17 @@ object ConfigLoader {
     if (apiEnabled) {
       ensureObsListener(spark)
       val addr = apiConf.getOrElse("address", "127.0.0.1:8686").toString
-      val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
+      val colon = addr.lastIndexOf(':')
+      val apiHost = if (colon > 0) addr.substring(0, colon) else "127.0.0.1"
+      val port = addr.substring(colon + 1).toInt
       val conf0 = parseYaml(yaml)
       def section(name: String, kind: String) =
         yamlMap(conf0.getOrElse(name, null)).map { case (id, v) =>
           (id, kind, yamlMap(v).getOrElse("type", "").toString) }.toSeq
       val comps = section("sources", "source") ++
         section("transforms", "transform") ++ section("sinks", "sink")
-      val api = new graft.streaming.ApiServer(port, () => comps)
+      val api = new graft.streaming.ApiServer(port, () => comps,
+        host = apiHost)
       lastApiPort = api.boundPort
       addCloser("__api", () => api.stop())
     }

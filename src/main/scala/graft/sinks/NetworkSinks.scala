@@ -260,7 +260,7 @@ object NetworkSinks {
       case https: javax.net.ssl.HttpsURLConnection if c.tls.enabled =>
         https.setSSLSocketFactory(
           graft.streaming.Tls.clientContext(c.tls).getSocketFactory)
-        if (!c.tls.verifyCertificate)
+        if (!c.tls.verifyCertificate || !c.tls.verifyHostname)
           https.setHostnameVerifier((_, _) => true)
       case _ => ()
     }

@@ -65,16 +65,27 @@ object WebSocketSinks {
       * client policy reduces to drop-on-error here).
       */
     def broadcast(df: DataFrame, codec: String): Unit = {
-      val lines = df.select(LineCodec.encode(df, codec).as("__line"))
-        .collect().map(_.getString(0)).filter(_ != null)
-      val it = clients.iterator()
-      while (it.hasNext) {
-        val sock = it.next()
-        try {
-          val out = sock.getOutputStream
-          lines.foreach(l =>
-            Ws.writeFrame(out, Ws.OpText, l.getBytes("UTF-8"), mask = false))
-        } catch { case _: Exception => try sock.close() finally it.remove() }
+      // A single bound server socket makes a driver funnel inherent to
+      // this sink, but materializing the whole batch is not:
+      // toLocalIterator streams one partition at a time, so driver
+      // memory stays bounded by the largest partition (not the batch)
+      // when a large topology drains through a debug websocket.
+      val rows = df.select(LineCodec.encode(df, codec).as("__line"))
+        .toLocalIterator()
+      while (rows.hasNext) {
+        val l = rows.next().getString(0)
+        if (l != null) {
+          val bytes = l.getBytes("UTF-8")
+          val it = clients.iterator()
+          while (it.hasNext) {
+            val sock = it.next()
+            try Ws.writeFrame(sock.getOutputStream, Ws.OpText, bytes,
+              mask = false)
+            catch {
+              case _: Exception => try sock.close() finally it.remove()
+            }
+          }
+        }
       }
     }
 

@@ -19,7 +19,8 @@ package graft.streaming
   */
 final class ApiServer(port: Int,
                       components: () => Seq[(String, String, String)],
-                      reg: InternalObs.Registry = InternalObs.registry) {
+                      reg: InternalObs.Registry = InternalObs.registry,
+                      host: String = "127.0.0.1") {
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -50,8 +51,11 @@ final class ApiServer(port: Int,
     }.mkString("[", ",", "]")
   }
 
+  // Bind the configured host (reference defaults api.address to
+  // 127.0.0.1:8686 precisely so this unauthenticated endpoint stays
+  // loopback-only unless the operator opts out).
   private val server = com.sun.net.httpserver.HttpServer.create(
-    new java.net.InetSocketAddress(port), 0)
+    new java.net.InetSocketAddress(host, port), 0)
 
   private def reply(ex: com.sun.net.httpserver.HttpExchange, code: Int,
                     body: String): Unit = {

@@ -55,7 +55,8 @@ object Grpc {
     * Throwing marks the RPC with grpc-status 2 (UNKNOWN).
     */
   final class Server(port: Int,
-                     handler: (String, Array[Byte]) => Array[Byte]) {
+                     handler: (String, Array[Byte]) => Array[Byte],
+                     bindHost: String = "0.0.0.0") {
     private val boss = new NioEventLoopGroup(1)
     private val workers = new NioEventLoopGroup(2)
     private val ch = new ServerBootstrap()
@@ -71,7 +72,10 @@ object Grpc {
             }))
         }
       })
-      .bind("127.0.0.1", port).sync().channel()
+      // bind the CONFIGURED host (reference default 0.0.0.0) — a
+      // loopback-only listener can't serve the two-tier
+      // agent-to-aggregator topology
+      .bind(bindHost, port).sync().channel()
 
     private final class StreamHandler extends ChannelInboundHandlerAdapter {
       private var path = ""
@@ -127,7 +131,8 @@ object Grpc {
     * codec into (message-json, kind) rows.
     */
   final class VectorPushSource(spark: org.apache.spark.sql.SparkSession,
-                               port: Int) {
+                               port: Int,
+                               bindHost: String = "0.0.0.0") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     private implicit val sqlCtx: org.apache.spark.sql.SQLContext =
@@ -153,10 +158,12 @@ object Grpc {
             val n = varint().toInt
             val wrapper = java.util.Arrays.copyOfRange(req, i, i + n)
             i += n
-            graft.codecs.NativeCodec.decodeWrapper(wrapper) match {
+            // one malformed wrapper must not fail the whole PushEvents
+            // RPC (which would drop every event in the batch)
+            try graft.codecs.NativeCodec.decodeWrapper(wrapper) match {
               case null => ()
               case (kind, json) => events += ((json, kind))
-            }
+            } catch { case _: Exception => () }
           } else i = req.length
         }
         val built = events.result()
@@ -165,7 +172,7 @@ object Grpc {
         if (built.nonEmpty) mem.synchronized { mem.addData(built) }
       }
       Array.emptyByteArray // PushEventsResponse / HealthCheckResponse {}
-    })
+    }, bindHost)
     def boundPort: Int = server.boundPort
     def df: org.apache.spark.sql.DataFrame =
       mem.toDF().selectExpr("_1 as message", "_2 as __event_kind")

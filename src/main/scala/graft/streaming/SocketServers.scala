@@ -29,7 +29,8 @@ object SocketServers {
     */
   final class TcpLineServer(spark: SparkSession, port: Int,
                             framing: String = "newline_delimited",
-                            tls: Option[javax.net.ssl.SSLContext] = None) {
+                            tls: Option[javax.net.ssl.SSLContext] = None,
+                            maxLength: Int = 102400) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     private implicit val sqlCtx: org.apache.spark.sql.SQLContext =
@@ -59,15 +60,32 @@ object SocketServers {
           digits.append(c.toChar); c = pb.read()
         }
         if (c == ' ' && digits.nonEmpty) {
-          val n = digits.toString.toInt
-          val buf = new Array[Byte](n)
-          var got = 0
-          var r = 0
-          while (got < n && r >= 0) {
-            r = pb.read(buf, got, n - got)
-            if (r > 0) got += r
+          // Cap the declared length (reference default_max_length =
+          // 100 KiB, serde.rs:24) — an attacker-controlled length must
+          // not drive the allocation. Parse as Long so 10 digits can't
+          // throw on toInt overflow; oversized frames are drained and
+          // discarded, the connection stays up (reference discards
+          // over-limit input).
+          val declared = digits.toString.toLong
+          if (declared > maxLength) {
+            var toSkip = declared
+            while (toSkip > 0 && ok) {
+              val skipped = pb.skip(toSkip)
+              if (skipped <= 0) {
+                if (pb.read() < 0) ok = false else toSkip -= 1
+              } else toSkip -= skipped
+            }
+          } else {
+            val n = declared.toInt
+            val buf = new Array[Byte](n)
+            var got = 0
+            var r = 0
+            while (got < n && r >= 0) {
+              r = pb.read(buf, got, n - got)
+              if (r > 0) got += r
+            }
+            if (got == n) emit(new String(buf, "UTF-8")) else ok = false
           }
-          if (got == n) emit(new String(buf, "UTF-8")) else ok = false
         } else if (c < 0) ok = false
         else {
           // not octet-counted — treat as newline-framed line
@@ -108,7 +126,10 @@ object SocketServers {
                 .foreach(l => mem.synchronized { mem.addData(l) })
             }
         }
-      } catch { case _: java.io.IOException => () }
+      } catch {
+        case _: java.io.IOException => ()
+        case _: NumberFormatException => () // malformed frame length
+      }
       finally sock.close()
     }
 
@@ -193,8 +214,9 @@ object SocketServers {
 
   def tcp(spark: SparkSession, port: Int,
           framing: String = "newline_delimited",
-          tls: Option[javax.net.ssl.SSLContext] = None): TcpLineServer =
-    new TcpLineServer(spark, port, framing, tls)
+          tls: Option[javax.net.ssl.SSLContext] = None,
+          maxLength: Int = 102400): TcpLineServer =
+    new TcpLineServer(spark, port, framing, tls, maxLength)
 
   def udp(spark: SparkSession, port: Int): UdpLineServer =
     new UdpLineServer(spark, port)

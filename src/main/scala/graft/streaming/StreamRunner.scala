@@ -242,7 +242,8 @@ object StreamRunner {
     * share.
     */
   final class OtlpHttpSource(spark: SparkSession, port: Int = 0,
-                             grpcPort: Option[Int] = None) {
+                             grpcPort: Option[Int] = None,
+                             grpcHost: String = "0.0.0.0") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     import graft.codecs.ProtobufCodec
@@ -281,7 +282,7 @@ object StreamRunner {
           else throw new IllegalArgumentException(s"unknown rpc $path")
         if (req.nonEmpty) sink.synchronized { sink.addData(req) }
         Array.emptyByteArray // empty Export*ServiceResponse
-      }))
+      }, grpcHost))
     def grpcBoundPort: Option[Int] = grpcServer.map(_.boundPort)
 
     /** `<id>.logs` output: one event per LogRecord. */
@@ -390,8 +391,9 @@ object StreamRunner {
   }
 
   def otlpHttp(spark: SparkSession, port: Int = 0,
-               grpcPort: Option[Int] = None): OtlpHttpSource =
-    new OtlpHttpSource(spark, port, grpcPort)
+               grpcPort: Option[Int] = None,
+               grpcHost: String = "0.0.0.0"): OtlpHttpSource =
+    new OtlpHttpSource(spark, port, grpcPort, grpcHost)
 
   /** `prometheus` scrape source (reference src/sources/prometheus/
     * scrape.rs): http_client poll + exposition-text decode; comment and

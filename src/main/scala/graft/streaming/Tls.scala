@@ -21,7 +21,8 @@ object Tls {
                           crtFile: Option[String] = None,
                           keyFile: Option[String] = None,
                           caFile: Option[String] = None,
-                          verifyCertificate: Boolean = true)
+                          verifyCertificate: Boolean = true,
+                          verifyHostname: Boolean = true)
 
   /** Parse the YAML `tls:` block (absent block = disabled). */
   def configOf(m: Map[String, Any]): Config =
@@ -31,7 +32,9 @@ object Tls {
       keyFile = m.get("key_file").map(_.toString),
       caFile = m.get("ca_file").map(_.toString),
       verifyCertificate =
-        m.getOrElse("verify_certificate", "true").toString.toBoolean)
+        m.getOrElse("verify_certificate", "true").toString.toBoolean,
+      verifyHostname =
+        m.getOrElse("verify_hostname", "true").toString.toBoolean)
 
   private def readPem(path: String): Array[Byte] =
     java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
@@ -108,8 +111,50 @@ object Tls {
     ctx
   }
 
-  /** The socket-factory hook for client transports: plain or TLS. */
+  /** Enable RFC 6125 hostname verification on an SSLSocket before its
+    * handshake — without this, any certificate signed by a trusted CA
+    * for a *different* host would pass (MITM). The reference's
+    * TlsConfig has `verify_hostname` defaulting to true
+    * (src/tls/settings.rs).
+    */
+  private def withEndpointId(s: java.net.Socket): java.net.Socket = s match {
+    case ssl: javax.net.ssl.SSLSocket =>
+      val p = ssl.getSSLParameters
+      p.setEndpointIdentificationAlgorithm("HTTPS")
+      ssl.setSSLParameters(p)
+      ssl
+    case other => other
+  }
+
+  /** SocketFactory decorator applying hostname verification to every
+    * socket it hands out.
+    */
+  private final class VerifyingFactory(inner: javax.net.SocketFactory)
+      extends javax.net.SocketFactory {
+    override def createSocket(): java.net.Socket =
+      withEndpointId(inner.createSocket())
+    def createSocket(h: String, p: Int): java.net.Socket =
+      withEndpointId(inner.createSocket(h, p))
+    def createSocket(h: String, p: Int, lh: java.net.InetAddress,
+                     lp: Int): java.net.Socket =
+      withEndpointId(inner.createSocket(h, p, lh, lp))
+    def createSocket(a: java.net.InetAddress, p: Int): java.net.Socket =
+      withEndpointId(inner.createSocket(a, p))
+    def createSocket(a: java.net.InetAddress, p: Int,
+                     la: java.net.InetAddress, lp: Int): java.net.Socket =
+      withEndpointId(inner.createSocket(a, p, la, lp))
+  }
+
+  /** The socket-factory hook for client transports: plain or TLS.
+    * TLS sockets get endpoint identification unless the config opts out
+    * via `verify_hostname: false` (and verification is meaningless when
+    * the chain itself isn't verified).
+    */
   def clientSocketFactory(cfg: Config): javax.net.SocketFactory =
-    if (cfg.enabled) clientContext(cfg).getSocketFactory
-    else javax.net.SocketFactory.getDefault
+    if (cfg.enabled) {
+      val base = clientContext(cfg).getSocketFactory
+      if (cfg.verifyHostname && cfg.verifyCertificate)
+        new VerifyingFactory(base)
+      else base
+    } else javax.net.SocketFactory.getDefault
 }

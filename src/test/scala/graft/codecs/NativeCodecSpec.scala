@@ -167,4 +167,146 @@ class NativeCodecSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .toSeq == Seq((1L, "alpha", "log"), (2L, "beta", "log")))
   }
+
+  test("metric arm decodes the REAL Metric schema (event.proto Metric)") {
+    // A real vector agent's metric: name=1 is a plain string (NOT a
+    // map entry) — hand-build EventWrapper{ metric { name, timestamp,
+    // tags_v1, kind=Absolute, counter, namespace } } and decode.
+    def vint(o: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { o.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      o.write(v.toInt)
+    }
+    def ld(o: java.io.ByteArrayOutputStream, no: Int, p: Array[Byte]): Unit = {
+      vint(o, (no.toLong << 3) | 2); vint(o, p.length.toLong); o.write(p)
+    }
+    def dbl(o: java.io.ByteArrayOutputStream, no: Int, d: Double): Unit = {
+      vint(o, (no.toLong << 3) | 1)
+      var x = java.lang.Double.doubleToLongBits(d)
+      (0 until 8).foreach { _ => o.write((x & 0xFF).toInt); x >>>= 8 }
+    }
+    val metric = new java.io.ByteArrayOutputStream()
+    ld(metric, 1, "requests_total".getBytes("UTF-8"))
+    val ts = new java.io.ByteArrayOutputStream()
+    vint(ts, (1L << 3) | 0); vint(ts, 1700000000L)
+    ld(metric, 2, ts.toByteArray)
+    val tag = new java.io.ByteArrayOutputStream()
+    ld(tag, 1, "host".getBytes("UTF-8"))
+    ld(tag, 2, "web-1".getBytes("UTF-8"))
+    ld(metric, 3, tag.toByteArray)
+    vint(metric, (4L << 3) | 0); vint(metric, 1L) // kind = Absolute
+    val counter = new java.io.ByteArrayOutputStream()
+    dbl(counter, 1, 42.5)
+    ld(metric, 5, counter.toByteArray)
+    ld(metric, 11, "app".getBytes("UTF-8"))
+    val wrapper = new java.io.ByteArrayOutputStream()
+    ld(wrapper, 2, metric.toByteArray)
+    val (kind, json) = NativeCodec.decodeWrapper(wrapper.toByteArray)
+    assert(kind == "metric")
+    val m = graft.functions.JsonLite.parse(json)
+      .asInstanceOf[java.util.Map[String, Any]]
+    assert(m.get("name") == "requests_total", json)
+    assert(m.get("kind") == "absolute", json)
+    assert(m.get("namespace") == "app", json)
+    assert(m.get("timestamp") == "2023-11-14T22:13:20Z", json)
+    assert(m.get("counter").asInstanceOf[java.util.Map[String, Any]]
+      .get("value") == java.lang.Double.valueOf(42.5), json)
+    assert(m.get("tags").asInstanceOf[java.util.Map[String, Any]]
+      .get("host") == "web-1", json)
+  }
+
+  test("metric arm: distribution, histogram, summary, set, sketch") {
+    def vint(o: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { o.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      o.write(v.toInt)
+    }
+    def ld(o: java.io.ByteArrayOutputStream, no: Int, p: Array[Byte]): Unit = {
+      vint(o, (no.toLong << 3) | 2); vint(o, p.length.toLong); o.write(p)
+    }
+    def dbl(o: java.io.ByteArrayOutputStream, no: Int, d: Double): Unit = {
+      vint(o, (no.toLong << 3) | 1)
+      var x = java.lang.Double.doubleToLongBits(d)
+      (0 until 8).foreach { _ => o.write((x & 0xFF).toInt); x >>>= 8 }
+    }
+    def metricWrapper(body: java.io.ByteArrayOutputStream => Unit): String = {
+      val metric = new java.io.ByteArrayOutputStream()
+      ld(metric, 1, "m".getBytes("UTF-8"))
+      body(metric)
+      val w = new java.io.ByteArrayOutputStream()
+      ld(w, 2, metric.toByteArray)
+      val (kind, json) = NativeCodec.decodeWrapper(w.toByteArray)
+      assert(kind == "metric"); json
+    }
+    // Distribution2 { samples { value=1.5 rate=3 }, statistic=summary }
+    val dist = metricWrapper { m =>
+      val sample = new java.io.ByteArrayOutputStream()
+      dbl(sample, 1, 1.5); vint(sample, (2L << 3) | 0); vint(sample, 3L)
+      val d = new java.io.ByteArrayOutputStream()
+      ld(d, 1, sample.toByteArray)
+      vint(d, (2L << 3) | 0); vint(d, 1L)
+      ld(m, 12, d.toByteArray)
+    }
+    assert(dist.contains("\"distribution\""), dist)
+    assert(dist.contains("\"value\":1.5") && dist.contains("\"rate\":3"), dist)
+    assert(dist.contains("\"statistic\":\"summary\""), dist)
+    // AggregatedHistogram3 { buckets { upper_limit=0.5 count=7 },
+    // count=7, sum=2.25 }
+    val hist = metricWrapper { m =>
+      val bucket = new java.io.ByteArrayOutputStream()
+      dbl(bucket, 1, 0.5); vint(bucket, (2L << 3) | 0); vint(bucket, 7L)
+      val h = new java.io.ByteArrayOutputStream()
+      ld(h, 1, bucket.toByteArray)
+      vint(h, (2L << 3) | 0); vint(h, 7L)
+      dbl(h, 3, 2.25)
+      ld(m, 16, h.toByteArray)
+    }
+    assert(hist.contains("\"aggregated_histogram\""), hist)
+    assert(hist.contains("\"upper_limit\":0.5") &&
+      hist.contains("\"count\":7") && hist.contains("\"sum\":2.25"), hist)
+    // AggregatedSummary3 { quantiles { quantile=0.99 value=9.5 } }
+    val summ = metricWrapper { m =>
+      val q = new java.io.ByteArrayOutputStream()
+      dbl(q, 1, 0.99); dbl(q, 2, 9.5)
+      val s = new java.io.ByteArrayOutputStream()
+      ld(s, 1, q.toByteArray)
+      vint(s, (2L << 3) | 0); vint(s, 1L)
+      dbl(s, 3, 9.5)
+      ld(m, 17, s.toByteArray)
+    }
+    assert(summ.contains("\"aggregated_summary\""), summ)
+    assert(summ.contains("\"quantile\":0.99") &&
+      summ.contains("\"value\":9.5"), summ)
+    // Set { values = ["a", "b"] }
+    val set = metricWrapper { m =>
+      val s = new java.io.ByteArrayOutputStream()
+      ld(s, 1, "a".getBytes("UTF-8")); ld(s, 1, "b".getBytes("UTF-8"))
+      ld(m, 7, s.toByteArray)
+    }
+    assert(set.contains("\"set\":{\"values\":[\"a\",\"b\"]}"), set)
+    // Sketch { AgentDDSketch { count=2, k=[-1,1] zigzag packed, n=[1,1] } }
+    val sk = metricWrapper { m =>
+      val a = new java.io.ByteArrayOutputStream()
+      vint(a, (1L << 3) | 0); vint(a, 2L)
+      val ks = new java.io.ByteArrayOutputStream()
+      vint(ks, 1L); vint(ks, 2L) // zigzag(-1)=1, zigzag(1)=2
+      ld(a, 6, ks.toByteArray)
+      val ns = new java.io.ByteArrayOutputStream()
+      vint(ns, 1L); vint(ns, 1L)
+      ld(a, 7, ns.toByteArray)
+      val s = new java.io.ByteArrayOutputStream()
+      ld(s, 1, a.toByteArray)
+      ld(m, 15, s.toByteArray)
+    }
+    assert(sk.contains("\"AgentDDSketch\""), sk)
+    assert(sk.contains("\"k\":[-1,1]") && sk.contains("\"n\":[1,1]"), sk)
+  }
+
+  test("one malformed wrapper does not poison a PushEvents batch") {
+    // truncated metric bytes decode to an exception inside
+    // decodeWrapper; VectorPushSource guards per-wrapper, so the valid
+    // log in the same request survives (ADVICE r9)
+    val bad = Array[Byte](0x12, 0x05, 0x0A, 0x7F, 0x7F) // metric, garbage
+    intercept[Exception] { NativeCodec.decodeWrapper(bad) }
+  }
 }

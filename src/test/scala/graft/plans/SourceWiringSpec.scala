@@ -382,6 +382,42 @@ class SourceWiringSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("run: syslog octet frames over max_length are discarded, " +
+      "connection survives") {
+    val running = ConfigLoader.run(spark,
+      """
+        |sources:
+        |  in:
+        |    type: syslog
+        |    mode: tcp
+        |    address: 127.0.0.1:0
+        |    max_length: 64
+        |sinks:
+        |  syslog_cap_tap:
+        |    type: memory
+        |    inputs: [in]
+        |""".stripMargin, sf, tmpWork("syslogcap"))
+    try {
+      val port = ConfigLoader.lastAgentPort
+      val big = "<165>1 2024-02-13T21:53:30.605Z host1 app - ID47 - " +
+        ("x" * 100) // 151 bytes > max_length=64 → drained, discarded
+      val ok = "<165>1 2024-02-13T21:53:30.605Z host2 app - ID48 - kept"
+      val sock = new java.net.Socket("127.0.0.1", port)
+      val out = sock.getOutputStream
+      out.write(s"${big.length} $big".getBytes("UTF-8"))
+      out.write(s"${ok.length} $ok".getBytes("UTF-8"))
+      out.flush()
+      sock.close()
+      eventually() {
+        running.processAllAvailable()
+        val rows = spark.table("syslog_cap_tap").collect()
+        assert(rows.length == 1, rows.toSeq)
+        assert(rows(0).getAs[String]("hostname") == "host2")
+        assert(rows(0).getAs[String]("message") == "kept")
+      }
+    } finally running.stopAll()
+  }
+
   test("run: statsd udp source decodes lines to metric rows") {
     val running = ConfigLoader.run(spark,
       """
