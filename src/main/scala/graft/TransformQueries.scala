@@ -460,6 +460,53 @@ object TransformQueries {
         .orderBy(col("event_id"), col("origin"))
     },
 
+    // same DAG again, but the sink collects its fan-in via a WILDCARD
+    // `inputs: ["tag_*"]` — the reference glob-expands component
+    // references at config compile (compiler.rs:27,167); the sink picks
+    // up tag_err + tag_high without naming them
+    "topology_glob" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  events:
+          |    type: parquet
+          |    table: events
+          |transforms:
+          |  remap:
+          |    type: remap
+          |    inputs: [events]
+          |    source: |
+          |      .severity = if .event_type == "error" { 3 } else { 6 }
+          |  route:
+          |    type: route
+          |    inputs: [remap]
+          |    route:
+          |      error: '.event_type == "error"'
+          |      rest: '.event_type != "error"'
+          |  tag_err:
+          |    type: remap
+          |    inputs: [route.error]
+          |    source: |
+          |      .origin = "error"
+          |  high:
+          |    type: filter
+          |    inputs: [route.rest]
+          |    condition: '.value > 150.0'
+          |  tag_high:
+          |    type: remap
+          |    inputs: [high]
+          |    source: |
+          |      .origin = "high"
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: ["tag_*"]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("event_id"), col("severity"), col("origin"))
+        .orderBy(col("event_id"), col("origin"))
+    },
+
     "topology_yaml2" -> { (s, dir) =>
       // round-7 registry widening: a config file driving FOUR newly
       // YAML-wired surfaces — a datadog_search condition, throttle,
@@ -802,6 +849,15 @@ object TransformQueries {
         |ORDER BY event_id, origin""".stripMargin,
 
     "topology_yaml" ->
+      """SELECT event_id, severity, origin FROM (
+        |  SELECT event_id, CAST(3 AS BIGINT) AS severity, 'error' AS origin
+        |  FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT event_id, CAST(6 AS BIGINT), 'high' FROM events
+        |  WHERE event_type <> 'error' AND value > 150.0)
+        |ORDER BY event_id, origin""".stripMargin,
+
+    "topology_glob" ->
       """SELECT event_id, severity, origin FROM (
         |  SELECT event_id, CAST(3 AS BIGINT) AS severity, 'error' AS origin
         |  FROM events WHERE event_type = 'error'

@@ -61,7 +61,68 @@ object Topology {
   /** Compile + run: validates ids, edges, types, acyclicity, then wires
     * every component. Returns the per-sink DataFrames.
     */
-  def build(spark: SparkSession, components: Seq[Component]): Built = {
+  /** Glob pattern → regex (the subset of the reference's `glob` crate
+    * that component ids exercise: `*`, `?`, `[...]` / `[!...]`).
+    */
+  private def globRegex(pat: String): java.util.regex.Pattern = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < pat.length) {
+      pat.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          val close = pat.indexOf(']', i + 2) // allow ] as first member
+          if (close < 0) { sb.append("\\["); }
+          else {
+            val body0 = pat.substring(i + 1, close)
+            val body = if (body0.startsWith("!")) "^" + body0.substring(1)
+                       else body0
+            sb.append('[').append(body.replace("\\", "\\\\")).append(']')
+            i = close
+          }
+        case c if "\\.^$+{}()|".indexOf(c) >= 0 => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    java.util.regex.Pattern.compile(sb.append('$').toString)
+  }
+
+  /** Compile-time wildcard expansion of `inputs:` references
+    * (compiler.rs:27 `expand_globs` / :245 `expand_globs_inner`): each
+    * input is tried as a glob against every producer id (self excluded);
+    * matches replace the entry in candidate order. A ref that matches
+    * nothing stays as-is, so the unknown-input error downstream names
+    * the raw reference — the reference's exact fallback semantics.
+    */
+  def expandGlobInputs(components: Seq[Component]): Seq[Component] = {
+    // candidate producers in config order: sources, then transforms
+    // (compiler.rs builds the IndexSet in that order)
+    val candidates =
+      components.collect { case s: Source => s.id } ++
+      components.collect { case t: Transform => t.id }
+    def expand(selfId: String, inputs: Seq[String]): Seq[String] = {
+      val out = inputs.flatMap { raw =>
+        if (!raw.exists(c => c == '*' || c == '?' || c == '[')) Seq(raw)
+        else {
+          val rx = globRegex(raw)
+          val hits = candidates.filter(c =>
+            c != selfId && rx.matcher(c).matches())
+          if (hits.nonEmpty) hits else Seq(raw)
+        }
+      }
+      out.distinct // overlapping patterns must not double a fan-in edge
+    }
+    components.map {
+      case t: Transform => t.copy(inputs = expand(t.id, t.inputs))
+      case s: Sink      => s.copy(inputs = expand(s.id, s.inputs))
+      case other        => other
+    }
+  }
+
+  def build(spark: SparkSession, components0: Seq[Component]): Built = {
+    val components = expandGlobInputs(components0)
     val byId = components.map(c => c.id -> c).toMap
     require(byId.size == components.size, "duplicate component ids")
 

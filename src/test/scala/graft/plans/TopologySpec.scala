@@ -7,6 +7,8 @@ import graft.plans.Topology.{Sink, Source, Transform}
 class TopologySpec extends SparkSpec {
   import spark.implicits._
 
+  private val sf = "/root/testdata/sf0.001"
+
   private def src(id: String, t: Topology.DataType = Topology.Log) =
     Source(id, t, sp => { import sp.implicits._; Seq((1, "a"), (2, "b")).toDF("id", "v") })
 
@@ -73,5 +75,75 @@ class TopologySpec extends SparkSpec {
         src("s"), Sink("out", Seq("nope"), Topology.Any)))
     }
     assert(ex.getMessage.contains("unknown input"))
+  }
+
+  test("wildcard inputs glob-expand at compile (compiler.rs semantics)") {
+    // mirrors the reference's compiler.rs glob_expansion test: sources
+    // foo1/foo2/bar, transform foos <- foo*, sinks baz <- [foos*, b*],
+    // quix <- [*oo*], quux <- [*]
+    def inputsOf(cs: Seq[Topology.Component], id: String): Seq[String] =
+      Topology.expandGlobInputs(cs).collectFirst {
+        case t: Transform if t.id == id => t.inputs
+        case s: Sink if s.id == id => s.inputs
+      }.get
+    val comps = Seq[Topology.Component](
+      src("foo1"), src("foo2"), src("bar"),
+      Transform.simple("foos", Seq("foo*"), identity),
+      Sink("baz", Seq("foos*", "b*"), Topology.Any),
+      Sink("quix", Seq("*oo*"), Topology.Any),
+      Sink("quux", Seq("*"), Topology.Any))
+    assert(inputsOf(comps, "foos") == Seq("foo1", "foo2"))
+    // baz: foos* -> foos; b* -> bar (baz itself excluded: not a candidate)
+    assert(inputsOf(comps, "baz") == Seq("foos", "bar"))
+    assert(inputsOf(comps, "quix") == Seq("foo1", "foo2", "foos"))
+    assert(inputsOf(comps, "quux") == Seq("foo1", "foo2", "bar", "foos"))
+  }
+
+  test("glob expansion: self-exclusion, no-match fallback, ? and [ ]") {
+    // a transform whose pattern matches its own id must not self-loop
+    val built = Topology.build(spark, Seq(
+      src("app_a"), src("app_b"),
+      Transform.simple("app_all", Seq("app_*"),
+        _.withColumn("t", lit(1))),
+      Sink("out", Seq("app_all"), Topology.Any)))
+    assert(built.sink("out").count() == 4) // app_a + app_b unioned
+    // ? and [ ] classes expand too
+    val q = Topology.build(spark, Seq(
+      src("s1"), src("s2"), src("t3"),
+      Sink("out", Seq("s?", "[t]3"), Topology.Any)))
+    assert(q.sink("out").count() == 6)
+    // a glob matching NOTHING stays as-is -> accurate unknown-input error
+    val ex = intercept[IllegalArgumentException] {
+      Topology.build(spark, Seq(
+        src("s"), Sink("out", Seq("zzz_*"), Topology.Any)))
+    }
+    assert(ex.getMessage.contains("unknown input 'zzz_*'"))
+  }
+
+  test("yaml surface: a sink collects service_* routes via glob") {
+    val built = ConfigLoader.load(spark,
+      """
+        |sources:
+        |  ev:
+        |    type: parquet
+        |    table: events
+        |transforms:
+        |  service_err:
+        |    type: filter
+        |    inputs: [ev]
+        |    condition: '.event_type == "error"'
+        |  service_buy:
+        |    type: filter
+        |    inputs: [ev]
+        |    condition: '.event_type == "purchase"'
+        |sinks:
+        |  collect:
+        |    type: parquet
+        |    inputs: ["service_*"]
+        |""".stripMargin, sf)
+    val got = built.sink("collect").count()
+    val want = graft.Graft.table(spark, sf, "events")
+      .filter(col("event_type").isin("error", "purchase")).count()
+    assert(got == want && got > 0)
   }
 }
