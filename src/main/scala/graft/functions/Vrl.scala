@@ -124,7 +124,8 @@ object Vrl {
     val g = RegexStruct(c, pat,
       Seq("host", "ident", "user", "timestamp", "method", "path",
         "protocol", "status", "size"))
-    struct(
+    // no match → null (a VRL runtime error), not an empty shell
+    when(g.getField("host").isNotNull, struct(
       g.getField("host").as("host"),
       nullif(g.getField("ident"), lit("-")).as("identity"),
       g.getField("user").as("user"),
@@ -135,7 +136,7 @@ object Vrl {
       g.getField("path").as("path"),
       g.getField("protocol").as("protocol"),
       g.getField("status").cast("int").as("status"),
-      nullif(g.getField("size"), lit("-")).cast("long").as("size"))
+      nullif(g.getField("size"), lit("-")).cast("long").as("size")))
   }
 
   /** parse_apache_log("error"): `[ts] [module:level] [pid N] [client ip] msg`. */
@@ -1765,7 +1766,10 @@ object Vrl {
     val pri = coalesce(g5.getField("pri").cast("int"),
       g3.getField("priority"))
     val tsPattern = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS][.SS][.S]XXX"
-    struct(
+    // unparseable input is a VRL runtime ERROR (null here): neither the
+    // 5424 nor the 3164 pattern matched → whole result null, so `??`
+    // chains fall through (coalesce.cue) and `parse_syslog!` errors
+    when(pri.isNotNull, struct(
       toSyslogFacility((pri / 8).cast("int")).as("facility"),
       toSyslogLevel(pmod(pri, lit(8))).as("severity"),
       coalesce(to_timestamp(g5.getField("timestamp"), tsPattern),
@@ -1778,7 +1782,7 @@ object Vrl {
         g3.getField("procid")).as("procid"),
       nullif(g5.getField("msgid"), lit("-")).as("msgid"),
       g5.getField("version").cast("long").as("version"),
-      coalesce(g5.getField("message"), g3.getField("message")).as("message"))
+      coalesce(g5.getField("message"), g3.getField("message")).as("message")))
   }
 
   /** ip_subnet(ip, subnet): subnet is `/prefix` or a netmask string; the

@@ -255,6 +255,9 @@ object VrlCompiler {
   private def stmt(env: Env, s: Stmt): Env = s match {
     case AbortS(_) => env.copy(aborted = lit(true))
 
+    // parser-desugared chained assignment — apply in order
+    case SeqS(ss) => ss.foldLeft(env)(stmt)
+
     // secrets live in a `__secrets` map column alongside the event
     // (reference: §1.4 event metadata/secrets, vector-vrl/functions/src/
     // set_secret.rs) — set/remove rebind the map, get reads it
@@ -638,11 +641,23 @@ object VrlCompiler {
     */
   private def compileIf(env: Env, branches: List[(Expr, Block)],
                         elseB: Option[Block]): (Env, CV) = {
-    // conditions are evaluated in the pre-branch env (VRL evaluates the
-    // predicate before the block, and earlier arms win)
-    val conds = branches.map { case (c, _) => expr(env, c)._1.col }
-    val arms = branches.map { case (_, b) => block(env, b) }
-    val elseArm = elseB.map(b => block(env, b))
+    // conditions evaluate in order, THREADING env effects between them
+    // (if.cue "Multiline expression": `if (x = x + 1; x == 5) {} else
+    // if (x = x + 1; x == 5) {}` — the second predicate sees the first
+    // one's increment); each arm body sees the env as of its predicate
+    var condEnv = env
+    val condArms = branches.map { case (c, b) =>
+      val (cv, envAfter) = c match {
+        case blk: BlockE =>
+          val (e2, v) = block(condEnv, blk.b); (v, e2)
+        case other => (expr(condEnv, other)._1, condEnv)
+      }
+      condEnv = envAfter
+      (cv.col, block(condEnv, b))
+    }
+    val conds = condArms.map(_._1)
+    val arms = condArms.map(_._2)
+    val elseArm = elseB.map(b => block(condEnv, b))
 
     def phi(sel: Env => Map[String, CV], keys: Iterable[String]): Map[String, CV] =
       keys.map { k =>
@@ -702,6 +717,14 @@ object VrlCompiler {
     * of the final expression statement (block.cue).
     */
   private def block(env: Env, b: Block): (Env, CV) = {
+    // an assignment's value is the assigned value (assignment.cue:
+    // `.my_field = my_variable` as a final statement returns it; so
+    // does `x |= {..}`) — read the target back from the post-stmt env
+    def targetValue(e2: Env, t: Target): CV = t match {
+      case PathT(segs) => expr(e2, PathE(segs))._1
+      case VarT(n0) => expr(e2, VarE(n0))._1
+      case MetaT => expr(e2, MetaE)._1
+    }
     var cur = env
     var last = CV(lit(null), TAny)
     b.stmts.foreach {
@@ -712,6 +735,20 @@ object VrlCompiler {
         val (v, errCond) = expr(cur, e)
         cur = errCond.foldLeft(cur)((en, c) => en.withError(c))
         last = v
+      case a @ Assign(t, _, _) =>
+        cur = stmt(cur, a)
+        last = targetValue(cur, t)
+      case m @ MergeAssign(t, _, _) =>
+        cur = stmt(cur, m)
+        last = targetValue(cur, t)
+      case sq @ SeqS(ss) =>
+        cur = stmt(cur, sq)
+        // chain desugar assigns the innermost target first — its value
+        // is the chain's value
+        last = ss.headOption match {
+          case Some(Assign(t, _, _)) => targetValue(cur, t)
+          case _ => CV(lit(null), TAny)
+        }
       case other =>
         cur = stmt(cur, other)
         last = CV(lit(null), TAny)
@@ -725,6 +762,17 @@ object VrlCompiler {
   private def expr(env: Env, e: Expr): (CV, Option[Column]) = e match {
     case LitS(v) => (CV(lit(v), TStr), None)
     case LitR(v) => (CV(lit(v), TRegex), None)
+    case LitT(v) =>
+      // timestamp literal: resolve to an instant at COMPILE time so
+      // comparisons are absolute-time, not lexical (comparison.cue)
+      val inst =
+        try java.time.OffsetDateTime.parse(v).toInstant
+        catch { case _: Exception =>
+          try java.time.Instant.parse(v)
+          catch { case _: Exception =>
+            java.time.LocalDateTime.parse(v)
+              .toInstant(java.time.ZoneOffset.UTC) } }
+      (CV(lit(java.sql.Timestamp.from(inst)), TTs), None)
     case LitI(v) => (CV(lit(v), TInt), None)
     case LitF(v) => (CV(lit(v), TFloat), None)
     case LitB(v) => (CV(lit(v), TBool), None)
@@ -747,7 +795,10 @@ object VrlCompiler {
       (mergeCV(env, lv, rv), (e1.toSeq ++ e2.toSeq).reduceOption(_ || _))
 
     case MetaE =>
-      (env.fields.getOrElse("__metadata", CV(lit(null), TAny)), None)
+      // unset metadata root reads as an EMPTY OBJECT (path.cue "Root
+      // metadata path": `%` returns {}), and field reads miss to null
+      (env.fields.getOrElse("__metadata",
+        CV(from_json(lit("{}"), MapType(StringType, StringType)), TMap)), None)
 
     case PathE(FieldSeg(f) :: rest) =>
       env.fields.get(f) match {
@@ -804,6 +855,14 @@ object VrlCompiler {
       // expression-position if: env effects inside branches are local
       // phi-merges; the value is the merged branch value
       (compileIf(env, branches, elseB)._2, None)
+
+    case BlockE(b) =>
+      // expression-position block (block.cue): statements run in a local
+      // scope copy; the value is the final expression's value. A
+      // bang-call error inside propagates (the enclosing statement's
+      // drop_on_error semantics), surfaced iff the block changed it.
+      val (env2, v) = block(env, b)
+      (v, if (env2.errored eq env.errored) None else Some(env2.errored))
 
     case UnE("!", inner) =>
       val (cv, err) = expr(env, inner)
@@ -1230,15 +1289,42 @@ object VrlCompiler {
     case ">" => CV(l.col > r.col, TBool)
     case ">=" => CV(l.col >= r.col, TBool)
     case "&&" => CV(l.col && r.col, TBool)
-    case "||" => CV(l.col || r.col, TBool)
+    case "||" =>
+      // VRL's `||` is VALUE-producing (logical.cue): a falsy lhs
+      // (false or null) yields the rhs VALUE — `false || "foo"` is
+      // "foo". Keep the pure-boolean form as a native OR (codegen).
+      if (l.t == TBool && r.t == TBool) CV(l.col || r.col, TBool)
+      else {
+        val falsy = l.t match {
+          case TBool => l.col.isNull || (l.col === lit(false))
+          case _ => l.col.isNull
+        }
+        if (l.t == r.t) CV(when(falsy, r.col).otherwise(l.col), l.t)
+        else CV(when(falsy, r.col.cast(VariantType))
+          .otherwise(l.col.cast(VariantType)), TVariant)
+      }
     case "??" =>
       // type unification: a variant arm coerces the other side to
-      // variant so coalesce analyzes (`parse_json(..) ?? "nope"`)
+      // variant so coalesce analyzes (`parse_json(..) ?? "nope"`);
+      // likewise two arms with DIFFERENT struct schemas, or a struct
+      // arm against a scalar (coalesce.cue: `parse_syslog(..) ??
+      // parse_common_log(..) ?? "malformed"`)
+      def variantize(cv: CV): Column = cv.t match {
+        case TVariant => cv.col
+        case TObj(_) => to_variant_object(cv.col)
+        case _ => cv.col.cast(VariantType)
+      }
       (l.t, r.t) match {
         case (TVariant, rt) if rt != TVariant =>
-          CV(coalesce(l.col, r.col.cast(VariantType)), TVariant)
+          CV(coalesce(l.col, variantize(r)), TVariant)
         case (lt, TVariant) if lt != TVariant =>
-          CV(coalesce(l.col.cast(VariantType), r.col), TVariant)
+          CV(coalesce(variantize(l), r.col), TVariant)
+        case (TObj(a), TObj(b)) if a != b =>
+          CV(coalesce(variantize(l), variantize(r)), TVariant)
+        case (TObj(_), rt) if !rt.isInstanceOf[TObj] =>
+          CV(coalesce(variantize(l), variantize(r)), TVariant)
+        case (lt, TObj(_)) if !lt.isInstanceOf[TObj] =>
+          CV(coalesce(variantize(l), variantize(r)), TVariant)
         case _ =>
           CV(coalesce(l.col, r.col), if (l.t == r.t) l.t else TAny)
       }

@@ -2,6 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+  StructField, StructType, TimestampType}
 
 /** The VRL stdlib surface exposed to [[VrlCompiler]] — maps VRL function
   * names onto the existing Column-level implementations in [[Vrl]] /
@@ -279,15 +281,38 @@ object VrlFunctions {
       case "parse_logfmt" => CV(Vrl.parseKeyValue(c(0)), TMap)
       case "parse_syslog" =>
         // published field names/types: facility+severity keywords, real
-        // timestamp, RFC 5424 first with 3164 fallback
-        CV(Vrl.parseSyslogNamed(c(0)), TAny)
+        // timestamp, RFC 5424 first with 3164 fallback. The VT carries
+        // the REAL struct schema so `??` unification can tell this
+        // object apart from other parsers' shapes (coalesce.cue).
+        CV(Vrl.parseSyslogNamed(c(0)), TObj(StructType(Seq(
+          StructField("facility", StringType),
+          StructField("severity", StringType),
+          StructField("timestamp", TimestampType),
+          StructField("hostname", StringType),
+          StructField("appname", StringType),
+          StructField("procid", LongType),
+          StructField("msgid", StringType),
+          StructField("version", LongType),
+          StructField("message", StringType)))))
       case "parse_common_log" =>
         val fmt = args.lift(1).orElse(named.get("timestamp_format"))
           .map(x => str(x, name, "timestamp_format"))
           .getOrElse("%d/%b/%Y:%T %z")
         val p = Vrl.parseCommonLog(c(0))
         CV(p.withField("timestamp",
-          to_timestamp(p.getField("timestamp"), strftimeToJava(fmt, forParse = true))), TAny)
+          to_timestamp(p.getField("timestamp"),
+            strftimeToJava(fmt, forParse = true))),
+          TObj(StructType(Seq(
+            StructField("host", StringType),
+            StructField("identity", StringType),
+            StructField("user", StringType),
+            StructField("timestamp", TimestampType),
+            StructField("message", StringType),
+            StructField("method", StringType),
+            StructField("path", StringType),
+            StructField("protocol", StringType),
+            StructField("status", IntegerType),
+            StructField("size", LongType)))))
       case "parse_apache_log" =>
         val fm = args.lift(1).map(x => str(x, name, "format")).getOrElse("common")
         if (fm == "error") CV(Vrl.parseApacheErrorLog(c(0)), TAny)

@@ -36,6 +36,11 @@ object VrlAst {
     * except where regex-ness is observable (tag_types_externally, split).
     */
   final case class LitR(v: String) extends Expr
+  /** `t'2024-04-04T22:22:22+01:00'` timestamp literal (literals.cue
+    * timestamp.cue): compares as an INSTANT, not a string
+    * (comparison.cue "Less than timestamps").
+    */
+  final case class LitT(v: String) extends Expr
   final case class LitI(v: Long) extends Expr
   final case class LitF(v: Double) extends Expr
   final case class LitB(v: Boolean) extends Expr
@@ -79,6 +84,14 @@ object VrlAst {
                           value: Expr) extends Stmt
   final case class ExprStmt(e: Expr) extends Stmt
   final case class AbortS(msg: Option[Expr]) extends Stmt
+  /** Desugared statement sequence (chained assignment `.a = .b = v`). */
+  final case class SeqS(stmts: List[Stmt]) extends Stmt
+  /** Block in EXPRESSION position (`x = { stmt; expr }`, expressions.cue
+    * block.cue) and parenthesized statement groups
+    * (`(x = x + 1; x == 5)`, if.cue "Multiline expression"): evaluates
+    * its statements, value = the final expression's value.
+    */
+  final case class BlockE(b: Block) extends Expr
 
   final case class Block(stmts: List[Stmt])
   final case class Program(stmts: List[Stmt])
@@ -95,6 +108,7 @@ object VrlParser {
   private sealed trait Tok { def pos: Int }
   private case class TStr(v: String, pos: Int) extends Tok
   private case class TRegex(v: String, pos: Int) extends Tok
+  private case class TTsL(v: String, pos: Int) extends Tok
   private case class TInt(v: Long, pos: Int) extends Tok
   private case class TFloat(v: Double, pos: Int) extends Tok
   private case class TIdent(v: String, pos: Int) extends Tok
@@ -152,9 +166,13 @@ object VrlParser {
           // surface the raw text as a string-ish token, escapes intact;
           // regexes keep a distinct token so regex-ness stays observable
           // (tag_types_externally, split literal-vs-regex)
-          val p = i; val isRe = c == 'r'; i += 1
+          val p = i; i += 1
           val body = scanString('\'', raw = true)
-          out += (if (isRe) TRegex(body, p) else TStr(body, p))
+          out += (c match {
+            case 'r' => TRegex(body, p)
+            case 't' => TTsL(body, p)
+            case _ => TStr(body, p)
+          })
         case d if d.isDigit =>
           val p = i
           while (i < n && (src(i).isDigit || src(i) == '_')) i += 1
@@ -299,7 +317,30 @@ object VrlParser {
               }
             } else if (isOp("=")) {
               advance(); skipNlInExpr()
-              return Assign(t1, None, expr())
+              // chained assignment `.first = .second = v`
+              // (assignment.cue "Double assignment"): collect targets,
+              // assign the innermost first, earlier targets read it back
+              val targets = List.newBuilder[Target]
+              targets += t1
+              var chaining = true
+              while (chaining) {
+                val mark2 = pos
+                parseTargetOpt() match {
+                  case Some(tn) if isOp("=") =>
+                    advance(); skipNlInExpr(); targets += tn
+                  case _ => pos = mark2; chaining = false
+                }
+              }
+              val ts = targets.result()
+              if (ts.length == 1) return Assign(t1, None, expr())
+              val value = expr()
+              def asExpr(t: Target): Expr = t match {
+                case PathT(segs) => PathE(segs)
+                case VarT(n0) => VarE(n0)
+                case MetaT => MetaE
+              }
+              return SeqS(Assign(ts.last, None, value) ::
+                ts.init.reverse.map(t => Assign(t, None, asExpr(ts.last))))
             } else if (isOp("|=")) {
               advance(); skipNlInExpr()
               return MergeAssign(t1, None, expr())
@@ -407,6 +448,7 @@ object VrlParser {
     private def primary(): Expr = cur match {
       case TStr(v, _) => advance(); LitS(v)
       case TRegex(v, _) => advance(); LitR(v)
+      case TTsL(v, _) => advance(); LitT(v)
       case TInt(v, _) => advance(); LitI(v)
       case TFloat(v, _) => advance(); LitF(v)
       case TPath(segs, _) => advance(); PathE(segs)
@@ -426,10 +468,23 @@ object VrlParser {
         }
       case TOp("%", _) => advance(); MetaE
       case TOp("(", _) =>
+        // parenthesized group: one expression, or a `;`/newline-separated
+        // statement sequence whose value is the last expression
+        // (if.cue "Multiline expression"). The tokenizer suppresses
+        // newlines inside parens, so statements self-delimit or use `;`.
         advance(); skipNlInExpr()
-        val e = expr()
-        skipNlInExpr(); eatOp(")")
-        e
+        val stmts = List.newBuilder[Stmt]
+        while (!isOp(")")) {
+          stmts += statement()
+          skipNlInExpr()
+          if (isOp(";")) { advance(); skipNlInExpr() }
+        }
+        eatOp(")")
+        stmts.result() match {
+          case List(ExprStmt(e)) => e
+          case Nil => throw VrlParseException("empty parentheses", cur.pos)
+          case ss => BlockE(Block(ss))
+        }
       case TOp("[", _) =>
         advance(); skipNlInExpr()
         val items = List.newBuilder[Expr]
@@ -441,21 +496,39 @@ object VrlParser {
         eatOp("]")
         ArrayE(items.result())
       case TOp("{", _) =>
-        advance(); skipNl()
-        val fields = List.newBuilder[(String, Expr)]
-        while (!isOp("}")) {
-          val key = cur match {
-            case TStr(v, _) => advance(); v
-            case TIdent(v, _) => advance(); v
-            case t => throw VrlParseException(s"expected object key, got $t", t.pos)
+        // `{` in expression position: an object literal iff the first
+        // token pair is `key:` (string or ident key); otherwise a BLOCK
+        // expression (block.cue — `x = { stmt; expr }`)
+        val isObject = {
+          var j = pos + 1
+          while (toks(j).isInstanceOf[TNl]) j += 1
+          toks(j) match {
+            case TOp("}", _) => true // empty {} = empty object
+            case TStr(_, _) | TIdent(_, _) => toks(j + 1) match {
+              case TOp(":", _) => true
+              case _ => false
+            }
+            case _ => false
           }
-          eatOp(":"); skipNlInExpr()
-          fields += ((key, expr()))
-          skipNl()
-          if (isOp(",")) { advance(); skipNl() }
         }
-        eatOp("}")
-        ObjectE(fields.result())
+        if (!isObject) BlockE(block())
+        else {
+          advance(); skipNl()
+          val fields = List.newBuilder[(String, Expr)]
+          while (!isOp("}")) {
+            val key = cur match {
+              case TStr(v, _) => advance(); v
+              case TIdent(v, _) => advance(); v
+              case t => throw VrlParseException(s"expected object key, got $t", t.pos)
+            }
+            eatOp(":"); skipNlInExpr()
+            fields += ((key, expr()))
+            skipNl()
+            if (isOp(",")) { advance(); skipNl() }
+          }
+          eatOp("}")
+          ObjectE(fields.result())
+        }
       case t => throw VrlParseException(s"unexpected token $t", t.pos)
     }
 
