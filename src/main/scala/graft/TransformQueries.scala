@@ -338,6 +338,41 @@ object TransformQueries {
         .orderBy(col("event_id"))
     },
 
+    // memory table, `filter: {type: bloom}` variant
+    // (src/enrichment_tables/memory/bloom_table.rs): keys seen by the
+    // feed (error events' user ids) populate the filter; the probe side
+    // is a pure projection over the broadcast word array. The md5-based
+    // lanes are recomputed EXACTLY by the oracle — false positives
+    // (if any) match bit-for-bit.
+    "enrich_bloom" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val t = graft.enrich.MemoryFilters.bloomTable(
+        e.filter(col("event_type") === "error")
+          .select(col("user_id").cast("string").as("k")),
+        col("k"), maxEntries = 1024)
+      e.select(col("event_id"), col("user_id"),
+          graft.enrich.MemoryFilters.bloomMember(
+            col("user_id").cast("string"), t).as("member"))
+        .orderBy(col("event_id"))
+    },
+
+    // memory table, `filter: {type: cuckoo}` variant (cuckoo_table.rs):
+    // all keys inserted (capacity-guarded), probes against the inserted
+    // set — no false negatives, and the returned fingerprint is the
+    // reference's uppercase hex, recomputed exactly by the oracle.
+    "enrich_cuckoo" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val t = graft.enrich.MemoryFilters.cuckooTable(
+        e.select(col("user_id").cast("string").as("k"), col("event_id")),
+        col("k"), col("event_id"), maxEntries = 4096)
+      graft.enrich.MemoryFilters.cuckooMember(
+          e, col("user_id").cast("string"), t)
+        .select(col("event_id"), col("user_id"), col("member"),
+          col("fingerprint"))
+        .distinct()
+        .orderBy(col("event_id"))
+    },
+
     "enrich_geoip" -> { (s, dir) =>
       val spark = s
       import spark.implicits._
@@ -792,6 +827,29 @@ object TransformQueries {
         |SELECT file, min(ord) AS first_order, CAST(count(*) AS BIGINT) AS n_lines,
         |  string_agg(line, chr(10) ORDER BY ord) AS message
         |FROM g GROUP BY file, grp ORDER BY file, first_order""".stripMargin,
+
+    "enrich_bloom" ->
+      """WITH lanes AS (SELECT * FROM generate_series(0,6) t(i)),
+        |ins AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k
+        |        FROM events WHERE event_type = 'error'),
+        |bits AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(k || ':' || CAST(i AS VARCHAR)),1,8))
+        |      AS BIGINT) % 9816 AS b
+        |  FROM ins CROSS JOIN lanes),
+        |pl AS (SELECT event_id, user_id,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+        |      CAST(i AS VARCHAR)),1,8)) AS BIGINT) % 9816 AS b
+        |  FROM events CROSS JOIN lanes)
+        |SELECT event_id, user_id,
+        |  bool_and(b IN (SELECT b FROM bits)) AS member
+        |FROM pl GROUP BY event_id, user_id ORDER BY event_id""".stripMargin,
+
+    "enrich_cuckoo" ->
+      """SELECT DISTINCT event_id, user_id, TRUE AS member,
+        |  upper(to_hex(CAST(('0x' ||
+        |    substr(md5('fp:' || CAST(user_id AS VARCHAR)),1,8))
+        |    AS BIGINT) % 255 + 1)) AS fingerprint
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "enrich_memory" ->
       """SELECT event_id, user_id, latest_value FROM events

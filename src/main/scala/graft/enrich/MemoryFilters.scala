@@ -27,18 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object MemoryFilters {
 
-  /** First 8 md5 bytes as an UNSIGNED value (BigInt keeps it exact and
-    * sign-free so the Scala and Column sides agree bit-for-bit).
+  /** First 4 md5 bytes as an UNSIGNED 32-bit value — fits a signed
+    * 64-bit lane everywhere (Spark long, ANSI BIGINT), so an external
+    * oracle recomputes the identical hash with
+    * `CAST(('0x' || substr(md5(s),1,8)) AS BIGINT)`.
     */
-  private def h64(s: String): BigInt = {
+  private def h32(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
-    BigInt(1, d.take(8))
+    BigInt(1, d.take(4)).toLong
   }
 
-  /** Column twin of [[h64]]: conv() renders the unsigned hex value. */
-  private def h64Col(c: Column): Column =
-    conv(substring(md5(c), 1, 16), 16, 10).cast("decimal(20,0)")
+  /** Column twin of [[h32]]. */
+  private def h32Col(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   // ---- bloom ----------------------------------------------------------
 
@@ -134,11 +136,13 @@ object MemoryFilters {
       * plus one — the Column probe recomputes the identical value.
       */
     def fingerprint(key: String): Int =
-      (h64(s"fp:$key") % ((1L << fingerprintBits) - 1)).toInt + 1
+      (h32(s"fp:$key") % ((1L << fingerprintBits) - 1)).toInt + 1
     def fingerprintHex(key: String): String = "%X".format(fingerprint(key))
-    def bucket1(key: String): Int = (h64(key) % nBuckets).toInt
+    def bucket1(key: String): Int = (h32(key) % nBuckets).toInt
+    /** The xor mask pairing a fingerprint's two candidate buckets. */
+    def altXorOf(fp: Int): Int = (h32(s"fpb:$fp") % nBuckets).toInt
     private[enrich] def altBucket(i: Int, fp: Int): Int =
-      (i ^ (h64(s"fpb:$fp") % nBuckets).toInt) & (nBuckets - 1)
+      (i ^ altXorOf(fp)) & (nBuckets - 1)
 
     def insert(key: String): Boolean = {
       val fp = fingerprint(key)
@@ -216,16 +220,15 @@ object MemoryFilters {
     val spark = df.sparkSession
     import spark.implicits._
     val entries = t.entries.toDF("__bucket", "__efp")
-    val fpMod = lit(((1L << t.fingerprintBits) - 1).toString)
-      .cast("decimal(20,0)")
-    val nb = lit(t.nBuckets.toString).cast("decimal(20,0)")
-    val fpCol = (pmod(h64Col(concat(lit("fp:"), probe.cast("string"))), fpMod)
+    val fpMod = lit((1L << t.fingerprintBits) - 1)
+    val nb = lit(t.nBuckets.toLong)
+    val fpCol = (pmod(h32Col(concat(lit("fp:"), probe.cast("string"))), fpMod)
       .cast("int") + 1)
-    val b1 = pmod(h64Col(probe.cast("string")), nb).cast("int")
+    val b1 = pmod(h32Col(probe.cast("string")), nb).cast("int")
     // alt bucket xors with h64("fpb:"+fp) — fp has ≤ 2^bits values, so
     // resolve via a broadcast-sized literal map fp -> xor mask
     val xorMap = map((1 to ((1 << t.fingerprintBits) - 1)).flatMap { fp =>
-      Seq(lit(fp), lit((h64(s"fpb:$fp") % t.nBuckets).toInt))
+      Seq(lit(fp), lit((h32(s"fpb:$fp") % t.nBuckets).toInt))
     }: _*)
     val withCols = df
       .withColumn("__fp", fpCol)

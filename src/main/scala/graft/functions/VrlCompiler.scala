@@ -57,6 +57,13 @@ object VrlCompiler {
     * equality map. Registered by the config loader; value = (reader,
     * locale).
     */
+  /** memory-table bloom/cuckoo filter variants registered from the
+    * `enrichment_tables:` config (values are
+    * [[graft.enrich.MemoryFilters.BloomTable]] /
+    * [[graft.enrich.MemoryFilters.CuckooTable]]).
+    */
+  @volatile var filterTables: Map[String, AnyRef] = Map.empty
+
   @volatile var geoipTables: Map[String, (graft.enrich.Mmdb.Reader, String)] =
     Map.empty
 
@@ -939,7 +946,59 @@ object VrlCompiler {
         case Some(s: String) => s
         case _ => throw VrlCompileException(s"$fn: table must be a string literal")
       }
-      if (geoipTables.contains(tname)) {
+      if (filterTables.contains(tname)) {
+        // memory table bloom/cuckoo variants (bloom_table.rs /
+        // cuckoo_table.rs find_table_rows): exactly one Equals
+        // condition; a hit is {key, value: null} (cuckoo adds the
+        // uppercase-hex fingerprint); a miss is no row (null here)
+        if (conds.length != 1) throw VrlCompileException(
+          s"$fn: memory filter tables take exactly one condition")
+        val (kv, kerr) = expr(env, conds.head._2)
+        val key = kv.col.cast("string")
+        import graft.enrich.MemoryFilters
+        val (hit, row, st) = filterTables(tname) match {
+          case bt: MemoryFilters.BloomTable =>
+            (MemoryFilters.bloomMember(key, bt),
+              struct(key.as("key"), lit(null).cast("string").as("value")),
+              StructType(Seq(StructField("key", StringType),
+                StructField("value", StringType))))
+          case ct: MemoryFilters.CuckooTable =>
+            // fp -> buckets-containing-it map (≤ 2^fingerprint_bits
+            // entries, a broadcast-sized literal)
+            val byFp = ct.entries.groupBy(_._2)
+            val fpMod = lit((1L << ct.fingerprintBits) - 1)
+            val fpCol = (pmod(
+              conv(substring(md5(concat(lit("fp:"), key)), 1, 8), 16, 10)
+                .cast("long"), fpMod).cast("int") + 1)
+            val b1 = pmod(
+              conv(substring(md5(key), 1, 8), 16, 10).cast("long"),
+              lit(ct.nBuckets.toLong)).cast("int")
+            val b2 = b1.bitwiseXOR(element_at(
+              map((1 to ((1 << ct.fingerprintBits) - 1)).flatMap { fp =>
+                Seq(lit(fp), lit(ct.altXorOf(fp)))
+              }: _*), fpCol)).bitwiseAND(lit(ct.nBuckets - 1))
+            val member =
+              if (byFp.isEmpty) lit(false)
+              else coalesce(exists(element_at(
+                  map(byFp.toSeq.sortBy(_._1).flatMap { case (fp, es) =>
+                    Seq(lit(fp), array(es.map(e => lit(e._1)): _*))
+                  }: _*), fpCol),
+                bkt => bkt === b1 || bkt === b2), lit(false))
+            (member,
+              struct(key.as("key"),
+                upper(conv(fpCol.cast("string"), 10, 16)).as("fingerprint"),
+                lit(null).cast("string").as("value")),
+              StructType(Seq(StructField("key", StringType),
+                StructField("fingerprint", StringType),
+                StructField("value", StringType))))
+          case other => throw VrlCompileException(
+            s"$fn: unsupported filter table $other")
+        }
+        val looked = when(coalesce(hit, lit(false)), row)
+        if (fn == "get_enrichment_table_record")
+          (CV(looked, TObj(st)), kerr)
+        else (CV(when(coalesce(hit, lit(false)), array(row)), TArr), kerr)
+      } else if (geoipTables.contains(tname)) {
         val (reader, locale) = geoipTables(tname)
         val ipExpr = conds.collectFirst { case ("ip", e) => e }.getOrElse(
           throw VrlCompileException(s"$fn: geoip/mmdb tables key on 'ip'"))

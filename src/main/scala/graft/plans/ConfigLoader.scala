@@ -1090,6 +1090,10 @@ object ConfigLoader {
   def load(spark: SparkSession, rawYaml: String, sfDir: String): Topology.Built = {
     val yaml = interpolateSecrets(rawYaml)
     val conf = parseYaml(yaml)
+    // memory-filter enrichment tables register before any transform
+    // compiles (file/geoip tables are behavior-config surfaces handled
+    // by registerEnrichmentTables)
+    registerMemoryFilterTables(conf)
     // `timezone:` global (src/config/mod.rs GlobalOptions) — governs
     // timestamp rendering/parsing in every plan built from this config
     conf.get("timezone").foreach(tz =>
@@ -3184,8 +3188,45 @@ object ConfigLoader {
     * (reference src/enrichment_tables/file.rs; the `schema:` block
     * coerces columns, e.g. `id: integer`).
     */
-  private def registerEnrichmentTables(conf: Map[String, Any]): Unit = {
+  /** `type: memory` with a `filter:` block — the bloom/cuckoo
+    * approximate-membership variants (memory/bloom_table.rs,
+    * cuckoo_table.rs). The filter registers empty (the reference's
+    * table starts empty too — a sink feeds it at runtime); specs and
+    * feeds insert through the registered object, and VRL lookups bind
+    * the filter state at plan-build (the flush-interval analogue).
+    * Returns the remaining (non-filter) tables.
+    */
+  private def registerMemoryFilterTables(
+      conf: Map[String, Any]): Map[String, Any] = {
     val tables = yamlMap(conf.getOrElse("enrichment_tables", null))
+    val (memFilterTables, rest) = tables.partition { case (_, v) =>
+      val m = yamlMap(v)
+      m.getOrElse("type", "").toString == "memory" && m.contains("filter")
+    }
+    graft.functions.VrlCompiler.filterTables =
+      graft.functions.VrlCompiler.filterTables ++ memFilterTables.map {
+        case (tname, v) =>
+          val f = yamlMap(yamlMap(v).getOrElse("filter", null))
+          val maxEntries = f.getOrElse("max_entries", "1024").toString.toInt
+          val table: AnyRef = f.getOrElse("type", "").toString match {
+            case "bloom" =>
+              new graft.enrich.MemoryFilters.BloomTable(maxEntries)
+            case "cuckoo" =>
+              new graft.enrich.MemoryFilters.CuckooTable(maxEntries,
+                fingerprintBits =
+                  f.getOrElse("fingerprint_bits", "8").toString.toInt,
+                bucketSize = f.getOrElse("bucket_size", "4").toString.toInt,
+                maxKicks = f.getOrElse("max_kicks", "500").toString.toInt)
+            case other => throw new IllegalArgumentException(
+              s"enrichment table $tname: unsupported filter type '$other'")
+          }
+          tname -> table
+      }
+    rest
+  }
+
+  private def registerEnrichmentTables(conf: Map[String, Any]): Unit = {
+    val tables = registerMemoryFilterTables(conf)
     if (tables.isEmpty) return
     // `type: geoip` / `type: mmdb` — MaxMind binary databases
     // (src/enrichment_tables/geoip.rs `path` + `locale`, mmdb.rs `path`);

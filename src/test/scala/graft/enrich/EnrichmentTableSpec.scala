@@ -61,4 +61,98 @@ class EnrichmentTableSpec extends SparkSpec {
       .select($"geo").as[String].collect().toSeq
     assert(out == Seq("a"))
   }
+
+  // ---- memory table bloom/cuckoo filter variants ----------------------
+
+  test("bloom: driver insert and distributed build agree; no false negatives") {
+    val keys = (1 to 200).map(i => s"key_$i")
+    val driver = new MemoryFilters.BloomTable(1024)
+    keys.foreach(driver.insert)
+    val dist = MemoryFilters.bloomTable(
+      keys.toDF("k"), col("k"), maxEntries = 1024)
+    assert(driver.words.toSeq == dist.words.toSeq)
+    assert(keys.forall(driver.contains)) // bloom: no false negatives
+    // column-side membership agrees with the driver filter, row by row
+    val probes = (1 to 400).map(i => s"key_$i")
+    val got = probes.toDF("k")
+      .select(col("k"), MemoryFilters.bloomMember(col("k"), dist).as("m"))
+      .as[(String, Boolean)].collect().toMap
+    probes.foreach(p => assert(got(p) == driver.contains(p), p))
+    assert((1 to 200).forall(i => got(s"key_$i")))
+  }
+
+  test("cuckoo: insert/contains/remove with fingerprint parity") {
+    val t = new MemoryFilters.CuckooTable(256)
+    val keys = (1 to 200).map(i => s"u$i")
+    keys.foreach(k => assert(t.insert(k)))
+    assert(keys.forall(t.contains)) // under capacity: no false negatives
+    assert(t.remove("u7") && !t.remove("not_there_xyz"))
+    // distributed probe: member flags + the reference's uppercase-hex
+    // fingerprint match the driver filter
+    val df = MemoryFilters.cuckooMember(
+      Seq("u1", "u7", "u200").toDF("k"), col("k"), t)
+    val rows = df.select(col("k"), col("member"), col("fingerprint"))
+      .distinct().as[(String, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows("u1")._1 && rows("u200")._1)
+    assert(rows("u1")._2 == t.fingerprintHex("u1"))
+    // u7 was removed — only a fingerprint collision could still hit
+    assert(rows("u7")._1 == t.contains("u7"))
+  }
+
+  test("cuckoo: capacity guard is loud") {
+    val ex = intercept[IllegalArgumentException] {
+      MemoryFilters.cuckooTable(
+        (1 to 50).map(i => (s"k$i", i.toLong)).toDF("k", "o"),
+        col("k"), col("o"), maxEntries = 10)
+    }
+    assert(ex.getMessage.contains("max_entries"))
+  }
+
+  test("yaml surface: filter tables register and VRL lookups hit/miss") {
+    graft.plans.ConfigLoader.load(spark,
+      """
+        |enrichment_tables:
+        |  allow:
+        |    type: memory
+        |    filter:
+        |      type: bloom
+        |      max_entries: 512
+        |  seen:
+        |    type: memory
+        |    filter:
+        |      type: cuckoo
+        |      max_entries: 128
+        |sources:
+        |  ev:
+        |    type: parquet
+        |    table: events
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [ev]
+        |""".stripMargin, "/root/testdata/sf0.001")
+    val bloom = graft.functions.VrlCompiler.filterTables("allow")
+      .asInstanceOf[MemoryFilters.BloomTable]
+    val cuckoo = graft.functions.VrlCompiler.filterTables("seen")
+      .asInstanceOf[MemoryFilters.CuckooTable]
+    bloom.insert("alice"); cuckoo.insert("bob")
+    // lookups bind the CURRENT filter state at plan build (the
+    // reference's flush-interval analogue)
+    val out = graft.functions.VrlCompiler.run(
+      Seq(("alice"), ("bob"), ("carol")).toDF("user"),
+      """
+        |.allow_row = get_enrichment_table_record("allow", {"key": .user})
+        |.seen_rows = find_enrichment_table_records("seen", {"key": .user})
+        |""".stripMargin).primary
+    val rows = out.select(col("user"),
+        col("allow_row.key").as("ak"),
+        element_at(col("seen_rows"), 1).getField("fingerprint").as("fp"))
+      .as[(String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows("alice")._1.contains("alice")) // bloom hit row {key,value}
+    assert(rows("alice")._2.isEmpty == !cuckoo.contains("alice"))
+    assert(rows("bob")._2.contains(cuckoo.fingerprintHex("bob")))
+    assert(rows("carol")._1.isEmpty == !bloom.contains("carol"))
+  }
 }
