@@ -104,6 +104,15 @@ object Bench {
     // many cores the box actually delivered during THIS run.
     val REP = 40
     val ATTEMPTS = 5
+    // Probe-sag guard (round-9 verdict item 8): the r9 remap/metrics
+    // medians absorbed 2-3 attempts contaminated by host-noise bursts
+    // (interleaved cpu probes sagging to 2-4k mips next to a ~15k
+    // normal). An attempt whose pre-probe reads < 50% of the session's
+    // median probe is DISCARDED AND RETRIED (bounded); kept/discarded
+    // counts ship in the detail JSON so the decision is auditable.
+    val sessionProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    var probesKept = 0
+    var probesDiscarded = 0
     def throughput(shape: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame):
         (Seq[Double], Seq[Double], Double) = {
       val ev = Graft.table(spark, sfDir, "events")
@@ -119,11 +128,23 @@ object Bench {
       shape(replicated).write.mode("overwrite").format("noop").save()
       val attempts = Seq.newBuilder[Double]
       val probes = Seq.newBuilder[Double]
-      (1 to ATTEMPTS).foreach { _ =>
-        probes += mtProbe(50000000)
-        val t0 = System.nanoTime()
-        shape(replicated).write.mode("overwrite").format("noop").save()
-        attempts += (System.nanoTime() - t0) / 1e9
+      var kept = 0
+      var tries = 0
+      while (kept < ATTEMPTS && tries < ATTEMPTS * 3) {
+        tries += 1
+        val p = mtProbe(50000000)
+        sessionProbes += p
+        val baseline = median(sessionProbes.toSeq)
+        if (sessionProbes.size >= 3 && p < 0.5 * baseline) {
+          probesDiscarded += 1 // host-noise burst: skip, retry
+        } else {
+          probesKept += 1
+          probes += p
+          val t0 = System.nanoTime()
+          shape(replicated).write.mode("overwrite").format("noop").save()
+          attempts += (System.nanoTime() - t0) / 1e9
+          kept += 1
+        }
       }
       val a = attempts.result()
       (a, probes.result(), median(a))
@@ -240,6 +261,123 @@ object Bench {
     } catch { case _: Throwable => Double.NaN }
     val streamEventsPerSec = streamingThrottleRate()
 
+    // ---- transport surfaces (round-9 verdict item 6): events/s through
+    // a loopback vector→vector gRPC pair and OTLP ingest (HTTP + gRPC),
+    // mirroring the reference's otlp_grpc_to_blackhole regression case
+    // (regression/cases/otlp_grpc_to_blackhole: 100 Mb/s offered load).
+    // A single driver-side listener is the unit under test — the fleet
+    // shape puts a load balancer in front of many of these.
+    def grpcPairRate(total: Int): Double = try {
+      val src = new graft.streaming.Grpc.VectorPushSource(spark, 0,
+        "127.0.0.1")
+      try {
+        val port = src.boundPort
+        val payload = """{"message":"bench event payload 0123456789","level":"info","n":7}"""
+        val events = Vector.fill(500)(payload)
+        val threads = 4
+        val perThread = total / (threads * 500)
+        val t0 = System.nanoTime()
+        val ts = (1 to threads).map(_ => new Thread(() =>
+          (1 to perThread).foreach(_ =>
+            graft.streaming.Grpc.pushEvents("127.0.0.1", port, events))))
+        ts.foreach(_.start()); ts.foreach(_.join())
+        val q = src.df.writeStream.format("noop").start()
+        var n = 0L
+        val deadline = t0 + 120L * 1000000000L
+        while (n < total && System.nanoTime() < deadline) {
+          q.processAllAvailable()
+          n = q.recentProgress.map(_.numInputRows).sum
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        require(n >= total, s"grpc pair drained $n/$total")
+        total / secs
+      } finally src.stop()
+    } catch { case _: Throwable => Double.NaN }
+
+    def otlpRates(total: Int): (Double, Double) = try {
+      import org.apache.spark.sql.Row
+      import graft.codecs.ProtobufCodec
+      def sRow(schema: ProtobufCodec.ProtoSchema, vals: Any*): Row =
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          vals.toArray, schema.sparkType)
+      val perReq = 100
+      val lrS = ProtobufCodec.Otlp.LogRecord
+      val records = (0 until perReq).map(i =>
+        sRow(lrS, 1700000000000000000L + i, 9L, "INFO",
+          sRow(ProtobufCodec.Otlp.AnyValue, s"bench otlp record $i"), 0L,
+          Array.emptyByteArray, Array.emptyByteArray, 0L))
+      val req = ProtobufCodec.encodeTo(
+        ProtobufCodec.Otlp.ExportLogsServiceRequest,
+        sRow(ProtobufCodec.Otlp.ExportLogsServiceRequest,
+          Seq(sRow(ProtobufCodec.Otlp.ResourceLogs,
+            Seq(sRow(ProtobufCodec.Otlp.ScopeLogs, records, "")), ""))))
+      // numInputRows counts SOURCE rows = raw requests (the per-record
+      // explode happens downstream), so the drain target is reqs
+      def drain(src: graft.streaming.StreamRunner.OtlpHttpSource,
+                t0: Long, reqs: Int): Double = {
+        val q = src.df.writeStream.format("noop").start()
+        var n = 0L
+        val deadline = t0 + 120L * 1000000000L
+        while (n < reqs && System.nanoTime() < deadline) {
+          q.processAllAvailable()
+          n = q.recentProgress.map(_.numInputRows).sum
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        require(n >= reqs, s"otlp drained $n/$reqs requests")
+        total / secs
+      }
+      // HTTP ingest
+      val httpRate = {
+        val src = graft.streaming.StreamRunner.otlpHttp(spark, 0)
+        try {
+          val url = new java.net.URI(
+            s"http://127.0.0.1:${src.boundPort}/v1/logs").toURL
+          val t0 = System.nanoTime()
+          val reqs = total / perReq
+          val threads = 4
+          val ts = (1 to threads).map(_ => new Thread(() =>
+            (1 to reqs / threads).foreach { _ =>
+              val c = url.openConnection()
+                .asInstanceOf[java.net.HttpURLConnection]
+              c.setRequestMethod("POST"); c.setDoOutput(true)
+              c.setRequestProperty("Content-Type", "application/x-protobuf")
+              c.getOutputStream.write(req)
+              c.getInputStream.readAllBytes()
+              c.disconnect()
+            }))
+          ts.foreach(_.start()); ts.foreach(_.join())
+          drain(src, t0, reqs)
+        } finally src.stop()
+      }
+      // gRPC ingest (the otlp_grpc_to_blackhole shape)
+      val grpcRate = {
+        val src = graft.streaming.StreamRunner.otlpHttp(spark, 0, Some(0),
+          "127.0.0.1")
+        try {
+          val gp = src.grpcBoundPort.get
+          val t0 = System.nanoTime()
+          val reqs = total / perReq
+          val threads = 4
+          val ts = (1 to threads).map(_ => new Thread(() =>
+            (1 to reqs / threads).foreach(_ =>
+              graft.streaming.Grpc.call("127.0.0.1", gp,
+                "/opentelemetry.proto.collector.logs.v1.LogsService/Export",
+                req))))
+          ts.foreach(_.start()); ts.foreach(_.join())
+          drain(src, t0, reqs)
+        } finally src.stop()
+      }
+      (httpRate, grpcRate)
+    } catch { case t: Throwable =>
+      System.err.println(s"otlp bench failed: $t")
+      (Double.NaN, Double.NaN)
+    }
+
+    val grpcPairEventsPerSec = grpcPairRate(200000)
+    val (otlpHttpEventsPerSec, otlpGrpcEventsPerSec) = otlpRates(100000)
+
     def fmt(d: Double): String =
       if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
     def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
@@ -247,7 +385,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.sum
     val headline =
-      s""""sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"events_structured_mib_per_s":${fmt(structMibPerSec)},"metrics_mib_per_s":${fmt(metricMibPerSec)},"metrics_samples_per_s":${fmt(metricSamplesPerSec)},"events_remap_events_per_s":${fmt(remapEventsPerSec)},"events_structured_events_per_s":${fmt(structEventsPerSec)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"streaming_throttle_events_per_s":${fmt(streamEventsPerSec)},"cores":$cpus"""
+      s""""sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"events_structured_mib_per_s":${fmt(structMibPerSec)},"metrics_mib_per_s":${fmt(metricMibPerSec)},"metrics_samples_per_s":${fmt(metricSamplesPerSec)},"events_remap_events_per_s":${fmt(remapEventsPerSec)},"events_structured_events_per_s":${fmt(structEventsPerSec)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"streaming_throttle_events_per_s":${fmt(streamEventsPerSec)},"grpc_pair_events_per_s":${fmt(grpcPairEventsPerSec)},"otlp_http_events_per_s":${fmt(otlpHttpEventsPerSec)},"otlp_grpc_events_per_s":${fmt(otlpGrpcEventsPerSec)},"probe_attempts_kept":$probesKept,"probe_attempts_discarded":$probesDiscarded,"cores":$cpus"""
     // Full detail (every per-query timing + raw attempt/probe arrays) goes
     // to a file and an early log line; the FINAL stdout line must stay
     // well under the driver's 2000-char tail capture or the round's bench

@@ -18,9 +18,14 @@ object Graft {
     * join handling — the local stand-in for what we'd rely on at 100 TB).
     */
   def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    // SPARK_GRAFT_MASTER overrides the master for multi-executor gate
+    // runs (e.g. local-cluster[2,16,4096] forces REAL serialization of
+    // broadcast codebooks, closures, and stateful kernels — the bug
+    // class local[N] can't catch)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
     val spark = SparkSession
       .builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -298,4 +298,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"chunking joins:\n$p")
     assert(p.contains("Generate"), s"chunking lost its explode:\n$p")
   }
+
+  test("decoding-block composition stays projection-only over the source") {
+    // source + generic `decoding.codec` (the YAML composition path):
+    // the decoder must not introduce a shuffle or join — it's a pure
+    // column rewrite over whatever the transport produced
+    val raw = graft.Graft.table(spark, dir, "events")
+      .select(concat(lit("<165>1 2024-02-13T21:53:30.605Z host app - ID47 - msg "),
+        col("event_id")).as("message"))
+    val decoded = ConfigLoader.applyDecoding(raw,
+      Map("decoding" -> java.util.Map.of("codec", "syslog")))
+    val p = plan(decoded)
+    assert(!p.contains("hashpartitioning"), s"decoder shuffles:\n$p")
+    assert(!p.contains("Join"), s"decoder joins:\n$p")
+  }
+
+  test("temperature mix: the draw is a filter over the scan, no joins") {
+    // the per-stratum counts are a bounded driver artifact (|strata|
+    // rows) gathered at BUILD time; the returned plan must be a pure
+    // deterministic-hash filter — no join against a rates table, no
+    // extra shuffle of the corpus
+    val e = graft.Graft.table(spark, dir, "events")
+    val df = graft.operators.Sample.temperatureMix(e,
+      col("event_type"), col("event_id"), budgetFraction = 0.2)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"temperature mix joins:\n$p")
+    // the only allowed exchange is the tiny-fixture parallelism floor's
+    // round-robin, never a hashpartitioning of the corpus
+    assert(!p.contains("hashpartitioning"), s"draw shuffles on a key:\n$p")
+  }
+
+  test("object-store sink: partition_by_prefix is the ONLY shuffle") {
+    // mirror of ObjectStoreSink.writeBatch's `lines` plan: prefix
+    // render + line encode (projection), one repartition(__prefix) so
+    // objects scale as prefixes (not tasks × prefixes), local sort
+    val base = graft.Graft.table(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    val rendered = graft.functions.Template.render(base.schema,
+      "type={{ event_type }}/date=%F/")
+    val projected = base.select(rendered.as("__prefix"),
+      graft.sinks.LineCodec.encode(base, "json").as("__line"))
+    val lines = projected.repartition(col("__prefix"))
+      .sortWithinPartitions("__prefix")
+    val p = plan(lines)
+    // formatted mode prints each node twice (tree + detail) — count the
+    // "(n) Exchange" detail headers once each
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    val keyed = "hashpartitioning\\(__prefix".r.findAllIn(p).size
+    assert(keyed >= 1, s"prefix repartition missing:\n$p")
+    // tiny-fixture parallelism floor adds one round-robin before it;
+    // nothing else may shuffle
+    assert(exchanges <= 2, s"extra exchanges in the sink plan:\n$p")
+    assert(!p.contains("Join"), s"sink plan joins:\n$p")
+  }
 }
