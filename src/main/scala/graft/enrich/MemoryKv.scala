@@ -1,0 +1,68 @@
+package graft.enrich
+
+/** The memory enrichment table's exact kv form as a LIVE, sink-fed
+  * object — reference src/enrichment_tables/memory/table.rs:
+  * `handle_value` inserts every top-level (field-name → value) pair of
+  * each event routed into the table (the table doubles as a sink via
+  * its own `inputs:`); `find_table_rows` takes a single Equals
+  * condition and a hit returns `{key, value, ttl}` where value is the
+  * stored JSON value and ttl the remaining seconds (table.rs:68
+  * `as_object_map`). Entries expire `ttl` seconds after their LAST
+  * update (config default 600, config.rs `default_ttl`).
+  *
+  * The batch-analytics analogue of this table already exists
+  * (EnrichmentTable.memoryTable — max_by per key + TTL window as one
+  * aggregation); THIS class is the YAML/runtime surface: a mutable
+  * driver-side store fed by `inputs:`, with VRL lookups binding a
+  * snapshot at plan build (the reference's flush-interval analogue).
+  * Size is bounded by `max_byte_size` when configured — a bounded
+  * driver artifact, not a data-volume structure.
+  */
+final class MemoryKv(val ttlSecs: Long = 600L,
+                     val maxByteSize: Option[Long] = None,
+                     clock: () => Long = () => System.currentTimeMillis()) {
+
+  private final case class Entry(valueJson: String, updateMs: Long,
+                                 ttl: Long)
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  private val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Insert one (key → value-as-JSON) pair; rejected past max_byte_size
+    * (table.rs: "Reject new entries").
+    */
+  def put(key: String, valueJson: String): Boolean = {
+    val sz = key.length.toLong + valueJson.length
+    if (maxByteSize.exists(m => bytes.get() + sz > m)) return false
+    val prev = entries.put(key, Entry(valueJson, clock(), ttlSecs))
+    bytes.addAndGet(sz -
+      (if (prev == null) 0L else prev.valueJson.length.toLong + key.length))
+    true
+  }
+
+  /** handle_value: every top-level field of the event becomes an entry. */
+  def insertEvent(fields: Seq[(String, String)]): Unit =
+    fields.foreach { case (k, vj) => put(k, vj) }
+
+  /** Live lookup: None when absent or expired; Some((valueJson,
+    * remaining-ttl-secs)) otherwise.
+    */
+  def get(key: String): Option[(String, Long)] = {
+    val e = entries.get(key)
+    if (e == null) None
+    else {
+      val age = (clock() - e.updateMs) / 1000
+      if (age > e.ttl) { entries.remove(key); None }
+      else Some((e.valueJson, math.max(0L, e.ttl - age)))
+    }
+  }
+
+  /** Snapshot of the live (unexpired) entries for plan-build binding. */
+  def snapshot(): Seq[(String, String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    entries.keySet.asScala.toSeq.sorted.flatMap(k =>
+      get(k).map { case (v, ttl) => (k, v, ttl) })
+  }
+
+  def size: Int = entries.size
+}

@@ -991,6 +991,34 @@ object VrlCompiler {
               StructType(Seq(StructField("key", StringType),
                 StructField("fingerprint", StringType),
                 StructField("value", StringType))))
+          case kv: graft.enrich.MemoryKv =>
+            // exact kv form (table.rs as_object_map): hit row is
+            // {key, value, ttl}; the lookup binds a SNAPSHOT of the live
+            // store at plan build (flush-interval analogue). Values are
+            // stored JSON — surfaced as variant so heterogeneous entries
+            // coexist in one literal map.
+            val snap = kv.snapshot()
+            val entries = snap.flatMap { case (k, vj, ttl) =>
+              Seq(lit(k), struct(lit(k).as("key"),
+                try_parse_json(lit(vj)).as("value"),
+                lit(ttl).as("ttl")))
+            }
+            if (snap.isEmpty)
+              (lit(false),
+                struct(key.as("key"),
+                  lit(null).cast(VariantType).as("value"),
+                  lit(null).cast("long").as("ttl")),
+                StructType(Seq(StructField("key", StringType),
+                  StructField("value", VariantType),
+                  StructField("ttl", LongType))))
+            else {
+              val m = map(entries: _*)
+              (element_at(m, key).isNotNull,
+                element_at(m, key),
+                StructType(Seq(StructField("key", StringType),
+                  StructField("value", VariantType),
+                  StructField("ttl", LongType))))
+            }
           case other => throw VrlCompileException(
             s"$fn: unsupported filter table $other")
         }

@@ -1088,7 +1088,7 @@ object ConfigLoader {
     * [[transformOf]], sinks become named outputs.
     */
   def load(spark: SparkSession, rawYaml: String, sfDir: String): Topology.Built = {
-    val yaml = interpolateSecrets(rawYaml)
+    val yaml = interpolateSecrets(interpolateEnv(rawYaml))
     val conf = parseYaml(yaml)
     // memory-filter enrichment tables register before any transform
     // compiles (file/geoip tables are behavior-config surfaces handled
@@ -1808,8 +1808,15 @@ object ConfigLoader {
           })
         case s => s
       }
-    Topology.build(spark,
-      renamedSources ++ extraSources ++ transforms ++ sinks)
+    // memory enrichment tables with their own `inputs:` join the DAG as
+    // sinks (reference table.as_sink) and are fed after the build
+    val tableSinks = memoryTableInputs(conf).map { case (tname, ins) =>
+      Topology.Sink(tname, ins, Topology.Any)
+    }
+    val built = Topology.build(spark,
+      renamedSources ++ extraSources ++ transforms ++ sinks ++ tableSinks)
+    feedMemoryTables(conf, built)
+    built
   }
 
   // ---------------- multi-file / directory configs ----------------
@@ -2430,8 +2437,22 @@ object ConfigLoader {
         None
       }
     }
-    RunningConfig(queries.toMap, tails, scrapers, logTaps, closers,
-      exporters.toMap, pollers)
+    // streaming fan-ins of sink-fed memory enrichment tables: one
+    // foreachBatch feed query per table (batch fan-ins were fed by load)
+    val tableFeeds = memoryTableInputs(parseYaml(yaml)).flatMap {
+      case (tname, _) =>
+        val df = built.outputs(tname)
+        if (df.isStreaming)
+          Some(s"__table_$tname" -> StreamRunner.start(
+            df.writeStream
+              .option("checkpointLocation", s"$workDir/.ckpt-table-$tname")
+              .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+                feedMemoryTableBatch(tname, b))
+              .queryName(s"__table_$tname"), 100))
+        else None
+    }
+    RunningConfig(queries.toMap ++ tableFeeds, tails, scrapers, logTaps,
+      closers, exporters.toMap, pollers)
   }
 
   /** The reference's encoding Transformer
@@ -3088,6 +3109,64 @@ object ConfigLoader {
     * JSON request `{"version":"1.0","secrets":[…]}` on stdin, JSON
     * `{key: {value, error}}` on stdout — the published protocol).
     */
+  /** Test hook: extra environment variables visible to config
+    * interpolation (merged over the real environment).
+    */
+  @volatile var envOverride: Map[String, String] = Map.empty
+
+  /** Environment-variable interpolation over the raw config text —
+    * src/config/vars.rs semantics exactly: `$$` escapes a literal `$`;
+    * `$VAR` / `${VAR}` substitute; `${VAR:-def}` (empty-or-missing →
+    * def), `${VAR-def}` (missing → def), `${VAR:?err}` / `${VAR?err}`
+    * (fatal when empty-or-missing / missing); a bare missing var is a
+    * fatal error with the reference's message text. Values containing
+    * newlines are rejected (vars.rs:37).
+    */
+  private[plans] def interpolateEnv(input: String): String = {
+    val vars = sys.env ++ envOverride
+    val re = ("\\$\\$|\\$([\\w.]+)|" +
+      "\\$\\{([\\w.]+)(?:(:?-|:?\\?)([^}]*))?\\}").r
+    val errors = scala.collection.mutable.ListBuffer[String]()
+    val out = re.replaceAllIn(input, m => {
+      val name = Option(m.group(1)).orElse(Option(m.group(2)))
+      val flags = Option(m.group(3)).getOrElse("")
+      val defOrErr = Option(m.group(4)).getOrElse("")
+      val rep = name match {
+        case None => "$" // the $$ escape
+        case Some(n) =>
+          val v = vars.get(n).flatMap { x =>
+            if (x.contains('\n') || x.contains('\r')) {
+              errors += ("Environment variable contains newline " +
+                s"""character. name = "$n"""")
+              None
+            } else Some(x)
+          }
+          flags match {
+            case ":-" => v.filter(_.nonEmpty).getOrElse(defOrErr)
+            case "-" => v.getOrElse(defOrErr)
+            case ":?" => v.filter(_.nonEmpty).getOrElse {
+              errors += ("Non-empty environment variable required in " +
+                s"""config. name = "$n", error = "$defOrErr"""")
+              ""
+            }
+            case "?" => v.getOrElse {
+              errors += ("Missing environment variable required in " +
+                s"""config. name = "$n", error = "$defOrErr"""")
+              ""
+            }
+            case _ => v.getOrElse {
+              errors += s"""Missing environment variable in config. name = "$n""""
+              ""
+            }
+          }
+      }
+      scala.util.matching.Regex.quoteReplacement(rep)
+    })
+    if (errors.nonEmpty)
+      throw new IllegalArgumentException(errors.mkString("; "))
+    out
+  }
+
   private[plans] def interpolateSecrets(yaml: String): String = {
     val conf = parseYaml(yaml)
     val secretConf = yamlMap(conf.getOrElse("secret", null))
@@ -3199,30 +3278,93 @@ object ConfigLoader {
   private def registerMemoryFilterTables(
       conf: Map[String, Any]): Map[String, Any] = {
     val tables = yamlMap(conf.getOrElse("enrichment_tables", null))
-    val (memFilterTables, rest) = tables.partition { case (_, v) =>
-      val m = yamlMap(v)
-      m.getOrElse("type", "").toString == "memory" && m.contains("filter")
+    val (memTables, rest) = tables.partition { case (_, v) =>
+      yamlMap(v).getOrElse("type", "").toString == "memory"
     }
     graft.functions.VrlCompiler.filterTables =
-      graft.functions.VrlCompiler.filterTables ++ memFilterTables.map {
+      graft.functions.VrlCompiler.filterTables ++ memTables.map {
         case (tname, v) =>
-          val f = yamlMap(yamlMap(v).getOrElse("filter", null))
-          val maxEntries = f.getOrElse("max_entries", "1024").toString.toInt
-          val table: AnyRef = f.getOrElse("type", "").toString match {
-            case "bloom" =>
-              new graft.enrich.MemoryFilters.BloomTable(maxEntries)
-            case "cuckoo" =>
-              new graft.enrich.MemoryFilters.CuckooTable(maxEntries,
-                fingerprintBits =
-                  f.getOrElse("fingerprint_bits", "8").toString.toInt,
-                bucketSize = f.getOrElse("bucket_size", "4").toString.toInt,
-                maxKicks = f.getOrElse("max_kicks", "500").toString.toInt)
-            case other => throw new IllegalArgumentException(
-              s"enrichment table $tname: unsupported filter type '$other'")
-          }
+          val m = yamlMap(v)
+          val table: AnyRef =
+            if (m.contains("filter")) {
+              val f = yamlMap(m.getOrElse("filter", null))
+              val maxEntries =
+                f.getOrElse("max_entries", "1024").toString.toInt
+              f.getOrElse("type", "").toString match {
+                case "bloom" =>
+                  new graft.enrich.MemoryFilters.BloomTable(maxEntries)
+                case "cuckoo" =>
+                  new graft.enrich.MemoryFilters.CuckooTable(maxEntries,
+                    fingerprintBits =
+                      f.getOrElse("fingerprint_bits", "8").toString.toInt,
+                    bucketSize =
+                      f.getOrElse("bucket_size", "4").toString.toInt,
+                    maxKicks = f.getOrElse("max_kicks", "500").toString.toInt)
+                case other => throw new IllegalArgumentException(
+                  s"enrichment table $tname: unsupported filter type '$other'")
+              }
+            } else
+              // the exact kv form (table.rs): sink-fed live store,
+              // {key, value, ttl} rows, entries expire `ttl` secs after
+              // their last update (default 600, config.rs default_ttl)
+              new graft.enrich.MemoryKv(
+                ttlSecs = m.getOrElse("ttl", "600").toString.toLong,
+                maxByteSize = m.get("max_byte_size").map(_.toString.toLong))
           tname -> table
       }
     rest
+  }
+
+  /** Memory enrichment tables double as SINKS via their own `inputs:`
+    * (the reference's `table.as_sink`): after the topology builds, each
+    * table's batch fan-in feeds it — kv tables store every top-level
+    * (field → value) pair per event (table.rs handle_value), filter
+    * tables insert the field NAMES (bloom_table.rs handle_value).
+    * Streaming fan-ins are fed per micro-batch by [[run]].
+    */
+  private def feedMemoryTables(conf: Map[String, Any],
+                               built: Topology.Built): Unit =
+    memoryTableInputs(conf).foreach { case (tname, _) =>
+      val df = built.outputs(tname)
+      if (!df.isStreaming) feedMemoryTableBatch(tname, df)
+    }
+
+  private[plans] def memoryTableInputs(
+      conf: Map[String, Any]): Seq[(String, Seq[String])] =
+    yamlMap(conf.getOrElse("enrichment_tables", null)).toSeq.collect {
+      case (tname, v)
+          if yamlMap(v).getOrElse("type", "").toString == "memory" &&
+            yamlMap(v).contains("inputs") =>
+        tname -> strList(yamlMap(v)("inputs"))
+    }
+
+  private[plans] def feedMemoryTableBatch(
+      tname: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val table = graft.functions.VrlCompiler.filterTables.getOrElse(tname,
+      throw new IllegalArgumentException(s"unknown memory table $tname"))
+    val cols = df.columns.filterNot(_.startsWith("__")).toSeq
+    if (cols.isEmpty) return
+    val opts = new java.util.HashMap[String, String] {
+      put("ignoreNullFields", "false") }
+    // driver-bounded iteration: the table itself is a bounded driver
+    // artifact (max_byte_size / filter capacity), one partition at a time
+    val it = df.select(to_json(struct(cols.map(col): _*), opts).as("j"))
+      .toLocalIterator()
+    while (it.hasNext) {
+      val m = graft.functions.JsonLite.parse(it.next().getString(0))
+        .asInstanceOf[java.util.Map[String, Any]]
+      table match {
+        case kv: graft.enrich.MemoryKv =>
+          m.forEach((k, v) =>
+            kv.put(k, graft.functions.JsonLite.render(v)))
+        case bt: graft.enrich.MemoryFilters.BloomTable =>
+          m.forEach((k, _) => bt.insert(k))
+        case ct: graft.enrich.MemoryFilters.CuckooTable =>
+          m.forEach((k, _) => ct.insert(k))
+        case _ => ()
+      }
+    }
   }
 
   private def registerEnrichmentTables(conf: Map[String, Any]): Unit = {
@@ -3510,7 +3652,7 @@ object ConfigLoader {
     * (unit_test.rs:163 semantics).
     */
   def runBehavior(spark: SparkSession, rawYaml: String): Seq[TestResult] = {
-    val yaml = interpolateSecrets(rawYaml)
+    val yaml = interpolateSecrets(interpolateEnv(rawYaml))
     val conf = parseYaml(yaml)
     val transformConfs = yamlMap(conf.getOrElse("transforms", null))
       .map { case (id, v) => id -> yamlMap(v) }

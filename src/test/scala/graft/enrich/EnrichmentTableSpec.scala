@@ -109,6 +109,67 @@ class EnrichmentTableSpec extends SparkSpec {
     assert(ex.getMessage.contains("max_entries"))
   }
 
+  test("memory kv: ttl expiry, max_byte_size rejection, snapshot") {
+    var now = 0L
+    val kv = new MemoryKv(ttlSecs = 10, maxByteSize = Some(60),
+      clock = () => now)
+    assert(kv.put("alpha", "\"one\""))
+    assert(kv.get("alpha").contains(("\"one\"", 10L)))
+    now = 4000
+    assert(kv.get("alpha").contains(("\"one\"", 6L))) // remaining ttl
+    now = 11000
+    assert(kv.get("alpha").isEmpty) // expired 10s after last update
+    // capacity: reject entries past max_byte_size (table.rs)
+    val kv2 = new MemoryKv(maxByteSize = Some(20))
+    assert(kv2.put("k1", "\"0123456789\""))
+    assert(!kv2.put("k2", "\"0123456789\""))
+    assert(kv2.snapshot().map(_._1) == Seq("k1"))
+  }
+
+  test("yaml surface: a sink-fed kv memory table serves VRL lookups") {
+    // the table's own `inputs:` make it a sink (reference
+    // table.as_sink): every top-level field of each routed event
+    // becomes an entry; a later plan's lookup sees {key, value, ttl}
+    graft.plans.ConfigLoader.load(spark,
+      """
+        |enrichment_tables:
+        |  kvstore:
+        |    type: memory
+        |    ttl: 300
+        |    inputs: [feed]
+        |sources:
+        |  ev:
+        |    type: parquet
+        |    table: events
+        |transforms:
+        |  feed:
+        |    type: remap
+        |    inputs: [ev]
+        |    source: |
+        |      . = {"lookup_token": .event_id}
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [ev]
+        |""".stripMargin, "/root/testdata/sf0.001")
+    val kv = graft.functions.VrlCompiler.filterTables("kvstore")
+      .asInstanceOf[MemoryKv]
+    // handle_value inserts FIELD NAMES as keys — every event produced
+    // the same `lookup_token` key, last value wins
+    assert(kv.size == 1 && kv.get("lookup_token").isDefined)
+    val out = graft.functions.VrlCompiler.run(
+      Seq("lookup_token", "missing_key").toDF("k"),
+      """.row = get_enrichment_table_record("kvstore", {"key": .k})"""
+    ).primary
+    val rows = out.select(col("k"), col("row.key").as("hit"),
+        col("row.ttl").as("ttl"))
+      .as[(String, Option[String], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows("lookup_token")._1.contains("lookup_token"))
+    assert(rows("lookup_token")._2.exists(t => t > 0 && t <= 300))
+    assert(rows("missing_key")._1.isEmpty)
+  }
+
   test("yaml surface: filter tables register and VRL lookups hit/miss") {
     graft.plans.ConfigLoader.load(spark,
       """
