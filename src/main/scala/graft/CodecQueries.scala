@@ -302,8 +302,8 @@ object CodecQueries {
   val oracles: Map[String, String] = Map(
     "codec_syslog5424" ->
       """SELECT event_id,
-        |  CAST(k % 192 // 8 AS INT) AS facility,
-        |  CAST(k % 192 % 8 AS INT) AS severity,
+        |  (['kern','user','mail','daemon','auth','syslog','lpr','news','uucp','cron','authpriv','ftp','ntp','security','console','solaris-cron','local0','local1','local2','local3','local4','local5','local6','local7'])[CAST(k % 192 // 8 AS INT) + 1] AS facility,
+        |  (['emerg','alert','crit','err','warning','notice','info','debug'])[CAST(k % 192 % 8 AS INT) + 1] AS severity,
         |  CAST(1 AS INT) AS version,
         |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS sl_ts,
         |  'host' || CAST(user_id AS VARCHAR) AS hostname,
@@ -441,8 +441,8 @@ object CodecQueries {
 
     "decoding_block_syslog" ->
       """SELECT event_id AS procid,
-        |  CAST(k % 192 // 8 AS INT) AS facility,
-        |  CAST(k % 192 % 8 AS INT) AS severity,
+        |  (['kern','user','mail','daemon','auth','syslog','lpr','news','uucp','cron','authpriv','ftp','ntp','security','console','solaris-cron','local0','local1','local2','local3','local4','local5','local6','local7'])[CAST(k % 192 // 8 AS INT) + 1] AS facility,
+        |  (['emerg','alert','crit','err','warning','notice','info','debug'])[CAST(k % 192 % 8 AS INT) + 1] AS severity,
         |  'host' || CAST(user_id AS VARCHAR) AS hostname,
         |  'app' || CAST(user_id % 5 AS VARCHAR) AS appname,
         |  'ID' || CAST(k % 10 AS VARCHAR) AS msgid,

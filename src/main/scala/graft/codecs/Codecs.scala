@@ -205,8 +205,13 @@ object Decode {
     def nil(f: String): Column = nullif(g.getField(f), lit("-"))
     struct(
       pri.as("priority"),
-      (pri / 8).cast("int").as("facility"),
-      pmod(pri, lit(8)).cast("int").as("severity"),
+      // the reference's syslog decoder emits facility/severity as
+      // KEYWORD strings, not codes (decoding/format/syslog.rs:342-358
+      // `severity.as_str()` / `facility.as_str()`; the source docs list
+      // them as type string with examples "notice")
+      graft.functions.Vrl.toSyslogFacility((pri / 8).cast("int"))
+        .as("facility"),
+      graft.functions.Vrl.toSyslogLevel(pmod(pri, lit(8))).as("severity"),
       g.getField("version").cast("int").as("version"),
       nil("ts").cast("timestamp").as("timestamp"),
       nil("hostname").as("hostname"),

@@ -44,6 +44,12 @@ final class MemoryKv(val ttlSecs: Long = 600L,
   def insertEvent(fields: Seq[(String, String)]): Unit =
     fields.foreach { case (k, vj) => put(k, vj) }
 
+  private def removeEntry(key: String): Unit = {
+    val prev = entries.remove(key)
+    if (prev != null)
+      bytes.addAndGet(-(key.length.toLong + prev.valueJson.length))
+  }
+
   /** Live lookup: None when absent or expired; Some((valueJson,
     * remaining-ttl-secs)) otherwise.
     */
@@ -52,7 +58,7 @@ final class MemoryKv(val ttlSecs: Long = 600L,
     if (e == null) None
     else {
       val age = (clock() - e.updateMs) / 1000
-      if (age > e.ttl) { entries.remove(key); None }
+      if (age > e.ttl) { removeEntry(key); None }
       else Some((e.valueJson, math.max(0L, e.ttl - age)))
     }
   }
@@ -65,4 +71,11 @@ final class MemoryKv(val ttlSecs: Long = 600L,
   }
 
   def size: Int = entries.size
+
+  /** Snapshot AND clear (source.rs `remove_after_export`). */
+  def drain(): Seq[(String, String, Long)] = {
+    val snap = snapshot()
+    snap.foreach { case (k, _, _) => removeEntry(k) }
+    snap
+  }
 }

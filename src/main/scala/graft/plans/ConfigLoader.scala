@@ -1813,10 +1813,81 @@ object ConfigLoader {
     val tableSinks = memoryTableInputs(conf).map { case (tname, ins) =>
       Topology.Sink(tname, ins, Topology.Any)
     }
+    // ... and tables with a `source_config:` export their entries as a
+    // SOURCE under source_key (memory/source.rs): {key, value, ttl}
+    // rows, export_interval ticks (streaming) or a one-shot snapshot
+    // (batch), export_batch_size caps per tick, remove_after_export
+    // drains
+    val tableSources = yamlMap(conf.getOrElse("enrichment_tables", null))
+      .toSeq.flatMap { case (tname, v) =>
+        val m = yamlMap(v)
+        val sc = yamlMap(m.getOrElse("source_config", null))
+        if (m.getOrElse("type", "").toString != "memory" || sc.isEmpty) None
+        else {
+          val srcKey = sc.getOrElse("source_key", s"${tname}_source").toString
+          require(srcKey != tname,
+            s"memory table $tname: source_key must differ from the table key")
+          val interval = sc.get("export_interval").map(_.toString.toLong)
+          val batchSize = sc.get("export_batch_size").map(_.toString.toInt)
+          val removeAfter =
+            sc.getOrElse("remove_after_export", "false").toString.toBoolean
+          Some(Topology.Source(srcKey, Topology.Log, sp =>
+            memoryTableSourceDf(sp, tname, srcKey, interval, batchSize,
+              removeAfter)))
+        }
+      }
     val built = Topology.build(spark,
-      renamedSources ++ extraSources ++ transforms ++ sinks ++ tableSinks)
+      renamedSources ++ extraSources ++ transforms ++ sinks ++
+        tableSinks ++ tableSources)
     feedMemoryTables(conf, built)
     built
+  }
+
+  /** Memory-table export source (memory/source.rs): entries as
+    * {key, value, ttl} events. With export_interval → a live streaming
+    * source ticking every N seconds; without → a one-shot batch
+    * snapshot of the current table state.
+    */
+  private def memoryTableSourceDf(spark: SparkSession, tname: String,
+      srcKey: String, intervalSecs: Option[Long], batchSize: Option[Int],
+      removeAfter: Boolean): org.apache.spark.sql.DataFrame = {
+    def table: graft.enrich.MemoryKv =
+      graft.functions.VrlCompiler.filterTables.get(tname) match {
+        case Some(kv: graft.enrich.MemoryKv) => kv
+        case _ => throw new IllegalArgumentException(
+          s"memory source $srcKey: '$tname' is not a kv memory table")
+      }
+    def export(): Seq[(String, String, Long)] = {
+      val rows = if (removeAfter) table.drain() else table.snapshot()
+      batchSize.map(rows.take).getOrElse(rows)
+    }
+    intervalSecs match {
+      case Some(secs) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+          spark.sqlContext
+        val mem = MemoryStream[(String, String, Long)]
+        @volatile var running = true
+        val t = new Thread(() => {
+          while (running) {
+            Thread.sleep(math.max(100L, secs * 1000))
+            if (running) {
+              val rows = export()
+              if (rows.nonEmpty) mem.synchronized { mem.addData(rows) }
+            }
+          }
+        }, s"memory-export-$srcKey")
+        t.setDaemon(true); t.start()
+        addCloser(srcKey, () => running = false)
+        mem.toDF().select(col("_1").as("key"),
+          try_parse_json(col("_2")).as("value"), col("_3").as("ttl"))
+      case None =>
+        import spark.implicits._
+        export().toDF("key", "value", "ttl")
+          .select(col("key"), try_parse_json(col("value")).as("value"),
+            col("ttl"))
+    }
   }
 
   // ---------------- multi-file / directory configs ----------------
@@ -3282,7 +3353,12 @@ object ConfigLoader {
       yamlMap(v).getOrElse("type", "").toString == "memory"
     }
     graft.functions.VrlCompiler.filterTables =
-      graft.functions.VrlCompiler.filterTables ++ memTables.map {
+      graft.functions.VrlCompiler.filterTables ++ memTables.filterNot {
+        // reload keeps the live state (the reference's
+        // from_previous_state: same table key → same store)
+        case (tname, _) =>
+          graft.functions.VrlCompiler.filterTables.contains(tname)
+      }.map {
         case (tname, v) =>
           val m = yamlMap(v)
           val table: AnyRef =

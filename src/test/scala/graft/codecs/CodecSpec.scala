@@ -40,8 +40,8 @@ class CodecSpec extends SparkSpec {
     val p = Seq(line).toDF("c")
       .select(Decode.syslog5424($"c").as("p"))
       .select("p.severity", "p.procid", "p.structured_data", "p.message")
-      .as[(Int, String, String, String)].head()
-    assert(p == ((5, null, "[exampleSDID@32473 iut=\"3\"]",
+      .as[(String, String, String, String)].head()
+    assert(p == (("notice", null, "[exampleSDID@32473 iut=\"3\"]",
       "An application event")))
   }
 

@@ -170,6 +170,51 @@ class EnrichmentTableSpec extends SparkSpec {
     assert(rows("missing_key")._1.isEmpty)
   }
 
+  test("yaml surface: memory table source_config exports {key,value,ttl}") {
+    // feed in one load, export via source_key in a second — the table's
+    // live state survives reload (the reference's from_previous_state)
+    graft.plans.ConfigLoader.load(spark,
+      """
+        |enrichment_tables:
+        |  expstore:
+        |    type: memory
+        |    inputs: [feed]
+        |sources:
+        |  ev:
+        |    type: parquet
+        |    table: events
+        |transforms:
+        |  feed:
+        |    type: remap
+        |    inputs: [ev]
+        |    source: |
+        |      . = {"exported_token": 41}
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [ev]
+        |""".stripMargin, "/root/testdata/sf0.001")
+    val built = graft.plans.ConfigLoader.load(spark,
+      """
+        |enrichment_tables:
+        |  expstore:
+        |    type: memory
+        |    source_config:
+        |      source_key: exp_src
+        |sinks:
+        |  out2:
+        |    type: parquet
+        |    inputs: [exp_src]
+        |""".stripMargin, "/root/testdata/sf0.001")
+    val rows = built.sink("out2")
+      .select(col("key"), col("value").cast("string").as("v"), col("ttl"))
+      .as[(String, String, Long)].collect()
+    assert(rows.length == 1, rows.toSeq)
+    assert(rows.head._1 == "exported_token")
+    assert(rows.head._2 == "41")
+    assert(rows.head._3 > 0 && rows.head._3 <= 600)
+  }
+
   test("yaml surface: filter tables register and VRL lookups hit/miss") {
     graft.plans.ConfigLoader.load(spark,
       """

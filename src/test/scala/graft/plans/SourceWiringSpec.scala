@@ -375,9 +375,9 @@ class SourceWiringSpec extends SparkSpec {
         val byHost = rows.map(r => r.getAs[String]("hostname") -> r).toMap
         assert(byHost("host1").getAs[String]("appname") == "app")
         assert(byHost("host1").getAs[String]("message") == "counted")
-        assert(byHost("host1").getAs[Int]("facility") == 20)
+        assert(byHost("host1").getAs[String]("facility") == "local4")
         assert(byHost("host2").getAs[String]("message") == "plain line")
-        assert(byHost("host2").getAs[Int]("severity") == 2)
+        assert(byHost("host2").getAs[String]("severity") == "crit")
       }
     } finally running.stopAll()
   }
