@@ -1770,11 +1770,22 @@ object ConfigLoader {
       }
       // compose the generic decoding:/framing: blocks over byte-stream
       // sources (syslog/statsd above embed their own decoder already)
-      if ((m.contains("decoding") || m.contains("framing")) &&
-          byteStreamSources.contains(srcType))
-        Topology.Source(base.id, decodedKind(m, base.outputType),
-          sp => applyDecoding(base.load(sp), m))
-      else base
+      val composed =
+        if ((m.contains("decoding") || m.contains("framing")) &&
+            byteStreamSources.contains(srcType))
+          Topology.Source(base.id, decodedKind(m, base.outputType),
+            sp => applyDecoding(base.load(sp), m))
+        else base
+      // every reference LOG source stamps `source_type` with its type
+      // name (log_schema.source_type_key; e.g. sources/syslog docs list
+      // it as a required output field) — stamp centrally unless the
+      // source already carries one
+      if (composed.outputType == Topology.Metric) composed
+      else composed.copy(load = sp => {
+        val df = composed.load(sp)
+        if (df.columns.contains("source_type")) df
+        else df.withColumn("source_type", lit(srcType))
+      })
     }.toSeq
     val transforms = yamlMap(conf.getOrElse("transforms", null)).map {
       case (id, v) => transformOf(id, yamlMap(v))

@@ -35,7 +35,8 @@ object HttpPushSources {
   // ---- splunk_hec ----
 
   final case class HecEvent(timestamp_ms: java.lang.Long, host: String,
-      source: String, sourcetype: String, index: String, message: String)
+      source: String, sourcetype: String, index: String,
+      splunk_channel: String, message: String)
 
   /** `/services/collector/event` accepts CONCATENATED JSON objects
     * (`{"event":…}{"event":…}`, how HEC clients batch); each carries
@@ -61,12 +62,24 @@ object HttpPushSources {
         h.exists(v => validTokens.exists(t => v == s"Splunk $t"))
       }
 
+    // the Splunk channel: X-Splunk-Request-Channel header, falling back
+    // to the `channel` query parameter (splunk_hec docs field order)
+    def channelOf(ex: com.sun.net.httpserver.HttpExchange): String =
+      Option(ex.getRequestHeaders.getFirst("X-Splunk-Request-Channel"))
+        .orElse(Option(ex.getRequestURI.getQuery).flatMap(_
+          .split("&").collectFirst {
+            case q if q.startsWith("channel=") =>
+              q.stripPrefix("channel=")
+          }))
+        .orNull
+
     server.createContext("/services/collector/event",
       (ex: com.sun.net.httpserver.HttpExchange) => {
         try {
           if (!authorized(ex))
             respond(ex, 401, """{"text":"Invalid authorization","code":3}""")
           else {
+            val channel = channelOf(ex)
             val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
             val it = mapper.readerFor(classOf[JsonNode])
               .readValues[JsonNode](body)
@@ -83,7 +96,7 @@ object HttpPushSources {
                 else null
               events += HecEvent(time, textOf(n, "host"),
                 textOf(n, "source"), textOf(n, "sourcetype"),
-                textOf(n, "index"), msg)
+                textOf(n, "index"), channel, msg)
             }
             val evs = events.result()
             if (evs.nonEmpty) mem.addData(evs)
@@ -100,8 +113,9 @@ object HttpPushSources {
             respond(ex, 401, """{"text":"Invalid authorization","code":3}""")
           else {
             val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+            val channel = channelOf(ex)
             val evs = body.split("\n").filter(_.nonEmpty).toIndexedSeq
-              .map(l => HecEvent(null, null, null, null, null, l))
+              .map(l => HecEvent(null, null, null, null, null, channel, l))
             if (evs.nonEmpty) mem.addData(evs)
             respond(ex, 200, """{"text":"Success","code":0}""")
           }
@@ -114,7 +128,8 @@ object HttpPushSources {
       import org.apache.spark.sql.functions._
       val d = mem.toDF()
       d.select(timestamp_millis(d("timestamp_ms")).as("timestamp"),
-        d("host"), d("source"), d("sourcetype"), d("index"), d("message"))
+        d("host"), d("source"), d("sourcetype"), d("index"),
+        d("splunk_channel"), d("message"))
     }
     def stop(): Unit = server.stop(0)
   }
@@ -172,8 +187,8 @@ object HttpPushSources {
 
   // ---- aws_kinesis_firehose ----
 
-  final case class FirehoseEvent(request_id: String, timestamp_ms: Long,
-      message: String)
+  final case class FirehoseEvent(request_id: String, source_arn: String,
+      timestamp_ms: Long, message: String)
 
   /** Firehose HTTP delivery protocol v1.0
     * (src/sources/aws_kinesis_firehose/models.rs): request JSON
@@ -198,6 +213,9 @@ object HttpPushSources {
         val ts = if (n.hasNonNull("timestamp")) n.get("timestamp").asLong()
           else System.currentTimeMillis()
         val headerKey = Option(ex.getRequestHeaders.getFirst("X-Amz-Firehose-Access-Key"))
+        // documented output field: the delivery stream ARN header
+        val sourceArn = Option(
+          ex.getRequestHeaders.getFirst("X-Amz-Firehose-Source-Arn")).orNull
         if (accessKey.exists(k => !headerKey.contains(k)))
           respond(ex, 401,
             s"""{"requestId":"$reqId","timestamp":$ts,"errorMessage":"Unauthorized"}""")
@@ -213,7 +231,7 @@ object HttpPushSources {
                     new java.io.ByteArrayInputStream(raw)).readAllBytes()
                 else raw
               new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty)
-                .foreach(l => events += FirehoseEvent(reqId, ts, l))
+                .foreach(l => events += FirehoseEvent(reqId, sourceArn, ts, l))
             }
           }
           val evs = events.result()
@@ -230,7 +248,7 @@ object HttpPushSources {
     def df: DataFrame = {
       import org.apache.spark.sql.functions._
       val d = mem.toDF()
-      d.select(d("request_id"),
+      d.select(d("request_id"), d("source_arn"),
         timestamp_millis(d("timestamp_ms")).as("timestamp"), d("message"))
     }
     def stop(): Unit = server.stop(0)

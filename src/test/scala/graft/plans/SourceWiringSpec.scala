@@ -376,6 +376,8 @@ class SourceWiringSpec extends SparkSpec {
         assert(byHost("host1").getAs[String]("appname") == "app")
         assert(byHost("host1").getAs[String]("message") == "counted")
         assert(byHost("host1").getAs[String]("facility") == "local4")
+        // every reference log source stamps its type name
+        assert(byHost("host1").getAs[String]("source_type") == "syslog")
         assert(byHost("host2").getAs[String]("message") == "plain line")
         assert(byHost("host2").getAs[String]("severity") == "crit")
       }

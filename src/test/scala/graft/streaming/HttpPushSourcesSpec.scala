@@ -39,18 +39,24 @@ class HttpPushSourcesSpec extends SparkSpec {
           """{"event":{"k":1},"index":"main"}""",
         Map("Authorization" -> "Splunk tok1"))
       assert(ok == 200 && resp == """{"text":"Success","code":0}""")
-      val (okRaw, _) = post(s"$base/raw", "raw one\nraw two",
+      val (okRaw, _) = post(s"$base/raw?channel=chanQ", "raw one\nraw two",
         Map("Authorization" -> "Splunk tok1"))
       assert(okRaw == 200)
+      // channel via the header takes precedence (splunk_hec docs field)
+      val (okCh, _) = post(s"$base/event", """{"event":"with chan"}""",
+        Map("Authorization" -> "Splunk tok1",
+          "X-Splunk-Request-Channel" -> "chanH"))
+      assert(okCh == 200)
       q.processAllAvailable()
       val rows = spark.sql(
-        "SELECT message, host, sourcetype, index, CAST(timestamp AS STRING) FROM hec_src")
+        "SELECT message, host, sourcetype, index, CAST(timestamp AS STRING), splunk_channel FROM hec_src")
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
-          r.getString(3), r.getString(4))).toSet
-      assert(rows.contains(
-        ("first msg", "h1", "app", null, "2023-11-14 22:13:20.5")))
+          r.getString(3), r.getString(4), r.getString(5))).toSet
+      assert(rows.exists(r => r._1 == "first msg" && r._2 == "h1" &&
+        r._3 == "app" && r._5 == "2023-11-14 22:13:20.5"))
       assert(rows.exists(r => r._1 == """{"k":1}""" && r._4 == "main"))
-      assert(rows.exists(_._1 == "raw one") && rows.exists(_._1 == "raw two"))
+      assert(rows.exists(r => r._1 == "raw one" && r._6 == "chanQ"))
+      assert(rows.exists(r => r._1 == "with chan" && r._6 == "chanH"))
       q.stop()
     } finally src.stop()
   }
@@ -100,14 +106,18 @@ class HttpPushSourcesSpec extends SparkSpec {
       assert(post(url, body,
         Map("X-Amz-Firehose-Access-Key" -> "nope"))._1 == 401)
       val (code, resp) = post(url, body,
-        Map("X-Amz-Firehose-Access-Key" -> "secret"))
+        Map("X-Amz-Firehose-Access-Key" -> "secret",
+          "X-Amz-Firehose-Source-Arn" ->
+            "arn:aws:firehose:us-east-1:1:deliverystream/t"))
       assert(code == 200)
       assert(resp == """{"requestId":"req-1","timestamp":1700000000000}""")
       q.processAllAvailable()
-      val rows = spark.sql("SELECT request_id, message FROM fh_src")
-        .collect().map(r => (r.getString(0), r.getString(1))).toSet
-      assert(rows == Set(("req-1", "line a"), ("req-1", "line b"),
-        ("req-1", "gzline")))
+      val rows = spark.sql("SELECT request_id, source_arn, message FROM fh_src")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet
+      val arn = "arn:aws:firehose:us-east-1:1:deliverystream/t"
+      assert(rows == Set(("req-1", arn, "line a"), ("req-1", arn, "line b"),
+        ("req-1", arn, "gzline")))
       q.stop()
     } finally src.stop()
   }
