@@ -119,9 +119,10 @@ object PlatformSources {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // (container_id, container_name, image, stream, timestamp iso, message)
+    // (container_id, container_name, image, created_at_epoch_s, stream,
+    // timestamp iso, message)
     private val mem =
-      MemoryStream[(String, String, String, String, String, String)]
+      MemoryStream[(String, String, String, Long, String, String, String)]
     @volatile private var running = true
     private val base = dockerHost
       .replaceFirst("^tcp://", "http://").stripSuffix("/")
@@ -133,7 +134,8 @@ object PlatformSources {
         includeContainers.exists(name.startsWith)) &&
         !excludeContainers.exists(name.startsWith)
 
-    private def follow(id: String, name: String, image: String): Unit = {
+    private def follow(id: String, name: String, image: String,
+                       createdAt: Long): Unit = {
       val t = new Thread(() => {
         try {
           val conn = new java.net.URI(s"$base/containers/$id/logs" +
@@ -157,7 +159,7 @@ object PlatformSources {
                 val (ts, msg) =
                   if (sp > 0) (line.substring(0, sp), line.substring(sp + 1))
                   else ("", line)
-                mem.addData((id, name, image, stream, ts, msg))
+                mem.addData((id, name, image, createdAt, stream, ts, msg))
               }
             }
           }
@@ -182,8 +184,13 @@ object PlatformSources {
                   .headOption.map(_.toString.stripPrefix("/")).getOrElse(""))
                 .getOrElse("")
               val image = c.get("Image").map(_.toString).getOrElse("")
+              // docker's container list carries Created (epoch secs) —
+              // the docs' container_created_at output field
+              val created = c.get("Created")
+                .flatMap(x => scala.util.Try(x.toString.toDouble.toLong)
+                  .toOption).getOrElse(0L)
               if (id.nonEmpty && matches(name) && followed.add(id))
-                follow(id, name, image)
+                follow(id, name, image, created)
             }
         } catch { case _: Exception => () }
         Thread.sleep(1000)
@@ -193,10 +200,13 @@ object PlatformSources {
     discoverThread.start()
 
     def df: DataFrame = {
+      import org.apache.spark.sql.functions.timestamp_seconds
       val d = mem.toDF()
       d.select(d("_1").as("container_id"), d("_2").as("container_name"),
-        d("_3").as("image"), d("_4").as("stream"),
-        d("_5").cast("timestamp").as("timestamp"), d("_6").as("message"))
+        d("_3").as("image"),
+        timestamp_seconds(d("_4")).as("container_created_at"),
+        d("_5").as("stream"),
+        d("_6").cast("timestamp").as("timestamp"), d("_7").as("message"))
     }
     def stop(): Unit = running = false
   }
@@ -282,9 +292,16 @@ object PlatformSources {
     }
 
     def df: DataFrame = {
+      import org.apache.spark.sql.functions.struct
       val d = mem.toDF()
-      d.select(d("_1").as("pod_namespace"), d("_2").as("pod_name"),
-        d("_3").as("pod_uid"), d("_4").as("container_name"),
+      // metadata nests under `kubernetes.*` like the reference
+      // (sources/kubernetes_logs docs: kubernetes.pod_name,
+      // kubernetes.container_name, … as nested output fields)
+      d.select(
+        struct(
+          d("_1").as("pod_namespace"), d("_2").as("pod_name"),
+          d("_3").as("pod_uid"), d("_4").as("container_name"))
+          .as("kubernetes"),
         d("_5").as("stream"), d("_6").cast("timestamp").as("timestamp"),
         d("_7").as("message"), d("_8").as("file"))
     }

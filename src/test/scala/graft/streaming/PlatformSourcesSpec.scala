@@ -118,7 +118,7 @@ class PlatformSourcesSpec extends SparkSpec {
     val q = src.df.writeStream.format("memory").queryName("k8q").start()
     src.poll(); q.processAllAvailable()
     val first = spark.sql(
-      "SELECT pod_namespace, pod_name, container_name, stream, message FROM k8q")
+      "SELECT kubernetes.pod_namespace, kubernetes.pod_name, kubernetes.container_name, stream, message FROM k8q")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getString(3), r.getString(4))).toSet
     assert(first == Set(("prod", "api-7d9", "app", "stdout", "complete line")))
