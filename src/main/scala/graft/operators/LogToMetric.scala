@@ -96,6 +96,64 @@ object LogToMetric {
         distv.as("dist_samples"): _*)
     }.reduce(_.unionByName(_))
 
+  /** `all_metrics: true` mode (log_to_metric.rs `to_metrics`): each log
+    * IS a metric description — `name` + `kind`
+    * (absolute|incremental) + one of `counter.value` / `gauge.value` /
+    * `set.values` / `distribution.samples`, with optional `tags` and
+    * `namespace`. Events missing name/kind/value DROP (the reference's
+    * per-event error path). The inverse of [[metricToLog]]'s shape.
+    * Pure projection + filter — no shuffle.
+    */
+  def allMetrics(df: DataFrame, ts: Column): DataFrame = {
+    def has(c: String) = df.columns.contains(c)
+    val nullDist = lit(null).cast("array<struct<value:double,rate:bigint>>")
+    val name = if (has("name")) col("name").cast("string")
+               else lit(null).cast("string")
+    val kind = if (has("kind")) col("kind").cast("string")
+               else lit(null).cast("string")
+    val counter = if (has("counter")) col("counter").getField("value")
+      .cast("double") else lit(null).cast("double")
+    val gauge = if (has("gauge")) col("gauge").getField("value")
+      .cast("double") else lit(null).cast("double")
+    val setv = if (has("set")) col("set").getField("values")
+      .cast("array<string>") else lit(null).cast("array<string>")
+    val distv = if (has("distribution"))
+      col("distribution").getField("samples")
+        .cast("array<struct<value:double,rate:bigint>>")
+    else nullDist
+    val vtype = when(gauge.isNotNull, "gauge")
+      .when(distv.isNotNull, "distribution")
+      .when(counter.isNotNull, "counter")
+      .when(setv.isNotNull, "set")
+    val tags =
+      if (!has("tags")) map()
+      else df.schema("tags").dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          // object-literal tags arrive as a struct — flatten to the
+          // metric row's map<string,string>
+          map(st.fields.toSeq.flatMap(f => Seq(lit(f.name),
+            col("tags").getField(f.name).cast("string"))): _*)
+        case _ => col("tags").cast("map<string,string>")
+      }
+    val nsCols =
+      if (has("namespace"))
+        Seq(col("namespace").cast("string").as("namespace"))
+      else Nil
+    df.filter(name.isNotNull &&
+        kind.isin("absolute", "incremental") && vtype.isNotNull)
+      .select(Seq(
+        name.as("name"),
+        tags.as("tags"),
+        ts.as("ts"),
+        kind.as("kind"),
+        vtype.as("value_type"),
+        when(vtype === "counter", counter).as("counter_value"),
+        when(vtype === "gauge", gauge).as("gauge_value"),
+        when(vtype === "set", setv).as("set_values"),
+        when(vtype === "distribution", distv).as("dist_samples")) ++
+        nsCols: _*)
+  }
+
   /** `metric_to_log`: flatten a metric row into a log line + fields. */
   def metricToLog(metrics: DataFrame): DataFrame = {
     val rendered = Seq(

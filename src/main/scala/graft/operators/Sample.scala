@@ -45,6 +45,48 @@ object Sample {
   def ratio(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
 
+  /** Dynamic per-event sampling (transform.rs `ratio_field` /
+    * `rate_field`, DynamicSampleFields): each event carries its own
+    * ratio (0 < r ≤ 1, numeric or numeric string) or integer rate;
+    * ratio wins when both parse (event_sample_mode), and invalid/missing
+    * values fall back to the static `rate`. The kept event is stamped
+    * with the EFFECTIVE rate as a string under `sample_rate_key`
+    * (sample_rate_label — empty key disables). Deterministic hash draw
+    * per key — a pure filter, pushed to the scan (the reference's
+    * per-group counter is single-stream state; the hash draw is the
+    * 1000-executor analogue with the same keep-probability).
+    */
+  def dynamic(df: DataFrame, key: Column,
+              ratioField: Option[String], rateField: Option[String],
+              staticRate: Int,
+              exclude: Option[Column] = None,
+              sampleRateKey: Option[String] = Some("sample_rate")): DataFrame = {
+    val h = pmod(xxhash64(key), lit(1L << 32)) // uniform 32-bit draw
+    def fieldCol(f: Option[String]): Column = f
+      .filter(df.columns.contains)
+      .map(c => col(c).cast("double"))
+      .getOrElse(lit(null).cast("double"))
+    val ratioC = {
+      val r = fieldCol(ratioField)
+      when(r > 0.0 && r <= 1.0, r)
+    }
+    val rateC = {
+      val r = fieldCol(rateField).cast("long")
+      when(r > 0L, r)
+    }
+    val keep =
+      when(ratioC.isNotNull, h < (ratioC * (1L << 32)).cast("long"))
+        .when(rateC.isNotNull, pmod(h, rateC) === 0L)
+        .otherwise(pmod(h, lit(staticRate.toLong)) === 0L)
+    val label =
+      when(ratioC.isNotNull, ratioC.cast("string"))
+        .when(rateC.isNotNull, rateC.cast("string"))
+        .otherwise(lit(staticRate.toString))
+    val kept = df.filter(exclude.map(e => e || keep).getOrElse(keep))
+    sampleRateKey.filter(_.nonEmpty)
+      .map(k => kept.withColumn(k, label)).getOrElse(kept)
+  }
+
   /** Stratified sampling to a target mix (beyond the reference: the
     * training-data "source mix" construction step — e.g. keep 80% of
     * web, 100% of books, 5% of logs). Per-stratum deterministic hash

@@ -255,6 +255,23 @@ object ConfigLoader {
         // the optional `exclude` bypass condition (src/transforms/sample/)
         val keyField = conf.get("key_field").map(_.toString)
         val exclude = conf.get("exclude").map(conditionSource)
+        // `sample_rate_key` renames (or, empty, disables) the stamped
+        // effective-rate field; `ratio_field`/`rate_field` switch to the
+        // dynamic per-event mode (transform.rs DynamicSampleFields)
+        val srk = conf.get("sample_rate_key").map(_.toString)
+          .getOrElse("sample_rate")
+        val dynFields = (conf.get("ratio_field").map(_.toString),
+          conf.get("rate_field").map(_.toString))
+        if (dynFields._1.isDefined || dynFields._2.isDefined) {
+          val rate = conf.getOrElse("rate", "10").toString.toInt
+          Topology.Transform.simple(id, inputs, df =>
+            graft.operators.Sample.dynamic(df,
+              keyField.map(col).getOrElse(monotonically_increasing_id()),
+              dynFields._1, dynFields._2, rate,
+              exclude.map(src =>
+                coalesce(VrlCompiler.condition(df.schema, src), lit(false))),
+              Some(srk).filter(_.nonEmpty)))
+        } else
         (conf.get("ratio"), conf.get("group_by")) match {
           case (Some(r), _) =>
             val frac = r.toString.toDouble
@@ -277,11 +294,14 @@ object ConfigLoader {
                 orderColOf(df), rate))
           case _ =>
             val rate = conf.getOrElse("rate", "10").toString.toInt
-            Topology.Transform.simple(id, inputs, df =>
-              graft.operators.Sample.byKey(df,
+            Topology.Transform.simple(id, inputs, df => {
+              val out = graft.operators.Sample.byKey(df,
                 keyField.map(col).getOrElse(monotonically_increasing_id()), rate,
                 exclude.map(src =>
-                  coalesce(VrlCompiler.condition(df.schema, src), lit(false)))))
+                  coalesce(VrlCompiler.condition(df.schema, src), lit(false))),
+                rateField = if (srk.isEmpty) "sample_rate" else srk)
+              if (srk.isEmpty) out.drop("sample_rate") else out
+            })
         }
 
       // ---- the remaining reference transform types (src/transforms/) —
@@ -521,6 +541,18 @@ object ConfigLoader {
             before, after,
             forwardWhen.map(src =>
               coalesce(VrlCompiler.condition(df.schema, src), lit(false)))))
+
+      case "log_to_metric"
+          if conf.get("all_metrics").exists(_.toString.toBoolean) =>
+        // `all_metrics: true` (log_to_metric.rs to_metrics): each log IS
+        // a metric description (name/kind/tags + counter|gauge|set|
+        // distribution value objects); malformed events drop
+        Topology.Transform.simple(id, inputs, df => {
+          val ts = Seq("ts", "timestamp").find(df.columns.contains)
+            .map(c => col(c).cast("timestamp"))
+            .getOrElse(current_timestamp())
+          graft.operators.LogToMetric.allMetrics(df, ts)
+        }, outputType = Topology.Metric)
 
       case "log_to_metric" =>
         // metrics: [{type, name, field, tags{...}, increment_by_value}]

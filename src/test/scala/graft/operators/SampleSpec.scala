@@ -57,4 +57,37 @@ class SampleSpec extends SparkSpec {
     assert(k100.subsetOf(k200) && k200.subsetOf(kAll))
     assert(k100.nonEmpty && k100.size < k200.size && kAll.size == 100)
   }
+
+  test("dynamic: per-event ratio/rate with string sample_rate label") {
+    // transform.rs DynamicSampleFields: ratio wins over rate; invalid
+    // values fall back to the static rate; the stamped label is the
+    // effective rate AS A STRING (sample_rate_label)
+    val df = spark.range(2000).toDF("id")
+      .withColumn("r", when($"id" < 1000, 1.0).otherwise(0.0)) // 0.0 invalid
+      .withColumn("n", when($"id" % 2 === 0, 1L).otherwise(0L)) // 0 invalid
+    // ratio=1.0 keeps everything in the first half regardless of rate
+    val out = Sample.dynamic(df, $"id", Some("r"), Some("n"), staticRate = 1)
+      .select($"id", $"sample_rate").as[(Long, String)].collect()
+    val byId = out.toMap
+    assert((0L until 1000L).forall(byId.get(_).contains("1.0")))
+    // second half: invalid ratio -> rate field (1 keeps, 0 invalid ->
+    // static rate 1 keeps); labels reflect which applied
+    assert(byId.view.filterKeys(_ >= 1000L).values.toSet == Set("1"))
+    assert(out.length == 2000)
+    // empty sample_rate_key disables the stamp
+    val noKey = Sample.dynamic(df, $"id", Some("r"), None, 1,
+      sampleRateKey = None)
+    assert(!noKey.columns.contains("sample_rate"))
+  }
+
+  test("dynamic: rate_field draws ~1/rate deterministically") {
+    val df = spark.range(10000).toDF("id").withColumn("rt", lit(10L))
+    val kept = Sample.dynamic(df, $"id", None, Some("rt"), staticRate = 2)
+      .count()
+    assert(kept > 700 && kept < 1300, kept) // ~1000 expected
+    // deterministic: same inputs, same kept set
+    val again = Sample.dynamic(df, $"id", None, Some("rt"), staticRate = 2)
+      .count()
+    assert(kept == again)
+  }
 }

@@ -1373,4 +1373,44 @@ class ConfigLoaderSpec extends SparkSpec {
       assert(rows(0).getAs[Long]("pid") > 0L)
     } finally running.stopAll()
   }
+
+  test("log_to_metric all_metrics: metric-shaped logs convert; bad drop") {
+    // to_metrics (log_to_metric.rs): name+kind+one value object per
+    // event; malformed events drop rather than poisoning the batch
+    val built = ConfigLoader.load(spark,
+      """
+        |sources:
+        |  ev:
+        |    type: parquet
+        |    table: events
+        |transforms:
+        |  shape:
+        |    type: remap
+        |    inputs: [ev]
+        |    source: |
+        |      . = {
+        |        "name": "reqs",
+        |        "kind": if .event_id % 2 == 0 { "incremental" } else { "bogus" },
+        |        "tags": {"etype": .event_type},
+        |        "counter": {"value": .value}
+        |      }
+        |  m:
+        |    type: log_to_metric
+        |    all_metrics: true
+        |    inputs: [shape]
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [m]
+        |""".stripMargin, "/root/testdata/sf0.001")
+    val rows = built.sink("out")
+    val total = graft.Graft.table(spark, "/root/testdata/sf0.001", "events")
+      .count()
+    assert(rows.count() == total / 2) // odd event_ids dropped (bad kind)
+    val r = rows.orderBy("counter_value").head()
+    assert(r.getAs[String]("name") == "reqs")
+    assert(r.getAs[String]("kind") == "incremental")
+    assert(r.getAs[String]("value_type") == "counter")
+    assert(r.getAs[Map[String, String]]("tags").contains("etype"))
+  }
 }

@@ -328,6 +328,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), s"draw shuffles on a key:\n$p")
   }
 
+  test("bloom membership probe is a shuffle-free projection") {
+    // the filter is a broadcast literal word array; the probe side must
+    // stay a pure column expression over the scan — no join, no
+    // exchange beyond the tiny-fixture floor
+    val e = graft.Graft.table(spark, dir, "events")
+    val t = graft.enrich.MemoryFilters.bloomTable(
+      e.filter(col("event_type") === "error")
+        .select(col("user_id").cast("string").as("k")),
+      col("k"), maxEntries = 1024)
+    val probed = e.select(col("event_id"),
+      graft.enrich.MemoryFilters.bloomMember(
+        col("user_id").cast("string"), t).as("member"))
+    val p = plan(probed)
+    assert(!p.contains("hashpartitioning"), s"bloom probe shuffles:\n$p")
+    assert(!p.contains("Join"), s"bloom probe joins:\n$p")
+  }
+
   test("object-store sink: partition_by_prefix is the ONLY shuffle") {
     // mirror of ObjectStoreSink.writeBatch's `lines` plan: prefix
     // render + line encode (projection), one repartition(__prefix) so
