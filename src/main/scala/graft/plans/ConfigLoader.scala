@@ -81,13 +81,19 @@ object ConfigLoader {
     val inputs = strList(conf.getOrElse("inputs", Nil))
     conf.getOrElse("type", "").toString match {
       case "remap" =>
-        // program text inline (`source:`) or from a file (`file:`,
-        // resolved like the reference against the checkout root)
+        // program text inline (`source:`), from a file (`file:`), or
+        // several files concatenated in order (`files:` — remap.rs
+        // reads and joins them), resolved like the reference against
+        // the checkout root
         val source = conf.get("source").map(_.toString).getOrElse {
-          val p = resolvePath(conf.getOrElse("file",
-            throw new IllegalArgumentException(
-              s"remap $id: source or file is required")).toString)
-          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val paths = conf.get("files")
+            .map(v => strList(v).map(resolvePath))
+            .getOrElse(Seq(resolvePath(conf.getOrElse("file",
+              throw new IllegalArgumentException(
+                s"remap $id: source, file, or files is required")).toString)))
+          paths.map(p =>
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+            .mkString("\n")
         }
         val dropOnError = boolOpt(conf, "drop_on_error", default = false)
         val dropOnAbort = boolOpt(conf, "drop_on_abort", default = true)
@@ -185,6 +191,10 @@ object ConfigLoader {
         val expireMs =
           conf.getOrElse("expire_after_ms", "30000").toString.toLong
         val maxEvents = conf.get("max_events").map(_.toString.toInt)
+        // end_every_period_ms (reduce/config.rs): force-close groups on
+        // a fixed cadence — the batch analogue segments by event-time
+        // period bucket alongside starts/ends_when
+        val periodMs = conf.get("end_every_period_ms").map(_.toString.toLong)
         Topology.Transform.simple(id, inputs, df0 => {
           if (df0.isStreaming) {
             // session reduce over live state (ReduceSessions): sessions
@@ -239,14 +249,26 @@ object ConfigLoader {
           }
           val seg = (startSeg.toSeq ++ endSeg.toSeq)
             .reduceOption(_ + _).getOrElse(lit(0L))
-          val segmented = df.withColumn("__seg", seg)
+          val segmented0 = df.withColumn("__seg", seg)
+          val (segmented, segCols) = periodMs match {
+            case Some(period) =>
+              Seq("ts", "timestamp").find(df.columns.contains) match {
+                case Some(tc) =>
+                  (segmented0.withColumn("__period",
+                    floor(unix_millis(col(tc).cast("timestamp")) / period)),
+                    Seq("__seg", "__period"))
+                case None => (segmented0, Seq("__seg"))
+              }
+            case None => (segmented0, Seq("__seg"))
+          }
           // keep __seq alive as min-per-group so downstream transforms
           // and probes retain a deterministic order column
           val strats =
             if (df.columns.contains("__seq"))
               strategies + ("__seq" -> Reduce.Min)
             else strategies
-          Reduce(segmented, groupBy :+ "__seg", strats, ord).drop("__seg")
+          segCols.foldLeft(
+            Reduce(segmented, groupBy ++ segCols, strats, ord))(_.drop(_))
           }
         })
 

@@ -1374,6 +1374,63 @@ class ConfigLoaderSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("reduce end_every_period_ms segments groups by event-time period") {
+    val built = ConfigLoader.load(spark,
+      """
+        |sources:
+        |  ev:
+        |    type: parquet
+        |    table: events
+        |transforms:
+        |  r:
+        |    type: reduce
+        |    inputs: [ev]
+        |    group_by: [user_id]
+        |    end_every_period_ms: 3600000
+        |    merge_strategies:
+        |      value: sum
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [r]
+        |""".stripMargin, "/root/testdata/sf0.001")
+    val got = built.sink("out")
+    // one output row per (user, hour-bucket); without the period it
+    // would be one per user
+    val users = graft.Graft.table(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id").distinct().count()
+    val buckets = graft.Graft.table(spark, "/root/testdata/sf0.001", "events")
+      .selectExpr("user_id", "floor(unix_millis(ts) / 3600000) AS b")
+      .distinct().count()
+    assert(got.count() == buckets && buckets > users)
+  }
+
+  test("remap files: several programs concatenate in order") {
+    val d = java.nio.file.Files.createTempDirectory("remapfiles")
+    java.nio.file.Files.write(d.resolve("a.vrl"),
+      ".first = 1\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(d.resolve("b.vrl"),
+      ".second = .first + 1\n".getBytes("UTF-8"))
+    val built = ConfigLoader.load(spark,
+      s"""
+        |sources:
+        |  ev:
+        |    type: parquet
+        |    table: events
+        |transforms:
+        |  rm:
+        |    type: remap
+        |    inputs: [ev]
+        |    files: ["${d.resolve("a.vrl")}", "${d.resolve("b.vrl")}"]
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [rm]
+        |""".stripMargin, "/root/testdata/sf0.001")
+    val r = built.sink("out").select("first", "second").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+  }
+
   test("log_to_metric all_metrics: metric-shaped logs convert; bad drop") {
     // to_metrics (log_to_metric.rs): name+kind+one value object per
     // event; malformed events drop rather than poisoning the batch
