@@ -30,12 +30,14 @@ object SinkQueries {
     "sink_es_bulk" -> { (s, dir) =>
       val base = ev(s, dir).select("event_id", "ts", "user_id", "event_type")
       val pair = Envelopes.esBulkPair(base, index = "logs-%Y.%m.%d",
-        action = "create")
+        action = "create", idKey = Some("event_id"))
       base.select(col("event_id"), pair.as("__p"))
         .select(
           col("event_id"),
           get_json_object(substring_index(col("__p"), "\n", 1),
             "$.create._index").as("idx"),
+          get_json_object(substring_index(col("__p"), "\n", 1),
+            "$.create._id").cast("long").as("doc_id"),
           get_json_object(substring_index(col("__p"), "\n", -1),
             "$.event_type").as("doc_event_type"),
           get_json_object(substring_index(col("__p"), "\n", -1),
@@ -267,6 +269,7 @@ object SinkQueries {
     "sink_es_bulk" ->
       """SELECT event_id,
         |  'logs-' || strftime(CAST(ts AS TIMESTAMP), '%Y.%m.%d') AS idx,
+        |  event_id AS doc_id,
         |  event_type AS doc_event_type,
         |  user_id AS doc_user_id
         |FROM events ORDER BY event_id""".stripMargin,

@@ -2769,8 +2769,23 @@ object ConfigLoader {
         Some(df => NetworkSinks.writeHttp(df, cfg))
       case "elasticsearch" =>
         val bulk = yamlMap(m.getOrElse("bulk", null))
-        val index = bulk.getOrElse("index", "vector-%Y.%m.%d").toString
-        val action = bulk.getOrElse("action", "index").toString
+        // `mode: data_stream` (config.rs ElasticsearchMode): `create`
+        // actions against the data-stream name
+        // <type>-<dataset>-<namespace> (default logs-generic-default)
+        val dataStream = yamlMap(m.getOrElse("data_stream", null))
+        val isDataStream =
+          m.getOrElse("mode", "bulk").toString == "data_stream"
+        val index =
+          if (isDataStream)
+            Seq(dataStream.getOrElse("type", "logs"),
+              dataStream.getOrElse("dataset", "generic"),
+              dataStream.getOrElse("namespace", "default"))
+              .map(_.toString).mkString("-")
+          else bulk.getOrElse("index", "vector-%Y.%m.%d").toString
+        val action =
+          if (isDataStream) "create"
+          else bulk.getOrElse("action", "index").toString
+        val idKey = m.get("id_key").map(_.toString)
         val batch = yamlMap(m.getOrElse("batch", null))
         val cfg = NetworkSinks.HttpConfig(
           endpoint() + "/_bulk", "post", "json", "newline_delimited", "\n",
@@ -2779,7 +2794,8 @@ object ConfigLoader {
           headers = headerMap(), contentType = "application/x-ndjson",
           payloadSuffix = "\n")
         Some(df => NetworkSinks.writeHttpBody(
-          df.select(Envelopes.esBulkPair(df, index, action).as("__line")),
+          df.select(Envelopes.esBulkPair(df, index, action, idKey)
+            .as("__line")),
           cfg))
       case "splunk_hec" | "splunk_hec_logs" =>
         val token = m.getOrElse("default_token", "").toString
@@ -2803,14 +2819,26 @@ object ConfigLoader {
           .sortBy(_._1).map { case (k, v) => k -> v.toString }
         val (codec, _, _, compression) = sinkEncoding(m, "json")
         val batch = yamlMap(m.getOrElse("batch", null))
+        // `tenant_id` rides as the X-Scope-OrgID header; `path`
+        // overrides the push endpoint (loki/config.rs)
+        val tenantHeaders = m.get("tenant_id")
+          .map(t => Map("X-Scope-OrgID" -> t.toString))
+          .getOrElse(Map.empty)
+        val path = m.getOrElse("path", "/loki/api/v1/push").toString
         val cfg = NetworkSinks.HttpConfig(
-          endpoint() + "/loki/api/v1/push", "post", codec,
+          endpoint() + path, "post", codec,
           "character_delimited", ",", compression,
           batch.getOrElse("max_events", "100000").toString.toInt,
-          headers = headerMap(), contentType = "application/json",
+          headers = headerMap() ++ tenantHeaders,
+          contentType = "application/json",
           payloadPrefix = "{\"streams\":[", payloadSuffix = "]}")
         Some(df => NetworkSinks.writeHttpBody(
-          Envelopes.lokiStreams(df, labels, codec), cfg))
+          Envelopes.lokiStreams(df, labels, codec,
+            removeLabelFields =
+              m.getOrElse("remove_label_fields", "false").toString.toBoolean,
+            removeTimestamp =
+              m.getOrElse("remove_timestamp", "false").toString.toBoolean),
+          cfg))
       case "prometheus_remote_write" =>
         // src/sinks/prometheus/remote_write/: snappy-compressed prompb
         // WriteRequest, per-series label-sorted samples

@@ -29,12 +29,23 @@ object Envelopes {
     * action `index`, index `vector-%Y.%m.%d` (config.rs:336-342).
     */
   def esBulkPair(df: DataFrame, index: String = "vector-%Y.%m.%d",
-                 action: String = "index"): Column =
+                 action: String = "index",
+                 idKey: Option[String] = None): Column = {
+    // `id_key` (config.rs IdKey): the named event field becomes the
+    // document `_id` (idempotent writes); absent field → no _id
+    val idPart = idKey.filter(df.columns.contains) match {
+      case Some(k) =>
+        when(col(k).isNotNull,
+          concat(lit(",\"_id\":\""), col(k).cast("string"), lit("\"")))
+          .otherwise(lit(""))
+      case None => lit("")
+    }
     concat(
       lit("{\"" + action + "\":{\"_index\":\""),
       Template.render(df.schema, index),
-      lit("\"}}\n"),
+      lit("\""), idPart, lit("}}\n"),
       to_json(eventStruct(df)))
+  }
 
   /** Splunk HEC event endpoint (src/sinks/splunk_hec/logs/: POST
     * /services/collector/event, one JSON object per event): `time` =
@@ -68,11 +79,30 @@ object Envelopes {
     * sorted arrays per stream within the micro-batch.
     */
   def lokiStreams(df: DataFrame, labels: Seq[(String, String)],
-                  codec: String = "json"): DataFrame = {
+                  codec: String = "json",
+                  removeLabelFields: Boolean = false,
+                  removeTimestamp: Boolean = false): DataFrame = {
     val ts = Template.timestampCol(df.schema)
     val labelCols = labels.map { case (k, v) =>
       Template.render(df.schema, v).as(k) }
-    val line = LineCodec.encode(df, codec)
+    // remove_label_fields / remove_timestamp (loki/config.rs): fields
+    // consumed as labels (whole-field `{{ f }}` templates) and/or the
+    // timestamp drop from the LINE payload — they ride in the stream
+    // envelope instead
+    val labelFieldNames =
+      if (!removeLabelFields) Set.empty[String]
+      else labels.map(_._2).collect {
+        case v if v.matches("\\{\\{\\s*[\\w.]+\\s*\\}\\}") =>
+          v.replaceAll("[{}\\s]", "")
+      }.toSet
+    val tsNames =
+      if (removeTimestamp) Set("ts", "timestamp") else Set.empty[String]
+    val lineDf = {
+      val dropped = (labelFieldNames ++ tsNames)
+        .filter(df.columns.contains).toSeq
+      dropped.foldLeft(df)(_.drop(_))
+    }
+    val line = LineCodec.encode(lineDf, codec)
     df.select(struct(labelCols: _*).as("__labels"),
         struct((unix_micros(ts) * 1000).cast("string").as("ns"),
           line.as("line")).as("__v"))

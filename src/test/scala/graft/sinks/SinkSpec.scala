@@ -291,6 +291,22 @@ class SinkSpec extends SparkSpec {
     assert(web.indexOf(ns1) < web.indexOf(ns2))
   }
 
+  test("loki sink: remove_label_fields strips label sources from lines") {
+    val streams = Envelopes.lokiStreams(events,
+      Seq("app" -> "{{ app }}"), codec = "json",
+      removeLabelFields = true)
+      .as[String].collect()
+    // the `app` field rode into the stream labels — json lines must not
+    // repeat it (loki/config.rs remove_label_fields)
+    assert(streams.forall(_.contains("\"stream\":{\"app\":")))
+    val lines = streams.mkString
+    assert(!lines.contains("\\\"app\\\""), lines)
+    // without the flag the field stays in the line payload
+    val keep = Envelopes.lokiStreams(events,
+      Seq("app" -> "{{ app }}"), codec = "json").as[String].collect()
+    assert(keep.mkString.contains("\\\"app\\\""))
+  }
+
   test("datadog_logs sink: v2 array body with api key header") {
     val srv = new CapturingServer
     try {
