@@ -1699,12 +1699,24 @@ object ConfigLoader {
               (srvAuth.getOrElse("username", "").toString + ":" +
                 srvAuth.getOrElse("password", "").toString)
                 .getBytes("UTF-8")))
+          val headerNames = strList(m.getOrElse("headers", Nil))
+          val queryParams = strList(m.getOrElse("query_parameters", Nil))
+          val pathKey = Some(m.getOrElse("path_key", "path").toString)
+            .filter(_.nonEmpty)
+          val strictPath =
+            m.getOrElse("strict_path", "true").toString.toBoolean
+          val httpMethod = m.getOrElse("method", "POST").toString
+          val responseCode =
+            m.getOrElse("response_code", "200").toString.toInt
           Topology.Source(id, Topology.Log, sp => {
             val src = graft.streaming.StreamRunner.httpServer(sp, port, path,
-              if (srvTls.enabled)
+              headerNames = headerNames, queryParams = queryParams,
+              pathKey = pathKey, strictPath = strictPath,
+              method = httpMethod, responseCode = responseCode,
+              tls = if (srvTls.enabled)
                 Some(graft.streaming.Tls.serverContext(srvTls))
               else None,
-              expectAuth)
+              auth = expectAuth)
             lastAgentPort = src.boundPort
             addCloser(id, () => src.stop())
             src.df
@@ -2537,7 +2549,9 @@ object ConfigLoader {
             StreamRunner.toKafka(df,
               m.getOrElse("bootstrap_servers", "").toString,
               m.getOrElse("topic", id).toString, s"$workDir/.ckpt-$id",
-              kcodec, yamlMap(m.getOrElse("encoding", null)))
+              kcodec, yamlMap(m.getOrElse("encoding", null)),
+              keyField = m.get("key_field").map(_.toString),
+              headersKey = m.get("headers_key").map(_.toString))
           case "blackhole" => StreamRunner.toBlackhole(df)
           case "memory" =>
             df.writeStream.format("memory").queryName(id)

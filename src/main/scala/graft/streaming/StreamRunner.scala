@@ -151,11 +151,25 @@ object StreamRunner {
                                // expected Authorization header value
                                // (src/sources/http_server.rs auth:
                                // username+password -> Basic); None = open
-                               auth: Option[String] = None) {
+                               auth: Option[String] = None,
+                               // http_server.rs option set: named
+                               // request headers / query parameters ride
+                               // as event map fields; `path_key` stamps
+                               // the request path; `strict_path` rejects
+                               // non-exact paths with 404; `method`
+                               // restricts the verb (405 otherwise);
+                               // `response_code` is the success reply
+                               headerNames: Seq[String] = Nil,
+                               queryParams: Seq[String] = Nil,
+                               pathKey: Option[String] = Some("path"),
+                               strictPath: Boolean = true,
+                               method: String = "POST",
+                               responseCode: Int = 200) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    private val mem = MemoryStream[String]
+    private val mem =
+      MemoryStream[(String, String, Map[String, String], Map[String, String])]
     private val server = tls match {
       case Some(ctx) =>
         // `tls:` block → HTTPS listener (reference src/sources/util/http:
@@ -170,29 +184,64 @@ object StreamRunner {
     }
     server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
       try {
+        val reqPath = ex.getRequestURI.getPath
         val authorized = auth.forall(expected =>
           expected == ex.getRequestHeaders.getFirst("Authorization"))
         if (!authorized) {
           ex.getRequestBody.readAllBytes() // drain
           ex.sendResponseHeaders(401, -1)
+        } else if (strictPath && reqPath != path) {
+          ex.getRequestBody.readAllBytes()
+          ex.sendResponseHeaders(404, -1)
+        } else if (!ex.getRequestMethod.equalsIgnoreCase(method)) {
+          ex.getRequestBody.readAllBytes()
+          ex.sendResponseHeaders(405, -1)
         } else {
+          val hdrs = headerNames.map(h =>
+            h -> Option(ex.getRequestHeaders.getFirst(h)).getOrElse("")).toMap
+          val query = {
+            val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+            val parsed = q.split("&").filter(_.contains("="))
+              .map { kv =>
+                val Array(k, v) = kv.split("=", 2); k -> v
+              }.toMap
+            queryParams.map(p => p -> parsed.getOrElse(p, "")).toMap
+          }
           val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
           val lines = body.split("\n").filter(_.nonEmpty)
-          if (lines.nonEmpty) mem.addData(lines.toIndexedSeq)
-          ex.sendResponseHeaders(200, -1)
+          if (lines.nonEmpty)
+            mem.addData(lines.toIndexedSeq.map(l =>
+              (l, reqPath, hdrs, query)))
+          ex.sendResponseHeaders(responseCode, -1)
         }
       } finally ex.close()
     })
     server.setExecutor(null)
     server.start()
     def boundPort: Int = server.getAddress.getPort
-    def df: DataFrame = mem.toDF().withColumnRenamed("value", "message")
+    def df: DataFrame = {
+      import org.apache.spark.sql.functions.col
+      val d = mem.toDF()
+      val base = Seq(d("_1").as("message")) ++
+        pathKey.filter(_.nonEmpty).map(k => d("_2").as(k)) ++
+        (if (headerNames.nonEmpty) Seq(d("_3").as("headers")) else Nil) ++
+        (if (queryParams.nonEmpty)
+          Seq(d("_4").as("query_parameters")) else Nil)
+      d.select(base: _*)
+    }
     def stop(): Unit = server.stop(0)
   }
   def httpServer(spark: SparkSession, port: Int = 0, path: String = "/",
                  tls: Option[javax.net.ssl.SSLContext] = None,
-                 auth: Option[String] = None): HttpServerSource =
-    new HttpServerSource(spark, port, path, tls, auth)
+                 auth: Option[String] = None,
+                 headerNames: Seq[String] = Nil,
+                 queryParams: Seq[String] = Nil,
+                 pathKey: Option[String] = Some("path"),
+                 strictPath: Boolean = true,
+                 method: String = "POST",
+                 responseCode: Int = 200): HttpServerSource =
+    new HttpServerSource(spark, port, path, tls, auth, headerNames,
+      queryParams, pathKey, strictPath, method, responseCode)
 
   /** `http_client` source (reference src/sources/http_client/): poll a
     * URL on an interval from a driver thread, newline-frame each
@@ -425,13 +474,34 @@ object StreamRunner {
 
   def toKafka(df: DataFrame, servers: String, topic: String,
               checkpoint: String, codec: String = "json",
-              encConf: Map[String, Any] = Map.empty): DataStreamWriter[Row] =
-    df.select(graft.sinks.LineCodec.encodeLine(df, codec, encConf)
-        .cast("binary").as("value")).writeStream
+              encConf: Map[String, Any] = Map.empty,
+              keyField: Option[String] = None,
+              headersKey: Option[String] = None): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions._
+    // `key_field` picks the partition key, `headers_key` a map-valued
+    // event field carried as kafka headers, and a templated `topic`
+    // renders per event (kafka/config.rs) — all three map onto the
+    // kafka writer's key/headers/topic columns
+    val cols = Seq(graft.sinks.LineCodec.encodeLine(df, codec, encConf)
+        .cast("binary").as("value")) ++
+      keyField.filter(df.columns.contains).map(k =>
+        col(k).cast("string").cast("binary").as("key")) ++
+      headersKey.filter(df.columns.contains).map(h =>
+        transform(map_entries(col(h).cast("map<string,string>")), e =>
+          struct(e.getField("key").as("key"),
+            e.getField("value").cast("binary").as("value")))
+          .as("headers")) ++
+      (if (graft.functions.Template.isDynamic(topic))
+        Seq(graft.functions.Template.render(df.schema, topic).as("topic"))
+      else Nil)
+    val w = df.select(cols: _*).writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", servers)
-      .option("topic", topic)
       .option("checkpointLocation", checkpoint)
+      .option("includeHeaders", "true")
+    if (graft.functions.Template.isDynamic(topic)) w
+    else w.option("topic", topic)
+  }
 
   /** `blackhole` sink (reference src/sinks/blackhole) — consume and drop;
     * used by benchmarks.

@@ -169,6 +169,58 @@ class SourceWiringSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("run: http_server headers/query_parameters/path_key/strict_path") {
+    val running = ConfigLoader.run(spark,
+      """
+        |sources:
+        |  in:
+        |    type: http_server
+        |    address: 127.0.0.1:0
+        |    path: /ingest
+        |    headers: [X-Trace-Id]
+        |    query_parameters: [tenant]
+        |    path_key: req_path
+        |    response_code: 201
+        |sinks:
+        |  http_opts_tap:
+        |    type: memory
+        |    inputs: [in]
+        |""".stripMargin, sf, tmpWork("httpopts"))
+    try {
+      val port = ConfigLoader.lastAgentPort
+      def post(path: String, hdrs: Map[String, String] = Map.empty): Int = {
+        val c = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("POST"); c.setDoOutput(true)
+        hdrs.foreach { case (k, v) => c.setRequestProperty(k, v) }
+        c.getOutputStream.write("hello\n".getBytes("UTF-8"))
+        c.getOutputStream.close()
+        try c.getResponseCode finally c.disconnect()
+      }
+      // strict_path (default true): only the exact path ingests
+      assert(post("/ingest/extra") == 404)
+      // GET is not the configured method
+      val g = new java.net.URL(s"http://127.0.0.1:$port/ingest")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      g.setRequestMethod("GET")
+      assert(g.getResponseCode == 405)
+      // success reply uses the configured response_code
+      assert(post("/ingest?tenant=acme",
+        Map("X-Trace-Id" -> "t-123")) == 201)
+      eventually() {
+        running.processAllAvailable()
+        val rows = spark.table("http_opts_tap").collect()
+        assert(rows.length == 1, rows.toSeq)
+        val r = rows.head
+        assert(r.getAs[String]("message") == "hello")
+        assert(r.getAs[String]("req_path") == "/ingest")
+        assert(r.getAs[Map[String, String]]("headers")("X-Trace-Id") == "t-123")
+        assert(r.getAs[Map[String, String]]("query_parameters")("tenant")
+          == "acme")
+      }
+    } finally running.stopAll()
+  }
+
   test("run: http_server auth rejects bad credentials with 401") {
     val running = ConfigLoader.run(spark,
       """
