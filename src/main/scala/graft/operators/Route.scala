@@ -22,11 +22,14 @@ object Route {
     * non-matching, so such events land in `_unmatched` exactly like the
     * reference (route.rs sends every non-matching event there).
     */
-  def apply(df: DataFrame, routes: Seq[(String, Column)]): Map[String, DataFrame] = {
+  def apply(df: DataFrame, routes: Seq[(String, Column)],
+            rerouteUnmatched: Boolean = true): Map[String, DataFrame] = {
     val safe = routes.map { case (name, cond) => name -> coalesce(cond, lit(false)) }
     val named = safe.map { case (name, cond) => name -> df.filter(cond) }.toMap
-    val unmatched = df.filter(!safe.map(_._2).reduce(_ || _))
-    named + (Unmatched -> unmatched)
+    // `reroute_unmatched: false` (route.rs:22) drops non-matching
+    // events instead of exposing the `_unmatched` port
+    if (!rerouteUnmatched) named
+    else named + (Unmatched -> df.filter(!safe.map(_._2).reduce(_ || _)))
   }
 
   /** Single-DataFrame view for batch verification: one row per

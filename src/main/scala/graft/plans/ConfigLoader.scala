@@ -122,11 +122,13 @@ object ConfigLoader {
         val routes = yamlMap(conf("route")).toSeq.map { case (port, c) =>
           port -> conditionSource(c)
         }
+        val reroute =
+          conf.getOrElse("reroute_unmatched", "true").toString.toBoolean
         Topology.Transform(id, inputs, Topology.Any, Topology.Any, df => {
           val compiled = routes.map { case (p, src) =>
             p -> VrlCompiler.condition(df.schema, src)
           }
-          graft.operators.Route(df, compiled)
+          graft.operators.Route(df, compiled, reroute)
         })
       case "exclusive_route" =>
         val routes = yamlList(conf("routes")).map(yamlMap).map { m =>
