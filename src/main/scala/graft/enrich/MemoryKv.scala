@@ -78,4 +78,21 @@ final class MemoryKv(val ttlSecs: Long = 600L,
     snap.foreach { case (k, _, _) => removeEntry(k) }
     snap
   }
+
+  /** Collect-and-remove entries past their ttl — the feed for the
+    * `expired` output port (source.rs EXPIRED_ROUTE /
+    * `export_expired_items`). Remaining ttl reports 0.
+    */
+  def drainExpired(): Seq[(String, String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val now = clock()
+    entries.keySet.asScala.toSeq.sorted.flatMap { k =>
+      val e = entries.get(k)
+      if (e == null) None
+      else if ((now - e.updateMs) / 1000 > e.ttl) {
+        removeEntry(k)
+        Some((k, e.valueJson, 0L))
+      } else None
+    }
+  }
 }

@@ -1901,7 +1901,7 @@ object ConfigLoader {
       .toSeq.flatMap { case (tname, v) =>
         val m = yamlMap(v)
         val sc = yamlMap(m.getOrElse("source_config", null))
-        if (m.getOrElse("type", "").toString != "memory" || sc.isEmpty) None
+        if (m.getOrElse("type", "").toString != "memory" || sc.isEmpty) Nil
         else {
           val srcKey = sc.getOrElse("source_key", s"${tname}_source").toString
           require(srcKey != tname,
@@ -1910,9 +1910,17 @@ object ConfigLoader {
           val batchSize = sc.get("export_batch_size").map(_.toString.toInt)
           val removeAfter =
             sc.getOrElse("remove_after_export", "false").toString.toBoolean
-          Some(Topology.Source(srcKey, Topology.Log, sp =>
+          val main = Topology.Source(srcKey, Topology.Log, sp =>
             memoryTableSourceDf(sp, tname, srcKey, interval, batchSize,
-              removeAfter)))
+              removeAfter))
+          // `export_expired_items` exposes flushed-out entries on the
+          // `<source_key>.expired` port (source.rs EXPIRED_ROUTE)
+          val expired =
+            if (!sc.getOrElse("export_expired_items", "false")
+                .toString.toBoolean) Nil
+            else Seq(Topology.Source(s"$srcKey.expired", Topology.Log, sp =>
+              memoryTableExpiredDf(sp, tname, srcKey, interval)))
+          Seq(main) ++ expired
         }
       }
     val built = Topology.build(spark,
@@ -1920,6 +1928,48 @@ object ConfigLoader {
         tableSinks ++ tableSources)
     feedMemoryTables(conf, built)
     built
+  }
+
+  /** The `expired` port's feed: expired entries drain on each
+    * export_interval tick (streaming) or once at load (batch), with
+    * remaining ttl 0.
+    */
+  private def memoryTableExpiredDf(spark: SparkSession, tname: String,
+      srcKey: String,
+      intervalSecs: Option[Long]): org.apache.spark.sql.DataFrame = {
+    def table: graft.enrich.MemoryKv =
+      graft.functions.VrlCompiler.filterTables.get(tname) match {
+        case Some(kv: graft.enrich.MemoryKv) => kv
+        case _ => throw new IllegalArgumentException(
+          s"memory source $srcKey: '$tname' is not a kv memory table")
+      }
+    intervalSecs match {
+      case Some(secs) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+          spark.sqlContext
+        val mem = MemoryStream[(String, String, Long)]
+        @volatile var running = true
+        val t = new Thread(() => {
+          while (running) {
+            Thread.sleep(math.max(100L, secs * 1000))
+            if (running) {
+              val rows = table.drainExpired()
+              if (rows.nonEmpty) mem.synchronized { mem.addData(rows) }
+            }
+          }
+        }, s"memory-expired-$srcKey")
+        t.setDaemon(true); t.start()
+        addCloser(s"$srcKey.expired", () => running = false)
+        mem.toDF().select(col("_1").as("key"),
+          try_parse_json(col("_2")).as("value"), col("_3").as("ttl"))
+      case None =>
+        import spark.implicits._
+        table.drainExpired().toDF("key", "value", "ttl")
+          .select(col("key"), try_parse_json(col("value")).as("value"),
+            col("ttl"))
+    }
   }
 
   /** Memory-table export source (memory/source.rs): entries as
