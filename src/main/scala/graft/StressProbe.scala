@@ -49,6 +49,40 @@ object StressProbe {
       docs.select(graft.functions.Vrl.validateJsonSchema(j, schema, false)
         .as("ok")).filter(col("ok")).count()
     }
+
+    // ---- round-10 ops ----
+
+    timed("bloom_build_64k") {
+      // distributed build: one explode+distinct pass bounded by m bits
+      graft.enrich.MemoryFilters.bloomTable(
+        docs.select(pmod(col("doc_id"), lit(60000L)).cast("string").as("k")),
+        col("k"), maxEntries = 65536).words.length.toLong
+    }
+    val bloom = graft.enrich.MemoryFilters.bloomTable(
+      docs.select(pmod(col("doc_id"), lit(60000L)).cast("string").as("k")),
+      col("k"), maxEntries = 65536)
+    timed("bloom_probe") {
+      // shuffle-free projection over the whole corpus
+      docs.select(graft.enrich.MemoryFilters.bloomMember(
+          col("doc_id").cast("string"), bloom).as("m"))
+        .filter(col("m")).count()
+    }
+    val cuckoo = graft.enrich.MemoryFilters.cuckooTable(
+      docs.select(pmod(col("doc_id"), lit(3000L)).cast("string").as("k"),
+        col("doc_id")),
+      col("k"), col("doc_id"), maxEntries = 4096)
+    timed("cuckoo_probe") {
+      // broadcast (bucket, fp) join over the whole corpus
+      graft.enrich.MemoryFilters.cuckooMember(
+          docs, col("doc_id").cast("string"), cuckoo)
+        .filter(col("member")).count()
+    }
+    timed("sample_dynamic") {
+      // per-event rate draw — pure filter
+      graft.operators.Sample.dynamic(
+        docs.withColumn("rt", pmod(col("doc_id"), lit(20L)) + 1),
+        col("doc_id"), None, Some("rt"), staticRate = 10).count()
+    }
     spark.stop()
   }
 }
