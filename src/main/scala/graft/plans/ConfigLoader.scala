@@ -1194,8 +1194,12 @@ object ConfigLoader {
           val fmt = m.getOrElse("format", "json").toString
           val interval = m.getOrElse("interval", "1").toString.toDouble
           val rps = math.max(1, math.round(1.0 / interval).toInt)
+          val lines = strList(m.getOrElse("lines", Nil))
+          val sequence =
+            m.getOrElse("sequence", "false").toString.toBoolean
           Topology.Source(id, Topology.Log,
-            sp => graft.streaming.StreamRunner.demoLogs(sp, rps, fmt))
+            sp => graft.streaming.StreamRunner.demoLogs(sp, rps, fmt,
+              lines, sequence))
         case "socket" =>
           val addr = m.getOrElse("address", "localhost:9000").toString
           val (h, p) = addr.split(":") match {

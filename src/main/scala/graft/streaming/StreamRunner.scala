@@ -48,7 +48,9 @@ object StreamRunner {
     * derive the formatted line — same shape, engine-native.
     */
   def demoLogs(spark: SparkSession, rowsPerSecond: Int,
-               format: String = "json"): DataFrame = {
+               format: String = "json",
+               lines: Seq[String] = Nil,
+               sequence: Boolean = false): DataFrame = {
     val base = spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
     val host = concat(lit("host"), pmod(col("value"), lit(50)))
@@ -57,6 +59,16 @@ object StreamRunner {
       array(lit(200), lit(200), lit(200), lit(404), lit(500)),
       (pmod(col("value"), lit(5)) + 1).cast("int"))
     val line = format match {
+      case "shuffle" =>
+        // OutputFormat::Shuffle (demo_logs.rs:104): draw from `lines`
+        // (deterministic rotation here), `sequence: true` prefixes an
+        // increasing number
+        require(lines.nonEmpty, "demo_logs shuffle: lines must be non-empty")
+        val pick = element_at(array(lines.map(lit): _*),
+          (pmod(col("value"), lit(lines.length)) + 1).cast("int"))
+        if (sequence)
+          concat(col("value").cast("string"), lit(" "), pick)
+        else pick
       case "syslog" | "bsd_syslog" =>
         format_string("<%d>%s %s %s[%d]: demo message %d",
           pmod(col("value"), lit(192)).cast("int"),

@@ -271,4 +271,26 @@ class StreamingSpec extends SparkSpec {
       assert(parsed.filter(col("priority").isNotNull).count() == rows.count())
     }
   }
+
+  test("demoLogs shuffle format draws from lines with sequence prefix") {
+    import org.apache.spark.sql.functions._
+    val df = StreamRunner.demoLogs(spark, rowsPerSecond = 100,
+      format = "shuffle", lines = Seq("alpha", "beta"), sequence = true)
+    val q = df.writeStream.format("memory").queryName("demo_shuffle")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1500)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("demo_shuffle")
+      .select("message").collect().map(_.getString(0))
+    if (rows.nonEmpty) {
+      assert(rows.forall(_.matches("\\d+ (alpha|beta)")), rows.take(3).toSeq)
+    }
+    // empty lines list is a config error like the reference's validator
+    intercept[IllegalArgumentException] {
+      StreamRunner.demoLogs(spark, 1, format = "shuffle")
+    }
+  }
 }
