@@ -345,6 +345,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"bloom probe joins:\n$p")
   }
 
+  test("cuckoo probe: entry list broadcasts, corpus side never shuffles") {
+    val e = graft.Graft.table(spark, dir, "events")
+    val t = graft.enrich.MemoryFilters.cuckooTable(
+      e.select(col("user_id").cast("string").as("k"), col("event_id")),
+      col("k"), col("event_id"), maxEntries = 4096)
+    val probed = graft.enrich.MemoryFilters.cuckooMember(
+      e, col("user_id").cast("string"), t)
+    val p = plan(probed)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"cuckoo join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"cuckoo sort-merge joins:\n$p")
+    // the corpus side must not hash-shuffle for the join
+    assert(!p.contains("hashpartitioning"), s"corpus side shuffles:\n$p")
+  }
+
+  test("memory kv lookup compiles to a literal-map projection") {
+    val kv = new graft.enrich.MemoryKv()
+    kv.put("alice", "\"x\"")
+    graft.functions.VrlCompiler.filterTables =
+      graft.functions.VrlCompiler.filterTables + ("audit_kv" -> kv)
+    import spark.implicits._
+    val out = graft.functions.VrlCompiler.run(
+      Seq("alice", "bob").toDF("u"),
+      """.row = get_enrichment_table_record("audit_kv", {"key": .u})"""
+    ).primary
+    val p = plan(out)
+    assert(!p.contains("Join"), s"kv lookup joins:\n$p")
+    assert(!p.contains("hashpartitioning"), s"kv lookup shuffles:\n$p")
+  }
+
   test("object-store sink: partition_by_prefix is the ONLY shuffle") {
     // mirror of ObjectStoreSink.writeBatch's `lines` plan: prefix
     // render + line encode (projection), one repartition(__prefix) so
