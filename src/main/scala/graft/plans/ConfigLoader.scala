@@ -1929,7 +1929,9 @@ object ConfigLoader {
       }
     val built = Topology.build(spark,
       renamedSources ++ extraSources ++ transforms ++ sinks ++
-        tableSinks ++ tableSources)
+        tableSinks ++ tableSources,
+      relaxedWildcards = conf.get("wildcard_matching")
+        .exists(_.toString == "relaxed"))
     feedMemoryTables(conf, built)
     built
   }

@@ -96,7 +96,8 @@ object Topology {
     * nothing stays as-is, so the unknown-input error downstream names
     * the raw reference — the reference's exact fallback semantics.
     */
-  def expandGlobInputs(components: Seq[Component]): Seq[Component] = {
+  def expandGlobInputs(components: Seq[Component],
+                       relaxedWildcards: Boolean = false): Seq[Component] = {
     // candidate producers in config order: sources, then transforms
     // (compiler.rs builds the IndexSet in that order)
     val candidates =
@@ -109,7 +110,12 @@ object Topology {
           val rx = globRegex(raw)
           val hits = candidates.filter(c =>
             c != selfId && rx.matcher(c).matches())
-          if (hits.nonEmpty) hits else Seq(raw)
+          // `wildcard_matching: relaxed` (global_options.rs:48,
+          // graph.rs add_input): an unmatched GLOB is silently ignored
+          // instead of becoming an unknown-input error
+          if (hits.nonEmpty) hits
+          else if (relaxedWildcards) Nil
+          else Seq(raw)
         }
       }
       out.distinct // overlapping patterns must not double a fan-in edge
@@ -121,8 +127,9 @@ object Topology {
     }
   }
 
-  def build(spark: SparkSession, components0: Seq[Component]): Built = {
-    val components = expandGlobInputs(components0)
+  def build(spark: SparkSession, components0: Seq[Component],
+            relaxedWildcards: Boolean = false): Built = {
+    val components = expandGlobInputs(components0, relaxedWildcards)
     val byId = components.map(c => c.id -> c).toMap
     require(byId.size == components.size, "duplicate component ids")
 

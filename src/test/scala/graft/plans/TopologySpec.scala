@@ -118,6 +118,19 @@ class TopologySpec extends SparkSpec {
         src("s"), Sink("out", Seq("zzz_*"), Topology.Any)))
     }
     assert(ex.getMessage.contains("unknown input 'zzz_*'"))
+    // … unless wildcard_matching is RELAXED (global_options.rs): the
+    // unmatched glob silently contributes nothing
+    val relaxed = Topology.build(spark, Seq(
+      src("s"), Sink("out", Seq("s", "zzz_*"), Topology.Any)),
+      relaxedWildcards = true)
+    assert(relaxed.sink("out").count() == 2)
+    // a NON-glob unknown ref still errors even in relaxed mode
+    val ex2 = intercept[IllegalArgumentException] {
+      Topology.build(spark, Seq(
+        src("s"), Sink("out", Seq("nope"), Topology.Any)),
+        relaxedWildcards = true)
+    }
+    assert(ex2.getMessage.contains("unknown input 'nope'"))
   }
 
   test("yaml surface: a sink collects service_* routes via glob") {
