@@ -2511,6 +2511,11 @@ object ConfigLoader {
     // per-key state on executor disk instead of heap — the 100 TB
     // posture for dedupe/throttle/reduce state that outgrows memory.
     // `state_store: rocksdb` is sugar for exactly that conf.
+    // `expire_metrics_secs` global: idle internal-metric series drop
+    // from registry snapshots (and the store) after this many seconds
+    parseYaml(yaml).get("expire_metrics_secs").foreach(v =>
+      graft.streaming.InternalObs.registry.expireSecs =
+        Some(v.toString.toDouble))
     yamlMap(parseYaml(yaml).getOrElse("spark", null)).foreach {
       case ("state_store", v) if v.toString == "rocksdb" =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -54,12 +54,36 @@ object InternalObs {
     private val gauges = TrieMap.empty[(String, Seq[(String, String)]), Double]
     private val t0 = System.nanoTime()
 
+    /** `expire_metrics_secs` global (global_options.rs:146 /
+      * metrics/recorder.rs recency): series idle longer than this drop
+      * from snapshots and from the store. None = never expire.
+      */
+    @volatile var expireSecs: Option[Double] = None
+    private val lastUpdate =
+      TrieMap.empty[(String, Seq[(String, String)]), Long]
+
     def counter(name: String, tags: Map[String, String], by: Double): Unit = {
       val k = (name, tags.toSeq.sortBy(_._1))
       counters.updateWith(k) { prev => Some(prev.getOrElse(0.0) + by) }
+      lastUpdate(k) = System.nanoTime()
     }
-    def gauge(name: String, tags: Map[String, String], v: Double): Unit =
-      gauges((name, tags.toSeq.sortBy(_._1))) = v
+    def gauge(name: String, tags: Map[String, String], v: Double): Unit = {
+      val k = (name, tags.toSeq.sortBy(_._1))
+      gauges(k) = v
+      lastUpdate(k) = System.nanoTime()
+    }
+
+    private def fresh(k: (String, Seq[(String, String)])): Boolean =
+      expireSecs match {
+        case None => true
+        case Some(limit) =>
+          val last = lastUpdate.getOrElse(k, 0L)
+          if ((System.nanoTime() - last) / 1e9 <= limit) true
+          else {
+            counters.remove(k); gauges.remove(k); lastUpdate.remove(k)
+            false
+          }
+      }
 
     def uptimeSeconds: Double = (System.nanoTime() - t0) / 1e9
 
@@ -69,14 +93,18 @@ object InternalObs {
       */
     def snapshot(namespace: String, extraTags: Map[String, String],
                  now: Timestamp): Seq[MetricRow] = {
-      val c = counters.readOnlySnapshot().toSeq.map { case ((n, t), v) =>
-        MetricRow(n, namespace, t.toMap ++ extraTags, now, "absolute",
-          "counter", Some(v), None)
-      }
-      val g = gauges.readOnlySnapshot().toSeq.map { case ((n, t), v) =>
-        MetricRow(n, namespace, t.toMap ++ extraTags, now, "absolute",
-          "gauge", None, Some(v))
-      }
+      val c = counters.readOnlySnapshot().toSeq
+        .filter { case (k, _) => fresh(k) }
+        .map { case ((n, t), v) =>
+          MetricRow(n, namespace, t.toMap ++ extraTags, now, "absolute",
+            "counter", Some(v), None)
+        }
+      val g = gauges.readOnlySnapshot().toSeq
+        .filter { case (k, _) => fresh(k) }
+        .map { case ((n, t), v) =>
+          MetricRow(n, namespace, t.toMap ++ extraTags, now, "absolute",
+            "gauge", None, Some(v))
+        }
       val up = MetricRow("uptime_seconds", namespace, extraTags, now,
         "absolute", "gauge", None, Some(uptimeSeconds))
       (c ++ g :+ up).sortBy(r => (r.name, r.tags.toSeq.sortBy(_._1).mkString))

@@ -116,4 +116,21 @@ class InternalObsSpec extends SparkSpec {
       assert(body2.contains("vector_requests_total{c=\"a\"} 10"))
     } finally exp.stop()
   }
+
+  test("expire_metrics_secs drops idle series from snapshots") {
+    val reg = new InternalObs.Registry
+    reg.expireSecs = Some(0.05)
+    reg.counter("will_expire_total", Map("t" -> "1"), 1.0)
+    reg.gauge("fresh_gauge", Map.empty, 2.0)
+    Thread.sleep(120)
+    reg.gauge("fresh_gauge", Map.empty, 3.0) // refreshed — survives
+    val now = new java.sql.Timestamp(0L)
+    val names = reg.snapshot("vector", Map.empty, now).map(_.name)
+    assert(!names.contains("will_expire_total"), names)
+    assert(names.contains("fresh_gauge"))
+    // a later update resurrects the series (fresh state again)
+    reg.counter("will_expire_total", Map("t" -> "1"), 1.0)
+    assert(reg.snapshot("vector", Map.empty, now).map(_.name)
+      .contains("will_expire_total"))
+  }
 }
