@@ -36,9 +36,21 @@ object Run {
     // a directory merges per the reference's config-dir rules
     // (namespaced component files, global merging); .toml converts
     var yaml = plans.ConfigLoader.readConfigFile(config)
-    // `--require-healthy` (the reference flag): run every sink's
-    // healthcheck BEFORE starting the topology; abort on failure
-    if (args.contains("--require-healthy")) {
+    // `--require-healthy` (the reference flag) or the
+    // `healthchecks: {require_healthy: true}` global: run every sink's
+    // healthcheck BEFORE starting the topology; abort on failure.
+    // `healthchecks.enabled: false` disables the whole phase.
+    val hcConf = plans.ConfigLoader.parseYaml(yaml)
+      .getOrElse("healthchecks", null) match {
+        case m: java.util.Map[_, _] =>
+          import scala.jdk.CollectionConverters._
+          m.asScala.map { case (k, v) => k.toString -> v }.toMap
+        case _ => Map.empty[String, Any]
+      }
+    val hcEnabled = hcConf.getOrElse("enabled", "true").toString.toBoolean
+    val hcRequired = args.contains("--require-healthy") ||
+      hcConf.getOrElse("require_healthy", "false").toString.toBoolean
+    if (hcEnabled && hcRequired) {
       val results = plans.ConfigLoader.healthchecks(yaml)
       results.foreach {
         case (id, Right(_)) => println(s"[graft] healthcheck $id: ok")
