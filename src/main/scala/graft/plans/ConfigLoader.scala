@@ -1177,8 +1177,14 @@ object ConfigLoader {
           // embedded `multiline:` block (src/sources/file.rs multiline
           // config) = the line_agg machinery applied at the source
           val multiline = m.get("multiline").map(yamlMap).map(lineAggFn)
+          val includeGlobs = strList(m.getOrElse("include", Nil))
+          val excludeGlobs = strList(m.getOrElse("exclude", Nil))
+          val ignoreOlder =
+            m.get("ignore_older_secs").map(_.toString.toLong)
+          val maxLine = m.get("max_line_bytes").map(_.toString.toInt)
           Topology.Source(id, Topology.Log, sp => {
-            val tail = graft.streaming.FileTail(sp, dir, ckpt)
+            val tail = graft.streaming.FileTail(sp, dir, ckpt,
+              includeGlobs, excludeGlobs, ignoreOlder, maxLine)
             pendingTails = tail :: pendingTails
             multiline.fold(tail.df)(f => f(tail.df))
           })

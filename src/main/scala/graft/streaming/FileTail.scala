@@ -15,7 +15,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * append-mode logs; emitted lines flow into a MemoryStream.)
   */
 final class FileTailSource(spark: SparkSession, dir: String,
-                           checkpoint: Option[String] = None) {
+                           checkpoint: Option[String] = None,
+                           // file.rs option set: `include`/`exclude`
+                           // glob patterns on the FILE NAME,
+                           // `ignore_older_secs` skips files whose
+                           // mtime is older than the cutoff
+                           // (file_server.rs calculate_ignore_before),
+                           // `max_line_bytes` discards oversized lines
+                           include: Seq[String] = Nil,
+                           exclude: Seq[String] = Nil,
+                           ignoreOlderSecs: Option[Long] = None,
+                           maxLineBytes: Option[Int] = None) {
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -112,11 +122,25 @@ final class FileTailSource(spark: SparkSession, dir: String,
   def poll(): Int = {
     var emitted = 0
     val cpPath = checkpoint.map(c => java.nio.file.Paths.get(c).toAbsolutePath)
+    val fs = java.nio.file.FileSystems.getDefault
+    val includeMatchers = include.map(g =>
+      fs.getPathMatcher("glob:" + java.nio.file.Paths.get(g)
+        .getFileName.toString))
+    val excludeMatchers = exclude.map(g =>
+      fs.getPathMatcher("glob:" + java.nio.file.Paths.get(g)
+        .getFileName.toString))
+    val ignoreBefore = ignoreOlderSecs.map(s =>
+      System.currentTimeMillis() - s * 1000)
     val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
       .filter(p => java.nio.file.Files.isRegularFile(p))
       // hidden files and our own checkpoint are not log files
       .filter(p => !p.getFileName.toString.startsWith(".") &&
         !cpPath.contains(p.toAbsolutePath))
+      .filter(p => includeMatchers.isEmpty ||
+        includeMatchers.exists(_.matches(p.getFileName)))
+      .filter(p => !excludeMatchers.exists(_.matches(p.getFileName)))
+      .filter(p => ignoreBefore.forall(cutoff =>
+        java.nio.file.Files.getLastModifiedTime(p).toMillis >= cutoff))
       .sorted()
       .iterator()
     files.forEachRemaining { p =>
@@ -137,6 +161,10 @@ final class FileTailSource(spark: SparkSession, dir: String,
             if (lastNl >= 0) {
               val lines = new String(bytes, 0, lastNl, "UTF-8")
                 .split("\n").filter(_.nonEmpty)
+                // oversized lines are discarded, offset still advances
+                // (file.rs max_line_bytes)
+                .filter(l => maxLineBytes.forall(m =>
+                  l.getBytes("UTF-8").length <= m))
               if (lines.nonEmpty)
                 mem.addData(lines.toIndexedSeq.map { l =>
                   seq += 1
@@ -158,6 +186,11 @@ final class FileTailSource(spark: SparkSession, dir: String,
 
 object FileTail {
   def apply(spark: SparkSession, dir: String,
-            checkpoint: Option[String] = None): FileTailSource =
-    new FileTailSource(spark, dir, checkpoint)
+            checkpoint: Option[String] = None,
+            include: Seq[String] = Nil,
+            exclude: Seq[String] = Nil,
+            ignoreOlderSecs: Option[Long] = None,
+            maxLineBytes: Option[Int] = None): FileTailSource =
+    new FileTailSource(spark, dir, checkpoint, include, exclude,
+      ignoreOlderSecs, maxLineBytes)
 }

@@ -85,4 +85,25 @@ class FileTailSpec extends SparkSpec {
       } finally q2.stop()
     } finally if (q.isActive) q.stop()
   }
+
+  test("include/exclude globs, ignore_older_secs, max_line_bytes") {
+    val dir = Files.createTempDirectory("tailopts")
+    Files.write(dir.resolve("app.log"),
+      ("keep me\n" + "x" * 100 + "\n").getBytes("UTF-8"))
+    Files.write(dir.resolve("app.tmp"), "wrong ext\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("noise.log"), "excluded\n".getBytes("UTF-8"))
+    val old = dir.resolve("old.log")
+    Files.write(old, "too old\n".getBytes("UTF-8"))
+    Files.setLastModifiedTime(old, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 7200 * 1000))
+    val tail = FileTail(spark, dir.toString,
+      include = Seq("*.log"), exclude = Seq("noise.*"),
+      ignoreOlderSecs = Some(3600), maxLineBytes = Some(50))
+    val q = tail.df.writeStream.format("memory").queryName("tailopts").start()
+    try {
+      tail.poll()
+      // only app.log's short line survives every filter
+      assert(collected(q, "tailopts") == Seq("keep me"))
+    } finally q.stop()
+  }
 }
