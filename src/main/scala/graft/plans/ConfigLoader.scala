@@ -2590,7 +2590,11 @@ object ConfigLoader {
       val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
       val exp = new graft.streaming.InternalObs.PrometheusExporter(port,
         m.getOrElse("suppress_timestamp", "true").toString.toBoolean,
-        m.getOrElse("flush_period_secs", "60").toString.toLong)
+        m.getOrElse("flush_period_secs", "60").toString.toLong,
+        buckets = m.get("buckets")
+          .map(v => strList(v).map(_.toDouble))
+          .getOrElse(Seq(0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0,
+            2.5, 5.0, 10.0)))
       exporters(id) = exp
       exp
     }

@@ -291,11 +291,18 @@ object InternalObs {
     */
   private final case class Entry(valueType: String, value: Double,
                                  set: Set[String], ts: Long,
-                                 touched: Long)
+                                 touched: Long,
+                                 histBuckets: Map[Double, Long] = Map.empty,
+                                 histSum: Double = 0.0,
+                                 histCount: Long = 0L)
 
   final class PrometheusExporter(port: Int = 0,
                                  suppressTimestamp: Boolean = true,
-                                 flushPeriodSecs: Long = 60) {
+                                 flushPeriodSecs: Long = 60,
+                                 // exporter.rs default_histogram_buckets
+                                 buckets: Seq[Double] = Seq(0.005, 0.01,
+                                   0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5,
+                                   5.0, 10.0)) {
     private val entries =
       TrieMap.empty[(String, Seq[(String, String)]), Entry]
 
@@ -318,7 +325,10 @@ object InternalObs {
         (if (cols("set_values")) col("set_values")
          else lit(null).cast("array<string>")).as("set_values"),
         (if (cols("ts")) col("ts").cast("long")
-         else lit(null).cast("long")).as("ts_s")).collect()
+         else lit(null).cast("long")).as("ts_s"),
+        (if (cols("dist_samples")) col("dist_samples")
+         else lit(null).cast("array<struct<value:double,rate:bigint>>"))
+          .as("dist_samples")).collect()
       val now = System.currentTimeMillis()
       rows.foreach { r =>
         val name = (Option(r.getString(1)).filter(_.nonEmpty).map(_ + "_")
@@ -352,7 +362,35 @@ object InternalObs {
                 Some(e.copy(set = e.set ++ vs, ts = ts, touched = now))
               case _ => Some(Entry("set", 0.0, vs, ts, now))
             }
-          case _ => // distribution/histogram/summary: out of exporter scope
+          case "distribution" =>
+            // bucket the samples into the configured histogram bounds
+            // (exporter.rs distributions → histogram exposition)
+            val samples =
+              if (r.isNullAt(9)) Seq.empty
+              else r.getSeq[org.apache.spark.sql.Row](9)
+            val add = scala.collection.mutable.Map[Double, Long]()
+              .withDefaultValue(0L)
+            var addSum = 0.0
+            var addCount = 0L
+            samples.foreach { srow =>
+              val v = srow.getDouble(0)
+              val rate = srow.getLong(1)
+              buckets.find(v <= _).foreach(b => add(b) += rate)
+              addSum += v * rate
+              addCount += rate
+            }
+            entries.updateWith(k) {
+              case Some(e) if kind == "incremental" =>
+                val merged = (e.histBuckets.keySet ++ add.keySet).map(b =>
+                  b -> (e.histBuckets.getOrElse(b, 0L) + add(b))).toMap
+                Some(e.copy(histBuckets = merged,
+                  histSum = e.histSum + addSum,
+                  histCount = e.histCount + addCount, ts = ts,
+                  touched = now))
+              case _ => Some(Entry("histogram", 0.0, Set.empty, ts, now,
+                add.toMap, addSum, addCount))
+            }
+          case _ => // summary/sketch: out of exporter scope
         }
       }
     }
@@ -370,23 +408,43 @@ object InternalObs {
       val byName = entries.readOnlySnapshot().toSeq
         .groupBy(_._1._1).toSeq.sortBy(_._1)
       byName.foreach { case (name, es) =>
-        val promType =
-          if (es.head._2.valueType == "counter") "counter" else "gauge"
+        val promType = es.head._2.valueType match {
+          case "counter" => "counter"
+          case "histogram" => "histogram"
+          case _ => "gauge"
+        }
         sb.append(s"# TYPE $name $promType\n")
         es.sortBy(_._1._2.mkString).foreach { case ((_, tags), e) =>
-          val lbl =
-            if (tags.isEmpty) ""
-            else tags.map { case (k, v) =>
+          def lblOf(extra: Seq[(String, String)]): String = {
+            val all = tags ++ extra
+            if (all.isEmpty) ""
+            else all.map { case (k, v) =>
               s"""$k="${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
             }.mkString("{", ",", "}")
-          val v = e.valueType match {
-            case "set" => e.set.size.toDouble
-            case _ => e.value
           }
-          val vs = if (v == v.floor && !v.isInfinite) v.toLong.toString
-            else v.toString
           val tsSuffix = if (suppressTimestamp) "" else s" ${e.ts}"
-          sb.append(s"$name$lbl $vs$tsSuffix\n")
+          if (e.valueType == "histogram") {
+            // cumulative le-buckets + _sum/_count (prometheus histogram
+            // exposition)
+            var cum = 0L
+            buckets.foreach { b =>
+              cum += e.histBuckets.getOrElse(b, 0L)
+              sb.append(s"${name}_bucket${lblOf(Seq("le" -> b.toString))}" +
+                s" $cum$tsSuffix\n")
+            }
+            sb.append(s"${name}_bucket${lblOf(Seq("le" -> "+Inf"))}" +
+              s" ${e.histCount}$tsSuffix\n")
+            sb.append(s"${name}_sum${lblOf(Nil)} ${e.histSum}$tsSuffix\n")
+            sb.append(s"${name}_count${lblOf(Nil)} ${e.histCount}$tsSuffix\n")
+          } else {
+            val v = e.valueType match {
+              case "set" => e.set.size.toDouble
+              case _ => e.value
+            }
+            val vs = if (v == v.floor && !v.isInfinite) v.toLong.toString
+              else v.toString
+            sb.append(s"$name${lblOf(Nil)} $vs$tsSuffix\n")
+          }
         }
       }
       sb.toString

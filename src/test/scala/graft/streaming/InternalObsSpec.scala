@@ -117,6 +117,33 @@ class InternalObsSpec extends SparkSpec {
     } finally exp.stop()
   }
 
+  test("prometheus exporter serves distributions as histograms") {
+    val exp = new InternalObs.PrometheusExporter(0, buckets = Seq(1.0, 5.0))
+    try {
+      import spark.implicits._
+      val dist = Seq(
+        ("lat", "vector", Map("c" -> "a"), "incremental", "distribution",
+          Option.empty[Double], Option.empty[Double],
+          Option.empty[Seq[String]],
+          Some(Seq((0.5, 2L), (3.0, 1L), (9.0, 1L))))
+      ).toDF("name", "namespace", "tags", "kind", "value_type",
+        "counter_value", "gauge_value", "set_values", "dist_samples")
+      exp.update(dist)
+      val url = s"http://127.0.0.1:${exp.boundPort}/metrics"
+      val body = new String(new java.net.URL(url).openStream().readAllBytes())
+      assert(body.contains("# TYPE vector_lat histogram"), body)
+      assert(body.contains("vector_lat_bucket{c=\"a\",le=\"1.0\"} 2"), body)
+      assert(body.contains("vector_lat_bucket{c=\"a\",le=\"5.0\"} 3"), body)
+      assert(body.contains("vector_lat_bucket{c=\"a\",le=\"+Inf\"} 4"), body)
+      assert(body.contains("vector_lat_sum{c=\"a\"} 13.0"), body)
+      assert(body.contains("vector_lat_count{c=\"a\"} 4"), body)
+      // incremental accumulation across batches
+      exp.update(dist)
+      val body2 = new String(new java.net.URL(url).openStream().readAllBytes())
+      assert(body2.contains("vector_lat_count{c=\"a\"} 8"), body2)
+    } finally exp.stop()
+  }
+
   test("expire_metrics_secs drops idle series from snapshots") {
     val reg = new InternalObs.Registry
     reg.expireSecs = Some(0.05)
