@@ -1433,12 +1433,21 @@ object ConfigLoader {
         case "datadog_agent" =>
           val addr = m.getOrElse("address", "0.0.0.0:8080").toString
           val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
-          Topology.Source(id, Topology.Log, sp => {
-            val src = graft.streaming.HttpPushSources.datadogAgent(sp, port)
-            lastAgentPort = src.boundPort
-            addCloser(id, () => src.stop())
-            src.df
-          })
+          // one server feeds logs (default output) AND the `/api/v1/
+          // series` metrics intake on the `<id>.metrics` port
+          // (datadog_agent's multiple-outputs shape)
+          var shared: Option[graft.streaming.HttpPushSources
+            .DatadogAgentSource] = None
+          def srcOf(sp: SparkSession) = shared.getOrElse {
+            val s = graft.streaming.HttpPushSources.datadogAgent(sp, port)
+            lastAgentPort = s.boundPort
+            addCloser(id, () => s.stop())
+            shared = Some(s)
+            s
+          }
+          extraSources += Topology.Source(s"$id.metrics", Topology.Metric,
+            sp => srcOf(sp).metricsDf)
+          Topology.Source(id, Topology.Log, sp => srcOf(sp).df)
         // queue consumers: redis BLPOP/SUBSCRIBE (src/sources/redis/)
         // and NATS SUB with optional queue group (src/sources/nats/)
         case "redis" =>

@@ -295,6 +295,59 @@ object HttpPushSources {
     }
     server.createContext("/api/v2/logs", handler)
     server.createContext("/v1/input", handler)
+
+    // metrics intake (datadog_agent/metrics.rs `/api/v1/series`):
+    // {"series":[{metric, points: [[epoch_s, value]], type:
+    // count|gauge|rate, tags: ["k:v"], host, interval}]} — count/rate
+    // are incremental counters, gauge absolute; rate values scale by
+    // the interval like the reference
+    private val memMetrics =
+      MemoryStream[(String, Map[String, String], String, java.lang.Long,
+        String, String, java.lang.Double, java.lang.Double)]
+    private val seriesHandler: com.sun.net.httpserver.HttpHandler = ex => {
+      try {
+        val n = mapper.readTree(ex.getRequestBody.readAllBytes())
+        val out = Vector.newBuilder[(String, Map[String, String], String,
+          java.lang.Long, String, String, java.lang.Double,
+          java.lang.Double)]
+        val series = n.get("series")
+        if (series != null && series.isArray) series.forEach { s =>
+          val name = textOf(s, "metric")
+          val host = textOf(s, "host")
+          val typ = Option(textOf(s, "type")).getOrElse("gauge")
+          val interval =
+            if (s.hasNonNull("interval")) s.get("interval").asLong() else 1L
+          val tags = scala.collection.mutable.Map[String, String]()
+          val tagsNode = s.get("tags")
+          if (tagsNode != null && tagsNode.isArray) tagsNode.forEach { t =>
+            val kv = t.asText().split(":", 2)
+            if (kv.length == 2) tags(kv(0)) = kv(1)
+          }
+          val points = s.get("points")
+          if (points != null && points.isArray) points.forEach { p =>
+            val ts = p.get(0).asLong()
+            val v0 = p.get(1).asDouble()
+            val (kind, vt, cv, gv) = typ match {
+              case "count" => ("incremental", "counter",
+                java.lang.Double.valueOf(v0), null: java.lang.Double)
+              case "rate" => ("incremental", "counter",
+                java.lang.Double.valueOf(v0 * interval),
+                null: java.lang.Double)
+              case _ => ("absolute", "gauge", null: java.lang.Double,
+                java.lang.Double.valueOf(v0))
+            }
+            out += ((name, tags.toMap, host,
+              java.lang.Long.valueOf(ts), kind, vt, cv, gv))
+          }
+        }
+        val evs = out.result()
+        if (evs.nonEmpty) memMetrics.synchronized { memMetrics.addData(evs) }
+        respond(ex, 202, """{"status":"ok"}""")
+      } catch { case _: Exception =>
+        respond(ex, 400, """{"error":"bad request"}""")
+      } finally ex.close()
+    }
+    server.createContext("/api/v1/series", seriesHandler)
     server.setExecutor(null)
     server.start()
     def boundPort: Int = server.getAddress.getPort
@@ -304,6 +357,15 @@ object HttpPushSources {
       d.select(d("ddsource"), d("ddtags"), d("hostname"), d("service"),
         d("status"), timestamp_millis(d("timestamp_ms")).as("timestamp"),
         d("message"))
+    }
+    /** The `<id>.metrics` output port's stream. */
+    def metricsDf: DataFrame = {
+      import org.apache.spark.sql.functions._
+      val d = memMetrics.toDF()
+      d.select(d("_1").as("name"), d("_2").as("tags"),
+        d("_3").as("host"), timestamp_seconds(d("_4")).as("ts"),
+        d("_5").as("kind"), d("_6").as("value_type"),
+        d("_7").as("counter_value"), d("_8").as("gauge_value"))
     }
     def stop(): Unit = server.stop(0)
   }

@@ -145,6 +145,36 @@ class HttpPushSourcesSpec extends SparkSpec {
     } finally src.stop()
   }
 
+  test("datadog_agent /api/v1/series feeds the metrics output port") {
+    val src = HttpPushSources.datadogAgent(spark)
+    try {
+      val q = src.metricsDf.writeStream.format("memory")
+        .queryName("dd_metrics").start()
+      val (code, _) = post(
+        s"http://127.0.0.1:${src.boundPort}/api/v1/series",
+        """{"series":[
+          |{"metric":"app.requests","points":[[1700000000,5]],
+          | "type":"count","tags":["env:prod"],"host":"h1"},
+          |{"metric":"app.temp","points":[[1700000000,21.5]],
+          | "type":"gauge","host":"h1"},
+          |{"metric":"app.rps","points":[[1700000000,2.5]],
+          | "type":"rate","interval":10,"host":"h1"}]}""".stripMargin)
+      assert(code == 202)
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT name, kind, value_type, counter_value, gauge_value, " +
+          "tags['env'] FROM dd_metrics").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          Option(r.get(3)), Option(r.get(4)), r.getString(5))).toSet
+      assert(rows == Set(
+        ("app.requests", "incremental", "counter", Some(5.0), None, "prod"),
+        ("app.temp", "absolute", "gauge", None, Some(21.5), null),
+        // rate scales by interval (2.5/s over 10s -> 25 counted)
+        ("app.rps", "incremental", "counter", Some(25.0), None, null)))
+      q.stop()
+    } finally src.stop()
+  }
+
   test("splunk_hec source wires up from YAML with a token") {
     val work = java.nio.file.Files.createTempDirectory("hecw").toString
     val running = graft.plans.ConfigLoader.run(spark,
