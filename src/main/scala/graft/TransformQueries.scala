@@ -369,7 +369,6 @@ object TransformQueries {
           e, col("user_id").cast("string"), t)
         .select(col("event_id"), col("user_id"), col("member"),
           col("fingerprint"))
-        .distinct()
         .orderBy(col("event_id"))
     },
 

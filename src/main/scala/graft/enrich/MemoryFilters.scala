@@ -188,6 +188,10 @@ object MemoryFilters {
       */
     def entries: Seq[(Int, Int)] =
       buckets.zipWithIndex.flatMap { case (b, i) => b.map(fp => (i, fp)) }.toSeq
+
+    /** Test hook: place a raw (bucket, fingerprint) entry directly. */
+    private[enrich] def forceEntry(bucket: Int, fp: Int): Unit =
+      buckets(bucket) += fp
   }
 
   /** Build from a key stream: distinct keys in first-seen order
@@ -207,43 +211,60 @@ object MemoryFilters {
       s"cuckoo filter feed has ${keys.length} distinct keys, " +
         s"exceeding max_entries=$maxEntries (reference: insert error)")
     val t = new CuckooTable(maxEntries, fingerprintBits, bucketSize, maxKicks)
-    keys.foreach(r => t.insert(r.getString(0)))
+    keys.foreach { r =>
+      // the reference errors loudly on insert failure (cuckoo_table.rs
+      // insert error); silently dropping the evicted fingerprint would
+      // produce false negatives, which the filter promises never to do
+      if (!t.insert(r.getString(0)))
+        throw new IllegalStateException(
+          s"cuckoo filter insert failed for key '${r.getString(0)}' after " +
+            s"$maxKicks kicks (filter at ~${keys.length}/$maxEntries load); " +
+            "raise max_entries (reference: insert error)")
+    }
     t
   }
 
   /** Distributed membership probe: compute (fp, bucket1, bucket2)
-    * columns executor-side, broadcast-join the ≤ max_entries entry
-    * list. Adds boolean `member` and the reference's uppercase-hex
-    * `fingerprint` column.
+    * columns executor-side, test membership against a broadcast literal
+    * fp → bucket-array map — a ROW-PRESERVING projection (a join on
+    * (bucket OR bucket) could emit duplicates when the same fingerprint
+    * occupies both candidate buckets). Adds boolean `member` and the
+    * reference's uppercase-hex `fingerprint` column. Shuffle-free.
     */
   def cuckooMember(df: DataFrame, probe: Column, t: CuckooTable): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val entries = t.entries.toDF("__bucket", "__efp")
     val fpMod = lit((1L << t.fingerprintBits) - 1)
     val nb = lit(t.nBuckets.toLong)
     val fpCol = (pmod(h32Col(concat(lit("fp:"), probe.cast("string"))), fpMod)
       .cast("int") + 1)
     val b1 = pmod(h32Col(probe.cast("string")), nb).cast("int")
-    // alt bucket xors with h64("fpb:"+fp) — fp has ≤ 2^bits values, so
+    // alt bucket xors with h32("fpb:"+fp) — fp has ≤ 2^bits values, so
     // resolve via a broadcast-sized literal map fp -> xor mask
     val xorMap = map((1 to ((1 << t.fingerprintBits) - 1)).flatMap { fp =>
       Seq(lit(fp), lit((h32(s"fpb:$fp") % t.nBuckets).toInt))
     }: _*)
+    // fp -> sorted array of occupied buckets (≤ max_entries ints total)
+    val byFp: Map[Int, Seq[Int]] =
+      t.entries.groupBy(_._2).map { case (fp, es) =>
+        fp -> es.map(_._1).distinct.sorted
+      }
+    val bucketMap: Column =
+      if (byFp.isEmpty) map()
+      else map(byFp.toSeq.sortBy(_._1).flatMap { case (fp, bs) =>
+        Seq(lit(fp), array(bs.map(lit(_)): _*))
+      }: _*)
     val withCols = df
       .withColumn("__fp", fpCol)
       .withColumn("__b1", b1)
       .withColumn("__b2",
         col("__b1").bitwiseXOR(element_at(xorMap, col("__fp")))
           .bitwiseAND(lit(t.nBuckets - 1)))
+    val hit = element_at(bucketMap, col("__fp"))
     withCols
-      .join(broadcast(entries),
-        col("__efp") === col("__fp") &&
-          (col("__bucket") === col("__b1") || col("__bucket") === col("__b2")),
-        "left")
-      .withColumn("member", col("__bucket").isNotNull)
+      .withColumn("member", coalesce(
+        exists(hit, b => b === col("__b1") || b === col("__b2")),
+        lit(false)))
       .withColumn("fingerprint",
         upper(conv(col("__fp").cast("string"), 10, 16)))
-      .drop("__bucket", "__efp", "__fp", "__b1", "__b2")
+      .drop("__fp", "__b1", "__b2")
   }
 }

@@ -28,15 +28,25 @@ final class MemoryKv(val ttlSecs: Long = 600L,
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
   private val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Insert one (key → value-as-JSON) pair; rejected past max_byte_size
-    * (table.rs: "Reject new entries").
+  /** UTF-8 byte length — the reference's ByteSizeOf counts bytes, not
+    * UTF-16 chars.
     */
-  def put(key: String, valueJson: String): Boolean = {
-    val sz = key.length.toLong + valueJson.length
-    if (maxByteSize.exists(m => bytes.get() + sz > m)) return false
-    val prev = entries.put(key, Entry(valueJson, clock(), ttlSecs))
-    bytes.addAndGet(sz -
-      (if (prev == null) 0L else prev.valueJson.length.toLong + key.length))
+  private def utf8Len(s: String): Long =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+
+  /** Insert one (key → value-as-JSON) pair; rejected past max_byte_size
+    * (table.rs: "Reject new entries"). Overwrites credit the replaced
+    * entry's size first, so shrinking an existing value near the cap is
+    * never wrongly rejected.
+    */
+  def put(key: String, valueJson: String): Boolean = synchronized {
+    val kLen = utf8Len(key)
+    val sz = kLen + utf8Len(valueJson)
+    val existing = entries.get(key)
+    val prevSz = if (existing == null) 0L else kLen + utf8Len(existing.valueJson)
+    if (maxByteSize.exists(m => bytes.get() - prevSz + sz > m)) return false
+    entries.put(key, Entry(valueJson, clock(), ttlSecs))
+    bytes.addAndGet(sz - prevSz)
     true
   }
 
@@ -47,7 +57,7 @@ final class MemoryKv(val ttlSecs: Long = 600L,
   private def removeEntry(key: String): Unit = {
     val prev = entries.remove(key)
     if (prev != null)
-      bytes.addAndGet(-(key.length.toLong + prev.valueJson.length))
+      bytes.addAndGet(-(utf8Len(key) + utf8Len(prev.valueJson)))
   }
 
   /** Live lookup: None when absent or expired; Some((valueJson,

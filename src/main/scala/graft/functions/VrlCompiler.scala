@@ -1382,8 +1382,19 @@ object VrlCompiler {
       // "foo". Keep the pure-boolean form as a native OR (codegen).
       if (l.t == TBool && r.t == TBool) CV(l.col || r.col, TBool)
       else {
+        // VRL falsy = false or null REGARDLESS of static type: a
+        // variant/any lhs actually holding boolean false must fall
+        // through to the rhs (guard on the variant's runtime schema so
+        // e.g. int 0 — truthy in VRL — is NOT caught by a bool cast)
+        def variantFalse(c: Column): Column =
+          is_variant_null(c) ||
+            (schema_of_variant(c) === lit("BOOLEAN") &&
+              try_variant_get(c, "$", "boolean") === lit(false))
         val falsy = l.t match {
           case TBool => l.col.isNull || (l.col === lit(false))
+          case TVariant => l.col.isNull || variantFalse(l.col)
+          case TAny =>
+            l.col.isNull || variantFalse(l.col.cast(VariantType))
           case _ => l.col.isNull
         }
         if (l.t == r.t) CV(when(falsy, r.col).otherwise(l.col), l.t)

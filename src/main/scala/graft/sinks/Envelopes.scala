@@ -32,11 +32,16 @@ object Envelopes {
                  action: String = "index",
                  idKey: Option[String] = None): Column = {
     // `id_key` (config.rs IdKey): the named event field becomes the
-    // document `_id` (idempotent writes); absent field → no _id
+    // document `_id` (idempotent writes); absent field → no _id.
+    // JSON-escape via to_json so ids containing quotes/backslashes
+    // can't break the _bulk action line: to_json(array(id)) = ["…"],
+    // strip the brackets to keep the quoted, escaped literal.
     val idPart = idKey.filter(df.columns.contains) match {
       case Some(k) =>
+        val quoted = to_json(array(col(k).cast("string")))
         when(col(k).isNotNull,
-          concat(lit(",\"_id\":\""), col(k).cast("string"), lit("\"")))
+          concat(lit(",\"_id\":"),
+            quoted.substr(lit(2), length(quoted) - 2)))
           .otherwise(lit(""))
       case None => lit("")
     }

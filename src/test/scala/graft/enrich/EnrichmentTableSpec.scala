@@ -109,6 +109,49 @@ class EnrichmentTableSpec extends SparkSpec {
     assert(ex.getMessage.contains("max_entries"))
   }
 
+  test("cuckoo: probe is row-preserving even when fp occupies both buckets") {
+    val t = new MemoryFilters.CuckooTable(256)
+    (1 to 200).foreach(i => t.insert(s"u$i"))
+    // place a probe's fingerprint in BOTH its candidate buckets (the
+    // case a (bucket OR bucket) join would duplicate; unreachable via
+    // insert()'s dedupe, but a membership annotation must stay
+    // row-preserving regardless of filter state)
+    val p = "probe_dup"
+    val fp = t.fingerprint(p)
+    val b1 = t.bucket1(p)
+    val b2 = t.altBucket(b1, fp)
+    assert(b1 != b2)
+    t.forceEntry(b1, fp)
+    t.forceEntry(b2, fp)
+    val out = MemoryFilters.cuckooMember(Seq(p).toDF("k"), col("k"), t)
+    assert(out.count() == 1L) // membership annotation must not multiply rows
+    assert(out.select("member").as[Boolean].head())
+  }
+
+  test("cuckoo: build throws loudly when insert exhausts kicks") {
+    // bucketSize 1 + maxKicks 0: the second key hashing to an occupied
+    // bucket pair must raise, not silently drop a fingerprint
+    val keys = (1 to 64).map(i => s"k$i")
+    val ex = intercept[IllegalStateException] {
+      MemoryFilters.cuckooTable(
+        keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "o"),
+        col("k"), col("o"), maxEntries = 64, bucketSize = 1, maxKicks = 0)
+    }
+    assert(ex.getMessage.contains("insert failed"))
+  }
+
+  test("memory kv: overwrite near cap credits the replaced entry; utf-8 sizes") {
+    val kv = new MemoryKv(maxByteSize = Some(20))
+    assert(kv.put("k1", "\"0123456789\"")) // 2 + 12 = 14 bytes
+    // overwrite with a SMALLER value: old size must be credited first
+    assert(kv.put("k1", "\"01234\"")) // 2 + 7 = 9 bytes, fits after credit
+    assert(kv.get("k1").map(_._1).contains("\"01234\""))
+    // sizes count UTF-8 bytes (é = 2 bytes), not UTF-16 chars
+    val kv2 = new MemoryKv(maxByteSize = Some(10))
+    assert(!kv2.put("ké", "\"ééé\"")) // 3 + 8 = 11 bytes > 10
+    assert(kv2.put("k", "\"ééé\"")) // 1 + 8 = 9 bytes
+  }
+
   test("memory kv: ttl expiry, max_byte_size rejection, snapshot") {
     var now = 0L
     val kv = new MemoryKv(ttlSecs = 10, maxByteSize = Some(60),

@@ -120,6 +120,22 @@ class VrlCompilerSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("k")).toSeq == Seq(7L, 9L, 11L))
   }
 
+  test("value-producing || treats variant false/null as falsy, 0 truthy") {
+    // VRL: falsy = false or null regardless of static type — a variant
+    // lhs actually holding boolean false falls through to the rhs; a
+    // variant holding int 0 is TRUTHY and is kept (logical.cue)
+    val out = VrlCompiler.run(events,
+      """
+        |.a = to_string(parse_json!("false") || "fell")
+        |.b = to_string(parse_json!("0") || "kept")
+        |.c = to_string(parse_json!("null") || "nulled")
+        |""".stripMargin)
+    val r = out.primary.orderBy("id").collect().head
+    assert(r.getAs[String]("a") == "fell")
+    assert(r.getAs[String]("b") == "0")
+    assert(r.getAs[String]("c") == "nulled")
+  }
+
   test("nested path assignment builds structs") {
     val out = VrlCompiler.run(events,
       """

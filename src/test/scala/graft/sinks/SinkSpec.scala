@@ -253,6 +253,17 @@ class SinkSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("elasticsearch bulk: id_key with quotes/backslashes stays valid JSON") {
+    val df = Seq(("""he said "hi" \ bye""", "m1")).toDF("doc_id", "msg")
+    val pair = df.select(Envelopes.esBulkPair(df, index = "logs",
+      idKey = Some("doc_id")).as("p")).as[String].head()
+    val action = pair.split("\n").head
+    // the action line must parse as JSON and round-trip the raw id
+    val id = spark.range(1).select(
+      get_json_object(lit(action), "$.index._id").as[String]).head()
+    assert(id == """he said "hi" \ bye""")
+  }
+
   test("splunk_hec sink: event envelope with token auth") {
     val srv = new CapturingServer
     try {
