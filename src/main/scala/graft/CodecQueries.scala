@@ -137,6 +137,97 @@ object CodecQueries {
     },
 
     // encoder -> decoder round trip; oracle recomputes from columns
+    // datadog_agent /api/v2/series intake: each event becomes a
+    // MetricPayload (the repo's own proto encoder), decoded by the
+    // SAME decode leg the HTTP source runs (DdAgentIntake
+    // .decodeSeriesV2) — COUNT/RATE/GAUGE mapping, rate×interval
+    // scaling, host/device resources, source_type_name tag, and
+    // namespace splitting are all oracle-recomputed from the source
+    // columns
+    "dd_agent_v2" -> { (s, dir) =>
+      import graft.codecs.ProtobufCodec
+      import graft.streaming.DdAgentIntake
+      val e = ev(s, dir)
+      val typ = when(pmod(col("k"), lit(3)) === 0, 1L)
+        .when(pmod(col("k"), lit(3)) === 1, 2L).otherwise(3L)
+      val series = struct(
+        array(struct(lit("host").as("type"),
+          concat(lit("h"), pmod(col("user_id"), lit(4))).as("name")))
+          .as("resources"),
+        concat(lit("app."), col("event_type")).as("metric"),
+        array(lit("env:prod")).as("tags"),
+        array(struct(round(col("value"), 2).as("value"),
+          unix_timestamp(col("ts")).as("timestamp"))).as("points"),
+        typ.as("type"), lit("").as("unit"),
+        when(pmod(col("k"), lit(2)) === 0, "check").otherwise("")
+          .as("source_type_name"),
+        when(typ === 2L, 10L).otherwise(0L).as("interval"))
+      val bytes = ProtobufCodec.encode(DdAgentIntake.metricPayloadSchema,
+        struct(array(series).as("series")))
+      val dec = udf((b: Array[Byte]) => DdAgentIntake.decodeSeriesV2(b))
+      e.withColumn("__m", explode(dec(bytes)))
+        .select(col("event_id"),
+          col("__m.namespace").as("namespace"),
+          col("__m.name").as("name"),
+          col("__m.kind").as("kind"),
+          col("__m.value_type").as("value_type"),
+          col("__m.counter_value").as("counter_value"),
+          col("__m.gauge_value").as("gauge_value"),
+          col("__m.interval_ms").as("interval_ms"),
+          col("__m.host").as("host"),
+          element_at(col("__m.tags"), "env").as("tag_env"),
+          element_at(col("__m.tags"), "source_type_name")
+            .as("source_type_name"))
+        .orderBy(col("event_id"))
+    },
+
+    // datadog_agent /api/beta/sketches intake: each event becomes a
+    // one-sample dogsketch (bucket idx = the DDSketch lane), encoded
+    // through SketchPayload proto and decoded by the HTTP source's
+    // decode leg; decoded buckets then MERGE per group and the
+    // DDSketch quantile walk reads the result — the oracle rebuilds
+    // the identical bucket layout and quantile ranks in SQL
+    "dd_agent_sketch" -> { (s, dir) =>
+      import graft.codecs.ProtobufCodec
+      import graft.streaming.DdAgentIntake
+      import graft.model.DDSketch
+      val e = ev(s, dir).where(col("value") > 1e-9)
+      val lane = ceil(log(col("value")) / log(lit(DDSketch.DefaultGamma)))
+        .cast("long")
+      val sketch = struct(array(struct(
+        concat(lit("lat."), col("event_type")).as("metric"),
+        concat(lit("h"), pmod(col("user_id"), lit(4))).as("host"),
+        array(lit("env:prod")).as("tags"),
+        array(struct(unix_timestamp(col("ts")).as("ts"),
+          lit(1L).as("cnt"), round(col("value"), 2).as("min"),
+          round(col("value"), 2).as("max"),
+          round(col("value"), 2).as("avg"),
+          round(col("value"), 2).as("sum"),
+          array(lane).as("k"), array(lit(1L)).as("n")))
+          .as("dogsketches"))).as("sketches"))
+      val bytes = ProtobufCodec.encode(DdAgentIntake.sketchPayloadSchema,
+        sketch)
+      val dec = udf((b: Array[Byte]) => DdAgentIntake.decodeSketches(b))
+      e.withColumn("__m", explode(dec(bytes)))
+        .select(col("__m.name").as("event_type"),
+          element_at(col("__m.sketch_k"), 1).cast("int").as("idx"),
+          element_at(col("__m.sketch_n"), 1).as("cnt"))
+        .groupBy(col("event_type"), col("idx"))
+        .agg(sum(col("cnt")).as("c"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"),
+          array_sort(collect_list(struct(col("idx").as("idx"),
+            col("c").as("cnt")))).as("__buckets"))
+        .select(col("event_type"), col("n"),
+          DDSketch.quantileIdx(struct(col("n").as("total"),
+            lit(0L).as("zero"), col("__buckets").as("buckets")), 0.5)
+            .cast("int").as("q50_idx"),
+          DDSketch.quantileIdx(struct(col("n").as("total"),
+            lit(0L).as("zero"), col("__buckets").as("buckets")), 0.9)
+            .cast("int").as("q90_idx"))
+        .orderBy(col("event_type"))
+    },
+
     "codec_prometheus_rt" -> { (s, dir) =>
       val line = Encode.prometheusLine(
         lit("events_total"),
@@ -383,6 +474,44 @@ object CodecQueries {
         |  event_type || ' at ' || CAST(k AS VARCHAR) AS msg
         |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
         |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "dd_agent_v2" ->
+      """SELECT event_id, 'app' AS namespace, event_type AS name,
+        |  CASE WHEN k % 3 = 2 THEN 'absolute' ELSE 'incremental' END AS kind,
+        |  CASE WHEN k % 3 = 2 THEN 'gauge' ELSE 'counter' END AS value_type,
+        |  CASE WHEN k % 3 = 0 THEN round(value, 2)
+        |       WHEN k % 3 = 1 THEN round(value, 2) * 10 END AS counter_value,
+        |  CASE WHEN k % 3 = 2 THEN round(value, 2) END AS gauge_value,
+        |  CASE WHEN k % 3 = 1 THEN CAST(10000 AS BIGINT) END AS interval_ms,
+        |  'h' || CAST(user_id % 4 AS VARCHAR) AS host,
+        |  'prod' AS tag_env,
+        |  CASE WHEN k % 2 = 0 THEN 'check' END AS source_type_name
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "dd_agent_sketch" ->
+      """WITH v AS (SELECT event_type, value FROM events WHERE value > 1e-9),
+        |nz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |       FROM v GROUP BY 1),
+        |bc AS (SELECT event_type, CAST(ceil(ln(value)/ln(1.02)) AS INT) AS i,
+        |         count(*) AS c
+        |       FROM v GROUP BY 1, 2),
+        |cum AS (SELECT event_type, i,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY i) AS cm
+        |        FROM bc),
+        |qs AS (SELECT unnest([0.5, 0.9]) AS qq),
+        |ranks AS (SELECT nz.event_type, qq,
+        |            greatest(1, ceil(qq * nz.n)) AS r
+        |          FROM nz, qs),
+        |sel AS (SELECT r.event_type, r.qq, min(c.i) AS idx
+        |        FROM ranks r LEFT JOIN cum c
+        |          ON c.event_type = r.event_type AND c.cm >= r.r
+        |        GROUP BY 1, 2)
+        |SELECT nz.event_type, nz.n,
+        |  CAST(max(CASE WHEN qq = 0.5 THEN idx END) AS INT) AS q50_idx,
+        |  CAST(max(CASE WHEN qq = 0.9 THEN idx END) AS INT) AS q90_idx
+        |FROM nz LEFT JOIN sel ON sel.event_type = nz.event_type
+        |GROUP BY 1, 2 ORDER BY nz.event_type""".stripMargin,
 
     "codec_framing" ->
       """WITH frames AS (

@@ -332,12 +332,15 @@ object ProtobufCodec {
         case _ => rd.skip(wt) // unknown or mistyped field: skip
       }
     }
-    Row.fromSeq(schema.fields.map { f =>
-      f.ptype match {
-        case PRepeated(_) => repeated.get(f.no).map(_.toSeq).orNull
-        case _ => values.get(f.no).orNull
-      }
-    })
+    // carry the schema so callers can access fields by NAME (nested
+    // message rows included)
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      schema.fields.map { f =>
+        f.ptype match {
+          case PRepeated(_) => repeated.get(f.no).map(_.toSeq).orNull
+          case _ => values.get(f.no).orNull
+        }
+      }.toArray, schema.sparkType)
   }
 
   /** Row-level decode for callers that post-process the struct in the

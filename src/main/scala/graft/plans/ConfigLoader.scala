@@ -1433,20 +1433,33 @@ object ConfigLoader {
         case "datadog_agent" =>
           val addr = m.getOrElse("address", "0.0.0.0:8080").toString
           val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
-          // one server feeds logs (default output) AND the `/api/v1/
-          // series` metrics intake on the `<id>.metrics` port
-          // (datadog_agent's multiple-outputs shape)
+          // one server feeds logs (default output), the series v1/v2 +
+          // sketches metrics intake on `<id>.metrics`, and trace intake
+          // on `<id>.traces` (datadog_agent's multiple-outputs shape);
+          // disable_metrics/disable_traces drop the extra ports,
+          // split_metric_namespace defaults true (mod.rs:104-129)
+          val split = m.get("split_metric_namespace")
+            .forall(_.toString.toBoolean)
+          val noMetrics = m.get("disable_metrics")
+            .exists(_.toString.toBoolean)
+          val noTraces = m.get("disable_traces")
+            .exists(_.toString.toBoolean)
           var shared: Option[graft.streaming.HttpPushSources
             .DatadogAgentSource] = None
           def srcOf(sp: SparkSession) = shared.getOrElse {
-            val s = graft.streaming.HttpPushSources.datadogAgent(sp, port)
+            val s = graft.streaming.HttpPushSources.datadogAgent(
+              sp, port, split)
             lastAgentPort = s.boundPort
             addCloser(id, () => s.stop())
             shared = Some(s)
             s
           }
-          extraSources += Topology.Source(s"$id.metrics", Topology.Metric,
-            sp => srcOf(sp).metricsDf)
+          if (!noMetrics)
+            extraSources += Topology.Source(s"$id.metrics",
+              Topology.Metric, sp => srcOf(sp).metricsDf)
+          if (!noTraces)
+            extraSources += Topology.Source(s"$id.traces",
+              Topology.Trace, sp => srcOf(sp).tracesDf)
           Topology.Source(id, Topology.Log, sp => srcOf(sp).df)
         // queue consumers: redis BLPOP/SUBSCRIBE (src/sources/redis/)
         // and NATS SUB with optional queue group (src/sources/nats/)

@@ -260,12 +260,18 @@ object HttpPushSources {
       hostname: String, service: String, status: String,
       timestamp_ms: java.lang.Long, message: String)
 
-  /** Datadog agent log intake (src/sources/datadog_agent/logs.rs):
-    * POST `/api/v2/logs` (and the legacy `/v1/input[/<key>]`) carries a
-    * JSON ARRAY of log objects with message/status/timestamp(ms)/
-    * hostname/service/ddsource/ddtags; success replies `{}`.
+  /** Datadog agent intake (src/sources/datadog_agent/): log intake on
+    * POST `/api/v2/logs` (and the legacy `/v1/input[/<key>]`, a JSON
+    * ARRAY of log objects, reply `{}`); metrics intake on `/api/v1/
+    * series` (JSON) + `/api/v2/series` (protobuf MetricPayload) +
+    * `/api/beta/sketches` (protobuf SketchPayload) feeding the
+    * `<id>.metrics` port; trace intake on `/api/v0.2/traces` (protobuf
+    * TracePayload) feeding `<id>.traces`; `/api/v0.2/stats` accepted
+    * and discarded (traces.rs build_stats_filter — APM stats are
+    * recomputed sink-side).
     */
-  final class DatadogAgentSource(spark: SparkSession, port: Int = 0) {
+  final class DatadogAgentSource(spark: SparkSession, port: Int = 0,
+                                 splitMetricNamespace: Boolean = true) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -296,58 +302,132 @@ object HttpPushSources {
     server.createContext("/api/v2/logs", handler)
     server.createContext("/v1/input", handler)
 
+    import DdAgentIntake.{DdMetricRow, DdTraceRow}
+    private val memMetrics = MemoryStream[DdMetricRow]
+    private val memTraces = MemoryStream[DdTraceRow]
+
+    private def pushMetrics(evs: Seq[DdMetricRow]): Unit =
+      if (evs.nonEmpty) memMetrics.synchronized { memMetrics.addData(evs) }
+
+    /** content-encoding per the agent (mod.rs decode): gzip | deflate |
+      * identity (snappy/zstd need codecs outside this runtime).
+      */
+    private def decodeBody(ex: com.sun.net.httpserver.HttpExchange): Array[Byte] = {
+      val raw = ex.getRequestBody.readAllBytes()
+      Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+        .map(_.toLowerCase) match {
+        case Some("gzip") =>
+          new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(raw)).readAllBytes()
+        case Some("deflate") =>
+          new java.util.zip.InflaterInputStream(
+            new java.io.ByteArrayInputStream(raw)).readAllBytes()
+        case _ => raw
+      }
+    }
+
     // metrics intake (datadog_agent/metrics.rs `/api/v1/series`):
     // {"series":[{metric, points: [[epoch_s, value]], type:
-    // count|gauge|rate, tags: ["k:v"], host, interval}]} — count/rate
-    // are incremental counters, gauge absolute; rate values scale by
-    // the interval like the reference
-    private val memMetrics =
-      MemoryStream[(String, Map[String, String], String, java.lang.Long,
-        String, String, java.lang.Double, java.lang.Double)]
-    private val seriesHandler: com.sun.net.httpserver.HttpHandler = ex => {
+    // count|gauge|rate, tags: ["k:v"], host, device, interval}]} —
+    // count/rate are incremental counters, gauge absolute; rate values
+    // scale by the interval; names split into namespace at the first
+    // '.' (split_metric_namespace, default true)
+    private val seriesV1Handler: com.sun.net.httpserver.HttpHandler = ex => {
       try {
-        val n = mapper.readTree(ex.getRequestBody.readAllBytes())
-        val out = Vector.newBuilder[(String, Map[String, String], String,
-          java.lang.Long, String, String, java.lang.Double,
-          java.lang.Double)]
+        val n = mapper.readTree(decodeBody(ex))
+        val out = Vector.newBuilder[DdMetricRow]
         val series = n.get("series")
         if (series != null && series.isArray) series.forEach { s =>
-          val name = textOf(s, "metric")
+          val (ns, name) = DdAgentIntake.splitNamespace(
+            Option(textOf(s, "metric")).getOrElse(""), splitMetricNamespace)
           val host = textOf(s, "host")
           val typ = Option(textOf(s, "type")).getOrElse("gauge")
           val interval =
-            if (s.hasNonNull("interval")) s.get("interval").asLong() else 1L
-          val tags = scala.collection.mutable.Map[String, String]()
+            if (s.hasNonNull("interval")) s.get("interval").asLong() else 0L
+          var tags = Map[String, String]()
           val tagsNode = s.get("tags")
           if (tagsNode != null && tagsNode.isArray) tagsNode.forEach { t =>
-            val kv = t.asText().split(":", 2)
-            if (kv.length == 2) tags(kv(0)) = kv(1)
+            t.asText().split(":", 2) match {
+              case Array(k, v) => tags += (k -> v)
+              case Array(k) => tags += (k -> "")
+            }
           }
+          // metrics.rs into_vector_metric: source_type_name and device
+          // land as tags
+          Option(textOf(s, "source_type_name"))
+            .foreach(v => tags += ("source_type_name" -> v))
+          Option(textOf(s, "device")).foreach(v => tags += ("device" -> v))
           val points = s.get("points")
           if (points != null && points.isArray) points.forEach { p =>
-            val ts = p.get(0).asLong()
+            val ts = java.lang.Long.valueOf(p.get(0).asLong())
             val v0 = p.get(1).asDouble()
-            val (kind, vt, cv, gv) = typ match {
-              case "count" => ("incremental", "counter",
-                java.lang.Double.valueOf(v0), null: java.lang.Double)
-              case "rate" => ("incremental", "counter",
-                java.lang.Double.valueOf(v0 * interval),
-                null: java.lang.Double)
-              case _ => ("absolute", "gauge", null: java.lang.Double,
-                java.lang.Double.valueOf(v0))
-            }
-            out += ((name, tags.toMap, host,
-              java.lang.Long.valueOf(ts), kind, vt, cv, gv))
+            out += (typ match {
+              case "count" => DdMetricRow(ns, name, tags, host, ts, null,
+                "incremental", "counter", v0, null, null, null, null,
+                null, null, null, null)
+              case "rate" =>
+                val i = if (interval != 0) interval else 1L
+                DdMetricRow(ns, name, tags, host, ts, i * 1000,
+                  "incremental", "counter", v0 * i, null, null, null,
+                  null, null, null, null, null)
+              case _ => DdMetricRow(ns, name, tags, host, ts, null,
+                "absolute", "gauge", null, v0, null, null, null, null,
+                null, null, null)
+            })
           }
         }
-        val evs = out.result()
-        if (evs.nonEmpty) memMetrics.synchronized { memMetrics.addData(evs) }
+        pushMetrics(out.result())
         respond(ex, 202, """{"status":"ok"}""")
       } catch { case _: Exception =>
         respond(ex, 400, """{"error":"bad request"}""")
       } finally ex.close()
     }
-    server.createContext("/api/v1/series", seriesHandler)
+    server.createContext("/api/v1/series", seriesV1Handler)
+
+    // `/api/v2/series`: protobuf MetricPayload — what current agents
+    // send by default (metrics.rs series_v2_service); empty body = agent
+    // keep-alive, accepted
+    server.createContext("/api/v2/series", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        val body = decodeBody(ex)
+        if (body.nonEmpty) pushMetrics(DdAgentIntake.decodeSeriesV2(
+          body, splitMetricNamespace))
+        respond(ex, 202, """{"status":"ok"}""")
+      } catch { case _: Exception =>
+        respond(ex, 422, """{"error":"Error decoding Datadog sketch"}""")
+      } finally ex.close()
+    })
+
+    // `/api/beta/sketches`: protobuf SketchPayload → sketch samples
+    server.createContext("/api/beta/sketches", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        val body = decodeBody(ex)
+        if (body.nonEmpty) pushMetrics(DdAgentIntake.decodeSketches(
+          body, splitMetricNamespace))
+        respond(ex, 202, """{"status":"ok"}""")
+      } catch { case _: Exception =>
+        respond(ex, 422, """{"error":"Error decoding Datadog sketch"}""")
+      } finally ex.close()
+    })
+
+    // `/api/v0.2/traces`: protobuf TracePayload → the `.traces` port;
+    // `/api/v0.2/stats` accepted and discarded (traces.rs)
+    server.createContext("/api/v0.2/traces", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        val lang = Option(ex.getRequestHeaders
+          .getFirst("X-Datadog-Reported-Languages"))
+        val evs = DdAgentIntake.decodeTraces(decodeBody(ex), lang)
+        if (evs.nonEmpty) memTraces.synchronized { memTraces.addData(evs) }
+        respond(ex, 200, "{}")
+      } catch { case _: Exception =>
+        respond(ex, 422, """{"error":"Error decoding Datadog traces"}""")
+      } finally ex.close()
+    })
+    server.createContext("/api/v0.2/stats", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try { ex.getRequestBody.readAllBytes(); respond(ex, 200, "") }
+      finally ex.close()
+    })
+
     server.setExecutor(null)
     server.start()
     def boundPort: Int = server.getAddress.getPort
@@ -358,14 +438,29 @@ object HttpPushSources {
         d("status"), timestamp_millis(d("timestamp_ms")).as("timestamp"),
         d("message"))
     }
-    /** The `<id>.metrics` output port's stream. */
+    /** The `<id>.metrics` output port's stream — counter/gauge samples
+      * from both series versions plus agent DDSketch samples, in the
+      * sparse-union shape of model.Metrics.
+      */
     def metricsDf: DataFrame = {
       import org.apache.spark.sql.functions._
       val d = memMetrics.toDF()
-      d.select(d("_1").as("name"), d("_2").as("tags"),
-        d("_3").as("host"), timestamp_seconds(d("_4")).as("ts"),
-        d("_5").as("kind"), d("_6").as("value_type"),
-        d("_7").as("counter_value"), d("_8").as("gauge_value"))
+      d.select(d("namespace"), d("name"), d("tags"), d("host"),
+        timestamp_seconds(d("timestamp_s")).as("ts"), d("interval_ms"),
+        d("kind"), d("value_type"), d("counter_value"), d("gauge_value"),
+        when(d("value_type") === "sketch", struct(
+          d("sketch_cnt").as("cnt"), d("sketch_min").as("min"),
+          d("sketch_max").as("max"), d("sketch_sum").as("sum"),
+          d("sketch_avg").as("avg"), d("sketch_k").as("k"),
+          d("sketch_n").as("n"))).as("sketch"))
+    }
+    /** The `<id>.traces` output port's stream: one row per trace event
+      * with its spans nested (source_type stamped like the reference).
+      */
+    def tracesDf: DataFrame = {
+      import org.apache.spark.sql.functions._
+      val d = memTraces.toDF()
+      d.withColumn("source_type", lit("datadog_agent"))
     }
     def stop(): Unit = server.stop(0)
   }
@@ -378,6 +473,7 @@ object HttpPushSources {
   def firehose(spark: SparkSession, port: Int = 0,
                accessKey: Option[String] = None): FirehoseSource =
     new FirehoseSource(spark, port, accessKey)
-  def datadogAgent(spark: SparkSession, port: Int = 0): DatadogAgentSource =
-    new DatadogAgentSource(spark, port)
+  def datadogAgent(spark: SparkSession, port: Int = 0,
+                   splitMetricNamespace: Boolean = true): DatadogAgentSource =
+    new DatadogAgentSource(spark, port, splitMetricNamespace)
 }

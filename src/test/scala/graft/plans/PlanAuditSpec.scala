@@ -359,6 +359,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), s"corpus side shuffles:\n$p")
   }
 
+  test("dd v2-series decode is projection-only over the scan") {
+    val df = graft.SparkEntry.queries("dd_agent_v2")(spark, dir)
+    val p = plan(df)
+    // encode→decode→explode is a per-row pipeline: no join, no
+    // aggregation, no exchange beyond the final presentation sort
+    assert(!p.contains("Join"), s"dd_agent_v2 joins:\n$p")
+    assert(!p.contains("HashAggregate"), s"dd_agent_v2 aggregates:\n$p")
+    assert(!p.contains("hashpartitioning"), s"dd_agent_v2 shuffles:\n$p")
+  }
+
+  test("dd sketch decode: only the two keyed aggregations shuffle") {
+    val df = graft.SparkEntry.queries("dd_agent_sketch")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"dd_agent_sketch joins:\n$p")
+    // (event_type, idx) then event_type — keyed hash shuffles only,
+    // with map-side partial aggregation before each
+    assert("hashpartitioning".r.findAllIn(p).size <= 2,
+      s"dd_agent_sketch extra shuffles:\n$p")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(p).size >= 2, s"no partial aggregate:\n$p")
+  }
+
   test("memory kv lookup compiles to a literal-map projection") {
     val kv = new graft.enrich.MemoryKv()
     kv.put("alice", "\"x\"")
