@@ -45,6 +45,40 @@ object SinkQueries {
         .orderBy("event_id")
     },
 
+    // splunk HEC METRICS envelope (splunk_hec_metrics sink): the
+    // complete line text vs a string-built oracle — sorted fields keys,
+    // bare-number _value, %.3f time, host from the host_key tag
+    "sink_hec_metrics" -> { (s, dir) =>
+      val base = ev(s, dir).select(
+        col("event_id"), col("ts"),
+        col("event_type").as("name"),
+        lit("app").as("namespace"),
+        lit("incremental").as("kind"),
+        lit("counter").as("value_type"),
+        round(col("value"), 2).as("counter_value"),
+        map(lit("env"), lit("prod"),
+          lit("host"), concat(lit("h"), pmod(col("user_id"), lit(4))))
+          .as("tags"))
+      base.select(col("event_id"),
+          Envelopes.hecMetric(base).as("line"))
+        .orderBy("event_id")
+    },
+
+    // sematext_metrics line: measurement = namespace, token/metric_type
+    // tags, field key = metric name, ns timestamp — full-line compare
+    "sink_sematext_metrics" -> { (s, dir) =>
+      val base = ev(s, dir).select(
+        col("event_id"), col("ts"),
+        col("event_type").as("name"),
+        lit("app").as("namespace"),
+        lit("counter").as("value_type"),
+        round(col("value"), 2).as("counter_value"),
+        map(lit("env"), lit("prod")).as("tags"))
+      base.select(col("event_id"),
+          Envelopes.sematextLine(base, "tok-1", "vector").as("line"))
+        .orderBy("event_id")
+    },
+
     // splunk HEC event envelope: fractional epoch `time`, template-
     // rendered host/sourcetype, event payload under `event`
     "sink_hec" -> { (s, dir) =>
@@ -272,6 +306,26 @@ object SinkQueries {
         |  event_id AS doc_id,
         |  event_type AS doc_event_type,
         |  user_id AS doc_user_id
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sink_hec_metrics" ->
+      """SELECT event_id,
+        |  '{"event":"metric","fields":{"_value":'
+        |    || CAST(round(value, 2) AS VARCHAR)
+        |    || ',"env":"prod","host":"h' || CAST(user_id % 4 AS VARCHAR)
+        |    || '","metric_name":"app.' || event_type
+        |    || '"},"time":'
+        |    || printf('%.3f', epoch_ms(CAST(ts AS TIMESTAMP)) / 1000.0)
+        |    || ',"host":"h' || CAST(user_id % 4 AS VARCHAR) || '"}'
+        |    AS line
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sink_sematext_metrics" ->
+      """SELECT event_id,
+        |  'app,env=prod,metric_type=counter,token=tok-1 '
+        |    || event_type || '=' || CAST(round(value, 2) AS VARCHAR)
+        |    || ' ' || CAST(epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS VARCHAR)
+        |    AS line
         |FROM events ORDER BY event_id""".stripMargin,
 
     "sink_hec" ->

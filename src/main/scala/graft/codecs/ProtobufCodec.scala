@@ -283,6 +283,11 @@ object ProtobufCodec {
     val byNo = schema.fields.map(f => f.no -> f).toMap
     val values = scala.collection.mutable.Map[Int, Any]()
     val repeated = scala.collection.mutable.Map[Int, scala.collection.mutable.ListBuffer[Any]]()
+    // proto3 merge semantics for a singular MESSAGE field seen more
+    // than once: the instances MERGE (repeated subfields concatenate).
+    // Merging serialized protos = concatenating their bytes, so buffer
+    // the bytes and decode once at the end.
+    val msgBytes = scala.collection.mutable.Map[Int, java.io.ByteArrayOutputStream]()
     val rd = new Reader(bytes)
     def readValue(t: PType): Any = t match {
       case PVarint => rd.readVarint()
@@ -309,6 +314,10 @@ object ProtobufCodec {
             case PRepeated(elem) =>
               repeated.getOrElseUpdate(no,
                 scala.collection.mutable.ListBuffer.empty) += readValue(elem)
+            case PMessage(_) =>
+              msgBytes.getOrElseUpdate(no,
+                new java.io.ByteArrayOutputStream())
+                .write(rd.readBytes(rd.readVarint().toInt))
             case t => values(no) = readValue(t)
           }
         // PACKED repeated scalars (proto3 default for numeric repeated
@@ -338,6 +347,9 @@ object ProtobufCodec {
       schema.fields.map { f =>
         f.ptype match {
           case PRepeated(_) => repeated.get(f.no).map(_.toSeq).orNull
+          case PMessage(inner) =>
+            msgBytes.get(f.no)
+              .map(b => decodeRecord(inner, b.toByteArray)).orNull
           case _ => values.get(f.no).orNull
         }
       }.toArray, schema.sparkType)

@@ -1104,11 +1104,13 @@ object ConfigLoader {
     "datadog_traces", "doris", "elasticsearch", "file", "gcp_chronicle",
     "gcp_chronicle_unstructured", "gcp_cloud_storage", "gcp_pubsub",
     "gcp_stackdriver_logs", "gcp_stackdriver_metrics", "greptimedb_logs",
-    "honeycomb", "http", "humio_logs", "influxdb", "influxdb_metrics",
+    "greptimedb_metrics", "honeycomb", "http", "humio_logs",
+    "humio_metrics", "influxdb", "influxdb_metrics",
     "kafka", "keep", "logdna", "loki", "memory", "mezmo", "mqtt", "nats",
     "new_relic", "opentelemetry", "papertrail", "parquet", "postgres",
     "prometheus_exporter", "prometheus_remote_write", "pulsar", "redis",
-    "sematext_logs", "socket", "splunk_hec", "splunk_hec_logs", "statsd",
+    "sematext_logs", "sematext_metrics", "socket", "splunk_hec",
+    "splunk_hec_logs", "splunk_hec_metrics", "statsd",
     "vector", "webhdfs", "websocket", "websocket_server")
 
   val enrichmentTableTypes: Seq[String] = Seq("file", "geoip", "memory",
@@ -2923,6 +2925,60 @@ object ConfigLoader {
             source = m.getOrElse("source", "").toString,
             sourcetype = m.getOrElse("sourcetype", "").toString,
             index = m.getOrElse("index", "").toString).as("__line")), cfg))
+      case "splunk_hec_metrics" =>
+        // src/sinks/splunk_hec/metrics/: HEC event=metric envelope on
+        // the same collector endpoint
+        val token = m.getOrElse("default_token", "").toString
+        val batch = yamlMap(m.getOrElse("batch", null))
+        val cfg = NetworkSinks.HttpConfig(
+          endpoint() + "/services/collector/event", "post", "json",
+          "newline_delimited", "\n",
+          m.getOrElse("compression", "none").toString,
+          batch.getOrElse("max_events", "1000").toString.toInt,
+          headers = headerMap() + ("Authorization" -> s"Splunk $token"),
+          contentType = "application/json")
+        val hostKey = m.getOrElse("host_key", "host").toString
+        val defaultNs = m.get("default_namespace").map(_.toString)
+        Some(df => NetworkSinks.writeHttpBody(
+          df.select(Envelopes.hecMetric(df, hostKey = hostKey,
+            index = m.getOrElse("index", "").toString,
+            source = m.getOrElse("source", "").toString,
+            sourcetype = m.getOrElse("sourcetype", "").toString,
+            defaultNamespace = defaultNs).as("__line")), cfg))
+      case "sematext_metrics" =>
+        // src/sinks/sematext/metrics.rs: influx v1 line protocol to
+        // /write?db=metrics, token + metric_type as tags
+        val ep = m.get("endpoint").map(_.toString).getOrElse(
+          if (m.getOrElse("region", "us").toString == "eu")
+            "https://spm-receiver.eu.sematext.com"
+          else "https://spm-receiver.sematext.com")
+        val token = m.getOrElse("token", "").toString
+        val ns = m.getOrElse("default_namespace", "vector").toString
+        val cfg = NetworkSinks.HttpConfig(
+          ep.stripSuffix("/") + "/write?db=metrics&precision=ns",
+          "post", "text", "newline_delimited", "\n", "none",
+          maxEvents = 20, contentType = "text/plain")
+        Some(df => NetworkSinks.writeHttpBody(
+          df.filter(col("value_type").isin("counter", "gauge"))
+            .select(Envelopes.sematextLine(df, token, ns).as("__line")),
+          cfg))
+      case "humio_metrics" =>
+        // src/sinks/humio/metrics.rs: the metric_to_log shaping in
+        // front of the HEC-compatible humio ingest
+        Some(df => graft.sinks.SaasSinks.writeHumioMetrics(df,
+          m.get("endpoint").orElse(m.get("host")).map(_.toString)
+            .getOrElse("https://cloud.humio.com"),
+          m.getOrElse("token", "").toString))
+      case "greptimedb_metrics" =>
+        // src/sinks/greptimedb/metrics/: RowInsertRequests over the
+        // greptime.v1.GreptimeDatabase/Handle gRPC unary
+        val cfg = graft.sinks.GreptimeMetrics.Config(
+          m.getOrElse("endpoint", endpoint("127.0.0.1:4001")).toString,
+          m.getOrElse("dbname", "public").toString,
+          newNaming = m.get("new_naming").forall(_.toString.toBoolean),
+          maxEvents = yamlMap(m.getOrElse("batch", null))
+            .getOrElse("max_events", "1000").toString.toInt)
+        Some(df => graft.sinks.GreptimeMetrics.write(df, cfg))
       case "loki" =>
         val labels = yamlMap(m.getOrElse("labels", null)).toSeq
           .sortBy(_._1).map { case (k, v) => k -> v.toString }

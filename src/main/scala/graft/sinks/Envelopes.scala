@@ -180,6 +180,141 @@ object Envelopes {
           .as("timeseries"))).as("__bytes"))
   }
 
+  /** Splunk HEC metrics envelope (src/sinks/splunk_hec/metrics/
+    * encoder.rs HecData): one JSON object per metric —
+    * `{"event":"metric","fields":{<tags…>,"metric_name":"<ns.name>",
+    * "_value":<f64>},"time":<epoch s float>[,host/index/source/
+    * sourcetype]}`. Only counter/gauge values encode (sink.rs
+    * extract_metric_value — other kinds drop); fields keys are sorted
+    * (serde BTreeMap); `host` is the host_key TAG's value; templated
+    * field keys are skipped from fields. Namespace prefixes the name
+    * with '.' (encode_namespace).
+    */
+  def hecMetric(df: DataFrame, hostKey: String = "host",
+                index: String = "", source: String = "",
+                sourcetype: String = "",
+                defaultNamespace: Option[String] = None): Column = {
+    val cols = df.schema.fieldNames.toSet
+    val tags =
+      if (cols("tags")) coalesce(col("tags"),
+        map().cast("map<string,string>"))
+      else map().cast("map<string,string>")
+    val ns =
+      if (cols("namespace"))
+        coalesce(col("namespace"),
+          defaultNamespace.map(lit).getOrElse(lit(null)).cast("string"))
+      else defaultNamespace.map(lit(_).cast("string"))
+        .getOrElse(lit(null).cast("string"))
+    val metricName = when(ns.isNotNull,
+      concat(ns, lit("."), col("name"))).otherwise(col("name"))
+    val value = coalesce(
+      Seq("counter_value", "gauge_value").filter(cols).map(col(_)) :+
+        lit(null).cast("double"): _*)
+    // tag keys consumed by the routing templates are skipped from
+    // fields (encoder.rs templated_field_keys)
+    val templatedKeys = Seq(index, source, sourcetype)
+      .flatMap(t => "\\{\\{\\s*([\\w.]+)\\s*\\}\\}".r
+        .findAllMatchIn(t).map(_.group(1)).toSeq)
+      .map(_.stripPrefix("tags."))
+    val fieldTags =
+      if (templatedKeys.isEmpty) tags
+      else map_filter(tags, (k, _) =>
+        !templatedKeys.map(t => k === lit(t))
+          .reduce[Column](_ || _))
+    // fields object: tags ∪ {metric_name, _value}, key-sorted; _value
+    // staged as a string then unquoted (it is a bare double — the
+    // rewrite regex cannot over-match)
+    val fieldsMap = map_from_entries(array_sort(map_entries(map_concat(
+      fieldTags, map(lit("metric_name"), metricName.cast("string"),
+        lit("_value"), value.cast("string"))))))
+    val fieldsJson = regexp_replace(to_json(fieldsMap),
+      "\"_value\":\"([^\"]+)\"", "\"_value\":$1")
+    val ts = Template.timestampCol(df.schema)
+    val time = format_string("%.3f",
+      unix_millis(ts).cast("double") / 1e3)
+    def quoted(c: Column): Column = {
+      val j = to_json(array(c.cast("string")))
+      j.substr(lit(2), length(j) - 2)
+    }
+    def opt(name: String, c: Column): Column =
+      when(c.isNotNull, concat(lit(s""","$name":"""), quoted(c)))
+        .otherwise(lit(""))
+    val host = element_at(tags, hostKey)
+    def tmpl(t: String): Column =
+      if (t.isEmpty) lit(null).cast("string")
+      else Template.render(df.schema, t)
+    concat(
+      lit("""{"event":"metric","fields":"""), fieldsJson,
+      lit(""","time":"""), time,
+      opt("host", host), opt("index", tmpl(index)),
+      opt("source", tmpl(source)), opt("sourcetype", tmpl(sourcetype)),
+      lit("}"))
+  }
+
+  /** Sematext metrics line (src/sinks/sematext/metrics.rs
+    * encode_events): influx v1 line protocol where the MEASUREMENT is
+    * the metric namespace (or the configured default), the token and
+    * metric_type ride as tags, and the field key is the metric NAME —
+    * `<ns>,<tags…>,token=<t>,metric_type=<counter|gauge> <name>=<v> <ns-ts>`.
+    * Only counter/gauge encode (SematextMetricNormalize drops others).
+    */
+  def sematextLine(df: DataFrame, token: String,
+                   defaultNamespace: String): Column = {
+    val cols = df.schema.fieldNames.toSet
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(
+        c, "\\\\", "\\\\\\\\"), "([,= ])", "\\\\$1"), "\n", "\\\\n")
+    val ns =
+      if (cols("namespace")) coalesce(col("namespace"),
+        lit(defaultNamespace))
+      else lit(defaultNamespace)
+    val metricType = when(col("value_type") === "counter", "counter")
+      .when(col("value_type") === "gauge", "gauge")
+    val value = coalesce(
+      Seq("counter_value", "gauge_value").filter(cols).map(col(_)) :+
+        lit(null).cast("double"): _*)
+    val tags0 =
+      if (cols("tags")) coalesce(col("tags"),
+        map().cast("map<string,string>"))
+      else map().cast("map<string,string>")
+    val tags = map_concat(tags0,
+      map(lit("token"), lit(token), lit("metric_type"), metricType))
+    val tagPart = array_join(
+      transform(array_sort(map_entries(tags)), e => concat(
+        lit(","), esc(e.getField("key")), lit("="),
+        esc(e.getField("value")))), "")
+    val ts = Template.timestampCol(df.schema)
+    concat(esc(ns), tagPart,
+      lit(" "), esc(col("name").cast("string")), lit("="),
+      value.cast("string"),
+      lit(" "), (unix_micros(ts) * 1000).cast("string"))
+  }
+
+  /** metric_to_log shaping for humio_metrics (src/sinks/humio/
+    * metrics.rs embeds the metric_to_log transform before the HEC log
+    * sink): the metric serializes to the log's fields — name/
+    * namespace/tags/kind/timestamp plus the value under its type key
+    * (`counter: {value}`, `gauge: {value}`) — and rides the standard
+    * HEC event envelope.
+    */
+  def metricLogStruct(df: DataFrame): Column = {
+    val cols = df.schema.fieldNames.toSet
+    val ts = Template.timestampCol(df.schema)
+    val base = Seq(
+      col("name").cast("string").as("name"),
+      (if (cols("namespace")) col("namespace").cast("string")
+       else lit(null).cast("string")).as("namespace"),
+      (if (cols("tags")) col("tags")
+       else map().cast("map<string,string>")).as("tags"),
+      col("kind").cast("string").as("kind"),
+      date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("timestamp"))
+    val counter = when(col("value_type") === "counter",
+      struct(col("counter_value").as("value"))).as("counter")
+    val gauge = when(col("value_type") === "gauge",
+      struct(col("gauge_value").as("value"))).as("gauge")
+    struct(base :+ counter :+ gauge: _*)
+  }
+
   /** InfluxDB line protocol encoder (src/sinks/influxdb/: POST /write,
     * `measurement,tag=v field=value ns`): measurement/tag escaping per
     * the protocol (`,`, `=`, space backslash-escaped), tags sorted by

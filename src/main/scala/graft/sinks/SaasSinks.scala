@@ -281,6 +281,25 @@ object SaasSinks {
         maxEvents = 1000, contentType = "application/json",
         headers = Map("Authorization" -> s"Bearer $token")))
 
+  // ---- humio_metrics (metric_to_log + HEC ingest) ----
+
+  /** src/sinks/humio/metrics.rs: the metric event passes through the
+    * metric_to_log shaping, then rides the SAME HEC-compatible humio
+    * ingest as humio_logs; the host comes from the host_key metric tag.
+    */
+  def writeHumioMetrics(df: DataFrame, endpoint: String, token: String,
+                        hostKey: String = "host"): Unit = {
+    val log = df.select(Envelopes.metricLogStruct(df).as("__e"))
+      .select(org.apache.spark.sql.functions.col("__e.*"))
+    NetworkSinks.writeHttpBody(
+      log.select(Envelopes.hecEvent(log,
+        host = s"{{ tags.$hostKey }}").as("__line")),
+      HttpConfig(
+        uri = endpoint.stripSuffix("/") + "/api/v1/ingest/hec",
+        maxEvents = 1000, contentType = "application/json",
+        headers = Map("Authorization" -> s"Bearer $token")))
+  }
+
   // ---- sematext_logs (ES bulk) ----
 
   def writeSematext(df: DataFrame, endpoint: String, token: String): Unit =

@@ -56,6 +56,119 @@ class SaasSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  /** Sparse-union metric rows in the engine's Metrics shape. */
+  private def typedMetrics = Seq(
+    ("requests", "app", "incremental", "counter",
+      Some(25.0), Option.empty[Double],
+      Map("env" -> "prod", "host" -> "h7")),
+    ("temp", null, "absolute", "gauge",
+      Option.empty[Double], Some(21.5), Map[String, String]()))
+    .toDF("name", "namespace", "kind", "value_type",
+      "counter_value", "gauge_value", "tags")
+    .withColumn("ts", lit("2024-03-05T10:00:00Z").cast("timestamp"))
+
+  test("splunk_hec_metrics envelope: fields/_value/time/host/index") {
+    val df = typedMetrics
+    val lines = df.select(Envelopes.hecMetric(df, hostKey = "host",
+      index = "{{ tags.env }}").as("l")).as[String].collect()
+    val counter = lines.find(_.contains("requests")).get
+    def j(l: String, p: String) =
+      spark.range(1).select(get_json_object(lit(l), p)).as[String].head()
+    assert(j(counter, "$.event") == "metric")
+    assert(j(counter, "$.fields.metric_name") == "app.requests")
+    assert(j(counter, "$.fields._value") == "25.0")
+    // the env tag is consumed by the index template → not in fields
+    assert(j(counter, "$.fields.env") == null)
+    assert(j(counter, "$.fields.host") == "h7")
+    assert(j(counter, "$.host") == "h7")
+    assert(j(counter, "$.index") == "prod")
+    // time renders as the serde f64 decimal, not scientific notation
+    assert(counter.contains("\"time\":1709632800.000"))
+    // _value rides as a bare JSON number, not a string
+    assert(counter.contains("\"_value\":25.0"))
+    val gauge = lines.find(_.contains("temp")).get
+    assert(j(gauge, "$.fields.metric_name") == "temp") // no namespace
+    assert(j(gauge, "$.fields._value") == "21.5")
+    assert(j(gauge, "$.host") == null) // no host tag
+  }
+
+  test("sematext_metrics: influx v1 line with token/metric_type tags") {
+    val df = typedMetrics
+    val lines = df.select(
+      Envelopes.sematextLine(df, "tok-1", "vector").as("l"))
+      .as[String].collect().sorted
+    assert(lines.contains(
+      "app,env=prod,host=h7,metric_type=counter,token=tok-1 " +
+        "requests=25.0 1709632800000000000"))
+    // namespace absent → the configured default namespace
+    assert(lines.contains(
+      "vector,metric_type=gauge,token=tok-1 temp=21.5 " +
+        "1709632800000000000"))
+  }
+
+  test("humio_metrics sink: metric_to_log shaping over HEC ingest") {
+    val srv = new JsonServer
+    try {
+      SaasSinks.writeHumioMetrics(typedMetrics.coalesce(1), srv.url,
+        "hum-tok")
+      val (path, body, hdrs) = srv.all.head
+      assert(path == "/api/v1/ingest/hec")
+      assert(hdrs("Authorization") == "Bearer hum-tok")
+      val counter = body.split("\n").find(_.contains("requests")).get
+      def j(p: String) = spark.range(1)
+        .select(get_json_object(lit(counter), p)).as[String].head()
+      assert(j("$.event.name") == "requests")
+      assert(j("$.event.namespace") == "app")
+      assert(j("$.event.kind") == "incremental")
+      assert(j("$.event.counter.value") == "25.0")
+      assert(j("$.event.gauge") == null) // sparse union stays sparse
+      assert(j("$.event.tags.env") == "prod")
+      assert(j("$.host") == "h7") // host_key tag → HEC host
+    } finally srv.stop()
+  }
+
+  test("greptimedb_metrics sink: RowInsertRequests over gRPC Handle") {
+    import graft.codecs.ProtobufCodec
+    val got = new java.util.concurrent.CopyOnWriteArrayList[
+      (String, Array[Byte])]()
+    val srv = new graft.streaming.Grpc.Server(0, (path, bytes) => {
+      got.add((path, bytes)); Array.emptyByteArray
+    })
+    try {
+      GreptimeMetrics.write(typedMetrics.coalesce(1),
+        GreptimeMetrics.Config(s"127.0.0.1:${srv.boundPort}",
+          dbname = "metricsdb"))
+      assert(got.size() == 1)
+      val (path, bytes) = got.get(0)
+      assert(path == "/greptime.v1.GreptimeDatabase/Handle")
+      val req = ProtobufCodec.decodeTo(
+        GreptimeMetrics.greptimeRequestSchema, bytes)
+      val header = req.getAs[org.apache.spark.sql.Row]("header")
+      assert(header.getAs[String]("dbname") == "metricsdb")
+      val inserts = req.getAs[org.apache.spark.sql.Row]("row_inserts")
+        .getAs[Seq[org.apache.spark.sql.Row]]("inserts")
+      assert(inserts.map(_.getAs[String]("table_name")).toSet ==
+        Set("app_requests", "temp")) // ns_name | name
+      val counterIns = inserts.find(
+        _.getAs[String]("table_name") == "app_requests").get
+      val rows = counterIns.getAs[org.apache.spark.sql.Row]("rows")
+      val schema = rows.getAs[Seq[org.apache.spark.sql.Row]]("schema")
+      // columns: greptime_timestamp(ms,TIMESTAMP) + sorted tags(TAG) +
+      // greptime_value(FLOAT64,FIELD)
+      assert(schema.map(r => (r.getAs[String]("column_name"),
+        r.getAs[Long]("datatype"), r.getAs[Long]("semantic_type"))) ==
+        Seq(("greptime_timestamp", 16L, 2L), ("env", 12L, 0L),
+          ("host", 12L, 0L), ("greptime_value", 10L, 1L)))
+      val vals = rows.getAs[Seq[org.apache.spark.sql.Row]]("rows").head
+        .getAs[Seq[org.apache.spark.sql.Row]]("values")
+      assert(vals(0).getAs[Long]("timestamp_millisecond_value") ==
+        1709632800000L)
+      assert(vals(1).getAs[String]("string_value") == "prod")
+      assert(vals(2).getAs[String]("string_value") == "h7")
+      assert(vals(3).getAs[Double]("f64_value") == 25.0)
+    } finally srv.stop()
+  }
+
   test("datadog_events sink: one v1 event per request") {
     val srv = new JsonServer
     try {
