@@ -1406,8 +1406,16 @@ object ConfigLoader {
           val port = addr.substring(addr.lastIndexOf(':') + 1).toInt
           val tokens = m.get("valid_tokens").map(strList).getOrElse(
             m.get("token").map(t => Seq(t.toString)).getOrElse(Nil))
+          // bool_or_struct: `acknowledgements: true` or `{enabled: true}`
+          // turns on the indexer-ack protocol (acknowledgements.rs)
+          val acks = m.get("acknowledgements").exists {
+            case b: java.lang.Boolean => b
+            case other => yamlMap(other).get("enabled")
+              .exists(_.toString.toBoolean)
+          }
           Topology.Source(id, Topology.Log, sp => {
-            val src = graft.streaming.HttpPushSources.splunkHec(sp, port, tokens)
+            val src = graft.streaming.HttpPushSources.splunkHec(
+              sp, port, tokens, acks)
             lastAgentPort = src.boundPort
             addCloser(id, () => src.stop())
             src.df

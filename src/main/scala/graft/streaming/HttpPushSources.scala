@@ -46,9 +46,18 @@ object HttpPushSources {
     * configured token gates on `Authorization: Splunk <token>` → 401
     * with Splunk's own error JSON otherwise; success replies
     * `{"text":"Success","code":0}`.
+    *
+    * With `acknowledgements: true` the source runs Splunk's
+    * indexer-acknowledgement protocol (splunk_hec/acknowledgements.rs):
+    * event/raw requests REQUIRE a channel (else 400 code 10), each
+    * successful intake returns `"ackId": <per-channel counter>`, and
+    * `/services/collector/ack` answers `{"acks":{"<id>":bool}}` —
+    * true once delivered, then REMOVED (a re-query reads false,
+    * acknowledgements.rs get_acks_status).
     */
   final class HecSource(spark: SparkSession, port: Int = 0,
-                        validTokens: Seq[String] = Nil) {
+                        validTokens: Seq[String] = Nil,
+                        acknowledgements: Boolean = false) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -61,6 +70,40 @@ object HttpPushSources {
         val h = Option(ex.getRequestHeaders.getFirst("Authorization"))
         h.exists(v => validTokens.exists(t => v == s"Splunk $t"))
       }
+
+    // per-channel indexer-ack state: next ackId + ids delivered but not
+    // yet queried (intake is synchronous here, so delivered = acked)
+    private final class AckChannel {
+      val next = new java.util.concurrent.atomic.AtomicLong(0L)
+      val pending = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[Long]()
+    }
+    private val ackChannels =
+      new java.util.concurrent.ConcurrentHashMap[String, AckChannel]()
+    private def ackRegister(channel: String): Long = {
+      val ch = ackChannels.computeIfAbsent(channel, _ => new AckChannel)
+      val id = ch.next.getAndIncrement()
+      ch.pending.add(id)
+      id
+    }
+
+    /** Success response; with acks enabled appends the assigned ackId. */
+    private def intakeOk(ex: com.sun.net.httpserver.HttpExchange,
+                         channel: String): Unit =
+      if (acknowledgements && channel != null)
+        respond(ex, 200,
+          s"""{"text":"Success","code":0,"ackId":${ackRegister(channel)}}""")
+      else respond(ex, 200, """{"text":"Success","code":0}""")
+
+    /** With acks enabled the data channel is REQUIRED (mod.rs
+      * required_channel → ApiError::MissingChannel).
+      */
+    private def channelMissing(ex: com.sun.net.httpserver.HttpExchange,
+                               channel: String): Boolean =
+      if (acknowledgements && channel == null) {
+        respond(ex, 400, """{"text":"Data channel is missing","code":10}""")
+        true
+      } else false
 
     // the Splunk channel: X-Splunk-Request-Channel header, falling back
     // to the `channel` query parameter (splunk_hec docs field order)
@@ -80,27 +123,29 @@ object HttpPushSources {
             respond(ex, 401, """{"text":"Invalid authorization","code":3}""")
           else {
             val channel = channelOf(ex)
-            val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-            val it = mapper.readerFor(classOf[JsonNode])
-              .readValues[JsonNode](body)
-            val events = Vector.newBuilder[HecEvent]
-            while (it.hasNext) {
-              val n = it.next()
-              val ev = n.get("event")
-              val msg =
-                if (ev == null) null
-                else if (ev.isTextual) ev.asText() else ev.toString
-              val time: java.lang.Long =
-                if (n.hasNonNull("time"))
-                  java.lang.Long.valueOf((n.get("time").asDouble() * 1000).toLong)
-                else null
-              events += HecEvent(time, textOf(n, "host"),
-                textOf(n, "source"), textOf(n, "sourcetype"),
-                textOf(n, "index"), channel, msg)
+            if (!channelMissing(ex, channel)) {
+              val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+              val it = mapper.readerFor(classOf[JsonNode])
+                .readValues[JsonNode](body)
+              val events = Vector.newBuilder[HecEvent]
+              while (it.hasNext) {
+                val n = it.next()
+                val ev = n.get("event")
+                val msg =
+                  if (ev == null) null
+                  else if (ev.isTextual) ev.asText() else ev.toString
+                val time: java.lang.Long =
+                  if (n.hasNonNull("time"))
+                    java.lang.Long.valueOf((n.get("time").asDouble() * 1000).toLong)
+                  else null
+                events += HecEvent(time, textOf(n, "host"),
+                  textOf(n, "source"), textOf(n, "sourcetype"),
+                  textOf(n, "index"), channel, msg)
+              }
+              val evs = events.result()
+              if (evs.nonEmpty) mem.addData(evs)
+              intakeOk(ex, channel)
             }
-            val evs = events.result()
-            if (evs.nonEmpty) mem.addData(evs)
-            respond(ex, 200, """{"text":"Success","code":0}""")
           }
         } catch { case _: Exception =>
           respond(ex, 400, """{"text":"Invalid data format","code":6}""")
@@ -114,11 +159,45 @@ object HttpPushSources {
           else {
             val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
             val channel = channelOf(ex)
-            val evs = body.split("\n").filter(_.nonEmpty).toIndexedSeq
-              .map(l => HecEvent(null, null, null, null, null, channel, l))
-            if (evs.nonEmpty) mem.addData(evs)
-            respond(ex, 200, """{"text":"Success","code":0}""")
+            if (!channelMissing(ex, channel)) {
+              val evs = body.split("\n").filter(_.nonEmpty).toIndexedSeq
+                .map(l => HecEvent(null, null, null, null, null, channel, l))
+              if (evs.nonEmpty) mem.addData(evs)
+              intakeOk(ex, channel)
+            }
           }
+        } finally ex.close()
+      })
+    // indexer-ack status queries (acknowledgements.rs; real HEC clients
+    // poll this after intake): {"acks":[ids]} -> {"acks":{"id":bool}},
+    // read-once semantics
+    server.createContext("/services/collector/ack",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        try {
+          if (!authorized(ex))
+            respond(ex, 401, """{"text":"Invalid authorization","code":3}""")
+          else if (!acknowledgements)
+            respond(ex, 400, """{"text":"Ack is disabled","code":14}""")
+          else {
+            val channel = channelOf(ex)
+            if (!channelMissing(ex, channel)) {
+              val n = mapper.readTree(ex.getRequestBody.readAllBytes())
+              val ids = Option(n.get("acks")).filter(_.isArray)
+                .map { arr =>
+                  val b = Vector.newBuilder[Long]
+                  arr.forEach(v => b += v.asLong())
+                  b.result()
+                }.getOrElse(Vector.empty)
+              val ch = ackChannels
+                .computeIfAbsent(channel, _ => new AckChannel)
+              val statuses = ids.map(id => id -> ch.pending.remove(id))
+              respond(ex, 200, statuses
+                .map { case (id, ok) => s""""$id":$ok""" }
+                .mkString("""{"acks":{""", ",", "}}"))
+            }
+          }
+        } catch { case _: Exception =>
+          respond(ex, 400, """{"text":"Invalid data format","code":6}""")
         } finally ex.close()
       })
     server.setExecutor(null)
@@ -466,8 +545,9 @@ object HttpPushSources {
   }
 
   def splunkHec(spark: SparkSession, port: Int = 0,
-                validTokens: Seq[String] = Nil): HecSource =
-    new HecSource(spark, port, validTokens)
+                validTokens: Seq[String] = Nil,
+                acknowledgements: Boolean = false): HecSource =
+    new HecSource(spark, port, validTokens, acknowledgements)
   def herokuLogs(spark: SparkSession, port: Int = 0): HerokuSource =
     new HerokuSource(spark, port)
   def firehose(spark: SparkSession, port: Int = 0,

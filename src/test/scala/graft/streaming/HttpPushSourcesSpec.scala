@@ -362,6 +362,43 @@ class HttpPushSourcesSpec extends SparkSpec {
     } finally src.stop()
   }
 
+  test("splunk_hec indexer acks: ackId round-trip, read-once, channel gate") {
+    val src = HttpPushSources.splunkHec(spark, acknowledgements = true)
+    try {
+      val url = s"http://127.0.0.1:${src.boundPort}/services/collector"
+      // acks enabled: the data channel is REQUIRED
+      assert(post(s"$url/event", """{"event":"no channel"}""")._1 == 400)
+      val ch = Map("X-Splunk-Request-Channel" -> "chan-1")
+      // per-channel ackIds count up from 0
+      val (c0, b0) = post(s"$url/event", """{"event":"e0"}""", ch)
+      val (c1, b1) = post(s"$url/event", """{"event":"e1"}""", ch)
+      assert(c0 == 200 && b0 == """{"text":"Success","code":0,"ackId":0}""")
+      assert(c1 == 200 && b1 == """{"text":"Success","code":0,"ackId":1}""")
+      // a second channel starts its own counter
+      val other = Map("X-Splunk-Request-Channel" -> "chan-2")
+      assert(post(s"$url/raw", "raw line", other)._2.endsWith(""""ackId":0}"""))
+      // status query: delivered ids true, unknown false
+      val (ac, ab) = post(s"$url/ack", """{"acks":[0,1,7]}""", ch)
+      assert(ac == 200)
+      assert(ab == """{"acks":{"0":true,"1":true,"7":false}}""")
+      // read-once (acknowledgements.rs get_acks_status removes on read)
+      assert(post(s"$url/ack", """{"acks":[0,1]}""", ch)._2 ==
+        """{"acks":{"0":false,"1":false}}""")
+    } finally src.stop()
+  }
+
+  test("splunk_hec without acks: ack endpoint reports disabled") {
+    val src = HttpPushSources.splunkHec(spark)
+    try {
+      val (code, body) = post(
+        s"http://127.0.0.1:${src.boundPort}/services/collector/ack",
+        """{"acks":[0]}""",
+        Map("X-Splunk-Request-Channel" -> "c"))
+      assert(code == 400)
+      assert(body == """{"text":"Ack is disabled","code":14}""")
+    } finally src.stop()
+  }
+
   test("datadog_agent YAML: .metrics and .traces ports feed sinks") {
     import graft.streaming.DdAgentIntake._
     import graft.codecs.ProtobufCodec
