@@ -83,6 +83,91 @@ object StressProbe {
         docs.withColumn("rt", pmod(col("doc_id"), lit(20L)) + 1),
         col("doc_id"), None, Some("rt"), staticRate = 10).count()
     }
+
+    // ---- heavy chains, one order up (round-11: 1-2M docs at rep=400)
+    // SPARK_GRAFT_STRESS_HEAVY=true SPARK_GRAFT_STRESS_REP=400
+    if (sys.env.get("SPARK_GRAFT_STRESS_HEAVY").exists(_.toBoolean)) {
+      import graft.datapipe.{Ann, Dedup, TextAnalysis}
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("stress_ckpt").toString
+
+      timed("minhash_pairs") {
+        Dedup.minhashLsh(docs, "doc_id", col("text"),
+          shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5).count()
+      }
+      timed("dedup_clusters") {
+        val pairs = Dedup.minhashLsh(docs, "doc_id", col("text"),
+          shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5)
+        Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")),
+          pairs.select(col("id_a"), col("id_b")),
+          checkpointDir = Some(ckpt)).count()
+      }
+      timed("curation_pipeline") {
+        // the full gate -> exact/near-dup -> decontaminate -> mix chain,
+        // same composition as the oracle query, over the big corpus
+        val gated = docs
+          .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+            TextAnalysis.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            TextAnalysis.stopwordRatioOf(col("toks")).as("stop_ratio"),
+            TextAnalysis.punctRatio(col("text")).as("punct_ratio"))
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.qualityFrom(col("stop_ratio"),
+              col("punct_ratio"), col("n_chars")).as("quality"))
+          .filter(col("quality") >= 0.5)
+        val exactDup = Dedup.exact(docs.select("doc_id", "text"),
+          "doc_id", col("text")).select(col("doc_id"))
+        val nearPairs = Dedup.minhashLsh(docs, "doc_id", col("text"),
+          shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5)
+        val nearDup = Dedup.connectedComponents(
+            docs.select(col("doc_id").as("id")),
+            nearPairs.select(col("id_a"), col("id_b")),
+            checkpointDir = Some(ckpt))
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as("doc_id"))
+        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select(array_join(slice(Dedup.tokens(col("text")), 1, 12), " ")
+            .as("text"))
+        val contaminated = graft.datapipe.Decontaminate.overlap(
+            docs, "doc_id", col("text"), bench, col("text"), n = 8)
+          .filter(col("contaminated") === 1)
+          .select(col("doc").as("doc_id"))
+        gated
+          .join(exactDup, Seq("doc_id"), "left_anti")
+          .join(nearDup, Seq("doc_id"), "left_anti")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .count()
+      }
+
+      // embeddings: k scales ≈ √N (the documented SemDeDup cell-bound
+      // posture), per-replica perturbation so cells don't collapse
+      val embRep = math.max(1, rep / 4)
+      val emb = Graft.table(spark, sfDir, "embeddings")
+        .withColumn("__r", explode(sequence(lit(0), lit(embRep - 1))))
+        .withColumn("vec_id", col("vec_id") * embRep + col("__r"))
+        .withColumn("embedding", transform(col("embedding"),
+          v => v + (pmod(col("__r"), lit(31)).cast("float") -
+            lit(15.0f)) / lit(100.0f)))
+        .drop("__r")
+        .cache()
+      val nv = emb.count()
+      val k = math.max(8, math.sqrt(nv.toDouble).toInt)
+      println(s"embeddings: $nv vectors, k=$k")
+      var cents: Seq[(Long, Seq[Double])] = Nil
+      timed(s"ann_kmeans_k$k") {
+        cents = Ann.kmeans(emb, "vec_id", "embedding", k = k, iters = 2)
+        cents.length.toLong
+      }
+      timed("kmeans_assign") {
+        emb.select(Ann.ivfAssign(Ann.asDouble(col("embedding")), cents)
+          .as("cell")).groupBy("cell").count().count()
+      }
+      timed("dedup_semantic") {
+        Ann.semanticDedup(emb, "vec_id", "embedding", cents,
+          threshold = 0.40).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -456,13 +456,12 @@ object Vrl {
     * 8 fields from it, and without the barrier the 6-group header regex
     * is inlined — and executed — once per extracted field.
     */
-  def cefTokens(c: Column): Column = {
-    val f = "((?:\\\\.|[^|\\\\])*)" // header field: escaped char or non-pipe
-    val pat = s"^CEF:(\\d+)\\|$f\\|$f\\|$f\\|$f\\|$f\\|$f\\|(.*)$$"
-    RegexStruct(c, pat,
-      Seq("cef_version", "device_vendor", "device_product", "device_version",
-        "event_class_id", "name", "severity", "ext"))
-  }
+  def cefTokens(c: Column): Column =
+    // hand-rolled single-pass scanner: exactly the semantics of the
+    // previous 6-escaped-group regex `^CEF:(\d+)\|((?:\\.|[^|\\])*)\|…`
+    // without its backtracking (A/B at sf0.1×40: 2.45 s -> 2.10 s on
+    // the full cef encode+parse roundtrip, identical outputs)
+    CefTokens(c)
 
   /** Field unescaping + extension map over a (possibly pre-materialized)
     * header-token struct.
