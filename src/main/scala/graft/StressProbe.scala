@@ -91,22 +91,44 @@ object StressProbe {
       val ckpt = java.nio.file.Files
         .createTempDirectory("stress_ckpt").toString
 
+      // The light corpus's suffix mutation keeps replicas near-identical
+      // — fine for projections, but an LSH run over it puts ~rep copies
+      // of every doc in the same buckets and the candidate-pair space
+      // goes O(rep²) per doc (first attempt filled 78 GB of shuffle
+      // spill at rep=400). Real corpora don't carry 400 clones of
+      // everything; decorrelate replicas by stamping the replica id
+      // into EVERY word, which keeps the true near-dup structure
+      // within each replica class and makes the heavy run ~rep
+      // independent sf0.1 corpora (linear, the honest scale shape).
+      val heavyDocs = Graft.table(spark, sfDir, "documents")
+        .withColumn("__r", explode(sequence(lit(0), lit(rep - 1))))
+        .withColumn("doc_id", col("doc_id") * rep + col("__r"))
+        .withColumn("text", regexp_replace(col("text"), lit("(\\w+)"),
+          concat(lit("$1"), pmod(col("__r"), lit(9973)))))
+        .drop("__r")
+        .cache()
+      // SPARK_GRAFT_STRESS_ONLY=emb skips the doc chains (dev loop)
+      val onlyEmb = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+        .contains("emb")
+      if (!onlyEmb) {
+      println(s"heavy corpus: ${heavyDocs.count()} docs")
+
       timed("minhash_pairs") {
-        Dedup.minhashLsh(docs, "doc_id", col("text"),
+        Dedup.minhashLsh(heavyDocs, "doc_id", col("text"),
           shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5).count()
       }
       timed("dedup_clusters") {
-        val pairs = Dedup.minhashLsh(docs, "doc_id", col("text"),
+        val pairs = Dedup.minhashLsh(heavyDocs, "doc_id", col("text"),
           shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5)
         Dedup.connectedComponents(
-          docs.select(col("doc_id").as("id")),
+          heavyDocs.select(col("doc_id").as("id")),
           pairs.select(col("id_a"), col("id_b")),
           checkpointDir = Some(ckpt)).count()
       }
       timed("curation_pipeline") {
         // the full gate -> exact/near-dup -> decontaminate -> mix chain,
         // same composition as the oracle query, over the big corpus
-        val gated = docs
+        val gated = heavyDocs
           .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
             TextAnalysis.tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("source"), col("n_chars"),
@@ -116,21 +138,21 @@ object StressProbe {
             TextAnalysis.qualityFrom(col("stop_ratio"),
               col("punct_ratio"), col("n_chars")).as("quality"))
           .filter(col("quality") >= 0.5)
-        val exactDup = Dedup.exact(docs.select("doc_id", "text"),
+        val exactDup = Dedup.exact(heavyDocs.select("doc_id", "text"),
           "doc_id", col("text")).select(col("doc_id"))
-        val nearPairs = Dedup.minhashLsh(docs, "doc_id", col("text"),
+        val nearPairs = Dedup.minhashLsh(heavyDocs, "doc_id", col("text"),
           shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5)
         val nearDup = Dedup.connectedComponents(
-            docs.select(col("doc_id").as("id")),
+            heavyDocs.select(col("doc_id").as("id")),
             nearPairs.select(col("id_a"), col("id_b")),
             checkpointDir = Some(ckpt))
           .filter(col("id") =!= col("comp"))
           .select(col("id").as("doc_id"))
-        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        val bench = heavyDocs.filter(pmod(col("doc_id"), lit(97)) === 0)
           .select(array_join(slice(Dedup.tokens(col("text")), 1, 12), " ")
             .as("text"))
         val contaminated = graft.datapipe.Decontaminate.overlap(
-            docs, "doc_id", col("text"), bench, col("text"), n = 8)
+            heavyDocs, "doc_id", col("text"), bench, col("text"), n = 8)
           .filter(col("contaminated") === 1)
           .select(col("doc").as("doc_id"))
         gated
@@ -139,16 +161,25 @@ object StressProbe {
           .join(contaminated, Seq("doc_id"), "left_anti")
           .count()
       }
+      } // !onlyEmb
 
       // embeddings: k scales ≈ √N (the documented SemDeDup cell-bound
-      // posture), per-replica perturbation so cells don't collapse
+      // posture). The perturbation must differ PER DIMENSION — a
+      // uniform scalar offset moves every replica along the all-ones
+      // direction, leaving all replicas of a base vector at cosine ≈ 1
+      // (31 mega-cells, a degenerate Σ|cell|² ≈ 6e9 self-join; first
+      // attempt ran 20+ min). Per-(replica, dim) offsets decorrelate
+      // directions so the √N cells stay balanced — the shape a real
+      // corpus has.
       val embRep = math.max(1, rep / 4)
       val emb = Graft.table(spark, sfDir, "embeddings")
         .withColumn("__r", explode(sequence(lit(0), lit(embRep - 1))))
         .withColumn("vec_id", col("vec_id") * embRep + col("__r"))
-        .withColumn("embedding", transform(col("embedding"),
-          v => v + (pmod(col("__r"), lit(31)).cast("float") -
-            lit(15.0f)) / lit(100.0f)))
+        .withColumn("embedding",
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (v, i) => v + (pmod(col("__r") * 131 + i * 37, lit(61))
+              .cast("float") - lit(30.0f)) / lit(40.0f)))
         .drop("__r")
         .cache()
       val nv = emb.count()
