@@ -198,6 +198,31 @@ object StressProbe {
         Ann.semanticDedup(emb, "vec_id", "embedding", cents,
           threshold = 0.40).count()
       }
+      timed("dedup_semantic_bounded") {
+        // the hard-bounded form: fat cells sub-split (then salted) so
+        // pair work caps at N × maxCell regardless of skew
+        Ann.semanticDedupBounded(emb, "vec_id", "embedding", k = k,
+          iters = 2, threshold = 0.40, maxCell = 1024).count()
+      }
+      // the DEGENERATE corpus: a uniform scalar offset leaves every
+      // replica colinear (cosine ≈ 1) → k-means collapses to ~31
+      // mega-cells and the UNBOUNDED within-cell join is Σ|cell|² ≈
+      // 6e9 pairs (ran 20+ min before being killed). The bounded form
+      // must stay capped at N × maxCell here — this is the probe that
+      // justifies its existence.
+      val skewEmb = Graft.table(spark, sfDir, "embeddings")
+        .withColumn("__r", explode(sequence(lit(0), lit(embRep - 1))))
+        .withColumn("vec_id", col("vec_id") * embRep + col("__r"))
+        .withColumn("embedding", transform(col("embedding"),
+          v => v + (pmod(col("__r"), lit(31)).cast("float") -
+            lit(15.0f)) / lit(100.0f)))
+        .drop("__r")
+        .cache()
+      skewEmb.count()
+      timed("dedup_semantic_bounded_skew") {
+        Ann.semanticDedupBounded(skewEmb, "vec_id", "embedding", k = k,
+          iters = 2, threshold = 0.40, maxCell = 1024).count()
+      }
     }
     spark.stop()
   }

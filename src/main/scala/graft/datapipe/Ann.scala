@@ -269,6 +269,150 @@ object Ann {
     c.join(dropped, Seq("doc"), "left_anti").select(col("doc"), col("cell"))
   }
 
+  /** Per-sub-centroid spherical assignment against a per-cell codebook
+    * — the multi-cell Lloyd kernel of [[semanticDedupBounded]]. Same
+    * math as [[ivfAssignBroadcast]]: cos rounded 6-dp HALF_UP,
+    * smallest sub-id wins ties.
+    */
+  private def bestSub(cb: Array[(Long, Array[Double])],
+                      vec: Seq[Double]): Long = {
+    val x = vec.toArray
+    var nx = 0.0
+    var i = 0
+    while (i < x.length) { nx += x(i) * x(i); i += 1 }
+    var bestCos = Double.NegativeInfinity
+    var best = -1L
+    var c = 0
+    while (c < cb.length) {
+      val (cid, y) = cb(c)
+      var dot = 0.0
+      var ny = 0.0
+      var j = 0
+      while (j < y.length) { dot += x(j) * y(j); ny += y(j) * y(j); j += 1 }
+      val cos = BigDecimal(dot / math.sqrt(nx) / math.sqrt(ny))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (cos > bestCos || (cos.isNaN && !bestCos.isNaN)) {
+        bestCos = cos; best = cid
+      }
+      c += 1
+    }
+    best
+  }
+
+  /** [[semanticDedup]] with a HARD per-cell width bound — the 100 TB
+    * form. A skewed corpus (mass duplication, collapsed embedding
+    * regions) can leave k-means cells far wider than N/k, and the
+    * within-cell self-join is quadratic in cell width (a 6e9-pair cell
+    * showed up in the round-11 stress run). This variant:
+    *
+    *  1. assigns the k coarse cells (same deterministic kmeans);
+    *  2. up to `maxDepth` rounds: finds every cell wider than
+    *     `maxCell` (one bounded groupBy-count, ≤ #cells driver rows)
+    *     and refines ALL of them in ONE multi-cell Lloyd pass —
+    *     seeds are each fat cell's `⌈width/maxCell⌉` lowest-id
+    *     members (one window pass, bounded collect ≤ N/maxCell rows),
+    *     each iteration is one assignment projection against the
+    *     broadcast per-cell codebook plus ONE groupBy(cell, sub)
+    *     re-centering. Job count is O(maxDepth × iters), independent
+    *     of how many cells are fat (a per-cell driver loop measured
+    *     5× SLOWER than the unbounded join on a mostly-fat corpus);
+    *  3. any cell STILL over the bound after maxDepth is salted into
+    *     `⌈width/maxCell⌉` deterministic hash slices — a hard runtime
+    *     guarantee at the cost of missing pairs across slices.
+    *
+    * Sub-splitting can only shrink the candidate-pair space, so the
+    * kept set is a SUPERSET of [[semanticDedup]]'s (the same
+    * cluster-boundary approximation SemDeDup already makes, applied
+    * one level deeper) — asserted in KmeansSpec. Pair work is bounded
+    * by N × maxCell regardless of skew.
+    */
+  def semanticDedupBounded(corpus: DataFrame, id: String, vec: String,
+                           k: Int, iters: Int, threshold: Double,
+                           maxCell: Int, maxDepth: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(id).as("doc"), asDouble(col(vec)).as("v"))
+    val cents0 = kmeans(corpus, id, vec, k, iters)
+    var assigned = base
+      .withColumn("cell", concat(lit("c"), ivfAssign(col("v"), cents0)))
+      .cache()
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      val fat = assigned.groupBy("cell").count()
+        .filter(col("count") > maxCell)
+        .collect() // bounded: ≤ #cells rows
+      if (fat.isEmpty) done = true
+      else {
+        val subKOf: Map[String, Int] = fat.map(r => r.getString(0) ->
+          math.max(2, math.ceil(r.getLong(1).toDouble / maxCell).toInt))
+          .toMap
+        val fatNames = subKOf.keys.toSeq
+        val fatRows = assigned.filter(col("cell").isin(fatNames: _*))
+        // seeds: subK lowest-id members per fat cell, ONE window pass;
+        // the collect is bounded by Σ subK ≤ N/maxCell + 2·#fat
+        val kLit = typedLit(subKOf)
+        val wnd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell")).orderBy(col("doc"))
+        var codebook: Map[String, Array[(Long, Array[Double])]] =
+          fatRows.withColumn("__rn", row_number().over(wnd))
+            .filter(col("__rn") <= element_at(kLit, col("cell")))
+            .select(col("cell"), (col("__rn") - 1).cast("long").as("s"),
+              col("v"))
+            .collect()
+            .groupBy(_.getString(0))
+            .map { case (c, rows) => c -> rows.map(r =>
+              (r.getLong(1), r.getSeq[Double](2).toArray)).sortBy(_._1) }
+        def assignU = {
+          val cb = codebook // stable capture for the closure
+          udf { (cell: String, vec: Seq[Double]) =>
+            java.lang.Long.valueOf(bestSub(cb(cell), vec))
+          }
+        }
+        (1 to iters).foreach { _ =>
+          // ONE re-centering groupBy over all fat cells together
+          val a = fatRows.withColumn("__sub",
+            assignU(col("cell"), col("v")))
+          val aggs = count(lit(1)).as("_n") +: (0 until dim).map(j =>
+            sum(element_at(col("v"), j + 1)).as(s"_s$j"))
+          codebook = a.groupBy("cell", "__sub")
+            .agg(aggs.head, aggs.tail: _*)
+            .collect() // bounded: ≤ Σ subK rows
+            .groupBy(_.getString(0))
+            .map { case (c, rows) => c -> rows.map { r =>
+              val n = r.getLong(2).toDouble
+              (r.getLong(1), (0 until dim).map { j =>
+                BigDecimal(r.getDouble(3 + j) / n)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              }.toArray)
+            }.sortBy(_._1) }
+        }
+        val refined = assigned.filter(!col("cell").isin(fatNames: _*))
+          .unionByName(fatRows.withColumn("cell", concat(col("cell"),
+            lit("."), assignU(col("cell"), col("v")).cast("string"))))
+        val prev = assigned
+        assigned = refined.cache()
+        assigned.count() // materialize before dropping the parent cache
+        prev.unpersist()
+        depth += 1
+      }
+    }
+    // hard bound: salt anything still fat into deterministic slices
+    val widths = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("__w"))
+    val salted = assigned.join(broadcast(widths), Seq("cell"))
+      .withColumn("cell", when(col("__w") <= maxCell, col("cell"))
+        .otherwise(concat(col("cell"), lit("#"),
+          pmod(col("doc"), ceil(col("__w") / maxCell)).cast("string"))))
+      .drop("__w")
+    val dropped = salted.as("a").join(salted.as("b"),
+        col("a.cell") === col("b.cell") && col("b.doc") < col("a.doc"))
+      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .select(col("a.doc").as("doc")).distinct()
+    salted.join(dropped, Seq("doc"), "left_anti")
+      .select(col("doc"), col("cell"))
+  }
+
   /** Product quantization (Jégou et al. 2011, "Product Quantization for
     * Nearest Neighbor Search"): split the vector into `m` contiguous
     * subspaces, k-means each subspace independently (the sub-codebooks),

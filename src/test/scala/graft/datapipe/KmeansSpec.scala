@@ -49,6 +49,45 @@ class KmeansSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L, 4L, 5L, 7L))
   }
 
+  test("semanticDedupBounded: superset of unbounded, cells obey the bound") {
+    // a fat synthetic corpus: 200 vectors in ONE tight region (the
+    // skew case that makes the within-cell self-join quadratic) plus
+    // the small fixture
+    val fat = (100L to 299L).map(i =>
+      (i, v(1.0 + (i % 7) / 1000.0, (i % 11) / 1000.0,
+        (i % 13) / 1000.0, 0.0)))
+    val corpus = emb.unionByName(fat.toDF("vec_id", "embedding"))
+    val cents = Ann.kmeans(corpus, "vec_id", "embedding", k = 3, iters = 2)
+    val keptUnbounded = Ann.semanticDedup(corpus, "vec_id", "embedding",
+        cents, threshold = 0.995)
+      .select($"doc").as[Long].collect().toSet
+    val bounded = Ann.semanticDedupBounded(corpus, "vec_id", "embedding",
+      k = 3, iters = 2, threshold = 0.995, maxCell = 40, maxDepth = 2)
+    val keptBounded = bounded.select($"doc").as[Long].collect().toSet
+    // sub-splitting only removes candidate pairs -> keeps a superset
+    assert(keptUnbounded.subsetOf(keptBounded))
+    // and with a huge bound the two are identical
+    val keptLoose = Ann.semanticDedupBounded(corpus, "vec_id", "embedding",
+        k = 3, iters = 2, threshold = 0.995, maxCell = 100000)
+      .select($"doc").as[Long].collect().toSet
+    assert(keptLoose == keptUnbounded)
+    // the identical pair 7/8 still dedups in the bounded run
+    assert(!keptBounded.contains(8L) && keptBounded.contains(7L))
+  }
+
+  test("semanticDedupBounded: salting hard-bounds a cell kmeans can't split") {
+    // 120 IDENTICAL vectors: sub-kmeans cannot separate them, so the
+    // salting fallback must cap the final cell width
+    val dup = (0L until 120L).map(i => (i, v(0.5, 0.5, 0.0, 0.0)))
+    val corpus = dup.toDF("vec_id", "embedding")
+    val out = Ann.semanticDedupBounded(corpus, "vec_id", "embedding",
+      k = 2, iters = 1, threshold = 0.99, maxCell = 30, maxDepth = 1)
+    // each salted slice keeps exactly its min-id member
+    val kept = out.select($"doc").as[Long].collect().toSet
+    assert(kept.size == 4) // ceil(120/30) deterministic hash slices
+    assert(kept.contains(0L))
+  }
+
   test("semanticDedup threshold sweep is monotone (lower keeps fewer)") {
     val cents = Ann.kmeans(emb, "vec_id", "embedding", k = 3, iters = 2)
     def keptAt(t: Double): Set[Long] =

@@ -381,6 +381,16 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(p).size >= 2, s"no partial aggregate:\n$p")
   }
 
+  test("bounded semantic dedup: candidate join keyed by cell, no cross") {
+    val e = graft.Graft.table(spark, dir, "embeddings")
+    val out = graft.datapipe.Ann.semanticDedupBounded(
+      e, "vec_id", "embedding", k = 4, iters = 1, threshold = 0.4,
+      maxCell = 64, maxDepth = 1)
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct"), s"cross join:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"), s"nested-loop join:\n$p")
+  }
+
   test("memory kv lookup compiles to a literal-map projection") {
     val kv = new graft.enrich.MemoryKv()
     kv.put("alice", "\"x\"")
