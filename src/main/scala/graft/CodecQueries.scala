@@ -181,6 +181,75 @@ object CodecQueries {
         .orderBy(col("event_id"))
     },
 
+    // datadog_agent /api/v0.2/traces intake: each event becomes a
+    // one-trace/one-span TracePayload (older form), decoded by the
+    // SAME decode leg the HTTP source runs — trace/span field mapping,
+    // ns timestamps, meta map, and the forced-i64 id convention are
+    // all oracle-recomputed from the source columns
+    "dd_agent_traces" -> { (s, dir) =>
+      import graft.codecs.ProtobufCodec
+      import graft.streaming.DdAgentIntake
+      val e = ev(s, dir)
+      val startNs = unix_micros(col("ts")) * 1000
+      val span = struct(
+        concat(lit("svc"), pmod(col("user_id"), lit(5))).as("service"),
+        col("event_type").as("name"),
+        concat(lit("GET /"), col("k")).as("resource"),
+        col("event_id").as("trace_id"),
+        (col("event_id") * 2 + 1).as("span_id"),
+        lit(0L).as("parent_id"),
+        startNs.as("start"),
+        (col("k") * 1000).as("duration"),
+        pmod(col("k"), lit(2)).as("error"),
+        array(struct(lit("http.method").as("key"),
+          lit("GET").as("value"))).as("meta"),
+        lit(null).cast("array<struct<key:string,value:double>>")
+          .as("metrics"),
+        lit("web").as("type"))
+      val payload = struct(
+        concat(lit("h"), pmod(col("user_id"), lit(4))).as("host_name"),
+        lit("prod").as("env"),
+        array(struct(
+          col("event_id").as("trace_id"),
+          array(span).as("spans"),
+          startNs.as("start_time"),
+          (startNs + col("k") * 1000).as("end_time"))).as("traces"),
+        lit(null).cast(DdAgentIntake.tracePayloadSchema.sparkType
+          .apply("transactions").dataType).as("transactions"),
+        lit(null).cast(DdAgentIntake.tracePayloadSchema.sparkType
+          .apply("tracer_payloads").dataType).as("tracer_payloads"),
+        lit(null).cast("array<struct<key:string,value:string>>")
+          .as("tags"),
+        lit(null).cast("string").as("agent_version"),
+        lit(null).cast("double").as("target_tps"),
+        lit(null).cast("double").as("error_tps"))
+      val bytes = ProtobufCodec.encode(DdAgentIntake.tracePayloadSchema,
+        payload)
+      val dec = udf((b: Array[Byte]) => DdAgentIntake.decodeTraces(b))
+      e.withColumn("__t", explode(dec(bytes)))
+        .select(col("event_id"),
+          col("__t.payload_version").as("payload_version"),
+          col("__t.host").as("host"),
+          col("__t.env").as("env"),
+          col("__t.trace_id").as("trace_id"),
+          col("__t.start_time_ns").as("start_ns"),
+          col("__t.end_time_ns").as("end_ns"),
+          element_at(col("__t.spans"), 1).getField("service")
+            .as("service"),
+          element_at(col("__t.spans"), 1).getField("name")
+            .as("span_name"),
+          element_at(col("__t.spans"), 1).getField("resource")
+            .as("resource"),
+          element_at(col("__t.spans"), 1).getField("span_id")
+            .as("span_id"),
+          element_at(col("__t.spans"), 1).getField("duration")
+            .as("duration"),
+          element_at(col("__t.spans"), 1).getField("error").as("error"),
+          element_at(element_at(col("__t.spans"), 1).getField("meta"),
+            "http.method").as("meta_method"))
+        .orderBy(col("event_id"))
+    },
+
     // datadog_agent /api/beta/sketches intake: each event becomes a
     // one-sample dogsketch (bucket idx = the DDSketch lane), encoded
     // through SketchPayload proto and decoded by the HTTP source's
@@ -486,6 +555,23 @@ object CodecQueries {
         |  'h' || CAST(user_id % 4 AS VARCHAR) AS host,
         |  'prod' AS tag_env,
         |  CASE WHEN k % 2 = 0 THEN 'check' END AS source_type_name
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "dd_agent_traces" ->
+      """SELECT event_id, 'v1' AS payload_version,
+        |  'h' || CAST(user_id % 4 AS VARCHAR) AS host,
+        |  'prod' AS env,
+        |  event_id AS trace_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS start_ns,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) * 1000 + k * 1000 AS end_ns,
+        |  'svc' || CAST(user_id % 5 AS VARCHAR) AS service,
+        |  event_type AS span_name,
+        |  'GET /' || CAST(k AS VARCHAR) AS resource,
+        |  event_id * 2 + 1 AS span_id,
+        |  k * 1000 AS duration,
+        |  k % 2 AS error,
+        |  'GET' AS meta_method
         |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
         |      FROM events) ORDER BY event_id""".stripMargin,
 

@@ -1454,11 +1454,13 @@ object ConfigLoader {
             .exists(_.toString.toBoolean)
           val noTraces = m.get("disable_traces")
             .exists(_.toString.toBoolean)
+          val ddtags = m.get("parse_ddtags")
+            .exists(_.toString.toBoolean)
           var shared: Option[graft.streaming.HttpPushSources
             .DatadogAgentSource] = None
           def srcOf(sp: SparkSession) = shared.getOrElse {
             val s = graft.streaming.HttpPushSources.datadogAgent(
-              sp, port, split)
+              sp, port, split, ddtags)
             lastAgentPort = s.boundPort
             addCloser(id, () => s.stop())
             shared = Some(s)

@@ -109,7 +109,7 @@ object GreptimeMetrics {
     val tsName = if (cfg.newNaming) "greptime_timestamp" else "ts"
     val valName = if (cfg.newNaming) "greptime_value" else "val"
     val table = when(optCol("namespace").isNotNull,
-      concat(col("namespace"), lit("_"), col("name")))
+      concat(optCol("namespace"), lit("_"), col("name")))
       .otherwise(col("name"))
     val tags =
       if (cols("tags")) coalesce(col("tags"),
@@ -133,6 +133,45 @@ object GreptimeMetrics {
       if (cols("summary_quantiles")) col("summary_quantiles")
       else lit(null).cast("array<struct<quantile:double,value:double>>")
 
+    // distribution → DistributionStatistic (sinks/util/statistic.rs):
+    // sort samples by value, cumulative rates, quantile = the first
+    // bin whose cumulative rate >= round(p × count) (R-3)
+    val rawSamples =
+      if (cols("dist_samples")) col("dist_samples")
+      else lit(null).cast("array<struct<value:double,rate:bigint>>")
+    val bins = array_sort(filter(rawSamples,
+      s => s.getField("rate") > 0L))
+    val distCnt = aggregate(bins, lit(0L),
+      (a, s) => a + s.getField("rate"))
+    val distSum = aggregate(bins, lit(0.0),
+      (a, s) => a + s.getField("value") * s.getField("rate"))
+    def distQuantile(p: Double): Column = {
+      val rank = round(lit(p) * distCnt)
+      aggregate(bins,
+        struct(lit(0L).as("cum"), lit(null).cast("double").as("v")),
+        (acc, s) => struct(
+          (acc.getField("cum") + s.getField("rate")).as("cum"),
+          coalesce(acc.getField("v"),
+            when(acc.getField("cum") + s.getField("rate") >= rank,
+              s.getField("value"))).as("v")),
+        acc => coalesce(acc.getField("v"),
+          element_at(bins, -1).getField("value")))
+    }
+    val distQs = Seq(0.5, 0.75, 0.90, 0.95, 0.99)
+    val distSchemas = concat(
+      array(Seq("min", "max", "avg", "sum", "count").map(n =>
+        colSchema(lit(n), F64, FIELD)): _*),
+      array(distQs.map(p =>
+        colSchema(lit("p" + (p * 100).toInt), F64, FIELD)): _*))
+    val distValues = concat(
+      array(
+        f64Value(element_at(bins, 1).getField("value")),
+        f64Value(element_at(bins, -1).getField("value")),
+        f64Value(distSum / distCnt),
+        f64Value(distSum),
+        f64Value(distCnt.cast("double"))),
+      array(distQs.map(p => f64Value(distQuantile(p))): _*))
+
     val fieldSchemas = when(vt.isin("counter", "gauge"),
         array(colSchema(lit(valName), F64, FIELD)))
       .when(vt === "set", array(colSchema(lit(valName), F64, FIELD)))
@@ -142,6 +181,9 @@ object GreptimeMetrics {
       .when(vt === "summary", transform(quants, q =>
         colSchema(concat(lit("p"), lpad(numStr(
           q.getField("quantile") * 100), 2, "0")), F64, FIELD)))
+      // empty distributions (all rates 0) encode no field columns,
+      // like from_samples -> None (statistic.rs)
+      .when(vt === "distribution" && distCnt > 0, distSchemas)
       .otherwise(emptyCols)
     val fieldValues = when(vt.isin("counter", "gauge"),
         array(f64Value(scalarValue)))
@@ -150,6 +192,7 @@ object GreptimeMetrics {
         f64Value(b.getField("count").cast("double"))))
       .when(vt === "summary", transform(quants, q =>
         f64Value(q.getField("value"))))
+      .when(vt === "distribution" && distCnt > 0, distValues)
       .otherwise(emptyVals)
 
     val ts = Template.timestampCol(df.schema)
@@ -172,10 +215,11 @@ object GreptimeMetrics {
         struct(schemaArr.as("schema"),
           array(struct(valuesArr.as("values"))).as("rows")).as("rows")))
         .as("inserts")).as("row_inserts"))
-    // distribution/sketch rows need server-side stats the reference
-    // computes from raw samples — out of this encoder's kinds, dropped
-    // like the reference drops unsupported kinds elsewhere
-    when(vt.isin("counter", "gauge", "set", "histogram", "summary"),
+    // sketch rows need the agent sketch's interpolated quantile math —
+    // out of this encoder's kinds, dropped like the reference drops
+    // unsupported kinds elsewhere
+    when(vt.isin("counter", "gauge", "set", "histogram", "summary",
+        "distribution"),
       ProtobufCodec.encode(greptimeRequestSchema, request))
   }
 

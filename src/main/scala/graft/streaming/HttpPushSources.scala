@@ -350,7 +350,8 @@ object HttpPushSources {
     * recomputed sink-side).
     */
   final class DatadogAgentSource(spark: SparkSession, port: Int = 0,
-                                 splitMetricNamespace: Boolean = true) {
+                                 splitMetricNamespace: Boolean = true,
+                                 parseDdtags: Boolean = false) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -513,8 +514,16 @@ object HttpPushSources {
     def df: DataFrame = {
       import org.apache.spark.sql.functions._
       val d = mem.toDF()
-      d.select(d("ddsource"), d("ddtags"), d("hostname"), d("service"),
-        d("status"), timestamp_millis(d("timestamp_ms")).as("timestamp"),
+      // parse_ddtags (logs.rs:146-150, parse_ddtags:207-228): the
+      // comma-separated agent tag string becomes an ARRAY (empty
+      // segments dropped; empty/absent string -> empty array)
+      val ddtags =
+        if (!parseDdtags) d("ddtags")
+        else filter(split(coalesce(d("ddtags"), lit("")), ","),
+          t => t =!= "")
+      d.select(d("ddsource"), ddtags.as("ddtags"), d("hostname"),
+        d("service"), d("status"),
+        timestamp_millis(d("timestamp_ms")).as("timestamp"),
         d("message"))
     }
     /** The `<id>.metrics` output port's stream — counter/gauge samples
@@ -554,6 +563,7 @@ object HttpPushSources {
                accessKey: Option[String] = None): FirehoseSource =
     new FirehoseSource(spark, port, accessKey)
   def datadogAgent(spark: SparkSession, port: Int = 0,
-                   splitMetricNamespace: Boolean = true): DatadogAgentSource =
-    new DatadogAgentSource(spark, port, splitMetricNamespace)
+                   splitMetricNamespace: Boolean = true,
+                   parseDdtags: Boolean = false): DatadogAgentSource =
+    new DatadogAgentSource(spark, port, splitMetricNamespace, parseDdtags)
 }

@@ -169,6 +169,43 @@ class SaasSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("greptimedb_metrics: distribution encodes DistributionStatistic") {
+    import graft.codecs.ProtobufCodec
+    // samples 1.0×2, 5.0×1, 3.0×3 (rate-0 ignored) → sorted cum
+    // [1.0:2, 3.0:5, 5.0:6]; count 6, sum 16, min 1, max 5;
+    // R-3 ranks: p50→r3→3.0, p75→r5(round 4.5→5)→3.0, p90→r5→3.0,
+    // p95→r6→5.0, p99→r6→5.0 (statistic.rs find_quantile)
+    val df = Seq((1L, "lat", "incremental", "distribution",
+        Seq((1.0, 2L), (5.0, 1L), (3.0, 3L), (9.0, 0L))))
+      .toDF("id", "name", "kind", "value_type", "raw")
+      .withColumn("dist_samples", transform(col("raw"), s => struct(
+        s.getField("_1").as("value"), s.getField("_2").as("rate"))))
+      .withColumn("ts", lit("2024-03-05T10:00:00Z").cast("timestamp"))
+      .drop("raw", "id")
+    val got = new java.util.concurrent.CopyOnWriteArrayList[Array[Byte]]()
+    val srv = new graft.streaming.Grpc.Server(0, (_, bytes) => {
+      got.add(bytes); Array.emptyByteArray
+    })
+    try {
+      GreptimeMetrics.write(df.coalesce(1),
+        GreptimeMetrics.Config(s"127.0.0.1:${srv.boundPort}"))
+      val req = ProtobufCodec.decodeTo(
+        GreptimeMetrics.greptimeRequestSchema, got.get(0))
+      val ins = req.getAs[org.apache.spark.sql.Row]("row_inserts")
+        .getAs[Seq[org.apache.spark.sql.Row]]("inserts").head
+      val rows = ins.getAs[org.apache.spark.sql.Row]("rows")
+      val names = rows.getAs[Seq[org.apache.spark.sql.Row]]("schema")
+        .map(_.getAs[String]("column_name"))
+      assert(names == Seq("greptime_timestamp", "min", "max", "avg",
+        "sum", "count", "p50", "p75", "p90", "p95", "p99"))
+      val vals = rows.getAs[Seq[org.apache.spark.sql.Row]]("rows").head
+        .getAs[Seq[org.apache.spark.sql.Row]]("values")
+        .drop(1).map(_.getAs[Double]("f64_value"))
+      assert(vals == Seq(1.0, 5.0, 16.0 / 6.0, 16.0, 6.0,
+        3.0, 3.0, 3.0, 5.0, 5.0))
+    } finally srv.stop()
+  }
+
   test("datadog_events sink: one v1 event per request") {
     val srv = new JsonServer
     try {

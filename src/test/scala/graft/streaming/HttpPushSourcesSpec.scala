@@ -145,6 +145,27 @@ class HttpPushSourcesSpec extends SparkSpec {
     } finally src.stop()
   }
 
+  test("datadog_agent parse_ddtags: the tag string becomes an array") {
+    val src = HttpPushSources.datadogAgent(spark, parseDdtags = true)
+    try {
+      val q = src.df.writeStream.format("memory").queryName("dd_pt").start()
+      val (code, _) = post(
+        s"http://127.0.0.1:${src.boundPort}/api/v2/logs",
+        """[{"message":"m1","ddtags":"env:prod,,team:a,bare"},
+          |{"message":"m2","ddtags":""},
+          |{"message":"m3"}]""".stripMargin)
+      assert(code == 200)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT message, ddtags FROM dd_pt").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      // empty segments drop; empty/absent string -> empty array
+      assert(rows("m1") == Seq("env:prod", "team:a", "bare"))
+      assert(rows("m2") == Seq.empty)
+      assert(rows("m3") == Seq.empty)
+      q.stop()
+    } finally src.stop()
+  }
+
   test("datadog_agent /api/v1/series feeds the metrics output port") {
     val src = HttpPushSources.datadogAgent(spark)
     try {
