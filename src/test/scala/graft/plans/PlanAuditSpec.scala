@@ -391,6 +391,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop"), s"nested-loop join:\n$p")
   }
 
+  test("metric sink envelopes are shuffle-free projections") {
+    // hecMetric + sematextLine: per-row body builders must never
+    // exchange — at 100 TB the sink batch grouping is the ONLY shuffle
+    // a metric sink pays
+    val m = graft.Graft.table(spark, dir, "events").select(
+      col("event_type").as("name"), lit("app").as("namespace"),
+      lit("incremental").as("kind"), lit("counter").as("value_type"),
+      col("value").as("counter_value"),
+      map(lit("env"), lit("prod")).as("tags"), col("ts"))
+    val hec = m.select(graft.sinks.Envelopes.hecMetric(m).as("l"))
+    val sem = m.select(
+      graft.sinks.Envelopes.sematextLine(m, "t", "ns").as("l"))
+    Seq(hec, sem).foreach { df =>
+      val p = plan(df)
+      // the only allowed exchange is Graft.table's small-fixture
+      // round-robin parallelism floor (scan-side; never fires at scale)
+      assert(!p.contains("hashpartitioning"), s"envelope shuffles:\n$p")
+      assert(!p.contains("rangepartitioning"), s"envelope sorts:\n$p")
+      assert(!p.contains("Join"), s"sink envelope joins:\n$p")
+      assert(!p.contains("Aggregate"), s"sink envelope aggregates:\n$p")
+    }
+  }
+
   test("memory kv lookup compiles to a literal-map projection") {
     val kv = new graft.enrich.MemoryKv()
     kv.put("alice", "\"x\"")
