@@ -172,6 +172,42 @@ object GreptimeMetrics {
         f64Value(distCnt.cast("double"))),
       array(distQs.map(p => f64Value(distQuantile(p))): _*))
 
+    // sketch → encode_sketch (request_builder.rs:188-215): count/min/
+    // max/sum/avg plus the agent sketch's interpolated quantiles from
+    // the raw (k, n) lanes (model.AgentSketch = the public
+    // vector-core/src/metrics/ddsketch.rs math). The dd intake carries
+    // the sketch as a struct{cnt,min,max,sum,avg,k,n} column.
+    val sketchStruct = df.schema.fields.find(_.name == "sketch")
+      .filter(_.dataType.isInstanceOf[
+        org.apache.spark.sql.types.StructType])
+      .map(_ => col("sketch"))
+    val sketchQ = udf((ks: Seq[Long], ns: Seq[Long], cnt: java.lang.Long,
+                       mn: java.lang.Double, mx: java.lang.Double,
+                       q: Double) =>
+      if (cnt == null || mn == null || mx == null) null
+      else graft.model.AgentSketch
+        .quantile(Option(ks).getOrElse(Nil), Option(ns).getOrElse(Nil),
+          cnt, mn, mx, q)
+        .map(java.lang.Double.valueOf).orNull)
+    def sketchArrays(sk: org.apache.spark.sql.Column)
+        : (Column, Column) = {
+      val qs = Seq(0.5, 0.75, 0.90, 0.95, 0.99)
+      val statNames = Seq("count", "min", "max", "sum", "avg")
+      val schemas = concat(
+        array(statNames.map(n => colSchema(lit(n), F64, FIELD)): _*),
+        array(qs.map(p =>
+          colSchema(lit("p" + (p * 100).toInt), F64, FIELD)): _*))
+      val values = concat(
+        array(
+          f64Value(sk.getField("cnt").cast("double")),
+          f64Value(sk.getField("min")), f64Value(sk.getField("max")),
+          f64Value(sk.getField("sum")), f64Value(sk.getField("avg"))),
+        array(qs.map(p => f64Value(sketchQ(sk.getField("k"),
+          sk.getField("n"), sk.getField("cnt"), sk.getField("min"),
+          sk.getField("max"), lit(p)))): _*))
+      (schemas, values)
+    }
+
     val fieldSchemas = when(vt.isin("counter", "gauge"),
         array(colSchema(lit(valName), F64, FIELD)))
       .when(vt === "set", array(colSchema(lit(valName), F64, FIELD)))
@@ -184,6 +220,8 @@ object GreptimeMetrics {
       // empty distributions (all rates 0) encode no field columns,
       // like from_samples -> None (statistic.rs)
       .when(vt === "distribution" && distCnt > 0, distSchemas)
+      .when(lit(sketchStruct.isDefined) && vt === "sketch",
+        sketchStruct.map(sketchArrays(_)._1).getOrElse(emptyCols))
       .otherwise(emptyCols)
     val fieldValues = when(vt.isin("counter", "gauge"),
         array(f64Value(scalarValue)))
@@ -193,6 +231,8 @@ object GreptimeMetrics {
       .when(vt === "summary", transform(quants, q =>
         f64Value(q.getField("value"))))
       .when(vt === "distribution" && distCnt > 0, distValues)
+      .when(lit(sketchStruct.isDefined) && vt === "sketch",
+        sketchStruct.map(sketchArrays(_)._2).getOrElse(emptyVals))
       .otherwise(emptyVals)
 
     val ts = Template.timestampCol(df.schema)
@@ -215,11 +255,10 @@ object GreptimeMetrics {
         struct(schemaArr.as("schema"),
           array(struct(valuesArr.as("values"))).as("rows")).as("rows")))
         .as("inserts")).as("row_inserts"))
-    // sketch rows need the agent sketch's interpolated quantile math —
-    // out of this encoder's kinds, dropped like the reference drops
-    // unsupported kinds elsewhere
-    when(vt.isin("counter", "gauge", "set", "histogram", "summary",
-        "distribution"),
+    val kinds = Seq("counter", "gauge", "set", "histogram", "summary",
+      "distribution") ++ (if (sketchStruct.isDefined) Seq("sketch")
+    else Nil)
+    when(vt.isin(kinds: _*),
       ProtobufCodec.encode(greptimeRequestSchema, request))
   }
 

@@ -206,6 +206,51 @@ class SaasSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("greptimedb_metrics: agent sketches encode stats + quantiles") {
+    import graft.codecs.ProtobufCodec
+    import graft.model.AgentSketch
+    // two bins: 2 samples near 1.0 + 2 near 3.0 (the dd intake's
+    // sketch struct shape)
+    val df = Seq((1L, "lat")).toDF("id", "name")
+      .withColumn("kind", lit("incremental"))
+      .withColumn("value_type", lit("sketch"))
+      .withColumn("sketch", struct(
+        lit(4L).as("cnt"), lit(1.0).as("min"), lit(3.0).as("max"),
+        lit(8.0).as("sum"), lit(2.0).as("avg"),
+        typedLit(Seq(AgentSketch.key(1.0).toLong,
+          AgentSketch.key(3.0).toLong)).as("k"),
+        typedLit(Seq(2L, 2L)).as("n")))
+      .withColumn("ts", lit("2024-03-05T10:00:00Z").cast("timestamp"))
+      .drop("id")
+    val got = new java.util.concurrent.CopyOnWriteArrayList[Array[Byte]]()
+    val srv = new graft.streaming.Grpc.Server(0, (_, bytes) => {
+      got.add(bytes); Array.emptyByteArray
+    })
+    try {
+      GreptimeMetrics.write(df.coalesce(1),
+        GreptimeMetrics.Config(s"127.0.0.1:${srv.boundPort}"))
+      val req = ProtobufCodec.decodeTo(
+        GreptimeMetrics.greptimeRequestSchema, got.get(0))
+      val rows = req.getAs[org.apache.spark.sql.Row]("row_inserts")
+        .getAs[Seq[org.apache.spark.sql.Row]]("inserts").head
+        .getAs[org.apache.spark.sql.Row]("rows")
+      val names = rows.getAs[Seq[org.apache.spark.sql.Row]]("schema")
+        .map(_.getAs[String]("column_name"))
+      assert(names == Seq("greptime_timestamp", "count", "min", "max",
+        "sum", "avg", "p50", "p75", "p90", "p95", "p99"))
+      val vals = rows.getAs[Seq[org.apache.spark.sql.Row]]("rows").head
+        .getAs[Seq[org.apache.spark.sql.Row]]("values")
+        .drop(1).map(_.getAs[Double]("f64_value"))
+      assert(vals.take(5) == Seq(4.0, 1.0, 3.0, 8.0, 2.0))
+      // quantiles match the AgentSketch math exactly and stay clamped
+      val expected = Seq(0.5, 0.75, 0.90, 0.95, 0.99).map(p =>
+        AgentSketch.quantile(Seq(AgentSketch.key(1.0).toLong,
+          AgentSketch.key(3.0).toLong), Seq(2L, 2L), 4L, 1.0, 3.0, p).get)
+      assert(vals.drop(5) == expected)
+      assert(vals.drop(5).forall(v => v >= 1.0 && v <= 3.0))
+    } finally srv.stop()
+  }
+
   test("datadog_events sink: one v1 event per request") {
     val srv = new JsonServer
     try {
