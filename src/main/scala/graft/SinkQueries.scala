@@ -125,6 +125,121 @@ object SinkQueries {
         .orderBy("event_id")
     },
 
+    // datadog_metrics v2 protobuf egress: each row encodes through the
+    // SINK's single-series MetricPayload fragment
+    // (DdMetrics.seriesFragment — encoder.rs series_to_proto_message)
+    // and decodes back through the datadog_agent SOURCE's decode leg;
+    // the oracle recomputes COUNT/RATE÷interval/GAUGE, the host/device
+    // resource promotion, and namespace joining from the raw columns.
+    // RATE uses a power-of-two interval (8 s) so value÷8×8 is exact.
+    "sink_dd_series" -> { (s, dir) =>
+      import graft.streaming.DdAgentIntake
+      val e = ev(s, dir).withColumn("k", Graft.jsonLong(col("props"), "k"))
+      val mode = pmod(col("k"), lit(3))
+      val base = e.select(
+        col("event_id"), col("ts"),
+        col("event_type").as("name"),
+        lit("app").as("namespace"),
+        when(mode < 2, "counter").otherwise("gauge").as("value_type"),
+        when(mode < 2, round(col("value"), 2)).as("counter_value"),
+        when(mode === 2, round(col("value"), 2)).as("gauge_value"),
+        when(mode === 1, 8000L).cast("long").as("interval_ms"),
+        map(lit("env"), lit("prod"),
+          lit("host"), concat(lit("h"), pmod(col("user_id"), lit(4))),
+          lit("device"), concat(lit("sda"), pmod(col("k"), lit(2))))
+          .as("tags"))
+      val frag = graft.sinks.DdMetrics.seriesFragment(base)
+      val dec = udf((b: Array[Byte]) => DdAgentIntake.decodeSeriesV2(b))
+      base.withColumn("__m", explode(dec(frag)))
+        .select(col("event_id"),
+          col("__m.namespace").as("namespace"),
+          col("__m.name").as("name"),
+          col("__m.kind").as("kind"),
+          col("__m.value_type").as("value_type"),
+          col("__m.counter_value").as("counter_value"),
+          col("__m.gauge_value").as("gauge_value"),
+          col("__m.interval_ms").as("interval_ms"),
+          col("__m.host").as("host"),
+          element_at(col("__m.tags"), "env").as("tag_env"),
+          element_at(col("__m.tags"), "device").as("tag_device"))
+        .orderBy("event_id")
+    },
+
+    // datadog_metrics sketch egress: single-sample distributions
+    // convert through AgentSketch.Builder (transform_to_sketch),
+    // encode as SketchPayload fragments, decode through the intake —
+    // every lane (cnt/min/max/sum/avg) and the interpolated q50 are
+    // EXACT for a one-value sketch, so the oracle recomputes them all
+    "sink_dd_sketch" -> { (s, dir) =>
+      import graft.streaming.DdAgentIntake
+      import graft.model.AgentSketch
+      val e = ev(s, dir).withColumn("k", Graft.jsonLong(col("props"), "k"))
+        .where(col("value") > 1e-9)
+      val n = (pmod(col("k"), lit(7)) + 1).cast("long")
+      val base = e.select(
+        col("event_id"), col("ts"),
+        col("event_type").as("name"),
+        lit("incremental").as("kind"),
+        lit("distribution").as("value_type"),
+        array(struct(round(col("value"), 2).as("value"), n.as("rate")))
+          .as("dist_samples"),
+        map(lit("env"), lit("prod"),
+          lit("host"), concat(lit("h"), pmod(col("user_id"), lit(4))))
+          .as("tags"))
+      val frag = graft.sinks.DdMetrics.sketchFragment(base)
+      val dec = udf((b: Array[Byte]) => DdAgentIntake.decodeSketches(b))
+      val q50 = udf((ks: Seq[Long], ns: Seq[Long], cnt: Long,
+                     mn: Double, mx: Double) =>
+        AgentSketch.quantile(ks, ns, cnt, mn, mx, 0.5).get)
+      base.withColumn("__m", explode(dec(frag)))
+        .select(col("event_id"),
+          col("__m.name").as("name"),
+          col("__m.host").as("host"),
+          element_at(col("__m.tags"), "env").as("tag_env"),
+          col("__m.sketch_cnt").as("cnt"),
+          col("__m.sketch_min").as("min_v"),
+          col("__m.sketch_max").as("max_v"),
+          col("__m.sketch_sum").as("sum_v"),
+          col("__m.sketch_avg").as("avg_v"),
+          size(col("__m.sketch_k")).as("bins"),
+          element_at(col("__m.sketch_n"), 1).as("n1"),
+          q50(col("__m.sketch_k"), col("__m.sketch_n"),
+            col("__m.sketch_cnt"), col("__m.sketch_min"),
+            col("__m.sketch_max")).as("q50"),
+          col("__m.timestamp_s").as("ts_s"))
+        .orderBy("event_id")
+    },
+
+    // datadog_metrics histogram egress: aggregated-histogram buckets
+    // interpolate into agent sketch bins (insert_interpolate_buckets);
+    // the total count survives the spread + encode + decode exactly
+    "sink_dd_hist" -> { (s, dir) =>
+      import graft.streaming.DdAgentIntake
+      val e = ev(s, dir).withColumn("k", Graft.jsonLong(col("props"), "k"))
+      val base = e.select(
+        col("event_id"), col("ts"),
+        col("event_type").as("name"),
+        lit("incremental").as("kind"),
+        lit("histogram").as("value_type"),
+        array(
+          struct(lit(1.0).as("upper_limit"),
+            (pmod(col("k"), lit(5)) + 1).cast("long").as("count")),
+          struct(lit(2.0).as("upper_limit"),
+            (pmod(col("user_id"), lit(3)) + 1).cast("long").as("count")),
+          struct(lit(Double.PositiveInfinity).as("upper_limit"),
+            (pmod(col("k"), lit(2)) + 1).cast("long").as("count")))
+          .as("histo_buckets"))
+      val frag = graft.sinks.DdMetrics.sketchFragment(base)
+      val dec = udf((b: Array[Byte]) => DdAgentIntake.decodeSketches(b))
+      base.withColumn("__m", explode(dec(frag)))
+        .select(col("event_id"),
+          col("__m.name").as("name"),
+          col("__m.sketch_cnt").as("cnt"),
+          aggregate(col("__m.sketch_n"), lit(0L), (a, x) => a + x)
+            .as("n_total"))
+        .orderBy("event_id")
+    },
+
     // prometheus remote write: encode the prompb WriteRequest fragments,
     // decode them back with the wire walker, and compare the recovered
     // series (sorted labels, per-series sample stats) to the oracle
@@ -200,8 +315,9 @@ object SinkQueries {
         .orderBy("event_id")
     },
 
-    // datadog metrics v2 series entry: kind→type enum, epoch-s points,
-    // `k:v` tag strings (src/sinks/datadog/metrics/)
+    // datadog metrics v1 series entry (generate_series_metrics,
+    // encoder.rs:839): snake_case type strings, [ts, value] tuple
+    // points, the host tag promoted to the top-level `host` key
     "sink_datadog_metrics" -> { (s, dir) =>
       val base = ev(s, dir).select(
         col("event_id"),
@@ -210,18 +326,20 @@ object SinkQueries {
           .otherwise(lit("absolute")).as("kind"),
         col("value"), col("ts"),
         map(lit("host"),
-          concat(lit("h"), pmod(col("user_id"), lit(5)))).as("tags"))
+          concat(lit("h"), pmod(col("user_id"), lit(5))),
+          lit("env"), lit("prod")).as("tags"))
       val entry = graft.sinks.SaasSinks.datadogSeriesEntry(base)
       base.select(col("event_id"), entry.as("__e"))
         .select(
           col("event_id"),
           get_json_object(col("__e"), "$.metric").as("metric"),
-          get_json_object(col("__e"), "$.type").cast("int").as("mtype"),
-          get_json_object(col("__e"), "$.points[0].timestamp").cast("long")
+          get_json_object(col("__e"), "$.type").as("mtype"),
+          get_json_object(col("__e"), "$.points[0][0]").cast("long")
             .as("ts_s"),
-          round(get_json_object(col("__e"), "$.points[0].value")
+          round(get_json_object(col("__e"), "$.points[0][1]")
             .cast("double"), 2).as("v"),
-          get_json_object(col("__e"), "$.tags[0]").as("tag0"))
+          get_json_object(col("__e"), "$.tags[0]").as("tag0"),
+          get_json_object(col("__e"), "$.host").as("host"))
         .orderBy("event_id")
     },
 
@@ -308,6 +426,51 @@ object SinkQueries {
         |  user_id AS doc_user_id
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "sink_dd_series" ->
+      """SELECT event_id,
+        |  'app' AS namespace,
+        |  event_type AS name,
+        |  CASE WHEN k % 3 < 2 THEN 'incremental' ELSE 'absolute' END
+        |    AS kind,
+        |  CASE WHEN k % 3 < 2 THEN 'counter' ELSE 'gauge' END
+        |    AS value_type,
+        |  CASE WHEN k % 3 < 2 THEN round(value, 2) END AS counter_value,
+        |  CASE WHEN k % 3 = 2 THEN round(value, 2) END AS gauge_value,
+        |  CASE WHEN k % 3 = 1 THEN CAST(8000 AS BIGINT) END
+        |    AS interval_ms,
+        |  'h' || CAST(user_id % 4 AS VARCHAR) AS host,
+        |  'prod' AS tag_env,
+        |  'sda' || CAST(k % 2 AS VARCHAR) AS tag_device
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT)
+        |      AS k FROM events) ORDER BY event_id""".stripMargin,
+
+    "sink_dd_sketch" ->
+      """SELECT event_id,
+        |  event_type AS name,
+        |  'h' || CAST(user_id % 4 AS VARCHAR) AS host,
+        |  'prod' AS tag_env,
+        |  CAST(k % 7 + 1 AS BIGINT) AS cnt,
+        |  round(value, 2) AS min_v,
+        |  round(value, 2) AS max_v,
+        |  round(value, 2) * CAST(k % 7 + 1 AS DOUBLE) AS sum_v,
+        |  (round(value, 2) * CAST(k % 7 + 1 AS DOUBLE))
+        |    / CAST(k % 7 + 1 AS DOUBLE) AS avg_v,
+        |  CAST(1 AS INTEGER) AS bins,
+        |  CAST(k % 7 + 1 AS BIGINT) AS n1,
+        |  round(value, 2) AS q50,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT)
+        |      AS k FROM events)
+        |WHERE value > 1e-9 ORDER BY event_id""".stripMargin,
+
+    "sink_dd_hist" ->
+      """SELECT event_id,
+        |  event_type AS name,
+        |  CAST(3 + k % 5 + user_id % 3 + k % 2 AS BIGINT) AS cnt,
+        |  CAST(3 + k % 5 + user_id % 3 + k % 2 AS BIGINT) AS n_total
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT)
+        |      AS k FROM events) ORDER BY event_id""".stripMargin,
+
     "sink_hec_metrics" ->
       """SELECT event_id,
         |  '{"event":"metric","fields":{"_value":'
@@ -387,10 +550,12 @@ object SinkQueries {
     "sink_datadog_metrics" ->
       """SELECT event_id,
         |  'ev_' || event_type AS metric,
-        |  CASE WHEN event_id % 2 = 0 THEN 1 ELSE 3 END AS mtype,
+        |  CASE WHEN event_id % 2 = 0 THEN 'count' ELSE 'gauge' END
+        |    AS mtype,
         |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s,
         |  round(value, 2) AS v,
-        |  'host:h' || CAST(user_id % 5 AS VARCHAR) AS tag0
+        |  'env:prod' AS tag0,
+        |  'h' || CAST(user_id % 5 AS VARCHAR) AS host
         |FROM events ORDER BY event_id""".stripMargin,
 
     "sink_cloudwatch_logs" ->

@@ -70,4 +70,168 @@ object AgentSketch {
     val rounded = math.rint(math.log(v) / GammaLn)
     math.min(math.max(rounded.toInt + NormBias, 1), MaxKey)
   }
+
+  val BinLimit: Int = 4096 // AGENT_DEFAULT_BIN_LIMIT
+  val MaxBinWidth: Int = 65535 // per-bin count cap (u16::MAX)
+
+  /** Mutable agent-defaults sketch accumulator — `insert_n` for
+    * distribution samples and `insert_interpolate_buckets` for
+    * aggregated-histogram buckets, the two legs of
+    * AgentDDSketch::transform_to_sketch (ddsketch.rs:796-822) that the
+    * datadog_metrics sink's normalizer applies before sketch encoding
+    * (sinks/datadog/metrics/normalizer.rs:22-29). Bins keep the
+    * agent's invariants: sorted by key, per-bin count capped at
+    * u16::MAX with overflow split into repeat bins (generate_bins,
+    * ddsketch.rs:994), total bins trimmed from the LEFT at 4096
+    * (trim_left, :951); the running min/max/sum/avg update follows
+    * adjust_basic_stats (:387) operation-for-operation so lanes are
+    * bit-identical to the reference for the same sample order.
+    */
+  final class Builder {
+    private var cnt: Long = 0L
+    private var mn: Double = Double.MaxValue
+    private var mx: Double = -Double.MaxValue // f64::MIN
+    private var sm: Double = 0.0
+    private var av: Double = 0.0
+    private var bins: Array[(Int, Int)] = Array.empty // (k, n) sorted by k
+
+    def isEmpty: Boolean = cnt == 0
+    def count: Long = cnt
+    def min: Double = mn
+    def max: Double = mx
+    def sum: Double = sm
+    def avg: Double = av
+    def ks: Seq[Long] = bins.map(_._1.toLong).toSeq
+    def ns: Seq[Long] = bins.map(_._2.toLong).toSeq
+
+    private def adjustBasicStats(v: Double, n: Long): Unit = {
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      cnt += n
+      sm += v * n.toDouble
+      if (n == 1) av += (v - av) / cnt.toDouble
+      else av += (v - av) * n.toDouble / cnt.toDouble
+    }
+
+    private def generateBins(out: scala.collection.mutable.ArrayBuffer[(Int, Int)],
+                             k: Int, n: Long): Unit =
+      if (n < MaxBinWidth) out += ((k, n.toInt))
+      else {
+        val overflow = (n % MaxBinWidth).toInt
+        if (overflow != 0) out += ((k, overflow))
+        var i = 0L
+        while (i < n / MaxBinWidth) { out += ((k, MaxBinWidth)); i += 1 }
+      }
+
+    private def trimLeft(b: scala.collection.mutable.ArrayBuffer[(Int, Int)]): Unit = {
+      if (b.length < BinLimit) return
+      val numToRemove = b.length - BinLimit
+      var missing = 0L
+      val overflow = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0
+      while (i < numToRemove) {
+        missing += b(i)._2
+        if (missing > MaxBinWidth) {
+          overflow += ((b(i)._1, MaxBinWidth))
+          missing -= MaxBinWidth
+        }
+        i += 1
+      }
+      val (rk, rn) = b(numToRemove)
+      val next = missing + rn
+      if (next > MaxBinWidth) { b(numToRemove) = (rk, MaxBinWidth); missing = next - MaxBinWidth }
+      else { b(numToRemove) = (rk, next.toInt); missing = 0L }
+      if (missing > 0) generateBins(overflow, rk, missing)
+      val overflowLen = overflow.length
+      overflow ++= b.view.slice(numToRemove, b.length)
+      val res = overflow.take(BinLimit + overflowLen)
+      b.clear()
+      b ++= res
+    }
+
+    private def insertKeyCounts(counts0: Seq[(Int, Long)]): Unit = {
+      val counts = counts0.sortBy(_._1)
+      val temp = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var bi = 0
+      var ki = 0
+      while (bi < bins.length && ki < counts.length) {
+        val (bk, bn) = bins(bi)
+        val (vk, kn) = counts(ki)
+        if (bk > vk) { generateBins(temp, vk, kn); ki += 1 }
+        else if (bk < vk) { temp += ((bk, bn)); bi += 1 }
+        else { generateBins(temp, bk, bn.toLong + kn); bi += 1; ki += 1 }
+      }
+      while (bi < bins.length) { temp += bins(bi); bi += 1 }
+      while (ki < counts.length) {
+        generateBins(temp, counts(ki)._1, counts(ki)._2); ki += 1
+      }
+      trimLeft(temp)
+      bins = temp.toArray
+    }
+
+    /** insert_n (ddsketch.rs:549): one distribution sample `value ×
+      * rate`.
+      */
+    def insertN(v: Double, n: Long): Unit = if (n > 0) {
+      adjustBasicStats(v, n)
+      insertKeyCounts(Seq((key(v), n)))
+    }
+
+    /** insert_interpolate_bucket (ddsketch.rs:558): spread one
+      * histogram bucket's count across the sketch bins spanning
+      * [lower, upper], proportional to each bin's width.
+      */
+    private def insertInterpolateBucket(lower: Double, upper: Double,
+                                        count: Long): Unit = {
+      val lowerKey = key(lower)
+      val upperKey = key(upper)
+      val keys = Array.range(lowerKey, upperKey + 1)
+      val kcs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      var remaining = count
+      val distance = upper - lower
+      var startIdx = 0
+      var endIdx = 1
+      var lowerBound = binLowerBound(keys(startIdx).toLong)
+      var remainder = 0.0
+      while (endIdx < keys.length && remaining > 0) {
+        val upperBound = binLowerBound(keys(endIdx).toLong)
+        val fkn = ((upperBound - lowerBound) / distance) * count.toDouble
+        if (fkn > 1.0) remainder += fkn - fkn.longValue.toDouble
+        var kn = fkn.toLong // `fkn as u32` truncates toward zero
+        if (remainder > 1.0) { kn += 1; remainder -= 1.0 }
+        if (kn > 0) {
+          if (kn > remaining) kn = remaining
+          adjustBasicStats(lowerBound, kn)
+          kcs += ((keys(startIdx), kn))
+          remaining -= kn
+          startIdx = endIdx
+          lowerBound = upperBound
+        }
+        endIdx += 1
+      }
+      if (remaining > 0) {
+        val lastKey = keys(startIdx)
+        lowerBound = binLowerBound(lastKey.toLong)
+        adjustBasicStats(lowerBound, remaining)
+        kcs += ((lastKey, remaining))
+      }
+      insertKeyCounts(kcs.toSeq)
+    }
+
+    /** insert_interpolate_buckets (ddsketch.rs:624): buckets sorted by
+      * upper limit; the +Inf bucket collapses onto the previous bound
+      * and the leading −Inf lower bound onto the first.
+      */
+    def insertInterpolateBuckets(buckets0: Seq[(Double, Long)]): Unit = {
+      val buckets = buckets0.sortBy(_._1)
+      var lower = Double.NegativeInfinity
+      buckets.foreach { case (upperLimit, count) =>
+        var upper = upperLimit
+        if (upper > 0 && upper.isInfinite) upper = lower
+        else if (lower < 0 && lower.isInfinite) lower = upper
+        insertInterpolateBucket(lower, upper, count)
+        lower = upperLimit
+      }
+    }
+  }
 }

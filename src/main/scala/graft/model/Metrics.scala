@@ -36,6 +36,12 @@ object Metrics {
       StructField("upper_limit", DoubleType), StructField("count", LongType))))),
     StructField("summary_quantiles", ArrayType(StructType(Seq(
       StructField("quantile", DoubleType), StructField("value", DoubleType))))),
+    // AggregatedHistogram/AggregatedSummary carry an explicit total
+    // count and sum alongside their buckets/quantiles
+    // (value.rs:45-66) — shared lanes here, non-null only for those
+    // two value_types
+    StructField("stat_count", LongType),
+    StructField("stat_sum", DoubleType),
     StructField("sketch", BinaryType)))
 
   /** AggregatedHistogram from raw values: cumulative `count <= upper`

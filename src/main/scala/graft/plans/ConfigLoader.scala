@@ -2949,8 +2949,11 @@ object ConfigLoader {
           contentType = "application/json")
         val hostKey = m.getOrElse("host_key", "host").toString
         val defaultNs = m.get("default_namespace").map(_.toString)
+        // extract_metric_value (splunk_hec/metrics/sink.rs:129) returns
+        // None for anything but counter/gauge — those events are dropped
         Some(df => NetworkSinks.writeHttpBody(
-          df.select(Envelopes.hecMetric(df, hostKey = hostKey,
+          df.filter(col("value_type").isin("counter", "gauge"))
+            .select(Envelopes.hecMetric(df, hostKey = hostKey,
             index = m.getOrElse("index", "").toString,
             source = m.getOrElse("source", "").toString,
             sourcetype = m.getOrElse("sourcetype", "").toString,
@@ -3133,12 +3136,13 @@ object ConfigLoader {
           m.getOrElse("pipeline_name", "greptime_identity").toString)
         Some(df => graft.sinks.DbSinks.writeGreptimeLogs(df, cfg))
       case "datadog_metrics" =>
-        // src/sinks/datadog/metrics/: series v2
-        val cfg = graft.sinks.SaasSinks.DatadogMetricsConfig(
+        // src/sinks/datadog/metrics/: protobuf v2 series +
+        // /api/beta/sketches sketch egress (encoder.rs)
+        val cfg = graft.sinks.DdMetrics.Config(
           endpoint("https://api.datadoghq.com"),
           m.getOrElse("default_api_key", "").toString,
           m.get("default_namespace").map(_.toString))
-        Some(df => graft.sinks.SaasSinks.writeDatadogMetrics(df, cfg))
+        Some(df => graft.sinks.DdMetrics.write(df, cfg))
       case "datadog_events" =>
         // src/sinks/datadog/events/: v1 events, one request per event
         val cfg = graft.sinks.SaasSinks.DatadogEventsConfig(

@@ -308,11 +308,57 @@ object Envelopes {
        else map().cast("map<string,string>")).as("tags"),
       col("kind").cast("string").as("kind"),
       date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("timestamp"))
-    val counter = when(col("value_type") === "counter",
+    val vt = col("value_type")
+    val counter = when(vt === "counter",
       struct(col("counter_value").as("value"))).as("counter")
-    val gauge = when(col("value_type") === "gauge",
+    val gauge = when(vt === "gauge",
       struct(col("gauge_value").as("value"))).as("gauge")
-    struct(base :+ counter :+ gauge: _*)
+    // the remaining MetricValue families, serialized per the metric's
+    // serde shape (metric_to_log.rs tests: set.values,
+    // distribution.samples[]/statistic, aggregated_histogram
+    // .buckets[]/count/sum, aggregated_summary.quantiles[]/count/sum);
+    // to_json's default null-dropping removes the non-matching
+    // families from the emitted log
+    val statCount =
+      if (cols("stat_count")) col("stat_count") else lit(null).cast("long")
+    val statSum =
+      if (cols("stat_sum")) col("stat_sum") else lit(null).cast("double")
+    val rest = Seq(
+      (if (cols("set_values"))
+        when(vt === "set", struct(col("set_values").as("values")))
+      else lit(null).cast("struct<values:array<string>>")).as("set"),
+      (if (cols("dist_samples"))
+        // the model carries no StatisticKind lane; "histogram" is the
+        // reference's default statistic (value.rs StatisticKind)
+        when(vt === "distribution",
+          struct(col("dist_samples").as("samples"),
+            lit("histogram").as("statistic")))
+      else lit(null).cast("struct<samples:array<struct<value:double," +
+        "rate:bigint>>,statistic:string>")).as("distribution"),
+      (if (cols("histo_buckets"))
+        when(vt === "histogram",
+          struct(col("histo_buckets").as("buckets"),
+            coalesce(statCount,
+              aggregate(col("histo_buckets"), lit(0L),
+                (a, b) => a + b.getField("count"))).as("count"),
+            statSum.as("sum")))
+      else lit(null).cast("struct<buckets:array<struct<upper_limit:" +
+        "double,count:bigint>>,count:bigint,sum:double>"))
+        .as("aggregated_histogram"),
+      (if (cols("summary_quantiles"))
+        when(vt === "summary",
+          struct(col("summary_quantiles").as("quantiles"),
+            statCount.as("count"), statSum.as("sum")))
+      else lit(null).cast("struct<quantiles:array<struct<quantile:" +
+        "double,value:double>>,count:bigint,sum:double>"))
+        .as("aggregated_summary")) ++
+      // agent-sketch rows (struct-typed `sketch` from the dd intake)
+      // keep their raw lanes under `sketch`
+      df.schema.fields.find(f => f.name == "sketch" &&
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+        .map(_ => when(vt === "sketch", col("sketch")).as("sketch"))
+        .toSeq
+    struct(base ++ Seq(counter, gauge) ++ rest: _*)
   }
 
   /** InfluxDB line protocol encoder (src/sinks/influxdb/: POST /write,

@@ -14,8 +14,11 @@ import graft.functions.Template
   * metric tag, and FLOAT64 field columns per metric kind — counter/
   * gauge/set → the value column (`greptime_value`, or legacy `val`
   * when `new_naming: false`), histogram → one `b<upper_limit>` column
-  * per bucket (+count/sum when present), summary → one `p<q*100>`
-  * column per quantile. Batches ride ONE
+  * per bucket then trailing count+sum columns, summary → one
+  * `p<q*100>` column per quantile then count+sum
+  * (request_builder.rs:119-129; count/sum come from the model's
+  * stat_count/stat_sum lanes, histogram count falling back to the
+  * bucket total, a missing sum encoding a null Value). Batches ride ONE
   * `greptime.v1.GreptimeDatabase/Handle` gRPC call as a
   * GreptimeRequest{header, row_inserts} (service.rs).
   *
@@ -72,11 +75,33 @@ object GreptimeMetrics {
   private val FIELD = 1L
   private val TSSEM = 2L
 
-  /** Rust `format!("{v}")` for f64: integral values render without the
-    * trailing `.0` ("b10", "p50").
+  /** Rust `format!("{v}")` for f64: shortest-roundtrip decimal, never
+    * scientific notation ("0.0001" not "1.0E-4"), integral values
+    * without the trailing `.0` ("b10", "p50"), infinities as
+    * "inf"/"-inf" (the prometheus +Inf bucket → "binf").
     */
-  private def numStr(c: Column): Column =
-    regexp_replace(c.cast("double").cast("string"), "\\.0$", "")
+  private[sinks] def rustF64(v: Double): String =
+    if (v.isNaN) "NaN"
+    else if (v == Double.PositiveInfinity) "inf"
+    else if (v == Double.NegativeInfinity) "-inf"
+    else {
+      val s = new java.math.BigDecimal(java.lang.Double.toString(v))
+        .stripTrailingZeros().toPlainString
+      if (s == "-0") "0" else s
+    }
+
+  // UDFs are not allowed inside higher-order-function lambdas, so the
+  // per-bucket/per-quantile column NAMES are rendered as one
+  // array<string> per row up front and zipped with the value lanes
+  private val histoNamesUdf = udf((bs: Seq[org.apache.spark.sql.Row]) =>
+    if (bs == null) null
+    else bs.map(b => "b" + rustF64(b.getDouble(0))))
+  private val quantNamesUdf = udf((qs: Seq[org.apache.spark.sql.Row]) =>
+    if (qs == null) null
+    else qs.map { q => // format!("p{:02}", quantile * 100f64)
+      val s = rustF64(q.getDouble(0) * 100.0)
+      "p" + (if (s.length < 2) "0" * (2 - s.length) + s else s)
+    })
 
   private def colSchema(name: Column, dt: Long, sem: Long): Column =
     struct(name.as("column_name"), lit(dt).as("datatype"),
@@ -208,15 +233,31 @@ object GreptimeMetrics {
       (schemas, values)
     }
 
+    // histogram/summary always append trailing count and sum field
+    // columns after the per-bucket/per-quantile ones
+    // (request_builder.rs:119-129); count falls back to the bucket-
+    // count total when the row lacks the explicit stat_count lane
+    val statCount =
+      if (cols("stat_count")) col("stat_count").cast("double")
+      else lit(null).cast("double")
+    val statSum =
+      if (cols("stat_sum")) col("stat_sum").cast("double")
+      else lit(null).cast("double")
+    val histCount = coalesce(statCount,
+      aggregate(histo, lit(0L), (a, b) => a + b.getField("count"))
+        .cast("double"))
+    val countSumSchemas = array(colSchema(lit("count"), F64, FIELD),
+      colSchema(lit("sum"), F64, FIELD))
+
     val fieldSchemas = when(vt.isin("counter", "gauge"),
         array(colSchema(lit(valName), F64, FIELD)))
       .when(vt === "set", array(colSchema(lit(valName), F64, FIELD)))
-      .when(vt === "histogram", transform(histo, b =>
-        colSchema(concat(lit("b"), numStr(b.getField("upper_limit"))),
-          F64, FIELD)))
-      .when(vt === "summary", transform(quants, q =>
-        colSchema(concat(lit("p"), lpad(numStr(
-          q.getField("quantile") * 100), 2, "0")), F64, FIELD)))
+      .when(vt === "histogram", concat(
+        transform(histoNamesUdf(histo), n => colSchema(n, F64, FIELD)),
+        countSumSchemas))
+      .when(vt === "summary", concat(
+        transform(quantNamesUdf(quants), n => colSchema(n, F64, FIELD)),
+        countSumSchemas))
       // empty distributions (all rates 0) encode no field columns,
       // like from_samples -> None (statistic.rs)
       .when(vt === "distribution" && distCnt > 0, distSchemas)
@@ -226,10 +267,12 @@ object GreptimeMetrics {
     val fieldValues = when(vt.isin("counter", "gauge"),
         array(f64Value(scalarValue)))
       .when(vt === "set", array(f64Value(setCount)))
-      .when(vt === "histogram", transform(histo, b =>
-        f64Value(b.getField("count").cast("double"))))
-      .when(vt === "summary", transform(quants, q =>
-        f64Value(q.getField("value"))))
+      .when(vt === "histogram", concat(
+        transform(histo, b => f64Value(b.getField("count").cast("double"))),
+        array(f64Value(histCount), f64Value(statSum))))
+      .when(vt === "summary", concat(
+        transform(quants, q => f64Value(q.getField("value"))),
+        array(f64Value(statCount), f64Value(statSum))))
       .when(vt === "distribution" && distCnt > 0, distValues)
       .when(lit(sketchStruct.isDefined) && vt === "sketch",
         sketchStruct.map(sketchArrays(_)._2).getOrElse(emptyVals))

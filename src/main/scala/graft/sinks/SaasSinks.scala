@@ -52,46 +52,123 @@ object SaasSinks {
     coalesce(cands.map(c => col(c).cast("double")): _*)
   }
 
-  // ---- datadog_metrics ----
+  // ---- datadog_metrics (legacy v1 JSON series; the default protobuf
+  //      v2 + sketch egress lives in DdMetrics) ----
 
   case class DatadogMetricsConfig(
       endpoint: String, apiKey: String,
       defaultNamespace: Option[String] = None)
       extends Serializable
 
-  /** One v2 series entry per metric row — kind incremental→count(1),
-    * absolute→gauge(3), tags map → `k:v` strings.
+  /** serde_json-style f64 rendering for the v1 body: plain decimal
+    * with a kept `.0` on integral values ("5.0", "10000000.0" — where
+    * Java flips to scientific notation at 1e7).
+    */
+  private val jsonF64 = udf((v: Double) =>
+    if (v.isNaN || v.isInfinite) "null"
+    else {
+      val s = new java.math.BigDecimal(java.lang.Double.toString(v))
+        .stripTrailingZeros().toPlainString
+      if (s.contains('.')) s else s + ".0"
+    })
+
+  /** One SeriesApiVersion::V1 JSON entry per metric row
+    * (generate_series_metrics, encoder.rs:839-900 +
+    * common/datadog.rs DatadogSeriesMetric): snake_case `type`
+    * ("count"/"rate"/"gauge"), `points` as `[ts, value]` tuples,
+    * counter÷interval → rate, host/device/source_type_name tags
+    * promoted to top-level keys, remaining tags sorted `k:v`.
     */
   def datadogSeriesEntry(df: DataFrame,
                          defaultNamespace: Option[String] = None): Column = {
-    val name = defaultNamespace
-      .map(ns => concat(lit(ns + "."), col("name")))
-      .getOrElse(col("name").cast("string"))
-    val dtype =
-      if (df.columns.contains("kind"))
-        when(col("kind") === "incremental", lit(1)).otherwise(lit(3))
-      else lit(3) // gauge
-    val ts =
-      if (df.columns.contains("ts")) unix_seconds(col("ts").cast("timestamp"))
-      else lit(0L)
-    val tags =
-      if (df.columns.contains("tags"))
-        transform(map_entries(col("tags")),
-          e => concat(e.getField("key"), lit(":"), e.getField("value")))
-      else array().cast("array<string>")
-    to_json(struct(name.as("metric"), dtype.as("type"),
-      array(struct(ts.as("timestamp"),
-        metricValue(df).as("value"))).as("points"),
-      tags.as("tags")))
+    val cols = df.columns.toSet
+    val ns =
+      if (cols("namespace"))
+        coalesce(col("namespace").cast("string"),
+          defaultNamespace.map(lit).getOrElse(lit(null).cast("string")))
+      else defaultNamespace.map(lit).getOrElse(lit(null).cast("string"))
+    val name = when(ns.isNotNull && ns =!= "",
+      concat(ns, lit("."), col("name"))).otherwise(col("name").cast("string"))
+    val vt =
+      if (cols("value_type")) col("value_type")
+      else if (cols("kind"))
+        when(col("kind") === "incremental", lit("counter"))
+          .otherwise(lit("gauge"))
+      else lit("gauge")
+    val intervalS =
+      if (cols("interval_ms"))
+        when(col("interval_ms").isNotNull,
+          (col("interval_ms").cast("long") / 1000L).cast("long"))
+      else lit(null).cast("long")
+    val isRate = vt === "counter" && intervalS.isNotNull
+    val dtype = when(isRate, lit("rate"))
+      .when(vt === "counter", lit("count")).otherwise(lit("gauge"))
+    val counterVal = coalesce(
+      Seq("counter_value", "value").filter(cols).map(c =>
+        col(c).cast("double")) :+ lit(null).cast("double"): _*)
+    val gaugeVal = coalesce(
+      Seq("gauge_value", "value", "counter_value").filter(cols).map(c =>
+        col(c).cast("double")) :+ lit(null).cast("double"): _*)
+    val value = {
+      val base = when(isRate, counterVal / intervalS.cast("double"))
+        .when(vt === "counter", counterVal)
+      (if (cols("set_values"))
+        base.when(vt === "set", size(col("set_values")).cast("double"))
+      else base).otherwise(gaugeVal)
+    }
+    val ts = unix_seconds(Template.timestampCol(df.schema))
+    val tags0 =
+      if (cols("tags")) coalesce(col("tags"),
+        map().cast("map<string,string>"))
+      else map().cast("map<string,string>")
+    val host =
+      if (cols("host")) coalesce(col("host").cast("string"),
+        element_at(tags0, "host"))
+      else element_at(tags0, "host")
+    val device = element_at(tags0, "device")
+    val stn = element_at(tags0, "source_type_name")
+    val tagStrs = array_sort(transform(map_entries(map_filter(tags0,
+      (k, _) => !k.isin("host", "device", "source_type_name"))), e =>
+      when(e.getField("value") === "", e.getField("key"))
+        .otherwise(concat(e.getField("key"), lit(":"),
+          e.getField("value")))))
+    // points are JSON tuples ([ts, value]) so the entry is assembled
+    // around a hand-built points splice; serde skips absent
+    // host/device/source_type_name keys. Strings are JSON-escaped via
+    // the to_json(array(…)) bracket-strip trick (see esBulkPair).
+    def jstr(c: Column): Column = {
+      val quoted = to_json(array(c.cast("string")))
+      quoted.substr(lit(2), length(quoted) - 2)
+    }
+    concat(
+      lit("""{"metric":"""), jstr(name),
+      lit(""","type":""""), dtype, lit("\""),
+      when(intervalS.isNotNull,
+        concat(lit(""","interval":"""), intervalS.cast("string")))
+        .otherwise(lit(""","interval":null""")),
+      lit(""","points":[["""), ts.cast("string"), lit(","),
+      jsonF64(value), lit("]]"),
+      lit(""","tags":"""), to_json(tagStrs),
+      when(host.isNotNull, concat(lit(""","host":"""), jstr(host)))
+        .otherwise(lit("")),
+      when(stn.isNotNull,
+        concat(lit(""","source_type_name":"""), jstr(stn)))
+        .otherwise(lit("")),
+      when(device.isNotNull, concat(lit(""","device":"""), jstr(device)))
+        .otherwise(lit("")),
+      lit("}"))
   }
 
-  /** Series v2. Expects metric-shaped rows: `name`, `value`, optional
-    * `kind` (incremental→count, absolute→gauge), `ts`, `tags` map.
+  /** Series v1 JSON to `/api/v1/series` (SeriesApiVersion::V1 —
+    * encoder.rs:259-280 writes the same `{"series":[…]}` envelope
+    * incrementally). The config-registered datadog_metrics sink ships
+    * protobuf v2 via [[graft.sinks.DdMetrics]]; this leg covers the
+    * reference's still-supported v1 opt-in.
     */
   def writeDatadogMetrics(df: DataFrame, cfg: DatadogMetricsConfig): Unit = {
     val entry = datadogSeriesEntry(df, cfg.defaultNamespace)
     NetworkSinks.writeHttpBody(df.select(entry.as("__line")),
-      HttpConfig(uri = cfg.endpoint.stripSuffix("/") + "/api/v2/series",
+      HttpConfig(uri = cfg.endpoint.stripSuffix("/") + "/api/v1/series",
         framing = "character_delimited", delimiter = ",", maxEvents = 1000,
         contentType = "application/json",
         headers = Map("DD-API-KEY" -> cfg.apiKey),

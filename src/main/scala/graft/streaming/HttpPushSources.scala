@@ -72,18 +72,36 @@ object HttpPushSources {
       }
 
     // per-channel indexer-ack state: next ackId + ids delivered but not
-    // yet queried (intake is synchronous here, so delivered = acked)
+    // yet queried (intake is synchronous here, so delivered = acked).
+    // Both dimensions are BOUNDED like the reference's
+    // HecAcknowledgementsConfig (acknowledgements.rs:74-77 —
+    // max_pending_acks_per_channel=1M, max_number_of_ack_channels=1M):
+    // a channel over its pending cap drops its OLDEST ids, and a new
+    // channel past the channel cap evicts the least-recently-created
+    // one, so ack state can never grow without bound.
+    private val maxPendingAcksPerChannel = 1000000
+    private val maxAckChannels = 1000000
     private final class AckChannel {
       val next = new java.util.concurrent.atomic.AtomicLong(0L)
-      val pending = java.util.concurrent.ConcurrentHashMap
-        .newKeySet[Long]()
+      val pending = new java.util.concurrent.ConcurrentSkipListSet[Long]()
     }
     private val ackChannels =
       new java.util.concurrent.ConcurrentHashMap[String, AckChannel]()
+    private val ackChannelOrder =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
     private def ackRegister(channel: String): Long = {
-      val ch = ackChannels.computeIfAbsent(channel, _ => new AckChannel)
+      val ch = ackChannels.computeIfAbsent(channel, c => {
+        ackChannelOrder.add(c)
+        while (ackChannels.size >= maxAckChannels) {
+          val evict = ackChannelOrder.poll()
+          if (evict != null) ackChannels.remove(evict) else ()
+        }
+        new AckChannel
+      })
       val id = ch.next.getAndIncrement()
       ch.pending.add(id)
+      while (ch.pending.size > maxPendingAcksPerChannel)
+        ch.pending.pollFirst()
       id
     }
 
@@ -188,9 +206,12 @@ object HttpPushSources {
                   arr.forEach(v => b += v.asLong())
                   b.result()
                 }.getOrElse(Vector.empty)
-              val ch = ackChannels
-                .computeIfAbsent(channel, _ => new AckChannel)
-              val statuses = ids.map(id => id -> ch.pending.remove(id))
+              // status queries do NOT create channel state (only intake
+              // does) — an unknown channel just reads all-false, so a
+              // scanner polling random channels can't grow the map
+              val ch = ackChannels.get(channel)
+              val statuses = ids.map(id =>
+                id -> (ch != null && ch.pending.remove(id)))
               respond(ex, 200, statuses
                 .map { case (id, ok) => s""""$id":$ok""" }
                 .mkString("""{"acks":{""", ",", "}}"))

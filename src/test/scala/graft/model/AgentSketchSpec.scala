@@ -48,4 +48,64 @@ class AgentSketchSpec extends AnyFunSuite {
     // empty sketch -> None
     assert(AgentSketch.quantile(Nil, Nil, 0L, 0, 0, 0.5).isEmpty)
   }
+
+  test("Builder.insertN: adjust_basic_stats order-for-order") {
+    val b = new AgentSketch.Builder
+    assert(b.isEmpty)
+    b.insertN(1.0, 2)
+    b.insertN(3.0, 3)
+    b.insertN(5.0, 1)
+    assert(b.count == 6 && b.min == 1.0 && b.max == 5.0)
+    assert(b.sum == 1.0 * 2 + 3.0 * 3 + 5.0 * 1)
+    // the running weighted average, same operation order as
+    // ddsketch.rs:387-406 (NOT sum/count)
+    val a1 = 0.0 + (1.0 - 0.0) * 2.0 / 2.0
+    val a2 = a1 + (3.0 - a1) * 3.0 / 5.0
+    val a3 = a2 + (5.0 - a2) * 1.0 / 6.0
+    assert(b.avg == a3)
+    assert(b.ks == Seq(AgentSketch.key(1.0).toLong,
+      AgentSketch.key(3.0).toLong, AgentSketch.key(5.0).toLong))
+    assert(b.ns == Seq(2L, 3L, 1L))
+    // the built lanes feed the quantile walker coherently
+    val q = AgentSketch.quantile(b.ks, b.ns, b.count, b.min, b.max, 0.5)
+    assert(q.exists(v => v >= 3.0 / AgentSketch.GammaV
+      && v <= 3.0 * AgentSketch.GammaV))
+  }
+
+  test("Builder: u16 per-bin cap splits, 4096-bin budget trims left") {
+    val b = new AgentSketch.Builder
+    b.insertN(2.0, 200000L) // 3×65535 + 3395 → four bins, one key
+    assert(b.ks.distinct == Seq(AgentSketch.key(2.0).toLong))
+    assert(b.ns.sum == 200000L && b.ns.forall(_ <= 65535L))
+    // blow past the bin budget with 4200 distinct ascending keys:
+    // trim_left drops the SMALLEST keys, folding their counts right,
+    // so the total count survives at exactly bin_limit bins
+    val b2 = new AgentSketch.Builder
+    var i = 0
+    while (i < 4200) {
+      b2.insertN(AgentSketch.binLowerBound((100 + i).toLong)
+        * (1.0 + 1e-7), 1L)
+      i += 1
+    }
+    assert(b2.ks.length == AgentSketch.BinLimit)
+    assert(b2.count == 4200L && b2.ns.sum == 4200L)
+    assert(b2.ks == b2.ks.sorted)
+  }
+
+  test("Builder.insertInterpolateBuckets: counts spread, stats at bin bounds") {
+    // prometheus-style buckets (1.0: 4, 2.0: 2, +Inf: 1):
+    // the first bucket collapses its -inf lower bound onto 1.0, the
+    // +Inf bucket onto the previous bound (ddsketch.rs:624-668)
+    val b = new AgentSketch.Builder
+    b.insertInterpolateBuckets(Seq((1.0, 4L), (2.0, 2L),
+      (Double.PositiveInfinity, 1L)))
+    assert(b.count == 7L && b.ns.sum == 7L)
+    val k1 = AgentSketch.key(1.0)
+    val k2 = AgentSketch.key(2.0)
+    assert(b.ks.forall(k => k >= k1 && k <= k2))
+    assert(b.ks == b.ks.sorted && b.ks.distinct == b.ks)
+    // stats were adjusted at bin lower bounds, not raw values
+    assert(b.min == AgentSketch.binLowerBound(k1.toLong))
+    assert(b.max == AgentSketch.binLowerBound(k2.toLong))
+  }
 }

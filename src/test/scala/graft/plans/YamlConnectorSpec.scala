@@ -11,6 +11,9 @@ class YamlConnectorSpec extends SparkSpec {
   private class CapServer {
     val reqs = new java.util.concurrent.CopyOnWriteArrayList[
       (String, String, Map[String, String])]()
+    // raw copies for binary (protobuf) bodies, same order as reqs
+    val rawBodies = new java.util.concurrent.CopyOnWriteArrayList[
+      Array[Byte]]()
     @volatile var reply = "{}"
     /** serve `reply` once for this X-Amz-Target, then "{}" — lets a
       * poll-loop source drain instead of re-receiving forever */
@@ -19,7 +22,9 @@ class YamlConnectorSpec extends SparkSpec {
     private val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(0), 0)
     server.createContext("/", { ex =>
-      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val raw = ex.getRequestBody.readAllBytes()
+      rawBodies.add(raw)
+      val body = new String(raw, "UTF-8")
       val hdrs = Seq("DD-API-KEY", "X-Amz-Target", "Api-Key",
         "Authorization")
         .flatMap(h => Option(ex.getRequestHeaders.getFirst(h)).map(h -> _))
@@ -73,10 +78,16 @@ class YamlConnectorSpec extends SparkSpec {
       assert(posts.nonEmpty)
       assert(posts.forall(_._1 == "/api/v2/series"))
       assert(posts.head._3("DD-API-KEY") == "key-yaml")
-      val body = posts.map(_._2).mkString
-      assert(body.contains("\"metric\":\"events_total\""))
-      assert(body.contains("\"type\":1")) // counter → count
-      assert(body.contains("etype:"))
+      // v2 series are protobuf MetricPayload now — decode the wire
+      // bytes with the datadog_agent source's own decode leg
+      val decoded = (0 until srv.rawBodies.size()).flatMap(i =>
+        graft.streaming.DdAgentIntake.decodeSeriesV2(srv.rawBodies.get(i)))
+      assert(decoded.nonEmpty)
+      assert(decoded.forall(m =>
+        m.namespace == null && m.name == "events_total"))
+      assert(decoded.forall(m => m.value_type == "counter"
+        && m.kind == "incremental")) // COUNT → incremental counter
+      assert(decoded.flatMap(_.tags.keys).toSet.contains("etype"))
     } finally srv.stop()
   }
 

@@ -40,19 +40,175 @@ class SaasSpec extends SparkSpec {
     .toDF("app", "message", "level")
     .withColumn("timestamp", lit("2024-03-05T10:00:00Z").cast("timestamp"))
 
-  test("datadog_metrics sink: v2 series with kind→type and tags") {
+  test("datadog_metrics v1 series: JSON tuple points, snake_case type") {
     val srv = new JsonServer
     try {
       SaasSinks.writeDatadogMetrics(metrics.coalesce(1),
         SaasSinks.DatadogMetricsConfig(srv.url, "dd-key-1"))
       val (path, body, hdrs) = srv.all.head
-      assert(path == "/api/v2/series")
+      assert(path == "/api/v1/series")
       assert(hdrs("DD-API-KEY") == "dd-key-1")
+      // DatadogSeriesMetric (common/datadog.rs:44-67): snake_case type
+      // strings, [ts, value] tuple points, kept-".0" f64 rendering
       assert(body.contains(
-        """"metric":"requests_total","type":1"""))
-      assert(body.contains(""""metric":"cpu_pct","type":3"""))
-      assert(body.contains(""""timestamp":1709632800,"value":5.0"""))
+        """"metric":"requests_total","type":"count","interval":null"""))
+      assert(body.contains(""""metric":"cpu_pct","type":"gauge""""))
+      assert(body.contains(""""points":[[1709632800,5.0]]"""))
+      assert(body.contains(""""points":[[1709632800,0.75]]"""))
       assert(body.contains(""""tags":["az:a"]"""))
+    } finally srv.stop()
+  }
+
+  /** Captures binary (protobuf) POST bodies verbatim. */
+  private class BytesServer {
+    val reqs = new java.util.concurrent.CopyOnWriteArrayList[
+      (String, Array[Byte], Map[String, String])]()
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/", { ex =>
+      val hdrs = Seq("DD-API-KEY", "Content-Type")
+        .flatMap(h => Option(ex.getRequestHeaders.getFirst(h)).map(h -> _))
+        .toMap
+      reqs.add((ex.getRequestURI.toString,
+        ex.getRequestBody.readAllBytes(), hdrs))
+      ex.sendResponseHeaders(202, -1); ex.close()
+    })
+    server.start()
+    def url: String = s"http://localhost:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+    def bodies(path: String): Seq[Array[Byte]] =
+      reqs.toArray.map(_.asInstanceOf[(String, Array[Byte],
+        Map[String, String])]).toSeq.filter(_._1 == path).map(_._2)
+  }
+
+  test("datadog_metrics v2: protobuf series round-trip the intake decoder") {
+    import graft.streaming.DdAgentIntake
+    val df = Seq(
+      ("requests", "app", "incremental", "counter",
+        Some(25.0), Option.empty[Double], Some(8000L),
+        Map("env" -> "prod", "host" -> "h7", "device" -> "sda")),
+      ("temp", null, "absolute", "gauge",
+        Option.empty[Double], Some(21.5), Option.empty[Long],
+        Map[String, String]()))
+      .toDF("name", "namespace", "kind", "value_type",
+        "counter_value", "gauge_value", "interval_ms", "tags")
+      .withColumn("ts", lit("2024-03-05T10:00:00Z").cast("timestamp"))
+    val srv = new BytesServer
+    try {
+      graft.sinks.DdMetrics.write(df.coalesce(1),
+        graft.sinks.DdMetrics.Config(srv.url, "dd-key-2"))
+      val bodies = srv.bodies("/api/v2/series")
+      assert(bodies.nonEmpty)
+      assert(srv.bodies("/api/beta/sketches").isEmpty) // no sketch rows
+      val decoded = bodies.flatMap(DdAgentIntake.decodeSeriesV2(_))
+      assert(decoded.size == 2)
+      val counter = decoded.find(_.name == "requests").get
+      // RATE on the wire (value÷interval), re-multiplied by the intake
+      assert(counter.namespace == "app")
+      assert(counter.kind == "incremental"
+        && counter.value_type == "counter")
+      assert(counter.counter_value == 25.0) // 25/8*8, exact (pow of 2)
+      assert(counter.interval_ms == 8000L)
+      assert(counter.host == "h7") // host tag → host resource
+      assert(counter.tags.get("device").contains("sda"))
+      assert(counter.tags.get("env").contains("prod"))
+      assert(!counter.tags.contains("host"))
+      val gauge = decoded.find(_.name == "temp").get
+      assert(gauge.value_type == "gauge" && gauge.gauge_value == 21.5)
+      assert(gauge.kind == "absolute" && gauge.interval_ms == null)
+    } finally srv.stop()
+  }
+
+  test("datadog_metrics sketches: distribution converts via AgentSketch") {
+    import graft.streaming.DdAgentIntake
+    import graft.model.AgentSketch
+    val df = Seq((1, "lat"))
+      .toDF("id", "name")
+      .withColumn("namespace", lit(null).cast("string"))
+      .withColumn("kind", lit("incremental"))
+      .withColumn("value_type", lit("distribution"))
+      .withColumn("dist_samples", array(
+        struct(lit(1.0).as("value"), lit(2L).as("rate")),
+        struct(lit(3.0).as("value"), lit(3L).as("rate")),
+        struct(lit(5.0).as("value"), lit(1L).as("rate"))))
+      .withColumn("tags", map(lit("host"), lit("h1"),
+        lit("env"), lit("prod")))
+      .withColumn("ts", lit("2024-03-05T10:00:00Z").cast("timestamp"))
+      .drop("id")
+    val srv = new BytesServer
+    try {
+      graft.sinks.DdMetrics.write(df.coalesce(1),
+        graft.sinks.DdMetrics.Config(srv.url, "dd-key-3"))
+      assert(srv.bodies("/api/v2/series").isEmpty)
+      val bodies = srv.bodies("/api/beta/sketches")
+      assert(bodies.nonEmpty)
+      val rows = bodies.flatMap(DdAgentIntake.decodeSketches(_))
+      assert(rows.size == 1)
+      val r = rows.head
+      assert(r.name == "lat" && r.host == "h1")
+      assert(r.tags == Map("env" -> "prod")) // host tag removed
+      assert(r.sketch_cnt == 6L && r.sketch_min == 1.0
+        && r.sketch_max == 5.0 && r.sketch_sum == 16.0)
+      // transform_to_sketch inserts samples in order — the running
+      // average accumulates like adjust_basic_stats
+      val a1 = 0.0 + (1.0 - 0.0) * 2.0 / 2.0
+      val a2 = a1 + (3.0 - a1) * 3.0 / 5.0
+      val a3 = a2 + (5.0 - a2) * 1.0 / 6.0
+      assert(r.sketch_avg == a3)
+      assert(r.sketch_k == Seq(AgentSketch.key(1.0).toLong,
+        AgentSketch.key(3.0).toLong, AgentSketch.key(5.0).toLong))
+      assert(r.sketch_n == Seq(2L, 3L, 1L))
+      assert(r.timestamp_s == 1709632800L)
+    } finally srv.stop()
+  }
+
+  test("datadog_metrics sketches: histogram interpolates, sketch rows pass through") {
+    import graft.streaming.DdAgentIntake
+    import graft.model.AgentSketch
+    val hist = Seq((1, "took"))
+      .toDF("id", "name")
+      .withColumn("kind", lit("incremental"))
+      .withColumn("value_type", lit("histogram"))
+      .withColumn("histo_buckets", array(
+        struct(lit(1.0).as("upper_limit"), lit(4L).as("count")),
+        struct(lit(2.0).as("upper_limit"), lit(2L).as("count")),
+        struct(lit(Double.PositiveInfinity).as("upper_limit"),
+          lit(1L).as("count"))))
+      .withColumn("ts", lit("2024-03-05T10:00:00Z").cast("timestamp"))
+      .drop("id")
+    val srv = new BytesServer
+    try {
+      graft.sinks.DdMetrics.write(hist.coalesce(1),
+        graft.sinks.DdMetrics.Config(srv.url, "k"))
+      val rows = srv.bodies("/api/beta/sketches")
+        .flatMap(DdAgentIntake.decodeSketches(_))
+      assert(rows.size == 1)
+      val r = rows.head
+      assert(r.sketch_cnt == 7L && r.sketch_n.sum == 7L)
+      assert(r.sketch_min ==
+        AgentSketch.binLowerBound(AgentSketch.key(1.0).toLong))
+      assert(r.sketch_max ==
+        AgentSketch.binLowerBound(AgentSketch.key(2.0).toLong))
+      // sketch-typed rows pass their lanes straight through
+      val sk = Seq((1, "pass"))
+        .toDF("id", "name")
+        .withColumn("kind", lit("incremental"))
+        .withColumn("value_type", lit("sketch"))
+        .withColumn("sketch", struct(
+          lit(4L).as("cnt"), lit(1.0).as("min"), lit(3.0).as("max"),
+          lit(8.0).as("sum"), lit(2.0).as("avg"),
+          typedLit(Seq(AgentSketch.key(1.0).toLong,
+            AgentSketch.key(3.0).toLong)).as("k"),
+          typedLit(Seq(2L, 2L)).as("n")))
+        .withColumn("ts", lit("2024-03-05T10:00:00Z").cast("timestamp"))
+        .drop("id")
+      graft.sinks.DdMetrics.write(sk.coalesce(1),
+        graft.sinks.DdMetrics.Config(srv.url, "k"))
+      val passed = srv.bodies("/api/beta/sketches")
+        .flatMap(DdAgentIntake.decodeSketches(_))
+        .find(_.name == "pass").get
+      assert(passed.sketch_cnt == 4L && passed.sketch_sum == 8.0)
+      assert(passed.sketch_k.size == 2 && passed.sketch_n == Seq(2L, 2L))
     } finally srv.stop()
   }
 
