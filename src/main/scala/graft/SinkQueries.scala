@@ -210,6 +210,120 @@ object SinkQueries {
         .orderBy("event_id")
     },
 
+    // datadog_traces protobuf egress: one TracerPayload per trace row
+    // through the SINK's fragment (request_builder.rs encode_trace),
+    // decoded by the datadog_agent SOURCE's v2 (tracerPayloads) leg —
+    // chunk/tracer/payload tag union, priority, span fields, forced-ns
+    // start, and the config-level agent_version all round-trip
+    "sink_dd_traces" -> { (s, dir) =>
+      import graft.streaming.DdAgentIntake
+      val e = ev(s, dir).withColumn("k", Graft.jsonLong(col("props"), "k"))
+      val startNs = unix_micros(col("ts")) * 1000
+      val span = struct(
+        concat(lit("svc"), pmod(col("user_id"), lit(5))).as("service"),
+        col("event_type").as("name"),
+        concat(lit("GET /"), col("k")).as("resource"),
+        col("event_id").as("trace_id"),
+        (col("event_id") * 2 + 1).as("span_id"),
+        lit(0L).as("parent_id"),
+        startNs.as("start_ns"),
+        (col("k") * 1000000).as("duration"),
+        pmod(col("k"), lit(2)).as("error"),
+        map(lit("http.method"), lit("GET")).as("meta"),
+        map().cast("map<string,double>").as("metrics"),
+        lit("web").as("span_type"))
+      val base = e.select(
+        col("event_id"), col("ts"),
+        concat(lit("h"), pmod(col("user_id"), lit(4))).as("host"),
+        lit("prod").as("env"),
+        map(lit("team"), lit("core")).as("tags"),
+        pmod(col("k"), lit(3)).cast("long").as("priority"),
+        when(pmod(col("k"), lit(5)) === 0, "synthetics-browser")
+          .otherwise("rum").as("origin"),
+        concat(lit("c"), pmod(col("k"), lit(3))).as("container_id"),
+        lit("rust").as("language_name"),
+        lit("1.2").as("app_version"),
+        array(span).as("spans"))
+      val cfg = graft.sinks.DdTraces.Config("http://unused", "k",
+        agentVersion = "7.1")
+      val frag = graft.sinks.DdTraces.traceFragment(base, cfg)
+      val dec = udf((b: Array[Byte]) => DdAgentIntake.decodeTraces(b))
+      base.withColumn("__t", explode(dec(frag)))
+        .select(col("event_id"),
+          col("__t.payload_version").as("payload_version"),
+          col("__t.host").as("host"),
+          col("__t.env").as("env"),
+          col("__t.agent_version").as("agent_version"),
+          col("__t.priority").as("priority"),
+          col("__t.origin").as("origin"),
+          col("__t.dropped").as("dropped"),
+          col("__t.container_id").as("container_id"),
+          col("__t.language_name").as("language_name"),
+          col("__t.app_version").as("app_version"),
+          element_at(col("__t.tags"), "team").as("tag_team"),
+          element_at(col("__t.spans"), 1).getField("service")
+            .as("service"),
+          element_at(col("__t.spans"), 1).getField("name")
+            .as("span_name"),
+          element_at(col("__t.spans"), 1).getField("resource")
+            .as("resource"),
+          element_at(col("__t.spans"), 1).getField("span_id")
+            .as("span_id"),
+          element_at(col("__t.spans"), 1).getField("start_ns")
+            .as("start_ns"),
+          element_at(col("__t.spans"), 1).getField("duration")
+            .as("duration"),
+          element_at(col("__t.spans"), 1).getField("error").as("error"),
+          element_at(element_at(col("__t.spans"), 1).getField("meta"),
+            "http.method").as("meta_method"))
+        .orderBy("event_id")
+    },
+
+    // datadog_traces APM stats: the sink's 10-second bucket aggregation
+    // (apm_stats/bucket.rs Bucket::update) over top-level spans — the
+    // oracle recomputes hits/errors/top-level-hits/duration and the
+    // ok/error sketch totals per (host × service × name × bucket) group
+    // straight from the raw columns (weight 1.0 here, so weighted sums
+    // are exact counts)
+    "sink_apm_stats" -> { (s, dir) =>
+      val e = ev(s, dir).withColumn("k", Graft.jsonLong(col("props"), "k"))
+      val startNs = unix_micros(col("ts")) * 1000
+      val span = struct(
+        concat(lit("svc"), pmod(col("user_id"), lit(5))).as("service"),
+        col("event_type").as("name"),
+        concat(lit("op-"), col("event_type")).as("resource"),
+        col("event_id").as("trace_id"),
+        (col("event_id") * 2 + 1).as("span_id"),
+        lit(0L).as("parent_id"),
+        startNs.as("start_ns"),
+        (col("k") * 1000000).as("duration"),
+        pmod(col("k"), lit(2)).as("error"),
+        map(lit("http.status_code"),
+          (lit(200) + pmod(col("k"), lit(3)) * 100).cast("string"))
+          .as("meta"),
+        map(lit("_top_level"), lit(1.0)).as("metrics"),
+        lit("web").as("span_type"))
+      val base = e.select(
+        concat(lit("h"), pmod(col("user_id"), lit(4))).as("host"),
+        lit("prod").as("env"),
+        array(span).as("spans"))
+      val cfg = graft.sinks.DdTraces.Config("http://unused", "k")
+      graft.sinks.DdTraces.apmStats(base, cfg)
+        .select(col("env"), col("hostname"), col("service"),
+          col("name"), col("resource"), col("span_type"),
+          col("status_code"), col("synthetics"), col("bucket_start"),
+          col("stats.hits").as("hits"),
+          col("stats.top_level_hits").as("top_hits"),
+          col("stats.errors").as("errors"),
+          col("stats.duration").as("duration_ns"),
+          (col("stats.ok_zero") + aggregate(col("stats.ok_bins"),
+            lit(0L), (a, b) => a + b.getField("n"))).as("ok_total"),
+          (col("stats.err_zero") + aggregate(col("stats.err_bins"),
+            lit(0L), (a, b) => a + b.getField("n"))).as("err_total"))
+        .orderBy("hostname", "service", "name", "status_code",
+          "bucket_start")
+    },
+
     // datadog_metrics histogram egress: aggregated-histogram buckets
     // interpolate into agent sketch bins (insert_interpolate_buckets);
     // the total count survives the spread + encode + decode exactly
@@ -462,6 +576,59 @@ object SinkQueries {
         |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT)
         |      AS k FROM events)
         |WHERE value > 1e-9 ORDER BY event_id""".stripMargin,
+
+    "sink_dd_traces" ->
+      """SELECT event_id,
+        |  'v2' AS payload_version,
+        |  'h' || CAST(user_id % 4 AS VARCHAR) AS host,
+        |  'prod' AS env,
+        |  '7.1' AS agent_version,
+        |  CAST(k % 3 AS BIGINT) AS priority,
+        |  CASE WHEN k % 5 = 0 THEN 'synthetics-browser' ELSE 'rum' END
+        |    AS origin,
+        |  FALSE AS dropped,
+        |  'c' || CAST(k % 3 AS VARCHAR) AS container_id,
+        |  'rust' AS language_name,
+        |  '1.2' AS app_version,
+        |  'core' AS tag_team,
+        |  'svc' || CAST(user_id % 5 AS VARCHAR) AS service,
+        |  event_type AS span_name,
+        |  'GET /' || CAST(k AS VARCHAR) AS resource,
+        |  event_id * 2 + 1 AS span_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS start_ns,
+        |  k * 1000000 AS duration,
+        |  k % 2 AS error,
+        |  'GET' AS meta_method
+        |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT)
+        |      AS k FROM events) ORDER BY event_id""".stripMargin,
+
+    "sink_apm_stats" ->
+      """SELECT 'prod' AS env,
+        |  'h' || CAST(user_id % 4 AS VARCHAR) AS hostname,
+        |  'svc' || CAST(user_id % 5 AS VARCHAR) AS service,
+        |  event_type AS name,
+        |  'op-' || event_type AS resource,
+        |  'web' AS span_type,
+        |  CAST(200 + (k % 3) * 100 AS BIGINT) AS status_code,
+        |  FALSE AS synthetics,
+        |  endns - (endns % 10000000000) AS bucket_start,
+        |  CAST(count(*) AS BIGINT) AS hits,
+        |  CAST(count(*) AS BIGINT) AS top_hits,
+        |  CAST(sum(k % 2) AS BIGINT) AS errors,
+        |  CAST(sum(k * 1000000) AS BIGINT) AS duration_ns,
+        |  CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ok_total,
+        |  CAST(sum(k % 2) AS BIGINT) AS err_total
+        |FROM (SELECT *,
+        |        CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) * 1000
+        |          + CAST(json_extract_string(props,'$.k') AS BIGINT)
+        |            * 1000000 AS endns
+        |      FROM events)
+        |GROUP BY user_id % 4, user_id % 5, event_type, k % 3,
+        |  endns - (endns % 10000000000)
+        |ORDER BY hostname, service, name, status_code,
+        |  bucket_start""".stripMargin,
 
     "sink_dd_hist" ->
       """SELECT event_id,

@@ -3150,11 +3150,12 @@ object ConfigLoader {
           m.getOrElse("default_api_key", "").toString)
         Some(df => graft.sinks.SaasSinks.writeDatadogEvents(df, cfg))
       case "datadog_traces" =>
-        // src/sinks/datadog/traces/: spans grouped per trace_id
-        val cfg = graft.sinks.SaasSinks.DatadogTracesConfig(
+        // src/sinks/datadog/traces/: protobuf TracePayload to
+        // /api/v0.2/traces + msgpack APM StatsPayload to /api/v0.2/stats
+        val cfg = graft.sinks.DdTraces.Config(
           endpoint("https://trace.agent.datadoghq.com"),
           m.getOrElse("default_api_key", "").toString)
-        Some(df => graft.sinks.SaasSinks.writeDatadogTraces(df, cfg))
+        Some(df => graft.sinks.DdTraces.write(df, cfg))
       case "new_relic" =>
         // src/sinks/new_relic/: logs | metrics | events APIs
         val cfg = graft.sinks.SaasSinks.NewRelicConfig(

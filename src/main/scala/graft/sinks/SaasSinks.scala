@@ -13,8 +13,8 @@ import NetworkSinks.HttpConfig
   *  - `datadog_metrics` (src/sinks/datadog/metrics/) — `/api/v2/series`.
   *  - `datadog_events` (src/sinks/datadog/events/) — `/api/v1/events`,
   *    one request per event (the API is single-event).
-  *  - `datadog_traces` (src/sinks/datadog/traces/) — `/api/v0.2/traces`,
-  *    spans grouped into traces by trace_id.
+  *  - `datadog_traces` moved to [[DdTraces]] (protobuf TracePayload +
+  *    APM stats), `datadog_metrics` v2 protobuf to [[DdMetrics]].
   *  - `new_relic` (src/sinks/new_relic/) — the Logs / Metrics / Events
   *    APIs, selected by `api`, each with its documented envelope.
   *  - `honeycomb` (src/sinks/honeycomb/) — `/1/batch/{dataset}`.
@@ -194,39 +194,8 @@ object SaasSinks {
         headers = Map("DD-API-KEY" -> cfg.apiKey)))
   }
 
-  // ---- datadog_traces ----
-
-  case class DatadogTracesConfig(endpoint: String, apiKey: String)
-      extends Serializable
-
-  /** Trace-shaped rows (trace_id, span_id, optional parent_id, name,
-    * service, resource, ts, duration_ms) → one trace array per
-    * trace_id, start/duration in nanoseconds.
-    */
-  def writeDatadogTraces(df: DataFrame, cfg: DatadogTracesConfig): Unit = {
-    def optCol(n: String, dflt: Column): Column =
-      if (df.columns.contains(n)) col(n) else dflt
-    val span = struct(
-      col("trace_id").cast("long").as("trace_id"),
-      col("span_id").cast("long").as("span_id"),
-      optCol("parent_id", lit(0L)).cast("long").as("parent_id"),
-      optCol("name", lit("span")).cast("string").as("name"),
-      optCol("service", lit("service")).cast("string").as("service"),
-      optCol("resource", optCol("name", lit("span"))).cast("string")
-        .as("resource"),
-      (unix_micros(tsOf(df)) * 1000L).as("start"),
-      (optCol("duration_ms", lit(0)).cast("double") * 1e6).cast("long")
-        .as("duration"))
-    val traces = df.groupBy(col("trace_id").as("__tid"))
-      .agg(collect_list(span).as("__spans"))
-    NetworkSinks.writeHttpBody(
-      traces.select(to_json(col("__spans")).as("__line")),
-      HttpConfig(uri = cfg.endpoint.stripSuffix("/") + "/api/v0.2/traces",
-        framing = "character_delimited", delimiter = ",", maxEvents = 1000,
-        contentType = "application/json",
-        headers = Map("DD-API-KEY" -> cfg.apiKey),
-        payloadPrefix = """{"traces":[""", payloadSuffix = "]}"))
-  }
+  // datadog_traces lives in DdTraces (protobuf TracePayload + APM
+  // stats — the reference sink has no JSON form)
 
   // ---- new_relic ----
 

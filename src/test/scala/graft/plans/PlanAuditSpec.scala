@@ -414,6 +414,62 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("datadog v2/sketch fragments are shuffle-free projections") {
+    // DdMetrics series + sketch encode: per-row protobuf fragment
+    // builders must never exchange — the sink's batch POST grouping is
+    // the only work beyond the scan at 100 TB
+    val m = graft.Graft.table(spark, dir, "events").select(
+      col("event_type").as("name"), lit("app").as("namespace"),
+      lit("incremental").as("kind"), lit("counter").as("value_type"),
+      col("value").as("counter_value"),
+      map(lit("env"), lit("prod")).as("tags"), col("ts"))
+    val d = m.withColumn("value_type", lit("distribution"))
+      .withColumn("dist_samples", array(struct(
+        col("counter_value").as("value"), lit(2L).as("rate"))))
+    val series = m.select(
+      graft.sinks.DdMetrics.seriesFragment(m).as("b"))
+    val sketch = d.select(
+      graft.sinks.DdMetrics.sketchFragment(d).as("b"))
+    Seq(series, sketch).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("hashpartitioning"), s"fragment shuffles:\n$p")
+      assert(!p.contains("Join"), s"fragment joins:\n$p")
+      assert(!p.contains("Aggregate"), s"fragment aggregates:\n$p")
+    }
+  }
+
+  test("datadog trace fragments project; APM stats = ONE keyed agg") {
+    val e = graft.Graft.table(spark, dir, "events")
+    val span = struct(
+      lit("svc").as("service"), col("event_type").as("name"),
+      lit("r").as("resource"), col("event_id").as("trace_id"),
+      col("event_id").as("span_id"), lit(0L).as("parent_id"),
+      (unix_micros(col("ts")) * 1000).as("start_ns"),
+      lit(5L).as("duration"), lit(0L).as("error"),
+      map().cast("map<string,string>").as("meta"),
+      map(lit("_top_level"), lit(1.0)).as("metrics"),
+      lit("web").as("span_type"))
+    val traces = e.select(lit("h").as("host"), lit("prod").as("env"),
+      array(span).as("spans"))
+    val cfg = graft.sinks.DdTraces.Config("http://x", "k")
+    val frag = traces.select(
+      graft.sinks.DdTraces.traceFragment(traces, cfg).as("b"))
+    val fp = plan(frag)
+    assert(!fp.contains("hashpartitioning"), s"trace frag shuffles:\n$fp")
+    assert(!fp.contains("Join") && !fp.contains("Aggregate"),
+      s"trace frag joins/aggs:\n$fp")
+    // APM stats: explode + exactly one keyed aggregation — the grouped
+    // result is bounded by key cardinality, not event count, so the
+    // driver-side StatsPayload export stays bounded at any input scale
+    val sp = plan(graft.sinks.DdTraces.apmStats(traces, cfg))
+    assert(sp.contains("Generate"), s"no explode in apm stats:\n$sp")
+    // exactly one keyed exchange (the groupBy); the other exchange in
+    // the fixture plan is Graft.table's round-robin parallelism floor
+    val keyedExchanges = sp.split("hashpartitioning").length - 1
+    assert(keyedExchanges == 1, s"apm stats needs exactly 1 keyed exchange:\n$sp")
+    assert(!sp.contains("Join"), s"apm stats joins:\n$sp")
+  }
+
   test("memory kv lookup compiles to a literal-map projection") {
     val kv = new graft.enrich.MemoryKv()
     kv.put("alice", "\"x\"")

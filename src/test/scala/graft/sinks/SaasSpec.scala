@@ -419,20 +419,127 @@ class SaasSpec extends SparkSpec {
     } finally srv.stop()
   }
 
-  test("datadog_traces sink: spans grouped into traces, ns start/duration") {
-    val srv = new JsonServer
+  test("datadog_traces: protobuf TracerPayload round-trips the intake") {
+    import graft.streaming.DdAgentIntake
+    val spans = Seq(
+      (10L, 1L, 0L, "root", "web", 12.5, 0L),
+      (10L, 2L, 1L, "q1", "db", 3.0, 1L),
+      (11L, 3L, 0L, "root", "web", 100.0, 0L))
+      .toDF("trace_id", "span_id", "parent_id", "name", "service",
+        "duration_ms", "error")
+      .withColumn("resource", concat(lit("r-"), col("name")))
+      .withColumn("timestamp",
+        lit("2024-03-05T10:00:00Z").cast("timestamp"))
+    val srv = new BytesServer
     try {
-      val spans = Seq((10L, 1L, "q1", "db", 12.5), (10L, 2L, "q2", "db", 3.0),
-        (11L, 3L, "root", "web", 100.0))
-        .toDF("trace_id", "span_id", "name", "service", "duration_ms")
-        .withColumn("timestamp", lit("2024-03-05T10:00:00Z").cast("timestamp"))
-      SaasSinks.writeDatadogTraces(spans.coalesce(1),
-        SaasSinks.DatadogTracesConfig(srv.url, "dd-key-3"))
-      val bodies = srv.all.map(_._2).mkString
-      assert(srv.all.forall(_._1 == "/api/v0.2/traces"))
-      assert(bodies.contains(""""trace_id":10"""))
-      assert(bodies.contains(""""start":1709632800000000000"""))
-      assert(bodies.contains(""""duration":12500000"""))
+      graft.sinks.DdTraces.write(spans.coalesce(1),
+        graft.sinks.DdTraces.Config(srv.url, "dd-key-3", env = "prod",
+          agentVersion = "7.0", computeStats = false))
+      val bodies = srv.bodies("/api/v0.2/traces")
+      assert(bodies.nonEmpty)
+      // decode with the datadog_agent source's own trace decode leg —
+      // the tracerPayloads (v2) form
+      val traces = bodies.flatMap(DdAgentIntake.decodeTraces(_))
+      assert(traces.size == 2)
+      assert(traces.forall(_.payload_version == "v2"))
+      assert(traces.forall(_.env == "prod"))
+      assert(traces.forall(_.agent_version == "7.0"))
+      assert(traces.forall(_.priority == 1L)) // sampler default
+      val t10 = traces.find(_.spans.exists(_.trace_id == 10L)).get
+      assert(t10.spans.size == 2)
+      val s1 = t10.spans.find(_.span_id == 1L).get
+      assert(s1.service == "web" && s1.name == "root"
+        && s1.resource == "r-root" && s1.parent_id == 0L)
+      assert(s1.start_ns == 1709632800000000000L)
+      assert(s1.duration == 12500000L) // 12.5 ms → ns
+      assert(t10.spans.find(_.span_id == 2L).get.error == 1L)
+    } finally srv.stop()
+  }
+
+  test("datadog_traces APM stats: bucket aggregation + msgpack StatsPayload") {
+    import graft.codecs.MsgPack
+    // two traces in one 10 s bucket: service web has 2 top-level spans
+    // (one error), db has 1 measured span; weight 2 via _sample_rate .5
+    val mk = (tid: Long, sid: Long, pid: Long, svc: String, err: Long,
+              durMs: Double, rate: Option[Double]) =>
+      (tid, sid, pid, svc, err, durMs,
+        Map("_top_level" -> 1.0) ++ rate.map("_sample_rate" -> _))
+    val spans = Seq(
+      mk(1L, 1L, 0L, "web", 0L, 10.0, None),
+      mk(2L, 2L, 0L, "web", 1L, 20.0, Some(0.5)),
+      mk(2L, 3L, 2L, "db", 0L, 5.0, None))
+      .toDF("trace_id", "span_id", "parent_id", "service", "error",
+        "duration_ms", "metrics")
+      .withColumn("name", concat(col("service"), lit("-op")))
+      .withColumn("timestamp",
+        lit("2024-03-05T10:00:03Z").cast("timestamp"))
+    val traces = graft.sinks.DdTraces.asTraces(spans)
+      .withColumn("host", lit("agent-host"))
+    val cfg = graft.sinks.DdTraces.Config("http://x", "k", env = "prod")
+    val out = graft.sinks.DdTraces.apmStats(traces, cfg).collect()
+    // groups: (web, web-op) and (db, db-op); db span is NOT top-level?
+    // it has _top_level=1.0 per mk → all three eligible
+    val web = out.find(_.getAs[String]("service") == "web").get
+    val webStats = web.getAs[org.apache.spark.sql.Row]("stats")
+    // trace 2 has weight 2 (rate .5 on its root): hits = 1 + 2
+    assert(webStats.getAs[Long]("hits") == 3L)
+    assert(webStats.getAs[Long]("errors") == 2L)
+    assert(webStats.getAs[Long]("top_level_hits") == 3L)
+    // duration ns: 10ms×1 + 20ms×2 = 50ms
+    assert(webStats.getAs[Long]("duration") == 50000000L)
+    // ok sketch holds the non-error span only, err sketch the error one
+    val okN = webStats.getSeq[org.apache.spark.sql.Row](
+      webStats.fieldIndex("ok_bins")).map(_.getAs[Long]("n")).sum
+    val errN = webStats.getSeq[org.apache.spark.sql.Row](
+      webStats.fieldIndex("err_bins")).map(_.getAs[Long]("n")).sum
+    assert(okN == 1L && errN == 1L)
+    val db = out.find(_.getAs[String]("service") == "db").get
+    assert(db.getAs[org.apache.spark.sql.Row]("stats")
+      .getAs[Long]("hits") == 2L) // weight 2 from its trace's root
+    // bucket aligned to 10 s from span END time
+    assert(out.forall(_.getAs[Long]("bucket_start") % 10000000000L == 0L))
+
+    // the full write path posts a decodable msgpack StatsPayload
+    val srv = new BytesServer
+    try {
+      graft.sinks.DdTraces.write(spans.coalesce(1),
+        graft.sinks.DdTraces.Config(srv.url, "k", env = "prod",
+          agentVersion = "7.0"))
+      val stats = srv.bodies("/api/v0.2/stats")
+      assert(stats.size == 1)
+      val v = MsgPack.read(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(stats.head)))
+      def field(m: MsgPack.Value, k: String): MsgPack.Value =
+        m.asInstanceOf[MsgPack.MpMap].v
+          .find(_._1 == MsgPack.MpString(k)).get._2
+      assert(field(v, "AgentEnv") == MsgPack.MpString("prod"))
+      assert(field(v, "AgentVersion") == MsgPack.MpString("7.0"))
+      assert(field(v, "ClientComputed") == MsgPack.MpBool(false))
+      val payloads = field(v, "Stats").asInstanceOf[MsgPack.MpArray].v
+      assert(payloads.nonEmpty)
+      val buckets = field(payloads.head, "Stats")
+        .asInstanceOf[MsgPack.MpArray].v
+      assert(field(buckets.head, "Duration") ==
+        MsgPack.MpLong(10000000000L))
+      val grouped = field(buckets.head, "Stats")
+        .asInstanceOf[MsgPack.MpArray].v
+      val webG = grouped.find(g =>
+        field(g, "Service") == MsgPack.MpString("web")).get
+      assert(field(webG, "Hits") == MsgPack.MpLong(3L))
+      assert(field(webG, "Errors") == MsgPack.MpLong(2L))
+      // OkSummary decodes as the public ddsketch_full proto with the
+      // agent's gamma and one positive bin
+      val okBytes = field(webG, "OkSummary")
+        .asInstanceOf[MsgPack.MpBytes].v
+      val sk = graft.codecs.ProtobufCodec.decodeTo(
+        graft.sinks.DdTraces.ddSketchFullSchema, okBytes)
+      val mapping = sk.getAs[org.apache.spark.sql.Row]("mapping")
+      assert(mapping.getAs[Double]("gamma") ==
+        graft.model.AgentSketch.GammaV)
+      val posStore = sk.getAs[org.apache.spark.sql.Row]("positive_values")
+      val pos = posStore.getSeq[org.apache.spark.sql.Row](
+        posStore.fieldIndex("bin_counts"))
+      assert(pos.map(_.getAs[Double]("value")).sum == 1.0)
     } finally srv.stop()
   }
 
