@@ -19,6 +19,10 @@ object SinkQueries {
 
   import Queries.Q
 
+  /** One decoded remote-write exposition line (sink_rw_families). */
+  final case class RwLine(sid: Long, sname: String, lk: String,
+                          lv: String, sval: Double)
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "events")
 
@@ -208,6 +212,73 @@ object SinkQueries {
             col("__m.sketch_max")).as("q50"),
           col("__m.timestamp_s").as("ts_s"))
         .orderBy("event_id")
+    },
+
+    // prometheus_remote_write non-scalar families (collector.rs
+    // encode_metric, shared with the exporter): aggregated histograms →
+    // cumulative _bucket{le}/_sum/_count series, summaries →
+    // {quantile}/_sum/_count, agent sketches → interpolated default
+    // quantiles; every emitted series decodes back through the prompb
+    // wire walker and every sample value is oracle-recomputed (sketch
+    // quantiles are EXACT for one-value sketches: clamp to min==max)
+    "sink_rw_families" -> { (s, dir) =>
+      import graft.sinks.Envelopes
+      import graft.codecs.ProtobufCodec
+      val e = ev(s, dir).withColumn("k", Graft.jsonLong(col("props"), "k"))
+      val mode = pmod(col("k"), lit(3))
+      val v = round(col("value"), 2)
+      val n7 = (pmod(col("k"), lit(7)) + 1).cast("long")
+      val c1 = (pmod(col("k"), lit(4)) + 1).cast("long")
+      val c2 = (pmod(col("user_id"), lit(3)) + 1).cast("long")
+      val keyOf = udf((d: Double) =>
+        graft.model.AgentSketch.key(d).toLong)
+      val base = e.select(
+        concat(lit("fam"), mode).as("name"),
+        map(lit("id"), col("event_id").cast("string")).as("tags"),
+        when(mode === 0, "histogram").when(mode === 1, "summary")
+          .otherwise("sketch").as("value_type"),
+        when(mode === 0, array(
+          struct(lit(1.0).as("upper_limit"), c1.as("count")),
+          struct(lit(2.0).as("upper_limit"), c2.as("count"))))
+          .as("histo_buckets"),
+        when(mode === 0, c1 + c2).when(mode === 1, n7).cast("long")
+          .as("stat_count"),
+        when(mode === 0, v).when(mode === 1, v * 3).as("stat_sum"),
+        when(mode === 1, array(
+          struct(lit(0.5).as("quantile"), v.as("value")),
+          struct(lit(0.99).as("quantile"), (v + 1).as("value"))))
+          .as("summary_quantiles"),
+        when(mode === 2, n7).as("sketch_cnt"),
+        when(mode === 2, v).as("sketch_min"),
+        when(mode === 2, v).as("sketch_max"),
+        when(mode === 2, v * n7.cast("double")).as("sketch_sum"),
+        when(mode === 2, array(keyOf(v))).as("sketch_k"),
+        when(mode === 2, array(n7)).as("sketch_n"),
+        col("ts"))
+      val dec = udf((b: Array[Byte]) => {
+        val r = ProtobufCodec.decodeTo(Envelopes.PromWriteRequest, b)
+        Option(r.getAs[Seq[org.apache.spark.sql.Row]]("timeseries"))
+          .getOrElse(Nil).map { series =>
+            val labels = Option(series
+              .getAs[Seq[org.apache.spark.sql.Row]]("labels"))
+              .getOrElse(Nil)
+              .map(l => l.getAs[String]("name") -> l.getAs[String]("value"))
+              .toMap
+            val sample = series
+              .getAs[Seq[org.apache.spark.sql.Row]]("samples").head
+            val extra = (labels - "__name__" - "id").headOption
+            RwLine(labels("id").toLong, labels("__name__"),
+              extra.map(_._1).getOrElse(""),
+              extra.map(_._2).getOrElse(""),
+              sample.getAs[Double]("value"))
+          }
+      })
+      Envelopes.remoteWriteSeries(base)
+        .select(explode(dec(col("__bytes"))).as("__l"))
+        .select(col("__l.sid").as("sid"), col("__l.sname").as("sname"),
+          col("__l.lk").as("lk"), col("__l.lv").as("lv"),
+          col("__l.sval").as("sval"))
+        .orderBy("sid", "sname", "lk", "lv")
     },
 
     // datadog_traces protobuf egress: one TracerPayload per trace row
@@ -576,6 +647,49 @@ object SinkQueries {
         |FROM (SELECT *, CAST(json_extract_string(props,'$.k') AS BIGINT)
         |      AS k FROM events)
         |WHERE value > 1e-9 ORDER BY event_id""".stripMargin,
+
+    "sink_rw_families" ->
+      """WITH t AS (SELECT event_id AS sid, round(value, 2) AS v,
+        |    user_id,
+        |    CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT sid, 'fam0_bucket' AS sname, 'le' AS lk, '1' AS lv,
+        |    CAST(k % 4 + 1 AS DOUBLE) AS sval FROM t WHERE k % 3 = 0
+        |  UNION ALL SELECT sid, 'fam0_bucket', 'le', '2',
+        |    CAST(k % 4 + 1 + user_id % 3 + 1 AS DOUBLE)
+        |    FROM t WHERE k % 3 = 0
+        |  UNION ALL SELECT sid, 'fam0_bucket', 'le', '+Inf',
+        |    CAST(k % 4 + 1 + user_id % 3 + 1 AS DOUBLE)
+        |    FROM t WHERE k % 3 = 0
+        |  UNION ALL SELECT sid, 'fam0_sum', '', '', v
+        |    FROM t WHERE k % 3 = 0
+        |  UNION ALL SELECT sid, 'fam0_count', '', '',
+        |    CAST(k % 4 + 1 + user_id % 3 + 1 AS DOUBLE)
+        |    FROM t WHERE k % 3 = 0
+        |  UNION ALL SELECT sid, 'fam1', 'quantile', '0.5', v
+        |    FROM t WHERE k % 3 = 1
+        |  UNION ALL SELECT sid, 'fam1', 'quantile', '0.99', v + 1
+        |    FROM t WHERE k % 3 = 1
+        |  UNION ALL SELECT sid, 'fam1_sum', '', '', v * 3
+        |    FROM t WHERE k % 3 = 1
+        |  UNION ALL SELECT sid, 'fam1_count', '', '',
+        |    CAST(k % 7 + 1 AS DOUBLE) FROM t WHERE k % 3 = 1
+        |  UNION ALL SELECT sid, 'fam2', 'quantile', '0.5', v
+        |    FROM t WHERE k % 3 = 2
+        |  UNION ALL SELECT sid, 'fam2', 'quantile', '0.75', v
+        |    FROM t WHERE k % 3 = 2
+        |  UNION ALL SELECT sid, 'fam2', 'quantile', '0.9', v
+        |    FROM t WHERE k % 3 = 2
+        |  UNION ALL SELECT sid, 'fam2', 'quantile', '0.95', v
+        |    FROM t WHERE k % 3 = 2
+        |  UNION ALL SELECT sid, 'fam2', 'quantile', '0.99', v
+        |    FROM t WHERE k % 3 = 2
+        |  UNION ALL SELECT sid, 'fam2_sum', '', '',
+        |    v * CAST(k % 7 + 1 AS DOUBLE) FROM t WHERE k % 3 = 2
+        |  UNION ALL SELECT sid, 'fam2_count', '', '',
+        |    CAST(k % 7 + 1 AS DOUBLE) FROM t WHERE k % 3 = 2
+        |) ORDER BY sid, sname, lk, lv""".stripMargin,
 
     "sink_dd_traces" ->
       """SELECT event_id,

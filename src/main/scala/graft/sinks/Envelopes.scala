@@ -151,24 +151,158 @@ object Envelopes {
     * snappy-compresses. Grouping is one shuffle on the label struct (the
     * same shape the per-series batching requires).
     */
-  def remoteWriteSeries(df: DataFrame): DataFrame = {
+  // Rust-Display rendering of the le / quantile label values
+  // (collector.rs emit_value's to_string), rendered per array up front
+  // because UDFs can't live inside higher-order-function lambdas
+  private val f64NamesUdf = udf((vs: Seq[Double]) =>
+    if (vs == null) null else vs.map(GreptimeMetrics.rustF64))
+  private val sketchQsUdf = udf((ks: Seq[Long], ns: Seq[Long],
+                                 cnt: java.lang.Long, mn: java.lang.Double,
+                                 mx: java.lang.Double) =>
+    if (cnt == null || cnt == 0L) null
+    else Seq(0.5, 0.75, 0.9, 0.95, 0.99).map(q =>
+      graft.model.AgentSketch.quantile(
+        Option(ks).getOrElse(Nil), Option(ns).getOrElse(Nil),
+        cnt, mn, mx, q).getOrElse(0.0)))
+
+  def remoteWriteSeries(df: DataFrame): DataFrame =
+    remoteWriteSeries(df, Seq(0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5,
+      1.0, 2.5, 5.0, 10.0))
+
+  /** Full collector parity (remote_write shares collector.rs
+    * encode_metric with the exporter): counters/gauges/sets emit one
+    * series; aggregated histograms emit cumulative `_bucket{le=…}` +
+    * `_sum`/`_count`; distributions bucket their samples into
+    * `histogramBuckets` first (samples_to_buckets); summaries emit
+    * `{quantile=…}` + `_sum`/`_count`; agent sketches serve as
+    * summaries with interpolated default quantiles
+    * (collector.rs:184-216). One explode + the same single label-keyed
+    * shuffle as before.
+    */
+  def remoteWriteSeries(df: DataFrame,
+                        histogramBuckets: Seq[Double]): DataFrame = {
     val ts = Template.timestampCol(df.schema)
     val cols = df.schema.fieldNames.toSet
-    val value = coalesce(
+    val vt =
+      if (cols("value_type")) col("value_type")
+      else lit("__scalar__")
+    val scalar = coalesce(
       (Seq("counter_value", "gauge_value", "value").filter(cols)
         .map(col) :+ lit(0.0)).map(_.cast("double")): _*)
     val tags =
       if (cols("tags")) coalesce(col("tags"),
         map().cast("map<string,string>"))
       else map().cast("map<string,string>")
-    val labels = array_sort(concat(
-      array(struct(lit("__name__").as("name"),
-        col("name").cast("string").as("value"))),
-      transform(map_entries(tags), e =>
-        struct(e.getField("key").as("name"),
-          e.getField("value").as("value")))))
-    df.select(labels.as("__labels"),
-        struct(unix_millis(ts).as("t"), value.as("v")).as("__s"))
+
+    // every exposition line of one metric row: (name suffix, optional
+    // extra label, sample value)
+    def entry(suffix: Column, lk: Column, lv: Column, v: Column): Column =
+      struct(suffix.as("suffix"), lk.cast("string").as("lk"),
+        lv.cast("string").as("lv"), v.cast("double").as("v"))
+    def plain(v: Column): Column = array(entry(lit(""),
+      lit(null), lit(null), v))
+    val nullE = lit(null).cast("string")
+
+    val statCount =
+      if (cols("stat_count")) col("stat_count").cast("double")
+      else lit(null).cast("double")
+    val statSum =
+      if (cols("stat_sum")) col("stat_sum").cast("double")
+      else lit(null).cast("double")
+
+    val histo =
+      if (cols("histo_buckets")) col("histo_buckets")
+      else lit(null).cast("array<struct<upper_limit:double,count:bigint>>")
+    val histCount = coalesce(statCount,
+      aggregate(histo, lit(0L), (a, b) => a + b.getField("count"))
+        .cast("double"))
+    val les = f64NamesUdf(transform(histo, _.getField("upper_limit")))
+    val cums = transform(histo, (_, i) =>
+      aggregate(slice(histo, lit(1), i + 1), lit(0L),
+        (a, b) => a + b.getField("count")).cast("double"))
+    val histE = concat(
+      zip_with(les, cums, (l, c) =>
+        entry(lit("_bucket"), lit("le"), l, c)),
+      array(
+        entry(lit("_bucket"), lit("le"), lit("+Inf"), histCount),
+        entry(lit("_sum"), nullE, nullE, statSum),
+        entry(lit("_count"), nullE, nullE, histCount)))
+
+    val rawSamples =
+      if (cols("dist_samples")) col("dist_samples")
+      else lit(null).cast("array<struct<value:double,rate:bigint>>")
+    val distCount = aggregate(rawSamples, lit(0L),
+      (a, s) => a + s.getField("rate")).cast("double")
+    val distSum = aggregate(rawSamples, lit(0.0),
+      (a, s) => a + s.getField("value") * s.getField("rate"))
+    val distE = concat(
+      array(histogramBuckets.map(b =>
+        entry(lit("_bucket"), lit("le"), lit(GreptimeMetrics.rustF64(b)),
+          aggregate(filter(rawSamples, s => s.getField("value") <= b),
+            lit(0L), (a, s) => a + s.getField("rate")).cast("double"))): _*),
+      array(
+        entry(lit("_bucket"), lit("le"), lit("+Inf"), distCount),
+        entry(lit("_sum"), nullE, nullE, distSum),
+        entry(lit("_count"), nullE, nullE, distCount)))
+
+    val quants =
+      if (cols("summary_quantiles")) col("summary_quantiles")
+      else lit(null).cast("array<struct<quantile:double,value:double>>")
+    val qNames = f64NamesUdf(transform(quants, _.getField("quantile")))
+    val summE = concat(
+      zip_with(qNames, quants, (qn, q) =>
+        entry(lit(""), lit("quantile"), qn, q.getField("value"))),
+      array(entry(lit("_sum"), nullE, nullE, statSum),
+        entry(lit("_count"), nullE, nullE, statCount)))
+
+    def skLane(field: String): Column = {
+      val structTyped = df.schema.fields.exists(f => f.name == "sketch" &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+      if (structTyped) col("sketch").getField(field)
+      else if (cols(s"sketch_$field")) col(s"sketch_$field")
+      else lit(null)
+    }
+    val skQs = sketchQsUdf(skLane("k").cast("array<long>"),
+      skLane("n").cast("array<long>"), skLane("cnt").cast("long"),
+      skLane("min").cast("double"), skLane("max").cast("double"))
+    val sketchE = concat(
+      array(Seq(0.5, 0.75, 0.9, 0.95, 0.99).zipWithIndex.map {
+        case (q, i) => entry(lit(""), lit("quantile"), lit(q.toString),
+          element_at(skQs, i + 1))
+      }: _*),
+      array(entry(lit("_sum"), nullE, nullE, skLane("sum").cast("double")),
+        entry(lit("_count"), nullE, nullE, skLane("cnt").cast("double"))))
+
+    val setE =
+      if (cols("set_values")) plain(size(col("set_values")).cast("double"))
+      else plain(lit(null).cast("double"))
+
+    val entries = when(vt === "histogram" && histo.isNotNull, histE)
+      .when(vt === "distribution" && rawSamples.isNotNull, distE)
+      .when(vt === "summary" && quants.isNotNull, summE)
+      .when(vt === "sketch" && skQs.isNotNull, sketchE)
+      .when(vt === "set", setE)
+      .otherwise(plain(scalar))
+
+    df.select(col("name").cast("string").as("__name"),
+        transform(map_entries(tags), e =>
+          struct(e.getField("key").as("name"),
+            e.getField("value").as("value"))).as("__tagl"),
+        unix_millis(ts).as("__t"),
+        explode(filter(entries, e => e.getField("v").isNotNull))
+          .as("__e"))
+      .select(
+        array_sort(concat(
+          array(struct(lit("__name__").as("name"),
+            concat(col("__name"), col("__e.suffix")).as("value"))),
+          col("__tagl"),
+          when(col("__e.lk").isNotNull,
+            array(struct(col("__e.lk").as("name"),
+              col("__e.lv").as("value"))))
+            .otherwise(array().cast(
+              "array<struct<name:string,value:string>>"))))
+          .as("__labels"),
+        struct(col("__t").as("t"), col("__e.v").as("v")).as("__s"))
       .groupBy(col("__labels"))
       .agg(array_sort(collect_list(col("__s"))).as("__ss"))
       .select(ProtobufCodec.encode(PromWriteRequest, struct(

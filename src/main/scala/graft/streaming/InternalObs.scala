@@ -294,7 +294,14 @@ object InternalObs {
                                  touched: Long,
                                  histBuckets: Map[Double, Long] = Map.empty,
                                  histSum: Double = 0.0,
-                                 histCount: Long = 0L)
+                                 histCount: Long = 0L,
+                                 // agent-sketch lanes (sketches merge
+                                 // implicitly-incrementally) / summary
+                                 // quantiles (absolute, last-write)
+                                 skBins: Map[Long, Long] = Map.empty,
+                                 skMin: Double = Double.MaxValue,
+                                 skMax: Double = -Double.MaxValue,
+                                 quantiles: Seq[(Double, Double)] = Nil)
 
   final class PrometheusExporter(port: Int = 0,
                                  suppressTimestamp: Boolean = true,
@@ -305,6 +312,17 @@ object InternalObs {
                                    5.0, 10.0)) {
     private val entries =
       TrieMap.empty[(String, Seq[(String, String)]), Entry]
+
+    private def sketchLane(batch: DataFrame, field: String)
+        : org.apache.spark.sql.Column = {
+      val structTyped = batch.schema.fields.exists(f =>
+        f.name == "sketch" && f.dataType.isInstanceOf[
+          org.apache.spark.sql.types.StructType])
+      if (structTyped) col("sketch").getField(field)
+      else if (batch.columns.contains(s"sketch_$field"))
+        col(s"sketch_$field")
+      else lit(null)
+    }
 
     def update(batch: DataFrame, batchId: Long = 0L): Unit = {
       val cols = batch.columns.toSet
@@ -328,7 +346,23 @@ object InternalObs {
          else lit(null).cast("long")).as("ts_s"),
         (if (cols("dist_samples")) col("dist_samples")
          else lit(null).cast("array<struct<value:double,rate:bigint>>"))
-          .as("dist_samples")).collect()
+          .as("dist_samples"),
+        // agent-sketch lanes: the dd intake's flat sketch_* columns or
+        // a struct-typed `sketch` column
+        sketchLane(batch, "cnt").cast("long").as("sk_cnt"),
+        sketchLane(batch, "min").cast("double").as("sk_min"),
+        sketchLane(batch, "max").cast("double").as("sk_max"),
+        sketchLane(batch, "sum").cast("double").as("sk_sum"),
+        sketchLane(batch, "k").cast("array<long>").as("sk_k"),
+        sketchLane(batch, "n").cast("array<long>").as("sk_n"),
+        (if (cols("summary_quantiles")) col("summary_quantiles")
+         else lit(null)
+           .cast("array<struct<quantile:double,value:double>>"))
+          .as("summary_quantiles"),
+        (if (cols("stat_count")) col("stat_count").cast("long")
+         else lit(null).cast("long")).as("stat_count"),
+        (if (cols("stat_sum")) col("stat_sum").cast("double")
+         else lit(null).cast("double")).as("stat_sum")).collect()
       val now = System.currentTimeMillis()
       rows.foreach { r =>
         val name = (Option(r.getString(1)).filter(_.nonEmpty).map(_ + "_")
@@ -390,7 +424,50 @@ object InternalObs {
               case _ => Some(Entry("histogram", 0.0, Set.empty, ts, now,
                 add.toMap, addSum, addCount))
             }
-          case _ => // summary/sketch: out of exporter scope
+          case "sketch" =>
+            // AgentDDSketch rows serve as a summary with interpolated
+            // quantiles (collector.rs:184-216); sketches are
+            // implicitly incremental so bins/count/sum merge and
+            // min/max widen (normalizer: Sketch → into_incremental)
+            if (!r.isNullAt(10)) {
+              val cnt = r.getLong(10)
+              val mn = if (r.isNullAt(11)) Double.MaxValue else r.getDouble(11)
+              val mx = if (r.isNullAt(12)) -Double.MaxValue else r.getDouble(12)
+              val sm = if (r.isNullAt(13)) 0.0 else r.getDouble(13)
+              val ks = if (r.isNullAt(14)) Seq.empty[Long]
+                else r.getSeq[Long](14)
+              val ns = if (r.isNullAt(15)) Seq.empty[Long]
+                else r.getSeq[Long](15)
+              val add = ks.zip(ns).toMap
+              entries.updateWith(k) {
+                case Some(e) if e.valueType == "sketch" =>
+                  Some(e.copy(
+                    skBins = (e.skBins.keySet ++ add.keySet).map(b =>
+                      b -> (e.skBins.getOrElse(b, 0L) +
+                        add.getOrElse(b, 0L))).toMap,
+                    skMin = math.min(e.skMin, mn),
+                    skMax = math.max(e.skMax, mx),
+                    histSum = e.histSum + sm,
+                    histCount = e.histCount + cnt,
+                    ts = ts, touched = now))
+                case _ => Some(Entry("sketch", 0.0, Set.empty, ts, now,
+                  histSum = sm, histCount = cnt, skBins = add,
+                  skMin = mn, skMax = mx))
+              }
+            }
+          case "summary" =>
+            // AggregatedSummary quantile/sum/count exposition
+            // (collector.rs:166-183); summaries can't merge —
+            // last-write, like the reference's absolute normalization
+            val qs =
+              if (r.isNullAt(16)) Nil
+              else r.getSeq[org.apache.spark.sql.Row](16).map(q =>
+                (q.getDouble(0), q.getDouble(1))).toSeq
+            val cnt = if (r.isNullAt(17)) 0L else r.getLong(17)
+            val sm = if (r.isNullAt(18)) 0.0 else r.getDouble(18)
+            entries.update(k, Entry("summary", 0.0, Set.empty, ts, now,
+              histSum = sm, histCount = cnt, quantiles = qs))
+          case _ =>
         }
       }
     }
@@ -411,6 +488,9 @@ object InternalObs {
         val promType = es.head._2.valueType match {
           case "counter" => "counter"
           case "histogram" => "histogram"
+          // Sketch serves as a summary (prometheus_metric_type,
+          // collector.rs:425-440)
+          case "sketch" | "summary" => "summary"
           case _ => "gauge"
         }
         sb.append(s"# TYPE $name $promType\n")
@@ -423,6 +503,9 @@ object InternalObs {
             }.mkString("{", ",", "}")
           }
           val tsSuffix = if (suppressTimestamp) "" else s" ${e.ts}"
+          def fmt(v: Double): String =
+            if (v == v.floor && !v.isInfinite) v.toLong.toString
+            else v.toString
           if (e.valueType == "histogram") {
             // cumulative le-buckets + _sum/_count (prometheus histogram
             // exposition)
@@ -434,6 +517,28 @@ object InternalObs {
             }
             sb.append(s"${name}_bucket${lblOf(Seq("le" -> "+Inf"))}" +
               s" ${e.histCount}$tsSuffix\n")
+            sb.append(s"${name}_sum${lblOf(Nil)} ${e.histSum}$tsSuffix\n")
+            sb.append(s"${name}_count${lblOf(Nil)} ${e.histCount}$tsSuffix\n")
+          } else if (e.valueType == "sketch") {
+            // default_summary_quantiles (prometheus/mod.rs:45-47) over
+            // the agent sketch's interpolating quantile; 0.0 when the
+            // sketch can't answer (collector.rs:186-190 unwrap_or)
+            val ks = e.skBins.keys.toSeq.sorted
+            val ns = ks.map(e.skBins)
+            Seq(0.5, 0.75, 0.9, 0.95, 0.99).foreach { q =>
+              val v = graft.model.AgentSketch
+                .quantile(ks, ns, e.histCount, e.skMin, e.skMax, q)
+                .getOrElse(0.0)
+              sb.append(s"$name${lblOf(Seq("quantile" -> q.toString))}" +
+                s" ${fmt(v)}$tsSuffix\n")
+            }
+            sb.append(s"${name}_sum${lblOf(Nil)} ${e.histSum}$tsSuffix\n")
+            sb.append(s"${name}_count${lblOf(Nil)} ${e.histCount}$tsSuffix\n")
+          } else if (e.valueType == "summary") {
+            e.quantiles.foreach { case (q, v) =>
+              sb.append(s"$name${lblOf(Seq("quantile" -> q.toString))}" +
+                s" ${fmt(v)}$tsSuffix\n")
+            }
             sb.append(s"${name}_sum${lblOf(Nil)} ${e.histSum}$tsSuffix\n")
             sb.append(s"${name}_count${lblOf(Nil)} ${e.histCount}$tsSuffix\n")
           } else {

@@ -144,6 +144,69 @@ class InternalObsSpec extends SparkSpec {
     } finally exp.stop()
   }
 
+  test("prometheus exporter serves agent sketches as summaries") {
+    import graft.model.AgentSketch
+    val exp = new InternalObs.PrometheusExporter(0)
+    try {
+      import spark.implicits._
+      // dd-intake-shaped flat sketch lanes: 2 samples at 1.0 + 2 at 3.0
+      val sk = Seq(
+        ("lat", "vector", Map("svc" -> "web"), "incremental", "sketch",
+          4L, 1.0, 3.0, 8.0,
+          Seq(AgentSketch.key(1.0).toLong, AgentSketch.key(3.0).toLong),
+          Seq(2L, 2L))
+      ).toDF("name", "namespace", "tags", "kind", "value_type",
+        "sketch_cnt", "sketch_min", "sketch_max", "sketch_sum",
+        "sketch_k", "sketch_n")
+      exp.update(sk)
+      val url = s"http://127.0.0.1:${exp.boundPort}/metrics"
+      val body = new String(new java.net.URL(url).openStream().readAllBytes())
+      assert(body.contains("# TYPE vector_lat summary"), body)
+      // the served quantiles are the agent sketch's interpolating walk
+      val ks = Seq(AgentSketch.key(1.0).toLong, AgentSketch.key(3.0).toLong)
+      def f(v: Double): String =
+        if (v == v.floor) v.toLong.toString else v.toString
+      val q50 = AgentSketch.quantile(ks, Seq(2L, 2L), 4L, 1.0, 3.0, 0.5).get
+      val q99 = AgentSketch.quantile(ks, Seq(2L, 2L), 4L, 1.0, 3.0, 0.99).get
+      assert(body.contains(
+        s"""vector_lat{svc="web",quantile="0.5"} ${f(q50)}"""), body)
+      assert(body.contains(
+        s"""vector_lat{svc="web",quantile="0.99"} ${f(q99)}"""), body)
+      assert(body.contains("vector_lat_sum{svc=\"web\"} 8.0"), body)
+      assert(body.contains("vector_lat_count{svc=\"web\"} 4"), body)
+      // sketches merge implicitly-incrementally across scrapes
+      exp.update(sk)
+      val body2 = new String(new java.net.URL(url).openStream().readAllBytes())
+      assert(body2.contains("vector_lat_count{svc=\"web\"} 8"), body2)
+      assert(body2.contains("vector_lat_sum{svc=\"web\"} 16.0"), body2)
+    } finally exp.stop()
+  }
+
+  test("prometheus exporter serves aggregated summaries with quantiles") {
+    val exp = new InternalObs.PrometheusExporter(0)
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, struct, transform}
+      val sm = Seq(
+        ("rt", "vector", Map[String, String](), "absolute", "summary",
+          Seq((0.5, 12.0), (0.99, 40.0)), 7L, 99.5)
+      ).toDF("name", "namespace", "tags", "kind", "value_type",
+        "raw_quantiles", "stat_count", "stat_sum")
+        .withColumn("summary_quantiles", transform(col("raw_quantiles"),
+          q => struct(q.getField("_1").as("quantile"),
+            q.getField("_2").as("value"))))
+        .drop("raw_quantiles")
+      exp.update(sm)
+      val url = s"http://127.0.0.1:${exp.boundPort}/metrics"
+      val body = new String(new java.net.URL(url).openStream().readAllBytes())
+      assert(body.contains("# TYPE vector_rt summary"), body)
+      assert(body.contains("""vector_rt{quantile="0.5"} 12"""), body)
+      assert(body.contains("""vector_rt{quantile="0.99"} 40"""), body)
+      assert(body.contains("vector_rt_sum 99.5"), body)
+      assert(body.contains("vector_rt_count 7"), body)
+    } finally exp.stop()
+  }
+
   test("expire_metrics_secs drops idle series from snapshots") {
     val reg = new InternalObs.Registry
     reg.expireSecs = Some(0.05)
