@@ -172,6 +172,17 @@ object AbProbe {
         ab(() => shape(false)(replicated()),
            () => shape(true)(replicated()))
 
+      case "metrics_vs_remap" =>
+        // Not an optimization A/B: pins the metrics class's throughput
+        // RELATIVE to remap-only in ONE interleaved JVM, so official-
+        // bench host swings (r11 saw −24% official vs +19% local on
+        // this class with zero code change) can be adjudicated against
+        // a stable ratio instead of two absolute numbers from
+        // different sessions. A = metrics fan-out+agg, B = remap-only.
+        ab(() => Queries.metricsPipeline(replicated()),
+           () => Queries.eventsRemap(replicated()),
+           check = false) // different shapes by design
+
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()

@@ -325,12 +325,23 @@ object Ann {
     * cluster-boundary approximation SemDeDup already makes, applied
     * one level deeper) — asserted in KmeansSpec. Pair work is bounded
     * by N × maxCell regardless of skew.
+    *
+    * `maxCell ≤ 0` picks `max(1024, ⌈√N⌉)` automatically: with
+    * maxCell ∝ √N the pair work stays O(N^1.5) AND the refinement
+    * codebook / seed collects (≤ N/maxCell rows) stay O(√N), so
+    * neither side of the bound grows linearly at 10¹¹-doc corpora —
+    * a fixed maxCell would instead push the driver codebook ceiling
+    * toward N/const.
     */
   def semanticDedupBounded(corpus: DataFrame, id: String, vec: String,
                            k: Int, iters: Int, threshold: Double,
                            maxCell: Int, maxDepth: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     val base = corpus.select(col(id).as("doc"), asDouble(col(vec)).as("v"))
+    val cellCap =
+      if (maxCell > 0) maxCell
+      else math.max(1024L, math.ceil(math.sqrt(
+        base.count().toDouble)).toLong).toInt
     val cents0 = kmeans(corpus, id, vec, k, iters)
     var assigned = base
       .withColumn("cell", concat(lit("c"), ivfAssign(col("v"), cents0)))
@@ -340,17 +351,17 @@ object Ann {
     var done = false
     while (depth < maxDepth && !done) {
       val fat = assigned.groupBy("cell").count()
-        .filter(col("count") > maxCell)
+        .filter(col("count") > cellCap)
         .collect() // bounded: ≤ #cells rows
       if (fat.isEmpty) done = true
       else {
         val subKOf: Map[String, Int] = fat.map(r => r.getString(0) ->
-          math.max(2, math.ceil(r.getLong(1).toDouble / maxCell).toInt))
+          math.max(2, math.ceil(r.getLong(1).toDouble / cellCap).toInt))
           .toMap
         val fatNames = subKOf.keys.toSeq
         val fatRows = assigned.filter(col("cell").isin(fatNames: _*))
         // seeds: subK lowest-id members per fat cell, ONE window pass;
-        // the collect is bounded by Σ subK ≤ N/maxCell + 2·#fat
+        // the collect is bounded by Σ subK ≤ N/cellCap + 2·#fat
         val kLit = typedLit(subKOf)
         val wnd = org.apache.spark.sql.expressions.Window
           .partitionBy(col("cell")).orderBy(col("doc"))
@@ -401,9 +412,9 @@ object Ann {
     val widths = assigned.groupBy("cell")
       .agg(count(lit(1)).as("__w"))
     val salted = assigned.join(broadcast(widths), Seq("cell"))
-      .withColumn("cell", when(col("__w") <= maxCell, col("cell"))
+      .withColumn("cell", when(col("__w") <= cellCap, col("cell"))
         .otherwise(concat(col("cell"), lit("#"),
-          pmod(col("doc"), ceil(col("__w") / maxCell)).cast("string"))))
+          pmod(col("doc"), ceil(col("__w") / cellCap)).cast("string"))))
       .drop("__w")
     val dropped = salted.as("a").join(salted.as("b"),
         col("a.cell") === col("b.cell") && col("b.doc") < col("a.doc"))

@@ -88,6 +88,22 @@ class KmeansSpec extends SparkSpec {
     assert(kept.contains(0L))
   }
 
+  test("semanticDedupBounded: maxCell <= 0 auto-scales the cap with sqrt(N)") {
+    // small corpora hit the 1024 floor, so the auto run must match a
+    // huge explicit bound exactly (nothing gets split)
+    val fat = (100L to 299L).map(i =>
+      (i, v(1.0 + (i % 7) / 1000.0, (i % 11) / 1000.0,
+        (i % 13) / 1000.0, 0.0)))
+    val corpus = emb.unionByName(fat.toDF("vec_id", "embedding"))
+    val auto = Ann.semanticDedupBounded(corpus, "vec_id", "embedding",
+        k = 3, iters = 2, threshold = 0.995, maxCell = 0)
+      .select($"doc").as[Long].collect().toSet
+    val explicit = Ann.semanticDedupBounded(corpus, "vec_id", "embedding",
+        k = 3, iters = 2, threshold = 0.995, maxCell = 100000)
+      .select($"doc").as[Long].collect().toSet
+    assert(auto == explicit)
+  }
+
   test("semanticDedup threshold sweep is monotone (lower keeps fewer)") {
     val cents = Ann.kmeans(emb, "vec_id", "embedding", k = 3, iters = 2)
     def keptAt(t: Double): Set[Long] =
