@@ -36,6 +36,15 @@ object Run {
     // a directory merges per the reference's config-dir rules
     // (namespaced component files, global merging); .toml converts
     var yaml = plans.ConfigLoader.readConfigFile(config)
+    // `provider: {type: http}` bootstrap: the real topology comes from
+    // an HTTP endpoint, re-polled for changes (src/providers/http.rs).
+    // The initial fetch is part of the build — errors abort, exactly
+    // like the reference's ProviderConfig::build.
+    val provider = plans.HttpProvider.parse(yaml)
+    provider.foreach { p =>
+      yaml = plans.HttpProvider.fetch(p)
+      println(s"[graft] provider http: configuration loaded from ${p.url}")
+    }
     // `--require-healthy` (the reference flag) or the
     // `healthchecks: {require_healthy: true}` global: run every sink's
     // healthcheck BEFORE starting the topology; abort on failure.
@@ -65,7 +74,7 @@ object Run {
     }
     var running = plans.ConfigLoader.run(spark, yaml, sfDir, workDir)
     val watch = args.contains("--watch")
-    if (running.queries.isEmpty && !watch) {
+    if (running.queries.isEmpty && !watch && provider.isEmpty) {
       println(s"[graft] batch topology complete; outputs under $workDir")
     } else {
       println(s"[graft] streaming: ${running.queries.keys.mkString(", ")} " +
@@ -75,14 +84,19 @@ object Run {
           Thread.sleep(secs * 1000)
           running.processAllAvailable()
           running.stopAll()
-        case None if watch =>
-          // `--watch`: poll the config for edits; graph-diff and rewire
-          // only the changed components (the reference's SIGHUP reload —
-          // src/config/diff.rs + src/topology/running.rs)
+        case None if watch || provider.isDefined =>
+          // `--watch`: poll the config file for edits. `provider:`:
+          // poll the HTTP endpoint every poll_interval_secs — failed
+          // ticks are skipped and the last good config keeps running
+          // (providers/http.rs poll_http swallows Err). Either way the
+          // change feeds the graph-diff reload (the reference's SIGHUP
+          // reload — src/config/diff.rs + src/topology/running.rs).
           while (true) {
-            Thread.sleep(1000)
-            val next = try plans.ConfigLoader.readConfigFile(config)
-              catch { case _: Exception => yaml } // mid-save partial read
+            Thread.sleep(provider.map(_.pollIntervalSecs * 1000)
+              .getOrElse(1000L))
+            val next = try provider.map(plans.HttpProvider.fetch)
+                .getOrElse(plans.ConfigLoader.readConfigFile(config))
+              catch { case _: Exception => yaml } // mid-save/poll error
             if (next != yaml) {
               val (restart, removed) =
                 plans.ConfigLoader.diffConfigs(yaml, next)

@@ -508,4 +508,63 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"extra exchanges in the sink plan:\n$p")
     assert(!p.contains("Join"), s"sink plan joins:\n$p")
   }
+
+  test("greptimedb row fragments are shuffle-free projections") {
+    // GreptimeMetrics.fragment builds one RowInsertRequests proto
+    // fragment per metric row — counter, histogram (b-columns +
+    // count/sum), summary (p-columns + count/sum), and distribution
+    // (R-3 quantile lanes) must all stay row-local: the per-row HOF
+    // quantile walks replace what would otherwise be an explode +
+    // re-group, so the only shuffle at 100 TB is the transport batching
+    val e = graft.Graft.table(spark, dir, "events")
+    val base = e.select(
+      col("event_type").as("name"), lit("app").as("namespace"),
+      lit("absolute").as("kind"),
+      when(pmod(col("event_id"), lit(4)) === 0, "counter")
+        .when(pmod(col("event_id"), lit(4)) === 1, "histogram")
+        .when(pmod(col("event_id"), lit(4)) === 2, "summary")
+        .otherwise("distribution").as("value_type"),
+      col("value").as("counter_value"),
+      array(struct(lit(1.0).as("upper_limit"), lit(2L).as("count")),
+        struct(lit(Double.PositiveInfinity).as("upper_limit"),
+          lit(1L).as("count"))).as("histo_buckets"),
+      array(struct(lit(0.5).as("quantile"), col("value").as("value")))
+        .as("summary_quantiles"),
+      array(struct(col("value").as("value"), lit(3L).as("rate")))
+        .as("dist_samples"),
+      lit(3L).as("stat_count"), col("value").as("stat_sum"),
+      map(lit("env"), lit("prod")).as("tags"), col("ts"))
+    val frag = base.select(graft.sinks.GreptimeMetrics.fragment(base,
+      graft.sinks.GreptimeMetrics.Config("http://x")).as("b"))
+    val p = plan(frag)
+    assert(!p.contains("hashpartitioning"), s"fragment shuffles:\n$p")
+    assert(!p.contains("Join"), s"fragment joins:\n$p")
+    assert(!p.contains("Aggregate"), s"fragment aggregates:\n$p")
+  }
+
+  test("remote_write family fan-out = one explode + one keyed shuffle") {
+    // Envelopes.remoteWriteSeries spreads histogram/summary/sketch rows
+    // into their exposition lines (one Generate) and groups samples per
+    // label set (ONE keyed exchange). A second keyed exchange would
+    // double the shuffle volume of every remote-write egress at scale.
+    val e = graft.Graft.table(spark, dir, "events")
+    val base = e.select(
+      concat(lit("ev_"), col("event_type")).as("name"),
+      map(lit("host"), pmod(col("user_id"), lit(5)).cast("string"))
+        .as("tags"),
+      when(pmod(col("event_id"), lit(2)) === 0, "gauge")
+        .otherwise("histogram").as("value_type"),
+      col("value").as("gauge_value"),
+      array(struct(lit(1.0).as("upper_limit"), lit(2L).as("count")),
+        struct(lit(Double.PositiveInfinity).as("upper_limit"),
+          lit(1L).as("count"))).as("histo_buckets"),
+      lit(3L).as("stat_count"), col("value").as("stat_sum"),
+      col("ts").as("timestamp"))
+    val p = plan(graft.sinks.Envelopes.remoteWriteSeries(base))
+    assert(p.contains("Generate"), s"no line fan-out explode:\n$p")
+    val keyedExchanges = p.split("hashpartitioning").length - 1
+    assert(keyedExchanges == 1,
+      s"remote_write needs exactly 1 keyed exchange, got $keyedExchanges:\n$p")
+    assert(!p.contains("Join"), s"remote_write joins:\n$p")
+  }
 }
