@@ -183,6 +183,37 @@ object AbProbe {
            () => Queries.eventsRemap(replicated()),
            check = false) // different shapes by design
 
+      case "bpe_stage" =>
+        // Not an A/B: splits Bpe.train's cost into its two stages at
+        // the given rep — the distributed word-frequency count vs the
+        // driver-side merge loop — to localize the r12 stress finding
+        // (train 3.6 s at 2M docs -> 186.6 s at 10M).
+        val docs = Graft.table(spark, sfDir, "documents")
+          .withColumn("__r", explode(sequence(lit(0), lit(rep - 1))))
+          .withColumn("doc_id", col("doc_id") * rep + col("__r"))
+          .withColumn("text",
+            concat(col("text"), lit(" v"), pmod(col("__r"), lit(97))))
+          .drop("__r")
+          .cache()
+        println(s"corpus: ${docs.count()} docs")
+        val pretok = udf((s: String) =>
+          if (s == null) Array.empty[String]
+          else graft.datapipe.Bpe.preTokenize(s).toArray)
+        (1 to rounds).foreach { r =>
+          val tCount = time {
+            val n = docs.select(explode(pretok(col("text"))).as("w"))
+              .groupBy("w").agg(count(lit(1)).as("n"))
+              .orderBy(col("n").desc, col("w")).limit(50000)
+              .collect().length
+            println(s"  freq table: $n words")
+          }
+          val tTrain = time {
+            graft.datapipe.Bpe.train(docs, col("text"), numMerges = 200)
+          }
+          println(f"round $r: count=$tCount%.1f s  train_total=$tTrain%.1f s" +
+            f"  driver_loop≈${tTrain - tCount}%.1f s")
+        }
+
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()

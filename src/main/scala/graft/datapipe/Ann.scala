@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (Array[Float]).
   *
-  * - [[cosine]] — codegen'd expression: zip_with + aggregate (sequential
-  *   left-to-right sum, so the result is deterministic), no UDF.
+  * - [[cosine]] — codegen'd zero-allocation dot-product expression
+  *   (functions/VecMath.scala; sequential left-to-right sum, so the
+  *   result is deterministic and bit-identical to the zip_with +
+  *   aggregate HOF form it replaced), no UDF.
   * - [[bruteForceTopK]] — exact baseline: broadcast the (small) query set
   *   against the full corpus; one pass, no shuffle of the corpus side.
   * - [[signLshTopK]] — scale path: bucket vectors by a d-bit sign
@@ -25,8 +27,10 @@ object Ann {
     * all-zero even when full vectors never are).
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    // codegen'd zero-allocation dot (functions/VecMath.scala) — the
+    // HOF zip_with+aggregate form allocated 3 intermediate arrays per
+    // pair, the dominant cost of the within-cell dedup joins
+    def dot(x: Column, y: Column): Column = graft.functions.VecMath.dot(x, y)
     val na = dot(a, a)
     val nb = dot(b, b)
     when(na === 0.0 || nb === 0.0, lit(Double.NaN))
@@ -262,12 +266,25 @@ object Ann {
                     threshold: Double): DataFrame = {
     val c = corpus.select(col(id).as("doc"), asDouble(col(vec)).as("v"))
       .withColumn("cell", ivfAssign(col("v"), centroids))
+      .withColumn("n2", graft.functions.VecMath.dot(col("v"), col("v")))
     val dropped = c.as("a").join(c.as("b"),
         col("a.cell") === col("b.cell") && col("b.doc") < col("a.doc"))
-      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .filter(round(cosineHoisted(col("a.v"), col("b.v"),
+        col("a.n2"), col("b.n2")), 6) >= threshold)
       .select(col("a.doc").as("doc")).distinct()
     c.join(dropped, Seq("doc"), "left_anti").select(col("doc"), col("cell"))
   }
+
+  /** [[cosine]] with the squared norms precomputed per ROW — the
+    * self-join form: norms move out of the O(pairs) filter into the
+    * O(n) projection feeding it (they were a third of the per-pair
+    * work). Same deterministic fold and zero-norm → NaN semantics.
+    */
+  private def cosineHoisted(av: Column, bv: Column,
+                            an2: Column, bn2: Column): Column =
+    when(an2 === 0.0 || bn2 === 0.0, lit(Double.NaN))
+      .otherwise(graft.functions.VecMath.dot(av, bv) /
+        sqrt(an2) / sqrt(bn2))
 
   /** Per-sub-centroid spherical assignment against a per-cell codebook
     * — the multi-cell Lloyd kernel of [[semanticDedupBounded]]. Same
@@ -416,9 +433,12 @@ object Ann {
         .otherwise(concat(col("cell"), lit("#"),
           pmod(col("doc"), ceil(col("__w") / cellCap)).cast("string"))))
       .drop("__w")
-    val dropped = salted.as("a").join(salted.as("b"),
+    val withN2 = salted
+      .withColumn("n2", graft.functions.VecMath.dot(col("v"), col("v")))
+    val dropped = withN2.as("a").join(withN2.as("b"),
         col("a.cell") === col("b.cell") && col("b.doc") < col("a.doc"))
-      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .filter(round(cosineHoisted(col("a.v"), col("b.v"),
+        col("a.n2"), col("b.n2")), 6) >= threshold)
       .select(col("a.doc").as("doc")).distinct()
     salted.join(dropped, Seq("doc"), "left_anti")
       .select(col("doc"), col("cell"))

@@ -471,6 +471,11 @@ object Dedup {
         .join(nbrMin.select(col("src").as("id"), col("nbrComp")), Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+        // the pointer-jump self-join reads `propagated` on BOTH sides;
+        // without pinning it, the whole gather phase (edge join + min
+        // agg) recomputes twice per round — measured 2× round cost at
+        // 10M nodes (BENCH_NOTES_r12.md)
+        .persist()
       // pointer jump: comp := comp(comp) (path halving)
       val jumped = propagated.as("x")
         .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
@@ -481,6 +486,7 @@ object Dedup {
       changed = stepped
         .join(labels.select(col("id"), col("comp").as("old")), "id")
         .filter(col("comp") =!= col("old")).count()
+      propagated.unpersist()
       labels = stepped
       iter += 1
     }

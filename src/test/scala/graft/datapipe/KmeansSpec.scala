@@ -195,11 +195,13 @@ class KmeansSpec extends SparkSpec {
     val bigPlan = probes.select(
         Ann.ivfAssign(Ann.asDouble($"embedding"), codebook))
       .queryExecution.analyzed.toString
-    assert(!bigPlan.contains("zip_with"))
+    assert(!bigPlan.contains("array_dot_product"))
     val smallPlan = probes.select(
         Ann.ivfAssign(Ann.asDouble($"embedding"), codebook.take(8)))
       .queryExecution.analyzed.toString
-    assert(smallPlan.contains("zip_with")) // small k keeps codegen path
+    // small k keeps the inlined-codebook codegen path (cosine is now
+    // the VecMath dot expression, not the zip_with HOF)
+    assert(smallPlan.contains("array_dot_product"))
   }
 
   test("kmeans and semanticDedup stay correct above the literal ceiling") {
