@@ -73,6 +73,15 @@ object GenerateSchema {
             "require_healthy" -> m("type" -> "boolean"))),
         "acknowledgements" -> m("type" -> "object"),
         "expire_metrics_secs" -> m("type" -> "number"),
+        "provider" -> m("type" -> "object",
+          "required" -> l(Seq("type")),
+          "properties" -> m(
+            "type" -> m("enum" -> l(Seq("http"))),
+            "url" -> m("type" -> "string"),
+            "request" -> m("type" -> "object"),
+            "poll_interval_secs" -> m("type" -> "number"),
+            "config_format" -> m("enum" -> l(Seq("toml", "json", "yaml"))),
+            "interpolate_env" -> m("type" -> "boolean"))),
         "proxy" -> m("type" -> "object",
           "properties" -> m(
             "enabled" -> m("type" -> "boolean"),

@@ -33,10 +33,14 @@ object HttpProvider {
 
   /** Parse the top-level `provider:` block. None when absent; throws
     * on a missing `url` (providers/http.rs: "URL is required for the
-    * `http` provider.") or an unknown provider type.
+    * `http` provider.") or an unknown provider type. The bootstrap
+    * text is env-interpolated first — the reference loads it through
+    * config::load, so `${VAR:-default}` works in provider fields
+    * (e.g. an auth header token).
     */
   def parse(yaml: String): Option[Config] = {
-    val conf = ConfigLoader.parseYaml(yaml)
+    val conf = ConfigLoader.parseYaml(
+      if (yaml.contains("$")) ConfigLoader.interpolateEnv(yaml) else yaml)
     if (!conf.contains("provider")) None
     else {
       val p = conf("provider") match {

@@ -51,6 +51,46 @@ class ExamplesSpec extends SparkSpec {
     }
   }
 
+  test("examples/remote_config_bootstrap.yaml: provider fetch validates") {
+    // the bootstrap file itself holds no topology — parse the provider
+    // block, serve a minimal topology from an in-test endpoint, and
+    // validate the FETCHED document like the Run path would
+    val boot = exampleText("remote_config_bootstrap.yaml")
+    val parsed = plans.HttpProvider.parse(boot).get
+    assert(parsed.configFormat == "yaml" && parsed.interpolateEnv &&
+      parsed.headers.keySet == Set("Authorization"))
+    val served =
+      """
+        |sources:
+        |  in:
+        |    type: demo_logs
+        |    count: 5
+        |sinks:
+        |  out:
+        |    type: console
+        |    inputs: [in]
+        |""".stripMargin
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", ex => {
+      val b = served.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    try {
+      val cfg = parsed.copy(url =
+        s"http://127.0.0.1:${server.getAddress.getPort}/topology.yaml")
+      val fetched = plans.HttpProvider.fetch(cfg)
+      val results = Validate.check(spark, fetched, "/root/testdata/sf0.001")
+      assert(results.nonEmpty && results.forall(_._2.isEmpty), results)
+    } finally {
+      server.stop(0)
+      plans.ConfigLoader.closePendingSources()
+    }
+  }
+
   test("examples index lists every file present") {
     val readme = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("examples", "README.md")), "UTF-8")
@@ -58,6 +98,7 @@ class ExamplesSpec extends SparkSpec {
         java.nio.file.Paths.get("examples")).toArray
       .map(_.toString.split("/").last).filter(_.endsWith(".yaml"))
     yamls.foreach(y => assert(readme.contains(y), s"$y missing from README"))
-    assert(yamls.toSet == examples.toSet)
+    assert(yamls.toSet ==
+      (examples :+ "remote_config_bootstrap.yaml").toSet)
   }
 }
