@@ -469,25 +469,24 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("dcomp")).as("nbrComp"))
       val propagated = labels
         .join(nbrMin.select(col("src").as("id"), col("nbrComp")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
         // the pointer-jump self-join reads `propagated` on BOTH sides;
         // without pinning it, the whole gather phase (edge join + min
-        // agg) recomputes twice per round — measured 2× round cost at
-        // 10M nodes (BENCH_NOTES_r12.md)
+        // agg) recomputes twice per round
         .persist()
-      // pointer jump: comp := comp(comp) (path halving)
+      // pointer jump: comp := comp(comp) (path halving). The round's
+      // previous label rides along as `old` so convergence is a filter
+      // over the checkpointed rows, not an extra 10M×10M join per round
       val jumped = propagated.as("x")
         .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
           col("x.comp") === col("y.cid"), "left")
-        .select(col("x.id").as("id"),
+        .select(col("x.id").as("id"), col("x.old").as("old"),
           coalesce(col("y.ccomp"), col("x.comp")).as("comp"))
       val stepped = ckpt(jumped)
-      changed = stepped
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old")).count()
+      changed = stepped.filter(col("comp") =!= col("old")).count()
       propagated.unpersist()
-      labels = stepped
+      labels = stepped.select(col("id"), col("comp"))
       iter += 1
     }
     und.unpersist()
