@@ -98,15 +98,28 @@ object Run {
                 .getOrElse(plans.ConfigLoader.readConfigFile(config))
               catch { case _: Exception => yaml } // mid-save/poll error
             if (next != yaml) {
-              val (restart, removed) =
-                plans.ConfigLoader.diffConfigs(yaml, next)
-              println(s"[graft] config changed: restarting " +
-                s"${restart.mkString(", ")}" +
-                (if (removed.nonEmpty)
-                  s"; removing ${removed.mkString(", ")}" else ""))
-              running = plans.ConfigLoader.reload(spark, running, yaml,
-                next, sfDir, workDir)
-              yaml = next
+              // A document that fetched fine but fails to parse or
+              // build must not kill the running topology: the
+              // reference swallows every config-build error inside the
+              // poll tick (providers/http.rs: config::load Err(_) =>
+              // {}) and keeps the last good config. Same here — `yaml`
+              // only advances after a successful reload.
+              try {
+                val (restart, removed) =
+                  plans.ConfigLoader.diffConfigs(yaml, next)
+                println(s"[graft] config changed: restarting " +
+                  s"${restart.mkString(", ")}" +
+                  (if (removed.nonEmpty)
+                    s"; removing ${removed.mkString(", ")}" else ""))
+                running = plans.ConfigLoader.reload(spark, running, yaml,
+                  next, sfDir, workDir)
+                yaml = next
+              } catch {
+                case e: Exception =>
+                  System.err.println(
+                    s"[graft] reload failed, keeping last good config: " +
+                    s"${e.getMessage}")
+              }
             }
           }
         case None =>

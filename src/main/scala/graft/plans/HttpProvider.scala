@@ -85,13 +85,18 @@ object HttpProvider {
     * failure or a non-2xx status — the caller decides whether that
     * aborts (initial build) or skips the tick (poll loop).
     */
+  // One client for the life of the process: each HttpClient owns
+  // selector/executor threads reclaimed only at GC, and the poll loop
+  // runs every poll_interval_secs.
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
   def fetch(cfg: Config): String = {
     val b = java.net.http.HttpRequest
       .newBuilder(java.net.URI.create(cfg.url))
       .timeout(java.time.Duration.ofSeconds(30))
       .GET()
     cfg.headers.foreach { case (k, v) => b.header(k, v) }
-    val resp = java.net.http.HttpClient.newHttpClient().send(
+    val resp = client.send(
       b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)
       throw new java.io.IOException(
@@ -100,7 +105,16 @@ object HttpProvider {
       case "toml" => Toml.toYaml(resp.body())
       case _ => resp.body()
     }
-    if (cfg.interpolateEnv) ConfigLoader.interpolateEnv(asYaml)
-    else asYaml
+    // ConfigLoader.load env-interpolates every document it is handed,
+    // unconditionally. The reference interpolates a provider-fetched
+    // document ONCE when interpolate_env is set and NOT AT ALL
+    // otherwise (providers/http.rs), so: with the flag on, hand the
+    // text through untouched and let the loader's single pass do the
+    // work; with the flag off, escape `$` → `$$` so the loader's pass
+    // collapses the escapes and restores the document byte-identically
+    // (a bare $VAR stays literal instead of being fatal, and a
+    // document's own `$$` survives: each `$` doubles, pairs collapse).
+    if (cfg.interpolateEnv) asYaml
+    else asYaml.replace("$", "$$")
   }
 }

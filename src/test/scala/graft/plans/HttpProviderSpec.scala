@@ -84,13 +84,23 @@ class HttpProviderSpec extends SparkSpec {
         .get("a").asInstanceOf[java.util.Map[_, _]]
       assert(src.get("type") == "demo_logs" && src.get("count") == 3)
 
-      // interpolate_env: true runs vars.rs interpolation over the body
+      // interpolate_env defers to the loader's single unconditional
+      // pass (fetch itself never substitutes — doing both would
+      // interpolate twice and collapse $$ escapes):
+      // flag on → body passes through, load's pass substitutes ONCE
       payload = (200, "application/yaml",
         "sources:\n  a:\n    type: ${GRAFT_NOPE_VAR:-demo_logs}\n")
       val envCfg = cfg.copy(configFormat = "yaml", interpolateEnv = true)
-      assert(HttpProvider.fetch(envCfg).contains("type: demo_logs"))
-      // without the flag the placeholder text passes through untouched
-      assert(HttpProvider.fetch(envCfg.copy(interpolateEnv = false))
+      val fetchedOn = HttpProvider.fetch(envCfg)
+      assert(fetchedOn.contains("${GRAFT_NOPE_VAR:-demo_logs}"))
+      assert(ConfigLoader.interpolateEnv(fetchedOn)
+        .contains("type: demo_logs"))
+      // flag off → fetch escapes $ → $$ so the loader's pass restores
+      // the document byte-identically (a bare ${VAR} stays literal
+      // instead of being substituted or fatal — providers/http.rs
+      // hands config::load the untouched text)
+      val fetchedOff = HttpProvider.fetch(envCfg.copy(interpolateEnv = false))
+      assert(ConfigLoader.interpolateEnv(fetchedOff)
         .contains("${GRAFT_NOPE_VAR:-demo_logs}"))
 
       payload = (503, "text/plain", "down")
