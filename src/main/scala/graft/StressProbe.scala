@@ -115,17 +115,23 @@ object StressProbe {
       if (!onlyEmb) {
       println(s"heavy corpus: ${heavyDocs.count()} docs")
 
-      if (!onlyCc)
+      // Materialize the near-dup pair list ONCE (parquet, same as a
+      // real pipeline handing its candidate stage downstream) — the
+      // minhash_pairs stage measures LSH; the cc probe then times
+      // ONLY clustering instead of re-running ~274 s of LSH inside
+      // its own clock (the r12 probe double-counted exactly that).
+      val pairsPath = s"$ckpt/lsh_pairs"
       timed("minhash_pairs") {
         Dedup.minhashLsh(heavyDocs, "doc_id", col("text"),
-          shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5).count()
-      }
-      timed("dedup_clusters") {
-        val pairs = Dedup.minhashLsh(heavyDocs, "doc_id", col("text"),
           shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5)
+          .select(col("id_a"), col("id_b"))
+          .write.mode("overwrite").parquet(pairsPath)
+        spark.read.parquet(pairsPath).count()
+      }
+      timed("dedup_clusters_cc") {
         Dedup.connectedComponents(
           heavyDocs.select(col("doc_id").as("id")),
-          pairs.select(col("id_a"), col("id_b")),
+          spark.read.parquet(pairsPath),
           checkpointDir = Some(ckpt)).count()
       }
       if (!onlyCc)

@@ -428,6 +428,49 @@ object TransformQueries {
         .orderBy(col("event_id"))
     },
 
+    // `join` — the Spark-native relational transform (no reference
+    // analog: the reference has no two-input relational operators, and
+    // SURVEY §2.1's scope note says our engine should expose them).
+    // Orders enriched against a filtered customer dimension via a
+    // BROADCAST left join, declared entirely in YAML: the first input
+    // is the left side, the second the right; `broadcast: right` makes
+    // the bounded dimension a broadcast-hash join (zero shuffle of the
+    // fact side — the 100 TB plan shape PlanAuditSpec pins).
+    "transform_join" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  orders:
+          |    type: parquet
+          |    table: orders
+          |  customers:
+          |    type: parquet
+          |    table: customer
+          |transforms:
+          |  solvent:
+          |    type: filter
+          |    inputs: [customers]
+          |    condition: '.c_acctbal > 0.0'
+          |  enriched:
+          |    type: join
+          |    inputs: [orders, solvent]
+          |    left_on: [o_custkey]
+          |    right_on: [c_custkey]
+          |    kind: left
+          |    broadcast: right
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [enriched]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("o_orderkey").as("order_key"),
+          col("c_name").as("cust_name"),
+          col("c_nationkey").as("cust_nation"),
+          col("c_mktsegment").as("segment"))
+        .orderBy(col("order_key"))
+    },
+
     "topology" -> { (s, dir) =>
       import graft.plans.Topology
       import graft.plans.Topology.{Sink, Source, Transform}
@@ -904,6 +947,14 @@ object TransformQueries {
         |  SELECT event_id, 6, 'high' FROM events
         |  WHERE event_type <> 'error' AND value > 150.0)
         |ORDER BY event_id, origin""".stripMargin,
+
+    "transform_join" ->
+      """SELECT o.o_orderkey AS order_key, c.c_name AS cust_name,
+        |       c.c_nationkey AS cust_nation, c.c_mktsegment AS segment
+        |FROM orders o
+        |LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+        |  ON o.o_custkey = c.c_custkey
+        |ORDER BY order_key""".stripMargin,
 
     "topology_yaml" ->
       """SELECT event_id, severity, origin FROM (

@@ -455,38 +455,62 @@ object Dedup {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Dedup on the ORIENTED pair (half the rows of the doubled list),
+    // then mirror without a second distinct — the setup shuffle is the
+    // only full-edge-list pass whose width we control.
+    val oriented = edges
+      .select(least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
       .distinct()
+    val und = oriented.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(oriented.select(col("hi").as("src"), col("lo").as("dst")))
       .persist()
     var labels = ckpt(nodes.select(col("id"), col("id").as("comp")))
+    // FRONTIER (delta) propagation: only nodes whose label changed last
+    // round send messages. A neighbor's label can only matter the round
+    // after it changed, so restricting the edge join to the frontier
+    // loses nothing — and because LSH dup graphs are mostly tiny
+    // cliques that settle in round 1, the per-round edge-join cost
+    // shrinks geometrically instead of rescanning all |E| each round.
+    // Round 1's frontier is every node (each must announce its id).
+    var frontier = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // gather: min label over neighbors, folded with own label
-      val nbrMin = und
-        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
-        .groupBy(col("src")).agg(min(col("dcomp")).as("nbrComp"))
-      val propagated = labels
-        .join(nbrMin.select(col("src").as("id"), col("nbrComp")), Seq("id"), "left")
-        .select(col("id"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
-        // the pointer-jump self-join reads `propagated` on BOTH sides;
-        // without pinning it, the whole gather phase (edge join + min
-        // agg) recomputes twice per round
-        .persist()
-      // pointer jump: comp := comp(comp) (path halving). The round's
-      // previous label rides along as `old` so convergence is a filter
-      // over the checkpointed rows, not an extra 10M×10M join per round
-      val jumped = propagated.as("x")
-        .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
+      // messages from the frontier only; min per receiver
+      val msgs = und
+        .join(frontier.select(col("id").as("src"), col("comp").as("scomp")),
+          "src")
+        .groupBy(col("dst")).agg(min(col("scomp")).as("nbrComp"))
+      // keep only strict improvements — everything else is already
+      // settled and drops out of the working set
+      val improved = labels
+        .join(msgs.select(col("dst").as("id"), col("nbrComp")), Seq("id"))
+        .filter(col("nbrComp") < col("comp"))
+        .select(col("id"), col("nbrComp").as("comp"))
+      // pointer jump the improved rows through the CURRENT table
+      // (comp := label(comp), path halving): labels only ever hold
+      // member ids of the same component, so the jump is safe and
+      // keeps chain components from serializing the loop. Jump target
+      // labels satisfy label(k) ≤ k, so the jumped value never
+      // regresses above the improvement.
+      val jumped = improved.as("x")
+        .join(labels.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
           col("x.comp") === col("y.cid"), "left")
-        .select(col("x.id").as("id"), col("x.old").as("old"),
+        .select(col("x.id").as("id"),
           coalesce(col("y.ccomp"), col("x.comp")).as("comp"))
-      val stepped = ckpt(jumped)
-      changed = stepped.filter(col("comp") =!= col("old")).count()
-      propagated.unpersist()
-      labels = stepped.select(col("id"), col("comp"))
+      val front = ckpt(jumped)
+      changed = front.count()
+      if (changed > 0) {
+        // merge the delta back — ONE keyed join over the label table
+        // per round (the old scheme rescanned |E|+2|N| every round)
+        labels = ckpt(labels.as("l")
+          .join(front.select(col("id"), col("comp").as("fcomp")).as("f"),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("fcomp"), col("comp")).as("comp")))
+        frontier = front
+      }
       iter += 1
     }
     und.unpersist()

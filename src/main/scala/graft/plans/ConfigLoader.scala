@@ -105,6 +105,61 @@ object ConfigLoader {
         val source = conditionSource(conf("condition"))
         Topology.Transform.simple(id, inputs, df =>
           df.filter(coalesce(VrlCompiler.condition(df.schema, source), lit(false))))
+      // `join` — a Spark-native extra, NOT a reference transform (the
+      // reference has no stream-stream relational operators; SURVEY
+      // §2.1 scope note says our engine should expose them). Exactly
+      // two `inputs` — the FIRST is the left side, the SECOND the
+      // right — joined on `on:` (same-named key columns) or
+      // `left_on:`/`right_on:` pairs. `kind:` is any Spark join type
+      // (inner default, left/right/full/left_semi/left_anti);
+      // `broadcast:` hints a bounded side (left|right) so a dimension
+      // lookup plans as a broadcast-hash join with zero shuffle of the
+      // big side; `right_prefix:` renames the right side's non-key
+      // columns to dodge collisions.
+      case "join" =>
+        if (inputs.length != 2) throw new IllegalArgumentException(
+          s"join $id: exactly two inputs required (left, right), " +
+            s"got ${inputs.length}")
+        val kind = conf.getOrElse("kind", "inner").toString
+        val allowed = Set("inner", "left", "right", "full",
+          "left_semi", "left_anti", "cross")
+        if (!allowed(kind)) throw new IllegalArgumentException(
+          s"join $id: unknown kind '$kind' (one of ${allowed.toSeq.sorted.mkString(", ")})")
+        // YAML 1.1 gotcha: a bare `on:` key parses as boolean true
+        // (snakeyaml's 1.1 core schema), which our stringified maps
+        // render as "true" — accept both spellings so users don't have
+        // to quote "on"
+        val on = strList(conf.get("on").orElse(conf.get("true"))
+          .getOrElse(Nil))
+        val leftOn = strList(conf.getOrElse("left_on", Nil))
+        val rightOn = strList(conf.getOrElse("right_on", Nil))
+        if (kind != "cross" && on.isEmpty &&
+            (leftOn.isEmpty || leftOn.length != rightOn.length))
+          throw new IllegalArgumentException(
+            s"join $id: set `on:` or matching-length `left_on:`/`right_on:`")
+        val bcast = conf.getOrElse("broadcast", "none").toString
+        if (!Set("none", "left", "right")(bcast))
+          throw new IllegalArgumentException(
+            s"join $id: broadcast must be left, right, or none")
+        val rPrefix = conf.get("right_prefix").map(_.toString)
+        Topology.Transform(id, inputs, Topology.Any, Topology.Any,
+          _ => sys.error("join uses applyMulti"),
+          applyMulti = Some { case Seq(l0, r0) =>
+            val keyKeep = if (on.nonEmpty) on.toSet else rightOn.toSet
+            val r1 = rPrefix match {
+              case Some(p) => r0.columns.foldLeft(r0)((d, c) =>
+                if (keyKeep(c)) d else d.withColumnRenamed(c, p + c))
+              case None => r0
+            }
+            val l = if (bcast == "left") broadcast(l0) else l0
+            val r = if (bcast == "right") broadcast(r1) else r1
+            val joined =
+              if (kind == "cross") l.crossJoin(r)
+              else if (on.nonEmpty) l.join(r, on, kind)
+              else l.join(r, leftOn.zip(rightOn)
+                .map { case (a, b) => l(a) === r(b) }.reduce(_ && _), kind)
+            Map("" -> joined)
+          })
       // lua transform (src/transforms/lua/): v1 script body over the
       // `event` global, v2 process hook (event, emit) — micro-Lua
       // interpreter, compiled at load, executed in a distributed flatMap
@@ -1090,7 +1145,8 @@ object ConfigLoader {
 
   val transformTypes: Seq[String] = Seq(
     "aggregate", "aws_ec2_metadata", "dedupe", "delay", "exclusive_route",
-    "filter", "incremental_to_absolute", "line_agg", "log_to_metric",
+    "filter", "incremental_to_absolute", "join", "line_agg",
+    "log_to_metric",
     "lua", "metric_to_log", "multiline", "reduce", "remap", "route",
     "sample", "tag_cardinality_limit", "throttle", "trace_to_log",
     "window")

@@ -35,10 +35,17 @@ object Topology {
                           load: SparkSession => DataFrame) extends Component
   /** Multi-output transform: returns named ports; the default port is
     * "". Downstream addresses ports as "id" (default) or "id.port".
+    *
+    * `applyMulti`, when set, receives ONE DataFrame PER `inputs` entry
+    * (in declaration order) instead of their fan-in union — the hook
+    * for relational operators (join) where which-input-is-which
+    * matters. Plain transforms leave it None and keep the reference's
+    * union fan-in.
     */
   final case class Transform(id: String, inputs: Seq[String],
                              inputType: DataType, outputType: DataType,
-                             apply: DataFrame => Map[String, DataFrame])
+                             apply: DataFrame => Map[String, DataFrame],
+                             applyMulti: Option[Seq[DataFrame] => Map[String, DataFrame]] = None)
     extends Component
   final case class Sink(id: String, inputs: Seq[String],
                         inputType: DataType) extends Component
@@ -211,8 +218,15 @@ object Topology {
       case t: Transform =>
         if (!outputs.contains(t.id) &&
             !outputs.keys.exists(_.startsWith(t.id + "."))) {
-          val in = fanIn(t.id, t.inputs)
-          t.apply(in).foreach { case (port, df) =>
+          val res = t.applyMulti match {
+            case Some(f) =>
+              if (t.inputs.isEmpty) throw new IllegalArgumentException(
+                s"component '${t.id}' has no inputs — every transform " +
+                  "and sink must name at least one upstream component")
+              f(t.inputs.map(outputOf))
+            case None => t.apply(fanIn(t.id, t.inputs))
+          }
+          res.foreach { case (port, df) =>
             outputs(if (port.isEmpty) t.id else s"${t.id}.$port") = df
           }
         }

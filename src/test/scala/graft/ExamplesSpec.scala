@@ -37,7 +37,7 @@ class ExamplesSpec extends SparkSpec {
   private val examples = Seq("tail_to_loki.yaml",
     "syslog_tls_to_elasticsearch.yaml", "kafka_gelf_to_s3.yaml",
     "protobuf_varint_to_clickhouse.yaml", "llm_curation.yaml",
-    "grpc_aggregator.yaml")
+    "grpc_aggregator.yaml", "join_enrich_orders.yaml")
 
   examples.foreach { name =>
     test(s"examples/$name validates clean") {

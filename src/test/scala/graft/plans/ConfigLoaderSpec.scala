@@ -266,6 +266,123 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(rows == 201) // error-typed events at sf0.001
   }
 
+  test("join transform: kinds, key forms, right_prefix, errors") {
+    val dir = "/root/testdata/sf0.001"
+    def topo(body: String) =
+      s"""
+        |sources:
+        |  orders:
+        |    type: parquet
+        |    table: orders
+        |  customers:
+        |    type: parquet
+        |    table: customer
+        |transforms:
+        |  solvent:
+        |    type: filter
+        |    inputs: [customers]
+        |    condition: '.c_acctbal > 0.0'
+        |  j:
+        |    type: join
+        |    inputs: [orders, solvent]
+        |$body
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [j]
+        |""".stripMargin
+    val keys = "    left_on: [o_custkey]\n    right_on: [c_custkey]\n"
+    val nOrders = graft.Graft.table(spark, dir, "orders").count()
+    // ground truth from a direct join, computed outside the loader
+    val solventKeys = graft.Graft.table(spark, dir, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_acctbal") > 0.0)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val matched = graft.Graft.table(spark, dir, "orders")
+      .select("o_custkey").collect()
+      .count(r => solventKeys(r.getLong(0))).toLong
+
+    // inner drops orders of filtered-out customers
+    val inner = ConfigLoader.load(spark, topo(keys + "    kind: inner"), dir)
+      .sink("out")
+    assert(inner.count() == matched)
+    // left keeps every order, right columns NULL where unmatched
+    val left = ConfigLoader.load(spark, topo(keys + "    kind: left"), dir)
+      .sink("out")
+    assert(left.count() == nOrders)
+    assert(left.filter(org.apache.spark.sql.functions.col("c_name").isNull)
+      .count() == nOrders - matched)
+    // left_anti = exactly the unmatched orders, left columns only
+    val anti = ConfigLoader.load(spark,
+      topo(keys + "    kind: left_anti"), dir).sink("out")
+    assert(anti.count() == nOrders - matched)
+    assert(!anti.columns.contains("c_name"))
+    // right_prefix renames non-key right columns (key stays addressable)
+    val pfx = ConfigLoader.load(spark,
+      topo(keys + "    kind: inner\n    right_prefix: cust_"), dir)
+      .sink("out")
+    assert(pfx.columns.contains("cust_c_name") &&
+      pfx.columns.contains("c_custkey") && !pfx.columns.contains("c_name"))
+    // `on:` form — same-named key columns created by upstream remaps
+    val onForm = ConfigLoader.load(spark,
+      """
+        |sources:
+        |  orders:
+        |    type: parquet
+        |    table: orders
+        |  customers:
+        |    type: parquet
+        |    table: customer
+        |transforms:
+        |  lkey:
+        |    type: remap
+        |    inputs: [orders]
+        |    source: |
+        |      .custkey = .o_custkey
+        |  rkey:
+        |    type: remap
+        |    inputs: [customers]
+        |    source: |
+        |      .custkey = .c_custkey
+        |  j:
+        |    type: join
+        |    inputs: [lkey, rkey]
+        |    on: [custkey]
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [j]
+        |""".stripMargin, dir).sink("out")
+    assert(onForm.count() == nOrders)
+
+    // config errors surface at load, with the component named
+    def loadErr(body: String): String =
+      intercept[IllegalArgumentException] {
+        ConfigLoader.load(spark, topo(body), dir)
+      }.getMessage
+    assert(loadErr(keys + "    kind: sideways").contains("unknown kind"))
+    assert(loadErr("    kind: inner").contains("left_on"))
+    assert(loadErr(keys + "    broadcast: both").contains("broadcast"))
+    val arity = intercept[IllegalArgumentException] {
+      ConfigLoader.load(spark,
+        """
+          |sources:
+          |  orders:
+          |    type: parquet
+          |    table: orders
+          |transforms:
+          |  j:
+          |    type: join
+          |    inputs: [orders]
+          |    on: [o_custkey]
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [j]
+          |""".stripMargin, dir)
+    }
+    assert(arity.getMessage.contains("exactly two inputs"))
+  }
+
   private def resourceYaml(name: String): String = {
     val in = getClass.getResourceAsStream(s"/behavior/$name")
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString

@@ -567,4 +567,67 @@ class PlanAuditSpec extends SparkSpec {
       s"remote_write needs exactly 1 keyed exchange, got $keyedExchanges:\n$p")
     assert(!p.contains("Join"), s"remote_write joins:\n$p")
   }
+
+  test("join transform: broadcast-hash when hinted; one keyed exchange " +
+      "per side otherwise") {
+    // hinted (`broadcast: right` in transform_join's YAML): the fact
+    // side must NOT shuffle — at 100 TB the dimension broadcast is the
+    // difference between a local hash probe and an exabyte exchange
+    val df = graft.SparkEntry.queries("transform_join")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"hinted join does not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"hinted join shuffled or went cartesian:\n$p")
+
+    // un-hinted, auto-broadcast forced off (as it would be for two big
+    // sides): a co-partitioned shuffle join — exactly one
+    // requirements-driven exchange per side, never a nested loop
+    val yaml =
+      """
+        |sources:
+        |  orders:
+        |    type: parquet
+        |    table: orders
+        |  customers:
+        |    type: parquet
+        |    table: customer
+        |transforms:
+        |  j:
+        |    type: join
+        |    inputs: [orders, customers]
+        |    left_on: [o_custkey]
+        |    right_on: [c_custkey]
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [j]
+        |""".stripMargin
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = scala.util.Try(spark.conf.get(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")).toOption
+      .filter(_ != null)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val big = ConfigLoader.load(spark, yaml, dir).sink("out")
+      val p2 = plan(big)
+      assert(p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin"),
+        s"un-hinted join is not a shuffle join:\n$p2")
+      val keyed = p2.split("ENSURE_REQUIREMENTS").length - 1
+      assert(keyed == 2,
+        s"expected exactly 2 keyed exchanges (one per side), got $keyed:\n$p2")
+      assert(!p2.contains("CartesianProduct") &&
+        !p2.contains("BroadcastNestedLoopJoin"),
+        s"un-hinted join degenerated:\n$p2")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      prevAqe match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
