@@ -214,6 +214,277 @@ object AbProbe {
             f"  driver_loop≈${tTrain - tCount}%.1f s")
         }
 
+      case "egress_udfs" =>
+        // Close-out of the r12 verdict note: the only non-codegen steps
+        // on the dd-metrics / remote-write egress are the toSketch and
+        // sketchQs per-row UDFs. A = the real path; B = the same rows
+        // through pure-codegen HOFs of the same per-row width (the
+        // ceiling a Catalyst-expression port could reach). The A/B gap
+        // bounds what a port would buy on a path that carries every
+        // distribution/histogram row.
+        def distRows(): DataFrame = replicated()
+          .select(
+            concat(lit("m"), pmod(col("event_id"), lit(1000))).as("name"),
+            lit("distribution").as("value_type"),
+            col("ts").as("timestamp"),
+            map(lit("host"), lit("h1"), lit("env"), lit("prod")).as("tags"),
+            transform(sequence(lit(0), lit(63)), i =>
+              struct(
+                (pmod(col("event_id") + i * lit(37), lit(10000)) / lit(10.0)
+                  + lit(0.1)).as("value"),
+                (pmod(i, lit(5)) + 1).cast("long").as("rate")))
+              .as("dist_samples"))
+        val nRows = distRows().count()
+        println(s"egress corpus: $nRows rows x 64 samples")
+        // A: real dd sketch fragment (toSketch UDF + proto encode)
+        def ddA(): DataFrame = {
+          val df = distRows()
+          df.select(graft.sinks.DdMetrics.sketchFragment(df).as("b"))
+            .filter(col("b").isNotNull)
+        }
+        // B: codegen ceiling — same array scanned by HOFs (ddsketch-ish
+        // key per sample via log(), count/sum/min/max folds), no UDF
+        def ddB(): DataFrame = {
+          val gamma = 1.0 / math.log(1.015625)
+          distRows().select(
+            aggregate(col("dist_samples"), lit(0L),
+              (a, s) => a + s.getField("rate")).as("cnt"),
+            aggregate(col("dist_samples"), lit(0.0),
+              (a, s) => a + s.getField("value") * s.getField("rate"))
+              .as("sum"),
+            array_min(transform(col("dist_samples"),
+              _.getField("value"))).as("min"),
+            array_max(transform(col("dist_samples"),
+              _.getField("value"))).as("max"),
+            transform(col("dist_samples"), s =>
+              ceil(log(s.getField("value")) * gamma).cast("long")).as("ks"),
+            transform(col("dist_samples"), _.getField("rate")).as("ns"))
+            .filter(col("cnt") > 0)
+        }
+        println("-- dd sketchFragment (A = UDF path, B = codegen ceiling)")
+        ab(ddA _, ddB _, check = false) // different shapes by design
+        // remote-write quantile lanes: A = sketchQs UDF (via
+        // remoteWriteSeries over sketch rows), B = codegen quantile-ish
+        // scan of the same lanes
+        def sketchRows(): DataFrame = replicated()
+          .select(
+            concat(lit("s"), pmod(col("event_id"), lit(1000))).as("name"),
+            lit("sketch").as("value_type"),
+            col("ts").as("timestamp"),
+            map(lit("env"), lit("prod")).as("tags"),
+            sequence(lit(1400L), lit(1527L)).as("sketch_k"),
+            transform(sequence(lit(1), lit(128)),
+              i => (pmod(i * 13, lit(9)) + 1).cast("long")).as("sketch_n"),
+            lit(640L).as("sketch_cnt"), lit(0.5).as("sketch_min"),
+            lit(99.5).as("sketch_max"), lit(3200.0).as("sketch_sum"),
+            lit(5.0).as("sketch_avg"))
+        def rwA(): DataFrame =
+          graft.sinks.Envelopes.remoteWriteSeries(sketchRows())
+        def rwB(): DataFrame = sketchRows().select(
+          col("name"),
+          transform(sequence(lit(1), lit(5)), q =>
+            aggregate(zip_with(col("sketch_k"), col("sketch_n"),
+              (k, n) => k * n), lit(0L), (a, x) => a + x) * q).as("qs"))
+        println("-- remote_write sketch quantiles (A = UDF path, " +
+          "B = codegen ceiling)")
+        ab(rwA _, rwB _, check = false)
+
+      case "transport_vs_remap" =>
+        // Ratio pin for the driver-side single-listener transport
+        // classes (grpc pair, otlp http/grpc): measured INTERLEAVED
+        // with remap-only in one JVM, so official-bench host swings on
+        // these classes adjudicate against a stable ratio instead of
+        // absolute numbers from different sessions (the same treatment
+        // that retired the metrics-class adjudication in r12).
+        val remapRows = replicated().count().toDouble
+        def remapRate(): Double = {
+          val t = time(noop(Queries.eventsRemap(replicated())))
+          remapRows / t
+        }
+        def grpcPairRate(total: Int): Double = {
+          val src = new graft.streaming.Grpc.VectorPushSource(spark, 0,
+            "127.0.0.1")
+          try {
+            val port = src.boundPort
+            val payload =
+              """{"message":"bench event payload 0123456789","level":"info","n":7}"""
+            val events = Vector.fill(500)(payload)
+            val threads = 4
+            val perThread = total / (threads * 500)
+            val t0 = System.nanoTime()
+            val ts = (1 to threads).map(_ => new Thread(() =>
+              (1 to perThread).foreach(_ =>
+                graft.streaming.Grpc.pushEvents("127.0.0.1", port, events))))
+            ts.foreach(_.start()); ts.foreach(_.join())
+            val q = src.df.writeStream.format("noop").start()
+            var n = 0L
+            val deadline = t0 + 120L * 1000000000L
+            while (n < total && System.nanoTime() < deadline) {
+              q.processAllAvailable()
+              n = q.recentProgress.map(_.numInputRows).sum
+            }
+            val secs = (System.nanoTime() - t0) / 1e9
+            q.stop()
+            require(n >= total, s"grpc pair drained $n/$total")
+            total / secs
+          } finally src.stop()
+        }
+        def otlpRates(total: Int): (Double, Double) = {
+          import org.apache.spark.sql.Row
+          import graft.codecs.ProtobufCodec
+          def sRow(schema: ProtobufCodec.ProtoSchema, vals: Any*): Row =
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              vals.toArray, schema.sparkType)
+          val perReq = 100
+          val lrS = ProtobufCodec.Otlp.LogRecord
+          val records = (0 until perReq).map(i =>
+            sRow(lrS, 1700000000000000000L + i, 9L, "INFO",
+              sRow(ProtobufCodec.Otlp.AnyValue, s"bench otlp record $i"),
+              0L, Array.emptyByteArray, Array.emptyByteArray, 0L))
+          val req = ProtobufCodec.encodeTo(
+            ProtobufCodec.Otlp.ExportLogsServiceRequest,
+            sRow(ProtobufCodec.Otlp.ExportLogsServiceRequest,
+              Seq(sRow(ProtobufCodec.Otlp.ResourceLogs,
+                Seq(sRow(ProtobufCodec.Otlp.ScopeLogs, records, "")), ""))))
+          def drain(src: graft.streaming.StreamRunner.OtlpHttpSource,
+                    t0: Long, reqs: Int): Double = {
+            val q = src.df.writeStream.format("noop").start()
+            var n = 0L
+            val deadline = t0 + 120L * 1000000000L
+            while (n < reqs && System.nanoTime() < deadline) {
+              q.processAllAvailable()
+              n = q.recentProgress.map(_.numInputRows).sum
+            }
+            val secs = (System.nanoTime() - t0) / 1e9
+            q.stop()
+            require(n >= reqs, s"otlp drained $n/$reqs requests")
+            total / secs
+          }
+          val httpRate = {
+            val src = graft.streaming.StreamRunner.otlpHttp(spark, 0)
+            try {
+              val url = new java.net.URI(
+                s"http://127.0.0.1:${src.boundPort}/v1/logs").toURL
+              val t0 = System.nanoTime()
+              val reqs = total / perReq
+              val threads = 4
+              val ts = (1 to threads).map(_ => new Thread(() =>
+                (1 to reqs / threads).foreach { _ =>
+                  val c = url.openConnection()
+                    .asInstanceOf[java.net.HttpURLConnection]
+                  c.setRequestMethod("POST"); c.setDoOutput(true)
+                  c.setRequestProperty("Content-Type",
+                    "application/x-protobuf")
+                  c.getOutputStream.write(req)
+                  c.getInputStream.readAllBytes()
+                  c.disconnect()
+                }))
+              ts.foreach(_.start()); ts.foreach(_.join())
+              drain(src, t0, reqs)
+            } finally src.stop()
+          }
+          val grpcRate = {
+            val src = graft.streaming.StreamRunner.otlpHttp(spark, 0,
+              Some(0), "127.0.0.1")
+            try {
+              val gp = src.grpcBoundPort.get
+              val t0 = System.nanoTime()
+              val reqs = total / perReq
+              val threads = 4
+              val ts = (1 to threads).map(_ => new Thread(() =>
+                (1 to reqs / threads).foreach(_ =>
+                  graft.streaming.Grpc.call("127.0.0.1", gp,
+                    "/opentelemetry.proto.collector.logs.v1.LogsService/Export",
+                    req))))
+              ts.foreach(_.start()); ts.foreach(_.join())
+              drain(src, t0, reqs)
+            } finally src.stop()
+          }
+          (httpRate, grpcRate)
+        }
+        // warm every path once
+        noop(Queries.eventsRemap(replicated()))
+        grpcPairRate(50000); otlpRates(20000)
+        val rs = Seq.newBuilder[(Double, Double, Double, Double)]
+        (1 to rounds).foreach { r =>
+          val rr = remapRate()
+          val gp = grpcPairRate(100000)
+          val (oh, og) = otlpRates(50000)
+          rs += ((rr, gp, oh, og))
+          println(f"round $r: remap=${rr / 1e6}%.2fM ev/s  " +
+            f"grpc_pair=${gp / 1e3}%.1fk (${gp / rr}%.4f)  " +
+            f"otlp_http=${oh / 1e3}%.1fk (${oh / rr}%.4f)  " +
+            f"otlp_grpc=${og / 1e3}%.1fk (${og / rr}%.4f)")
+        }
+        val all = rs.result()
+        def med(f: ((Double, Double, Double, Double)) => Double): Double =
+          median(all.map(f))
+        val mr = med(_._1)
+        println(f"medians: remap=${mr / 1e6}%.2fM ev/s  " +
+          f"grpc_pair/remap=${med(_._2) / mr}%.4f  " +
+          f"otlp_http/remap=${med(_._3) / mr}%.4f  " +
+          f"otlp_grpc/remap=${med(_._4) / mr}%.4f")
+
+      case "throttle_vs_remap" =>
+        // Same ratio-pin treatment for the streaming GCRA throttle
+        // class (swung ±30% across rounds with git-identical code).
+        import spark.implicits._
+        val remapRows = replicated().count().toDouble
+        def remapRate(): Double = {
+          val t = time(noop(Queries.eventsRemap(replicated())))
+          remapRows / t
+        }
+        def throttleRate(total: Int, keys: Int): Double = {
+          val base = java.nio.file.Files
+            .createTempDirectory("ab-stream").toString
+          spark.range(total)
+            .select((col("id") % keys).cast("int").as("_1"),
+              col("id").as("_2"))
+            .repartition(Runtime.getRuntime.availableProcessors())
+            .write.mode("overwrite").parquet(s"$base/in")
+          val ds = spark.readStream
+            .schema("_1 INT, _2 BIGINT").parquet(s"$base/in")
+            .as[(Int, Long)]
+          val out = graft.streaming.StatefulKernels.throttle[Int, (Int, Long)](
+            ds.groupByKey(_._1),
+            threshold = 100, windowMs = 1000L, eventTimeMs = _._2)
+          val t0 = System.nanoTime()
+          val q = out.writeStream.format("noop")
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          var processed = 0L
+          val seen = scala.collection.mutable.Set.empty[Long]
+          val deadline = t0 + 300L * 1000000000L
+          while (processed < total && System.nanoTime() < deadline) {
+            var fresh = false
+            q.recentProgress.foreach { p =>
+              if (seen.add(p.batchId)) {
+                processed += p.numInputRows; fresh = true
+              }
+            }
+            if (!fresh) Thread.sleep(20)
+          }
+          val secs = (System.nanoTime() - t0) / 1e9
+          q.stop()
+          require(processed >= total, s"drained $processed/$total")
+          total / secs
+        }
+        noop(Queries.eventsRemap(replicated()))
+        throttleRate(100000, 1000) // warm state-store + codegen
+        val trs = Seq.newBuilder[(Double, Double)]
+        (1 to rounds).foreach { r =>
+          val rr = remapRate()
+          val tr = throttleRate(2000000, 10000)
+          trs += ((rr, tr))
+          println(f"round $r: remap=${rr / 1e6}%.2fM ev/s  " +
+            f"throttle=${tr / 1e3}%.1fk ev/s  ratio=${tr / rr}%.4f")
+        }
+        val tall = trs.result()
+        println(f"medians: remap=${median(tall.map(_._1)) / 1e6}%.2fM  " +
+          f"throttle=${median(tall.map(_._2)) / 1e3}%.1fk  " +
+          f"throttle/remap=${median(tall.map(_._2)) / median(tall.map(_._1))}%.4f")
+
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()
