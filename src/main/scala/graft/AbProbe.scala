@@ -172,6 +172,16 @@ object AbProbe {
         ab(() => shape(false)(replicated()),
            () => shape(true)(replicated()))
 
+      case "structured_vs_remap" =>
+        // Ratio pin for the structured-transcode class (json -> typed ->
+        // json), the one headline class that had no interleaved pin:
+        // r13's official bench read −14% per-effective-core on a faster
+        // host with zero code changes on the path. A = structured
+        // transcode, B = remap-only, alternating in ONE JVM.
+        ab(() => Queries.eventsStructured(replicated()),
+           () => Queries.eventsRemap(replicated()),
+           check = false) // different shapes by design
+
       case "metrics_vs_remap" =>
         // Not an optimization A/B: pins the metrics class's throughput
         // RELATIVE to remap-only in ONE interleaved JVM, so official-
@@ -349,15 +359,18 @@ object AbProbe {
           def drain(src: graft.streaming.StreamRunner.OtlpHttpSource,
                     t0: Long, reqs: Int): Double = {
             val q = src.df.writeStream.format("noop").start()
+            // numInputRows counts log RECORDS (perReq per request), so
+            // the drain target is reqs * perReq rows
+            val want = reqs.toLong * perReq
             var n = 0L
             val deadline = t0 + 120L * 1000000000L
-            while (n < reqs && System.nanoTime() < deadline) {
+            while (n < want && System.nanoTime() < deadline) {
               q.processAllAvailable()
               n = q.recentProgress.map(_.numInputRows).sum
             }
             val secs = (System.nanoTime() - t0) / 1e9
             q.stop()
-            require(n >= reqs, s"otlp drained $n/$reqs requests")
+            require(n >= want, s"otlp drained $n/$want rows")
             total / secs
           }
           val httpRate = {

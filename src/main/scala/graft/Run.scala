@@ -102,8 +102,12 @@ object Run {
               // build must not kill the running topology: the
               // reference swallows every config-build error inside the
               // poll tick (providers/http.rs: config::load Err(_) =>
-              // {}) and keeps the last good config. Same here — `yaml`
-              // only advances after a successful reload.
+              // {}) and keeps the last good config. reload() rejects
+              // un-constructible configs BEFORE stopping anything
+              // (dryValidate); if the build still fails mid-swap it
+              // restores the old subgraph and reports the handles via
+              // ReloadFailedException. Either way `yaml` only advances
+              // after a successful reload.
               try {
                 val (restart, removed) =
                   plans.ConfigLoader.diffConfigs(yaml, next)
@@ -115,6 +119,9 @@ object Run {
                   next, sfDir, workDir)
                 yaml = next
               } catch {
+                case rf: plans.ConfigLoader.ReloadFailedException =>
+                  running = rf.restored
+                  System.err.println(s"[graft] ${rf.getMessage}")
                 case e: Exception =>
                   System.err.println(
                     s"[graft] reload failed, keeping last good config: " +

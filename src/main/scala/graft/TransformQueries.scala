@@ -471,6 +471,109 @@ object TransformQueries {
         .orderBy(col("order_key"))
     },
 
+    // `sort` — global total order declared in YAML ('-' prefix =
+    // descending). The transform itself produces the final row order,
+    // so no harness orderBy here: the oracle compare IS the sort check.
+    "transform_sort" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  events:
+          |    type: parquet
+          |    table: events
+          |transforms:
+          |  sorted:
+          |    type: sort
+          |    inputs: [events]
+          |    by: ["-value", "event_id"]
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [sorted]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+    },
+
+    // `top_k` — per-key top-k (k best rows per event_type by value):
+    // one keyed window, no global sort anywhere in the plan.
+    "transform_topk" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  events:
+          |    type: parquet
+          |    table: events
+          |transforms:
+          |  top:
+          |    type: top_k
+          |    inputs: [events]
+          |    k: 3
+          |    per: [event_type]
+          |    by: ["-value", "event_id"]
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [top]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("event_type"), col("event_id"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("event_type"), col("event_id"))
+    },
+
+    // `set_op` — intersect / except / union_distinct chained in one
+    // YAML DAG: errors∩high-value and errors∖high-value are tagged by
+    // remaps and re-united, so a wrong membership on ANY of the three
+    // ops shows up as a wrong `branch` (or a missing/duplicate row).
+    "transform_setops" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  events:
+          |    type: parquet
+          |    table: events
+          |transforms:
+          |  errors:
+          |    type: filter
+          |    inputs: [events]
+          |    condition: '.event_type == "error"'
+          |  high:
+          |    type: filter
+          |    inputs: [events]
+          |    condition: '.value > 100.0'
+          |  inter:
+          |    type: set_op
+          |    op: intersect
+          |    inputs: [errors, high]
+          |  exc:
+          |    type: set_op
+          |    op: except
+          |    inputs: [errors, high]
+          |  inter_t:
+          |    type: remap
+          |    inputs: [inter]
+          |    source: '.branch = "inter"'
+          |  exc_t:
+          |    type: remap
+          |    inputs: [exc]
+          |    source: '.branch = "except"'
+          |  uni:
+          |    type: set_op
+          |    op: union_distinct
+          |    inputs: [inter_t, exc_t]
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [uni]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"), col("branch"))
+        .orderBy(col("event_id"))
+    },
+
     "topology" -> { (s, dir) =>
       import graft.plans.Topology
       import graft.plans.Topology.{Sink, Source, Transform}
@@ -955,6 +1058,25 @@ object TransformQueries {
         |LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
         |  ON o.o_custkey = c.c_custkey
         |ORDER BY order_key""".stripMargin,
+
+    "transform_sort" ->
+      """SELECT event_id, event_type, round(value, 2) AS value
+        |FROM events
+        |ORDER BY events.value DESC, event_id""".stripMargin,
+
+    "transform_topk" ->
+      """SELECT event_type, event_id, round(value, 2) AS value
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY event_type ORDER BY events.value DESC, event_id) <= 3
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "transform_setops" ->
+      """SELECT event_id, event_type, round(value, 2) AS value,
+        |       CASE WHEN value > 100.0 THEN 'inter' ELSE 'except' END
+        |         AS branch
+        |FROM events WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
 
     "topology_yaml" ->
       """SELECT event_id, severity, origin FROM (

@@ -74,6 +74,11 @@ object ConfigLoader {
   private def boolOpt(m: Map[String, Any], key: String, default: Boolean): Boolean =
     m.get(key).map(_.toString.toBoolean).getOrElse(default)
 
+  /** Sort-spec field → Column: "-field" descends, "field" ascends. */
+  private def sortCol(spec: String): Column =
+    if (spec.startsWith("-")) col(spec.substring(1)).desc
+    else col(spec).asc
+
   /** Build one Transform component from its YAML table
     * (src/transforms/mod.rs type registry — the supported subset).
     */
@@ -141,24 +146,184 @@ object ConfigLoader {
         if (!Set("none", "left", "right")(bcast))
           throw new IllegalArgumentException(
             s"join $id: broadcast must be left, right, or none")
+        // A hint Spark cannot honor is silently dropped (the preserved
+        // side of an outer/semi/anti join can't be the hash build side)
+        // and the join degrades to a shuffle — reject at load instead
+        // of quietly breaking the documented zero-shuffle promise.
+        val badHint = (bcast, kind) match {
+          case ("left", "left" | "full" | "left_semi" | "left_anti") => true
+          case ("right", "right" | "full") => true
+          case _ => false
+        }
+        if (badHint) throw new IllegalArgumentException(
+          s"join $id: broadcast: $bcast cannot apply to kind '$kind' " +
+            "(Spark builds the hash table on the non-preserved side); " +
+            "drop the hint or broadcast the other side")
         val rPrefix = conf.get("right_prefix").map(_.toString)
         Topology.Transform(id, inputs, Topology.Any, Topology.Any,
           _ => sys.error("join uses applyMulti"),
           applyMulti = Some { case Seq(l0, r0) =>
-            val keyKeep = if (on.nonEmpty) on.toSet else rightOn.toSet
+            // Spark supports stream-static joins only, with the stream
+            // preserved — name the limits here rather than surfacing a
+            // raw AnalysisException at sink-start time.
+            if (l0.isStreaming && r0.isStreaming)
+              throw new IllegalArgumentException(
+                s"join $id: stream-stream joins are not supported; " +
+                  "stage one side to a table first")
+            if (l0.isStreaming || r0.isStreaming) {
+              val ok = if (l0.isStreaming) Set("inner", "left", "left_semi")
+                       else Set("inner", "right")
+              if (!ok(kind)) throw new IllegalArgumentException(
+                s"join $id: kind '$kind' is not supported when the " +
+                  s"${if (l0.isStreaming) "left" else "right"} input is a " +
+                  s"stream (supported: ${ok.toSeq.sorted.mkString(", ")})")
+            }
+            // `on:` joins merge their key columns (usingColumns), so
+            // those keep their names; right_on keys stay addressable
+            // un-prefixed UNLESS the same name exists on the left
+            // (self-join) — then the prefix applies to the key too,
+            // otherwise the output would carry an ambiguous duplicate
+            val keyKeep =
+              if (on.nonEmpty) on.toSet
+              else rightOn.filterNot(l0.columns.contains).toSet
             val r1 = rPrefix match {
               case Some(p) => r0.columns.foldLeft(r0)((d, c) =>
                 if (keyKeep(c)) d else d.withColumnRenamed(c, p + c))
               case None => r0
             }
-            val l = if (bcast == "left") broadcast(l0) else l0
-            val r = if (bcast == "right") broadcast(r1) else r1
+            val rightOn1 = rPrefix match {
+              case Some(p) => rightOn.map(b => if (keyKeep(b)) b else p + b)
+              case None => rightOn
+            }
+            // The loader's per-event provenance stamp (source_type) and
+            // __-internal columns sit on BOTH sides of nearly every
+            // join; enrichment keeps the LEFT event's metadata, so the
+            // right's copies are dropped rather than demanding a prefix
+            // for them (unless they're join keys).
+            val keyCols = (if (on.nonEmpty) on else rightOn1).toSet
+            val isMeta = (c: String) =>
+              (c == "source_type" || c.startsWith("__")) && !keyCols(c)
+            val r2 =
+              if (rPrefix.isEmpty)
+                r1.columns.filter(c => isMeta(c) && l0.columns.contains(c))
+                  .foldLeft(r1)(_ drop _)
+              else r1
+            // Same-named non-key columns on both sides are legal until
+            // referenced, then fail downstream with a confusing
+            // ambiguity error — fail fast with a named fix instead
+            // (semi/anti joins emit no right columns, so skip there).
+            if (rPrefix.isEmpty && kind != "left_semi" && kind != "left_anti") {
+              val dup = l0.columns.toSet.intersect(r2.columns.toSet) --
+                (if (on.nonEmpty) on.toSet else Set.empty[String])
+              if (dup.nonEmpty) throw new IllegalArgumentException(
+                s"join $id: column(s) ${dup.toSeq.sorted.mkString(", ")} " +
+                  "exist on both sides; set right_prefix: to disambiguate")
+            }
             val joined =
-              if (kind == "cross") l.crossJoin(r)
-              else if (on.nonEmpty) l.join(r, on, kind)
-              else l.join(r, leftOn.zip(rightOn)
-                .map { case (a, b) => l(a) === r(b) }.reduce(_ && _), kind)
+              if (kind == "cross") {
+                val l = if (bcast == "left") broadcast(l0) else l0
+                val r = if (bcast == "right") broadcast(r2) else r2
+                l.crossJoin(r)
+              } else if (on.nonEmpty) {
+                val l = if (bcast == "left") broadcast(l0) else l0
+                val r = if (bcast == "right") broadcast(r2) else r2
+                l.join(r, on, kind)
+              } else {
+                // alias both sides so a self-join (both inputs resolving
+                // to the same upstream plan) binds each key to its own
+                // side instead of Spark's ambiguous-lineage trap
+                val la0 = l0.alias("__join_l")
+                val ra0 = r2.alias("__join_r")
+                val la = if (bcast == "left") broadcast(la0) else la0
+                val ra = if (bcast == "right") broadcast(ra0) else ra0
+                la.join(ra, leftOn.zip(rightOn1)
+                  .map { case (a, b) =>
+                    col(s"__join_l.$a") === col(s"__join_r.$b") }
+                  .reduce(_ && _), kind)
+              }
             Map("" -> joined)
+          })
+      // `sort` / `top_k` / `set_op` — the rest of SURVEY §2.1's
+      // scope-note extras (the reference has no sort, limit/top-k, or
+      // set operators — src/topology/builder.rs only fans in via
+      // `inputs` union; Catalyst gives us all of them, so expose them
+      // at the YAML surface). `by:` entries are field names, '-'
+      // prefix = descending.
+      case "sort" =>
+        val by = strList(conf.getOrElse("by", Nil))
+        if (by.isEmpty) throw new IllegalArgumentException(
+          s"sort $id: `by:` is required ('-' prefix for descending)")
+        val within = strList(conf.getOrElse("within_key", Nil))
+        Topology.Transform.simple(id, inputs, df =>
+          if (within.nonEmpty)
+            // keyed sort: ONE hash exchange + in-partition sort — no
+            // global range exchange (the 100 TB shape when per-key
+            // order is what downstream actually needs)
+            df.repartition(within.map(col): _*)
+              .sortWithinPartitions(
+                (within.map(col(_).asc) ++ by.map(sortCol)): _*)
+          else
+            // global total order — a range exchange over everything;
+            // the documented expensive form (prefer within_key)
+            df.orderBy(by.map(sortCol): _*))
+      case "top_k" =>
+        val k = conf.getOrElse("k", throw new IllegalArgumentException(
+          s"top_k $id: `k:` is required")).toString.toInt
+        if (k <= 0) throw new IllegalArgumentException(
+          s"top_k $id: k must be positive, got $k")
+        val by = strList(conf.getOrElse("by", Nil))
+        if (by.isEmpty) throw new IllegalArgumentException(
+          s"top_k $id: `by:` is required ('-' prefix for descending)")
+        val per = strList(conf.getOrElse("per", Nil))
+        Topology.Transform.simple(id, inputs, df =>
+          if (per.isEmpty)
+            // orderBy+limit plans as TakeOrderedAndProject: per-
+            // partition bounded heaps + one driver merge of k rows —
+            // never a full global sort (PlanAuditSpec pins this)
+            df.orderBy(by.map(sortCol): _*).limit(k)
+          else {
+            // per-key top-k: rank within one keyed window — one hash
+            // exchange, no global ordering anywhere
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(per.map(col): _*).orderBy(by.map(sortCol): _*)
+            df.withColumn("__graft_rn", row_number().over(w))
+              .filter(col("__graft_rn") <= k).drop("__graft_rn")
+          })
+      case "set_op" =>
+        val op = conf.getOrElse("op", throw new IllegalArgumentException(
+          s"set_op $id: `op:` is required " +
+            "(union_distinct, intersect, or except)")).toString
+        if (!Set("union_distinct", "intersect", "except")(op))
+          throw new IllegalArgumentException(
+            s"set_op $id: unknown op '$op' " +
+              "(one of union_distinct, intersect, except)")
+        val all = boolOpt(conf, "all", default = false)
+        if (all && op == "union_distinct")
+          throw new IllegalArgumentException(
+            s"set_op $id: `all:` does not apply to union_distinct " +
+              "(plain multi-input fan-in already unions with duplicates)")
+        if (inputs.length < 2) throw new IllegalArgumentException(
+          s"set_op $id: at least two inputs required, got ${inputs.length}")
+        Topology.Transform(id, inputs, Topology.Any, Topology.Any,
+          _ => sys.error("set_op uses applyMulti"),
+          applyMulti = Some { dfs =>
+            if (op != "union_distinct" && dfs.exists(_.isStreaming))
+              throw new IllegalArgumentException(
+                s"set_op $id: $op is not supported on streaming inputs")
+            val out = op match {
+              case "union_distinct" =>
+                // each op is a map-side-combining hash aggregate on the
+                // row key — the same ONE-shuffle shape as a groupBy
+                dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+                  .distinct()
+              case "intersect" =>
+                if (all) dfs.reduce(_ intersectAll _)
+                else dfs.reduce(_ intersect _)
+              case "except" =>
+                if (all) dfs.reduce(_ exceptAll _)
+                else dfs.reduce(_ except _)
+            }
+            Map("" -> out)
           })
       // lua transform (src/transforms/lua/): v1 script body over the
       // `event` global, v2 process hook (event, emit) — micro-Lua
@@ -1148,8 +1313,8 @@ object ConfigLoader {
     "filter", "incremental_to_absolute", "join", "line_agg",
     "log_to_metric",
     "lua", "metric_to_log", "multiline", "reduce", "remap", "route",
-    "sample", "tag_cardinality_limit", "throttle", "trace_to_log",
-    "window")
+    "sample", "set_op", "sort", "tag_cardinality_limit", "throttle",
+    "top_k", "trace_to_log", "window")
 
   val sinkTypes: Seq[String] = Seq(
     "amqp", "appsignal", "aws_cloudwatch_logs", "aws_cloudwatch_metrics",
@@ -2327,10 +2492,65 @@ object ConfigLoader {
     * port free (ephemeral `:0` test listeners always are). Untouched
     * subgraphs keep their existing source instances untouched.
     */
+  /** Pre-stop reload gate: catch config-construction errors (unknown
+    * component types, bad transform args like an unknown join kind,
+    * VRL that doesn't parse) WITHOUT instantiating sources or sinks —
+    * no ports bound, nothing started — so [[reload]] can reject a bad
+    * config BEFORE it stops the affected subgraph. The reference's
+    * provider loop has the same property: a fetched document that
+    * fails config::load never touches the running topology
+    * (providers/http.rs poll_http).
+    */
+  def dryValidate(yaml: String, sinks: Set[String]): Unit = {
+    val conf = parseYaml(renderPartial(yaml, sinks))
+    def typeOf(id: String, v: Any): String =
+      yamlMap(v).get("type").map(_.toString).getOrElse(
+        throw new IllegalArgumentException(s"$id: missing `type:`"))
+    yamlMap(conf.getOrElse("sources", null)).foreach { case (id, v) =>
+      val t = typeOf(id, v)
+      if (!sourceTypes.contains(t)) throw new IllegalArgumentException(
+        s"source $id: unknown type '$t'")
+    }
+    yamlMap(conf.getOrElse("sinks", null)).foreach { case (id, v) =>
+      val t = typeOf(id, v)
+      if (!sinkTypes.contains(t)) throw new IllegalArgumentException(
+        s"sink $id: unknown type '$t'")
+    }
+    yamlMap(conf.getOrElse("transforms", null)).foreach { case (id, v) =>
+      val m = yamlMap(v)
+      val t = typeOf(id, v)
+      if (!transformTypes.contains(t)) throw new IllegalArgumentException(
+        s"transform $id: unknown type '$t'")
+      transformOf(id, m) // arg validation; bodies stay lazy
+      // the two VRL surfaces a remote config most commonly breaks —
+      // parse-only, so no schema needed (column-resolution errors
+      // still surface at build, where the rollback below catches them)
+      t match {
+        case "remap" => m.get("source").foreach(s =>
+          graft.functions.VrlParser.parse(s.toString))
+        case "filter" => m.get("condition").foreach(c =>
+          graft.functions.VrlParser.parse(conditionSource(c)))
+        case _ => ()
+      }
+    }
+  }
+
+  /** A reload whose NEW subgraph failed to build after the old one was
+    * already stopped: `restored` carries the re-built old subgraph's
+    * handles (the rollback), so the caller can keep running the last
+    * good config without leaking stopped queries.
+    */
+  final class ReloadFailedException(val restored: RunningConfig,
+                                    cause: Exception)
+    extends RuntimeException(
+      s"reload failed, old subgraph restored: ${cause.getMessage}", cause)
+
   def reload(spark: SparkSession, running: RunningConfig,
              oldYaml: String, newYaml: String, sfDir: String,
              workDir: String): RunningConfig = {
     val (restart, removed) = diffConfigs(oldYaml, newYaml)
+    // reject configs that can't construct BEFORE stopping anything
+    if (restart.nonEmpty) dryValidate(newYaml, restart)
     (restart ++ removed).foreach { id =>
       running.queries.get(id).foreach(q =>
         try q.stop() catch { case _: Exception => () })
@@ -2358,8 +2578,7 @@ object ConfigLoader {
       running.copy(queries = running.queries -- removed,
         closers = keepClosers, exporters = expKeep)
     else {
-      val fresh = run(spark, renderPartial(newYaml, restart), sfDir, workDir)
-      RunningConfig(
+      def merge(fresh: RunningConfig): RunningConfig = RunningConfig(
         running.queries -- removed -- restart ++ fresh.queries,
         running.tails ++ fresh.tails,
         running.scrapers ++ fresh.scrapers,
@@ -2367,6 +2586,24 @@ object ConfigLoader {
         keepClosers ++ fresh.closers,
         expKeep ++ fresh.exporters,
         running.pollers ++ fresh.pollers)
+      try merge(run(spark, renderPartial(newYaml, restart), sfDir, workDir))
+      catch {
+        case e: Exception =>
+          // the new subgraph failed to BUILD after the old one was
+          // stopped (a residual class dryValidate can't see, e.g. a
+          // column that doesn't resolve) — rebuild the old known-good
+          // subgraph (its ports were freed by the stops above) and
+          // hand the restored handles back with the failure
+          val oldSinkIds =
+            yamlMap(parseYaml(oldYaml).getOrElse("sinks", null)).keySet
+          val restore = restart.intersect(oldSinkIds)
+          val restored =
+            if (restore.isEmpty) merge(RunningConfig(Map.empty))
+            else try merge(
+              run(spark, renderPartial(oldYaml, restore), sfDir, workDir))
+            catch { case _: Exception => merge(RunningConfig(Map.empty)) }
+          throw new ReloadFailedException(restored, e)
+      }
     }
   }
 

@@ -220,6 +220,78 @@ class ToolingSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("reload: a bad config cannot kill the topology — dryValidate " +
+      "rejects before stopping; a mid-swap build failure rolls back") {
+    val dir = java.nio.file.Files.createTempDirectory("rlbad")
+    java.nio.file.Files.write(dir.resolve("a.log"),
+      "one\n".getBytes("UTF-8"))
+    def cfg(remapSource: String) =
+      s"""
+        |sources:
+        |  src:
+        |    type: file
+        |    path: $dir
+        |transforms:
+        |  up:
+        |    type: remap
+        |    inputs: [src]
+        |    source: |
+        |      .msg = $remapSource
+        |sinks:
+        |  rb_out:
+        |    type: memory
+        |    inputs: [up]
+        |""".stripMargin
+    val good = cfg("upcase!(.message)")
+    val tmp = java.nio.file.Files.createTempDirectory("rlbadwork").toString
+    var running = plans.ConfigLoader.run(spark, good,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      running.processAllAvailable()
+      assert(spark.table("rb_out").collect()
+        .map(_.getAs[String]("msg")).toSet == Set("ONE"))
+      val q0 = running.queries("rb_out")
+
+      // 1. VRL that doesn't PARSE: dryValidate rejects the reload
+      //    before anything is stopped — the original query instance
+      //    must still be the active one
+      val unparsable = cfg("upcase!(.message") // unbalanced paren
+      val e1 = intercept[Exception] {
+        plans.ConfigLoader.reload(spark, running, good, unparsable,
+          "/root/testdata/sf0.001", tmp)
+      }
+      assert(!e1.isInstanceOf[plans.ConfigLoader.ReloadFailedException],
+        s"dryValidate should reject pre-stop, got rollback: $e1")
+      assert(q0.isActive && (running.queries("rb_out") eq q0))
+
+      // an unknown transform type is also a pre-stop rejection
+      val e1b = intercept[IllegalArgumentException] {
+        plans.ConfigLoader.reload(spark, running, good,
+          good.replace("type: remap", "type: remop"),
+          "/root/testdata/sf0.001", tmp)
+      }
+      assert(e1b.getMessage.contains("unknown type") && q0.isActive)
+
+      // 2. VRL that parses but fails to COMPILE (unknown function):
+      //    build fails after the old subgraph stopped → reload rolls
+      //    the old subgraph back and reports the restored handles
+      val uncompilable = cfg("definitely_not_a_function!(.message)")
+      val e2 = intercept[plans.ConfigLoader.ReloadFailedException] {
+        plans.ConfigLoader.reload(spark, running, good, uncompilable,
+          "/root/testdata/sf0.001", tmp)
+      }
+      running = e2.restored
+      assert(running.queries.contains("rb_out") &&
+        running.queries("rb_out").isActive)
+      // the restored subgraph still ingests with the OLD behavior
+      java.nio.file.Files.write(dir.resolve("a.log"),
+        "two\n".getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+      running.processAllAvailable()
+      assert(spark.table("rb_out").collect()
+        .map(_.getAs[String]("msg")).toSet == Set("ONE", "TWO"))
+    } finally running.stopAll()
+  }
+
   test("api: health + components endpoints serve the live topology") {
     val dir = java.nio.file.Files.createTempDirectory("apisrc")
     java.nio.file.Files.write(dir.resolve("a.log"),

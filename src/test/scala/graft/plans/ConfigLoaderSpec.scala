@@ -383,6 +383,237 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(arity.getMessage.contains("exactly two inputs"))
   }
 
+  test("join transform: collision check, metadata dedup, self-join, " +
+      "unusable broadcast hints") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    // same-named non-key columns without right_prefix → named error at
+    // build (not a downstream ambiguity surprise). Both sides are
+    // events-shaped, so every column collides.
+    def selfTopo(extra: String) =
+      s"""
+        |sources:
+        |  events:
+        |    type: parquet
+        |    table: events
+        |transforms:
+        |  errs:
+        |    type: filter
+        |    inputs: [events]
+        |    condition: '.event_type == "error"'
+        |  j:
+        |    type: join
+        |    inputs: [events, errs]
+        |    left_on: [event_id]
+        |    right_on: [event_id]
+        |$extra
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [j]
+        |""".stripMargin
+    val dup = intercept[IllegalArgumentException] {
+      ConfigLoader.load(spark, selfTopo("    kind: inner"), dir)
+    }
+    assert(dup.getMessage.contains("right_prefix"))
+    // with the prefix, the SELF-join (both inputs resolve to the same
+    // upstream scan) builds and binds each key to its own side — the
+    // shared key name is prefixed too, so no ambiguous duplicate
+    val self = ConfigLoader.load(spark,
+      selfTopo("    kind: inner\n    right_prefix: r_"), dir).sink("out")
+    assert(self.columns.contains("r_event_id") &&
+      self.columns.count(_ == "event_id") == 1)
+    val nErr = graft.Graft.table(spark, dir, "events")
+      .filter(col("event_type") === "error").count()
+    assert(self.count() == nErr)
+    // semi/anti joins emit no right columns → no collision check needed
+    val semi = ConfigLoader.load(spark, selfTopo("    kind: left_semi"), dir)
+      .sink("out")
+    assert(semi.count() == nErr)
+    // the loader's per-source provenance stamp (source_type) sits on
+    // both sides of every join; the LEFT event's copy wins instead of
+    // the check demanding a prefix for it (transform_join's shape)
+    val enriched = ConfigLoader.load(spark,
+      """
+        |sources:
+        |  orders:
+        |    type: parquet
+        |    table: orders
+        |  customers:
+        |    type: parquet
+        |    table: customer
+        |transforms:
+        |  j:
+        |    type: join
+        |    inputs: [orders, customers]
+        |    left_on: [o_custkey]
+        |    right_on: [c_custkey]
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [j]
+        |""".stripMargin, dir).sink("out")
+    assert(enriched.columns.count(_ == "source_type") == 1)
+    // a broadcast hint Spark cannot honor (the preserved side of an
+    // outer/semi/anti join can't be the hash build side) is rejected
+    // at load instead of silently degrading to a shuffle
+    def hintErr(extra: String): String =
+      intercept[IllegalArgumentException] {
+        ConfigLoader.load(spark, selfTopo(extra), dir)
+      }.getMessage
+    assert(hintErr("    kind: left\n    broadcast: left\n    right_prefix: r_")
+      .contains("cannot apply"))
+    assert(hintErr("    kind: full\n    broadcast: right\n    right_prefix: r_")
+      .contains("cannot apply"))
+    assert(hintErr(
+      "    kind: left_anti\n    broadcast: left\n    right_prefix: r_")
+      .contains("cannot apply"))
+  }
+
+  test("sort / top_k / set_op transforms: semantics and load errors") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    def topo(body: String, in: String = "events") =
+      s"""
+        |sources:
+        |  events:
+        |    type: parquet
+        |    table: events
+        |transforms:
+        |$body
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [$in]
+        |""".stripMargin
+    // global sort: total order, descending with '-' prefix
+    val sorted = ConfigLoader.load(spark, topo(
+      """  s:
+        |    type: sort
+        |    inputs: [events]
+        |    by: ["-value", "event_id"]""".stripMargin, "s"), dir)
+      .sink("out").select("value").collect().map(_.getDouble(0))
+    assert(sorted.length > 0 && sorted.sameElements(sorted.sortBy(-_)))
+    // within_key: rows of one key are contiguous and ordered, and the
+    // plan has NO global range exchange (the scale point of the form)
+    val keyed = ConfigLoader.load(spark, topo(
+      """  s:
+        |    type: sort
+        |    inputs: [events]
+        |    by: ["-value"]
+        |    within_key: [user_id]""".stripMargin, "s"), dir).sink("out")
+    assert(!keyed.queryExecution.executedPlan.toString
+      .toLowerCase.contains("rangepartitioning"))
+    val rows = keyed.select("user_id", "value").collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      if (a.getLong(0) == b.getLong(0))
+        assert(a.getDouble(1) >= b.getDouble(1))
+      case _ =>
+    }
+    // every key's rows are contiguous in the output
+    val order = rows.map(_.getLong(0)).toSeq
+    assert(order.foldLeft((Set.empty[Long], Option.empty[Long], true)) {
+      case ((seen, prev, ok), k) =>
+        if (prev.contains(k)) (seen, prev, ok)
+        else (seen + k, Some(k), ok && !seen(k))
+    }._3, "a key's rows are not contiguous")
+    // global top_k equals orderBy+limit ground truth
+    val topG = ConfigLoader.load(spark, topo(
+      """  t:
+        |    type: top_k
+        |    inputs: [events]
+        |    k: 5
+        |    by: ["-value", "event_id"]""".stripMargin, "t"), dir)
+      .sink("out").select("event_id").collect().map(_.getLong(0)).toSet
+    val want = graft.Graft.table(spark, dir, "events")
+      .orderBy(col("value").desc, col("event_id")).limit(5)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(topG == want)
+    // per-key top_k: every group capped at k
+    val topP = ConfigLoader.load(spark, topo(
+      """  t:
+        |    type: top_k
+        |    inputs: [events]
+        |    k: 2
+        |    per: [event_type]
+        |    by: ["-value", "event_id"]""".stripMargin, "t"), dir)
+      .sink("out")
+    assert(topP.groupBy("event_type").count()
+      .filter(col("count") > 2).count() == 0)
+    // set_op arity + option validation, named errors
+    def err(body: String, in: String = "x"): String =
+      intercept[IllegalArgumentException] {
+        ConfigLoader.load(spark, topo(body, in), dir)
+      }.getMessage
+    assert(err(
+      """  x:
+        |    type: set_op
+        |    op: xor
+        |    inputs: [events, events]""".stripMargin).contains("unknown op"))
+    assert(err(
+      """  x:
+        |    type: set_op
+        |    op: intersect
+        |    inputs: [events]""".stripMargin).contains("two inputs"))
+    assert(err(
+      """  x:
+        |    type: set_op
+        |    op: union_distinct
+        |    all: true
+        |    inputs: [events, events]""".stripMargin).contains("union_distinct"))
+    assert(err(
+      """  x:
+        |    type: sort
+        |    inputs: [events]""".stripMargin).contains("by"))
+    assert(err(
+      """  x:
+        |    type: top_k
+        |    inputs: [events]
+        |    by: [value]""".stripMargin).contains("k"))
+    // exceptAll keeps duplicate multiplicity (all: true): the implicit
+    // fan-in union gives every row multiplicity 2; subtracting one copy
+    // leaves exactly one per row. union_distinct collapses the same
+    // fan-in back to one copy.
+    val nEvents = graft.Graft.table(spark, dir, "events").count()
+    val exAll = ConfigLoader.load(spark, topo(
+      """  c1:
+        |    type: filter
+        |    inputs: [events]
+        |    condition: 'true'
+        |  c2:
+        |    type: filter
+        |    inputs: [events]
+        |    condition: 'true'
+        |  both:
+        |    type: filter
+        |    inputs: [c1, c2]
+        |    condition: 'true'
+        |  x:
+        |    type: set_op
+        |    op: except
+        |    all: true
+        |    inputs: [both, events]""".stripMargin, "x"), dir).sink("out")
+    assert(exAll.count() == nEvents)
+    val uniq = ConfigLoader.load(spark, topo(
+      """  c1:
+        |    type: filter
+        |    inputs: [events]
+        |    condition: 'true'
+        |  c2:
+        |    type: filter
+        |    inputs: [events]
+        |    condition: 'true'
+        |  both:
+        |    type: filter
+        |    inputs: [c1, c2]
+        |    condition: 'true'
+        |  x:
+        |    type: set_op
+        |    op: union_distinct
+        |    inputs: [both, events]""".stripMargin, "x"), dir).sink("out")
+    assert(uniq.count() == nEvents)
+  }
+
   private def resourceYaml(name: String): String = {
     val in = getClass.getResourceAsStream(s"/behavior/$name")
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString

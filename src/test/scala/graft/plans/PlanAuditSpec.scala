@@ -568,6 +568,69 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"remote_write joins:\n$p")
   }
 
+  test("top_k transform: global form is TakeOrderedAndProject (bounded " +
+      "heaps, never a full sort); per-key form has no global ordering") {
+    def topo(body: String) =
+      s"""
+        |sources:
+        |  events:
+        |    type: parquet
+        |    table: events
+        |transforms:
+        |  t:
+        |    type: top_k
+        |    inputs: [events]
+        |$body
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [t]
+        |""".stripMargin
+    // global top-k at 100 TB must be per-partition heaps + one k-row
+    // driver merge — a global range-exchange sort would shuffle the
+    // whole table to rank it
+    val g = ConfigLoader.load(spark,
+      topo("    k: 5\n    by: [\"-value\", event_id]"), dir).sink("out")
+    val pg = plan(g)
+    assert(pg.contains("TakeOrderedAndProject"),
+      s"global top_k is not TakeOrderedAndProject:\n$pg")
+    assert(!pg.toLowerCase.contains("rangepartitioning"),
+      s"global top_k range-shuffles:\n$pg")
+    // per-key: one hash exchange for the window, no range exchange
+    val k = ConfigLoader.load(spark,
+      topo("    k: 3\n    per: [event_type]\n    by: [\"-value\"]"), dir)
+      .sink("out")
+    val pk = plan(k)
+    assert(pk.toLowerCase.contains("hashpartitioning") &&
+      !pk.toLowerCase.contains("rangepartitioning"),
+      s"per-key top_k plans a global sort:\n$pk")
+  }
+
+  test("set_op union_distinct: ONE keyed exchange with partial " +
+      "aggregation (map-side combine), no join") {
+    val yaml =
+      """
+        |sources:
+        |  events:
+        |    type: parquet
+        |    table: events
+        |transforms:
+        |  x:
+        |    type: set_op
+        |    op: union_distinct
+        |    inputs: [events, events]
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [x]
+        |""".stripMargin
+    val df = ConfigLoader.load(spark, yaml, dir).sink("out")
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"distinct has no partial aggregate:\n$p")
+    assert(!p.contains("Join"), s"union_distinct joins:\n$p")
+  }
+
   test("join transform: broadcast-hash when hinted; one keyed exchange " +
       "per side otherwise") {
     // hinted (`broadcast: right` in transform_join's YAML): the fact

@@ -14,8 +14,10 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
   ADDOPENS="$ADDOPENS --add-opens $p=ALL-UNNAMED"
 done
 export SPARK_HOME=/opt/spark
+export SPARK_SCALA_VERSION=2.13
 export SPARK_GRAFT_MASTER="${SPARK_GRAFT_MASTER:-local-cluster[2,8,4096]}"
 exec java $ADDOPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.executor.memory=${SPARK_EXECUTOR_MEM:-3g} \
   -Dspark.executor.extraClassPath=/root/repo/target/scala-2.13/classes \
   -cp "$CP" "$@"
