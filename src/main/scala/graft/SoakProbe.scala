@@ -107,6 +107,194 @@ object SoakProbe {
       tally.stateRows, tally.stateBytes, tally.out.get())
   }
 
+  /** Chaos leg 1 — kill/resume: a stateful query (GCRA throttle on the
+    * RocksDB store) is stopped mid-stream and a NEW query resumes from
+    * the same checkpoint. The resumed run's admitted-row set must be
+    * IDENTICAL (with multiplicity) to an uninterrupted control run on
+    * the same input — the restart evidence the flat-latency soak can't
+    * give: state reloads from RocksDB, the replayed batch re-decides
+    * identically, and the parquet sink's metadata log keeps output
+    * exactly-once across the kill.
+    */
+  private def chaosResume(spark: SparkSession, files: Int, perFile: Int,
+      keys: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("soak_resume").toString
+    // one parquet file per micro-batch (maxFilesPerTrigger=1) so the
+    // control and chaos runs see identical batch boundaries
+    (0 until files).foreach { b =>
+      val lo = b.toLong * perFile
+      spark.range(lo, lo + perFile)
+        .select((col("id") % keys).as("k"),
+          expr("id div 64").as("t")) // integer division: t stays BIGINT
+        .coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val total = files.toLong * perFile
+    def start(tag: String): (StreamingQuery, Tally) = {
+      val ds = spark.readStream.schema("k BIGINT, t BIGINT")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .as[(Long, Long)]
+      val tally = new Tally
+      spark.streams.addListener(tally)
+      val q = graft.streaming.StatefulKernels.throttle[Long, (Long, Long)](
+          ds.groupByKey(_._1), threshold = 10, windowMs = 1000L,
+          eventTimeMs = (e: (Long, Long)) => e._2)
+        .toDF("k", "t")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out_$tag")
+        .option("checkpointLocation", s"$base/ckpt_$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("10 milliseconds"))
+        .start()
+      (q, tally)
+    }
+    def drainTo(q: StreamingQuery, tally: Tally, want: Long): Unit = {
+      val deadline = System.nanoTime() + 600L * 1000000000L
+      while (tally.in.get() < want && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      require(tally.in.get() >= want,
+        s"resume soak stalled (${tally.in.get()} < $want)")
+      q.stop()
+      spark.streams.removeListener(tally)
+    }
+    val t0 = System.nanoTime()
+    // control: uninterrupted run over all files
+    val (qc, tc) = start("control")
+    drainTo(qc, tc, total)
+    val controlN = spark.read.parquet(s"$base/out_control").count()
+    // chaos: KILL at ~half the input, resume from the same checkpoint
+    val (q1, t1) = start("chaos")
+    drainTo(q1, t1, total / 2)
+    val killedAt = t1.in.get()
+    val (q2, t2) = start("chaos") // same path + checkpoint → resume
+    val deadline = System.nanoTime() + 600L * 1000000000L
+    var outN = 0L
+    while (outN < controlN && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      outN = spark.read.parquet(s"$base/out_chaos").count()
+    }
+    // settle, then re-count: catches late duplicate emission
+    Thread.sleep(3000)
+    outN = spark.read.parquet(s"$base/out_chaos").count()
+    q2.stop()
+    spark.streams.removeListener(t2)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val control = spark.read.parquet(s"$base/out_control")
+    val chaos = spark.read.parquet(s"$base/out_chaos")
+    val missing = control.exceptAll(chaos).count()
+    val extra = chaos.exceptAll(control).count()
+    println(f"kill_resume      ${total}%10d events, killed at $killedAt, " +
+      f"control_out=$controlN chaos_out=$outN " +
+      f"missing=$missing extra=$extra state_rows=${t2.stateRows} " +
+      f"(${secs}%.0f s)")
+    require(missing == 0 && extra == 0 && outN == controlN,
+      s"kill/resume output diverged: missing=$missing extra=$extra " +
+        s"($outN vs $controlN)")
+    // no state-row count assertion: GCRA states expire via
+    // ProcessingTimeTimeout GC (bounded state is the FEATURE), so the
+    // row count at stop time is timing-dependent — the state-restore
+    // evidence is the byte-identical output above, which can only
+    // happen if the replayed batch re-decided from the restored TATs
+  }
+
+  /** Chaos leg 2 — mid-soak config reload: a YAML topology with a
+    * STATEFUL chain (streaming dedupe on RocksDB) and a stateless chain
+    * (remap) gets a config edit swapping the remap body while events
+    * flow. The diff must restart ONLY the remap chain; the dedupe
+    * chain's query instance — and its seen-keys state — must survive,
+    * proven by re-sending pre-reload messages after the reload and
+    * observing ZERO re-emissions.
+    */
+  private def chaosReload(spark: SparkSession, n: Int): Unit = {
+    // each chain gets its OWN source: a reload restarts the full
+    // subgraph of any sink sharing a restarted component's upstream,
+    // so an edit to the tag chain leaves the dedupe chain untouched
+    // only when their sources are disjoint
+    val srcA = java.nio.file.Files.createTempDirectory("soak_rl_a")
+    val srcB = java.nio.file.Files.createTempDirectory("soak_rl_b")
+    val work = java.nio.file.Files
+      .createTempDirectory("soak_rl_work").toString
+    def cfg(lane: String) =
+      s"""
+        |sources:
+        |  src_dd:
+        |    type: file
+        |    path: $srcA
+        |  src_tag:
+        |    type: file
+        |    path: $srcB
+        |transforms:
+        |  dd:
+        |    type: dedupe
+        |    inputs: [src_dd]
+        |    fields:
+        |      match: [message]
+        |  tag:
+        |    type: remap
+        |    inputs: [src_tag]
+        |    source: |
+        |      .lane = "$lane"
+        |sinks:
+        |  soak_dedup_out:
+        |    type: memory
+        |    inputs: [dd]
+        |  soak_tag_out:
+        |    type: memory
+        |    inputs: [tag]
+        |""".stripMargin
+    def append(dir: java.nio.file.Path, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve("app.log"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    val t0 = System.nanoTime()
+    val yaml1 = cfg("v1")
+    val yaml2 = cfg("v2")
+    var running = plans.ConfigLoader.run(spark, yaml1,
+      "/root/testdata/sf0.001", work)
+    try {
+      append(srcA, (0 until n).map(i => s"m$i"))
+      append(srcB, (0 until n).map(i => s"b$i"))
+      running.processAllAvailable()
+      val ddQ = running.queries("soak_dedup_out")
+      val seen1 = spark.table("soak_dedup_out").count()
+      val lane1 = spark.table("soak_tag_out")
+        .groupBy("lane").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // swap the remap body mid-soak: only the tag chain restarts
+      running = plans.ConfigLoader.reload(spark, running, yaml1, yaml2,
+        "/root/testdata/sf0.001", work)
+      require(running.queries("soak_dedup_out") eq ddQ,
+        "reload restarted the untouched stateful chain")
+      require(ddQ.isActive, "stateful chain died across reload")
+      // re-send every pre-reload message + n fresh ones: the dedupe
+      // kernel's seen-keys state must survive the reload untouched
+      append(srcA, (0 until 2 * n).map(i => s"m$i"))
+      append(srcB, (0 until n).map(i => s"c$i"))
+      running.processAllAvailable()
+      val dedupN = spark.table("soak_dedup_out").count()
+      val reEmitted = dedupN - seen1 - n // only m{n}..m{2n-1} are new
+      // the restarted tag chain re-tails its file from scratch with the
+      // NEW body (the documented subgraph-restart semantics): all 2n
+      // lines carry lane v2
+      val lane2 = spark.table("soak_tag_out")
+        .groupBy("lane").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"reload_swap      ${4 * n}%10d lines, " +
+        f"dedup_out=$dedupN (pre-reload $seen1, re-emitted $reEmitted), " +
+        f"lanes pre=$lane1 post=$lane2 (${secs}%.0f s)")
+      require(seen1 == n && reEmitted == 0,
+        s"dedupe state lost across reload: $seen1/$n then +$reEmitted dups")
+      require(lane1 == Map("v1" -> n.toLong),
+        s"pre-reload lanes wrong: $lane1")
+      require(lane2 == Map("v2" -> 2L * n),
+        s"post-reload lanes wrong: $lane2")
+    } finally running.stopAll()
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val batches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "50").toInt
@@ -118,6 +306,18 @@ object SoakProbe {
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
     import spark.implicits._
+
+    // SPARK_GRAFT_SOAK_CHAOS=true → run the chaos legs after the soak;
+    // =only → just the chaos legs (dev loop)
+    val chaos = sys.env.getOrElse("SPARK_GRAFT_SOAK_CHAOS", "false")
+    if (chaos == "only") {
+      println("chaos: kill/resume from RocksDB checkpoint + mid-soak reload")
+      chaosResume(spark, files = 30,
+        perFile = math.max(1000, perBatch / 4), keys = keys)
+      chaosReload(spark, n = 2000)
+      spark.stop()
+      return
+    }
 
     println(s"soak: $batches batches x $perBatch events, $keys keys, " +
       s"RocksDB state store")
@@ -164,6 +364,12 @@ object SoakProbe {
         f"${pct(r.batchMs, 0.95)}%8.0f ${r.batchMs.max}%8.0f " +
         f"${last5 / first5}%7.2f ${r.stateRows}%10d " +
         f"${r.stateBytes / 1048576.0}%8.1f ${r.outRows}%10d")
+    }
+    if (chaos.toBoolean) {
+      println("chaos: kill/resume from RocksDB checkpoint + mid-soak reload")
+      chaosResume(spark, files = 30,
+        perFile = math.max(1000, perBatch / 4), keys = keys)
+      chaosReload(spark, n = 2000)
     }
     spark.stop()
   }
