@@ -232,7 +232,15 @@ object AbProbe {
         // ceiling a Catalyst-expression port could reach). The A/B gap
         // bounds what a port would buy on a path that carries every
         // distribution/histogram row.
-        def distRows(): DataFrame = replicated()
+        // The generators below lean on nested transform()/struct()
+        // HOFs, which run INTERPRETED — at rep=40 building the corpus
+        // costs minutes per pass and drowns the A/B signal. So each
+        // corpus is materialized to parquet ONCE and both legs read it
+        // back: the timed passes then isolate exactly the
+        // UDF-vs-codegen egress work.
+        val egressBase = java.nio.file.Files
+          .createTempDirectory("ab-egress").toString
+        replicated()
           .select(
             concat(lit("m"), pmod(col("event_id"), lit(1000))).as("name"),
             lit("distribution").as("value_type"),
@@ -244,6 +252,8 @@ object AbProbe {
                   + lit(0.1)).as("value"),
                 (pmod(i, lit(5)) + 1).cast("long").as("rate")))
               .as("dist_samples"))
+          .write.mode("overwrite").parquet(s"$egressBase/dist")
+        def distRows(): DataFrame = spark.read.parquet(s"$egressBase/dist")
         val nRows = distRows().count()
         println(s"egress corpus: $nRows rows x 64 samples")
         // A: real dd sketch fragment (toSketch UDF + proto encode)
@@ -276,7 +286,7 @@ object AbProbe {
         // remote-write quantile lanes: A = sketchQs UDF (via
         // remoteWriteSeries over sketch rows), B = codegen quantile-ish
         // scan of the same lanes
-        def sketchRows(): DataFrame = replicated()
+        replicated()
           .select(
             concat(lit("s"), pmod(col("event_id"), lit(1000))).as("name"),
             lit("sketch").as("value_type"),
@@ -288,6 +298,9 @@ object AbProbe {
             lit(640L).as("sketch_cnt"), lit(0.5).as("sketch_min"),
             lit(99.5).as("sketch_max"), lit(3200.0).as("sketch_sum"),
             lit(5.0).as("sketch_avg"))
+          .write.mode("overwrite").parquet(s"$egressBase/sketch")
+        def sketchRows(): DataFrame =
+          spark.read.parquet(s"$egressBase/sketch")
         def rwA(): DataFrame =
           graft.sinks.Envelopes.remoteWriteSeries(sketchRows())
         def rwB(): DataFrame = sketchRows().select(

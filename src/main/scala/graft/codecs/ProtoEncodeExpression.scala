@@ -1,0 +1,176 @@
+package graft.codecs
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+import org.apache.spark.sql.types._
+
+import ProtobufCodec._
+
+/** proto3 struct→bytes encode as a native expression (see
+  * [[ProtobufCodec.encode]]). The wire walker is byte-identical to
+  * `encodeRecord` — same field order, same varint/fixed/length-delimited
+  * layout, null fields skipped — but reads the Catalyst `InternalRow`
+  * directly through a schema-compiled plan (field index + accessor per
+  * proto field, resolved once) instead of converting the nested payload
+  * tree to external Rows per row.
+  */
+case class ProtoEncodeExpression(schema: ProtoSchema, child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "proto_encode"
+
+  @transient private lazy val kernel =
+    new ProtoEncodeKernel(schema, child.dataType.asInstanceOf[StructType])
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.encode(input.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ker = ctx.addReferenceObj("protoEncKernel", kernel,
+      classOf[ProtoEncodeKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ker.encode($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ProtoEncodeExpression = copy(child = newChild)
+}
+
+/** The compiled encoder: per proto field its struct ordinal, Spark type
+  * and (for messages) the nested compiled plan. Serializable — shipped
+  * to executors inside the generated code's references array.
+  */
+final class ProtoEncodeKernel(schema: ProtoSchema, structType: StructType)
+    extends Serializable {
+
+  private final case class CField(no: Int, ptype: PType, idx: Int,
+      dt: DataType, nested: Array[CField], nStructFields: Int)
+
+  private def compile(s: ProtoSchema, st: StructType): Array[CField] =
+    s.fields.map { f =>
+      val idx = st.fieldIndex(f.name)
+      val dt0 = st.fields(idx).dataType
+      // the value type (array element type for repeated fields)
+      val dt = dt0 match {
+        case ArrayType(et, _) => et
+        case other => other
+      }
+      def inner(t: PType): Array[CField] = t match {
+        case PMessage(ms) => compile(ms, dt.asInstanceOf[StructType])
+        case PRepeated(e) => inner(e)
+        case _ => null
+      }
+      CField(f.no, f.ptype, idx, dt, inner(f.ptype), dt match {
+        case s: StructType => s.size
+        case _ => 0
+      })
+    }.toArray
+
+  private val plan: Array[CField] = compile(schema, structType)
+
+  def encode(row: InternalRow): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeRecord(out, plan, row)
+    out.toByteArray
+  }
+
+  private def writeVarint(out: java.io.ByteArrayOutputStream,
+                          v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7FL) != 0) {
+      out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  private def wt(t: PType): Int = t match {
+    case PVarint | PSint => 0
+    case PDouble | PFixed64 => 1
+    case PFloat | PFixed32 | PSfixed32 => 5
+    case _ => 2
+  }
+
+  private def longOf(g: SpecializedGetters, i: Int, dt: DataType): Long =
+    dt match {
+      case LongType => g.getLong(i)
+      case IntegerType => g.getInt(i).toLong
+      case ShortType => g.getShort(i).toLong
+      case BooleanType => if (g.getBoolean(i)) 1L else 0L
+      case _ => throw new IllegalStateException(
+        s"proto integral field over $dt")
+    }
+
+  private def writeRecord(out: java.io.ByteArrayOutputStream,
+                          fields: Array[CField],
+                          row: InternalRow): Unit = {
+    var fi = 0
+    while (fi < fields.length) {
+      val f = fields(fi)
+      if (!row.isNullAt(f.idx)) f.ptype match {
+        case PRepeated(elem) =>
+          val arr = row.getArray(f.idx)
+          val n = arr.numElements()
+          var i = 0
+          while (i < n) {
+            if (!arr.isNullAt(i)) writeValue(out, f, elem, arr, i)
+            i += 1
+          }
+        case t => writeValue(out, f, t, row, f.idx)
+      }
+      fi += 1
+    }
+  }
+
+  private def writeValue(out: java.io.ByteArrayOutputStream, f: CField,
+                         t: PType, g: SpecializedGetters, i: Int): Unit = {
+    writeVarint(out, (f.no.toLong << 3) | wt(t))
+    t match {
+      case PVarint => writeVarint(out, longOf(g, i, f.dt))
+      case PSint =>
+        val v = longOf(g, i, f.dt)
+        writeVarint(out, (v << 1) ^ (v >> 63))
+      case PFixed64 =>
+        var x = longOf(g, i, f.dt)
+        var k = 0
+        while (k < 8) { out.write((x & 0xFF).toInt); x >>>= 8; k += 1 }
+      case PDouble =>
+        var x = java.lang.Double.doubleToLongBits(f.dt match {
+          case DoubleType => g.getDouble(i)
+          case FloatType => g.getFloat(i).toDouble
+          case other => longOf(g, i, other).toDouble
+        })
+        var k = 0
+        while (k < 8) { out.write((x & 0xFF).toInt); x >>>= 8; k += 1 }
+      case PFloat =>
+        var x = java.lang.Float.floatToIntBits(f.dt match {
+          case FloatType => g.getFloat(i)
+          case DoubleType => g.getDouble(i).toFloat
+          case other => longOf(g, i, other).toFloat
+        })
+        var k = 0
+        while (k < 4) { out.write(x & 0xFF); x >>>= 8; k += 1 }
+      case PFixed32 | PSfixed32 =>
+        var x = longOf(g, i, f.dt).toInt
+        var k = 0
+        while (k < 4) { out.write(x & 0xFF); x >>>= 8; k += 1 }
+      case PString =>
+        val b = g.getUTF8String(i).getBytes // already UTF-8
+        writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+      case PBytes =>
+        val b = g.getBinary(i)
+        writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+      case PMessage(_) =>
+        val sub = new java.io.ByteArrayOutputStream()
+        writeRecord(sub, f.nested, g.getStruct(i, f.nStructFields))
+        writeVarint(out, sub.size().toLong)
+        sub.writeTo(out)
+      case PRepeated(_) =>
+        throw new IllegalStateException("nested repeated unsupported")
+    }
+  }
+}

@@ -367,10 +367,22 @@ object ProtobufCodec {
   def encodeTo(schema: ProtoSchema, r: Row): Array[Byte] =
     encodeRecord(schema, r)
 
-  /** struct column → proto3 message bytes (null row → null). */
+  /** struct column → proto3 message bytes (null row → null).
+    *
+    * A native expression, not a UDF: the egress payload structs are
+    * deeply nested (repeated messages holding k/n lanes, label arrays),
+    * and the Scala-UDF form paid a full Catalyst→external-Row
+    * conversion of that tree per row — the egress_udfs A/B probe put
+    * the UDF lanes on the dd/remote-write paths at 10-18× the codegen
+    * ceiling. [[ProtoEncodeExpression]] walks the `InternalRow` in
+    * place (UTF8String bytes are already UTF-8 — no re-encode) and its
+    * generated code is one kernel call, so the enclosing projection
+    * stays inside whole-stage codegen.
+    */
   def encode(schema: ProtoSchema, record: Column): Column = {
-    val enc = udf { (r: Row) => if (r == null) null else encodeRecord(schema, r) }
-    enc(record)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(ProtoEncodeExpression(schema,
+      ColumnBridge.expression(record)))
   }
 
   /** proto3 message bytes → struct column; null on malformed input. */

@@ -171,10 +171,44 @@ object AgentSketch {
 
     /** insert_n (ddsketch.rs:549): one distribution sample `value ×
       * rate`.
+      *
+      * The common case (no per-bin overflow, under the 4096-bin trim
+      * threshold) merges in place after a binary search instead of
+      * rebuilding the whole bins array per sample — the egress A/B
+      * probe measured the rebuild-per-sample form as the dominant cost
+      * of the dd sketch egress (64-sample rows paid O(samples × bins)
+      * buffer churn). Results are bit-identical to the general path:
+      * a single-key insertKeyCounts is exactly "merge into the FIRST
+      * bin with this key, else splice at the sorted position", and the
+      * fast path bails out whenever generateBins would split
+      * (count ≥ u16::MAX) or trimLeft would fire (≥ 4096 bins).
       */
     def insertN(v: Double, n: Long): Unit = if (n > 0) {
       adjustBasicStats(v, n)
-      insertKeyCounts(Seq((key(v), n)))
+      val k = key(v)
+      // lower bound: first bin with key >= k (overflow splits repeat a
+      // key; the sequential merge touches the first occurrence only)
+      var lo = 0
+      var hi = bins.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (bins(mid)._1 < k) lo = mid + 1 else hi = mid
+      }
+      if (lo < bins.length && bins(lo)._1 == k) {
+        val combined = bins(lo)._2.toLong + n
+        if (combined < MaxBinWidth && bins.length < BinLimit) {
+          bins(lo) = (k, combined.toInt)
+          return
+        }
+      } else if (n < MaxBinWidth && bins.length + 1 < BinLimit) {
+        val next = new Array[(Int, Int)](bins.length + 1)
+        System.arraycopy(bins, 0, next, 0, lo)
+        next(lo) = (k, n.toInt)
+        System.arraycopy(bins, lo, next, lo + 1, bins.length - lo)
+        bins = next
+        return
+      }
+      insertKeyCounts(Seq((k, n))) // slow path: overflow split / trim
     }
 
     /** insert_interpolate_bucket (ddsketch.rs:558): spread one

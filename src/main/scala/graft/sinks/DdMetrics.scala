@@ -37,9 +37,11 @@ import NetworkSinks.HttpConfig
   * byte-faithfully through the intake legs (the sink_dd_series /
   * sink_dd_sketch oracle queries round-trip exactly that).
   *
-  * Both fragment builders are shuffle-free projections; the only
-  * non-codegen step is the sketch-conversion UDF, which is per-row
-  * bounded work (≤ bin_limit 4096 bins).
+  * Both fragment builders are shuffle-free, fully codegen'd
+  * projections; the sketch conversion is a native expression
+  * ([[graft.functions.SketchExprs.toSketchLanes]] — the egress_udfs
+  * A/B probe measured the former Scala-UDF form at ~12× the codegen
+  * ceiling, all conversion overhead).
   */
 object DdMetrics {
 
@@ -171,38 +173,6 @@ object DdMetrics {
     * (ddsketch.rs:796-822). Returns null for empty sketches, which the
     * encoder then skips like the reference (encoder.rs:324).
     */
-  // PUBLIC on purpose: Janino-generated serializer code calls the
-  // accessors reflectively-by-name and cannot see a private class's
-  // methods (the codegen falls back to interpreter mode otherwise)
-  case class SketchLanes(scnt: Long, smin: Double, smax: Double,
-      ssum: Double, savg: Double, sk: Seq[Long], sn: Seq[Long])
-
-  private val toSketch = udf((vt: String,
-      dist: Seq[org.apache.spark.sql.Row],
-      histo: Seq[org.apache.spark.sql.Row],
-      cnt: java.lang.Long, mn: java.lang.Double, mx: java.lang.Double,
-      sm: java.lang.Double, av: java.lang.Double,
-      ks: Seq[Long], ns: Seq[Long]) => vt match {
-    case "sketch" =>
-      if (cnt == null || cnt == 0L) None
-      else Some(SketchLanes(cnt, mn, mx, sm, av,
-        Option(ks).getOrElse(Nil), Option(ns).getOrElse(Nil)))
-    case "distribution" =>
-      val b = new AgentSketch.Builder
-      Option(dist).getOrElse(Nil).foreach { s =>
-        b.insertN(s.getAs[Double]("value"), s.getAs[Long]("rate"))
-      }
-      if (b.isEmpty) None
-      else Some(SketchLanes(b.count, b.min, b.max, b.sum, b.avg, b.ks, b.ns))
-    case "histogram" =>
-      val b = new AgentSketch.Builder
-      b.insertInterpolateBuckets(Option(histo).getOrElse(Nil).map(bk =>
-        (bk.getAs[Double]("upper_limit"), bk.getAs[Long]("count"))))
-      if (b.isEmpty) None
-      else Some(SketchLanes(b.count, b.min, b.max, b.sum, b.avg, b.ks, b.ns))
-    case _ => None
-  })
-
   /** One single-sketch SketchPayload fragment per distribution/
     * histogram/sketch row; null otherwise (and for empty sketches).
     */
@@ -226,7 +196,7 @@ object DdMetrics {
     val histo =
       if (cols("histo_buckets")) col("histo_buckets")
       else lit(null).cast("array<struct<upper_limit:double,count:bigint>>")
-    val lanes = toSketch(vt, dist, histo,
+    val lanes = graft.functions.SketchExprs.toSketchLanes(vt, dist, histo,
       sk("cnt").cast("long"), sk("min").cast("double"),
       sk("max").cast("double"), sk("sum").cast("double"),
       sk("avg").cast("double"), sk("k").cast("array<long>"),

@@ -156,14 +156,6 @@ object Envelopes {
   // because UDFs can't live inside higher-order-function lambdas
   private val f64NamesUdf = udf((vs: Seq[Double]) =>
     if (vs == null) null else vs.map(GreptimeMetrics.rustF64))
-  private val sketchQsUdf = udf((ks: Seq[Long], ns: Seq[Long],
-                                 cnt: java.lang.Long, mn: java.lang.Double,
-                                 mx: java.lang.Double) =>
-    if (cnt == null || cnt == 0L) null
-    else Seq(0.5, 0.75, 0.9, 0.95, 0.99).map(q =>
-      graft.model.AgentSketch.quantile(
-        Option(ks).getOrElse(Nil), Option(ns).getOrElse(Nil),
-        cnt, mn, mx, q).getOrElse(0.0)))
 
   def remoteWriteSeries(df: DataFrame): DataFrame =
     remoteWriteSeries(df, Seq(0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5,
@@ -262,7 +254,8 @@ object Envelopes {
       else if (cols(s"sketch_$field")) col(s"sketch_$field")
       else lit(null)
     }
-    val skQs = sketchQsUdf(skLane("k").cast("array<long>"),
+    val skQs = graft.functions.SketchExprs.sketchQuantiles(
+      skLane("k").cast("array<long>"),
       skLane("n").cast("array<long>"), skLane("cnt").cast("long"),
       skLane("min").cast("double"), skLane("max").cast("double"))
     val sketchE = concat(
