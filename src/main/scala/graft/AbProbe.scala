@@ -372,9 +372,12 @@ object AbProbe {
           def drain(src: graft.streaming.StreamRunner.OtlpHttpSource,
                     t0: Long, reqs: Int): Double = {
             val q = src.df.writeStream.format("noop").start()
-            // numInputRows counts log RECORDS (perReq per request), so
-            // the drain target is reqs * perReq rows
-            val want = reqs.toLong * perReq
+            // numInputRows counts SOURCE rows — one binary Export
+            // payload per request from the MemoryStream — not the
+            // perReq log records the downstream explode produces
+            // (verified empirically: a 200-request drain reports
+            // exactly 200). The drain target is therefore reqs.
+            val want = reqs.toLong
             var n = 0L
             val deadline = t0 + 120L * 1000000000L
             while (n < want && System.nanoTime() < deadline) {
@@ -383,7 +386,7 @@ object AbProbe {
             }
             val secs = (System.nanoTime() - t0) / 1e9
             q.stop()
-            require(n >= want, s"otlp drained $n/$want rows")
+            require(n >= want, s"otlp drained $n/$want requests")
             total / secs
           }
           val httpRate = {
