@@ -120,7 +120,11 @@ object StressProbe {
       // minhash_pairs stage measures LSH; the cc probe then times
       // ONLY clustering instead of re-running ~274 s of LSH inside
       // its own clock (the r12 probe double-counted exactly that).
-      val pairsPath = s"$ckpt/lsh_pairs"
+      // SPARK_GRAFT_STRESS_PAIRS=<path> reuses a previous run's pair
+      // list (dev loops on the clustering step without re-paying LSH)
+      val pairsPath = sys.env.getOrElse("SPARK_GRAFT_STRESS_PAIRS",
+        s"$ckpt/lsh_pairs")
+      if (!sys.env.contains("SPARK_GRAFT_STRESS_PAIRS"))
       timed("minhash_pairs") {
         Dedup.minhashLsh(heavyDocs, "doc_id", col("text"),
           shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5)

@@ -233,8 +233,15 @@ object Dedup {
     */
   private def verifyJaccard(candidates: DataFrame, inv: DataFrame,
                             threshold: Double): DataFrame = {
-    val common = candidates
+    // shuffle_hash on the bounded side: sort-merge would SORT the
+    // full shingle index (billions of rows) on BOTH verify joins —
+    // measured as ~375 GB of sort spill on a 2-executor local-cluster
+    // heavy run (653 spills x 576 MiB) while the single-JVM run's
+    // larger unified pool absorbed it. Hash-building the candidate
+    // side streams the index unsorted; strategy only, same rows out.
+    val common = candidates.hint("shuffle_hash")
       .join(inv.as("sa"), col("sa.doc") === col("id_a"))
+      .hint("shuffle_hash")
       .join(inv.as("sb"),
         col("sb.doc") === col("id_b") && col("sa.s") === col("sb.s"))
       .groupBy(col("id_a"), col("id_b"))
@@ -477,16 +484,29 @@ object Dedup {
     var frontier = labels
     var changed = 1L
     var iter = 0
+    // GRAFT_CC_LOG=true prints per-round frontier size + wall time —
+    // the numbers that localize whether a slow clustering is
+    // round-count (graph shape) or per-round overhead (checkpoint /
+    // shuffle), which differ by deployment mode
+    val ccLog = sys.env.get("GRAFT_CC_LOG").exists(_.toBoolean)
     while (changed > 0 && iter < maxIter) {
-      // messages from the frontier only; min per receiver
-      val msgs = und
+      val tRound = System.nanoTime()
+      // messages from the frontier only; min per receiver. Every join
+      // in the round hints shuffle_hash on its bounded side (edge
+      // list / message delta / frontier): sort-merge would re-SORT the
+      // full 10M-row label table three times per round, which on a
+      // multi-JVM cluster is the dominant per-round cost (measured
+      // 25 s vs 8 s single-JVM on the full-frontier round before the
+      // hints). Strategy only; an unhonorable hint degrades to SMJ.
+      val msgs = und.hint("shuffle_hash")
         .join(frontier.select(col("id").as("src"), col("comp").as("scomp")),
           "src")
         .groupBy(col("dst")).agg(min(col("scomp")).as("nbrComp"))
       // keep only strict improvements — everything else is already
       // settled and drops out of the working set
       val improved = labels
-        .join(msgs.select(col("dst").as("id"), col("nbrComp")), Seq("id"))
+        .join(msgs.select(col("dst").as("id"), col("nbrComp"))
+          .hint("shuffle_hash"), Seq("id"))
         .filter(col("nbrComp") < col("comp"))
         .select(col("id"), col("nbrComp").as("comp"))
       // pointer jump the improved rows through the CURRENT table
@@ -495,7 +515,7 @@ object Dedup {
       // keeps chain components from serializing the loop. Jump target
       // labels satisfy label(k) ≤ k, so the jumped value never
       // regresses above the improvement.
-      val jumped = improved.as("x")
+      val jumped = improved.as("x").hint("shuffle_hash")
         .join(labels.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
           col("x.comp") === col("y.cid"), "left")
         .select(col("x.id").as("id"),
@@ -506,12 +526,14 @@ object Dedup {
         // merge the delta back — ONE keyed join over the label table
         // per round (the old scheme rescanned |E|+2|N| every round)
         labels = ckpt(labels.as("l")
-          .join(front.select(col("id"), col("comp").as("fcomp")).as("f"),
-            Seq("id"), "left")
+          .join(front.select(col("id"), col("comp").as("fcomp")).as("f")
+            .hint("shuffle_hash"), Seq("id"), "left")
           .select(col("id"), coalesce(col("fcomp"), col("comp")).as("comp")))
         frontier = front
       }
       iter += 1
+      if (ccLog) println(f"[cc] round $iter changed=$changed " +
+        f"${(System.nanoTime() - tRound) / 1e9}%.1f s")
     }
     und.unpersist()
     if (changed > 0)
