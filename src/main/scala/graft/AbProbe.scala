@@ -256,7 +256,8 @@ object AbProbe {
         def distRows(): DataFrame = spark.read.parquet(s"$egressBase/dist")
         val nRows = distRows().count()
         println(s"egress corpus: $nRows rows x 64 samples")
-        // A: real dd sketch fragment (toSketch UDF + proto encode)
+        // A: real dd sketch fragment (native toSketch + proto-encode
+        // expressions since the r14 ports; originally Scala UDFs)
         def ddA(): DataFrame = {
           val df = distRows()
           df.select(graft.sinks.DdMetrics.sketchFragment(df).as("b"))
@@ -281,7 +282,7 @@ object AbProbe {
             transform(col("dist_samples"), _.getField("rate")).as("ns"))
             .filter(col("cnt") > 0)
         }
-        println("-- dd sketchFragment (A = UDF path, B = codegen ceiling)")
+        println("-- dd sketchFragment (A = real egress path, B = codegen ceiling)")
         ab(ddA _, ddB _, check = false) // different shapes by design
         // remote-write quantile lanes: A = sketchQs UDF (via
         // remoteWriteSeries over sketch rows), B = codegen quantile-ish
@@ -308,7 +309,7 @@ object AbProbe {
           transform(sequence(lit(1), lit(5)), q =>
             aggregate(zip_with(col("sketch_k"), col("sketch_n"),
               (k, n) => k * n), lit(0L), (a, x) => a + x) * q).as("qs"))
-        println("-- remote_write sketch quantiles (A = UDF path, " +
+        println("-- remote_write sketch quantiles (A = real egress path, " +
           "B = codegen ceiling)")
         ab(rwA _, rwB _, check = false)
 

@@ -1,8 +1,9 @@
 package graft.codecs
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
 import org.apache.spark.sql.types._
@@ -172,5 +173,124 @@ final class ProtoEncodeKernel(schema: ProtoSchema, structType: StructType)
       case PRepeated(_) =>
         throw new IllegalStateException("nested repeated unsupported")
     }
+  }
+}
+
+/** proto3 bytes→struct decode as a native expression (see
+  * [[ProtobufCodec.decode]]). The wire walker mirrors `decodeRecord` —
+  * unknown/mistyped fields skipped, packed repeated scalars, proto3
+  * MERGE of repeated singular message fields (byte-concat, decode
+  * once) — but materializes Catalyst values (`UTF8String`,
+  * `GenericArrayData`, nested `InternalRow`) directly instead of an
+  * external Row tree that the converter then re-walks. Malformed input
+  * decodes to null, matching the UDF form.
+  */
+case class ProtoDecodeExpression(schema: ProtoSchema, child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = schema.sparkType
+  override def nullable: Boolean = true
+  override def prettyName: String = "proto_decode"
+
+  @transient private lazy val kernel = new ProtoDecodeKernel(schema)
+
+  override protected def nullSafeEval(input: Any): Any =
+    try kernel.decode(input.asInstanceOf[Array[Byte]])
+    catch { case _: Exception => null }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val ker = ctx.addReferenceObj("protoDecKernel", kernel,
+      classOf[ProtoDecodeKernel].getName)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        try {
+          ${ev.value} = $ker.decode(${childGen.value});
+          ${ev.isNull} = ${ev.value} == null;
+        } catch (java.lang.Exception e) { /* malformed -> null */ }
+      }""")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ProtoDecodeExpression = copy(child = newChild)
+}
+
+/** The compiled decoder — field-number dispatch tables per message
+  * level, shipped to executors via the generated code's references.
+  */
+final class ProtoDecodeKernel(schema: ProtoSchema) extends Serializable {
+  import ProtobufCodec.{Reader, unzigzag, wireType}
+
+  def decode(bytes: Array[Byte]): InternalRow = decodeMsg(schema, bytes)
+
+  private def readValue(rd: Reader, t: PType): Any = t match {
+    case PVarint => rd.readVarint()
+    case PSint => unzigzag(rd.readVarint())
+    case PFixed64 => rd.readFixed64()
+    case PDouble => java.lang.Double.longBitsToDouble(rd.readFixed64())
+    case PFloat => java.lang.Float.intBitsToFloat(rd.readFixed32())
+    case PFixed32 => rd.readFixed32() & 0xFFFFFFFFL
+    case PSfixed32 => rd.readFixed32().toLong
+    case PString => org.apache.spark.unsafe.types.UTF8String
+      .fromBytes(rd.readBytes(rd.readVarint().toInt))
+    case PBytes => rd.readBytes(rd.readVarint().toInt)
+    case PMessage(inner) =>
+      decodeMsg(inner, rd.readBytes(rd.readVarint().toInt))
+    case PRepeated(_) =>
+      throw new IllegalStateException("nested repeated unsupported")
+  }
+
+  private def decodeMsg(s: ProtoSchema, bytes: Array[Byte]): InternalRow = {
+    val byNo = s.fields.map(f => f.no -> f).toMap
+    val values = scala.collection.mutable.Map[Int, Any]()
+    val repeated = scala.collection.mutable
+      .Map[Int, scala.collection.mutable.ArrayBuffer[Any]]()
+    val msgBytes = scala.collection.mutable
+      .Map[Int, java.io.ByteArrayOutputStream]()
+    val rd = new Reader(bytes)
+    while (rd.hasMore) {
+      val tag = rd.readVarint()
+      val no = (tag >>> 3).toInt
+      val wt = (tag & 7).toInt
+      byNo.get(no) match {
+        case Some(f) if wireType(f.ptype) == wt =>
+          f.ptype match {
+            case PRepeated(elem) =>
+              repeated.getOrElseUpdate(no,
+                scala.collection.mutable.ArrayBuffer.empty) +=
+                readValue(rd, elem)
+            case PMessage(_) =>
+              msgBytes.getOrElseUpdate(no,
+                new java.io.ByteArrayOutputStream())
+                .write(rd.readBytes(rd.readVarint().toInt))
+            case t => values(no) = readValue(rd, t)
+          }
+        case Some(ProtoField(_, _, PRepeated(elem)))
+            if wt == 2 && wireType(elem) != 2 =>
+          // packed repeated scalars
+          val blob = rd.readBytes(rd.readVarint().toInt)
+          val sub = new Reader(blob)
+          val buf = repeated.getOrElseUpdate(no,
+            scala.collection.mutable.ArrayBuffer.empty)
+          while (sub.hasMore) buf += readValue(sub, elem)
+        case _ => rd.skip(wt)
+      }
+    }
+    new GenericInternalRow(s.fields.map { f =>
+      f.ptype match {
+        case PRepeated(_) =>
+          repeated.get(f.no)
+            .map(b => new org.apache.spark.sql.catalyst.util
+              .GenericArrayData(b.toArray): Any).orNull
+        case PMessage(inner) =>
+          msgBytes.get(f.no)
+            .map(b => decodeMsg(inner, b.toByteArray): Any).orNull
+        case _ => values.get(f.no).orNull
+      }
+    }.toArray)
   }
 }

@@ -53,7 +53,7 @@ object ProtobufCodec {
     })
   }
 
-  private def wireType(t: PType): Int = t match {
+  private[codecs] def wireType(t: PType): Int = t match {
     case PVarint | PSint => 0
     case PDouble | PFixed64 => 1
     case PFloat | PFixed32 | PSfixed32 => 5
@@ -69,9 +69,9 @@ object ProtobufCodec {
     out.write(v.toInt)
   }
   private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
-  private def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+  private[codecs] def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
 
-  private final class Reader(bytes: Array[Byte]) {
+  private[codecs] final class Reader(bytes: Array[Byte]) {
     var pos = 0
     def hasMore: Boolean = pos < bytes.length
     def readVarint(): Long = {
@@ -385,16 +385,20 @@ object ProtobufCodec {
       ColumnBridge.expression(record)))
   }
 
-  /** proto3 message bytes → struct column; null on malformed input. */
+  /** proto3 message bytes → struct column; null on malformed input.
+    *
+    * Like [[encode]], a native expression ([[ProtoDecodeExpression]]):
+    * the Row-UDF form built an external Row tree per payload and then
+    * paid Catalyst's external→internal converter on the whole nested
+    * envelope; the expression materializes `InternalRow`/`UTF8String`
+    * directly. Same wire semantics: unknown/mistyped fields skipped,
+    * packed repeated scalars, proto3 merge for repeated singular
+    * message fields.
+    */
   def decode(schema: ProtoSchema, data: Column): Column = {
-    val st = schema.sparkType
-    val dec = new UDF1[Array[Byte], Row] {
-      override def call(bytes: Array[Byte]): Row =
-        if (bytes == null) null
-        else try decodeRecord(schema, bytes)
-        catch { case _: Exception => null }
-    }
-    udf(dec, st).apply(data)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(ProtoDecodeExpression(schema,
+      ColumnBridge.expression(data)))
   }
 
   /** OTLP logs/v1 LogRecord subset — field numbers from the published
