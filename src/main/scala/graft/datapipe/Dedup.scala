@@ -233,20 +233,27 @@ object Dedup {
     */
   private def verifyJaccard(candidates: DataFrame, inv: DataFrame,
                             threshold: Double): DataFrame = {
-    // shuffle_hash on the bounded side: sort-merge would SORT the
-    // full shingle index (billions of rows) on BOTH verify joins —
-    // measured as ~375 GB of sort spill on a 2-executor local-cluster
-    // heavy run (653 spills x 576 MiB) while the single-JVM run's
-    // larger unified pool absorbed it. Hash-building the candidate
-    // side streams the index unsorted; strategy only, same rows out.
-    val common = candidates.hint("shuffle_hash")
+    // shuffle_hash on the bounded side WHEN THE INDEX IS FAT:
+    // sort-merge would SORT the full shingle index (billions of rows
+    // at corpus scale) on BOTH verify joins — measured as ~375 GB of
+    // sort spill on a 2-executor local-cluster heavy run (653 spills
+    // × 576 MiB) while the single-JVM run's larger unified pool
+    // absorbed it. Hash-building the candidate side streams the index
+    // unsorted; strategy only, same rows out. Conditional because a
+    // pinned hint also blocks AQE's runtime broadcast conversion,
+    // which is the better plan at small scale — the count is one pass
+    // over the already-persisted index.
+    val big = inv.count() > 50000000L
+    def h(df: DataFrame): DataFrame =
+      if (big) df.hint("shuffle_hash") else df
+    val common = h(candidates)
       .join(inv.as("sa"), col("sa.doc") === col("id_a"))
-      .hint("shuffle_hash")
+    val common2 = h(common)
       .join(inv.as("sb"),
         col("sb.doc") === col("id_b") && col("sa.s") === col("sb.s"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
-    jaccardFilter(common, docSizes(inv), threshold)
+    jaccardFilter(common2, docSizes(inv), threshold)
   }
 
   /** jaccard = common / (|A| + |B| - common), thresholded. The per-doc
@@ -474,6 +481,21 @@ object Dedup {
       .union(oriented.select(col("hi").as("src"), col("lo").as("dst")))
       .persist()
     var labels = ckpt(nodes.select(col("id"), col("id").as("comp")))
+    // Join-strategy guard, SIZE-CONDITIONAL: a shuffle_hash hint on the
+    // bounded side keeps sort-merge from re-sorting the full label
+    // table three times per round — on a multi-JVM cluster at 10M
+    // nodes that sort was the dominant per-round cost (25 s vs 8 s
+    // single-JVM on the full-frontier round). But a hint also pins the
+    // strategy, blocking AQE's runtime broadcast conversion — which is
+    // the BETTER plan when the bounded side is tiny (every round after
+    // the frontier collapses, and entire small-SF runs). So hint only
+    // while the bounded side is too big to broadcast; rows are known
+    // exactly (edge count once, `changed` per round), no guessing.
+    val HintRows = 300000L // ~10 MB of (long,long) unsafe rows
+    def maybeHash(df: DataFrame, rows: Long): DataFrame =
+      if (rows > HintRows) df.hint("shuffle_hash") else df
+    val undRows = und.count() // also materializes the persist once
+    var frontierRows = labels.count() // round 1: every node announces
     // FRONTIER (delta) propagation: only nodes whose label changed last
     // round send messages. A neighbor's label can only matter the round
     // after it changed, so restricting the edge join to the frontier
@@ -491,22 +513,18 @@ object Dedup {
     val ccLog = sys.env.get("GRAFT_CC_LOG").exists(_.toBoolean)
     while (changed > 0 && iter < maxIter) {
       val tRound = System.nanoTime()
-      // messages from the frontier only; min per receiver. Every join
-      // in the round hints shuffle_hash on its bounded side (edge
-      // list / message delta / frontier): sort-merge would re-SORT the
-      // full 10M-row label table three times per round, which on a
-      // multi-JVM cluster is the dominant per-round cost (measured
-      // 25 s vs 8 s single-JVM on the full-frontier round before the
-      // hints). Strategy only; an unhonorable hint degrades to SMJ.
-      val msgs = und.hint("shuffle_hash")
+      // messages from the frontier only; min per receiver. msgs rows
+      // are bounded by min(undRows, frontier fan-out) — use the edge
+      // count as the conservative bound for the improved join's hint.
+      val msgs = maybeHash(und, undRows)
         .join(frontier.select(col("id").as("src"), col("comp").as("scomp")),
           "src")
         .groupBy(col("dst")).agg(min(col("scomp")).as("nbrComp"))
       // keep only strict improvements — everything else is already
       // settled and drops out of the working set
       val improved = labels
-        .join(msgs.select(col("dst").as("id"), col("nbrComp"))
-          .hint("shuffle_hash"), Seq("id"))
+        .join(maybeHash(msgs.select(col("dst").as("id"), col("nbrComp")),
+          math.min(undRows, frontierRows)), Seq("id"))
         .filter(col("nbrComp") < col("comp"))
         .select(col("id"), col("nbrComp").as("comp"))
       // pointer jump the improved rows through the CURRENT table
@@ -515,7 +533,8 @@ object Dedup {
       // keeps chain components from serializing the loop. Jump target
       // labels satisfy label(k) ≤ k, so the jumped value never
       // regresses above the improvement.
-      val jumped = improved.as("x").hint("shuffle_hash")
+      val jumped = maybeHash(improved.as("x"),
+          math.min(undRows, frontierRows))
         .join(labels.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
           col("x.comp") === col("y.cid"), "left")
         .select(col("x.id").as("id"),
@@ -526,10 +545,11 @@ object Dedup {
         // merge the delta back — ONE keyed join over the label table
         // per round (the old scheme rescanned |E|+2|N| every round)
         labels = ckpt(labels.as("l")
-          .join(front.select(col("id"), col("comp").as("fcomp")).as("f")
-            .hint("shuffle_hash"), Seq("id"), "left")
+          .join(maybeHash(front.select(col("id"),
+            col("comp").as("fcomp")).as("f"), changed), Seq("id"), "left")
           .select(col("id"), coalesce(col("fcomp"), col("comp")).as("comp")))
         frontier = front
+        frontierRows = changed
       }
       iter += 1
       if (ccLog) println(f"[cc] round $iter changed=$changed " +
