@@ -693,4 +693,41 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("metric egress runs on native expressions inside codegen — " +
+      "no Scala UDF lane survives on the sketch path") {
+    // the r14 ports: toSketch/sketchQs/proto encode are native
+    // expressions whose generated code is a single kernel call, so the
+    // egress projection must (a) show the expressions by name, (b)
+    // contain NO ScalaUDF on the sketch path, (c) keep a whole-stage
+    // codegen span. A regression to a UDF re-pays a Catalyst<->Scala
+    // conversion per row (measured 10-18x by the egress_udfs probe).
+    val e = graft.Graft.table(spark, dir, "events")
+    val d = e.select(
+      col("event_type").as("name"), lit("distribution").as("value_type"),
+      map(lit("env"), lit("prod")).as("tags"), col("ts"),
+      array(struct(col("value").as("value"), lit(2L).as("rate")))
+        .as("dist_samples"))
+    val frag = d.select(graft.sinks.DdMetrics.sketchFragment(d).as("b"))
+    val p = plan(frag)
+    assert(p.contains("to_agent_sketch"), s"no native sketch expr:\n$p")
+    assert(p.contains("proto_encode"), s"no native proto encode:\n$p")
+    assert(!p.contains("UDF"), s"a UDF lane survives on the sketch path:\n$p")
+    assert(codegenSubtrees(frag) >= 1, "sketch fragment fell out of codegen")
+
+    // decode side: the OTLP flatten must use the native proto_decode
+    val bytes = graft.codecs.ProtobufCodec.encodeTo(
+      graft.codecs.ProtobufCodec.Otlp.ExportLogsServiceRequest,
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array(Seq.empty),
+        graft.codecs.ProtobufCodec.Otlp.ExportLogsServiceRequest.sparkType))
+    // non-foldable input (a literal would constant-fold the whole
+    // flatten into a LocalTableScan and audit nothing)
+    val in = e.limit(4).select(
+      when(col("event_id").isNotNull, lit(bytes)).as("value"))
+    val flat = graft.streaming.StreamRunner.OtlpFlatten.logs(in, col("value"))
+    val pd = plan(flat)
+    assert(pd.contains("proto_decode"), s"no native proto decode:\n$pd")
+    assert(codegenSubtrees(flat) >= 1, "otlp flatten fell out of codegen")
+  }
 }
