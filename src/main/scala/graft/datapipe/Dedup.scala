@@ -126,9 +126,22 @@ object Dedup {
     * Signatures over distinct shingles equal signatures over the raw
     * stream (min is idempotent).
     */
+  /** `maxBucket` (0 = unbounded, the default — output unchanged) caps
+    * the candidate fan-out of HOT LSH buckets: a degenerate bucket —
+    * boilerplate, empty docs, a template repeated across millions of
+    * pages — makes the band self-join O(|bucket|²) and is the one
+    * input shape that kills this operator at corpus scale. With the
+    * cap, each (band, hash) bucket contributes pairs only among its
+    * first `maxBucket` members (deterministic: lowest doc ids), so
+    * per-bucket work is bounded by maxBucket² while every doc still
+    * competes in its OTHER bands. Best-effort recall inside capped
+    * buckets (members beyond the cap can still reach the cluster
+    * transitively via kept members and connected components) — the
+    * same bounded posture as [[Ann.semanticDedupBounded]].
+    */
   def minhashLsh(docs: DataFrame, id: String, text: Column,
                  shingleN: Int = 3, numHashes: Int = 12, bands: Int = 3,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
     val idx = {
       val ex = shingleRows(docs, id, text, shingleN)
       val (h1, h2) = minhashLanes(col("s0"))
@@ -141,10 +154,19 @@ object Dedup {
       .agg(mins.head, mins.tail: _*)
       .select(col("doc"),
         array((0 until numHashes).map(h => col(s"m$h")): _*).as("sig"))
-    val banded = sig
+    val bandedAll = sig
       .select(col("doc"),
         posexplode(lshBands(col("sig"), bands, numHashes / bands))
           .as(Seq("band_idx", "band_hash")))
+    val banded = (if (maxBucket > 0) {
+        val byBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))
+          .orderBy(col("doc"))
+        bandedAll
+          .withColumn("__rk", row_number().over(byBucket))
+          .filter(col("__rk") <= maxBucket)
+          .drop("__rk")
+      } else bandedAll)
       .persist()
     // candidates: docs sharing any (band_idx, band_hash) bucket
     val a = banded.as("a"); val b = banded.as("b")

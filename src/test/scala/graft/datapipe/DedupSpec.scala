@@ -80,4 +80,40 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) == sigs(4L))
     assert(sigs(1L) != sigs(3L))
   }
+
+  test("minhashLsh maxBucket: hot buckets bounded, cool pairs intact, " +
+      "default unchanged") {
+    // 30 identical docs form one hot bucket in EVERY band; docs 101/102
+    // are near-dups of each other in their own (cool) buckets
+    val hot = (1L to 30L).map(i => (i, "same boilerplate text repeated " +
+      "for every page of the crawl exactly alike"))
+    val cool = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog tonight"),
+      (102L, "the quick brown fox jumps over the lazy dog today"))
+    val corpus = (hot ++ cool).toDF("doc_id", "text")
+    val unbounded = Dedup.minhashLsh(corpus, "doc_id", $"text",
+        shingleN = 3, numHashes = 12, bands = 3, threshold = 0.3)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all 30*29/2 hot pairs + the cool pair
+    assert(unbounded.contains((101L, 102L)))
+    assert(unbounded.count(p => p._1 <= 30 && p._2 <= 30) == 30 * 29 / 2)
+
+    val capped = Dedup.minhashLsh(corpus, "doc_id", $"text",
+        shingleN = 3, numHashes = 12, bands = 3, threshold = 0.3,
+        maxBucket = 5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cool pair survives the cap untouched
+    assert(capped.contains((101L, 102L)))
+    // hot-bucket fan-out bounded: only pairs among the 5 lowest ids
+    // (the same 5 in every band since all bands share the signature)
+    val hotPairs = capped.filter(p => p._1 <= 30 && p._2 <= 30)
+    assert(hotPairs == (for { a <- 1L to 5L; b <- (a + 1) to 5L }
+      yield (a, b)).toSet)
+
+    // maxBucket = 0 (default) is byte-for-byte the unbounded output
+    val default = Dedup.minhashLsh(corpus, "doc_id", $"text",
+        shingleN = 3, numHashes = 12, bands = 3, threshold = 0.3)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(default == unbounded)
+  }
 }
