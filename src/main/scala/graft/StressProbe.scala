@@ -84,6 +84,22 @@ object StressProbe {
         col("doc_id"), None, Some("rt"), staticRate = 10).count()
     }
 
+    // ---- the LSH killer corpus, capped (SPARK_GRAFT_STRESS_HOTLSH) --
+    // The light corpus's suffix-only mutation leaves every replica of a
+    // doc sharing band signatures — the exact shape that filled 78 GB
+    // of shuffle spill at rep=400 in round 11 (O(rep²) candidate pairs
+    // per doc) and had to be decorrelated to proceed. With
+    // minhashLsh(maxBucket=...) the SAME corpus must now complete with
+    // bounded per-bucket work. `docs` above IS that corpus.
+    if (sys.env.get("SPARK_GRAFT_STRESS_HOTLSH").exists(_.toBoolean)) {
+      import graft.datapipe.Dedup
+      timed("minhash_pairs_hotcap50") {
+        Dedup.minhashLsh(docs, "doc_id", col("text"), shingleN = 3,
+          numHashes = 12, bands = 3, threshold = 0.5, maxBucket = 50)
+          .count()
+      }
+    }
+
     // ---- heavy chains, one order up (round-11: 1-2M docs at rep=400)
     // SPARK_GRAFT_STRESS_HEAVY=true SPARK_GRAFT_STRESS_REP=400
     if (sys.env.get("SPARK_GRAFT_STRESS_HEAVY").exists(_.toBoolean)) {
