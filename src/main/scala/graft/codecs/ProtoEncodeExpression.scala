@@ -219,15 +219,76 @@ case class ProtoDecodeExpression(schema: ProtoSchema, child: Expression)
       newChild: Expression): ProtoDecodeExpression = copy(child = newChild)
 }
 
-/** The compiled decoder — field-number dispatch tables per message
-  * level, shipped to executors via the generated code's references.
+/** The compiled decoder. Like the encode kernel, the dispatch is
+  * resolved ONCE per schema — each message level compiles a
+  * field-number-indexed array of `CField` slots (output position, value
+  * wire type, nested compiled message) — and each `decodeMsg` call works
+  * over one flat `Array[Any]` of value slots instead of three mutable
+  * Maps rebuilt per message per row. Semantics are pinned to
+  * [[ProtobufCodec.decodeRecord]] by ProtoExprSpec: unknown/mistyped
+  * fields skipped, packed repeated scalars, proto3 MERGE of repeated
+  * singular message fields (byte-concat, decode once). Strings with
+  * invalid UTF-8 are normalized through `new String(bytes, UTF_8)`
+  * (U+FFFD substitution) exactly like the Row walker — valid input
+  * (the overwhelmingly common case) takes the zero-copy
+  * `UTF8String.fromBytes` path after a validity scan.
   */
 final class ProtoDecodeKernel(schema: ProtoSchema) extends Serializable {
   import ProtobufCodec.{Reader, unzigzag, wireType}
 
-  def decode(bytes: Array[Byte]): InternalRow = decodeMsg(schema, bytes)
+  // field kinds, resolved at compile time so the per-row loop is a flat
+  // int dispatch instead of PType pattern matches
+  private val K_SCALAR = 0 // singular scalar (incl. string/bytes)
+  private val K_MSG = 1 // singular message: byte-MERGE, decode at end
+  private val K_REP_SCALAR = 2 // repeated scalar (packed or not)
+  private val K_REP_MSG = 3 // repeated message: decode per element
 
-  private def readValue(rd: Reader, t: PType): Any = t match {
+  private final class CField(val no: Int, val slot: Int, val kind: Int,
+      val t: PType, val wt: Int, val nested: CMsg) extends Serializable
+
+  private final class CMsg(s: ProtoSchema) extends Serializable {
+    val n: Int = s.fields.length
+    val fields: Array[CField] = s.fields.zipWithIndex.map {
+      case (f, slot) => f.ptype match {
+        case PRepeated(PMessage(inner)) =>
+          new CField(f.no, slot, K_REP_MSG, null, 2, new CMsg(inner))
+        case PRepeated(elem) =>
+          new CField(f.no, slot, K_REP_SCALAR, elem, wireType(elem), null)
+        case PMessage(inner) =>
+          new CField(f.no, slot, K_MSG, null, 2, new CMsg(inner))
+        case t =>
+          new CField(f.no, slot, K_SCALAR, t, wireType(t), null)
+      }
+    }.toArray
+    // field numbers are small in every schema we compile (OTLP, dd
+    // agent, descriptor sets); keep a linear-scan fallback so a sparse
+    // schema can't blow up the table
+    private val dispatch: Array[CField] = {
+      val maxNo = fields.iterator.map(_.no).max
+      if (maxNo <= 4096) {
+        val d = new Array[CField](maxNo + 1)
+        fields.foreach(f => d(f.no) = f)
+        d
+      } else null
+    }
+    def lookup(no: Int): CField =
+      if (dispatch != null) {
+        if (no >= 0 && no < dispatch.length) dispatch(no) else null
+      } else {
+        var i = 0
+        while (i < fields.length) {
+          if (fields(i).no == no) return fields(i)
+          i += 1
+        }
+        null
+      }
+  }
+
+  @transient private lazy val root = new CMsg(schema)
+
+  def decode(bytes: Array[Byte]): InternalRow = decodeMsg(root, bytes)
+
+  private def readScalar(rd: Reader, t: PType): Any = t match {
     case PVarint => rd.readVarint()
     case PSint => unzigzag(rd.readVarint())
     case PFixed64 => rd.readFixed64()
@@ -235,62 +296,91 @@ final class ProtoDecodeKernel(schema: ProtoSchema) extends Serializable {
     case PFloat => java.lang.Float.intBitsToFloat(rd.readFixed32())
     case PFixed32 => rd.readFixed32() & 0xFFFFFFFFL
     case PSfixed32 => rd.readFixed32().toLong
-    case PString => org.apache.spark.unsafe.types.UTF8String
-      .fromBytes(rd.readBytes(rd.readVarint().toInt))
+    case PString =>
+      val b = rd.readBytes(rd.readVarint().toInt)
+      val u = org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
+      if (u.isValid) u
+      else org.apache.spark.unsafe.types.UTF8String.fromString(
+        new String(b, java.nio.charset.StandardCharsets.UTF_8))
     case PBytes => rd.readBytes(rd.readVarint().toInt)
-    case PMessage(inner) =>
-      decodeMsg(inner, rd.readBytes(rd.readVarint().toInt))
-    case PRepeated(_) =>
-      throw new IllegalStateException("nested repeated unsupported")
+    case other => throw new IllegalStateException(s"scalar $other")
   }
 
-  private def decodeMsg(s: ProtoSchema, bytes: Array[Byte]): InternalRow = {
-    val byNo = s.fields.map(f => f.no -> f).toMap
-    val values = scala.collection.mutable.Map[Int, Any]()
-    val repeated = scala.collection.mutable
-      .Map[Int, scala.collection.mutable.ArrayBuffer[Any]]()
-    val msgBytes = scala.collection.mutable
-      .Map[Int, java.io.ByteArrayOutputStream]()
+  private def repBuf(slots: Array[Any],
+      slot: Int): scala.collection.mutable.ArrayBuffer[Any] = {
+    val b = slots(slot)
+    if (b == null) {
+      val nb = new scala.collection.mutable.ArrayBuffer[Any]()
+      slots(slot) = nb
+      nb
+    } else b.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+  }
+
+  private def decodeMsg(c: CMsg, bytes: Array[Byte]): InternalRow = {
+    val slots = new Array[Any](c.n)
     val rd = new Reader(bytes)
     while (rd.hasMore) {
       val tag = rd.readVarint()
       val no = (tag >>> 3).toInt
       val wt = (tag & 7).toInt
-      byNo.get(no) match {
-        case Some(f) if wireType(f.ptype) == wt =>
-          f.ptype match {
-            case PRepeated(elem) =>
-              repeated.getOrElseUpdate(no,
-                scala.collection.mutable.ArrayBuffer.empty) +=
-                readValue(rd, elem)
-            case PMessage(_) =>
-              msgBytes.getOrElseUpdate(no,
-                new java.io.ByteArrayOutputStream())
-                .write(rd.readBytes(rd.readVarint().toInt))
-            case t => values(no) = readValue(rd, t)
-          }
-        case Some(ProtoField(_, _, PRepeated(elem)))
-            if wt == 2 && wireType(elem) != 2 =>
-          // packed repeated scalars
-          val blob = rd.readBytes(rd.readVarint().toInt)
-          val sub = new Reader(blob)
-          val buf = repeated.getOrElseUpdate(no,
-            scala.collection.mutable.ArrayBuffer.empty)
-          while (sub.hasMore) buf += readValue(sub, elem)
-        case _ => rd.skip(wt)
+      val f = c.lookup(no)
+      if (f == null) rd.skip(wt)
+      else f.kind match {
+        case K_SCALAR =>
+          if (wt == f.wt) slots(f.slot) = readScalar(rd, f.t)
+          else rd.skip(wt)
+        case K_MSG =>
+          if (wt == 2) {
+            val b = rd.readBytes(rd.readVarint().toInt)
+            slots(f.slot) match {
+              case null => slots(f.slot) = b
+              case prev: Array[Byte] =>
+                val bos = new java.io.ByteArrayOutputStream(
+                  prev.length + b.length)
+                bos.write(prev, 0, prev.length)
+                bos.write(b, 0, b.length)
+                slots(f.slot) = bos
+              case bos: java.io.ByteArrayOutputStream =>
+                bos.write(b, 0, b.length)
+            }
+          } else rd.skip(wt)
+        case K_REP_MSG =>
+          if (wt == 2) repBuf(slots, f.slot) +=
+            decodeMsg(f.nested, rd.readBytes(rd.readVarint().toInt))
+          else rd.skip(wt)
+        case K_REP_SCALAR =>
+          if (wt == f.wt) repBuf(slots, f.slot) += readScalar(rd, f.t)
+          else if (wt == 2) {
+            // packed repeated scalars (f.wt != 2 here, so no ambiguity)
+            val sub = new Reader(rd.readBytes(rd.readVarint().toInt))
+            val buf = repBuf(slots, f.slot)
+            while (sub.hasMore) buf += readScalar(sub, f.t)
+          } else rd.skip(wt)
       }
     }
-    new GenericInternalRow(s.fields.map { f =>
-      f.ptype match {
-        case PRepeated(_) =>
-          repeated.get(f.no)
-            .map(b => new org.apache.spark.sql.catalyst.util
-              .GenericArrayData(b.toArray): Any).orNull
-        case PMessage(inner) =>
-          msgBytes.get(f.no)
-            .map(b => decodeMsg(inner, b.toByteArray): Any).orNull
-        case _ => values.get(f.no).orNull
+    // finalize in place: merged message bytes -> nested rows, repeated
+    // buffers -> array data; absent fields stay null
+    var i = 0
+    while (i < c.n) {
+      val f = c.fields(i)
+      f.kind match {
+        case K_MSG => slots(i) = slots(i) match {
+          case null => null
+          case b: Array[Byte] => decodeMsg(f.nested, b)
+          case bos: java.io.ByteArrayOutputStream =>
+            decodeMsg(f.nested, bos.toByteArray)
+        }
+        case K_REP_SCALAR | K_REP_MSG => slots(i) = slots(i) match {
+          case null => null
+          case ab: scala.collection.mutable.ArrayBuffer[_] =>
+            new org.apache.spark.sql.catalyst.util
+              .GenericArrayData(ab.toArray[Any](
+                scala.reflect.ClassTag.Any))
+        }
+        case _ => ()
       }
-    }.toArray)
+      i += 1
+    }
+    new GenericInternalRow(slots)
   }
 }

@@ -25,6 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Join-strategy thresholds, overridable per deployment (a 100 TB
+    * operator wants these as knobs, not recompiles):
+    *  - `DefaultHintRows`: bounded-side row count above which the
+    *    [[connectedComponents]] per-round joins pin `shuffle_hash`
+    *    instead of letting AQE pick (~10 MB of (long,long) rows —
+    *    past any sane broadcast threshold).
+    *  - `DefaultIndexHintRows`: shingle-index row count above which
+    *    the LSH/Jaccard verify joins pin `shuffle_hash` to stream the
+    *    index unsorted (sort-merge re-sorting a billion-row index was
+    *    the measured 375 GB-of-spill failure on the 10M-doc cluster
+    *    run). Callers that know their scale pass `fatIndex` and skip
+    *    the auto count entirely.
+    */
+  val DefaultHintRows = 300000L
+  val DefaultIndexHintRows = 50000000L
+
   /** Whitespace tokens, empty-trimmed. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
@@ -138,10 +154,22 @@ object Dedup {
     * buckets (members beyond the cap can still reach the cluster
     * transitively via kept members and connected components) — the
     * same bounded posture as [[Ann.semanticDedupBounded]].
+    *
+    * `maxBucket < 0` picks `max(50, ⌈√N⌉)` automatically (one count
+    * over the input, opt-in): per-bucket pair work is then bounded by
+    * N, so total candidate fan-out stays O(N·bands) even on a corpus
+    * that is one giant boilerplate bucket — the [[Ann
+    * .semanticDedupBounded]] auto-maxCell precedent. Default stays 0
+    * (unbounded, byte-identical output).
     */
   def minhashLsh(docs: DataFrame, id: String, text: Column,
                  shingleN: Int = 3, numHashes: Int = 12, bands: Int = 3,
-                 threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
+                 threshold: Double = 0.5, maxBucket: Int = 0,
+                 fatIndex: Option[Boolean] = None): DataFrame = {
+    val cap =
+      if (maxBucket >= 0) maxBucket
+      else math.max(50L,
+        math.ceil(math.sqrt(docs.count().toDouble)).toLong).toInt
     val idx = {
       val ex = shingleRows(docs, id, text, shingleN)
       val (h1, h2) = minhashLanes(col("s0"))
@@ -158,13 +186,13 @@ object Dedup {
       .select(col("doc"),
         posexplode(lshBands(col("sig"), bands, numHashes / bands))
           .as(Seq("band_idx", "band_hash")))
-    val banded = (if (maxBucket > 0) {
+    val banded = (if (cap > 0) {
         val byBucket = org.apache.spark.sql.expressions.Window
           .partitionBy(col("band_idx"), col("band_hash"))
           .orderBy(col("doc"))
         bandedAll
           .withColumn("__rk", row_number().over(byBucket))
-          .filter(col("__rk") <= maxBucket)
+          .filter(col("__rk") <= cap)
           .drop("__rk")
       } else bandedAll)
       .persist()
@@ -176,7 +204,8 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
-    verifyJaccard(candidates, idx.select(col("doc"), col("s")), threshold)
+    verifyJaccard(candidates, idx.select(col("doc"), col("s")), threshold,
+      fatIndex)
   }
 
   /** Exact n-gram Jaccard join with PREFIX FILTERING (AllPairs/PPJoin
@@ -215,7 +244,8 @@ object Dedup {
     * corpus; both are exact.
     */
   def ngramJaccardPrefix(docs: DataFrame, id: String, text: Column,
-                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+                         shingleN: Int = 3, threshold: Double = 0.5,
+                         fatIndex: Option[Boolean] = None): DataFrame = {
     val inv = shingleRows(docs, id, text, shingleN)
       .select(col("doc"), xxhash64(col("s0")).as("s"), col("s0"))
       .persist()
@@ -233,7 +263,8 @@ object Dedup {
           col("b.n_sh") >= lit(threshold) * col("a.n_sh"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
-    verifyJaccard(candidates, inv.select(col("doc"), col("s")), threshold)
+    verifyJaccard(candidates, inv.select(col("doc"), col("s")), threshold,
+      fatIndex)
   }
 
   /** Persisted inverted index (doc, hashed shingle). The shingle string is
@@ -254,7 +285,8 @@ object Dedup {
     * LSH) — AQE broadcasts it into both index joins.
     */
   private def verifyJaccard(candidates: DataFrame, inv: DataFrame,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            fatIndex: Option[Boolean]): DataFrame = {
     // shuffle_hash on the bounded side WHEN THE INDEX IS FAT:
     // sort-merge would SORT the full shingle index (billions of rows
     // at corpus scale) on BOTH verify joins — measured as ~375 GB of
@@ -263,9 +295,12 @@ object Dedup {
     // absorbed it. Hash-building the candidate side streams the index
     // unsorted; strategy only, same rows out. Conditional because a
     // pinned hint also blocks AQE's runtime broadcast conversion,
-    // which is the better plan at small scale — the count is one pass
-    // over the already-persisted index.
-    val big = inv.count() > 50000000L
+    // which is the better plan at small scale. `fatIndex` lets the
+    // caller decide without an extra action; only when unset does the
+    // auto mode pay one count pass over the already-persisted index
+    // (which also makes merely CONSTRUCTING the result run a job —
+    // callers that know their scale should pass the knob).
+    val big = fatIndex.getOrElse(inv.count() > DefaultIndexHintRows)
     def h(df: DataFrame): DataFrame =
       if (big) df.hint("shuffle_hash") else df
     val common = h(candidates)
@@ -486,7 +521,8 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 25,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          hintRows: Long = DefaultHintRows): DataFrame = {
     val spark = nodes.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
@@ -511,13 +547,18 @@ object Dedup {
     // strategy, blocking AQE's runtime broadcast conversion — which is
     // the BETTER plan when the bounded side is tiny (every round after
     // the frontier collapses, and entire small-SF runs). So hint only
-    // while the bounded side is too big to broadcast; rows are known
-    // exactly (edge count once, `changed` per round), no guessing.
-    val HintRows = 300000L // ~10 MB of (long,long) unsafe rows
+    // while the bounded side is too big to broadcast; `hintRows`
+    // (default ~10 MB of (long,long) unsafe rows) is a config knob for
+    // clusters whose broadcast threshold differs.
     def maybeHash(df: DataFrame, rows: Long): DataFrame =
-      if (rows > HintRows) df.hint("shuffle_hash") else df
-    val undRows = und.count() // also materializes the persist once
-    var frontierRows = labels.count() // round 1: every node announces
+      if (rows > hintRows) df.hint("shuffle_hash") else df
+    // round 1: every node announces. labels is already materialized by
+    // the eager checkpoint above, so this count is a cached-block scan,
+    // not a job over the input — the ONLY extra action in the loop
+    // setup (the edge list materializes lazily on round 1's join; an
+    // up-front und.count() was measured as +27% on the sf0.1 bench for
+    // zero benefit at that scale).
+    var frontierRows = labels.count()
     // FRONTIER (delta) propagation: only nodes whose label changed last
     // round send messages. A neighbor's label can only matter the round
     // after it changed, so restricting the edge join to the frontier
@@ -535,18 +576,26 @@ object Dedup {
     val ccLog = sys.env.get("GRAFT_CC_LOG").exists(_.toBoolean)
     while (changed > 0 && iter < maxIter) {
       val tRound = System.nanoTime()
-      // messages from the frontier only; min per receiver. msgs rows
-      // are bounded by min(undRows, frontier fan-out) — use the edge
-      // count as the conservative bound for the improved join's hint.
-      val msgs = maybeHash(und, undRows)
-        .join(frontier.select(col("id").as("src"), col("comp").as("scomp")),
-          "src")
+      // messages from the frontier only; min per receiver. The hint
+      // goes on the FRONTIER side — the hinted side is the hash BUILD
+      // side, and building over the full doubled edge list would risk
+      // per-partition build OOM at corpora beyond the measured 10M-node
+      // run (where sort-merge would at least have spilled gracefully);
+      // hashing the bounded frontier streams the edge list unsorted,
+      // which is the whole point of the hint.
+      val msgs = und
+        .join(maybeHash(frontier.select(col("id").as("src"),
+          col("comp").as("scomp")), frontierRows), "src")
         .groupBy(col("dst")).agg(min(col("scomp")).as("nbrComp"))
       // keep only strict improvements — everything else is already
       // settled and drops out of the working set
+      // msgs/improved row counts aren't known without an action; the
+      // frontier size is the free proxy (exact from last round's
+      // count) — it tracks the working-set collapse, which is what the
+      // hint decision actually needs
       val improved = labels
         .join(maybeHash(msgs.select(col("dst").as("id"), col("nbrComp")),
-          math.min(undRows, frontierRows)), Seq("id"))
+          frontierRows), Seq("id"))
         .filter(col("nbrComp") < col("comp"))
         .select(col("id"), col("nbrComp").as("comp"))
       // pointer jump the improved rows through the CURRENT table
@@ -555,8 +604,7 @@ object Dedup {
       // keeps chain components from serializing the loop. Jump target
       // labels satisfy label(k) ≤ k, so the jumped value never
       // regresses above the improvement.
-      val jumped = maybeHash(improved.as("x"),
-          math.min(undRows, frontierRows))
+      val jumped = maybeHash(improved.as("x"), frontierRows)
         .join(labels.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
           col("x.comp") === col("y.cid"), "left")
         .select(col("x.id").as("id"),

@@ -49,15 +49,49 @@ object SketchExprs {
     out
   }
 
+  /** Name-resolved read plan for one array<struct> lane: (ordinal of
+    * the double field, ordinal of the long field, exact element arity —
+    * `getStruct` needs the true width). The old UDF read these fields
+    * by NAME (`getAs("value")`); a positional read would silently swap
+    * lanes for a caller whose struct declares them in another order, so
+    * missing/mistyped fields are an error here, never a reorder.
+    * NullType (an untyped null literal) gets a dummy plan — the kernel
+    * null-checks the array before indexing.
+    */
+  private[functions] def laneStructPlan(dt: DataType, dName: String,
+      lName: String, what: String): (Int, Int, Int) = dt match {
+    case ArrayType(st: StructType, _) =>
+      def idx(n: String, want: DataType): Int = {
+        val i = st.fieldNames.indexOf(n)
+        if (i < 0) throw new IllegalArgumentException(
+          s"toSketch $what: element struct ${st.catalogString} lacks " +
+            s"field '$n'")
+        if (st.fields(i).dataType != want)
+          throw new IllegalArgumentException(
+            s"toSketch $what: field '$n' must be ${want.simpleString}, " +
+              s"got ${st.fields(i).dataType.simpleString} — cast it " +
+              "explicitly")
+        i
+      }
+      (idx(dName, DoubleType), idx(lName, LongType), st.size)
+    case NullType => (0, 1, 2)
+    case other => throw new IllegalArgumentException(
+      s"toSketch $what: expected array<struct<...>>, got " +
+        other.simpleString)
+  }
+
   /** transform_to_sketch over one metric row's raw lanes; null when the
     * row isn't sketch-shaped or the built sketch is empty (the encoder
-    * then skips it, encoder.rs:324).
+    * then skips it, encoder.rs:324). The six trailing ints are the
+    * name-resolved [[laneStructPlan]]s for dist and histo.
     */
   def toSketchKernel(vt: UTF8String, dist: ArrayData, histo: ArrayData,
                      cnt: java.lang.Long, mn: java.lang.Double,
                      mx: java.lang.Double, sm: java.lang.Double,
                      av: java.lang.Double,
-                     ks: ArrayData, ns: ArrayData): InternalRow = {
+                     ks: ArrayData, ns: ArrayData,
+                     dvIdx: Int, drIdx: Int, distW: Int,
+                     huIdx: Int, hcIdx: Int, histoW: Int): InternalRow = {
     if (vt == null) return null
     vt.toString match {
       case "sketch" =>
@@ -76,9 +110,9 @@ object SketchExprs {
         var i = 0
         while (i < n) {
           if (!dist.isNullAt(i)) {
-            val s = dist.getStruct(i, 2)
-            val v = if (s.isNullAt(0)) 0.0 else s.getDouble(0)
-            val r = if (s.isNullAt(1)) 0L else s.getLong(1)
+            val s = dist.getStruct(i, distW)
+            val v = if (s.isNullAt(dvIdx)) 0.0 else s.getDouble(dvIdx)
+            val r = if (s.isNullAt(drIdx)) 0L else s.getLong(drIdx)
             b.insertN(v, r)
           }
           i += 1
@@ -92,9 +126,9 @@ object SketchExprs {
         var i = 0
         while (i < n) {
           if (!histo.isNullAt(i)) {
-            val s = histo.getStruct(i, 2)
-            buckets += ((if (s.isNullAt(0)) 0.0 else s.getDouble(0),
-              if (s.isNullAt(1)) 0L else s.getLong(1)))
+            val s = histo.getStruct(i, histoW)
+            buckets += ((if (s.isNullAt(huIdx)) 0.0 else s.getDouble(huIdx),
+              if (s.isNullAt(hcIdx)) 0L else s.getLong(hcIdx)))
           }
           i += 1
         }
@@ -133,16 +167,32 @@ object SketchExprs {
     new GenericArrayData(out)
   }
 
-  /** Column form of [[toSketchKernel]]; the casts pin the struct field
-    * ORDER the kernel indexes by (no-op casts are elided).
+  /** Untyped null literals (`lit(null)`) get the canonical lane type —
+    * a cast on a null can't reorder anything; every other input keeps
+    * its own struct type for [[laneStructPlan]]'s by-name resolution.
+    */
+  private def nullLaneCast(c: Column, canonical: String): Column =
+    ColumnBridge.expression(c) match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType == NullType => c.cast(canonical)
+      case _ => c
+    }
+
+  /** Column form of [[toSketchKernel]]. dist/histo element fields are
+    * read by NAME (value/rate, upper_limit/count) via
+    * [[laneStructPlan]] resolved from the input's actual struct type —
+    * no positional cast, so a caller whose struct declares another
+    * field order still reads correctly, and a missing/mistyped field
+    * is an error instead of silently swapped lanes.
     */
   def toSketchLanes(vt: Column, dist: Column, histo: Column,
                     cnt: Column, mn: Column, mx: Column, sm: Column,
                     av: Column, ks: Column, ns: Column): Column =
     ColumnBridge.column(ToAgentSketchLanes(Seq(
       vt.cast("string"),
-      dist.cast("array<struct<value:double,rate:bigint>>"),
-      histo.cast("array<struct<upper_limit:double,count:bigint>>"),
+      nullLaneCast(dist, "array<struct<value:double,rate:bigint>>"),
+      nullLaneCast(histo,
+        "array<struct<upper_limit:double,count:bigint>>"),
       cnt.cast("long"), mn.cast("double"), mx.cast("double"),
       sm.cast("double"), av.cast("double"),
       ks.cast("array<bigint>"), ns.cast("array<bigint>"))
@@ -175,6 +225,15 @@ case class ToAgentSketchLanes(children: Seq[Expression]) extends Expression {
   override def nullable: Boolean = true
   override def prettyName: String = "to_agent_sketch"
 
+  // name-resolved struct read plans, computed once from the RESOLVED
+  // child types (and embedded as int literals in the generated code)
+  @transient private lazy val distPlan: (Int, Int, Int) =
+    SketchExprs.laneStructPlan(children(1).dataType, "value", "rate",
+      "dist_samples")
+  @transient private lazy val histoPlan: (Int, Int, Int) =
+    SketchExprs.laneStructPlan(children(2).dataType, "upper_limit",
+      "count", "histo_buckets")
+
   override def eval(input: InternalRow): Any = {
     val v = children.map(_.eval(input))
     SketchExprs.toSketchKernel(
@@ -183,14 +242,18 @@ case class ToAgentSketchLanes(children: Seq[Expression]) extends Expression {
       v(3).asInstanceOf[java.lang.Long],
       v(4).asInstanceOf[java.lang.Double], v(5).asInstanceOf[java.lang.Double],
       v(6).asInstanceOf[java.lang.Double], v(7).asInstanceOf[java.lang.Double],
-      v(8).asInstanceOf[ArrayData], v(9).asInstanceOf[ArrayData])
+      v(8).asInstanceOf[ArrayData], v(9).asInstanceOf[ArrayData],
+      distPlan._1, distPlan._2, distPlan._3,
+      histoPlan._1, histoPlan._2, histoPlan._3)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
     val evals = children.map(_.genCode(ctx))
-    val args = children.zip(evals)
-      .map { case (c, e) => SketchExprs.boxedArg(c.dataType, e) }
+    val args = (children.zip(evals)
+      .map { case (c, e) => SketchExprs.boxedArg(c.dataType, e) } ++
+      Seq(distPlan._1, distPlan._2, distPlan._3,
+        histoPlan._1, histoPlan._2, histoPlan._3).map(_.toString))
       .mkString(", ")
     val lanes = ctx.freshName("lanes")
     ev.copy(code = code"""

@@ -2904,10 +2904,19 @@ object ConfigLoader {
     pendingLogTaps = Nil
     pendingClosers = Nil
     pendingPollers = Nil
-    logTaps.foreach(_.start())
-    scrapers.foreach(_.startScraping())
+    // Partial-start safety: anything started below is tracked so a
+    // failure midway (e.g. the SECOND sink's port bind) stops the
+    // already-started queries/taps/closers instead of leaking them
+    // untracked — the caller gets the exception, never half a running
+    // config. dryValidate/load catch build errors before any start;
+    // this guards the residual start-time class.
+    val started = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.streaming.StreamingQuery]
     val exporters = scala.collection.mutable.Map.empty[String,
       graft.streaming.InternalObs.PrometheusExporter]
+    try {
+    logTaps.foreach(_.start())
+    scrapers.foreach(_.startScraping())
     val sinkConfs = yamlMap(parseYaml(yaml).getOrElse("sinks", null))
       .map { case (id, v) => id -> yamlMap(v) }
     def exporterFor(id: String, m: Map[String, Any]) = {
@@ -2967,7 +2976,9 @@ object ConfigLoader {
         // name the query after the sink so progress events (and the
         // internal_metrics component counters derived from them) carry
         // the component id, not a UUID
-        Some(id -> StreamRunner.start(writer.queryName(id), intervalMs))
+        val q = StreamRunner.start(writer.queryName(id), intervalMs)
+        started(id) = q
+        Some(id -> q)
       } else {
         tpe match {
           case _ if connector.isDefined => connector.get(df)
@@ -2992,17 +3003,28 @@ object ConfigLoader {
     val tableFeeds = memoryTableInputs(parseYaml(yaml)).flatMap {
       case (tname, _) =>
         val df = built.outputs(tname)
-        if (df.isStreaming)
-          Some(s"__table_$tname" -> StreamRunner.start(
+        if (df.isStreaming) {
+          val q = StreamRunner.start(
             df.writeStream
               .option("checkpointLocation", s"$workDir/.ckpt-table-$tname")
               .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
                 feedMemoryTableBatch(tname, b))
-              .queryName(s"__table_$tname"), 100))
-        else None
+              .queryName(s"__table_$tname"), 100)
+          started(s"__table_$tname") = q
+          Some(s"__table_$tname" -> q)
+        } else None
     }
     RunningConfig(queries.toMap ++ tableFeeds, tails, scrapers, logTaps,
       closers, exporters.toMap, pollers)
+    } catch {
+      case e: Exception =>
+        // stop everything this call started (queries so far, taps,
+        // scrapers, source listeners/ports via their closers,
+        // exporters) — a failed run() must leave nothing running
+        RunningConfig(started.toMap, Nil, scrapers, logTaps, closers,
+          exporters.toMap, Nil).stopAll()
+        throw e
+    }
   }
 
   /** The reference's encoding Transformer

@@ -292,6 +292,75 @@ class ToolingSpec extends SparkSpec {
     } finally running.stopAll()
   }
 
+  test("reload: a mid-swap START failure stops the already-started " +
+      "fresh queries — no orphans") {
+    // the residual class AFTER dryValidate/load: everything builds, the
+    // FIRST new sink's query starts, then the SECOND new sink fails at
+    // start time (port already bound). The partially-started subgraph
+    // must be torn down — a leaked untracked StreamingQuery is the bug.
+    val blocker = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val busyPort = blocker.getLocalPort
+    val dir = java.nio.file.Files.createTempDirectory("rlleak")
+    java.nio.file.Files.write(dir.resolve("a.log"),
+      "one\n".getBytes("UTF-8"))
+    val base =
+      s"""
+        |sources:
+        |  src:
+        |    type: file
+        |    path: $dir
+        |transforms:
+        |  up:
+        |    type: remap
+        |    inputs: [src]
+        |    source: |
+        |      .msg = upcase!(.message)
+        |sinks:
+        |  rl_keep:
+        |    type: memory
+        |    inputs: [up]
+        |""".stripMargin
+    // two ADDED sinks: rl_aux (memory — starts fine, yaml-first) then
+    // rl_exp (prometheus_exporter on the occupied port — bind fails)
+    val withNew = base +
+      s"""|  rl_aux:
+          |    type: memory
+          |    inputs: [up]
+          |  rl_exp:
+          |    type: prometheus_exporter
+          |    inputs: [up]
+          |    address: 127.0.0.1:$busyPort
+          |""".stripMargin
+    val tmp = java.nio.file.Files.createTempDirectory("rlleakwork").toString
+    var running = plans.ConfigLoader.run(spark, base,
+      "/root/testdata/sf0.001", tmp)
+    try {
+      running.processAllAvailable()
+      val preActive = spark.streams.active.map(_.name).toSet
+      val e = intercept[plans.ConfigLoader.ReloadFailedException] {
+        plans.ConfigLoader.reload(spark, running, base, withNew,
+          "/root/testdata/sf0.001", tmp)
+      }
+      running = e.restored
+      val postActive = spark.streams.active.map(_.name).toSet
+      assert(!postActive.contains("rl_aux"),
+        "the started-then-abandoned fresh query leaked")
+      assert(postActive == preActive,
+        s"active set changed across failed reload: $preActive -> $postActive")
+      // the untouched old sink is still live and ingesting
+      assert(running.queries("rl_keep").isActive)
+      java.nio.file.Files.write(dir.resolve("a.log"),
+        "two\n".getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+      running.processAllAvailable()
+      assert(spark.table("rl_keep").collect()
+        .map(_.getAs[String]("msg")).toSet == Set("ONE", "TWO"))
+    } finally {
+      running.stopAll()
+      blocker.close()
+    }
+  }
+
   test("api: health + components endpoints serve the live topology") {
     val dir = java.nio.file.Files.createTempDirectory("apisrc")
     java.nio.file.Files.write(dir.resolve("a.log"),

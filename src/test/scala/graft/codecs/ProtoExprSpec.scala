@@ -112,6 +112,50 @@ class ProtoExprSpec extends SparkSpec {
     assert(packedRow.getSeq[Long](0) == Seq(5L, 6L, 300L))
   }
 
+  test("expression decode normalizes invalid UTF-8 like the Row walker") {
+    // a PString whose payload is NOT valid UTF-8: the Row walker runs
+    // it through `new String(bytes, UTF_8)` (U+FFFD substitution); the
+    // expression must produce the SAME normalized string, not keep the
+    // raw bytes verbatim (which would diverge on equality/grouping)
+    val schema = ProtoSchema(Seq(ProtoField(1, "s", PString),
+      ProtoField(2, "t", PVarint)))
+    val out = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    // 0xC3 starts a 2-byte sequence but 0x28 can't continue it; a lone
+    // 0xFF is never valid; trailing valid ASCII must survive
+    val raw = Array[Byte]('a', 0xC3.toByte, 0x28, 0xFF.toByte, 'z')
+    varint((1L << 3) | 2); varint(raw.length.toLong); out.write(raw)
+    varint((2L << 3) | 0); varint(11)
+    val bytes = out.toByteArray
+    val viaRow = decodeTo(schema, bytes)
+    val viaExpr = Seq(Tuple1(bytes)).toDF("b")
+      .select(ProtobufCodec.decode(schema, col("b")).as("p"))
+      .collect().head.getStruct(0)
+    assert(viaExpr.getString(0) == viaRow.getString(0))
+    assert(viaExpr.getString(0) ==
+      new String(raw, java.nio.charset.StandardCharsets.UTF_8))
+    assert(viaExpr.getLong(1) == 11L)
+  }
+
+  test("expression decode: sparse field numbers take the scan fallback") {
+    // field number past the dense-dispatch cap (4096) — the compiled
+    // kernel must fall back to the linear scan, same values out
+    val schema = ProtoSchema(Seq(ProtoField(1, "a", PVarint),
+      ProtoField(5000, "z", PString)))
+    val row = sRow(schema, 3L, "far")
+    val bytes = encodeTo(schema, row)
+    val viaRow = decodeTo(schema, bytes)
+    val viaExpr = Seq(Tuple1(bytes)).toDF("b")
+      .select(ProtobufCodec.decode(schema, col("b")).as("p"))
+      .collect().head.getStruct(0)
+    assert(norm(viaExpr) == norm(viaRow))
+    assert(viaExpr.getString(1) == "far")
+  }
+
   test("expression decode nulls on malformed, expression encode skips null fields") {
     val schema = ProtoSchema(Seq(ProtoField(1, "a", PVarint),
       ProtoField(2, "s", PString)))
