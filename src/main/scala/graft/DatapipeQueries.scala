@@ -110,6 +110,42 @@ object DatapipeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the same near-dedup driven from the YAML config surface: the
+    // `dedup_lsh` transform (plans/ConfigLoader) with its scale knobs
+    // spelled out — proves threshold/geometry/fat_index/hint_rows wire
+    // through config and that emit=survivors (components over
+    // pair-touched ids only + one left_anti join back) matches the
+    // direct-API clustering's canonical set
+    "dedup_config" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  docs:
+          |    type: parquet
+          |    table: documents
+          |transforms:
+          |  near_dedup:
+          |    type: dedup_lsh
+          |    inputs: [docs]
+          |    id_field: doc_id
+          |    text_field: text
+          |    threshold: 0.5
+          |    shingle: 3
+          |    num_hashes: 12
+          |    bands: 3
+          |    emit: survivors
+          |    fat_index: false
+          |    hint_rows: 300000
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [near_dedup]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // the end-to-end curation run a training-data team performs before
     // a pretraining mix — quality gate, corpus-wide exact + near-dup
     // canonical sets, stratified source mix — composed as ONE Catalyst
@@ -769,6 +805,15 @@ object DatapipeQueries {
         |$clusterCtes
         |SELECT doc_id, cluster, (doc_id = cluster) AS keep
         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "dedup_config" ->
+      s"""WITH RECURSIVE $toksCte, $shCte,
+        |$minhashCandCtes,
+        |$clusterCtes
+        |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (
+        |  SELECT doc_id FROM comp WHERE doc_id <> cluster)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "curation_pipeline" ->
       s"""WITH RECURSIVE $toksCte, $shCte,

@@ -325,6 +325,101 @@ object ConfigLoader {
             }
             Map("" -> out)
           })
+      // `dedup_lsh` — corpus-scale near-duplicate removal at the YAML
+      // surface (a Spark-native extra; the reference's `dedupe` is
+      // exact-match per event stream, not corpus similarity). Wraps
+      // datapipe.Dedup.minhashLsh + connectedComponents so a config
+      // user reaches the SAME scale knobs the Scala API exposes:
+      //   threshold/shingle/num_hashes/bands — LSH geometry
+      //   max_bucket   — hot-bucket candidate cap (0 = off,
+      //                  -1 = auto max(50, ceil(sqrt(N))))
+      //   fat_index    — auto|true|false: force/skip the shuffle_hash
+      //                  verify-join hints without the auto count pass
+      //   hint_rows    — connected-components bounded-side row count
+      //                  above which the label joins pin shuffle_hash
+      // `emit:` picks the output: `survivors` (default — drop every
+      // non-canonical near-dup; components run only over pair-touched
+      // ids, then one left_anti join back) | `clusters` (all rows +
+      // cluster + keep) | `pairs` (id_a, id_b, jaccard). `method:`
+      // picks the pair generator: `minhash` (default — approximate
+      // candidates, exact verify) | `ngram` (exact Jaccard with PPJoin
+      // prefix filtering — no false negatives, costlier on low-overlap
+      // corpora; num_hashes/bands/max_bucket don't apply). Batch only.
+      case "dedup_lsh" =>
+        val idField = conf.getOrElse("id_field",
+          throw new IllegalArgumentException(
+            s"dedup_lsh $id: `id_field:` is required")).toString
+        val textField = conf.getOrElse("text_field", "text").toString
+        val threshold = conf.getOrElse("threshold", 0.5).toString.toDouble
+        if (threshold <= 0.0 || threshold > 1.0)
+          throw new IllegalArgumentException(
+            s"dedup_lsh $id: threshold must be in (0, 1], got $threshold")
+        val shingleN = conf.getOrElse("shingle", 3).toString.toInt
+        val numHashes = conf.getOrElse("num_hashes", 12).toString.toInt
+        val bands = conf.getOrElse("bands", 3).toString.toInt
+        if (bands <= 0 || numHashes % bands != 0)
+          throw new IllegalArgumentException(
+            s"dedup_lsh $id: num_hashes ($numHashes) must be a positive " +
+              s"multiple of bands ($bands)")
+        val maxBucket = conf.getOrElse("max_bucket", 0).toString.toInt
+        val fatIndex = conf.get("fat_index").map(_.toString) match {
+          case None | Some("auto") => None
+          case Some(s) => Some(s.toBoolean)
+        }
+        val hintRows = conf.getOrElse("hint_rows",
+          graft.datapipe.Dedup.DefaultHintRows).toString.toLong
+        val emit = conf.getOrElse("emit", "survivors").toString
+        if (!Set("survivors", "clusters", "pairs")(emit))
+          throw new IllegalArgumentException(
+            s"dedup_lsh $id: unknown emit '$emit' " +
+              "(one of survivors, clusters, pairs)")
+        val method = conf.getOrElse("method", "minhash").toString
+        if (!Set("minhash", "ngram")(method))
+          throw new IllegalArgumentException(
+            s"dedup_lsh $id: unknown method '$method' (minhash or ngram)")
+        Topology.Transform.simple(id, inputs, df => {
+          if (df.isStreaming) throw new IllegalArgumentException(
+            s"dedup_lsh $id: corpus near-dedup needs the whole corpus; " +
+              "streaming inputs are not supported (stage to a table first)")
+          if (!df.columns.contains(idField) || !df.columns.contains(textField))
+            throw new IllegalArgumentException(
+              s"dedup_lsh $id: input must carry `$idField` and `$textField` " +
+                s"columns (has ${df.columns.sorted.mkString(", ")})")
+          val pairs = method match {
+            case "minhash" => graft.datapipe.Dedup.minhashLsh(df, idField,
+              col(textField), shingleN, numHashes, bands, threshold,
+              maxBucket, fatIndex)
+            case "ngram" => graft.datapipe.Dedup.ngramJaccardPrefix(df,
+              idField, col(textField), shingleN, threshold, fatIndex)
+          }
+          emit match {
+            case "pairs" => pairs
+            case "clusters" =>
+              // every row labelled: components over ALL ids (isolated
+              // docs are their own singleton cluster)
+              val labels = graft.datapipe.Dedup.connectedComponents(
+                df.select(col(idField).as("id")),
+                pairs.select(col("id_a"), col("id_b")), hintRows = hintRows)
+              df.join(
+                labels.select(col("id").as(idField),
+                  col("comp").as("cluster"),
+                  (col("id") === col("comp")).as("keep")),
+                Seq(idField))
+            case "survivors" =>
+              // the 100 TB shape: components only over ids that appear
+              // in a pair (geometrically smaller than the corpus), then
+              // anti-join the drop set — untouched docs never shuffle
+              // through the clustering at all
+              val touched = pairs.select(col("id_a").as("id"))
+                .union(pairs.select(col("id_b").as("id"))).distinct()
+              val drop = graft.datapipe.Dedup.connectedComponents(
+                  touched, pairs.select(col("id_a"), col("id_b")),
+                  hintRows = hintRows)
+                .filter(col("id") =!= col("comp"))
+                .select(col("id").as(idField))
+              df.join(drop, Seq(idField), "left_anti")
+          }
+        })
       // lua transform (src/transforms/lua/): v1 script body over the
       // `event` global, v2 process hook (event, emit) — micro-Lua
       // interpreter, compiled at load, executed in a distributed flatMap
@@ -1309,7 +1404,8 @@ object ConfigLoader {
     "websocket")
 
   val transformTypes: Seq[String] = Seq(
-    "aggregate", "aws_ec2_metadata", "dedupe", "delay", "exclusive_route",
+    "aggregate", "aws_ec2_metadata", "dedup_lsh", "dedupe", "delay",
+    "exclusive_route",
     "filter", "incremental_to_absolute", "join", "line_agg",
     "log_to_metric",
     "lua", "metric_to_log", "multiline", "reduce", "remap", "route",

@@ -614,6 +614,77 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(uniq.count() == nEvents)
   }
 
+  test("dedup_lsh transform: emits, knob threading, load errors") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    def topo(extra: String): String =
+      s"""
+        |sources:
+        |  docs:
+        |    type: parquet
+        |    table: documents
+        |transforms:
+        |  nd:
+        |    type: dedup_lsh
+        |    inputs: [docs]
+        |    id_field: doc_id
+        |$extra
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [nd]
+        |""".stripMargin
+    val docs = graft.Graft.table(spark, dir, "documents")
+    val pairs = graft.datapipe.Dedup.minhashLsh(docs, "doc_id", col("text"))
+    // pairs emit matches the direct API call
+    val yPairs = ConfigLoader.load(spark, topo("    emit: pairs"), dir)
+      .sink("out").select("id_a", "id_b")
+    assert(yPairs.exceptAll(pairs.select("id_a", "id_b")).count() == 0)
+    assert(pairs.select("id_a", "id_b").exceptAll(yPairs).count() == 0)
+    // survivors = docs minus non-canonical cluster members; every id in
+    // a verified pair loses all but its cluster's lowest id
+    val labels = graft.datapipe.Dedup.connectedComponents(
+      docs.select(col("doc_id").as("id")), pairs.select("id_a", "id_b"))
+    val wantKeep = labels.filter(col("id") === col("comp")).count()
+    val surv = ConfigLoader.load(spark, topo("    emit: survivors"), dir)
+      .sink("out")
+    assert(surv.count() == wantKeep)
+    assert(surv.columns.contains("text")) // passthrough keeps all columns
+    // clusters emit: one row per doc, keep marks the canonical member,
+    // and the knobs (auto max_bucket, pinned fat_index, hint_rows)
+    // thread through without changing this corpus's output
+    val clus = ConfigLoader.load(spark, topo(
+      """    emit: clusters
+        |    max_bucket: -1
+        |    fat_index: false
+        |    hint_rows: 1000""".stripMargin), dir).sink("out")
+    assert(clus.count() == docs.count())
+    assert(clus.filter(col("keep")).count() == wantKeep)
+    // named load errors
+    def err(extra: String, drop: String = ""): String =
+      intercept[IllegalArgumentException] {
+        ConfigLoader.load(spark,
+          topo(extra).replace(drop, ""), dir).sink("out").count()
+      }.getMessage
+    // method: ngram swaps in the exact PPJoin pair generator
+    val yNgram = ConfigLoader.load(spark, topo(
+      """    emit: pairs
+        |    method: ngram""".stripMargin), dir)
+      .sink("out").select("id_a", "id_b")
+    val wantNgram = graft.datapipe.Dedup
+      .ngramJaccardPrefix(docs, "doc_id", col("text"))
+      .select("id_a", "id_b")
+    assert(yNgram.exceptAll(wantNgram).count() == 0)
+    assert(wantNgram.exceptAll(yNgram).count() == 0)
+    assert(err("    emit: nope").contains("unknown emit"))
+    assert(err("    method: cosine").contains("unknown method"))
+    assert(err("    num_hashes: 10\n    bands: 3").contains("multiple"))
+    assert(err("    threshold: 1.5").contains("threshold"))
+    assert(err("    emit: pairs", drop = "    id_field: doc_id\n")
+      .contains("id_field"))
+    assert(err("    text_field: no_such_column").contains("no_such_column"))
+  }
+
   private def resourceYaml(name: String): String = {
     val in = getClass.getResourceAsStream(s"/behavior/$name")
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
