@@ -13,7 +13,23 @@ object StressProbe {
     val spark = Graft.session(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val rep = sys.env.getOrElse("SPARK_GRAFT_STRESS_REP", "40").toInt
+    // The source parquet is a handful of input splits; exploding rep
+    // copies IN PLACE multiplies each split's row count by rep, so
+    // every downstream narrow block (the cached corpus AND the
+    // persisted shingle index, which inherits this partitioning) grows
+    // linearly with rep — at rep=4000 single blocks unrolled >1 GiB
+    // × 16 concurrent tasks and OOM'd a 44g executor. Partition count
+    // must scale with TOTAL ROWS, not cores: spread the source so each
+    // generated slice stays ~40k docs (no post-explode shuffle needed),
+    // and size the shuffle partitions to match (fixed-32 partitions
+    // made the LSH verify hash-builds grow with rep the same way).
+    val baseN = Graft.table(spark, sfDir, "documents").count()
+    val parts = math.max(spark.sparkContext.defaultParallelism * 4,
+      (baseN * rep / 40000L).toInt)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(spark.sparkContext.defaultParallelism, parts / 2))
     val docs = Graft.table(spark, sfDir, "documents")
+      .repartition(parts)
       .withColumn("__r", explode(sequence(lit(0), lit(rep - 1))))
       .withColumn("doc_id", col("doc_id") * rep + col("__r"))
       .withColumn("text",
@@ -116,7 +132,12 @@ object StressProbe {
       // into EVERY word, which keeps the true near-dup structure
       // within each replica class and makes the heavy run ~rep
       // independent sf0.1 corpora (linear, the honest scale shape).
+      // the light corpus's cached blocks would otherwise sit under the
+      // heavy corpus's (both are N×rep rows — at rep=4000 that is two
+      // 20M-doc caches in the same executor pools)
+      docs.unpersist(blocking = true)
       val heavyDocs = Graft.table(spark, sfDir, "documents")
+        .repartition(parts)
         .withColumn("__r", explode(sequence(lit(0), lit(rep - 1))))
         .withColumn("doc_id", col("doc_id") * rep + col("__r"))
         .withColumn("text", regexp_replace(col("text"), lit("(\\w+)"),
@@ -148,12 +169,23 @@ object StressProbe {
           .write.mode("overwrite").parquet(pairsPath)
         spark.read.parquet(pairsPath).count()
       }
+      // the pairs are on parquet — release the LSH operator's internal
+      // persists (shingle index ≈ 200×corpus rows + banded signatures)
+      // before the next chain; at 20M docs they filled both executors'
+      // unified pools and the CC round-1 hash builds couldn't acquire
+      // even one 32 MB page (eviction couldn't keep up with 32
+      // concurrent builders). heavyDocs re-materializes lazily, and the
+      // CC below only reads its pruned doc_id column anyway. This IS
+      // the real pipeline shape: stage boundary = parquet + fresh cache.
+      spark.catalog.clearCache()
       timed("dedup_clusters_cc") {
         Dedup.connectedComponents(
           heavyDocs.select(col("doc_id").as("id")),
           spark.read.parquet(pairsPath),
           checkpointDir = Some(ckpt)).count()
       }
+      spark.catalog.clearCache() // same boundary before the next chain
+      heavyDocs.cache() // re-register: the curation chain reads it 6×
       if (!onlyCc)
       timed("curation_pipeline") {
         // the full gate -> exact/near-dup -> decontaminate -> mix chain,
@@ -202,8 +234,13 @@ object StressProbe {
       // directions so the √N cells stay balanced — the shape a real
       // corpus has.
       if (!onlyCc) {
+      // doc chains are done — release every doc-side cache (the 20M-doc
+      // corpus + whatever the curation chain's LSH persisted) before
+      // the embedding corpora materialize theirs
+      spark.catalog.clearCache()
       val embRep = math.max(1, rep / 4)
       val emb = Graft.table(spark, sfDir, "embeddings")
+        .repartition(parts)
         .withColumn("__r", explode(sequence(lit(0), lit(embRep - 1))))
         .withColumn("vec_id", col("vec_id") * embRep + col("__r"))
         .withColumn("embedding",
@@ -250,6 +287,7 @@ object StressProbe {
       // must stay capped at N × maxCell here — this is the probe that
       // justifies its existence.
       val skewEmb = Graft.table(spark, sfDir, "embeddings")
+        .repartition(parts)
         .withColumn("__r", explode(sequence(lit(0), lit(embRep - 1))))
         .withColumn("vec_id", col("vec_id") * embRep + col("__r"))
         .withColumn("embedding", transform(col("embedding"),
