@@ -30,13 +30,23 @@ object Decontaminate {
   def overlap(docs: DataFrame, idCol: String, text: Column,
               benchmark: DataFrame, benchText: Column, n: Int = 8,
               maxHitRatio: Double = 0.0): DataFrame = {
+    // Both sides fold the gram STRING to a 64-bit hash before any
+    // distinct/join — the broadcast then ships 8 bytes per benchmark
+    // gram instead of an ~n-word string (measured: a 2.7 GB string-set
+    // collect OOM'd two 44g executors at a 20M-doc probe scale; the
+    // hashed set is ~15× smaller) and the corpus side probes a long
+    // key. The hash never leaves the engine, so an engine-only hash is
+    // safe — the same discipline as Dedup's inverted index.
     val grams = docs
       .select(col(idCol).as("doc"), Dedup.tokens(text).as("t"))
       .select(col("doc"),
-        explode(array_distinct(Dedup.shinglesOfToks(col("t"), n))).as("g"))
+        explode(array_distinct(
+          transform(Dedup.shinglesOfToks(col("t"), n), s => xxhash64(s))))
+          .as("g"))
     val benchGrams = benchmark
       .select(Dedup.tokens(benchText).as("t"))
-      .select(explode(Dedup.shinglesOfToks(col("t"), n)).as("g"))
+      .select(explode(
+        transform(Dedup.shinglesOfToks(col("t"), n), s => xxhash64(s))).as("g"))
       .distinct()
     grams
       .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("g"), "left")
