@@ -310,22 +310,32 @@ object Dedup {
         col("sb.doc") === col("id_b") && col("sa.s") === col("sb.s"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
-    jaccardFilter(common2, docSizes(inv), threshold)
+    jaccardFilter(common2, docSizes(inv), threshold, fatCorpus = big)
   }
 
   /** jaccard = common / (|A| + |B| - common), thresholded. The per-doc
-    * size table is orders smaller than the pair table — AQE broadcasts it.
+    * size table is orders smaller than the pair table at small scale —
+    * AQE broadcasts it. But it has CORPUS cardinality (one row per
+    * doc), and Catalyst's aggregate size estimate undershoots it: at
+    * 20M docs the planner chose to BROADCAST the 2.7 GB size table
+    * (500 collect tasks × 5.5 MB heap-OOM'd both executors). When the
+    * caller knows the corpus is fat, hint shuffle_hash on the PAIR
+    * side so the size table streams through an ordinary exchange.
     */
   private def jaccardFilter(common: DataFrame, sizes: DataFrame,
-                            threshold: Double): DataFrame =
-    common
-      .join(sizes.as("za"), col("za.doc") === col("id_a"))
+                            threshold: Double,
+                            fatCorpus: Boolean = false): DataFrame = {
+    def h(df: DataFrame): DataFrame =
+      if (fatCorpus) df.hint("shuffle_hash") else df
+    h(h(common)
+      .join(sizes.as("za"), col("za.doc") === col("id_a")))
       .join(sizes.as("zb"), col("zb.doc") === col("id_b"))
       .withColumn("jaccard",
         round(col("n_common") /
           (col("za.n_sh") + col("zb.n_sh") - col("n_common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 
   /** SimHash: 64-bit bitwise-majority fingerprint over token hashes.
     * Token hash = first 16 md5 hex chars as a signed two's-complement
