@@ -146,6 +146,166 @@ object DatapipeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the FULL curation chain driven from YAML alone: heuristic quality
+    // gate -> exact dedup -> near-dedup, each stage a config transform
+    // over the previous stage's survivors (sequential semantics — the
+    // dedups see only gated docs, unlike curation_pipeline's
+    // full-corpus anti-join sets; the oracle mirrors the sequencing)
+    "curation_config" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  docs:
+          |    type: parquet
+          |    table: documents
+          |transforms:
+          |  gate:
+          |    type: quality_gate
+          |    inputs: [docs]
+          |    rules: heuristic
+          |    min_quality: 0.5
+          |  exact:
+          |    type: dedup_exact
+          |    inputs: [gate]
+          |    id_field: doc_id
+          |  near:
+          |    type: dedup_lsh
+          |    inputs: [exact]
+          |    id_field: doc_id
+          |    threshold: 0.5
+          |    fat_index: false
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [near]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // gopher quality rules driven from YAML: remap derives the richer
+    // text (same literal replaces as quality_gopher), quality_gate
+    // annotates — proves the remap -> gate chain carries VRL-derived
+    // fields into the rule metrics
+    "quality_config" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  docs:
+          |    type: parquet
+          |    table: documents
+          |transforms:
+          |  derive:
+          |    type: remap
+          |    inputs: [docs]
+          |    source: |
+          |      .t2 = replace(replace(string!(.text), " merge ", ".\nwe have to merge with that of and the lot. "), " slow ", "...\n• slow ")
+          |  gate:
+          |    type: quality_gate
+          |    inputs: [derive]
+          |    text_field: t2
+          |    rules: gopher
+          |    emit: annotate
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [gate]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("bullet_ratio"), col("ellipsis_ratio"),
+          col("alpha_ratio"), col("stopword_hits"), col("gopher_pass"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII scrub driven from YAML: remap injects deterministic
+    // identifiers, pii_redact replaces the field in place
+    "pii_config" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  docs:
+          |    type: parquet
+          |    table: documents
+          |transforms:
+          |  inject:
+          |    type: remap
+          |    inputs: [docs]
+          |    source: |
+          |      .t2 = replace(replace(replace(string!(.text), " data ", " mail bob.lee+x@ex-ample.org now "), " key ", " host 10.42.7.250 dial +555-867-5309 "), " row ", " ssn 123-45-6789 card 4242 4242 4242 4242 ")
+          |  scrub:
+          |    type: pii_redact
+          |    inputs: [inject]
+          |    text_field: t2
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [scrub]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("doc_id"), col("t2").as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+
+    // test-set decontamination driven from YAML: the benchmark side is
+    // carved out of the corpus by a filter transform (every 97th doc),
+    // decontaminate drops every corpus doc sharing an 8-gram with it
+    // (the benchmark docs flag themselves — the point of the guard)
+    "decon_config" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  docs:
+          |    type: parquet
+          |    table: documents
+          |transforms:
+          |  bench:
+          |    type: filter
+          |    inputs: [docs]
+          |    condition: mod(.doc_id, 97) == 0
+          |  clean:
+          |    type: decontaminate
+          |    inputs: [docs, bench]
+          |    id_field: doc_id
+          |    ngram: 8
+          |    emit: clean
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [clean]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // RAG chunking driven from YAML: 500-char windows, 100 overlap;
+    // the text field becomes the chunk, chunk_id appended
+    "chunk_config" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  docs:
+          |    type: parquet
+          |    table: documents
+          |transforms:
+          |  chunks:
+          |    type: chunk
+          |    inputs: [docs]
+          |    size: 500
+          |    overlap: 100
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [chunks]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("doc_id"), col("chunk_id"), col("text").as("chunk"),
+          length(col("text")).cast("long").as("chunk_chars"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // the end-to-end curation run a training-data team performs before
     // a pretraining mix — quality gate, corpus-wide exact + near-dup
     // canonical sets, stratified source mix — composed as ONE Catalyst
@@ -543,6 +703,72 @@ object DatapipeQueries {
   private val toksCte =
     """toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x)>0) t
       |         FROM documents)""".stripMargin
+
+  private val chunkSql =
+    """WITH p AS (SELECT doc_id, text, length(text) AS len,
+      |  CASE WHEN length(text) <= 500 THEN 1
+      |       ELSE CAST(ceil((length(text) - 500) / 400.0) AS BIGINT) + 1
+      |  END AS n
+      |  FROM documents)
+      |SELECT doc_id, i AS chunk_id,
+      |  substr(text, CAST(i*400 + 1 AS INT), 500) AS chunk,
+      |  length(substr(text, CAST(i*400 + 1 AS INT), 500)) AS chunk_chars
+      |FROM p, unnest(generate_series(0, n-1)) AS t(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  private val gopherSql =
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    replace(replace(text,
+        |      ' merge ', '.' || chr(10) || 'we have to merge with that of and the lot. '),
+        |      ' slow ', '...' || chr(10) || '• slow ') AS t2
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, t2,
+        |    len(regexp_split_to_array(trim(t2), '\s+')) AS n_words,
+        |    length(regexp_replace(t2, '\s+', '', 'g')) AS nw_chars,
+        |    (length(t2) - length(replace(t2, '#', ''))) +
+        |      (length(t2) - length(replace(t2, '...', ''))) / 3 AS n_sym,
+        |    string_split(t2, chr(10)) AS ls,
+        |    regexp_split_to_array(trim(t2), '\s+') AS ws
+        |  FROM t)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        |  round(nw_chars * 1.0 / n_words, 6) AS mean_word_len,
+        |  round(n_sym * 1.0 / n_words, 6) AS symbol_ratio,
+        |  round(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]')))
+        |    * 1.0 / len(ls), 6) AS bullet_ratio,
+        |  round(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+        |    * 1.0 / len(ls), 6) AS ellipsis_ratio,
+        |  round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+        |    * 1.0 / n_words, 6) AS alpha_ratio,
+        |  CAST((CASE WHEN regexp_matches(lower(t2), '\bthe\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bbe\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bto\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bof\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\band\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bthat\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bhave\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bwith\b') THEN 1 ELSE 0 END)
+        |    AS INT) AS stopword_hits,
+        |  (n_words BETWEEN 50 AND 100000
+        |    AND round(nw_chars * 1.0 / n_words, 6) BETWEEN 3.0 AND 10.0
+        |    AND round(n_sym * 1.0 / n_words, 6) <= 0.1
+        |    AND round(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]')))
+        |      * 1.0 / len(ls), 6) <= 0.9
+        |    AND round(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+        |      * 1.0 / len(ls), 6) <= 0.3
+        |    AND round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+        |      * 1.0 / n_words, 6) >= 0.8
+        |    AND ((CASE WHEN regexp_matches(lower(t2), '\bthe\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bbe\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bto\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bof\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\band\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bthat\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bhave\b') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(lower(t2), '\bwith\b') THEN 1 ELSE 0 END)) >= 2
+        |  ) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin
   private val shCte =
     """sh AS (SELECT doc_id,
       |  CASE WHEN len(t) >= 3
@@ -726,17 +952,9 @@ object DatapipeQueries {
         |  (n_chars > 0) AS nonempty
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "chunk_documents" ->
-      """WITH p AS (SELECT doc_id, text, length(text) AS len,
-        |  CASE WHEN length(text) <= 500 THEN 1
-        |       ELSE CAST(ceil((length(text) - 500) / 400.0) AS BIGINT) + 1
-        |  END AS n
-        |  FROM documents)
-        |SELECT doc_id, i AS chunk_id,
-        |  substr(text, CAST(i*400 + 1 AS INT), 500) AS chunk,
-        |  length(substr(text, CAST(i*400 + 1 AS INT), 500)) AS chunk_chars
-        |FROM p, unnest(generate_series(0, n-1)) AS t(i)
-        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "chunk_documents" -> chunkSql,
+    // same chunking driven through the YAML `chunk` transform
+    "chunk_config" -> chunkSql,
 
     "shard_assign" ->
       """WITH hashed AS (
@@ -814,6 +1032,109 @@ object DatapipeQueries {
         |WHERE d.doc_id NOT IN (
         |  SELECT doc_id FROM comp WHERE doc_id <> cluster)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // sequential YAML chain: quality gate first, exact dedup over the
+    // gated docs, LSH clustering over the exact-deduped survivors —
+    // every downstream CTE scoped to the previous stage's output
+    "curation_config" ->
+      s"""WITH RECURSIVE
+        |q AS (
+        |  SELECT doc_id,
+        |    round((least(length(text) / 500.0, 1.0)
+        |      + least(stop_ratio * 5.0, 1.0)
+        |      + greatest(1.0 - punct_ratio * 4.0, 0.0)) / 3.0, 6) AS quality
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      round(len(list_filter(tk,
+        |        x -> x IN ('the','a','of','and','to','in','is','on'))) * 1.0
+        |        / len(tk), 6) AS stop_ratio,
+        |      round((length(text) - length(regexp_replace(text,
+        |        '[[:punct:]]', '', 'g'))) * 1.0 / length(text), 6)
+        |        AS punct_ratio
+        |    FROM (SELECT doc_id, text,
+        |      list_filter(string_split(text,' '), x -> len(x)>0) AS tk
+        |      FROM documents))),
+        |gated AS (
+        |  SELECT d.* FROM documents d JOIN q USING (doc_id)
+        |  WHERE q.quality >= 0.5),
+        |exact_dup AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM gated) WHERE rn > 1),
+        |g2 AS (SELECT * FROM gated
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup)),
+        |toks AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> len(x)>0) t FROM g2),
+        |$shCte,
+        |$minhashCandCtes,
+        |inv AS (SELECT doc_id, unnest(list_distinct(s)) shv FROM sh),
+        |sz AS (SELECT doc_id, len(list_distinct(s)) n FROM sh),
+        |common AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_common
+        |  FROM cand c
+        |  JOIN inv sa ON sa.doc_id = c.id_a
+        |  JOIN inv sb ON sb.doc_id = c.id_b AND sb.shv = sa.shv
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM common JOIN sz za ON za.doc_id = id_a
+        |    JOIN sz zb ON zb.doc_id = id_b
+        |  WHERE round(n_common * 1.0 / (za.n + zb.n - n_common), 6) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
+        |  FROM g2 d LEFT JOIN reach r ON r.src = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, source FROM g2
+        |WHERE doc_id NOT IN (
+        |  SELECT doc_id FROM comp WHERE doc_id <> cluster)
+        |ORDER BY doc_id""".stripMargin,
+
+    // remap-injected identifiers scrubbed by the pii_redact transform
+    "pii_config" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(text,
+        |      ' data ', ' mail bob.lee+x@ex-ample.org now '),
+        |      ' key ', ' host 10.42.7.250 dial +555-867-5309 '),
+        |      ' row ', ' ssn 123-45-6789 card 4242 4242 4242 4242 ') AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |    '\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b', '<CARD>', 'g')
+        |    AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // YAML decontaminate: benchmark = full text of every 97th doc, so
+    // those docs flag themselves out along with any gram-sharers
+    "decon_config" ->
+      s"""WITH $toksCte,
+        |sh8 AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 8
+        |    THEN [array_to_string(t[i:i+7],' ') for i in range(1, len(t)-6)]
+        |    ELSE [array_to_string(t,' ')] END s
+        |  FROM toks),
+        |bsh AS (SELECT s FROM sh8 WHERE doc_id % 97 = 0),
+        |bg AS (SELECT DISTINCT unnest(s) AS g FROM bsh),
+        |contam AS (
+        |  SELECT DISTINCT cg.doc_id
+        |  FROM (SELECT doc_id, unnest(list_distinct(s)) AS g FROM sh8) cg
+        |  JOIN bg ON cg.g = bg.g)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        |ORDER BY doc_id""".stripMargin,
 
     "curation_pipeline" ->
       s"""WITH RECURSIVE $toksCte, $shCte,
@@ -1478,59 +1799,10 @@ object DatapipeQueries {
         |    AS redacted
         |FROM t ORDER BY doc_id""".stripMargin,
 
-    "quality_gopher" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    replace(replace(text,
-        |      ' merge ', '.' || chr(10) || 'we have to merge with that of and the lot. '),
-        |      ' slow ', '...' || chr(10) || '• slow ') AS t2
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, t2,
-        |    len(regexp_split_to_array(trim(t2), '\s+')) AS n_words,
-        |    length(regexp_replace(t2, '\s+', '', 'g')) AS nw_chars,
-        |    (length(t2) - length(replace(t2, '#', ''))) +
-        |      (length(t2) - length(replace(t2, '...', ''))) / 3 AS n_sym,
-        |    string_split(t2, chr(10)) AS ls,
-        |    regexp_split_to_array(trim(t2), '\s+') AS ws
-        |  FROM t)
-        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
-        |  round(nw_chars * 1.0 / n_words, 6) AS mean_word_len,
-        |  round(n_sym * 1.0 / n_words, 6) AS symbol_ratio,
-        |  round(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]')))
-        |    * 1.0 / len(ls), 6) AS bullet_ratio,
-        |  round(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
-        |    * 1.0 / len(ls), 6) AS ellipsis_ratio,
-        |  round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
-        |    * 1.0 / n_words, 6) AS alpha_ratio,
-        |  CAST((CASE WHEN regexp_matches(lower(t2), '\bthe\b') THEN 1 ELSE 0 END)
-        |    + (CASE WHEN regexp_matches(lower(t2), '\bbe\b') THEN 1 ELSE 0 END)
-        |    + (CASE WHEN regexp_matches(lower(t2), '\bto\b') THEN 1 ELSE 0 END)
-        |    + (CASE WHEN regexp_matches(lower(t2), '\bof\b') THEN 1 ELSE 0 END)
-        |    + (CASE WHEN regexp_matches(lower(t2), '\band\b') THEN 1 ELSE 0 END)
-        |    + (CASE WHEN regexp_matches(lower(t2), '\bthat\b') THEN 1 ELSE 0 END)
-        |    + (CASE WHEN regexp_matches(lower(t2), '\bhave\b') THEN 1 ELSE 0 END)
-        |    + (CASE WHEN regexp_matches(lower(t2), '\bwith\b') THEN 1 ELSE 0 END)
-        |    AS INT) AS stopword_hits,
-        |  (n_words BETWEEN 50 AND 100000
-        |    AND round(nw_chars * 1.0 / n_words, 6) BETWEEN 3.0 AND 10.0
-        |    AND round(n_sym * 1.0 / n_words, 6) <= 0.1
-        |    AND round(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]')))
-        |      * 1.0 / len(ls), 6) <= 0.9
-        |    AND round(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
-        |      * 1.0 / len(ls), 6) <= 0.3
-        |    AND round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
-        |      * 1.0 / n_words, 6) >= 0.8
-        |    AND ((CASE WHEN regexp_matches(lower(t2), '\bthe\b') THEN 1 ELSE 0 END)
-        |    + (CASE WHEN regexp_matches(lower(t2), '\bbe\b') THEN 1 ELSE 0 END)
-        |    + (CASE WHEN regexp_matches(lower(t2), '\bto\b') THEN 1 ELSE 0 END)
-        |    + (CASE WHEN regexp_matches(lower(t2), '\bof\b') THEN 1 ELSE 0 END)
-        |    + (CASE WHEN regexp_matches(lower(t2), '\band\b') THEN 1 ELSE 0 END)
-        |    + (CASE WHEN regexp_matches(lower(t2), '\bthat\b') THEN 1 ELSE 0 END)
-        |    + (CASE WHEN regexp_matches(lower(t2), '\bhave\b') THEN 1 ELSE 0 END)
-        |    + (CASE WHEN regexp_matches(lower(t2), '\bwith\b') THEN 1 ELSE 0 END)) >= 2
-        |  ) AS gopher_pass
-        |FROM m ORDER BY doc_id""".stripMargin,
+    "quality_gopher" -> gopherSql,
+
+    // same gopher rules driven through remap -> quality_gate in YAML
+    "quality_config" -> gopherSql,
 
     "quality_c4" ->
       """WITH t AS (

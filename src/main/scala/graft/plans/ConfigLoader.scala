@@ -41,6 +41,19 @@ object ConfigLoader {
   }
   private def strList(v: Any): Seq[String] = yamlList(v).map(_.toString)
 
+  /** Named load-time error when a datapipe transform's declared field
+    * columns are missing from its input (instead of a downstream
+    * AnalysisException naming an internal plan).
+    */
+  private def requireCols(kind: String, id: String,
+                          df: org.apache.spark.sql.DataFrame,
+                          fields: String*): Unit = {
+    val missing = fields.filterNot(df.columns.contains)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"$kind $id: input must carry column(s) " +
+        s"${missing.mkString(", ")} (has ${df.columns.sorted.mkString(", ")})")
+  }
+
   def parseYaml(text: String): Map[String, Any] =
     yamlMap(new org.yaml.snakeyaml.Yaml().load[Any](text))
 
@@ -420,6 +433,178 @@ object ConfigLoader {
               df.join(drop, Seq(idField), "left_anti")
           }
         })
+      // `dedup_exact` — corpus-wide exact-content dedup at the YAML
+      // surface (datapipe.Dedup.exact: one md5 shuffle, keep lowest id
+      // per content hash). `emit: survivors` (default) drops every
+      // non-canonical copy with one left_anti join back; `emit: dups`
+      // reports the dropped rows with their `dup_of` canonical id.
+      case "dedup_exact" =>
+        val idField = conf.getOrElse("id_field",
+          throw new IllegalArgumentException(
+            s"dedup_exact $id: `id_field:` is required")).toString
+        val textField = conf.getOrElse("text_field", "text").toString
+        val emit = conf.getOrElse("emit", "survivors").toString
+        if (!Set("survivors", "dups")(emit))
+          throw new IllegalArgumentException(
+            s"dedup_exact $id: unknown emit '$emit' (survivors or dups)")
+        Topology.Transform.simple(id, inputs, df => {
+          if (df.isStreaming) throw new IllegalArgumentException(
+            s"dedup_exact $id: corpus dedup needs the whole corpus; " +
+              "streaming inputs are not supported (the reference-parity " +
+              "per-stream form is `dedupe`)")
+          requireCols("dedup_exact", id, df, idField, textField)
+          val dups = graft.datapipe.Dedup.exact(
+            df.select(col(idField), col(textField)), idField, col(textField))
+          emit match {
+            case "dups" =>
+              df.join(dups.select(col(idField), col("dup_of")), Seq(idField))
+            case "survivors" =>
+              df.join(dups.select(col(idField)), Seq(idField), "left_anti")
+          }
+        })
+      // `quality_gate` — published rule-based pretraining quality
+      // filters at the YAML surface (datapipe.QualityRules /
+      // TextAnalysis; pure Column expressions, shuffle-free at any
+      // scale). `rules:` picks the set: `gopher` (Rae et al. 2021
+      // Table A1), `c4` (Raffel et al. 2020 line+document cleaning; in
+      // pass mode the text field is REPLACED by the cleaned text, the
+      // C4 semantics), or `heuristic` (the composite [0,1] score vs
+      // `min_quality:`). `emit: pass` (default) keeps only passing
+      // docs with their original columns; `emit: annotate` keeps every
+      // doc and appends the rule metrics + pass flag instead.
+      case "quality_gate" =>
+        val textField = conf.getOrElse("text_field", "text").toString
+        val rules = conf.getOrElse("rules", "gopher").toString
+        if (!Set("gopher", "c4", "heuristic")(rules))
+          throw new IllegalArgumentException(
+            s"quality_gate $id: unknown rules '$rules' " +
+              "(one of gopher, c4, heuristic)")
+        val minQuality = conf.getOrElse("min_quality", 0.5).toString.toDouble
+        val minLineWords = conf.getOrElse("min_line_words", 5).toString.toInt
+        val minSentences = conf.getOrElse("min_sentences", 3).toString.toInt
+        val emit = conf.getOrElse("emit", "pass").toString
+        if (!Set("pass", "annotate")(emit))
+          throw new IllegalArgumentException(
+            s"quality_gate $id: unknown emit '$emit' (pass or annotate)")
+        Topology.Transform.simple(id, inputs, df => {
+          requireCols("quality_gate", id, df, textField)
+          import graft.datapipe.{QualityRules, TextAnalysis}
+          rules match {
+            case "gopher" =>
+              val m = QualityRules.gopherMetrics(df, col(textField))
+              if (emit == "annotate") m
+              else m.filter(col("gopher_pass")).select(
+                df.columns.map(col).toSeq: _*)
+            case "c4" =>
+              val m = QualityRules.c4Metrics(df, col(textField),
+                minSentences = minSentences)
+              if (emit == "annotate") m
+              else m.filter(col("c4_pass"))
+                .withColumn(textField, QualityRules.c4CleanText(
+                  col(textField), minLineWords))
+                .select(df.columns.map(col).toSeq: _*)
+            case "heuristic" =>
+              val m = df.withColumn("quality", TextAnalysis.qualityScore(
+                col(textField), length(col(textField))))
+              if (emit == "annotate") m
+              else m.filter(col("quality") >= minQuality).select(
+                df.columns.map(col).toSeq: _*)
+          }
+        })
+      // `pii_redact` — regex PII scrub at the YAML surface
+      // (datapipe.Pii: email/ipv4/ssn/phone/card patterns, RE2-safe,
+      // shuffle-free projection). `emit: redact` (default) replaces
+      // the text field in place; `emit: stats` keeps the original text
+      // and appends per-category match counts + the redacted copy.
+      case "pii_redact" =>
+        val textField = conf.getOrElse("text_field", "text").toString
+        val emit = conf.getOrElse("emit", "redact").toString
+        if (!Set("redact", "stats")(emit))
+          throw new IllegalArgumentException(
+            s"pii_redact $id: unknown emit '$emit' (redact or stats)")
+        Topology.Transform.simple(id, inputs, df => {
+          requireCols("pii_redact", id, df, textField)
+          if (emit == "redact")
+            df.withColumn(textField, graft.datapipe.Pii.redact(col(textField)))
+          else graft.datapipe.Pii.stats(df, col(textField))
+        })
+      // `chunk` — RAG/context-window document chunking at the YAML
+      // surface (datapipe.TextAnalysis.chunks: fixed-size character
+      // windows with overlap; scan + posexplode, shuffle-free). Each
+      // input row becomes one row per chunk with the text field
+      // replaced by the chunk content and a `chunk_id` ordinal
+      // appended — every other column passes through.
+      case "chunk" =>
+        val textField = conf.getOrElse("text_field", "text").toString
+        val size = conf.getOrElse("size", 500).toString.toInt
+        val overlap = conf.getOrElse("overlap", 100).toString.toInt
+        if (size <= 0 || overlap < 0 || overlap >= size)
+          throw new IllegalArgumentException(
+            s"chunk $id: need size > 0 and 0 <= overlap < size " +
+              s"(got size=$size overlap=$overlap)")
+        Topology.Transform.simple(id, inputs, df => {
+          requireCols("chunk", id, df, textField)
+          val rest = df.columns.filter(_ != textField).map(col).toSeq
+          df.select(rest :+ posexplode(graft.datapipe.TextAnalysis.chunks(
+              col(textField), size, overlap)): _*)
+            .withColumnRenamed("col", textField)
+            .withColumn("chunk_id", col("pos").cast("long"))
+            .drop("pos")
+        })
+      // `decontaminate` — benchmark/test-set leakage guard at the YAML
+      // surface (datapipe.Decontaminate.overlap): drop or flag corpus
+      // docs sharing an n-gram with a benchmark corpus. TWO inputs:
+      // [corpus, benchmark]. The benchmark side folds to a broadcast
+      // set of 8-byte gram hashes, so the corpus pass is one scan +
+      // one broadcast probe + one doc-keyed aggregate at any scale.
+      // `emit: clean` (default) keeps only uncontaminated corpus rows;
+      // `emit: annotate` keeps every row and appends n_grams / n_hit /
+      // hit_ratio / contaminated.
+      case "decontaminate" =>
+        if (inputs.length != 2) throw new IllegalArgumentException(
+          s"decontaminate $id: exactly two inputs required " +
+            s"(corpus, benchmark), got ${inputs.length}")
+        val idField = conf.getOrElse("id_field",
+          throw new IllegalArgumentException(
+            s"decontaminate $id: `id_field:` is required")).toString
+        val textField = conf.getOrElse("text_field", "text").toString
+        val benchTextField =
+          conf.getOrElse("benchmark_text_field", "text").toString
+        val n = conf.getOrElse("ngram", 8).toString.toInt
+        if (n <= 0) throw new IllegalArgumentException(
+          s"decontaminate $id: ngram must be positive, got $n")
+        val maxHitRatio =
+          conf.getOrElse("max_hit_ratio", 0.0).toString.toDouble
+        val emit = conf.getOrElse("emit", "clean").toString
+        if (!Set("clean", "annotate")(emit))
+          throw new IllegalArgumentException(
+            s"decontaminate $id: unknown emit '$emit' (clean or annotate)")
+        Topology.Transform(id, inputs, Topology.Any, Topology.Any,
+          _ => sys.error("decontaminate uses applyMulti"),
+          applyMulti = Some { case Seq(corpus, bench) =>
+            if (corpus.isStreaming || bench.isStreaming)
+              throw new IllegalArgumentException(
+                s"decontaminate $id: needs the whole corpus and benchmark; " +
+                  "streaming inputs are not supported (stage to tables first)")
+            requireCols("decontaminate", id, corpus, idField, textField)
+            requireCols("decontaminate", id, bench, benchTextField)
+            val stats = graft.datapipe.Decontaminate.overlap(
+              corpus, idField, col(textField), bench, col(benchTextField),
+              n = n, maxHitRatio = maxHitRatio)
+            val out = emit match {
+              case "clean" =>
+                corpus.join(
+                  stats.filter(col("contaminated") === 1)
+                    .select(col("doc").as(idField)),
+                  Seq(idField), "left_anti")
+              case "annotate" =>
+                corpus.join(
+                  stats.select(col("doc").as(idField), col("n_grams"),
+                    col("n_hit"), col("hit_ratio"), col("contaminated")),
+                  Seq(idField), "left")
+            }
+            Map("" -> out)
+          })
       // lua transform (src/transforms/lua/): v1 script body over the
       // `event` global, v2 process hook (event, emit) — micro-Lua
       // interpreter, compiled at load, executed in a distributed flatMap
@@ -1404,11 +1589,13 @@ object ConfigLoader {
     "websocket")
 
   val transformTypes: Seq[String] = Seq(
-    "aggregate", "aws_ec2_metadata", "dedup_lsh", "dedupe", "delay",
+    "aggregate", "aws_ec2_metadata", "chunk", "decontaminate",
+    "dedup_exact", "dedup_lsh", "dedupe", "delay",
     "exclusive_route",
     "filter", "incremental_to_absolute", "join", "line_agg",
     "log_to_metric",
-    "lua", "metric_to_log", "multiline", "reduce", "remap", "route",
+    "lua", "metric_to_log", "multiline", "pii_redact", "quality_gate",
+    "reduce", "remap", "route",
     "sample", "set_op", "sort", "tag_cardinality_limit", "throttle",
     "top_k", "trace_to_log", "window")
 

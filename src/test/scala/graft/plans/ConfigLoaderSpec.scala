@@ -685,6 +685,161 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(err("    text_field: no_such_column").contains("no_such_column"))
   }
 
+  test("datapipe transforms at the YAML surface: quality_gate, " +
+      "pii_redact, chunk, dedup_exact, decontaminate") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    def topo(transforms: String, last: String): String =
+      s"""
+        |sources:
+        |  docs:
+        |    type: parquet
+        |    table: documents
+        |transforms:
+        |$transforms
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [$last]
+        |""".stripMargin
+    def run(transforms: String, last: String) =
+      ConfigLoader.load(spark, topo(transforms, last), dir).sink("out")
+    val docs = graft.Graft.table(spark, dir, "documents")
+
+    // quality_gate: each rules mode matches the direct API
+    val gGopher = run(
+      """  g:
+        |    type: quality_gate
+        |    inputs: [docs]
+        |    rules: gopher""".stripMargin, "g")
+    val wantGopher = graft.datapipe.QualityRules
+      .gopherMetrics(docs, col("text")).filter(col("gopher_pass")).count()
+    assert(gGopher.count() == wantGopher)
+    assert(gGopher.columns.contains("text") &&
+      !gGopher.columns.contains("gopher_pass")) // pass keeps original shape
+    val gAnn = run(
+      """  g:
+        |    type: quality_gate
+        |    inputs: [docs]
+        |    rules: heuristic
+        |    emit: annotate""".stripMargin, "g")
+    assert(gAnn.count() == docs.count())
+    assert(gAnn.columns.contains("quality"))
+    val gC4 = run(
+      """  g:
+        |    type: quality_gate
+        |    inputs: [docs]
+        |    rules: c4
+        |    min_sentences: 1""".stripMargin, "g")
+    // c4 pass mode REPLACES text with the cleaned text
+    val wantC4 = graft.datapipe.QualityRules
+      .c4Metrics(docs, col("text"), minSentences = 1)
+      .filter(col("c4_pass"))
+    assert(gC4.count() == wantC4.count())
+    if (gC4.count() > 0)
+      assert(gC4.select("text").exceptAll(
+        wantC4.select(col("clean_text").as("text"))).count() == 0)
+
+    // pii_redact: in-place redact matches Pii.redact; stats appends
+    val scrubbed = run(
+      """  p:
+        |    type: pii_redact
+        |    inputs: [docs]""".stripMargin, "p")
+    assert(scrubbed.select("text").exceptAll(
+      docs.select(graft.datapipe.Pii.redact(col("text")).as("text")))
+      .count() == 0)
+    val pStats = run(
+      """  p:
+        |    type: pii_redact
+        |    inputs: [docs]
+        |    emit: stats""".stripMargin, "p")
+    assert(pStats.columns.contains("n_pii") &&
+      pStats.columns.contains("redacted"))
+
+    // chunk: text replaced by the chunk, ordinal appended, other
+    // columns pass through; total chunks match the direct API
+    val chunks = run(
+      """  c:
+        |    type: chunk
+        |    inputs: [docs]
+        |    size: 100
+        |    overlap: 20""".stripMargin, "c")
+    val wantChunks = docs.select(explode(
+      graft.datapipe.TextAnalysis.chunks(col("text"), 100, 20))).count()
+    assert(chunks.count() == wantChunks)
+    assert(chunks.columns.contains("chunk_id") &&
+      chunks.columns.contains("doc_id"))
+
+    // dedup_exact: survivors + dups partition the corpus; dups carry
+    // their canonical id
+    val dups = run(
+      """  d:
+        |    type: dedup_exact
+        |    inputs: [docs]
+        |    id_field: doc_id
+        |    emit: dups""".stripMargin, "d")
+    val surv = run(
+      """  d:
+        |    type: dedup_exact
+        |    inputs: [docs]
+        |    id_field: doc_id""".stripMargin, "d")
+    assert(dups.count() + surv.count() == docs.count())
+    assert(dups.columns.contains("dup_of"))
+    assert(dups.filter(col("dup_of") >= col("doc_id")).count() == 0)
+
+    // decontaminate: clean + flagged partition the corpus; benchmark
+    // docs flag themselves
+    val deconTopo =
+      """  bench:
+        |    type: filter
+        |    inputs: [docs]
+        |    condition: mod(.doc_id, 97) == 0
+        |  clean:
+        |    type: decontaminate
+        |    inputs: [docs, bench]
+        |    id_field: doc_id
+        |    ngram: 8""".stripMargin
+    val clean = run(deconTopo, "clean")
+    val ann = run(deconTopo.replace("    ngram: 8",
+      "    ngram: 8\n    emit: annotate"), "clean")
+    assert(ann.count() == docs.count())
+    val flagged = ann.filter(col("contaminated") === 1).count()
+    assert(clean.count() == docs.count() - flagged)
+    assert(flagged >= docs.filter(pmod(col("doc_id"), lit(97)) === 0).count())
+
+    // named load errors
+    def err(transforms: String, last: String): String =
+      intercept[IllegalArgumentException] {
+        run(transforms, last).count()
+      }.getMessage
+    assert(err(
+      """  g:
+        |    type: quality_gate
+        |    inputs: [docs]
+        |    rules: fancy""".stripMargin, "g").contains("unknown rules"))
+    assert(err(
+      """  c:
+        |    type: chunk
+        |    inputs: [docs]
+        |    size: 100
+        |    overlap: 100""".stripMargin, "c").contains("overlap"))
+    assert(err(
+      """  d:
+        |    type: dedup_exact
+        |    inputs: [docs]""".stripMargin, "d").contains("id_field"))
+    assert(err(
+      """  x:
+        |    type: decontaminate
+        |    inputs: [docs]
+        |    id_field: doc_id""".stripMargin, "x")
+      .contains("exactly two inputs"))
+    assert(err(
+      """  p:
+        |    type: pii_redact
+        |    inputs: [docs]
+        |    text_field: nope""".stripMargin, "p").contains("nope"))
+  }
+
   private def resourceYaml(name: String): String = {
     val in = getClass.getResourceAsStream(s"/behavior/$name")
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
