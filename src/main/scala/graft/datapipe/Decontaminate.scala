@@ -26,10 +26,37 @@ object Decontaminate {
     * tokens collapse to one whole-doc shingle, like the dedup family),
     * `n_hit` how many appear anywhere in the benchmark, and
     * `contaminated` = hit_ratio > maxHitRatio (default: any hit flags).
+    *
+    * COLLISION SEMANTICS: the probe compares 64-bit gram hashes, so a
+    * corpus gram colliding with any benchmark gram hash flags a clean
+    * doc — a FALSE POSITIVE only (a true overlap always hash-hits, so
+    * there are no false negatives and "clean" is always trustworthy).
+    * At sf scale the expected collision count is ~0; at 10^12 corpus
+    * grams x 10^8 benchmark grams it is nonzero, and the direction is
+    * conservative (drops a clean doc). For audit-grade runs pass
+    * `exactConfirm = true`: flagged docs (tiny by construction) get a
+    * second pass comparing the gram STRINGS, and hash-only flags are
+    * cleared. The confirm broadcasts only the flagged docs' grams and
+    * streams the benchmark side, so it stays scale-safe (it does pay
+    * two extra corpus scans — the audit-grade trade).
     */
   def overlap(docs: DataFrame, idCol: String, text: Column,
               benchmark: DataFrame, benchText: Column, n: Int = 8,
-              maxHitRatio: Double = 0.0): DataFrame = {
+              maxHitRatio: Double = 0.0,
+              exactConfirm: Boolean = false): DataFrame =
+    overlapImpl(docs, idCol, text, benchmark, benchText, n, maxHitRatio,
+      exactConfirm, gramHash = xxhash64(_))
+
+  /** Implementation with an injectable gram hash so tests can force
+    * collisions (e.g. a constant hash collides everything) and assert
+    * the exact-confirm pass rescues clean docs.
+    */
+  private[datapipe] def overlapImpl(docs: DataFrame, idCol: String,
+                                    text: Column, benchmark: DataFrame,
+                                    benchText: Column, n: Int,
+                                    maxHitRatio: Double,
+                                    exactConfirm: Boolean,
+                                    gramHash: Column => Column): DataFrame = {
     // Both sides fold the gram STRING to a 64-bit hash before any
     // distinct/join — the broadcast then ships 8 bytes per benchmark
     // gram instead of an ~n-word string (measured: a 2.7 GB string-set
@@ -41,14 +68,14 @@ object Decontaminate {
       .select(col(idCol).as("doc"), Dedup.tokens(text).as("t"))
       .select(col("doc"),
         explode(array_distinct(
-          transform(Dedup.shinglesOfToks(col("t"), n), s => xxhash64(s))))
+          transform(Dedup.shinglesOfToks(col("t"), n), s => gramHash(s))))
           .as("g"))
     val benchGrams = benchmark
       .select(Dedup.tokens(benchText).as("t"))
       .select(explode(
-        transform(Dedup.shinglesOfToks(col("t"), n), s => xxhash64(s))).as("g"))
+        transform(Dedup.shinglesOfToks(col("t"), n), s => gramHash(s))).as("g"))
       .distinct()
-    grams
+    val hashed = grams
       .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("g"), "left")
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_grams"),
@@ -57,6 +84,39 @@ object Decontaminate {
         round(col("n_hit").cast("double") / col("n_grams"), 4))
       .withColumn("contaminated",
         (col("hit_ratio") > maxHitRatio).cast("int"))
+    if (!exactConfirm) hashed
+    else {
+      // Second pass over FLAGGED docs only, comparing gram strings.
+      // Flagged docs are tiny by construction (that is the point of
+      // decontamination), so their distinct grams broadcast and the
+      // benchmark side streams map-side — no corpus re-shuffle.
+      val flaggedIds = hashed.filter(col("contaminated") === 1)
+        .select(col("doc"))
+      val flaggedGrams = docs
+        .join(flaggedIds.withColumnRenamed("doc", idCol), Seq(idCol))
+        .select(col(idCol).as("doc"), Dedup.tokens(text).as("t"))
+        .select(col("doc"),
+          explode(array_distinct(Dedup.shinglesOfToks(col("t"), n)))
+            .as("gs"))
+      val benchStr = benchmark
+        .select(Dedup.tokens(benchText).as("t"))
+        .select(explode(Dedup.shinglesOfToks(col("t"), n)).as("gs"))
+        .distinct()
+      val exactHits = benchStr
+        .join(broadcast(flaggedGrams), Seq("gs"))
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("__n_hit_exact"))
+      hashed.join(exactHits, Seq("doc"), "left")
+        .withColumn("n_hit",
+          when(col("contaminated") === 1,
+            coalesce(col("__n_hit_exact"), lit(0L)))
+            .otherwise(col("n_hit")))
+        .withColumn("hit_ratio",
+          round(col("n_hit").cast("double") / col("n_grams"), 4))
+        .withColumn("contaminated",
+          (col("hit_ratio") > maxHitRatio).cast("int"))
+        .drop("__n_hit_exact")
+    }
   }
 
   /** The drop step: keep only clean docs, annotated with the overlap
@@ -64,8 +124,10 @@ object Decontaminate {
     */
   def clean(docs: DataFrame, idCol: String, text: Column,
             benchmark: DataFrame, benchText: Column, n: Int = 8,
-            maxHitRatio: Double = 0.0): DataFrame = {
-    val flags = overlap(docs, idCol, text, benchmark, benchText, n, maxHitRatio)
+            maxHitRatio: Double = 0.0,
+            exactConfirm: Boolean = false): DataFrame = {
+    val flags = overlap(docs, idCol, text, benchmark, benchText, n,
+      maxHitRatio, exactConfirm)
     docs.join(flags.filter(col("contaminated") === 0)
         .select(col("doc").as(idCol), col("n_grams"), col("n_hit")),
       Seq(idCol))

@@ -284,6 +284,20 @@ object Dedup {
     * The candidate set is tiny relative to the index (that is the point of
     * LSH) — AQE broadcasts it into both index joins.
     */
+  /** Planner-estimated row count for a DataFrame, with no job: prefer
+    * the optimizer's rowCount when statistics carry one, else derive it
+    * from sizeInBytes over the schema's default row width. Used by the
+    * `fatIndex` auto mode so the fat-vs-thin strategy decision is free.
+    */
+  private[datapipe] def estimatedRows(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse {
+      val width = math.max(1,
+        df.schema.map(_.dataType.defaultSize).sum)
+      (stats.sizeInBytes / width).toLong
+    }
+  }
+
   private def verifyJaccard(candidates: DataFrame, inv: DataFrame,
                             threshold: Double,
                             fatIndex: Option[Boolean]): DataFrame = {
@@ -296,11 +310,14 @@ object Dedup {
     // unsorted; strategy only, same rows out. Conditional because a
     // pinned hint also blocks AQE's runtime broadcast conversion,
     // which is the better plan at small scale. `fatIndex` lets the
-    // caller decide without an extra action; only when unset does the
-    // auto mode pay one count pass over the already-persisted index
-    // (which also makes merely CONSTRUCTING the result run a job —
-    // callers that know their scale should pass the knob).
-    val big = fatIndex.getOrElse(inv.count() > DefaultIndexHintRows)
+    // caller decide without an extra action; when unset, auto mode
+    // reads the optimizer's size estimate for the index plan instead
+    // of running a count job — constructing the result stays a pure
+    // plan operation at any scale. The estimate is conservative (scan
+    // stats flow through the persisted projection), and the decision
+    // only picks a join STRATEGY, so an estimate miss costs plan
+    // quality, never rows.
+    val big = fatIndex.getOrElse(estimatedRows(inv) > DefaultIndexHintRows)
     def h(df: DataFrame): DataFrame =
       if (big) df.hint("shuffle_hash") else df
     val common = h(candidates)

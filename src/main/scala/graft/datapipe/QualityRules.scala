@@ -109,8 +109,9 @@ object QualityRules {
     * terminators left.
     */
   def c4Metrics(df: DataFrame, text: Column,
-                minSentences: Int = 3): DataFrame = {
-    val cleaned = c4CleanText(text)
+                minSentences: Int = 3,
+                minLineWords: Int = 5): DataFrame = {
+    val cleaned = c4CleanText(text, minLineWords)
     df.withColumn("clean_text", cleaned)
       .withColumn("n_sentences",
         length(col("clean_text")) -

@@ -54,6 +54,20 @@ object ConfigLoader {
         s"${missing.mkString(", ")} (has ${df.columns.sorted.mkString(", ")})")
   }
 
+  /** The inverse of requireCols: the stage appends these metric columns,
+    * so an input already carrying one would be silently overwritten (and
+    * in pass mode re-emitted with recomputed values). Fail fast instead.
+    */
+  private def rejectReservedCols(kind: String, id: String,
+                                 df: org.apache.spark.sql.DataFrame,
+                                 reserved: String*): Unit = {
+    val clash = reserved.filter(df.columns.contains)
+    if (clash.nonEmpty) throw new IllegalArgumentException(
+      s"$kind $id: input already carries reserved metric column(s) " +
+        s"${clash.mkString(", ")} — rename them upstream (the stage " +
+        "appends these names)")
+  }
+
   def parseYaml(text: String): Map[String, Any] =
     yamlMap(new org.yaml.snakeyaml.Yaml().load[Any](text))
 
@@ -488,6 +502,16 @@ object ConfigLoader {
             s"quality_gate $id: unknown emit '$emit' (pass or annotate)")
         Topology.Transform.simple(id, inputs, df => {
           requireCols("quality_gate", id, df, textField)
+          rules match {
+            case "gopher" => rejectReservedCols("quality_gate", id, df,
+              "n_words", "mean_word_len", "symbol_ratio", "bullet_ratio",
+              "ellipsis_ratio", "alpha_ratio", "stopword_hits",
+              "gopher_pass")
+            case "c4" => rejectReservedCols("quality_gate", id, df,
+              "clean_text", "n_sentences", "c4_pass")
+            case "heuristic" =>
+              rejectReservedCols("quality_gate", id, df, "quality")
+          }
           import graft.datapipe.{QualityRules, TextAnalysis}
           rules match {
             case "gopher" =>
@@ -497,11 +521,12 @@ object ConfigLoader {
                 df.columns.map(col).toSeq: _*)
             case "c4" =>
               val m = QualityRules.c4Metrics(df, col(textField),
-                minSentences = minSentences)
+                minSentences = minSentences, minLineWords = minLineWords)
               if (emit == "annotate") m
               else m.filter(col("c4_pass"))
-                .withColumn(textField, QualityRules.c4CleanText(
-                  col(textField), minLineWords))
+                // reuse the metrics' clean_text so the pass decision and
+                // the emitted text always agree on min_line_words
+                .withColumn(textField, col("clean_text"))
                 .select(df.columns.map(col).toSeq: _*)
             case "heuristic" =>
               val m = df.withColumn("quality", TextAnalysis.qualityScore(
@@ -526,7 +551,12 @@ object ConfigLoader {
           requireCols("pii_redact", id, df, textField)
           if (emit == "redact")
             df.withColumn(textField, graft.datapipe.Pii.redact(col(textField)))
-          else graft.datapipe.Pii.stats(df, col(textField))
+          else {
+            rejectReservedCols("pii_redact", id, df,
+              graft.datapipe.Pii.Patterns.map { case (n, _, _) => s"n_$n" } ++
+                Seq("n_pii", "redacted"): _*)
+            graft.datapipe.Pii.stats(df, col(textField))
+          }
         })
       // `chunk` — RAG/context-window document chunking at the YAML
       // surface (datapipe.TextAnalysis.chunks: fixed-size character
@@ -544,12 +574,16 @@ object ConfigLoader {
               s"(got size=$size overlap=$overlap)")
         Topology.Transform.simple(id, inputs, df => {
           requireCols("chunk", id, df, textField)
+          rejectReservedCols("chunk", id, df, "chunk_id")
           val rest = df.columns.filter(_ != textField).map(col).toSeq
+          // alias the generator output explicitly so an input column
+          // named `pos`/`col` can't collide with posexplode's defaults
           df.select(rest :+ posexplode(graft.datapipe.TextAnalysis.chunks(
-              col(textField), size, overlap)): _*)
-            .withColumnRenamed("col", textField)
-            .withColumn("chunk_id", col("pos").cast("long"))
-            .drop("pos")
+              col(textField), size, overlap))
+                .as(Seq("__chunk_pos", "__chunk_text")): _*)
+            .withColumnRenamed("__chunk_text", textField)
+            .withColumn("chunk_id", col("__chunk_pos").cast("long"))
+            .drop("__chunk_pos")
         })
       // `decontaminate` — benchmark/test-set leakage guard at the YAML
       // surface (datapipe.Decontaminate.overlap): drop or flag corpus
@@ -575,6 +609,11 @@ object ConfigLoader {
           s"decontaminate $id: ngram must be positive, got $n")
         val maxHitRatio =
           conf.getOrElse("max_hit_ratio", 0.0).toString.toDouble
+        // audit-grade runs: re-check flagged docs' gram STRINGS so a
+        // 64-bit hash collision can't drop a clean doc (the hash-only
+        // pass is conservative — false positives only, never misses)
+        val exactConfirm =
+          conf.getOrElse("exact_confirm", false).toString.toBoolean
         val emit = conf.getOrElse("emit", "clean").toString
         if (!Set("clean", "annotate")(emit))
           throw new IllegalArgumentException(
@@ -590,7 +629,7 @@ object ConfigLoader {
             requireCols("decontaminate", id, bench, benchTextField)
             val stats = graft.datapipe.Decontaminate.overlap(
               corpus, idField, col(textField), bench, col(benchTextField),
-              n = n, maxHitRatio = maxHitRatio)
+              n = n, maxHitRatio = maxHitRatio, exactConfirm = exactConfirm)
             val out = emit match {
               case "clean" =>
                 corpus.join(
@@ -598,6 +637,8 @@ object ConfigLoader {
                     .select(col("doc").as(idField)),
                   Seq(idField), "left_anti")
               case "annotate" =>
+                rejectReservedCols("decontaminate", id, corpus,
+                  "n_grams", "n_hit", "hit_ratio", "contaminated")
                 corpus.join(
                   stats.select(col("doc").as(idField), col("n_grams"),
                     col("n_hit"), col("hit_ratio"), col("contaminated")),

@@ -40,6 +40,41 @@ class DecontaminateSpec extends SparkSpec {
     assert(out.columns.contains("n_grams") && out.columns.contains("n_hit"))
   }
 
+  test("exactConfirm rescues docs flagged only by hash collisions") {
+    // force the worst case: a constant gram hash collides EVERY corpus
+    // gram with every benchmark gram, so the hash-only pass flags all
+    // four docs; the exact string pass must clear docs 2 and 3 while
+    // keeping the true overlaps (1 and 4) flagged with exact counts
+    val collideAll: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _ => lit(0L)
+    val hashedOnly = Decontaminate.overlapImpl(corpus, "doc_id",
+      col("text"), bench, col("text"), n = 8, maxHitRatio = 0.0,
+      exactConfirm = false, gramHash = collideAll)
+    assert(hashedOnly.filter(col("contaminated") === 1).count() == 4)
+    val confirmed = Decontaminate.overlapImpl(corpus, "doc_id",
+      col("text"), bench, col("text"), n = 8, maxHitRatio = 0.0,
+      exactConfirm = true, gramHash = collideAll)
+      .orderBy("doc").collect()
+    val byDoc = confirmed.map(r => r.getLong(0) -> r).toMap
+    assert(byDoc(1L).getAs[Int]("contaminated") == 1)
+    assert(byDoc(1L).getAs[Long]("n_hit") == 2) // exact recount, not n_grams
+    assert(byDoc(2L).getAs[Int]("contaminated") == 0)
+    assert(byDoc(2L).getAs[Long]("n_hit") == 0)
+    assert(byDoc(3L).getAs[Int]("contaminated") == 0)
+    assert(byDoc(4L).getAs[Int]("contaminated") == 1)
+    assert(byDoc(4L).getAs[Long]("n_hit") == 2)
+  }
+
+  test("exactConfirm with the real hash changes nothing at this scale") {
+    val base = Decontaminate.overlap(corpus, "doc_id", col("text"),
+      bench, col("text"), n = 8).orderBy("doc").collect().toSeq
+    val conf = Decontaminate.overlap(corpus, "doc_id", col("text"),
+      bench, col("text"), n = 8, exactConfirm = true)
+      .select("doc", "n_grams", "n_hit", "hit_ratio", "contaminated")
+      .orderBy("doc").collect().toSeq
+    assert(base.map(_.toString) == conf.map(_.toString))
+  }
+
   test("a sub-n benchmark doc matches whole-doc shingles exactly") {
     val b2 = Seq("short doc").toDF("text")
     val out = Decontaminate.overlap(corpus, "doc_id", col("text"),

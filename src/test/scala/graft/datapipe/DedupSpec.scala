@@ -146,9 +146,27 @@ class DedupSpec extends SparkSpec {
     val before = spark.sparkContext.statusTracker
       .getJobIdsForGroup("fatidx-probe").length
     Dedup.minhashLsh(docs, "doc_id", $"text", fatIndex = Some(false))
+    // r16: auto mode reads plan statistics instead of counting, so the
+    // UNSET knob must be job-free at construction too
+    Dedup.minhashLsh(docs, "doc_id", $"text", fatIndex = None)
     val after = spark.sparkContext.statusTracker
       .getJobIdsForGroup("fatidx-probe").length
     spark.sparkContext.clearJobGroup()
     assert(after == before, "construction with fatIndex set ran a job")
+  }
+
+  test("estimatedRows tracks the planner's statistics without a job") {
+    // small literal frame: the optimizer knows the exact row count (or
+    // a size-derived estimate); either way the call runs zero jobs and
+    // returns a positive figure in the right ballpark
+    spark.sparkContext.setJobGroup("est-probe", "stats probe")
+    val before = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("est-probe").length
+    val est = Dedup.estimatedRows(docs.toDF())
+    val after = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("est-probe").length
+    spark.sparkContext.clearJobGroup()
+    assert(after == before, "estimatedRows ran a job")
+    assert(est > 0)
   }
 }

@@ -840,6 +840,127 @@ class ConfigLoaderSpec extends SparkSpec {
         |    text_field: nope""".stripMargin, "p").contains("nope"))
   }
 
+  test("curation stages: min_line_words agreement, reserved-name " +
+      "collisions fail fast, chunk survives pos/col inputs") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    def topo(pre: String, transforms: String, last: String): String =
+      s"""
+        |sources:
+        |  docs:
+        |    type: parquet
+        |    table: documents
+        |transforms:
+        |$pre$transforms
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [$last]
+        |""".stripMargin
+    def run(transforms: String, last: String, pre: String = "") =
+      ConfigLoader.load(spark, topo(pre, transforms, last), dir).sink("out")
+    val docs = graft.Graft.table(spark, dir, "documents")
+
+    // a non-default min_line_words drives BOTH the pass decision and
+    // the emitted text (the r15 bug: the decision used the default, so
+    // a 2-word-line doc passed min_line_words=5 judgment and failed).
+    // The sf documents carry no punctuation, so synthesize lines: even
+    // ids get a 2-word sentence that only survives min_line_words<=2.
+    val punct =
+      """  pre:
+        |    type: remap
+        |    inputs: [docs]
+        |    source: |
+        |      .text = if mod(.doc_id, 2) == 0 { "one two." } else { "alpha beta gamma delta epsilon zeta." }
+        |""".stripMargin
+    val gC4 = run(
+      """  g:
+        |    type: quality_gate
+        |    inputs: [pre]
+        |    rules: c4
+        |    min_sentences: 1
+        |    min_line_words: 2""".stripMargin, "g", pre = punct)
+    // with the threshold honored everywhere, every doc passes and the
+    // emitted text is the original sentence; the buggy form dropped the
+    // even ids (decision at the default threshold) entirely
+    assert(gC4.count() == docs.count())
+    assert(gC4.filter(col("text") === "one two.").count() ==
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0).count())
+
+    // an input already carrying a reserved metric column fails fast
+    // instead of being silently recomputed/overwritten
+    val renameNw =
+      """  pre:
+        |    type: remap
+        |    inputs: [docs]
+        |    source: .n_words = 1
+        |""".stripMargin
+    val e1 = intercept[IllegalArgumentException] {
+      run("""  g:
+        |    type: quality_gate
+        |    inputs: [pre]
+        |    rules: gopher""".stripMargin, "g", pre = renameNw).count()
+    }
+    assert(e1.getMessage.contains("n_words") &&
+      e1.getMessage.contains("reserved"))
+
+    // chunk: an input column literally named `pos` or `col` passes
+    // through untouched (posexplode's defaults used to collide)
+    val withPos =
+      """  pre:
+        |    type: remap
+        |    inputs: [docs]
+        |    source: |
+        |      .pos = 7
+        |      .col = "keep"
+        |""".stripMargin
+    val chunks = run(
+      """  c:
+        |    type: chunk
+        |    inputs: [pre]
+        |    size: 100
+        |    overlap: 20""".stripMargin, "c", pre = withPos)
+    assert(chunks.columns.count(_ == "pos") == 1)
+    assert(chunks.filter(col("pos") =!= 7).count() == 0)
+    assert(chunks.filter(col("col") =!= "keep").count() == 0)
+    assert(chunks.columns.contains("chunk_id"))
+    val e2 = intercept[IllegalArgumentException] {
+      run("""  c:
+        |    type: chunk
+        |    inputs: [c0]
+        |    size: 100
+        |    overlap: 20""".stripMargin, "c",
+        pre = """  c0:
+        |    type: chunk
+        |    inputs: [docs]
+        |    size: 200
+        |    overlap: 0
+        |""".stripMargin).count()
+    }
+    assert(e2.getMessage.contains("chunk_id"))
+
+    // decontaminate exact_confirm at the YAML surface: same rows out
+    // as the hash-only pass at this scale (no collisions at sf0.001)
+    val deconTopo =
+      """  clean:
+        |    type: decontaminate
+        |    inputs: [docs, bench]
+        |    id_field: doc_id
+        |    ngram: 8""".stripMargin
+    val benchPre =
+      """  bench:
+        |    type: filter
+        |    inputs: [docs]
+        |    condition: mod(.doc_id, 97) == 0
+        |""".stripMargin
+    val clean = run(deconTopo, "clean", pre = benchPre)
+    val confirmed = run(deconTopo + "\n    exact_confirm: true",
+      "clean", pre = benchPre)
+    assert(clean.select("doc_id").exceptAll(
+      confirmed.select("doc_id")).count() == 0)
+    assert(clean.count() == confirmed.count())
+  }
+
   private def resourceYaml(name: String): String = {
     val in = getClass.getResourceAsStream(s"/behavior/$name")
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
