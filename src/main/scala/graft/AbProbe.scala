@@ -172,6 +172,18 @@ object AbProbe {
         ab(() => shape(false)(replicated()),
            () => shape(true)(replicated()))
 
+      case "pipeline_vs_remap" =>
+        // Ratio pin for the GATING unstructured-pipeline class vs
+        // remap-only — the one headline with no in-JVM pin until r16
+        // (the r15 official bench read it 0.18 on a throttled host vs
+        // the stable 0.45; adjudication needed a full bench re-run).
+        // The official Bench now interleaves these two shapes itself
+        // and ships pipeline_vs_remap_ratio; this case reproduces the
+        // pin standalone for adjudication at any rep/rounds.
+        ab(() => Queries.eventsPipeline(replicated()),
+           () => Queries.eventsRemap(replicated()),
+           check = false) // different shapes by design
+
       case "structured_vs_remap" =>
         // Ratio pin for the structured-transcode class (json -> typed ->
         // json), the one headline class that had no interleaved pin:

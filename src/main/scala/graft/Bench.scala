@@ -149,6 +149,58 @@ object Bench {
       val a = attempts.result()
       (a, probes.result(), median(a))
     }
+    // Interleaved A/B variant for the GATING class (r15 verdict item 1):
+    // the official r15 bench ran the pipeline's five attempts as one
+    // block and remap's five as another, so a throttle trough during
+    // either block destroyed the pipeline/remap ratio (official read
+    // 0.18 vs the stable 0.45 every calm-window run shows, and the
+    // gating per-eff-core figure would have failed the 2x gate on host
+    // noise alone). Alternating A and B within each round pins the
+    // ratio against whatever the host is doing THAT round — the same
+    // in-JVM discipline as the AbProbe pins, now shipped with every
+    // official bench as pipeline_vs_remap_ratio (median of per-round
+    // remapSec/pipeSec = pipeline-to-remap throughput ratio).
+    def throughputPair(shapeA: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                       shapeB: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame):
+        (Seq[Double], Seq[Double], Seq[Double], Double, Double, Double) = {
+      val ev = Graft.table(spark, sfDir, "events")
+      val replicated = ev
+        .repartition(cpus.toInt * 2)
+        .withColumn("__r", explode(sequence(lit(0), lit(REP - 1))))
+        .withColumn("event_id", col("event_id") * REP + col("__r"))
+        .drop("__r")
+      shapeA(replicated).write.mode("overwrite").format("noop").save()
+      shapeB(replicated).write.mode("overwrite").format("noop").save()
+      val as = Seq.newBuilder[Double]
+      val bs = Seq.newBuilder[Double]
+      val ratios = Seq.newBuilder[Double]
+      val probes = Seq.newBuilder[Double]
+      var kept = 0
+      var tries = 0
+      while (kept < ATTEMPTS && tries < ATTEMPTS * 3) {
+        tries += 1
+        val p = mtProbe(50000000)
+        sessionProbes += p
+        val baseline = median(sessionProbes.toSeq)
+        if (sessionProbes.size >= 3 && p < 0.5 * baseline) {
+          probesDiscarded += 1
+        } else {
+          probesKept += 1
+          probes += p
+          val t0 = System.nanoTime()
+          shapeA(replicated).write.mode("overwrite").format("noop").save()
+          val ta = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          shapeB(replicated).write.mode("overwrite").format("noop").save()
+          val tb = (System.nanoTime() - t1) / 1e9
+          as += ta; bs += tb; ratios += tb / ta
+          kept += 1
+        }
+      }
+      val a = as.result(); val b = bs.result()
+      (a, b, probes.result(), median(a), median(b),
+        median(ratios.result()))
+    }
     val eventsBytes = try {
       Graft.table(spark, sfDir, "events")
         .select(sum(length(col("props")) + lit(64)).cast("double"))
@@ -158,17 +210,20 @@ object Bench {
     // dev loop: skip the two REP-heavy batch throughput shapes when
     // iterating on other bench sections
     val skipTp = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_THROUGHPUT")
-    val (pipeAttempts, pipeProbes, pipeMedianSec) =
-      if (skipTp) (Nil, Nil, Double.NaN)
-      else try throughput(Queries.eventsPipeline)
-      catch { case _: Throwable => (Nil, Nil, Double.NaN) }
-    // Remap-only throughput (filter -> parse -> project -> noop sink) —
-    // the exact shape of the reference's *_remap_blackhole regression
-    // cases and its 10 MiB/s/vCPU unstructured-log sizing figure.
-    val (remapAttempts, remapProbes, remapMedianSec) =
-      if (skipTp) (Nil, Nil, Double.NaN)
-      else try throughput(Queries.eventsRemap)
-      catch { case _: Throwable => (Nil, Nil, Double.NaN) }
+    // The gating pipeline class and the remap-only class (filter ->
+    // parse -> project -> noop; the reference's *_remap_blackhole
+    // regression shape and its 10 MiB/s/vCPU sizing figure) run
+    // INTERLEAVED, one A/B pair per round, so the shipped
+    // pipeline_vs_remap_ratio pin is immune to block-level host
+    // throttle (r15: block-sequenced attempts read a 0.18 ratio on a
+    // throttled host vs the stable 0.45).
+    val (pipeAttempts, remapAttempts, pairProbes,
+         pipeMedianSec, remapMedianSec, pipeVsRemapRatio) =
+      if (skipTp)
+        (Nil, Nil, Nil, Double.NaN, Double.NaN, Double.NaN)
+      else try throughputPair(Queries.eventsPipeline, Queries.eventsRemap)
+      catch { case _: Throwable =>
+        (Nil, Nil, Nil, Double.NaN, Double.NaN, Double.NaN) }
     // the other two BASELINE sizing classes: structured-log transcode
     // (json->typed->json, 25 MiB/s/vCPU class) and the metric pipeline
     // (2 samples/event + per-series agg, 25 MiB/s/vCPU ≈ 100k/s/vCPU)
@@ -196,7 +251,7 @@ object Bench {
     val remapEventsPerSec = eventRows * REP / remapMedianSec
     val structEventsPerSec = eventRows * REP / structMedianSec
     // effective cores delivered during the run = mt probe / single score
-    val effCores = median(pipeProbes ++ remapProbes ++ structProbes ++
+    val effCores = median(pairProbes ++ structProbes ++
       metricProbes) / cpuScore
     val mibPerSecPerEffCore = mibPerSec / effCores
     val remapMibPerSecPerEffCore = remapMibPerSec / effCores
@@ -385,13 +440,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.sum
     val headline =
-      s""""sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"events_structured_mib_per_s":${fmt(structMibPerSec)},"metrics_mib_per_s":${fmt(metricMibPerSec)},"metrics_samples_per_s":${fmt(metricSamplesPerSec)},"events_remap_events_per_s":${fmt(remapEventsPerSec)},"events_structured_events_per_s":${fmt(structEventsPerSec)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"streaming_throttle_events_per_s":${fmt(streamEventsPerSec)},"grpc_pair_events_per_s":${fmt(grpcPairEventsPerSec)},"otlp_http_events_per_s":${fmt(otlpHttpEventsPerSec)},"otlp_grpc_events_per_s":${fmt(otlpGrpcEventsPerSec)},"probe_attempts_kept":$probesKept,"probe_attempts_discarded":$probesDiscarded,"cores":$cpus"""
+      s""""sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"events_structured_mib_per_s":${fmt(structMibPerSec)},"metrics_mib_per_s":${fmt(metricMibPerSec)},"metrics_samples_per_s":${fmt(metricSamplesPerSec)},"events_remap_events_per_s":${fmt(remapEventsPerSec)},"events_structured_events_per_s":${fmt(structEventsPerSec)},"pipeline_vs_remap_ratio":${fmt(pipeVsRemapRatio)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"streaming_throttle_events_per_s":${fmt(streamEventsPerSec)},"grpc_pair_events_per_s":${fmt(grpcPairEventsPerSec)},"otlp_http_events_per_s":${fmt(otlpHttpEventsPerSec)},"otlp_grpc_events_per_s":${fmt(otlpGrpcEventsPerSec)},"probe_attempts_kept":$probesKept,"probe_attempts_discarded":$probesDiscarded,"cores":$cpus"""
     // Full detail (every per-query timing + raw attempt/probe arrays) goes
     // to a file and an early log line; the FINAL stdout line must stay
     // well under the driver's 2000-char tail capture or the round's bench
     // is machine-unreadable (round-7 lesson: 3.5 KB line -> parsed:null).
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"events_pipeline_attempts_sec":${arr(pipeAttempts)},"events_remap_attempts_sec":${arr(remapAttempts)},"events_structured_attempts_sec":${arr(structAttempts)},"metrics_attempts_sec":${arr(metricAttempts)},"cpu_probe_mt_mips":${arr(pipeProbes ++ remapProbes ++ structProbes ++ metricProbes)},$headline}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"events_pipeline_attempts_sec":${arr(pipeAttempts)},"events_remap_attempts_sec":${arr(remapAttempts)},"events_structured_attempts_sec":${arr(structAttempts)},"metrics_attempts_sec":${arr(metricAttempts)},"cpu_probe_mt_mips":${arr(pairProbes ++ structProbes ++ metricProbes)},$headline}"""
     val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "BENCH_DETAILS.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath), full + "\n")
     catch { case _: Throwable => () }
