@@ -24,13 +24,21 @@ class DelaySpec extends SparkSpec {
     private val out = StatefulKernels.delay[Int, (String, Long)](
       grouped, delayMs, capacity, strategy, cond)
     val name = s"delayq${System.nanoTime()}"
+    // per-fixture scratch checkpoint: keeps this query's state files out
+    // of the shared temp-checkpoint namespace under full-suite load
     val q = out.toDF().writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory(s"ckpt_$name").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime("50 milliseconds"))
       .start()
 
-    def emitted(): Set[String] =
+    def emitted(): Set[String] = {
+      // a dead query would otherwise read as an empty sink and fail the
+      // assertion with no cause — rethrow so flake retry can classify it
+      q.exception.foreach(throw _)
       spark.sql(s"SELECT _1 FROM $name").collect().map(_.getString(0)).toSet
+    }
 
     /** Poll until `want` is a subset of the emitted set (or 30s). */
     def await(want: Set[String]): Set[String] = {
@@ -45,6 +53,7 @@ class DelaySpec extends SparkSpec {
   }
 
   test("events hold for delay_ms, then emit after it elapses") {
+   retryOnStateStoreFlake() {
     val f = new Fixture(500L)
     try {
       val t0 = System.currentTimeMillis()
@@ -58,9 +67,11 @@ class DelaySpec extends SparkSpec {
       assert(Set("a", "b").subsetOf(got))
       assert(System.currentTimeMillis() - t0 >= 500)
     } finally f.stop()
+   }
   }
 
   test("drop_newest drops past capacity; forward emits undelayed") {
+   retryOnStateStoreFlake() {
     val f1 = new Fixture(60000L, capacity = 2, strategy = "drop_newest")
     try {
       f1.mem.addData(("a", 1L), ("b", 2L), ("c", 3L))
@@ -73,9 +84,11 @@ class DelaySpec extends SparkSpec {
       val got = f2.await(Set("c"))
       assert(got == Set("c")) // c bypassed the full queue, a/b still held
     } finally f2.stop()
+   }
   }
 
   test("condition re-arms the delay until it passes") {
+   retryOnStateStoreFlake() {
     val f = new Fixture(200L, cond = kv => kv._2 > 0)
     try {
       f.mem.addData(("pass", 1L), ("hold", -1L))
@@ -84,5 +97,6 @@ class DelaySpec extends SparkSpec {
       Thread.sleep(600)
       assert(!f.emitted().contains("hold")) // keeps re-arming
     } finally f.stop()
+   }
   }
 }
