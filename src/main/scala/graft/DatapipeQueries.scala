@@ -324,7 +324,7 @@ object DatapipeQueries {
           TextAnalysis.qualityFrom(col("stop_ratio"), col("punct_ratio"),
             col("n_chars")).as("quality"))
         .filter(col("quality") >= 0.5)
-      val exactDup = Dedup.exact(d.select("doc_id", "text"), "doc_id",
+      val exactDup = Dedup.exactDups(d.select("doc_id", "text"), "doc_id",
         col("text")).select(col("doc_id"))
       val nearPairs = Dedup.minhashLsh(d, "doc_id", col("text"),
         shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5)
@@ -343,10 +343,9 @@ object DatapipeQueries {
           d, "doc_id", col("text"), bench, col("text"), n = 8)
         .filter(col("contaminated") === 1)
         .select(col("doc").as("doc_id"))
-      val kept = gated
-        .join(exactDup, Seq("doc_id"), "left_anti")
-        .join(nearDup, Seq("doc_id"), "left_anti")
-        .join(contaminated, Seq("doc_id"), "left_anti")
+      val kept = Dedup.dropAnti(Dedup.dropAnti(Dedup.dropAnti(
+        gated, exactDup, "doc_id"), nearDup, "doc_id"),
+        contaminated, "doc_id")
       val mixed = graft.operators.Sample.stratified(kept, col("source"),
         col("doc_id"),
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))

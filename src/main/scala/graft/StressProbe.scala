@@ -149,7 +149,9 @@ object StressProbe {
       val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       val onlyEmb = only.contains("emb")
       val onlyCc = only.contains("cc")
+      val onlyCuration = only.contains("curation")
       if (!onlyEmb) {
+      if (!onlyCuration) {
       println(s"heavy corpus: ${heavyDocs.count()} docs")
 
       // Materialize the near-dup pair list ONCE (parquet, same as a
@@ -186,10 +188,57 @@ object StressProbe {
       }
       spark.catalog.clearCache() // same boundary before the next chain
       heavyDocs.cache() // re-register: the curation chain reads it 6×
+      } // !onlyCuration
       if (!onlyCc)
       timed("curation_pipeline") {
         // the full gate -> exact/near-dup -> decontaminate -> mix chain,
-        // same composition as the oracle query, over the big corpus
+        // same composition as the oracle query, over the big corpus.
+        // STAGED (r16): each drop-id set is its own ACTION with a
+        // parquet boundary and an explicit release, so peak shuffle
+        // disk is the largest stage instead of the sum — the one-action
+        // form accumulated ~140 GB of zstd shuffle at 20M docs (every
+        // stage's files live until the single job ends) against this
+        // container's 79 GB free. This is also the real 100 TB shape:
+        // a production chain lands each drop set on storage.
+        val stage = s"$ckpt/curation"
+        def release(): Unit = {
+          spark.catalog.clearCache()
+          // finished stages' ShuffleDependencies are unreachable once
+          // their QueryExecutions drop; a GC cycle lets the
+          // ContextCleaner delete their shuffle files NOW, between
+          // stages, rather than whenever the JVM gets around to it
+          System.gc()
+          heavyDocs.cache()
+        }
+        Dedup.exactDups(heavyDocs.select("doc_id", "text"),
+            "doc_id", col("text"))
+          .select(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$stage/exact")
+        release()
+        locally {
+          val nearPairs = Dedup.minhashLsh(heavyDocs, "doc_id",
+            col("text"), shingleN = 3, numHashes = 12, bands = 3,
+            threshold = 0.5)
+          Dedup.connectedComponents(
+              heavyDocs.select(col("doc_id").as("id")),
+              nearPairs.select(col("id_a"), col("id_b")),
+              checkpointDir = Some(ckpt))
+            .filter(col("id") =!= col("comp"))
+            .select(col("id").as("doc_id"))
+            .write.mode("overwrite").parquet(s"$stage/near")
+        }
+        release()
+        locally {
+          val bench = heavyDocs.filter(pmod(col("doc_id"), lit(97)) === 0)
+            .select(array_join(slice(Dedup.tokens(col("text")), 1, 12), " ")
+              .as("text"))
+          graft.datapipe.Decontaminate.overlap(
+              heavyDocs, "doc_id", col("text"), bench, col("text"), n = 8)
+            .filter(col("contaminated") === 1)
+            .select(col("doc").as("doc_id"))
+            .write.mode("overwrite").parquet(s"$stage/contam")
+        }
+        release()
         val gated = heavyDocs
           .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
             TextAnalysis.tokens(col("text")).as("toks"))
@@ -200,27 +249,10 @@ object StressProbe {
             TextAnalysis.qualityFrom(col("stop_ratio"),
               col("punct_ratio"), col("n_chars")).as("quality"))
           .filter(col("quality") >= 0.5)
-        val exactDup = Dedup.exact(heavyDocs.select("doc_id", "text"),
-          "doc_id", col("text")).select(col("doc_id"))
-        val nearPairs = Dedup.minhashLsh(heavyDocs, "doc_id", col("text"),
-          shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5)
-        val nearDup = Dedup.connectedComponents(
-            heavyDocs.select(col("doc_id").as("id")),
-            nearPairs.select(col("id_a"), col("id_b")),
-            checkpointDir = Some(ckpt))
-          .filter(col("id") =!= col("comp"))
-          .select(col("id").as("doc_id"))
-        val bench = heavyDocs.filter(pmod(col("doc_id"), lit(97)) === 0)
-          .select(array_join(slice(Dedup.tokens(col("text")), 1, 12), " ")
-            .as("text"))
-        val contaminated = graft.datapipe.Decontaminate.overlap(
-            heavyDocs, "doc_id", col("text"), bench, col("text"), n = 8)
-          .filter(col("contaminated") === 1)
-          .select(col("doc").as("doc_id"))
-        gated
-          .join(exactDup, Seq("doc_id"), "left_anti")
-          .join(nearDup, Seq("doc_id"), "left_anti")
-          .join(contaminated, Seq("doc_id"), "left_anti")
+        Dedup.dropAnti(Dedup.dropAnti(Dedup.dropAnti(gated,
+            spark.read.parquet(s"$stage/exact"), "doc_id"),
+            spark.read.parquet(s"$stage/near"), "doc_id"),
+            spark.read.parquet(s"$stage/contam"), "doc_id")
           .count()
       }
       } // !onlyEmb
@@ -233,7 +265,7 @@ object StressProbe {
       // attempt ran 20+ min). Per-(replica, dim) offsets decorrelate
       // directions so the √N cells stay balanced — the shape a real
       // corpus has.
-      if (!onlyCc) {
+      if (!onlyCc && !onlyCuration) {
       // doc chains are done — release every doc-side cache (the 20M-doc
       // corpus + whatever the curation chain's LSH persisted) before
       // the embedding corpora materialize theirs

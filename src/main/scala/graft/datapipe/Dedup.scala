@@ -41,6 +41,29 @@ object Dedup {
   val DefaultHintRows = 300000L
   val DefaultIndexHintRows = 50000000L
 
+  /** Planner-estimated corpus row count above which drop-set anti-joins
+    * pin `shuffle_hash` instead of trusting AQE's broadcast conversion:
+    * drop sets have CORPUS cardinality in the worst case, Catalyst's
+    * aggregate size estimate undershoots them, and the resulting
+    * driver-side broadcast builds are what OOM'd the r15 8 GB-driver
+    * curation run (two concurrent AQE broadcast-stage builds of
+    * corpus-cardinality id sets). Statistics-derived — no knob needed.
+    */
+  val FatCorpusRows = 5000000L
+
+  /** Drop-set anti-join with a statistics-derived strategy (no job):
+    * below [[FatCorpusRows]] the drop side broadcasts (AQE's call, the
+    * right plan at small scale); above it, pin `shuffle_hash` on the
+    * drop side so the build is a per-task hash map over an ordinary
+    * exchange and the driver never materializes a corpus-cardinality
+    * broadcast. Strategy only — same rows out.
+    */
+  def dropAnti(docs: DataFrame, drop: DataFrame, key: String): DataFrame = {
+    val d = if (estimatedRows(docs) > FatCorpusRows)
+      drop.hint("shuffle_hash") else drop
+    docs.join(d, Seq(key), "left_anti")
+  }
+
   /** Whitespace tokens, empty-trimmed. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
@@ -70,17 +93,30 @@ object Dedup {
       .select(col("doc"),
         explode(array_distinct(shinglesOfToks(col("toks"), n))).as("s0"))
 
-  /** Exact dedupe: group by content hash, keep lowest id. */
-  def exact(docs: DataFrame, id: String, text: Column): DataFrame = {
-    val hashed = docs.withColumn("__h", md5(text))
+  /** Narrow exact-dedup core: (id, dup_of) for every non-canonical
+    * copy. The window shuffle carries only (id, 16-byte md5) — the text
+    * column is consumed map-side by the digest and never enters the
+    * exchange (the r15 form windowed the full row, shuffling the corpus
+    * text once per exact-dedup stage). Survivor filters and drop sets
+    * need exactly this frame; [[exact]] re-attaches the caller's
+    * columns for report-style output.
+    */
+  def exactDups(docs: DataFrame, id: String, text: Column): DataFrame = {
+    val hashed = docs.select(col(id), md5(text).as("__h"))
     val w = Window.partitionBy(col("__h")).orderBy(col(id))
     hashed.withColumn("__rn", row_number().over(w))
       .withColumn("dup_of", first(col(id)).over(
         Window.partitionBy(col("__h")).orderBy(col(id))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("__rn") > 1) // report the duplicates
-      .drop("__h", "__rn")
+      .select(col(id), col("dup_of"))
   }
+
+  /** Exact dedupe: group by content hash, keep lowest id. Returns the
+    * duplicate rows with all their original columns plus `dup_of`.
+    */
+  def exact(docs: DataFrame, id: String, text: Column): DataFrame =
+    docs.join(exactDups(docs, id, text), Seq(id))
 
   /** Portable MinHash via Carter-Wegman mixing: per shingle ONE md5 gives
     * two 32-bit lanes (hex chars 1-8 and 9-16; the second forced odd),

@@ -444,7 +444,7 @@ object ConfigLoader {
                   hintRows = hintRows)
                 .filter(col("id") =!= col("comp"))
                 .select(col("id").as(idField))
-              df.join(drop, Seq(idField), "left_anti")
+              graft.datapipe.Dedup.dropAnti(df, drop, idField)
           }
         })
       // `dedup_exact` — corpus-wide exact-content dedup at the YAML
@@ -467,13 +467,16 @@ object ConfigLoader {
               "streaming inputs are not supported (the reference-parity " +
               "per-stream form is `dedupe`)")
           requireCols("dedup_exact", id, df, idField, textField)
-          val dups = graft.datapipe.Dedup.exact(
+          // narrow core: the window shuffles (id, md5) only — document
+          // text never enters an exchange at this stage
+          val dups = graft.datapipe.Dedup.exactDups(
             df.select(col(idField), col(textField)), idField, col(textField))
           emit match {
             case "dups" =>
               df.join(dups.select(col(idField), col("dup_of")), Seq(idField))
             case "survivors" =>
-              df.join(dups.select(col(idField)), Seq(idField), "left_anti")
+              graft.datapipe.Dedup.dropAnti(df,
+                dups.select(col(idField)), idField)
           }
         })
       // `quality_gate` — published rule-based pretraining quality
@@ -632,10 +635,10 @@ object ConfigLoader {
               n = n, maxHitRatio = maxHitRatio, exactConfirm = exactConfirm)
             val out = emit match {
               case "clean" =>
-                corpus.join(
+                graft.datapipe.Dedup.dropAnti(corpus,
                   stats.filter(col("contaminated") === 1)
                     .select(col("doc").as(idField)),
-                  Seq(idField), "left_anti")
+                  idField)
               case "annotate" =>
                 rejectReservedCols("decontaminate", id, corpus,
                   "n_grams", "n_hit", "hit_ratio", "contaminated")

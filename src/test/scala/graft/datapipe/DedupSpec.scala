@@ -35,6 +35,27 @@ class DedupSpec extends SparkSpec {
     assert(dups == Map(4L -> 1L, 6L -> 5L))
   }
 
+  test("exactDups is narrow: the window never sees the text column") {
+    val narrow = Dedup.exactDups(docs, "doc_id", $"text")
+    assert(narrow.as[(Long, Long)].collect().toMap == Map(4L -> 1L, 6L -> 5L))
+    assert(narrow.columns.toSeq == Seq("doc_id", "dup_of"))
+    // the md5-partitioned window (the stage's one shuffle) must operate
+    // over (id, digest) only — document text entering that exchange was
+    // the r15 form's per-stage corpus-text shuffle
+    val windows = narrow.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val names = w.child.output.map(_.name).toSet
+      assert(!names.contains("text"), s"window input carries text: $names")
+    }
+    // dropAnti: strategy-only helper, same rows as a plain left_anti
+    val kept = Dedup.dropAnti(docs, narrow.select($"doc_id"), "doc_id")
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 5L))
+  }
+
   test("connected components: chains collapse, singletons survive") {
     // 1-2-3-4-5-6-7-8 chain (worst case for plain propagation: forces
     // the pointer-jump path), a 10-11 pair, and 20/21 singletons
