@@ -45,6 +45,10 @@ object StressProbe {
       println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%.1f s  ($out rows)")
     }
 
+    // SPARK_GRAFT_STRESS_SKIP_LIGHT: dev-loop aid — jump straight to
+    // the heavy chains (a heavy iteration otherwise pays ~10 min of
+    // light probes first)
+    if (!sys.env.get("SPARK_GRAFT_STRESS_SKIP_LIGHT").exists(_.toBoolean)) {
     timed("bpe_train_200") {
       graft.datapipe.Bpe.train(docs, col("text"), numMerges = 200)
         .merges.length.toLong
@@ -99,6 +103,7 @@ object StressProbe {
         docs.withColumn("rt", pmod(col("doc_id"), lit(20L)) + 1),
         col("doc_id"), None, Some("rt"), staticRate = 10).count()
     }
+    } // !SKIP_LIGHT
 
     // ---- the LSH killer corpus, capped (SPARK_GRAFT_STRESS_HOTLSH) --
     // The light corpus's suffix-only mutation leaves every replica of a
@@ -208,19 +213,31 @@ object StressProbe {
           // ContextCleaner delete their shuffle files NOW, between
           // stages, rather than whenever the JVM gets around to it
           System.gc()
-          heavyDocs.cache()
         }
-        Dedup.exactDups(heavyDocs.select("doc_id", "text"),
+        // Stage 0: land the corpus itself. An in-memory cache looks
+        // tiny to the planner whenever it is unmaterialized (explode
+        // stats pass the pre-REP scan size through), and every
+        // statistics-driven strategy decision downstream — dropAnti,
+        // the LSH fat-index auto, AQE's own broadcast conversions —
+        // then reads corpus-scale frames as broadcastable (the 8 GB
+        // driver OOM reproduced exactly that way with a mid-chain
+        // cache reset). Parquet gives every stage REAL file-size
+        // statistics, and is the real pipeline shape anyway.
+        heavyDocs.unpersist(blocking = true)
+        heavyDocs.write.mode("overwrite").parquet(s"$stage/corpus")
+        release()
+        val corpus = spark.read.parquet(s"$stage/corpus")
+        Dedup.exactDups(corpus.select("doc_id", "text"),
             "doc_id", col("text"))
           .select(col("doc_id"))
           .write.mode("overwrite").parquet(s"$stage/exact")
         release()
         locally {
-          val nearPairs = Dedup.minhashLsh(heavyDocs, "doc_id",
+          val nearPairs = Dedup.minhashLsh(corpus, "doc_id",
             col("text"), shingleN = 3, numHashes = 12, bands = 3,
             threshold = 0.5)
           Dedup.connectedComponents(
-              heavyDocs.select(col("doc_id").as("id")),
+              corpus.select(col("doc_id").as("id")),
               nearPairs.select(col("id_a"), col("id_b")),
               checkpointDir = Some(ckpt))
             .filter(col("id") =!= col("comp"))
@@ -229,17 +246,17 @@ object StressProbe {
         }
         release()
         locally {
-          val bench = heavyDocs.filter(pmod(col("doc_id"), lit(97)) === 0)
+          val bench = corpus.filter(pmod(col("doc_id"), lit(97)) === 0)
             .select(array_join(slice(Dedup.tokens(col("text")), 1, 12), " ")
               .as("text"))
           graft.datapipe.Decontaminate.overlap(
-              heavyDocs, "doc_id", col("text"), bench, col("text"), n = 8)
+              corpus, "doc_id", col("text"), bench, col("text"), n = 8)
             .filter(col("contaminated") === 1)
             .select(col("doc").as("doc_id"))
             .write.mode("overwrite").parquet(s"$stage/contam")
         }
         release()
-        val gated = heavyDocs
+        val gated = corpus
           .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
             TextAnalysis.tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("source"), col("n_chars"),
