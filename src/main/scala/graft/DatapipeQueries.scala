@@ -280,6 +280,40 @@ object DatapipeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the audit-grade variant: exact_confirm re-checks flagged docs'
+    // gram STRINGS so a 64-bit hash collision cannot drop a clean doc.
+    // The oracle is the SAME string-gram SQL as decon_config — with the
+    // confirm pass the match is definitional, not
+    // no-collisions-at-this-scale probabilistic.
+    "decon_exact" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  docs:
+          |    type: parquet
+          |    table: documents
+          |transforms:
+          |  bench:
+          |    type: filter
+          |    inputs: [docs]
+          |    condition: mod(.doc_id, 97) == 0
+          |  clean:
+          |    type: decontaminate
+          |    inputs: [docs, bench]
+          |    id_field: doc_id
+          |    ngram: 8
+          |    emit: clean
+          |    exact_confirm: true
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [clean]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // RAG chunking driven from YAML: 500-char windows, 100 overlap;
     // the text field becomes the chunk, chunk_id appended
     "chunk_config" -> { (s, dir) =>
@@ -1119,6 +1153,25 @@ object DatapipeQueries {
     // YAML decontaminate: benchmark = full text of every 97th doc, so
     // those docs flag themselves out along with any gram-sharers
     "decon_config" ->
+      s"""WITH $toksCte,
+        |sh8 AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 8
+        |    THEN [array_to_string(t[i:i+7],' ') for i in range(1, len(t)-6)]
+        |    ELSE [array_to_string(t,' ')] END s
+        |  FROM toks),
+        |bsh AS (SELECT s FROM sh8 WHERE doc_id % 97 = 0),
+        |bg AS (SELECT DISTINCT unnest(s) AS g FROM bsh),
+        |contam AS (
+        |  SELECT DISTINCT cg.doc_id
+        |  FROM (SELECT doc_id, unnest(list_distinct(s)) AS g FROM sh8) cg
+        |  JOIN bg ON cg.g = bg.g)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        |ORDER BY doc_id""".stripMargin,
+
+    // exact_confirm variant: same string-gram semantics, so the same
+    // oracle — the confirm pass makes the equality definitional
+    "decon_exact" ->
       s"""WITH $toksCte,
         |sh8 AS (SELECT doc_id,
         |  CASE WHEN len(t) >= 8
