@@ -377,9 +377,10 @@ object DatapipeQueries {
           d, "doc_id", col("text"), bench, col("text"), n = 8)
         .filter(col("contaminated") === 1)
         .select(col("doc").as("doc_id"))
+      val fat = Dedup.estimatedRows(gated) > Dedup.FatCorpusRows
       val kept = Dedup.dropAnti(Dedup.dropAnti(Dedup.dropAnti(
-        gated, exactDup, "doc_id"), nearDup, "doc_id"),
-        contaminated, "doc_id")
+        gated, exactDup, "doc_id", fat), nearDup, "doc_id", fat),
+        contaminated, "doc_id", fat)
       val mixed = graft.operators.Sample.stratified(kept, col("source"),
         col("doc_id"),
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))

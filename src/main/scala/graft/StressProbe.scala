@@ -266,10 +266,11 @@ object StressProbe {
             TextAnalysis.qualityFrom(col("stop_ratio"),
               col("punct_ratio"), col("n_chars")).as("quality"))
           .filter(col("quality") >= 0.5)
+        val fatCorpus = Dedup.estimatedRows(gated) > Dedup.FatCorpusRows
         Dedup.dropAnti(Dedup.dropAnti(Dedup.dropAnti(gated,
-            spark.read.parquet(s"$stage/exact"), "doc_id"),
-            spark.read.parquet(s"$stage/near"), "doc_id"),
-            spark.read.parquet(s"$stage/contam"), "doc_id")
+            spark.read.parquet(s"$stage/exact"), "doc_id", fatCorpus),
+            spark.read.parquet(s"$stage/near"), "doc_id", fatCorpus),
+            spark.read.parquet(s"$stage/contam"), "doc_id", fatCorpus)
           .count()
       }
       } // !onlyEmb

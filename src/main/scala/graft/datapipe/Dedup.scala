@@ -58,9 +58,17 @@ object Dedup {
     * exchange and the driver never materializes a corpus-cardinality
     * broadcast. Strategy only — same rows out.
     */
-  def dropAnti(docs: DataFrame, drop: DataFrame, key: String): DataFrame = {
-    val d = if (estimatedRows(docs) > FatCorpusRows)
-      drop.hint("shuffle_hash") else drop
+  def dropAnti(docs: DataFrame, drop: DataFrame, key: String): DataFrame =
+    dropAnti(docs, drop, key, estimatedRows(docs) > FatCorpusRows)
+
+  /** Chained form: callers stacking several drop sets on one corpus
+    * evaluate the fat decision ONCE on the corpus frame and pass it
+    * through, instead of re-optimizing a growing plan per stage just
+    * to re-read the same statistic.
+    */
+  def dropAnti(docs: DataFrame, drop: DataFrame, key: String,
+               fat: Boolean): DataFrame = {
+    val d = if (fat) drop.hint("shuffle_hash") else drop
     docs.join(d, Seq(key), "left_anti")
   }
 
@@ -325,7 +333,7 @@ object Dedup {
     * from sizeInBytes over the schema's default row width. Used by the
     * `fatIndex` auto mode so the fat-vs-thin strategy decision is free.
     */
-  private[datapipe] def estimatedRows(df: DataFrame): Long = {
+  def estimatedRows(df: DataFrame): Long = {
     val stats = df.queryExecution.optimizedPlan.stats
     stats.rowCount.map(_.toLong).getOrElse {
       val width = math.max(1,
