@@ -340,6 +340,93 @@ object DatapipeQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // sequence packing driven from YAML: same conf as pack_sequences
+    // (512-token sequences, 16 buckets, 1 separator), token counts
+    // computed inline from the text field
+    "pack_config" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  docs:
+          |    type: parquet
+          |    table: documents
+          |transforms:
+          |  packed:
+          |    type: pack_sequences
+          |    inputs: [docs]
+          |    id_field: doc_id
+          |    seq_len: 512
+          |    buckets: 16
+          |    sep_tokens: 1
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [packed]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("doc_id"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_toks"),
+          col("offset"), col("first_seq"), col("offset_in_seq"),
+          col("last_seq"), col("n_seqs_spanned"))
+        .orderBy(col("doc_id"))
+    },
+
+    // output sharding driven from YAML: 8 hash shards + deterministic
+    // within-shard shuffle order
+    "shard_config" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  docs:
+          |    type: parquet
+          |    table: documents
+          |transforms:
+          |  sharded:
+          |    type: shard_assign
+          |    inputs: [docs]
+          |    key_field: doc_id
+          |    shards: 8
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [sharded]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    },
+
+    // embedding-space near-dedup driven from YAML (SemDeDup): k-means
+    // cells + within-cell cosine; emit: cells labels every vector, and
+    // the keep flag recovers exactly the dedup_semantic survivor set
+    "semantic_config" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  vecs:
+          |    type: parquet
+          |    table: embeddings
+          |transforms:
+          |  deduped:
+          |    type: semantic_dedup
+          |    inputs: [vecs]
+          |    id_field: vec_id
+          |    vec_field: embedding
+          |    threshold: 0.4
+          |    k: 8
+          |    iters: 2
+          |    emit: cells
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [deduped]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .filter(col("keep"))
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    },
+
     // the end-to-end curation run a training-data team performs before
     // a pretraining mix — quality gate, corpus-wide exact + near-dup
     // canonical sets, stratified source mix — composed as ONE Catalyst
@@ -979,7 +1066,7 @@ object DatapipeQueries {
        |${kmCent("cent2", "a2")},
        |${kmAssign("a3", "cent2")}""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesDirect: Map[String, String] = Map(
 
     "tokenize_bpe" ->
       """SELECT doc_id, text AS decoded, true AS within_bytes,
@@ -1940,4 +2027,11 @@ object DatapipeQueries {
         |  CAST(strlen(text) AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  // the YAML-surface queries run the SAME computation as their
+  // direct-API counterparts with identical conf — one oracle each
+  val oracles: Map[String, String] = oraclesDirect ++ Map(
+    "pack_config" -> oraclesDirect("pack_sequences"),
+    "shard_config" -> oraclesDirect("shard_assign"),
+    "semantic_config" -> oraclesDirect("dedup_semantic"))
 }

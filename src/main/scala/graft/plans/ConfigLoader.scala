@@ -588,6 +588,125 @@ object ConfigLoader {
             .withColumn("chunk_id", col("__chunk_pos").cast("long"))
             .drop("__chunk_pos")
         })
+      // `pack_sequences` — training-sequence packing at the YAML
+      // surface (datapipe.Packing.pack: two-phase distributed prefix
+      // sum — per-bucket totals drive a plan-embedded prefix literal,
+      // within-bucket window cumsum places every doc in the token
+      // stream). Appends offset / first_seq / offset_in_seq / last_seq
+      // / n_seqs_spanned; `tokens_field:` uses a precomputed count,
+      // otherwise whitespace tokens of `text_field` are counted inline.
+      case "pack_sequences" =>
+        val idField = conf.getOrElse("id_field",
+          throw new IllegalArgumentException(
+            s"pack_sequences $id: `id_field:` is required")).toString
+        val tokensField = conf.get("tokens_field").map(_.toString)
+        val textField = conf.getOrElse("text_field", "text").toString
+        val seqLen = conf.getOrElse("seq_len", 512).toString.toInt
+        val buckets = conf.getOrElse("buckets", 64).toString.toInt
+        val sepTokens = conf.getOrElse("sep_tokens", 1).toString.toInt
+        if (seqLen <= 0 || buckets <= 0 || sepTokens < 0)
+          throw new IllegalArgumentException(
+            s"pack_sequences $id: need seq_len > 0, buckets > 0, " +
+              s"sep_tokens >= 0 (got $seqLen/$buckets/$sepTokens)")
+        Topology.Transform.simple(id, inputs, df => {
+          if (df.isStreaming) throw new IllegalArgumentException(
+            s"pack_sequences $id: packing needs the whole corpus; " +
+              "streaming inputs are not supported (stage to a table first)")
+          requireCols("pack_sequences", id, df,
+            Seq(idField) ++ tokensField.orElse(Some(textField)): _*)
+          rejectReservedCols("pack_sequences", id, df, "offset",
+            "first_seq", "offset_in_seq", "last_seq", "n_seqs_spanned")
+          val n = tokensField.map(col).getOrElse(
+            size(graft.datapipe.Dedup.tokens(col(textField))))
+          graft.datapipe.Packing.pack(df, col(idField), n,
+            seqLen = seqLen, buckets = buckets, sepTokens = sepTokens)
+        })
+      // `shard_assign` — deterministic output sharding at the YAML
+      // surface (datapipe.Shards.assign: hash shard id + shuffle-order
+      // position; byte-identical reruns). Appends shard / pos.
+      case "shard_assign" =>
+        val keyField = conf.getOrElse("key_field",
+          throw new IllegalArgumentException(
+            s"shard_assign $id: `key_field:` is required")).toString
+        val shards = conf.getOrElse("shards", 8).toString.toInt
+        if (shards <= 0) throw new IllegalArgumentException(
+          s"shard_assign $id: shards must be positive, got $shards")
+        Topology.Transform.simple(id, inputs, df => {
+          if (df.isStreaming) throw new IllegalArgumentException(
+            s"shard_assign $id: sharding needs the whole corpus; " +
+              "streaming inputs are not supported (stage to a table first)")
+          requireCols("shard_assign", id, df, keyField)
+          rejectReservedCols("shard_assign", id, df, "shard", "pos")
+          graft.datapipe.Shards.assign(df, col(keyField), shards)
+        })
+      // `semantic_dedup` — embedding-space near-dup removal at the YAML
+      // surface (SemDeDup): k-means cells (deterministic lowest-id
+      // seeding) + within-cell cosine. `method: ivf` (default) is the
+      // oracle-checked shape; `method: bounded` is the 100 TB form —
+      // fat cells sub-split then salted so pair work caps at
+      // N × max_cell regardless of skew (Ann.semanticDedupBounded).
+      // `emit: survivors` (default) keeps input rows whose vector is
+      // not a near-dup of a lower-id cellmate; `emit: cells` keeps
+      // every row and appends the cell id instead.
+      case "semantic_dedup" =>
+        val idField = conf.getOrElse("id_field",
+          throw new IllegalArgumentException(
+            s"semantic_dedup $id: `id_field:` is required")).toString
+        val vecField = conf.getOrElse("vec_field", "embedding").toString
+        val threshold = conf.getOrElse("threshold", 0.4).toString.toDouble
+        if (threshold < -1.0 || threshold > 1.0)
+          throw new IllegalArgumentException(
+            s"semantic_dedup $id: threshold is a cosine, need [-1, 1] " +
+              s"(got $threshold)")
+        val k = conf.getOrElse("k", 8).toString.toInt
+        val iters = conf.getOrElse("iters", 2).toString.toInt
+        val maxCell = conf.getOrElse("max_cell", 0).toString.toInt
+        val method = conf.getOrElse("method", "ivf").toString
+        if (!Set("ivf", "bounded")(method))
+          throw new IllegalArgumentException(
+            s"semantic_dedup $id: unknown method '$method' (ivf or bounded)")
+        val emit = conf.getOrElse("emit", "survivors").toString
+        if (!Set("survivors", "cells")(emit))
+          throw new IllegalArgumentException(
+            s"semantic_dedup $id: unknown emit '$emit' (survivors or cells)")
+        if (emit == "cells" && method != "ivf")
+          throw new IllegalArgumentException(
+            s"semantic_dedup $id: emit: cells requires method: ivf " +
+              "(the bounded method sub-splits cells into synthetic ids)")
+        Topology.Transform.simple(id, inputs, df => {
+          if (df.isStreaming) throw new IllegalArgumentException(
+            s"semantic_dedup $id: corpus dedup needs the whole corpus; " +
+              "streaming inputs are not supported (stage to a table first)")
+          requireCols("semantic_dedup", id, df, idField, vecField)
+          import graft.datapipe.Ann
+          def kept = method match {
+            case "ivf" =>
+              val cents = Ann.kmeans(df, idField, vecField, k = k,
+                iters = iters)
+              Ann.semanticDedup(df, idField, vecField, cents, threshold)
+            case "bounded" =>
+              Ann.semanticDedupBounded(df, idField, vecField, k = k,
+                iters = iters, threshold = threshold, maxCell = maxCell)
+          }
+          emit match {
+            case "survivors" =>
+              df.join(kept.select(col("doc").as(idField)), Seq(idField))
+            case "cells" =>
+              // every row labelled: its k-means cell plus whether it
+              // survives (the dedup_lsh `clusters` emit shape)
+              rejectReservedCols("semantic_dedup", id, df, "cell", "keep")
+              val cents = Ann.kmeans(df, idField, vecField, k = k,
+                iters = iters)
+              val surv = Ann.semanticDedup(df, idField, vecField, cents,
+                threshold)
+              df.withColumn("cell",
+                  Ann.ivfAssign(Ann.asDouble(col(vecField)), cents))
+                .join(surv.select(col("doc").as(idField))
+                    .withColumn("keep", lit(true)),
+                  Seq(idField), "left")
+                .withColumn("keep", coalesce(col("keep"), lit(false)))
+          }
+        })
       // `decontaminate` — benchmark/test-set leakage guard at the YAML
       // surface (datapipe.Decontaminate.overlap): drop or flag corpus
       // docs sharing an n-gram with a benchmark corpus. TWO inputs:
@@ -1638,9 +1757,11 @@ object ConfigLoader {
     "exclusive_route",
     "filter", "incremental_to_absolute", "join", "line_agg",
     "log_to_metric",
-    "lua", "metric_to_log", "multiline", "pii_redact", "quality_gate",
+    "lua", "metric_to_log", "multiline", "pack_sequences", "pii_redact",
+    "quality_gate",
     "reduce", "remap", "route",
-    "sample", "set_op", "sort", "tag_cardinality_limit", "throttle",
+    "sample", "semantic_dedup", "set_op", "shard_assign", "sort",
+    "tag_cardinality_limit", "throttle",
     "top_k", "trace_to_log", "window")
 
   val sinkTypes: Seq[String] = Seq(

@@ -961,6 +961,119 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(clean.count() == confirmed.count())
   }
 
+  test("pack_sequences / shard_assign / semantic_dedup at the YAML " +
+      "surface: direct-API parity, bounded method, named errors") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    def topo(src: String, transforms: String, last: String): String =
+      s"""
+        |sources:
+        |  in:
+        |    type: parquet
+        |    table: $src
+        |transforms:
+        |$transforms
+        |sinks:
+        |  out:
+        |    type: parquet
+        |    inputs: [$last]
+        |""".stripMargin
+    def run(src: String, transforms: String, last: String) =
+      ConfigLoader.load(spark, topo(src, transforms, last), dir).sink("out")
+    val docs = graft.Graft.table(spark, dir, "documents")
+    val vecs = graft.Graft.table(spark, dir, "embeddings")
+
+    // pack_sequences: every input column survives, pack columns match
+    // the direct API at identical conf
+    val packed = run("documents",
+      """  p:
+        |    type: pack_sequences
+        |    inputs: [in]
+        |    id_field: doc_id
+        |    seq_len: 128
+        |    buckets: 8""".stripMargin, "p")
+    val wantPack = graft.datapipe.Packing.pack(docs, col("doc_id"),
+      size(graft.datapipe.Dedup.tokens(col("text"))), seqLen = 128,
+      buckets = 8)
+    assert(packed.count() == docs.count())
+    assert(packed.select("doc_id", "offset", "first_seq").exceptAll(
+      wantPack.select("doc_id", "offset", "first_seq")).count() == 0)
+
+    // shard_assign: parity with the direct API
+    val sharded = run("documents",
+      """  sh:
+        |    type: shard_assign
+        |    inputs: [in]
+        |    key_field: doc_id
+        |    shards: 4""".stripMargin, "sh")
+    val wantShard = graft.datapipe.Shards.assign(docs, col("doc_id"), 4)
+    assert(sharded.select("doc_id", "shard", "pos").exceptAll(
+      wantShard.select("doc_id", "shard", "pos")).count() == 0)
+
+    // semantic_dedup survivors + cells agree; bounded method keeps a
+    // subset-or-equal survivor set with the same threshold semantics
+    val surv = run("embeddings",
+      """  sd:
+        |    type: semantic_dedup
+        |    inputs: [in]
+        |    id_field: vec_id
+        |    threshold: 0.4
+        |    k: 4
+        |    emit: survivors""".stripMargin, "sd")
+    val cells = run("embeddings",
+      """  sd:
+        |    type: semantic_dedup
+        |    inputs: [in]
+        |    id_field: vec_id
+        |    threshold: 0.4
+        |    k: 4
+        |    emit: cells""".stripMargin, "sd")
+    assert(cells.count() == vecs.count())
+    assert(cells.filter(col("keep")).count() == surv.count())
+    // original shape (the YAML parquet source adds its source_type tag)
+    assert(vecs.columns.toSet.subsetOf(surv.columns.toSet))
+    assert(!surv.columns.contains("cell") && !surv.columns.contains("keep"))
+    val bounded = run("embeddings",
+      """  sd:
+        |    type: semantic_dedup
+        |    inputs: [in]
+        |    id_field: vec_id
+        |    threshold: 0.4
+        |    k: 4
+        |    method: bounded
+        |    max_cell: 64""".stripMargin, "sd")
+    assert(bounded.count() > 0 && bounded.count() <= vecs.count())
+
+    // named errors
+    def err(src: String, transforms: String, last: String): String =
+      intercept[IllegalArgumentException] {
+        run(src, transforms, last).count()
+      }.getMessage
+    assert(err("documents",
+      """  p:
+        |    type: pack_sequences
+        |    inputs: [in]
+        |    id_field: doc_id
+        |    seq_len: 0""".stripMargin, "p").contains("seq_len"))
+    assert(err("documents",
+      """  sh:
+        |    type: shard_assign
+        |    inputs: [in]""".stripMargin, "sh").contains("key_field"))
+    assert(err("embeddings",
+      """  sd:
+        |    type: semantic_dedup
+        |    inputs: [in]
+        |    id_field: vec_id
+        |    threshold: 1.5""".stripMargin, "sd").contains("threshold"))
+    assert(err("embeddings",
+      """  sd:
+        |    type: semantic_dedup
+        |    inputs: [in]
+        |    id_field: vec_id
+        |    method: bounded
+        |    emit: cells""".stripMargin, "sd").contains("cells"))
+  }
+
   private def resourceYaml(name: String): String = {
     val in = getClass.getResourceAsStream(s"/behavior/$name")
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
