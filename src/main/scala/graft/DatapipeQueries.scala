@@ -427,6 +427,38 @@ object DatapipeQueries {
         .orderBy(col("vec_id"))
     },
 
+    // similarity search driven from YAML: exact top-5 over the
+    // embedding corpus for the first five vectors as queries — the
+    // ann_topk shape through ConfigLoader's two-input ann transform
+    "ann_config" -> { (s, dir) =>
+      val built = graft.plans.ConfigLoader.load(s,
+        """
+          |sources:
+          |  vecs:
+          |    type: parquet
+          |    table: embeddings
+          |transforms:
+          |  probes:
+          |    type: filter
+          |    inputs: [vecs]
+          |    condition: .vec_id < 5
+          |  nn:
+          |    type: ann
+          |    inputs: [vecs, probes]
+          |    id_field: vec_id
+          |    vec_field: embedding
+          |    k: 5
+          |    method: brute
+          |sinks:
+          |  out:
+          |    type: parquet
+          |    inputs: [nn]
+          |""".stripMargin, dir)
+      built.sink("out")
+        .select(col("query_id"), col("rank"), col("nn_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // the end-to-end curation run a training-data team performs before
     // a pretraining mix — quality gate, corpus-wide exact + near-dup
     // canonical sets, stratified source mix — composed as ONE Catalyst
@@ -2033,5 +2065,6 @@ object DatapipeQueries {
   val oracles: Map[String, String] = oraclesDirect ++ Map(
     "pack_config" -> oraclesDirect("pack_sequences"),
     "shard_config" -> oraclesDirect("shard_assign"),
-    "semantic_config" -> oraclesDirect("dedup_semantic"))
+    "semantic_config" -> oraclesDirect("dedup_semantic"),
+    "ann_config" -> oraclesDirect("ann_topk"))
 }

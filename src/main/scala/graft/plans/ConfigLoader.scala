@@ -707,6 +707,57 @@ object ConfigLoader {
                 .withColumn("keep", coalesce(col("keep"), lit(false)))
           }
         })
+      // `ann` — similarity search at the YAML surface. TWO inputs:
+      // [corpus, queries]; each query row gets its top-k nearest corpus
+      // vectors by cosine as (query_id, rank, nn_id, cos). `method:`
+      // picks the plan: `brute` (exact — queries broadcast, corpus
+      // streamed: the right plan whenever the query set is the small
+      // side, at any corpus scale), `lsh` (sign-sketch buckets,
+      // `bits:`), or `ivf` (k-means coarse cells, `nlist:`/`nprobe:`;
+      // probes only nprobe cells per query — the corpus-scale path).
+      case "ann" =>
+        if (inputs.length != 2) throw new IllegalArgumentException(
+          s"ann $id: exactly two inputs required (corpus, queries), " +
+            s"got ${inputs.length}")
+        val idField = conf.getOrElse("id_field",
+          throw new IllegalArgumentException(
+            s"ann $id: `id_field:` is required")).toString
+        val vecField = conf.getOrElse("vec_field", "embedding").toString
+        val k = conf.getOrElse("k", 10).toString.toInt
+        if (k <= 0) throw new IllegalArgumentException(
+          s"ann $id: k must be positive, got $k")
+        val method = conf.getOrElse("method", "brute").toString
+        if (!Set("brute", "lsh", "ivf")(method))
+          throw new IllegalArgumentException(
+            s"ann $id: unknown method '$method' (brute, lsh or ivf)")
+        val bits = conf.getOrElse("bits", 8).toString.toInt
+        val nlist = conf.getOrElse("nlist", 16).toString.toInt
+        val nprobe = conf.getOrElse("nprobe", 1).toString.toInt
+        val iters = conf.getOrElse("iters", 2).toString.toInt
+        Topology.Transform(id, inputs, Topology.Any, Topology.Any,
+          _ => sys.error("ann uses applyMulti"),
+          applyMulti = Some { case Seq(corpus, queries) =>
+            if (corpus.isStreaming || queries.isStreaming)
+              throw new IllegalArgumentException(
+                s"ann $id: needs the whole corpus and query set; " +
+                  "streaming inputs are not supported (stage to tables first)")
+            requireCols("ann", id, corpus, idField, vecField)
+            requireCols("ann", id, queries, idField, vecField)
+            import graft.datapipe.Ann
+            val out = method match {
+              case "brute" =>
+                Ann.bruteForceTopK(corpus, queries, idField, vecField, k)
+              case "lsh" =>
+                Ann.signLshTopK(corpus, queries, idField, vecField, k,
+                  bits = bits)
+              case "ivf" =>
+                val codebook = Ann.kmeans(corpus, idField, vecField,
+                  k = nlist, iters = iters)
+                Ann.ivfTopK(corpus, queries, idField, vecField, k,
+                  codebook, nprobe = nprobe)
+            }
+            Map("" -> out)
+          })
       // `decontaminate` — benchmark/test-set leakage guard at the YAML
       // surface (datapipe.Decontaminate.overlap): drop or flag corpus
       // docs sharing an n-gram with a benchmark corpus. TWO inputs:
@@ -1752,7 +1803,7 @@ object ConfigLoader {
     "websocket")
 
   val transformTypes: Seq[String] = Seq(
-    "aggregate", "aws_ec2_metadata", "chunk", "decontaminate",
+    "aggregate", "ann", "aws_ec2_metadata", "chunk", "decontaminate",
     "dedup_exact", "dedup_lsh", "dedupe", "delay",
     "exclusive_route",
     "filter", "incremental_to_absolute", "join", "line_agg",

@@ -1044,11 +1044,42 @@ class ConfigLoaderSpec extends SparkSpec {
         |    max_cell: 64""".stripMargin, "sd")
     assert(bounded.count() > 0 && bounded.count() <= vecs.count())
 
+    // ann: brute matches the direct API; lsh/ivf return k-bounded,
+    // rank-ordered rows per query
+    val annTopo =
+      """  probes:
+        |    type: filter
+        |    inputs: [in]
+        |    condition: .vec_id < 5
+        |  nn:
+        |    type: ann
+        |    inputs: [in, probes]
+        |    id_field: vec_id
+        |    k: 3
+        |    method: METHOD""".stripMargin
+    val brute = run("embeddings", annTopo.replace("METHOD", "brute"), "nn")
+    val wantNn = graft.datapipe.Ann.bruteForceTopK(vecs,
+      vecs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+    assert(brute.select("query_id", "rank", "nn_id").exceptAll(
+      wantNn.select("query_id", "rank", "nn_id")).count() == 0)
+    Seq("lsh", "ivf").foreach { m =>
+      val out = run("embeddings", annTopo.replace("METHOD", m), "nn")
+      val perQ = out.groupBy("query_id").count().collect()
+      assert(perQ.nonEmpty && perQ.forall(_.getLong(1) <= 3), m)
+      assert(out.filter(col("rank") > 3).count() == 0, m)
+    }
+
     // named errors
     def err(src: String, transforms: String, last: String): String =
       intercept[IllegalArgumentException] {
         run(src, transforms, last).count()
       }.getMessage
+    assert(err("embeddings",
+      """  nn:
+        |    type: ann
+        |    inputs: [in]
+        |    id_field: vec_id""".stripMargin, "nn")
+      .contains("exactly two inputs"))
     assert(err("documents",
       """  p:
         |    type: pack_sequences
