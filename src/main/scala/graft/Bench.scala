@@ -36,21 +36,6 @@ object Bench {
       case Some("none") => false
       case Some(f) => f.split(",").exists(name.contains)
     }
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => wanted(q._1)).foreach { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch {
-          case _: Throwable =>
-            try fn(spark, sfDir).count()
-            catch { case _: Throwable => () }
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
-      results(name) = math.min(once(), once())
-    }
 
     // CPU calibration, single-core and all-cores: fixed integer-hash
     // loops so readers can normalize MiB/s figures across host states.
@@ -72,6 +57,67 @@ object Bench {
       threads.foreach(_.start()); threads.foreach(_.join())
       itersPerThread.toDouble * n / ((System.nanoTime() - t0) / 1e9) / 1e6
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) Double.NaN
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    // Probe-sag guard state, shared by the query loop and the throughput
+    // classes below: an attempt whose pre-probe reads < 50% of the
+    // session's median probe is discarded and retried (bounded); kept/
+    // discarded counts ship in the JSON so the decision is auditable.
+    val sessionProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    var probesKept = 0
+    var probesDiscarded = 0
+
+    // Oracle-query loop, best-of-2 per query as before — but each attempt
+    // is now guarded by an interleaved mt probe with bounded
+    // discard-and-retry (r16 verdict item 1: the unguarded block-
+    // sequenced loop recorded five queries at 10-57x their true cost
+    // across two host-stall windows — ~250 s of phantom regression the
+    // throughput classes were already immune to). Per-query probe
+    // readings ship in BENCH_DETAILS so any residual anomaly is
+    // adjudicable from the artifact alone. Timing methodology is
+    // unchanged: the kept attempt is still a plain noop-sink run.
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val queryProbes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => wanted(q._1)).foreach { case (name, fn) =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch {
+          case _: Throwable =>
+            try fn(spark, sfDir).count()
+            catch { case _: Throwable => () }
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val qp = Seq.newBuilder[Double]
+      def guarded(): Double = {
+        var tries = 0
+        var out = Double.NaN
+        while (out.isNaN) {
+          tries += 1
+          val p = mtProbe(50000000)
+          sessionProbes += p
+          val sagging =
+            sessionProbes.size >= 3 && p < 0.5 * median(sessionProbes.toSeq)
+          if (sagging && tries < 3) {
+            probesDiscarded += 1 // host-noise burst: skip, retry
+          } else {
+            probesKept += 1
+            qp += p
+            out = once()
+          }
+        }
+        out
+      }
+      results(name) = math.min(guarded(), guarded())
+      queryProbes(name) = qp.result()
+    }
+
     val cpuScore = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -81,13 +127,6 @@ object Bench {
       once(); math.max(once(), once())
     }
     val cpuScoreMt = { mtProbe(200000000); math.max(mtProbe(200000000), mtProbe(200000000)) }
-
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.isEmpty) Double.NaN
-      else if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
-    }
 
     // Steady-state throughput: replicate events REP× in-memory (distinct
     // event ids) and push through the same filter->remap->reduce pipeline
@@ -110,9 +149,7 @@ object Bench {
     // normal). An attempt whose pre-probe reads < 50% of the session's
     // median probe is DISCARDED AND RETRIED (bounded); kept/discarded
     // counts ship in the detail JSON so the decision is auditable.
-    val sessionProbes = scala.collection.mutable.ArrayBuffer[Double]()
-    var probesKept = 0
-    var probesDiscarded = 0
+    // (State declared above, shared with the query loop since r17.)
     def throughput(shape: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame):
         (Seq[Double], Seq[Double], Double) = {
       val ev = Graft.table(spark, sfDir, "events")
@@ -438,15 +475,22 @@ object Bench {
     def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val qps = queryProbes.map { case (k, v) => "\"" + k + "\":" + arr(v) }
+      .mkString("{", ",", "}")
     val total = results.values.sum
+    // suite-level anomaly pin (r16 verdict item 6): the per-query trend
+    // is flat at ~1.3 s/query on this host — a host stall inflates this
+    // single number without per-query archaeology
+    val suitePerQuery =
+      if (results.isEmpty) Double.NaN else total / results.size
     val headline =
-      s""""sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"events_structured_mib_per_s":${fmt(structMibPerSec)},"metrics_mib_per_s":${fmt(metricMibPerSec)},"metrics_samples_per_s":${fmt(metricSamplesPerSec)},"events_remap_events_per_s":${fmt(remapEventsPerSec)},"events_structured_events_per_s":${fmt(structEventsPerSec)},"pipeline_vs_remap_ratio":${fmt(pipeVsRemapRatio)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"streaming_throttle_events_per_s":${fmt(streamEventsPerSec)},"grpc_pair_events_per_s":${fmt(grpcPairEventsPerSec)},"otlp_http_events_per_s":${fmt(otlpHttpEventsPerSec)},"otlp_grpc_events_per_s":${fmt(otlpGrpcEventsPerSec)},"probe_attempts_kept":$probesKept,"probe_attempts_discarded":$probesDiscarded,"cores":$cpus"""
+      s""""oracle_suite_sec_per_query":${fmt(suitePerQuery)},"sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"events_structured_mib_per_s":${fmt(structMibPerSec)},"metrics_mib_per_s":${fmt(metricMibPerSec)},"metrics_samples_per_s":${fmt(metricSamplesPerSec)},"events_remap_events_per_s":${fmt(remapEventsPerSec)},"events_structured_events_per_s":${fmt(structEventsPerSec)},"pipeline_vs_remap_ratio":${fmt(pipeVsRemapRatio)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"streaming_throttle_events_per_s":${fmt(streamEventsPerSec)},"grpc_pair_events_per_s":${fmt(grpcPairEventsPerSec)},"otlp_http_events_per_s":${fmt(otlpHttpEventsPerSec)},"otlp_grpc_events_per_s":${fmt(otlpGrpcEventsPerSec)},"probe_attempts_kept":$probesKept,"probe_attempts_discarded":$probesDiscarded,"cores":$cpus"""
     // Full detail (every per-query timing + raw attempt/probe arrays) goes
     // to a file and an early log line; the FINAL stdout line must stay
     // well under the driver's 2000-char tail capture or the round's bench
     // is machine-unreadable (round-7 lesson: 3.5 KB line -> parsed:null).
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"events_pipeline_attempts_sec":${arr(pipeAttempts)},"events_remap_attempts_sec":${arr(remapAttempts)},"events_structured_attempts_sec":${arr(structAttempts)},"metrics_attempts_sec":${arr(metricAttempts)},"cpu_probe_mt_mips":${arr(pairProbes ++ structProbes ++ metricProbes)},$headline}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"query_probes_mt_mips":$qps,"events_pipeline_attempts_sec":${arr(pipeAttempts)},"events_remap_attempts_sec":${arr(remapAttempts)},"events_structured_attempts_sec":${arr(structAttempts)},"metrics_attempts_sec":${arr(metricAttempts)},"cpu_probe_mt_mips":${arr(pairProbes ++ structProbes ++ metricProbes)},$headline}"""
     val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "BENCH_DETAILS.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath), full + "\n")
     catch { case _: Throwable => () }

@@ -481,11 +481,13 @@ object DatapipeQueries {
         col("text")).select(col("doc_id"))
       val nearPairs = Dedup.minhashLsh(d, "doc_id", col("text"),
         shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5)
-      val nearDup = Dedup.connectedComponents(
-          d.select(col("doc_id").as("id")),
-          nearPairs.select(col("id_a"), col("id_b")))
-        .filter(col("id") =!= col("comp"))
-        .select(col("id").as("doc_id"))
+      // non-canonical near-dup ids only: clustering all N ids and
+      // filtering to id != comp equals clustering the pair-touched ids
+      // (untouched docs are always canonical) — nearDupDrops additionally
+      // short-circuits the drop set to a bounded local relation when the
+      // pair graph fits the driver cap
+      val nearDup = Dedup.nearDupDrops(
+        nearPairs.select(col("id_a"), col("id_b")), "doc_id")
       // benchmark decontamination rides the same plan: prefix-seeded
       // eval set (as in the standalone decontaminate query), any 8-gram
       // hit drops the doc before mixing

@@ -464,11 +464,47 @@ object Ann {
     val dim = corpus.select(size(col(vec))).head().getInt(0)
     require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
     val sub = dim / m
-    (0 until m).map { j =>
-      val sliced = corpus.select(col(id),
-        slice(asDouble(col(vec)), j * sub + 1, sub).as("__sub"))
-      kmeans(sliced, id, "__sub", k, iters)
+    // All m sub-codebooks train TOGETHER: one corpus scan per Lloyd
+    // iteration instead of m independent [[kmeans]] runs (m scans per
+    // iteration plus m init jobs — at corpus scale the train cost is
+    // the scans, and they differed only in which slice they aggregated).
+    // Per-subspace math is unchanged: same lowest-id init, the same
+    // [[ivfAssign]] assignment against that subspace's codebook, the
+    // same 6-dp-rounded per-cell means; empty cells drop out per
+    // subspace exactly as in the sequential form.
+    val c = corpus.select(col(id).as("_kid"), asDouble(col(vec)).as("_kv"))
+    val initRows = c.orderBy(col("_kid")).limit(k).collect()
+    var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { j =>
+      initRows.zipWithIndex.map { case (r, i) =>
+        (i.toLong, r.getSeq[Double](1).slice(j * sub, j * sub + sub))
+      }.toSeq
     }
+    (1 to iters).foreach { _ =>
+      // one row per (subspace, cell, subvector); explode fans each
+      // corpus row to m narrow rows, the groupBy map-side combines to
+      // m × k partial sums per partition
+      val fanned = c.select(explode(array((0 until m).map { j =>
+        val sv = slice(col("_kv"), j * sub + 1, sub)
+        struct(lit(j).as("_j"), ivfAssign(sv, books(j)).as("_cell"),
+          sv.as("_sv"))
+      }: _*)).as("_x"))
+        .select(col("_x._j").as("_j"), col("_x._cell").as("_cell"),
+          col("_x._sv").as("_sv"))
+      val aggs = count(lit(1)).as("_n") +:
+        (0 until sub).map(jj => sum(element_at(col("_sv"), jj + 1)).as(s"_s$jj"))
+      val updated = fanned.groupBy(col("_j"), col("_cell"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      books = (0 until m).map { j =>
+        updated.filter(_.getInt(0) == j).map { r =>
+          val n = r.getLong(2).toDouble
+          (r.getLong(1), (0 until sub).map { jj =>
+            BigDecimal(r.getDouble(3 + jj) / n)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }: Seq[Double])
+        }.sortBy(_._1).toSeq
+      }
+    }
+    books
   }
 
   /** Encode every vector as its per-subspace nearest-centroid codes. */

@@ -106,16 +106,28 @@ object Decontaminate {
         .join(broadcast(flaggedGrams), Seq("gs"))
         .groupBy(col("doc"))
         .agg(count(lit(1)).as("__n_hit_exact"))
+      // The denominator must be recounted too: the first pass counted
+      // DISTINCT HASHES, so an intra-doc gram collision undercounts it
+      // and the recomputed ratio could exceed the true ratio (even > 1
+      // in the degenerate all-collide case). The flagged docs' distinct
+      // gram STRINGS are already materialized — one tiny extra agg.
+      val flaggedN = flaggedGrams.groupBy(col("doc"))
+        .agg(count(lit(1)).as("__n_grams_exact"))
       hashed.join(exactHits, Seq("doc"), "left")
+        .join(flaggedN, Seq("doc"), "left")
         .withColumn("n_hit",
           when(col("contaminated") === 1,
             coalesce(col("__n_hit_exact"), lit(0L)))
             .otherwise(col("n_hit")))
+        .withColumn("n_grams",
+          when(col("contaminated") === 1,
+            coalesce(col("__n_grams_exact"), col("n_grams")))
+            .otherwise(col("n_grams")))
         .withColumn("hit_ratio",
           round(col("n_hit").cast("double") / col("n_grams"), 4))
         .withColumn("contaminated",
           (col("hit_ratio") > maxHitRatio).cast("int"))
-        .drop("__n_hit_exact")
+        .drop("__n_hit_exact", "__n_grams_exact")
     }
   }
 

@@ -41,6 +41,13 @@ object Dedup {
   val DefaultHintRows = 300000L
   val DefaultIndexHintRows = 50000000L
 
+  /** Edge-count cap for [[connectedComponents]]' driver union-find fast
+    * path (~16 MB of (long, long) pairs at the default — well inside any
+    * sane driver). Deployment knob, same spirit as the hint rows above;
+    * 0 disables the fast path entirely.
+    */
+  val DefaultDriverEdges = 500000
+
   /** Planner-estimated corpus row count above which drop-set anti-joins
     * pin `shuffle_hash` instead of trusting AQE's broadcast conversion:
     * drop sets have CORPUS cardinality in the worst case, Catalyst's
@@ -335,10 +342,18 @@ object Dedup {
     */
   def estimatedRows(df: DataFrame): Long = {
     val stats = df.queryExecution.optimizedPlan.stats
-    stats.rowCount.map(_.toLong).getOrElse {
+    stats.rowCount.map(r =>
+      if (r.isValidLong) r.toLong else Long.MaxValue
+    ).getOrElse {
       val width = math.max(1,
         df.schema.map(_.dataType.defaultSize).sum)
-      (stats.sizeInBytes / width).toLong
+      // sizeInBytes defaults to Long.MaxValue for stat-less leaves and
+      // multiplies through join estimates, so the BigInt can exceed
+      // Long.MaxValue — BigInt.toLong would then WRAP NEGATIVE and the
+      // fat-corpus/fat-index shuffle_hash pins would silently read
+      // "small" at exactly the scales they protect. Unestimable = fat.
+      val est = stats.sizeInBytes / width
+      if (est.isValidLong) est.toLong else Long.MaxValue
     }
   }
 
@@ -590,10 +605,100 @@ object Dedup {
     * cluster). `edges`: (id_a, id_b) pairs, any orientation, dup-safe.
     * Returns (id, cluster) with cluster = min id in the component.
     */
+  private def integralIdType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType
+
+  /** Min-label union-find over a collected (lo, hi) edge list — the
+    * driver core of the small-graph fast paths. Returns id -> component
+    * min for every NON-CANONICAL id (an id whose component min is
+    * smaller than itself); canonical ids and singletons are absent.
+    */
+  private def driverLabels(probe: Array[org.apache.spark.sql.Row],
+                           idType: org.apache.spark.sql.types.DataType)
+      : java.util.HashMap[Long, Long] = {
+    def toL(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (idType == org.apache.spark.sql.types.LongType) r.getLong(i)
+      else r.getInt(i).toLong
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val nx = parent.get(c); parent.put(c, r); c = nx
+      }
+      r
+    }
+    probe.foreach { r =>
+      val ra = find(toL(r, 0)); val rb = find(toL(r, 1))
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new java.util.HashMap[Long, Long]()
+    parent.keySet().forEach { idv =>
+      val c = find(idv)
+      if (c != idv) out.put(idv, c)
+    }
+    out
+  }
+
+  /** The DROP SET of a near-dup pair list: every id that appears in a
+    * pair and is not its connected component's min id — semantically
+    * `connectedComponents(touched, pairs).filter(id =!= comp)`, where
+    * `touched` is the distinct pair-endpoint set (ids in no pair are
+    * always canonical, so clustering them adds nothing). When the pair
+    * list fits under `driverEdges` the set comes straight out of the
+    * driver union-find as a bounded LOCAL relation: the consuming
+    * anti-join's plan then carries no trace of the pair pipeline (the
+    * verify joins run once, in the probe, instead of once per
+    * downstream action). Output: one `outCol` column of the input id
+    * type. Above the cap (or for non-integral ids) it falls back to
+    * the distributed formulation unchanged.
+    */
+  def nearDupDrops(pairs: DataFrame, outCol: String,
+                   hintRows: Long = DefaultHintRows,
+                   driverEdges: Int = DefaultDriverEdges): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema("id_a").dataType
+    val numericId = integralIdType(idType)
+    if (numericId && driverEdges > 0) {
+      val oriented = pairs
+        .select(least(col("id_a"), col("id_b")).as("lo"),
+          greatest(col("id_a"), col("id_b")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+        .persist()
+      val probe = oriented.limit(driverEdges + 1).collect()
+      if (probe.length <= driverEdges) {
+        oriented.unpersist()
+        val labels = driverLabels(probe, idType)
+        val entries = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        labels.keySet().forEach { idv =>
+          entries.add(
+            if (idType == org.apache.spark.sql.types.LongType)
+              org.apache.spark.sql.Row(idv)
+            else org.apache.spark.sql.Row(idv.toInt))
+        }
+        return spark.createDataFrame(entries,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(outCol, idType))))
+      }
+      oriented.unpersist()
+    }
+    val touched = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    connectedComponents(touched, pairs, hintRows = hintRows,
+        driverEdges = 0)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(outCol))
+  }
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 25,
                           checkpointDir: Option[String] = None,
-                          hintRows: Long = DefaultHintRows): DataFrame = {
+                          hintRows: Long = DefaultHintRows,
+                          driverEdges: Int = DefaultDriverEdges): DataFrame = {
     val spark = nodes.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
@@ -606,9 +711,47 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
+      .persist()
+    // SMALL-GRAPH FAST PATH (the graph analogue of a broadcast join):
+    // near-dup edge lists are tiny relative to the corpus in the normal
+    // regime, and the iterative loop below pays ~3 actions per round
+    // (checkpoint, count, merge) regardless of size. Probe with a
+    // bounded limit-collect against the persisted edge list: if every
+    // edge fits under `driverEdges`, run min-label union-find on the
+    // driver (microseconds) and attach labels with ONE broadcast join —
+    // identical output (comp = min id of the component), no iteration.
+    // Numeric ids only: the driver comparison must match Spark's
+    // `least` ordering, which is guaranteed for integral types but not
+    // for collated strings. Above the cap (or non-numeric ids) the
+    // distributed loop runs exactly as before; the probe's partial
+    // compute lands in the edge cache the loop reads anyway.
+    val idType = nodes.schema("id").dataType
+    val numericId = integralIdType(idType)
+    val probe: Array[org.apache.spark.sql.Row] =
+      if (numericId && driverEdges > 0)
+        oriented.limit(driverEdges + 1).collect()
+      else Array.empty
+    if (numericId && driverEdges > 0 && probe.length <= driverEdges) {
+      oriented.unpersist()
+      // only non-canonical ids need a row (comp(x) < x implies x lost a
+      // union, so x has a parent entry); canonical ids coalesce to id
+      val labels = driverLabels(probe, idType)
+      val entries = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      labels.forEach { (idv, c) =>
+        entries.add(
+          if (idType == org.apache.spark.sql.types.LongType)
+            org.apache.spark.sql.Row(idv, c)
+          else org.apache.spark.sql.Row(idv.toInt, c.toInt))
+      }
+      val mapDf = spark.createDataFrame(entries,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("__mc", idType))))
+      return nodes.join(broadcast(mapDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__mc"), col("id")).as("comp"))
+    }
     val und = oriented.select(col("lo").as("src"), col("hi").as("dst"))
       .union(oriented.select(col("hi").as("src"), col("lo").as("dst")))
-      .persist()
     var labels = ckpt(nodes.select(col("id"), col("id").as("comp")))
     // Join-strategy guard, SIZE-CONDITIONAL: a shuffle_hash hint on the
     // bounded side keeps sort-merge from re-sorting the full label
@@ -696,7 +839,7 @@ object Dedup {
       if (ccLog) println(f"[cc] round $iter changed=$changed " +
         f"${(System.nanoTime() - tRound) / 1e9}%.1f s")
     }
-    und.unpersist()
+    oriented.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +

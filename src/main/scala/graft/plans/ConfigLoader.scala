@@ -436,14 +436,12 @@ object ConfigLoader {
               // the 100 TB shape: components only over ids that appear
               // in a pair (geometrically smaller than the corpus), then
               // anti-join the drop set — untouched docs never shuffle
-              // through the clustering at all
-              val touched = pairs.select(col("id_a").as("id"))
-                .union(pairs.select(col("id_b").as("id"))).distinct()
-              val drop = graft.datapipe.Dedup.connectedComponents(
-                  touched, pairs.select(col("id_a"), col("id_b")),
-                  hintRows = hintRows)
-                .filter(col("id") =!= col("comp"))
-                .select(col("id").as(idField))
+              // through the clustering at all; under the driver-edge
+              // cap the drop set is a bounded local relation and the
+              // anti-join plan carries no trace of the pair pipeline
+              val drop = graft.datapipe.Dedup.nearDupDrops(
+                pairs.select(col("id_a"), col("id_b")), idField,
+                hintRows = hintRows)
               graft.datapipe.Dedup.dropAnti(df, drop, idField)
           }
         })

@@ -63,6 +63,14 @@ class DecontaminateSpec extends SparkSpec {
     assert(byDoc(3L).getAs[Int]("contaminated") == 0)
     assert(byDoc(4L).getAs[Int]("contaminated") == 1)
     assert(byDoc(4L).getAs[Long]("n_hit") == 2)
+    // the DENOMINATOR is recounted from distinct gram STRINGS too: the
+    // hash-pass n_grams collapsed to 1 under the forced collision, and
+    // dividing the exact n_hit by it read hit_ratio = 2.0 (> 1). Doc 1
+    // has 12 tokens -> 5 distinct 8-gram strings, doc 4 has 14 -> 7.
+    assert(byDoc(1L).getAs[Long]("n_grams") == 5)
+    assert(byDoc(1L).getAs[Double]("hit_ratio") == 0.4)
+    assert(byDoc(4L).getAs[Long]("n_grams") == 7)
+    assert(byDoc(4L).getAs[Double]("hit_ratio") == 0.2857)
   }
 
   test("exactConfirm with the real hash changes nothing at this scale") {

@@ -26,9 +26,10 @@ class DelaySpec extends SparkSpec {
     val name = s"delayq${System.nanoTime()}"
     // per-fixture scratch checkpoint: keeps this query's state files out
     // of the shared temp-checkpoint namespace under full-suite load
+    private val ckptDir =
+      java.nio.file.Files.createTempDirectory(s"ckpt_$name")
     val q = out.toDF().writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory(s"ckpt_$name").toString)
+      .option("checkpointLocation", ckptDir.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime("50 milliseconds"))
       .start()
@@ -49,7 +50,17 @@ class DelaySpec extends SparkSpec {
       }
       got
     }
-    def stop(): Unit = q.stop()
+    def stop(): Unit = {
+      q.stop()
+      // scratch checkpoints would otherwise accumulate ckpt_delayq*
+      // directories in the system temp dir across suite runs
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(ckptDir) catch { case _: java.io.IOException => () }
+    }
   }
 
   test("events hold for delay_ms, then emit after it elapses") {
