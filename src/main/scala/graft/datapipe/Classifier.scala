@@ -38,13 +38,26 @@ object Classifier {
   def naiveBayes(train: DataFrame, test: DataFrame, id: String,
                  text: Column, label: Column,
                  vocabSize: Int = 2000): DataFrame = {
+    val spark = train.sparkSession
     val tr = train.select(col(id).as("_id"), label.as("_cls"),
       Dedup.tokens(text).as("_toks"))
     val te = test.select(col(id).as("_id"), Dedup.tokens(text).as("_toks"))
 
-    // class priors: log(docs_c / docs) — C rows (total is a driver scalar)
-    val nTrain = tr.count().toDouble
-    val classes = tr.groupBy("_cls").agg(count(lit(1)).as("n_docs"))
+    // class priors: log(docs_c / docs). The class table is C rows —
+    // bounded by construction — so COLLECT it once and rebuild it as a
+    // local relation: nTrain is then a driver-side sum (the separate
+    // tr.count() scan disappears) and the final plan's references to
+    // `classes` cost nothing instead of re-aggregating the corpus.
+    val clsType = tr.schema("_cls").dataType
+    val classRows = tr.groupBy("_cls").agg(count(lit(1)).as("n_docs"))
+      .collect()
+    val nTrain = classRows.map(_.getLong(1)).sum.toDouble
+    val classes = spark.createDataFrame(
+      java.util.Arrays.asList(classRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_cls", clsType),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType))))
     val priors = classes.select(col("_cls"),
       round(log(col("n_docs") / nTrain), 6).as("prior"))
 
@@ -53,9 +66,19 @@ object Classifier {
 
     // vocabulary: top-V tokens by total occurrence count, ties by token —
     // limit() is TakeOrderedAndProject (distributed top-K, per-partition
-    // heads merged on the driver), NOT a global sort
-    val vocab = occ.groupBy("tok").agg(count(lit(1)).as("df"))
+    // heads merged on the driver), NOT a global sort. V is bounded by
+    // construction (that is the point of the cut), so collect it and
+    // reuse the local relation: the previous in-plan vocab subtree
+    // re-ran the corpus explode once for vSize and once more per
+    // downstream reference.
+    val vocabRows = occ.groupBy("tok").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok")).limit(vocabSize).select("tok")
+      .collect()
+    val vocab = spark.createDataFrame(
+      java.util.Arrays.asList(vocabRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tok",
+          org.apache.spark.sql.types.StringType))))
 
     // per-class token counts over the vocab + add-one smoothing.
     // The (class × vocab) grid must be DENSE: a vocab token never seen
@@ -64,7 +87,7 @@ object Classifier {
     val counts = occ.join(vocab, Seq("tok")).groupBy("_cls", "tok")
       .agg(count(lit(1)).as("cnt"))
     val totals = counts.groupBy("_cls").agg(sum(col("cnt")).as("total_c"))
-    val vSize = vocab.count()
+    val vSize = vocabRows.length.toLong
     val grid = classes.select("_cls").crossJoin(vocab)
     val logp = grid
       .join(counts, Seq("_cls", "tok"), "left")
@@ -109,10 +132,19 @@ object Classifier {
       posexplode(Dedup.tokens(text)).as(Seq("pos", "w")))
     val trTok = toks(train)
 
-    val vocab = trTok.groupBy("w").agg(count(lit(1)).as("cnt"))
+    // the top-V cut is bounded by construction: collect it once and use
+    // a local relation — the in-plan vocab subtree previously re-ran
+    // the train-token explode for vEff and once per mapped() reference
+    val vocabRows = trTok.groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(vocabSize).select("w")
+      .collect()
+    val vocab = train.sparkSession.createDataFrame(
+      java.util.Arrays.asList(vocabRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.StringType))))
     // effective vocabulary = kept tokens + <unk>
-    val vEff = vocab.count().toDouble + 1.0
+    val vEff = vocabRows.length.toDouble + 1.0
 
     def mapped(tok: DataFrame) = tok
       .join(broadcast(vocab.withColumn("known", lit(true))), Seq("w"), "left")
@@ -125,7 +157,12 @@ object Classifier {
         .select(col("_id"), col("wm").as("w1"), col("w2"))
     }
 
+    // bc feeds BOTH broadcast(bc) and wt's re-aggregation in the final
+    // plan — persist so the train bigram window runs once per action,
+    // not twice (bc is V×V-observed bounded, already broadcast-sized
+    // by the existing design)
     val bc = bigrams(trTok).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .persist()
     val wt = bc.groupBy("w1").agg(sum(col("c2")).as("c1"))
 
     val scored = bigrams(toks(test))
@@ -177,12 +214,27 @@ object Classifier {
           lit(buckets)))
     }
 
-    def dist(df: DataFrame): DataFrame =
-      bucketed(df).groupBy("b").agg(count(lit(1)).as("c"))
-    val tCounts = dist(target)
-    val rCounts = dist(raw)
-    val tTotal = tCounts.agg(sum(col("c"))).head().getLong(0).toDouble
-    val rTotal = rCounts.agg(sum(col("c"))).head().getLong(0).toDouble
+    // each distribution is <= `buckets` rows — bounded by construction
+    // (the whole point of hashed features) — so collect ONCE per side:
+    // the totals become driver sums and the ratio table below joins
+    // local relations, instead of four separate full gram-explode scans
+    // (two .agg().head() totals + the final plan re-running both dists)
+    def dist(df: DataFrame): Array[org.apache.spark.sql.Row] =
+      bucketed(df).groupBy("b").agg(count(lit(1)).as("c")).collect()
+    def localDist(rows: Array[org.apache.spark.sql.Row]): DataFrame =
+      raw.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("c",
+            org.apache.spark.sql.types.LongType))))
+    val tRows = dist(target)
+    val rRows = dist(raw)
+    val tCounts = localDist(tRows)
+    val rCounts = localDist(rRows)
+    val tTotal = tRows.map(_.getLong(1)).sum.toDouble
+    val rTotal = rRows.map(_.getLong(1)).sum.toDouble
     // dense log-ratio table: every bucket present (unseen buckets carry
     // the smoothed floor), so scoring needs no outer-join fallback logic
     val ratio = raw.sparkSession.range(buckets).select(col("id").as("b"))

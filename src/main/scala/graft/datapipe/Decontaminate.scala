@@ -92,12 +92,16 @@ object Decontaminate {
       // benchmark side streams map-side — no corpus re-shuffle.
       val flaggedIds = hashed.filter(col("contaminated") === 1)
         .select(col("doc"))
+      // persisted: both the hit recount and the denominator recount
+      // below read this frame — without the persist the corpus re-scan
+      // behind it would run twice
       val flaggedGrams = docs
         .join(flaggedIds.withColumnRenamed("doc", idCol), Seq(idCol))
         .select(col(idCol).as("doc"), Dedup.tokens(text).as("t"))
         .select(col("doc"),
           explode(array_distinct(Dedup.shinglesOfToks(col("t"), n)))
             .as("gs"))
+        .persist()
       val benchStr = benchmark
         .select(Dedup.tokens(benchText).as("t"))
         .select(explode(Dedup.shinglesOfToks(col("t"), n)).as("gs"))
