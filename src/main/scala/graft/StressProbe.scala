@@ -233,9 +233,21 @@ object StressProbe {
           .write.mode("overwrite").parquet(s"$stage/exact")
         release()
         locally {
-          val nearPairs = Dedup.minhashLsh(corpus, "doc_id",
-            col("text"), shingleN = 3, numHashes = 12, bands = 3,
-            threshold = 0.5)
+          // SPARK_GRAFT_STRESS_VERIFY_SLICES=K runs the exact-Jaccard
+          // verify in K disk-bounded slices (Dedup.minhashLshSliced):
+          // identical pairs, peak live shuffle ~1/K — the knob that
+          // takes the chain past this container's disk at 2× the
+          // measured 20M trough
+          val slices = sys.env.get("SPARK_GRAFT_STRESS_VERIFY_SLICES")
+            .map(_.toInt).getOrElse(1)
+          val nearPairs =
+            if (slices > 1)
+              Dedup.minhashLshSliced(corpus, "doc_id", col("text"),
+                sliceDir = s"$stage/near_slices", slices = slices,
+                shingleN = 3, numHashes = 12, bands = 3, threshold = 0.5)
+            else Dedup.minhashLsh(corpus, "doc_id",
+              col("text"), shingleN = 3, numHashes = 12, bands = 3,
+              threshold = 0.5)
           Dedup.connectedComponents(
               corpus.select(col("doc_id").as("id")),
               nearPairs.select(col("id_a"), col("id_b")),

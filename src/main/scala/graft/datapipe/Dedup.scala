@@ -217,6 +217,19 @@ object Dedup {
                  shingleN: Int = 3, numHashes: Int = 12, bands: Int = 3,
                  threshold: Double = 0.5, maxBucket: Int = 0,
                  fatIndex: Option[Boolean] = None): DataFrame = {
+    val (idx, candidates) =
+      lshCandidates(docs, id, text, shingleN, numHashes, bands, maxBucket)
+    verifyJaccard(candidates, idx.select(col("doc"), col("s")), threshold,
+      fatIndex)
+  }
+
+  /** Shared LSH front half: the persisted narrow shingle index and the
+    * distinct band-bucket candidate pairs (see [[minhashLsh]] for the
+    * knob semantics). Both returned frames are lazy; `idx` is persisted.
+    */
+  private def lshCandidates(docs: DataFrame, id: String, text: Column,
+                            shingleN: Int, numHashes: Int, bands: Int,
+                            maxBucket: Int): (DataFrame, DataFrame) = {
     val cap =
       if (maxBucket >= 0) maxBucket
       else math.max(50L,
@@ -255,8 +268,51 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
-    verifyJaccard(candidates, idx.select(col("doc"), col("s")), threshold,
-      fatIndex)
+    (idx, candidates)
+  }
+
+  /** DISK-BOUNDED [[minhashLsh]]: identical pairs out, but the exact-
+    * Jaccard verify runs in `slices` deterministic hash slices of the
+    * candidate set, each slice its own action landing on `sliceDir`
+    * parquet, so a slice's shuffle files are released before the next
+    * slice starts — peak LIVE shuffle disk is ~1/slices of the one-shot
+    * verify (the 20M-doc staged chain trough was the verify's ~57 GB of
+    * live shuffle; 40M at the measured rate needs ~114 GB, over this
+    * container). The trade is time: each slice re-shuffles the narrow
+    * shingle index, so verify compute is ~slices× the cost of one pass —
+    * disk-for-time, the same posture as [[Ann.semanticDedupBounded]].
+    * The candidate front half (shingle index, signatures, band join) is
+    * built ONCE and persisted, exactly as in [[minhashLsh]]; the index
+    * cache is released when the last slice lands. Returns the union read
+    * back from `sliceDir` (immediately usable and already materialized —
+    * callers that would re-verify per downstream action get that for
+    * free).
+    */
+  def minhashLshSliced(docs: DataFrame, id: String, text: Column,
+                       sliceDir: String, slices: Int,
+                       shingleN: Int = 3, numHashes: Int = 12,
+                       bands: Int = 3, threshold: Double = 0.5,
+                       maxBucket: Int = 0,
+                       fatIndex: Option[Boolean] = None): DataFrame = {
+    require(slices >= 1, s"minhashLshSliced: slices must be >= 1, got $slices")
+    val (idx, candidates) =
+      lshCandidates(docs, id, text, shingleN, numHashes, bands, maxBucket)
+    val inv = idx.select(col("doc"), col("s"))
+    (0 until slices).foreach { k =>
+      val slice =
+        if (slices == 1) candidates
+        else candidates.filter(
+          pmod(xxhash64(col("id_a"), col("id_b")), lit(slices)) === k)
+      verifyJaccard(slice, inv, threshold, fatIndex)
+        .write.mode("overwrite").parquet(s"$sliceDir/slice=$k")
+      // finished slice: its QueryExecution is unreachable now — a GC
+      // cycle lets the ContextCleaner delete its shuffle files BETWEEN
+      // slices (the whole point of slicing)
+      System.gc()
+    }
+    idx.unpersist()
+    docs.sparkSession.read.parquet(sliceDir)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Exact n-gram Jaccard join with PREFIX FILTERING (AllPairs/PPJoin

@@ -72,17 +72,51 @@ class DedupSpec extends SparkSpec {
 
   test("connected components: reliable-checkpoint path (chain graph)") {
     // same chain graph through sparkContext checkpointing — the mode a
-    // real cluster runs (survives executor loss, unlike localCheckpoint)
+    // real cluster runs (survives executor loss, unlike localCheckpoint).
+    // driverEdges = 0 forces the DISTRIBUTED loop: with the small-graph
+    // fast path on (the default) every test-sized graph would short-
+    // circuit to the driver union-find and the loop would lose coverage.
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     val nodes = (1L to 8L).toSeq ++ Seq(10L, 11L)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (6L, 7L), (7L, 8L), (10L, 11L))
     val comp = Dedup.connectedComponents(
         nodes.toDF("id"), edges.toDF("id_a", "id_b"),
-        checkpointDir = Some(dir))
+        checkpointDir = Some(dir), driverEdges = 0)
       .as[(Long, Long)].collect().toMap
     assert((1L to 8L).forall(comp(_) == 1L))
     assert(comp(10L) == 10L && comp(11L) == 10L)
+  }
+
+  test("connected components: fast path == distributed loop") {
+    // chain + clique + singletons, fast path (default cap) vs the loop
+    // (driverEdges = 0) — identical labels row for row
+    val nodes = ((1L to 8L) ++ Seq(10L, 11L, 20L, 30L, 31L, 32L)).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (10L, 11L), (30L, 31L), (31L, 32L), (30L, 32L))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val loop = Dedup.connectedComponents(nodes, edges, driverEdges = 0)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(fast == loop)
+    // the cap boundary: a graph just OVER driverEdges still routes to
+    // the loop (probe length = cap + 1)
+    val overCap = Dedup.connectedComponents(nodes, edges, driverEdges = 2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(overCap == loop)
+  }
+
+  test("nearDupDrops == cc(touched).filter(id =!= comp), both paths") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L), (7L, 7L))
+      .toDF("id_a", "id_b")
+    val expect = Seq(2L, 3L, 11L)
+    val fast = Dedup.nearDupDrops(pairs, "doc_id")
+    assert(fast.columns.toSeq == Seq("doc_id"))
+    assert(fast.as[Long].collect().sorted.toSeq == expect)
+    // over-cap fallback: distributed formulation, same set
+    val loop = Dedup.nearDupDrops(pairs, "doc_id", driverEdges = 2)
+    assert(loop.as[Long].collect().sorted.toSeq == expect)
   }
 
   test("connected components: reversed/duplicated edges are harmless") {
@@ -100,6 +134,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L) == sigs(4L))
     assert(sigs(1L) != sigs(3L))
+  }
+
+  test("minhashLshSliced == minhashLsh (identical pairs, any slice count)") {
+    val one = Dedup.minhashLsh(docs, "doc_id", $"text",
+        shingleN = 3, numHashes = 12, bands = 3, threshold = 0.3)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("lsh-slices").toString
+    val sliced = Dedup.minhashLshSliced(docs, "doc_id", $"text",
+        sliceDir = dir, slices = 3,
+        shingleN = 3, numHashes = 12, bands = 3, threshold = 0.3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sliced == one)
+    assert(sliced.nonEmpty) // the fixture has near-dups; prove non-vacuous
   }
 
   test("minhashLsh maxBucket: hot buckets bounded, cool pairs intact, " +
