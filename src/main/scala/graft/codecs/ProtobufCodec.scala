@@ -48,9 +48,30 @@ object ProtobufCodec {
       case PMessage(s) => s.sparkType
       case PRepeated(e) => ArrayType(dataType(e))
     }
-    def sparkType: StructType = StructType(fields.map { f =>
+    // cached: decodeRecord builds one Row per message per payload, and a
+    // per-call StructType/Map rebuild dominated the row-UDF decode paths
+    @transient lazy val sparkType: StructType = StructType(fields.map { f =>
       StructField(f.name, dataType(f.ptype))
     })
+    @transient private[codecs] lazy val fieldArr: Array[ProtoField] =
+      fields.toArray
+    // field number -> slot in `fields` (-1 = unknown); dense array when
+    // numbers are small (every schema here), Map fallback otherwise
+    @transient private[codecs] lazy val slotByNo: Array[Int] = {
+      val maxNo = fields.foldLeft(0)((m, f) => math.max(m, f.no))
+      if (maxNo <= 1024) {
+        val a = Array.fill(maxNo + 1)(-1)
+        fields.zipWithIndex.foreach { case (f, i) => a(f.no) = i }
+        a
+      } else null
+    }
+    @transient private[codecs] lazy val slotByNoMap: Map[Int, Int] =
+      fields.zipWithIndex.map { case (f, i) => f.no -> i }.toMap
+    private[codecs] def slotOf(no: Int): Int = {
+      val a = slotByNo
+      if (a != null) { if (no >= 0 && no < a.length) a(no) else -1 }
+      else slotByNoMap.getOrElse(no, -1)
+    }
   }
 
   private[codecs] def wireType(t: PType): Int = t match {
@@ -280,14 +301,17 @@ object ProtobufCodec {
   }
 
   private def decodeRecord(schema: ProtoSchema, bytes: Array[Byte]): Row = {
-    val byNo = schema.fields.map(f => f.no -> f).toMap
-    val values = scala.collection.mutable.Map[Int, Any]()
-    val repeated = scala.collection.mutable.Map[Int, scala.collection.mutable.ListBuffer[Any]]()
+    // per-slot accumulators (slot = index in schema.fields): plain arrays —
+    // the old per-call Map[Int, _] builds dominated decode-heavy UDFs
+    val fieldArr = schema.fieldArr
+    val n = fieldArr.length
+    val values = new Array[Any](n) // singular scalars
+    val repeated = new Array[scala.collection.mutable.ListBuffer[Any]](n)
     // proto3 merge semantics for a singular MESSAGE field seen more
     // than once: the instances MERGE (repeated subfields concatenate).
     // Merging serialized protos = concatenating their bytes, so buffer
     // the bytes and decode once at the end.
-    val msgBytes = scala.collection.mutable.Map[Int, java.io.ByteArrayOutputStream]()
+    val msgBytes = new Array[java.io.ByteArrayOutputStream](n)
     val rd = new Reader(bytes)
     def readValue(t: PType): Any = t match {
       case PVarint => rd.readVarint()
@@ -297,7 +321,8 @@ object ProtobufCodec {
       case PFloat => java.lang.Float.intBitsToFloat(rd.readFixed32())
       case PFixed32 => rd.readFixed32() & 0xFFFFFFFFL
       case PSfixed32 => rd.readFixed32().toLong
-      case PString => new String(rd.readBytes(rd.readVarint().toInt), "UTF-8")
+      case PString => new String(rd.readBytes(rd.readVarint().toInt),
+        java.nio.charset.StandardCharsets.UTF_8)
       case PBytes => rd.readBytes(rd.readVarint().toInt)
       case PMessage(inner) =>
         decodeRecord(inner, rd.readBytes(rd.readVarint().toInt))
@@ -308,26 +333,30 @@ object ProtobufCodec {
       val tag = rd.readVarint()
       val no = (tag >>> 3).toInt
       val wt = (tag & 7).toInt
-      byNo.get(no) match {
-        case Some(f) if wireType(f.ptype) == wt =>
-          f.ptype match {
-            case PRepeated(elem) =>
-              repeated.getOrElseUpdate(no,
-                scala.collection.mutable.ListBuffer.empty) += readValue(elem)
-            case PMessage(_) =>
-              msgBytes.getOrElseUpdate(no,
-                new java.io.ByteArrayOutputStream())
-                .write(rd.readBytes(rd.readVarint().toInt))
-            case t => values(no) = readValue(t)
-          }
+      val slot = schema.slotOf(no)
+      val f = if (slot >= 0) fieldArr(slot) else null
+      if (f != null && wireType(f.ptype) == wt) {
+        f.ptype match {
+          case PRepeated(elem) =>
+            if (repeated(slot) == null)
+              repeated(slot) = scala.collection.mutable.ListBuffer.empty
+            repeated(slot) += readValue(elem)
+          case PMessage(_) =>
+            if (msgBytes(slot) == null)
+              msgBytes(slot) = new java.io.ByteArrayOutputStream()
+            msgBytes(slot).write(rd.readBytes(rd.readVarint().toInt))
+          case t => values(slot) = readValue(t)
+        }
+      } else f match {
         // PACKED repeated scalars (proto3 default for numeric repeated
         // fields): one length-delimited blob of back-to-back values
-        case Some(ProtoField(_, _, PRepeated(elem)))
+        case ProtoField(_, _, PRepeated(elem))
             if wt == 2 && wireType(elem) != 2 =>
           val blob = rd.readBytes(rd.readVarint().toInt)
           val sub = new Reader(blob)
-          val buf = repeated.getOrElseUpdate(no,
-            scala.collection.mutable.ListBuffer.empty)
+          if (repeated(slot) == null)
+            repeated(slot) = scala.collection.mutable.ListBuffer.empty
+          val buf = repeated(slot)
           while (sub.hasMore) buf += (elem match {
             case PVarint => sub.readVarint()
             case PSint => unzigzag(sub.readVarint())
@@ -343,16 +372,21 @@ object ProtobufCodec {
     }
     // carry the schema so callers can access fields by NAME (nested
     // message rows included)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = fieldArr(i).ptype match {
+        case PRepeated(_) =>
+          if (repeated(i) == null) null else repeated(i).toSeq
+        case PMessage(inner) =>
+          if (msgBytes(i) == null) null
+          else decodeRecord(inner, msgBytes(i).toByteArray)
+        case _ => values(i)
+      }
+      i += 1
+    }
     new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-      schema.fields.map { f =>
-        f.ptype match {
-          case PRepeated(_) => repeated.get(f.no).map(_.toSeq).orNull
-          case PMessage(inner) =>
-            msgBytes.get(f.no)
-              .map(b => decodeRecord(inner, b.toByteArray)).orNull
-          case _ => values.get(f.no).orNull
-        }
-      }.toArray, schema.sparkType)
+      out, schema.sparkType)
   }
 
   /** Row-level decode for callers that post-process the struct in the

@@ -139,22 +139,28 @@ object Bpe {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
 
-    // driver-side merge loop over (symbol-seq, count) — O(words × merges)
-    var words: Array[(Vector[String], Long)] =
+    // driver-side merge loop over (symbol-seq, count). The pair-count
+    // table is maintained INCREMENTALLY: a merge only touches words that
+    // contain the winning pair, so each iteration costs O(affected words)
+    // instead of a full O(words × word-len) HashMap rebuild — same counts,
+    // same (count desc, pair asc) winner, identical merge sequence.
+    val words: Array[(Vector[String], Long)] =
       freqs.map { case (w, n) => (toByteChars(w), n) }
+    val pairCounts = new java.util.HashMap[(String, String), Long]()
+    def bump(parts: Vector[String], n: Long): Unit = {
+      var i = 0
+      while (i < parts.length - 1) {
+        val p = (parts(i), parts(i + 1))
+        val left = pairCounts.merge(p, n, _ + _)
+        if (left == 0L) pairCounts.remove(p)
+        i += 1
+      }
+    }
+    words.foreach { case (parts, n) => bump(parts, n) }
     val merges = Vector.newBuilder[(String, String)]
     var m = 0
     var exhausted = false
     while (m < numMerges && !exhausted) {
-      val pairCounts = new java.util.HashMap[(String, String), Long]()
-      words.foreach { case (parts, n) =>
-        var i = 0
-        while (i < parts.length - 1) {
-          val p = (parts(i), parts(i + 1))
-          pairCounts.merge(p, n, _ + _)
-          i += 1
-        }
-      }
       if (pairCounts.isEmpty) exhausted = true
       else {
         var best: (String, String) = null
@@ -166,18 +172,31 @@ object Bpe {
         }
         merges += best
         val (a, b) = best
-        words = words.map { case (parts, n) =>
-          if (parts.length < 2) (parts, n)
-          else {
-            val nb = Vector.newBuilder[String]
+        var wi = 0
+        while (wi < words.length) {
+          val (parts, n) = words(wi)
+          if (parts.length >= 2) {
+            var has = false
             var j = 0
-            while (j < parts.length) {
-              if (j < parts.length - 1 && parts(j) == a && parts(j + 1) == b) {
-                nb += a + b; j += 2
-              } else { nb += parts(j); j += 1 }
+            while (!has && j < parts.length - 1) {
+              if (parts(j) == a && parts(j + 1) == b) has = true
+              j += 1
             }
-            (nb.result(), n)
+            if (has) {
+              bump(parts, -n)
+              val nb = Vector.newBuilder[String]
+              j = 0
+              while (j < parts.length) {
+                if (j < parts.length - 1 && parts(j) == a && parts(j + 1) == b) {
+                  nb += a + b; j += 2
+                } else { nb += parts(j); j += 1 }
+              }
+              val merged = nb.result()
+              bump(merged, n)
+              words(wi) = (merged, n)
+            }
           }
+          wi += 1
         }
         m += 1
       }
