@@ -227,7 +227,11 @@ object Ann {
     */
   def kmeans(corpus: DataFrame, id: String, vec: String, k: Int,
              iters: Int): Seq[(Long, Seq[Double])] = {
+    // persisted for the loop: the dim probe, the init collect and every
+    // Lloyd iteration scan the SAME narrow (id, vector) projection —
+    // uncached, each action re-reads and re-converts the corpus
     val c = corpus.select(col(id).as("_kid"), asDouble(col(vec)).as("_kv"))
+      .persist()
     val dim = c.select(size(col("_kv"))).head().getInt(0)
     var centroids: Seq[(Long, Seq[Double])] =
       c.orderBy(col("_kid")).limit(k).collect().zipWithIndex.map {
@@ -246,6 +250,7 @@ object Ann {
           })
         }.sortBy(_._1).toSeq
     }
+    c.unpersist()
     centroids
   }
 
@@ -264,9 +269,13 @@ object Ann {
   def semanticDedup(corpus: DataFrame, id: String, vec: String,
                     centroids: Seq[(Long, Seq[Double])],
                     threshold: Double): DataFrame = {
+    // persisted: the assigned projection feeds BOTH sides of the
+    // cell-keyed self-join and the survivor anti-join — uncached, the
+    // per-row assignment (k cosine scores) runs three times
     val c = corpus.select(col(id).as("doc"), asDouble(col(vec)).as("v"))
       .withColumn("cell", ivfAssign(col("v"), centroids))
       .withColumn("n2", graft.functions.VecMath.dot(col("v"), col("v")))
+      .persist()
     val dropped = c.as("a").join(c.as("b"),
         col("a.cell") === col("b.cell") && col("b.doc") < col("a.doc"))
       .filter(round(cosineHoisted(col("a.v"), col("b.v"),

@@ -84,14 +84,28 @@ object Classifier {
     // The (class × vocab) grid must be DENSE: a vocab token never seen
     // in class c still contributes log(1/(total_c+V)) when a test doc
     // contains it, so cross-join the grid and left-join the counts.
-    val counts = occ.join(vocab, Seq("tok")).groupBy("_cls", "tok")
+    // The observed-count table is ≤ C×V rows — bounded by construction —
+    // so COLLECT it once like the class/vocab tables: the corpus explode
+    // runs exactly once (totals becomes a local re-aggregation, not a
+    // second corpus pass) and the model-assembly joins are local-vs-
+    // local (no SortMergeJoin of a corpus subtree against the grid).
+    val countRows = occ.join(vocab, Seq("tok")).groupBy("_cls", "tok")
       .agg(count(lit(1)).as("cnt"))
+      .collect()
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(countRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_cls", clsType),
+        org.apache.spark.sql.types.StructField("tok",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType))))
     val totals = counts.groupBy("_cls").agg(sum(col("cnt")).as("total_c"))
     val vSize = vocabRows.length.toLong
     val grid = classes.select("_cls").crossJoin(vocab)
     val logp = grid
       .join(counts, Seq("_cls", "tok"), "left")
-      .join(totals, Seq("_cls"))
+      .join(broadcast(totals), Seq("_cls"))
       .select(col("_cls"), col("tok"),
         round(log((coalesce(col("cnt"), lit(0L)) + 1.0) /
           (col("total_c") + lit(vSize.toDouble))), 6).as("logp"))

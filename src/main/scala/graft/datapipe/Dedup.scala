@@ -543,12 +543,15 @@ object Dedup {
     val nwin = when(size(col("t")) >= windowTokens,
       floor((size(col("t")) - windowTokens) / lit(stride)).cast("int") + 1)
       .otherwise(0)
+    // persisted: the window inventory feeds both the per-hash count agg
+    // and the per-doc join — uncached it (and its upstream) builds twice
     val exploded = toks.withColumn("nwin", nwin)
       .filter(col("nwin") > 0)
       .select(col("doc"),
         explode(transform(sequence(lit(0), col("nwin") - 1),
           i => md5(concat_ws(" ",
             slice(col("t"), i * stride + 1, lit(windowTokens)))))).as("wh"))
+      .persist()
     val counts = exploded.groupBy(col("wh"))
       .agg(countDistinct(col("doc")).as("nd"))
     val per = exploded.join(counts, "wh")
@@ -585,14 +588,21 @@ object Dedup {
   def removeDupSpans(docs: DataFrame, id: String, text: Column,
                      windowTokens: Int = 8): DataFrame = {
     val W = windowTokens
+    // both persisted: toks feeds the window explode AND the final
+    // rebuild join; wins feeds the dup-hash agg AND the cut join. Un-
+    // cached, the upstream chain (often a heavy gate/redact pipeline)
+    // re-evaluates ~3x and the md5 window inventory is built twice —
+    // the same narrow-subtree posture as the LSH index persist.
     val toks = docs.select(col(id).as("doc"), tokens(text).as("t"))
       .withColumn("n_tokens", size(col("t")))
+      .persist()
     // stride-1 windows with their 1-based start token index
     val wins = toks.filter(col("n_tokens") >= W)
       .select(col("doc"),
         posexplode(transform(sequence(lit(0), col("n_tokens") - W),
           i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(W)))))))
       .select(col("doc"), (col("pos") + 1).as("start"), col("col").as("wh"))
+      .persist()
     // canonical occurrence per duplicated hash = min (doc, start)
     val dupHashes = wins.groupBy(col("wh"))
       .agg(count(lit(1)).as("cnt"),

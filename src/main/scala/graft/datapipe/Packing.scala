@@ -33,10 +33,16 @@ object Packing {
     require(buckets <= 65536,
       s"pack: buckets=$buckets exceeds the literal-prefix bound (65536)")
     val bucket = Shards.shardId(key, buckets)
+    // persisted: phase 1 collects per-bucket totals EAGERLY and phase 2
+    // re-reads the same frame — without the cache the entire upstream
+    // chain (whatever produced the token counts) evaluates twice. The
+    // cached projection is the narrow metadata row (key, counts), the
+    // guide's decide-with-small-rows shape.
     val sized = docs
       .withColumn("__b", bucket)
       .withColumn("__n", nTokens.cast("long"))
       .withColumn("__sz", nTokens.cast("long") + sepTokens)
+      .persist()
     // phase 1: per-bucket totals -> exclusive prefix, driver-side
     // (`buckets` rows — bounded regardless of corpus size)
     val totals = sized.groupBy(col("__b")).agg(sum(col("__sz")).as("__t"))
