@@ -283,10 +283,18 @@ object Dedup {
     * disk-for-time, the same posture as [[Ann.semanticDedupBounded]].
     * The candidate front half (shingle index, signatures, band join) is
     * built ONCE and persisted, exactly as in [[minhashLsh]]; the index
-    * cache is released when the last slice lands. Returns the union read
-    * back from `sliceDir` (immediately usable and already materialized —
-    * callers that would re-verify per downstream action get that for
-    * free).
+    * cache is released when the last slice lands. The candidate front
+    * half (shingle index, banded signatures) is built ONCE — staged on
+    * `sliceDir` PARQUET, not held as caches: the 40 M-doc attempt showed
+    * the front half's MEMORY_AND_DISK spill alone can fill a container
+    * before any verify slice starts, while the zstd-parquet form is a
+    * fraction of the bytes, releases its build shuffles as soon as each
+    * table lands, and gives every verify slice REAL file statistics for
+    * the fat-index decision. The staged tables are deleted when the
+    * last slice lands; only `pairs/` remains. Returns the union read
+    * back from `sliceDir/pairs` (immediately usable and already
+    * materialized — callers that would re-verify per downstream action
+    * get that for free).
     */
   def minhashLshSliced(docs: DataFrame, id: String, text: Column,
                        sliceDir: String, slices: Int,
@@ -295,8 +303,56 @@ object Dedup {
                        maxBucket: Int = 0,
                        fatIndex: Option[Boolean] = None): DataFrame = {
     require(slices >= 1, s"minhashLshSliced: slices must be >= 1, got $slices")
-    val (idx, candidates) =
-      lshCandidates(docs, id, text, shingleN, numHashes, bands, maxBucket)
+    val spark = docs.sparkSession
+    val cap =
+      if (maxBucket >= 0) maxBucket
+      else math.max(50L,
+        math.ceil(math.sqrt(docs.count().toDouble)).toLong).toInt
+    // stage 1: the narrow shingle index (same projection as
+    // lshCandidates' persisted idx, landed on parquet instead)
+    locally {
+      val ex = shingleRows(docs, id, text, shingleN)
+      val (h1, h2) = minhashLanes(col("s0"))
+      ex.select(col("doc"), xxhash64(col("s0")).as("s"),
+          h1.as("h1"), h2.as("h2"))
+        .write.mode("overwrite").parquet(s"$sliceDir/idx")
+    }
+    System.gc() // release the build's shuffle files before the next stage
+    val idx = spark.read.parquet(s"$sliceDir/idx")
+    // stage 2: banded bucket rows (signatures + optional hot-bucket cap)
+    locally {
+      val mins = (0 until numHashes).map(h =>
+        min(pmod(col("h1") + lit(h.toLong) * col("h2"), lit(M32))).as(s"m$h"))
+      val sig = idx.groupBy(col("doc"))
+        .agg(mins.head, mins.tail: _*)
+        .select(col("doc"),
+          array((0 until numHashes).map(h => col(s"m$h")): _*).as("sig"))
+      val bandedAll = sig
+        .select(col("doc"),
+          posexplode(lshBands(col("sig"), bands, numHashes / bands))
+            .as(Seq("band_idx", "band_hash")))
+      (if (cap > 0) {
+        val byBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))
+          .orderBy(col("doc"))
+        bandedAll
+          .withColumn("__rk", row_number().over(byBucket))
+          .filter(col("__rk") <= cap)
+          .drop("__rk")
+      } else bandedAll)
+        .write.mode("overwrite").parquet(s"$sliceDir/banded")
+    }
+    System.gc()
+    val banded = spark.read.parquet(s"$sliceDir/banded")
+    // candidates: docs sharing any (band_idx, band_hash) bucket — same
+    // join as lshCandidates, reading the staged table from parquet
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
     val inv = idx.select(col("doc"), col("s"))
     (0 until slices).foreach { k =>
       val slice =
@@ -304,14 +360,22 @@ object Dedup {
         else candidates.filter(
           pmod(xxhash64(col("id_a"), col("id_b")), lit(slices)) === k)
       verifyJaccard(slice, inv, threshold, fatIndex)
-        .write.mode("overwrite").parquet(s"$sliceDir/slice=$k")
+        .write.mode("overwrite").parquet(s"$sliceDir/pairs/slice=$k")
       // finished slice: its QueryExecution is unreachable now — a GC
       // cycle lets the ContextCleaner delete its shuffle files BETWEEN
       // slices (the whole point of slicing)
       System.gc()
     }
-    idx.unpersist()
-    docs.sparkSession.read.parquet(sliceDir)
+    // the staged front half is dead once the last slice lands — free it
+    locally {
+      val conf = spark.sparkContext.hadoopConfiguration
+      Seq(s"$sliceDir/idx", s"$sliceDir/banded").foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(conf)
+        fs.delete(path, true)
+      }
+    }
+    spark.read.parquet(s"$sliceDir/pairs")
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
