@@ -114,7 +114,17 @@ object Bench {
         }
         out
       }
-      results(name) = math.min(guarded(), guarded())
+      // honest best-of-2 (r17 verdict item 3): operators persist shared
+      // narrow subtrees, so without this the second attempt's plan hits
+      // the CacheManager and partially measures cache reads instead of
+      // the query. Clearing between attempts keeps both attempts
+      // cold-per-attempt (the intra-attempt persist reuse — the thing
+      // the operators actually buy — is still inside the timed window).
+      val a1 = guarded()
+      spark.catalog.clearCache()
+      val a2 = guarded()
+      spark.catalog.clearCache()
+      results(name) = math.min(a1, a2)
       queryProbes(name) = qp.result()
     }
 
@@ -486,15 +496,17 @@ object Bench {
     val headline =
       s""""oracle_suite_sec_per_query":${fmt(suitePerQuery)},"sf":"$sfDir","events_bytes":${fmt(eventsBytes)},"events_pipeline_mib_per_s":${fmt(mibPerSec)},"events_remap_mib_per_s":${fmt(remapMibPerSec)},"events_structured_mib_per_s":${fmt(structMibPerSec)},"metrics_mib_per_s":${fmt(metricMibPerSec)},"metrics_samples_per_s":${fmt(metricSamplesPerSec)},"events_remap_events_per_s":${fmt(remapEventsPerSec)},"events_structured_events_per_s":${fmt(structEventsPerSec)},"pipeline_vs_remap_ratio":${fmt(pipeVsRemapRatio)},"effective_cores":${fmt(effCores)},"events_pipeline_mib_per_s_per_eff_core":${fmt(mibPerSecPerEffCore)},"events_remap_mib_per_s_per_eff_core":${fmt(remapMibPerSecPerEffCore)},"cpu_score_mips":${fmt(cpuScore)},"cpu_score_mt_mips":${fmt(cpuScoreMt)},"streaming_throttle_events_per_s":${fmt(streamEventsPerSec)},"grpc_pair_events_per_s":${fmt(grpcPairEventsPerSec)},"otlp_http_events_per_s":${fmt(otlpHttpEventsPerSec)},"otlp_grpc_events_per_s":${fmt(otlpGrpcEventsPerSec)},"probe_attempts_kept":$probesKept,"probe_attempts_discarded":$probesDiscarded,"cores":$cpus"""
     // Full detail (every per-query timing + raw attempt/probe arrays) goes
-    // to a file and an early log line; the FINAL stdout line must stay
-    // well under the driver's 2000-char tail capture or the round's bench
-    // is machine-unreadable (round-7 lesson: 3.5 KB line -> parsed:null).
+    // to the details FILE ONLY — never stdout. The driver captures a
+    // 2000-char stdout tail and parses the final JSON line; printing the
+    // multi-KB detail line directly before the compact line made the tail
+    // open mid-giant-line and left every BENCH_r*.json since r13 with
+    // parsed:null (r17 verdict item 2). The compact line below is the one
+    // JSON near the stream tail.
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"query_probes_mt_mips":$qps,"events_pipeline_attempts_sec":${arr(pipeAttempts)},"events_remap_attempts_sec":${arr(remapAttempts)},"events_structured_attempts_sec":${arr(structAttempts)},"metrics_attempts_sec":${arr(metricAttempts)},"cpu_probe_mt_mips":${arr(pairProbes ++ structProbes ++ metricProbes)},$headline}"""
     val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "BENCH_DETAILS.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath), full + "\n")
     catch { case _: Throwable => () }
-    println(full)
     val slow = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val compact =

@@ -55,10 +55,20 @@ object LogToMetric {
   /** Emit one metric row per spec per input log. Output columns: name,
     * tags (map), ts, kind, value_type, counter_value/gauge_value/
     * set_values — the Metrics.schema core.
+    *
+    * Shape: ONE scan of the input — each row builds an array of
+    * per-spec metric structs (a gated spec contributes null, filtered
+    * before the explode) and `inline` flattens it, exactly the bench
+    * metricsPipeline form. The previous one-projection-per-spec UNION
+    * re-scanned the input once per spec, which at corpus scale made an
+    * N-spec log_to_metric chain N full passes (guide §1.2/§2.4); same
+    * rows out — per input row and spec whose gate passes, one metric
+    * row with identical columns.
     */
   def apply(df: DataFrame, ts: Column, specs: Seq[MetricSpec],
-            carry: Seq[String] = Nil): DataFrame =
-    specs.map { spec =>
+            carry: Seq[String] = Nil): DataFrame = {
+    require(specs.nonEmpty, "log_to_metric: at least one metric spec")
+    val rows = specs.map { spec =>
       val nullDist = lit(null)
         .cast("array<struct<value:double,rate:bigint>>")
       def dist(v: Column) =
@@ -83,18 +93,21 @@ object LogToMetric {
             lit(null).cast("double"), lit(null).cast("array<string>"),
             dist(v))
       }
-      df.filter(spec.gate).select(carry.map(col) :+
-        spec.name.as("name") :+
+      when(spec.gate, struct(
+        spec.name.as("name"),
         map(spec.tags.flatMap { case (k, v) => Seq(lit(k), v.cast("string")) }: _*)
-          .as("tags") :+
-        ts.as("ts") :+
-        lit(kind).as("kind") :+
-        lit(vtype).as("value_type") :+
-        counter.as("counter_value") :+
-        gauge.as("gauge_value") :+
-        setv.as("set_values") :+
-        distv.as("dist_samples"): _*)
-    }.reduce(_.unionByName(_))
+          .as("tags"),
+        ts.as("ts"),
+        lit(kind).as("kind"),
+        lit(vtype).as("value_type"),
+        counter.as("counter_value"),
+        gauge.as("gauge_value"),
+        setv.as("set_values"),
+        distv.as("dist_samples")))
+    }
+    df.select(carry.map(col) :+
+      inline(filter(array(rows: _*), m => m.isNotNull)): _*)
+  }
 
   /** `all_metrics: true` mode (log_to_metric.rs `to_metrics`): each log
     * IS a metric description — `name` + `kind`
