@@ -467,6 +467,202 @@ object AbProbe {
           f"otlp_http/remap=${med(_._3) / mr}%.4f  " +
           f"otlp_grpc/remap=${med(_._4) / mr}%.4f")
 
+      case "vrl3_parts" =>
+        // cost breakdown of vrl_parse_logs3's four parse families on a
+        // REP-amplified input: which of klog regex / ALB regex /
+        // cloudwatch from_json / parse_tokens dominates?
+        import graft.functions.Vrl
+        def in(): DataFrame = replicated()
+        def kline(df: DataFrame) = {
+          val lvl = element_at(
+            array(lit("I"), lit("W"), lit("E"), lit("F")),
+            pmod(col("user_id"), lit(4)).cast("int") + 1)
+          val k = Graft.jsonLong(col("props"), "k")
+          concat(lvl, lit("1011 14:32:52.123456  "), k,
+            lit(" main"), col("user_id"), lit(".go:"), pmod(k, lit(100)),
+            lit("] "), col("event_type"), lit(" done"))
+        }
+        def albLine(df: DataFrame) = {
+          val k = Graft.jsonLong(col("props"), "k")
+          concat(
+            lit("https 2022-10-11T14:32:52.000000Z app/lb/1 10.0.0."),
+            pmod(col("user_id"), lit(256)), lit(":"),
+            lit(10000) + pmod(k, lit(50000)),
+            lit(" 10.0.1.5:80 0.001 0.002 0.000 "),
+            lit(200) + pmod(k, lit(4)),
+            lit(" 200 "), k, lit(" "), k * 2,
+            lit(" \"GET https://example.com:443/p/"), k,
+            lit(" HTTP/2.0\" \"Mozilla/5.0 UA"), col("user_id"),
+            lit("\" ECDHE-RSA-AES128-GCM-SHA256 TLSv1.2 arn:tg/"),
+            col("user_id"), lit(" \"Root=1-"), k,
+            lit("\" \"example.com\" \"arn:cert\" "),
+            pmod(col("user_id"), lit(10)),
+            lit(" 2022-10-11T14:32:52.000000Z \"forward\" \"-\" \"-\""))
+        }
+        def cwLine(df: DataFrame) = {
+          val k = Graft.jsonLong(col("props"), "k")
+          concat(
+            lit("{\"owner\":\"111122223333\",\"messageType\":\"DATA_MESSAGE\"," +
+              "\"logGroup\":\"g"), pmod(col("user_id"), lit(5)),
+            lit("\",\"logStream\":\"s"), col("user_id"),
+            lit("\",\"subscriptionFilters\":[\"f0\",\"f"),
+            pmod(col("user_id"), lit(3)),
+            lit("\"],\"logEvents\":[{\"id\":\"e"), k,
+            lit("\",\"timestamp\":"), lit(1600000000000L) + k,
+            lit(",\"message\":\"m-"), col("event_type"), lit("\"}]}"))
+        }
+        def base(): DataFrame =
+          in().select(col("event_id"), length(kline(in())).as("l1"),
+            length(albLine(in())).as("l2"), length(cwLine(in())).as("l3"))
+        def klogOnly(): DataFrame = {
+          val df = in()
+          df.select(col("event_id"),
+            Vrl.parseKlogFrom(Vrl.klogTokens(kline(df))).as("p"))
+        }
+        def albOnly(): DataFrame = {
+          val df = in()
+          df.select(col("event_id"),
+            Vrl.parseAwsAlbLogFrom(Vrl.albTokens(albLine(df))).as("p"))
+        }
+        def cwOnly(): DataFrame = {
+          val df = in()
+          df.select(col("event_id"),
+            Vrl.parseCloudwatchSubscription(cwLine(df)).as("p"))
+        }
+        def toksOnly(): DataFrame = {
+          val df = in()
+          val k = Graft.jsonLong(col("props"), "k")
+          df.select(col("event_id"),
+            Vrl.parseTokens(concat(
+              lit("start \"quo ted "), col("user_id"), lit("\" [br "),
+              k, lit("] tail"))).as("p"))
+        }
+        def cwConcatOnly(): DataFrame = {
+          val df = in()
+          df.select(col("event_id"), length(cwLine(df)).as("l"))
+        }
+        def cwFields(): DataFrame = {
+          // the real query's access pattern: withColumn + 8 getField
+          val df = in().withColumn("__cw",
+            Vrl.parseCloudwatchSubscription(cwLine(in())))
+          df.select(col("event_id"),
+            col("__cw").getField("owner").as("cw_owner"),
+            col("__cw").getField("message_type").as("cw_type"),
+            col("__cw").getField("log_group").as("cw_group"),
+            col("__cw").getField("log_stream").as("cw_stream"),
+            size(col("__cw").getField("subscription_filters")).cast("long")
+              .as("cw_nfilters"),
+            element_at(col("__cw").getField("log_events"), 1)
+              .getField("id").as("cw_eid"),
+            unix_millis(element_at(col("__cw").getField("log_events"), 1)
+              .getField("timestamp")).as("cw_ets"),
+            element_at(col("__cw").getField("log_events"), 1)
+              .getField("message").as("cw_emsg"))
+        }
+        def cwSingleEval(): DataFrame = {
+          // candidate: parse ONCE, rebuild the renamed struct through a
+          // lambda binding instead of N getField copies of the parse
+          val df = in()
+          val parsed = from_json(cwLine(df), lit(
+            "STRUCT<owner: STRING, messageType: STRING, logGroup: STRING, " +
+              "logStream: STRING, subscriptionFilters: ARRAY<STRING>, " +
+              "logEvents: ARRAY<STRUCT<id: STRING, timestamp: BIGINT, " +
+              "message: STRING>>>"))
+          val bound = element_at(transform(array(parsed), p => struct(
+            p.getField("owner").as("owner"),
+            p.getField("messageType").as("message_type"),
+            p.getField("logGroup").as("log_group"),
+            p.getField("logStream").as("log_stream"),
+            p.getField("subscriptionFilters").as("subscription_filters"),
+            transform(p.getField("logEvents"), e => struct(
+              e.getField("id").as("id"),
+              timestamp_millis(e.getField("timestamp")).as("timestamp"),
+              e.getField("message").as("message"))).as("log_events"))), 1)
+          df.select(col("event_id"), bound.as("p"))
+        }
+        Seq[(String, () => DataFrame)](
+          "concat_base" -> (() => base()),
+          "klog" -> (() => klogOnly()),
+          "alb" -> (() => albOnly()),
+          "cw_concat" -> (() => cwConcatOnly()),
+          "cw_json" -> (() => cwOnly()),
+          "cw_json1" -> (() => cwSingleEval()),
+          "cw_fields" -> (() => cwFields()),
+          "tokens" -> (() => toksOnly())).foreach { case (nm, mk) =>
+          noop(mk()) // warm
+          val ts = (1 to rounds).map(_ => time(noop(mk())))
+          println(f"vrl3 $nm%-12s median=${median(ts)}%.3f s " +
+            ts.map(t => f"$t%.3f").mkString(" "))
+        }
+
+      case "vrlmisc_parts" =>
+        // cost breakdown of vrl_misc's helper families
+        import graft.functions.Vrl
+        def in(): DataFrame = replicated()
+        def k = Graft.jsonLong(col("props"), "k")
+        def ip4 = concat(lit("10.0."), pmod(col("user_id"), lit(256)),
+          lit("."), pmod(k, lit(250)) + 1)
+        def v6lit = concat(lit("2001:db8::"),
+          lower(conv(pmod(k, lit(256)).cast("string"), 10, 16)))
+        def baseOnly(): DataFrame =
+          in().select(col("event_id"), length(ip4).as("a"),
+            length(v6lit).as("b"))
+        def syslogOnly(): DataFrame = {
+          val sev = pmod(col("user_id"), lit(8))
+          val fac = pmod(col("user_id"), lit(24))
+          val lvl = Vrl.toSyslogLevel(sev)
+          in().select(col("event_id"), lvl.as("lvl"),
+            Vrl.toSyslogSeverity(lvl).as("sev_rt"),
+            Vrl.toSyslogFacility(fac).as("fac"))
+        }
+        def ipStrOnly(): DataFrame =
+          in().select(col("event_id"), Vrl.ipToIpv6(ip4).as("v6"),
+            Vrl.ipv6ToIpv4(Vrl.ipToIpv6(ip4)).as("rt4"))
+        def ptonOnly(): DataFrame =
+          in().select(col("event_id"),
+            lower(hex(Vrl.ipPton(ip4))).as("p4hex"),
+            lower(hex(Vrl.ipPton(v6lit))).as("p6hex"),
+            Vrl.ipNtop(Vrl.ipPton(ip4)).as("ntop_rt"))
+        def matchOnly(): DataFrame =
+          in().select(col("event_id"),
+            array_join(Vrl.compactArr(
+              array(col("event_type"), lit(null).cast("string"), lit(""),
+                lit("x"))), ",").as("cjoin"),
+            Vrl.matchAny(col("event_type"), Seq("^err", "^pur")).as("many"),
+            Vrl.matchArray(split(concat(col("event_type"), lit(" xray")), " "),
+              "^x").as("marr"),
+            Vrl.formatInt(k, 16).as("f16"),
+            Vrl.formatInt(col("user_id"), 2).as("f2"),
+            Vrl.isNullish(nullif(col("event_type"), lit("error"))).as("nsh"))
+        def ipChkOnly(): DataFrame =
+          in().select(col("event_id"),
+            Vrl.isIpv4Str(ip4).as("ip4ok"),
+            Vrl.isIpv4Str(concat(lit("10.0.0."),
+              lit(300) + pmod(k, lit(10)))).as("ip4bad"),
+            Vrl.isIpv6Str(v6lit).as("ip6ok"))
+        def jsonOnly(): DataFrame =
+          in().select(col("event_id"),
+            try_parse_json(col("props")).isNotNull.as("isj"),
+            try_parse_json(col("event_type")).isNotNull.as("isj2"))
+        def jsonNative(): DataFrame =
+          in().select(col("event_id"),
+            graft.functions.JsonValidate(col("props")).as("isj"),
+            graft.functions.JsonValidate(col("event_type")).as("isj2"))
+        Seq[(String, () => DataFrame)](
+          "base" -> (() => baseOnly()),
+          "json_nat" -> (() => jsonNative()),
+          "syslog" -> (() => syslogOnly()),
+          "ip_str" -> (() => ipStrOnly()),
+          "pton_udf" -> (() => ptonOnly()),
+          "match_fmt" -> (() => matchOnly()),
+          "ip_chk" -> (() => ipChkOnly()),
+          "json" -> (() => jsonOnly())).foreach { case (nm, mk) =>
+          noop(mk())
+          val ts = (1 to rounds).map(_ => time(noop(mk())))
+          println(f"vrlmisc $nm%-10s median=${median(ts)}%.3f s " +
+            ts.map(t => f"$t%.3f").mkString(" "))
+        }
+
       case "throttle_vs_remap" =>
         // Same ratio-pin treatment for the streaming GCRA throttle
         // class (swung ±30% across rounds with git-identical code).

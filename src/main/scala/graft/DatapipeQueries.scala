@@ -521,7 +521,7 @@ object DatapipeQueries {
     },
 
     "dedup_ngram" -> { (s, dir) =>
-      Dedup.ngramJaccard(docs(s, dir), "doc_id", col("text"),
+      Dedup.ngramJaccardAuto(docs(s, dir), "doc_id", col("text"),
           shingleN = 3, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },

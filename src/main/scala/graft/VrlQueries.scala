@@ -494,8 +494,8 @@ object VrlQueries {
         Vrl.isIpv4Str(concat(lit("10.0.0."),
           lit(300) + pmod(col("k"), lit(10)))).as("ip4bad"),
         Vrl.isIpv6Str(v6lit).as("ip6ok"),
-        try_parse_json(col("props")).isNotNull.as("isj"),
-        try_parse_json(col("event_type")).isNotNull.as("isj2"))
+        graft.functions.JsonValidate(col("props")).as("isj"),
+        graft.functions.JsonValidate(col("event_type")).as("isj2"))
         .orderBy(col("event_id"))
     },
 

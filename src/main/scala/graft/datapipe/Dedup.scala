@@ -48,6 +48,20 @@ object Dedup {
     */
   val DefaultDriverEdges = 500000
 
+  /** Planner-estimated corpus row count above which [[ngramJaccardAuto]]
+    * picks the prefix-filtered PPJoin form over the direct pair-count
+    * join. The direct join emits one row per co-occurring (pair,
+    * shingle) — df² rows per hot shingle — so its cost is bounded only
+    * while shingle doc-frequencies stay modest, which empirically holds
+    * for small corpora and degrades with corpus size (boilerplate
+    * shingles accumulate df linearly with N). The prefix variant pays
+    * two extra narrow joins for immunity to df skew — the right trade
+    * past a few million docs. Deployment knob, same spirit as the hint
+    * rows; both branches are exact, so an estimate miss costs plan
+    * quality, never rows.
+    */
+  val DefaultNgramPrefixRows = 2000000L
+
   /** Planner-estimated corpus row count above which drop-set anti-joins
     * pin `shuffle_hash` instead of trusting AQE's broadcast conversion:
     * drop sets have CORPUS cardinality in the worst case, Catalyst's
@@ -274,27 +288,28 @@ object Dedup {
   /** DISK-BOUNDED [[minhashLsh]]: identical pairs out, but the exact-
     * Jaccard verify runs in `slices` deterministic hash slices of the
     * candidate set, each slice its own action landing on `sliceDir`
-    * parquet, so a slice's shuffle files are released before the next
-    * slice starts — peak LIVE shuffle disk is ~1/slices of the one-shot
-    * verify (the 20M-doc staged chain trough was the verify's ~57 GB of
-    * live shuffle; 40M at the measured rate needs ~114 GB, over this
-    * container). The trade is time: each slice re-shuffles the narrow
-    * shingle index, so verify compute is ~slices× the cost of one pass —
-    * disk-for-time, the same posture as [[Ann.semanticDedupBounded]].
-    * The candidate front half (shingle index, signatures, band join) is
-    * built ONCE and persisted, exactly as in [[minhashLsh]]; the index
-    * cache is released when the last slice lands. The candidate front
-    * half (shingle index, banded signatures) is built ONCE — staged on
-    * `sliceDir` PARQUET, not held as caches: the 40 M-doc attempt showed
-    * the front half's MEMORY_AND_DISK spill alone can fill a container
-    * before any verify slice starts, while the zstd-parquet form is a
-    * fraction of the bytes, releases its build shuffles as soon as each
-    * table lands, and gives every verify slice REAL file statistics for
-    * the fat-index decision. The staged tables are deleted when the
-    * last slice lands; only `pairs/` remains. Returns the union read
-    * back from `sliceDir/pairs` (immediately usable and already
-    * materialized — callers that would re-verify per downstream action
-    * get that for free).
+    * parquet, with that slice's shuffle files released — synchronously,
+    * via [[org.apache.spark.GraftShuffleCleanup]] — before the next
+    * slice starts, so peak LIVE shuffle disk is bounded by one slice.
+    * The front half (shingle index, banded signatures, and — since r18 —
+    * the band-join candidate pairs) is built ONCE and staged on zstd
+    * parquet, not held as caches: the 40M-doc attempt showed the
+    * MEMORY_AND_DISK form can fill a container before any verify slice
+    * starts, while the parquet form releases its build shuffles as each
+    * table lands and gives every slice REAL file statistics.
+    *
+    * Each verify slice pre-filters the index with a broadcast Bloom
+    * filter over the slice's candidate doc-id hashes (guide §3.2): only
+    * index rows of docs participating in this slice's pairs enter the
+    * verify joins' exchanges, instead of the full ~shingles x corpus
+    * index per slice — the r17 40M rung died on exactly that full
+    * re-shuffle. Filtering is per-doc all-or-nothing with no false
+    * negatives, so pair verification and the per-doc size denominators
+    * are exact; false positives only add shuffle bytes. The staged
+    * tables are deleted when the last slice lands; only `pairs/`
+    * remains. Returns the union read back from `sliceDir/pairs`
+    * (already materialized — callers that would re-verify per
+    * downstream action get that for free).
     */
   def minhashLshSliced(docs: DataFrame, id: String, text: Column,
                        sliceDir: String, slices: Int,
@@ -304,23 +319,37 @@ object Dedup {
                        fatIndex: Option[Boolean] = None): DataFrame = {
     require(slices >= 1, s"minhashLshSliced: slices must be >= 1, got $slices")
     val spark = docs.sparkSession
+    val sc = spark.sparkContext
+    // Deterministic shuffle release between staged actions: each stage's
+    // output is on parquet, so its shuffle files are dead the moment the
+    // write returns — release them SYNCHRONOUSLY instead of hoping a GC
+    // cycle reaches the ContextCleaner in time (the r17 form's
+    // System.gc() is best-effort; on a busy heap slice files outlived
+    // their slice and the disk bound quietly failed).
+    def staged[T](body: => T): T = {
+      val before = org.apache.spark.GraftShuffleCleanup.liveShuffleIds(sc)
+      val out = body
+      val created =
+        org.apache.spark.GraftShuffleCleanup.liveShuffleIds(sc) -- before
+      org.apache.spark.GraftShuffleCleanup.release(sc, created)
+      out
+    }
     val cap =
       if (maxBucket >= 0) maxBucket
       else math.max(50L,
         math.ceil(math.sqrt(docs.count().toDouble)).toLong).toInt
     // stage 1: the narrow shingle index (same projection as
     // lshCandidates' persisted idx, landed on parquet instead)
-    locally {
+    staged {
       val ex = shingleRows(docs, id, text, shingleN)
       val (h1, h2) = minhashLanes(col("s0"))
       ex.select(col("doc"), xxhash64(col("s0")).as("s"),
           h1.as("h1"), h2.as("h2"))
         .write.mode("overwrite").parquet(s"$sliceDir/idx")
     }
-    System.gc() // release the build's shuffle files before the next stage
     val idx = spark.read.parquet(s"$sliceDir/idx")
     // stage 2: banded bucket rows (signatures + optional hot-bucket cap)
-    locally {
+    staged {
       val mins = (0 until numHashes).map(h =>
         min(pmod(col("h1") + lit(h.toLong) * col("h2"), lit(M32))).as(s"m$h"))
       val sig = idx.groupBy(col("doc"))
@@ -342,38 +371,66 @@ object Dedup {
       } else bandedAll)
         .write.mode("overwrite").parquet(s"$sliceDir/banded")
     }
-    System.gc()
     val banded = spark.read.parquet(s"$sliceDir/banded")
-    // candidates: docs sharing any (band_idx, band_hash) bucket — same
-    // join as lshCandidates, reading the staged table from parquet
-    val a = banded.as("a"); val b = banded.as("b")
-    val candidates = a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .distinct()
+    // stage 3: candidate pairs, STAGED — the r17 form rebuilt the band
+    // self-join inside every slice's verify action (slices x one full
+    // join over the banded table); landing it once on parquet makes each
+    // slice a cheap pruned scan and gives the per-slice Bloom builder a
+    // narrow table to aggregate
+    staged {
+      val a = banded.as("a"); val b = banded.as("b")
+      a.join(b,
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$sliceDir/cand")
+    }
+    val cand = spark.read.parquet(s"$sliceDir/cand")
     val inv = idx.select(col("doc"), col("s"))
     (0 until slices).foreach { k =>
-      val slice =
-        if (slices == 1) candidates
-        else candidates.filter(
-          pmod(xxhash64(col("id_a"), col("id_b")), lit(slices)) === k)
-      verifyJaccard(slice, inv, threshold, fatIndex)
-        .write.mode("overwrite").parquet(s"$sliceDir/pairs/slice=$k")
-      // finished slice: its QueryExecution is unreachable now — a GC
-      // cycle lets the ContextCleaner delete its shuffle files BETWEEN
-      // slices (the whole point of slicing)
-      System.gc()
+      staged {
+        val slice =
+          if (slices == 1) cand
+          else cand.filter(
+            pmod(xxhash64(col("id_a"), col("id_b")), lit(slices)) === k)
+        // SLICE-SCOPED INDEX PRE-FILTER (guide §3.2): the verify joins
+        // only ever match index rows of docs that appear in THIS
+        // slice's pairs, but the r17 form shuffled the FULL shingle
+        // index (~200 x corpus rows) through both joins of every slice
+        // — the measured 40M-doc disk killer. A Bloom filter over the
+        // slice's doc-id hashes drops non-candidate docs' rows map-side,
+        // before the exchange. False positives only add shuffle bytes;
+        // the filter is on doc, so a true candidate doc keeps ALL its
+        // rows — per-doc sizes (the jaccard denominator) stay exact.
+        val nPairs = slice.count()
+        val bc =
+          if (nPairs == 0) None // stat.bloomFilter NPEs on an empty frame
+          else Some(sc.broadcast(slice
+            .select(xxhash64(col("id_a")).as("h"))
+            .union(slice.select(xxhash64(col("id_b")).as("h")))
+            .stat.bloomFilter("h", math.max(1000L, 2L * nPairs), 0.01)))
+        val invK = bc match {
+          case None => inv.limit(0) // empty slice: schema-correct empty out
+          case Some(b) =>
+            val mightHave = udf((h: Long) => b.value.mightContainLong(h))
+            inv.filter(mightHave(xxhash64(col("doc"))))
+        }
+        verifyJaccard(slice, invK, threshold, fatIndex)
+          .write.mode("overwrite").parquet(s"$sliceDir/pairs/slice=$k")
+        bc.foreach(_.destroy())
+      }
     }
     // the staged front half is dead once the last slice lands — free it
     locally {
       val conf = spark.sparkContext.hadoopConfiguration
-      Seq(s"$sliceDir/idx", s"$sliceDir/banded").foreach { p =>
-        val path = new org.apache.hadoop.fs.Path(p)
-        val fs = path.getFileSystem(conf)
-        fs.delete(path, true)
-      }
+      Seq(s"$sliceDir/idx", s"$sliceDir/banded", s"$sliceDir/cand")
+        .foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val fs = path.getFileSystem(conf)
+          fs.delete(path, true)
+        }
     }
     spark.read.parquet(s"$sliceDir/pairs")
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -414,6 +471,29 @@ object Dedup {
     * trading two extra narrow joins for immunity to df skew. Pick per
     * corpus; both are exact.
     */
+  /** Whether [[ngramJaccardAuto]] should take the prefix-filtered
+    * branch for this corpus — exposed for tests pinning the flip.
+    */
+  def usePrefixNgram(docs: DataFrame,
+                     switchRows: Long = DefaultNgramPrefixRows): Boolean =
+    estimatedRows(docs) > switchRows
+
+  /** Cost-based [[ngramJaccard]]: direct pair-count while the planner
+    * estimates the corpus under [[DefaultNgramPrefixRows]], the
+    * prefix-filtered PPJoin form above it. Both branches are exact and
+    * emit identical pairs (pinned by DedupSpec), so this is a pure
+    * strategy switch — the statistics read is plan-only (no job), the
+    * same free-decision posture as the `fatIndex` auto mode.
+    */
+  def ngramJaccardAuto(docs: DataFrame, id: String, text: Column,
+                       shingleN: Int = 3, threshold: Double = 0.5,
+                       fatIndex: Option[Boolean] = None,
+                       switchRows: Long = DefaultNgramPrefixRows): DataFrame =
+    if (usePrefixNgram(docs, switchRows))
+      ngramJaccardPrefix(docs, id, text, shingleN, threshold, fatIndex)
+    else
+      ngramJaccard(docs, id, text, shingleN, threshold)
+
   def ngramJaccardPrefix(docs: DataFrame, id: String, text: Column,
                          shingleN: Int = 3, threshold: Double = 0.5,
                          fatIndex: Option[Boolean] = None): DataFrame = {

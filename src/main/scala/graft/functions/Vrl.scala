@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object Vrl {
 
+  /** Single-evaluation let-binding: `f` references `x`'s VALUE through a
+    * lambda variable instead of embedding a copy of `x`'s expression
+    * tree per reference. Column-API struct builders like
+    * `struct(parsed.getField("a"), parsed.getField("b"), ...)` otherwise
+    * create one full copy of `parsed` PER FIELD — for an expensive
+    * non-codegen parse (from_json is CodegenFallback, so whole-stage
+    * subexpression elimination never dedupes it) that multiplies the
+    * per-row parse cost by the field count (measured 6 parses/row in
+    * parse_aws_cloudwatch_log_subscription_message, 4.4x the query
+    * term). The one-element array wrap costs an allocation per row —
+    * noise next to any real parse.
+    */
+  def bind(x: Column)(f: Column => Column): Column =
+    element_at(transform(array(x), f), 1)
+
   // ---- String ----------------------------------------------------------
   def upcase(c: Column): Column = upper(c)
   def downcase(c: Column): Column = lower(c)
@@ -1244,16 +1259,16 @@ object Vrl {
         "logStream: STRING, subscriptionFilters: ARRAY<STRING>, " +
         "logEvents: ARRAY<STRUCT<id: STRING, timestamp: BIGINT, " +
         "message: STRING>>>"))
-    struct(
-      parsed.getField("owner").as("owner"),
-      parsed.getField("messageType").as("message_type"),
-      parsed.getField("logGroup").as("log_group"),
-      parsed.getField("logStream").as("log_stream"),
-      parsed.getField("subscriptionFilters").as("subscription_filters"),
-      transform(parsed.getField("logEvents"), e => struct(
+    bind(parsed)(p => struct(
+      p.getField("owner").as("owner"),
+      p.getField("messageType").as("message_type"),
+      p.getField("logGroup").as("log_group"),
+      p.getField("logStream").as("log_stream"),
+      p.getField("subscriptionFilters").as("subscription_filters"),
+      transform(p.getField("logEvents"), e => struct(
         e.getField("id").as("id"),
         timestamp_millis(e.getField("timestamp")).as("timestamp"),
-        e.getField("message").as("message"))).as("log_events"))
+        e.getField("message").as("message"))).as("log_events")))
   }
 
   // ---- Enumerate / match helpers ---------------------------------------
@@ -1295,9 +1310,16 @@ object Vrl {
     c.isNull || c.cast("string").rlike("^[\\s]*$") ||
       c.cast("string") === "-"
 
-  /** is_ipv4 / is_ipv6 (string-shape checks). */
+  /** is_ipv4 / is_ipv6 (string-shape checks). One anchored regex whose
+    * octet alternation encodes the <=255 range check — the previous
+    * shape-regex + split + HOF `exists(cast)` ran interpreted (higher-
+    * order functions are CodegenFallback) and re-scanned the string
+    * three times. Octet semantics identical: 1-3 digits, numeric value
+    * <= 255, leading zeros allowed ("099" == 99, as the int cast had it).
+    */
   def isIpv4Str(c: Column): Column =
-    isIpv4(c) && !exists(split(c, "\\."), o => o.cast("int") > 255)
+    c.rlike("^(\\d{1,2}|0\\d{2}|1\\d{2}|2[0-4]\\d|25[0-5])" +
+      "(\\.(\\d{1,2}|0\\d{2}|1\\d{2}|2[0-4]\\d|25[0-5])){3}$")
   def isIpv6Str(c: Column): Column =
     c.contains(":") && c.rlike("^[0-9a-fA-F:.]+$")
 

@@ -808,7 +808,7 @@ object VrlFunctions {
       case "is_nullish" => CV(Vrl.isNullish(c(0)), TBool)
       case "is_ipv4" => CV(Vrl.isIpv4Str(c(0)), TBool)
       case "is_ipv6" => CV(Vrl.isIpv6Str(c(0)), TBool)
-      case "is_json" => CV(try_parse_json(c(0)).isNotNull, TBool)
+      case "is_json" => CV(JsonValidate(c(0)), TBool)
       case "is_string" => a(0).cv.t match {
         case TStr => CV(c(0).isNotNull, TBool)
         case TVariant => CV(schema_of_variant(c(0)) === "STRING", TBool)

@@ -416,7 +416,7 @@ object ConfigLoader {
             case "minhash" => graft.datapipe.Dedup.minhashLsh(df, idField,
               col(textField), shingleN, numHashes, bands, threshold,
               maxBucket, fatIndex)
-            case "ngram" => graft.datapipe.Dedup.ngramJaccardPrefix(df,
+            case "ngram" => graft.datapipe.Dedup.ngramJaccardAuto(df,
               idField, col(textField), shingleN, threshold, fatIndex)
           }
           emit match {

@@ -26,6 +26,28 @@ class DedupSpec extends SparkSpec {
       .collect().toSeq
     assert(direct.nonEmpty)
     assert(direct == prefixed)
+    // the auto switch: direct pair-count below the size threshold,
+    // prefix-filtered above it (statistics-only decision — range(N)
+    // carries an exact rowCount estimate), identical pairs either way
+    assert(!Dedup.usePrefixNgram(docs))
+    // 8x the threshold: without CBO the projected-range estimate is
+    // sizeInBytes-derived (approximate), so give it margin — the knob
+    // protects order-of-magnitude regimes, not an exact row count
+    assert(Dedup.usePrefixNgram(
+      spark.range(Dedup.DefaultNgramPrefixRows * 8)
+        .select(col("id").as("doc_id"), lit("a b c").as("text"))))
+    val auto = Dedup.ngramJaccardAuto(docs, "doc_id", $"text",
+        shingleN = 3, threshold = 0.3)
+      .orderBy($"id_a", $"id_b")
+      .collect().toSeq
+    assert(auto == direct)
+    // forced-prefix leg at a tiny switch threshold: the flip changes the
+    // plan, never the rows
+    val forcedPrefix = Dedup.ngramJaccardAuto(docs, "doc_id", $"text",
+        shingleN = 3, threshold = 0.3, switchRows = 1L)
+      .orderBy($"id_a", $"id_b")
+      .collect().toSeq
+    assert(forcedPrefix == direct)
   }
 
   test("exact dedupe reports later duplicates with their first id") {
