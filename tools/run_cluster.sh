@@ -4,7 +4,11 @@
 # serialization of broadcast codebooks, closures, and kernels (the bug
 # class local[N] can't catch). Usage: tools/run_cluster.sh graft.Verify ...
 set -e
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+# SPARK_GRAFT_CLASSES: alternate compiled-classes dir (e.g. a snapshot
+# copy, so long stress runs are immune to concurrent recompiles of
+# target/ — this runner loads classes lazily).
+CLASSES="${SPARK_GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}"
+CP="$CLASSES:/opt/spark/jars/*"
 ADDOPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
          java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
@@ -33,5 +37,5 @@ exec java $ADDOPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
   -Dspark.memory.storageFraction=${SPARK_GRAFT_STORAGE_FRACTION:-0.3} \
   -Dspark.io.compression.codec=${SPARK_GRAFT_IO_CODEC:-zstd} \
   -Dspark.driver.maxResultSize=${SPARK_GRAFT_MAX_RESULT:-4g} \
-  -Dspark.executor.extraClassPath=/root/repo/target/scala-2.13/classes \
+  -Dspark.executor.extraClassPath="$CLASSES" \
   -cp "$CP" "$@"
