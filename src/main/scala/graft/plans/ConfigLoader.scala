@@ -1648,8 +1648,12 @@ object ConfigLoader {
           .select(Decode.syslog5424From(col("__tok")).as("__s"))
           .select(col("__s.*"))
       case Some("gelf") =>
-        framed.select(Decode.gelfFrom(Decode.gelfTokens(col("message")))
-            .as("__g"))
+        // two-step barrier like the syslog/influx paths: gelfFrom reads
+        // 7 fields of the token map, and inlined that is 7 copies — and
+        // 7 per-row evaluations, from_json being CodegenFallback and
+        // thus never CSE'd — of the same JSON parse
+        framed.select(Decode.gelfTokens(col("message")).as("__tok"))
+          .select(Decode.gelfFrom(col("__tok")).as("__g"))
           .select(col("__g.*"))
           .withColumn("message", col("short_message"))
       case Some("influxdb") =>
