@@ -1187,24 +1187,14 @@ object Vrl {
     * names; `request` is split into request_method/url/protocol; `-`
     * stands for absent on the nullable fields).
     */
-  def albTokens(c: Column): Column = {
-    val q = "\"([^\"]*)\"" // quoted field
-    val pat = "^(\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) " +
-      "(\\S+) (\\S+) (\\S+) (\\S+) " + q + " " + q + " (\\S+) (\\S+) " +
-      "(\\S+) " + q + " " + q + " " + q + " (\\S+) (\\S+) " + q +
-      "(?: " + q + ")?(?: " + q + ")?(?: " + q + ")?(?: " + q + ")?" +
-      "(?: " + q + ")?(?: " + q + ")?.*$"
-    RegexStruct(c, pat, Seq(
-      "type", "timestamp", "elb", "client_host", "target_host",
-      "request_processing_time", "target_processing_time",
-      "response_processing_time", "elb_status_code", "target_status_code",
-      "received_bytes", "sent_bytes", "request", "user_agent",
-      "ssl_cipher", "ssl_protocol", "target_group_arn", "trace_id",
-      "domain_name", "chosen_cert_arn", "matched_rule_priority",
-      "request_creation_time", "actions_executed", "redirect_url",
-      "error_reason", "target_port_list", "target_status_code_list",
-      "classification", "classification_reason"))
-  }
+  def albTokens(c: Column): Column =
+    // hand-rolled single-pass scanner with exactly the semantics of the
+    // previous 29-group regex (the pattern is kept verbatim in
+    // AlbTokensSpec, which pins scanner == regex over well-formed AND
+    // malformed lines); the regex was backtracking-free on this grammar
+    // but paid 29-group matcher bookkeeping + a matcher allocation per
+    // row
+    AlbTokens(c)
 
   def parseAwsAlbLogFrom(g: Column): Column = {
     def nil(f: String): Column = nullif(g.getField(f), lit("-"))
